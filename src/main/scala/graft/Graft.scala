@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory + reference-semantics configuration.
+  *
+  * The reference pipeline (Rooban1030/Amazon-Books-Review) ran on a Spark
+  * where ANSI mode was off: division by zero yields NULL
+  * (Amazon-book-review_books_reviews.py:52) and casting garbage strings
+  * yields NULL (details.py:99). Spark 4 defaults `spark.sql.ansi.enabled=true`,
+  * so [[referenceSemantics]] flips the session into the reference's dialect.
+  * `spark.sql.legacy.timeParserPolicy=LEGACY` mirrors details.py:111 (mixed
+  * `yyyy` / `yyyy-MM-dd` date strings).
+  */
+object Graft {
+
+  /** Runtime confs that reproduce the reference's SQL dialect. Safe to call
+    * per-query: these are session-level runtime confs, applied before plan
+    * analysis of any DataFrame built afterwards.
+    */
+  def referenceSemantics(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    spark
+  }
+
+  /** Local session tuned for this environment (single JVM, many cores).
+    * On a real cluster the same settings hold except master/partitions,
+    * which come from the deploy environment.
+    */
+  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

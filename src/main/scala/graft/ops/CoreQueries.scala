@@ -1,0 +1,312 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational core of the operator inventory (SURVEY.md §2.1–2.7):
+  * scans/sinks (S1–S3), projections & filters (P1–P10), joins (J1 + the
+  * join types Spark gives for free), aggregations (A1–A7), limits (L1),
+  * set operations.
+  *
+  * Every query reads via [[graft.Tables.load]] so pushdown/pruning reach the
+  * parquet scan, and emits a deterministic row-set with oracle-matched
+  * column names.
+  */
+object CoreQueries {
+
+  private def decSum(c: org.apache.spark.sql.Column, p: Int, s: Int) =
+    sum(c.cast(DecimalType(p, s))).cast(DoubleType)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- S: scans / sources / sinks --------------------------------------
+    QueryDef("s1_csv_scan",
+      "CSV batch scan, header + inferSchema (ref D:54, R:29); round-trips region through a temp CSV dir",
+      "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_s1_csv").toString
+      Tables.load(s, dir, "region")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.format("csv")
+        .option("header", "true").option("inferSchema", "true").load(tmp)
+    },
+
+    QueryDef("s2_parquet_sink_scan",
+      "Parquet batch sink + scan back (ref D:203/207, R:119/125)",
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'R'") { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_s2_parquet").toString
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+    },
+
+    QueryDef("s3_parquet_scan",
+      "Parquet batch scan with projection pruning (ref D:207)",
+      "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
+      Tables.load(s, dir, "region").select("r_regionkey", "r_name")
+    },
+
+    // ---- P: projections / filters / null handling ------------------------
+    // NB: not ROUND(x, 2) — Spark rounds the double's shortest decimal repr
+    // (BigDecimal.valueOf) while DuckDB rounds the exact binary value, so
+    // near-tie rows differ by 1 ulp of a cent. A DECIMAL(22,6) cast is exact
+    // for products of three 2-decimal inputs → bit-identical in both engines.
+    QueryDef("p1_withcolumn",
+      "withColumn derived expression (ref D:68..R:76)",
+      "SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6)) AS DOUBLE) AS net_price FROM lineitem") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .withColumn("net_price",
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .cast(DecimalType(22, 6)).cast(DoubleType))
+        .select("l_orderkey", "l_linenumber", "net_price")
+    },
+
+    QueryDef("p2_select_alias",
+      "select projection with aliases (ref D:153, R:113)",
+      "SELECT c_custkey AS cust_id, c_name AS name, c_mktsegment AS segment FROM customer") { (s, dir) =>
+      Tables.load(s, dir, "customer").select(
+        col("c_custkey").alias("cust_id"),
+        col("c_name").alias("name"),
+        col("c_mktsegment").alias("segment"))
+    },
+
+    QueryDef("p3_drop_column",
+      "drop columns (ref R:93 drops null-heavy Price)",
+      "SELECT p_partkey, p_name, p_brand, p_type FROM part") { (s, dir) =>
+      Tables.load(s, dir, "part").drop("p_retailprice", "p_size")
+    },
+
+    QueryDef("p4_filter_startswith_or_null",
+      "filter startsWith(...) OR isNull (ref D:128/135/142 URL sanity)",
+      "SELECT doc_id, source, lang FROM documents WHERE source LIKE 'src1%' OR lang IS NULL") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(col("source").startsWith("src1") || col("lang").isNull)
+        .select("doc_id", "source", "lang")
+    },
+
+    QueryDef("p5_where_isnull_count",
+      "where isNull + count action (ref R:86)",
+      "SELECT COUNT(*) AS null_cnt FROM events WHERE value IS NULL") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .where(col("value").isNull)
+        .agg(count(lit(1)).alias("null_cnt"))
+    },
+
+    QueryDef("p6_filter_year_derived",
+      "WHERE on derived YEAR(...) (ref M:121)",
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice FROM orders WHERE year(o_orderdate) > 1998") { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(year(col("o_orderdate")) > 1998)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast(DateType).alias("order_date"),
+          col("o_totalprice"))
+    },
+
+    QueryDef("p7_dropna_all",
+      "na.drop over all columns (ref D:176)",
+      "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL") { (s, dir) =>
+      Tables.load(s, dir, "documents").na.drop()
+    },
+
+    QueryDef("p8_dropna_subset",
+      "na.drop on a column subset (ref R:69)",
+      "SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .na.drop(Seq("value", "user_id"))
+        .select("event_id", "event_type", "value")
+    },
+
+    QueryDef("p9_fillna_map",
+      "na.fill with per-column map (ref D:167-169, R:104-107)",
+      "SELECT c_custkey, COALESCE(c_acctbal, 0.0) AS c_acctbal, COALESCE(c_mktsegment, 'N.A') AS c_mktsegment FROM customer") { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .na.fill(Map("c_acctbal" -> 0.0, "c_mktsegment" -> "N.A"))
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    },
+
+    QueryDef("p10_sql_over_view",
+      "temp view + SQL SELECT (ref M:22-25, C1/C2)",
+      "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2") { (s, dir) =>
+      Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql("SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2")
+    },
+
+    // ---- J: joins --------------------------------------------------------
+    QueryDef("j1_join_inner_equi",
+      "inner equi-join, batch analog of the bronze-bronze Title join (ref M:116-121)",
+      "SELECT o_orderkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey") { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+    },
+
+    QueryDef("j2_join_left_outer",
+      "left outer join (API surface beyond the reference's single inner join)",
+      "SELECT n_nationkey, n_name, r_name FROM nation LEFT JOIN region ON n_regionkey = r_regionkey") { (s, dir) =>
+      Tables.load(s, dir, "nation")
+        .join(Tables.load(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"), "left")
+        .select("n_nationkey", "n_name", "r_name")
+    },
+
+    QueryDef("j3_join_left_semi",
+      "left semi join: customers that have orders",
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)") { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    QueryDef("j4_join_left_anti",
+      "left anti join: customers without orders",
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)") { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    QueryDef("j5_join_multiway_agg",
+      "4-way star join + grouped revenue (TPC-H Q5 shape; broadcast dims)",
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType))
+        .groupBy("n_name")
+        .agg(
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 20, 4).alias("revenue"),
+          count(lit(1)).alias("n_lines"))
+    },
+
+    QueryDef("j6_join_range_predicate",
+      "equi-join with extra range predicate (non-equi condition)",
+      "SELECT o_orderstatus, COUNT(*) AS late_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY GROUP BY o_orderstatus") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).alias("late_lines"))
+    },
+
+    // ---- A: aggregations -------------------------------------------------
+    QueryDef("a1_global_mean",
+      "global scalar aggregate (mean, ref R:102); decimal-exact sum / count for bit-stable result",
+      "SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal FROM customer") { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .agg((decSum(col("c_acctbal"), 18, 2) / count(lit(1))).alias("avg_acctbal"))
+    },
+
+    QueryDef("a2_grouped_count",
+      "grouped count + sum (gold-layer aggregate shape, ref M:162-166)",
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag, l_linestatus") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).alias("cnt"), sum(col("l_quantity")).alias("sum_qty"))
+    },
+
+    QueryDef("a3_count_action",
+      "COUNT(*) action (ref D:55 et al.)",
+      "SELECT COUNT(*) AS n_rows FROM lineitem") { (s, dir) =>
+      Tables.load(s, dir, "lineitem").agg(count(lit(1)).alias("n_rows"))
+    },
+
+    QueryDef("a4_drop_duplicates",
+      "dropDuplicates / full-row distinct (ref D:177)",
+      "SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber FROM lineitem") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_linenumber")
+        .dropDuplicates()
+    },
+
+    QueryDef("a5_tpch_q1",
+      "multi-aggregate grouped report (TPC-H Q1 shape; decimal-exact money sums)",
+      """SELECT l_returnflag, l_linestatus,
+        |SUM(l_quantity) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+        |SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |COUNT(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).alias("sum_qty"),
+          decSum(col("l_extendedprice"), 18, 2).alias("sum_base_price"),
+          decSum(disc, 20, 4).alias("sum_disc_price"),
+          decSum(disc * (lit(1) + col("l_tax")), 22, 6).alias("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).alias("avg_qty"),
+          (decSum(col("l_extendedprice"), 18, 2) / count(lit(1))).alias("avg_price"),
+          count(lit(1)).alias("cnt"))
+    },
+
+    QueryDef("a7_count_distinct",
+      "exact COUNT(DISTINCT) per group",
+      "SELECT event_type, COUNT(DISTINCT user_id) AS users FROM events GROUP BY event_type") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).alias("users"))
+    },
+
+    QueryDef.noOracle("a6_approx_count_distinct",
+      "approx_count_distinct (HLL++); sketch differs from DuckDB's so rows-only check") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).alias("approx_users"))
+    },
+
+    // ---- L: sort / limit / top-k -----------------------------------------
+    QueryDef("l1_topk",
+      "orderBy + limit top-k (ref L1 D:182; made deterministic with key tie-break)",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10") { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // ---- SET: union / intersect / except ---------------------------------
+    QueryDef("set1_union_all",
+      "UNION ALL of two tagged projections",
+      "SELECT c_custkey AS id, 'customer' AS kind FROM customer WHERE c_acctbal > 5000 UNION ALL SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier") { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").alias("id"), lit("customer").alias("kind"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").alias("id"), lit("supplier").alias("kind"))
+      c.union(sup)
+    },
+
+    QueryDef("set2_intersect",
+      "INTERSECT (distinct) of key sets",
+      "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey AS c_custkey FROM orders") { (s, dir) =>
+      Tables.load(s, dir, "customer").select("c_custkey")
+        .intersect(Tables.load(s, dir, "orders").select(col("o_custkey").alias("c_custkey")))
+    },
+
+    QueryDef("set3_except",
+      "EXCEPT (distinct): customer keys with no orders",
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders") { (s, dir) =>
+      Tables.load(s, dir, "customer").select("c_custkey")
+        .except(Tables.load(s, dir, "orders").select(col("o_custkey").alias("c_custkey")))
+    }
+  )
+}
