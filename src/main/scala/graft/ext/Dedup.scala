@@ -1,0 +1,173 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.VectorFunctions.cosine
+
+/** Deduplication family for large-scale corpus cleaning (SURVEY.md §7.5):
+  * exact, MinHash+LSH, SimHash, blocked n-gram Jaccard, embedding near-dup.
+  *
+  * Scale design: no all-pairs comparison anywhere. Every near-dup variant is
+  * (1) a per-row signature computed scan-side in codegen'd expressions,
+  * (2) an equi-join on a bucket/band key (hash-partitionable shuffle whose
+  * fan-out is bounded by bucket size), (3) an exact verify on the surviving
+  * candidate pairs only. That is the standard MinHash-LSH shape that holds at
+  * 100 TB: cost ≈ corpus scan + |candidates|, never |corpus|².
+  */
+object Dedup {
+
+  /** Word tokens (lowercased, whitespace-split, empties dropped). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct word set. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles as strings. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(array_join(t, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+  }
+
+  /** Exact dedup: group identical keys, keep the smallest id as canonical.
+    * (Hash-partitioned group-by; deterministic unlike dropDuplicates'
+    * arbitrary-row-wins.) */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).alias("canonical_id"),
+        count(lit(1)).alias("copies"))
+
+  /** MinHash signature: array of `numHashes` minima of seeded xxhash64 over
+    * the shingle set. One pass, codegen'd, no shuffle. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** Banded LSH candidate pairs + exact Jaccard verify.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignature(shingles(col(textCol), shingleSize), numHashes)
+    // verify on the same granularity MinHash estimates: distinct shingle sets
+    val banded = df.select(col(idCol).alias("id"),
+        array_distinct(shingles(col(textCol), shingleSize)).alias("toks"),
+        sig.alias("sig"))
+      .select(col("id"), col("toks"),
+        posexplode(array((0 until bands).map(b =>
+          hash(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
+          .as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").alias("id_a"), col("toks").alias("toks_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").alias("id_b"), col("toks").alias("toks_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("toks_a"), col("toks_b")).alias("jaccard"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard over two pre-deduplicated arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: chunk the 64-bit signature into `chunks`
+    * pieces; by pigeonhole any pair within Hamming distance < chunks shares
+    * at least one chunk, so candidates are an equi-join on (chunk_idx,
+    * chunk_value). Verify with exact Hamming.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val sigDf = df.select(col(idCol).alias("id"),
+      simhashValue(col(textCol)).alias("sig"))
+    val width = 64 / chunks
+    val chunked = sigDf.select(col("id"), col("sig"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").alias("id_a"), col("sig").alias("sig_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").alias("id_b"), col("sig").alias("sig_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).alias("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit SimHash value (sign of per-bit vote sums). */
+  def simhashValue(text: Column): Column = {
+    val voteArr = aggregate(
+      tokens(text),
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(voteArr, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Blocked exact n-gram Jaccard pairs: equi-block on cheap metadata
+    * (language + length bucket) then verify — SQL-expressible, used as the
+    * oracle-checkable member of the near-dup family. */
+  def blockedJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      lenCol: String, lenTol: Int, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).alias("id_a"), col(langCol).alias("lang"),
+      col(lenCol).alias("len_a"), tokenSet(col(textCol)).alias("toks_a"))
+    val b = df.select(col(idCol).alias("id_b"), col(langCol).alias("lang"),
+      col(lenCol).alias("len_b"), tokenSet(col(textCol)).alias("toks_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= lenTol)
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("toks_a"), col("toks_b")).alias("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup: LSH-bucketed cosine > threshold pairs. */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val pv = Similarity.planes(nPlanes, dim, seed)
+    val sig = Similarity.lshSignature(col(vecCol), pv)
+    val bucketed = df.select(col(idCol).alias("id"),
+      col(vecCol).alias("vec"), sig.alias("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").alias("id_a"),
+      col("vec").alias("vec_a"))
+    val b = bucketed.select(col("bucket"), col("id").alias("id_b"),
+      col("vec").alias("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).alias("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{cosine, dot}
+
+/** Approximate & exact nearest-neighbor search over an embedding column
+  * (extension tier, SURVEY.md §7.5).
+  *
+  * Scale design (100 TB posture):
+  *   - [[bruteForceTopK]]: the query side is broadcast (queries ≪ corpus);
+  *     the corpus is scanned once, scored in whole-stage codegen, and only
+  *     (n_queries × k)-bounded rows survive the final per-query top-k. The
+  *     shuffle moves scored candidate rows keyed by query — no corpus
+  *     replication.
+  *   - [[lshTopK]]: random-hyperplane LSH. Bucket signatures are computed
+  *     scan-side with literal plane vectors (no shuffle, no extra pass);
+  *     candidates meet via an equi-join on (bucket), so the join is
+  *     hash-partitionable and skew-bounded by bucket size. Multi-probe =
+  *     OR over signatures with one bit flipped (probes ≤ nPlanes).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) table — the big side
+    * @param queries (idCol, vecCol) table — small, broadcast
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(
+      col(idCol).alias("q_id"), col(vecCol).alias("q_vec"))
+    val c = corpus.select(
+      col(idCol).alias("n_id"), col(vecCol).alias("n_vec"))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("n_id") =!= col("q_id") else lit(true))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).alias("score"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed — reproducible
+    * across runs and executors; planes travel as literals, not data). */
+  private[ext] def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket signature for a vector column. */
+  def lshSignature(vec: Column, planeVecs: Seq[Seq[Double]]): Column =
+    planeVecs.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k via hyperplane LSH with 1-bit multi-probe.
+    *
+    * Recall/cost dial: more planes → smaller buckets (faster, lower recall);
+    * multi-probe recovers recall without re-partitioning the corpus.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val pv = planes(nPlanes, dim, seed)
+    val c = corpus.select(
+      col(idCol).alias("n_id"), col(vecCol).alias("n_vec"),
+      lshSignature(col(vecCol), pv).alias("bucket"))
+    // queries probe their own bucket plus each 1-bit-flipped neighbor bucket
+    val probeBuckets = array(
+      (lit(-1L) +: (0 until nPlanes).map(i => lit(1L << i))): _*)
+    val q = queries.select(
+        col(idCol).alias("q_id"), col(vecCol).alias("q_vec"),
+        lshSignature(col(vecCol), pv).alias("q_bucket"))
+      .withColumn("probe", explode(probeBuckets))
+      .select(col("q_id"), col("q_vec"),
+        when(col("probe") === -1L, col("q_bucket"))
+          .otherwise(expr("q_bucket ^ probe")).alias("bucket"))
+      .dropDuplicates("q_id", "bucket")
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).alias("score"))
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector math over `Array[Float]` embedding columns, built from Spark's
+  * codegen-friendly higher-order functions (no UDFs — SURVEY.md §7.3).
+  *
+  * Precision contract: elements are cast Float→Double BEFORE multiplying and
+  * the fold runs left-to-right, so results are bit-identical to any engine
+  * that promotes to f64 and accumulates sequentially (e.g. DuckDB's
+  * `list_dot_product` on `DOUBLE[]`). Do not reorder the fold.
+  */
+object VectorFunctions {
+
+  /** Sequential-f64 dot product of two array<float|double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; NULL-safe on zero vectors (0/0 → NULL with ANSI off,
+    * NaN guard via nullif-style division left to callers that need it). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Squared euclidean distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast(DoubleType) - y.cast(DoubleType); d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+}

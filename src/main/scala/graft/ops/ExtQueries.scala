@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions.cosine
+
+/** Extension-tier catalog (SURVEY.md §7.5): dedup, similarity search, text
+  * analysis, multimodal plumbing over `documents` / `embeddings`.
+  *
+  * Oracle notes: cosine scores match DuckDB bit-for-bit because both sides
+  * promote Float→Double per element and fold sequentially (see
+  * [[graft.functions.VectorFunctions]]); hash-based ops (MinHash, SimHash,
+  * fingerprints) use Spark's xxhash64 which has no DuckDB equivalent →
+  * rows-only checks + ScalaTest oracles instead.
+  */
+object ExtQueries {
+
+  private val COS = {
+    // shared SQL fragment: sequential-f64 cosine between two FLOAT[] lists
+    def d(x: String, y: String) =
+      s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
+    s"${d("q.embedding", "n.embedding")} / (sqrt(${d("q.embedding", "q.embedding")}) * sqrt(${d("n.embedding", "n.embedding")}))"
+  }
+
+  private val TOKS =
+    """list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- deduplication ---------------------------------------------------
+    QueryDef("ext_dedup_exact",
+      "exact dedup: canonical id + copy count per identical text",
+      "SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS copies FROM documents GROUP BY text") { (s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", Seq("text"))
+        .select("canonical_id", "copies")
+    },
+
+    QueryDef.noOracle("ext_dedup_minhash_lsh",
+      "MinHash(64)+LSH(16 bands) near-dup candidate pairs with exact shingle-Jaccard verify") { (s, dir) =>
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", numHashes = 64, bands = 16, shingleSize = 3,
+        threshold = 0.2)
+    },
+
+    QueryDef.noOracle("ext_dedup_simhash",
+      "SimHash64 near-dup pairs (chunk-blocked, Hamming-verified)") { (s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 12, chunks = 4)
+    },
+
+    QueryDef("ext_dedup_jaccard_blocked",
+      "blocked exact n-gram Jaccard pairs (lang + length blocking)",
+      s"""WITH t AS (SELECT doc_id, lang, n_chars, $TOKS AS toks FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 5
+         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.toks, b.toks))) AS DOUBLE) >= 0.5""".stripMargin) { (s, dir) =>
+      Dedup.blockedJaccardPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "lang", "n_chars", lenTol = 5, threshold = 0.5)
+    },
+
+    QueryDef.noOracle("ext_dedup_embedding_neardup",
+      "embedding near-dup pairs via hyperplane-LSH bucket + cosine verify") { (s, dir) =>
+      // testdata embeddings are uniform-random (max pairwise cosine ≈ 0.48),
+      // so the "near-dup" bar is 0.3 here; production corpora use ~0.9+
+      Dedup.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3, nPlanes = 8)
+    },
+
+    // ---- similarity search ----------------------------------------------
+    QueryDef("ext_sim_cosine_scores",
+      "exact cosine scores: 3 query vectors × corpus (bit-stable f64 fold)",
+      s"SELECT q.vec_id AS q_id, n.vec_id AS n_id, $COS AS score FROM embeddings q, embeddings n WHERE q.vec_id < 3 AND n.vec_id <> q.vec_id") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").alias("q_id"), col("embedding").alias("q_vec"))
+      emb.select(col("vec_id").alias("n_id"), col("embedding").alias("n_vec"))
+        .join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(col("q_vec"), col("n_vec")).alias("score"))
+    },
+
+    QueryDef("ext_sim_topk_bruteforce",
+      "brute-force cosine top-5 per query (10 queries), window top-k",
+      s"""SELECT q_id, n_id, score, rank FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM (SELECT q.vec_id AS q_id, n.vec_id AS n_id, $COS AS score
+         |        FROM embeddings q, embeddings n
+         |        WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id))
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    },
+
+    QueryDef.noOracle("ext_sim_topk_lsh",
+      "ANN top-5 via hyperplane LSH + 1-bit multi-probe (recall tested vs brute force in ScalaTest)") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    },
+
+    // ---- text analysis ---------------------------------------------------
+    QueryDef("ext_text_token_count",
+      "token counting: whitespace + BPE-ish (letter/digit runs + punct marks)",
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS n_tokens,
+         |  len(regexp_extract_all(text, '${TextAnalysis.BPEISH_PATTERN}')) AS n_bpeish
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).alias("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).alias("n_bpeish"))
+    },
+
+    QueryDef("ext_text_quality",
+      "quality features: char/token counts, chars-per-token, punct & stopword ratios",
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents)
+         |SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+         |  CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS chars_per_token,
+         |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for','on','with','as','at','this','be'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio
+         |FROM t""".stripMargin) { (s, dir) =>
+      TextAnalysis.qualityFeatures(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
+    QueryDef.noOracle("ext_text_langid",
+      "language ID via stopword-profile argmax (struct lang/confidence)") { (s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.languageId(col("text")).alias("pred"))
+        .select(col("doc_id"), col("lang"),
+          col("pred.lang").alias("pred_lang"),
+          col("pred.confidence").alias("confidence"))
+    },
+
+    QueryDef.noOracle("ext_text_fingerprint",
+      "winnowing-style rolling-hash document fingerprints (xxhash64)") { (s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprints(col("text")).alias("fps"))
+    },
+
+    // ---- multimodal ------------------------------------------------------
+    QueryDef("ext_mm_media_table",
+      "media table: opaque binary payload + typed metadata columns",
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  source, octet_length(encode(text)) AS n_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.mediaTable(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "source")
+        .select("media_id", "kind", "source", "n_bytes")
+    },
+
+    QueryDef.noOracle("ext_mm_decode",
+      "partition-wise decode pass over media payloads (stub codec)") { (s, dir) =>
+      implicit val sp = s
+      import s.implicits._
+      val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "source").as[Multimodal.MediaItem]
+      Multimodal.decodeAll(media).toDF()
+    },
+
+    QueryDef.noOracle("ext_mm_features",
+      "batched feature extraction from payload bytes (stub codec)") { (s, dir) =>
+      implicit val sp = s
+      import s.implicits._
+      val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "source").as[Multimodal.MediaItem]
+      Multimodal.extractFeatures(media).toDF()
+    },
+
+    QueryDef.noOracle("ext_mm_frame_sample",
+      "frame sampling over decoded video rows") { (s, dir) =>
+      implicit val sp = s
+      import s.implicits._
+      val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "source").as[Multimodal.MediaItem]
+      Multimodal.sampleFrames(Multimodal.decodeAll(media))
+    }
+  )
+}
