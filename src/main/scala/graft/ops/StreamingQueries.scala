@@ -1,0 +1,174 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9) made oracle-checkable:
+  * each entry runs a real streaming query (file source → stateful
+  * transform → sink, with checkpoint) under `Trigger.AvailableNow`, then
+  * returns the materialized sink — whose content equals the batch/SQL
+  * answer, so the DuckDB oracle still applies.
+  *
+  * State posture at scale: st3 reproduces the reference's watermark-free
+  * unbounded-state join (legal, grows forever — M:116-121); st4 is the
+  * production variant with watermarks + a time-bound condition so both
+  * sides' state is evictable. st5 is the complete-mode aggregate
+  * (M:162-183 shape) over event-time tumbling windows.
+  */
+object StreamingQueries {
+
+  /** events schema for the file-stream source (ts = nanos long on disk). */
+  private val eventsRaw = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The file stream source ingests directories; stage the single-file
+    * events table into a temp dir (stand-in for the landing zone the
+    * reference's Auto Loader watched). */
+  private def stageEventsDir(dir: String): String = {
+    val d = Files.createTempDirectory("graft_events_src")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  /** Streaming read of a staged events dir with µs TimestampType `ts`. */
+  private def eventsStream(s: SparkSession, stagedDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventsRaw)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("st1_stream_file_append",
+      "file stream source → filter/project → append parquet sink + checkpoint (S4/S6/T5/T6)",
+      "SELECT event_id, user_id FROM events WHERE event_type = 'click'") { (s, dir) =>
+      val out = tmp("graft_st1")
+      eventsStream(s, stageEventsDir(dir))
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
+    QueryDef("st2_stream_agg_complete",
+      "watermark-free streaming grouped count, complete mode via foreachBatch overwrite (A2/S7)",
+      "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type") { (s, dir) =>
+      val out = tmp("graft_st2")
+      eventsStream(s, stageEventsDir(dir))
+        .groupBy("event_type").agg(count(lit(1)).alias("cnt"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$out/_cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/sink")
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
+    QueryDef("st3_stream_stream_join",
+      "watermark-free stream-stream inner equi-join (J1 shape: unbounded symmetric-hash state)",
+      "SELECT p.event_id AS purchase_id, c.event_id AS click_id FROM events p JOIN events c ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'") { (s, dir) =>
+      val out = tmp("graft_st3")
+      val src = stageEventsDir(dir)
+      val p = eventsStream(s, src).filter(col("event_type") === "purchase")
+        .select(col("event_id").alias("purchase_id"), col("user_id"))
+      val c = eventsStream(s, src).filter(col("event_type") === "click")
+        .select(col("event_id").alias("click_id"),
+          col("user_id").alias("c_user_id"))
+      p.join(c, col("user_id") === col("c_user_id"), "inner")
+        .select("purchase_id", "click_id")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
+    QueryDef("st4_stream_join_watermarked",
+      "watermarked, time-bounded stream-stream join (production variant: evictable state)",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin) { (s, dir) =>
+      val out = tmp("graft_st4")
+      val src = stageEventsDir(dir)
+      val p = eventsStream(s, src).filter(col("event_type") === "purchase")
+        .select(col("event_id").alias("purchase_id"), col("user_id"),
+          col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = eventsStream(s, src).filter(col("event_type") === "click")
+        .select(col("event_id").alias("click_id"),
+          col("user_id").alias("c_user_id"), col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      p.join(c,
+          col("user_id") === col("c_user_id") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"), "inner")
+        .select("purchase_id", "click_id")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
+    QueryDef("st5_stream_window_agg",
+      "event-time tumbling-window streaming aggregate, complete mode (T2 extension)",
+      "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS cnt FROM events GROUP BY 1") { (s, dir) =>
+      val out = tmp("graft_st5")
+      eventsStream(s, stageEventsDir(dir))
+        .groupBy(window(col("ts"), "1 day").alias("w"))
+        .agg(count(lit(1)).alias("cnt"))
+        .select(col("w.start").cast(DateType).alias("day"), col("cnt"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$out/_cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/sink")
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
+    QueryDef("st6_sessionize_typed",
+      "typed KeyValueGroupedDataset sessionization (30-min gap rule)",
+      """WITH g AS (SELECT user_id,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk FROM events)
+        |SELECT user_id, 1 + SUM(brk) AS n_sessions, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // 30-minute gap in microseconds; ties broken on event_id like the oracle
+      val gapUs = 30L * 60 * 1000 * 1000
+      graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).alias("ts_us"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val sorted = it.toArray.sortBy(e => (e._3, e._2))
+          var sessions = 1L
+          var i = 1
+          while (i < sorted.length) {
+            if (sorted(i)._3 - sorted(i - 1)._3 > gapUs) sessions += 1
+            i += 1
+          }
+          (uid, sessions, sorted.length.toLong)
+        }
+        .toDF("user_id", "n_sessions", "n_events")
+    }
+  )
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Correctness of the extension tier that the DuckDB oracle can't check
+  * (hash-based signatures, ANN recall, language ID, stub codec). */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy cat again and again"),
+    (2L, "completely different words live in this document entirely"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again")
+  ).toDF("doc_id", "text")
+
+  test("dedup exact: identical texts share a canonical id") {
+    val r = Dedup.exact(docs, "doc_id", Seq("text"))
+      .select("canonical_id", "copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r.contains((0L, 2L))) // doc 0 & 3 → canonical 0, copies 2
+    assert(r.size === 3)
+  }
+
+  test("dedup minhash-LSH: finds the exact and near duplicate, not the distinct doc") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L)))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 3L)).get._3 === 1.0)
+    assert(!keys.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("dedup simhash: identical docs at Hamming 0; distinct doc excluded at tight radius") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => (p._1, p._2) == (0L, 3L) && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("jaccard column semantics (distinct-set intersection over union)") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(j === 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("fingerprints: equal for identical text, disjoint-ish for different text") {
+    val fps = docs.select(col("doc_id"),
+        TextAnalysis.fingerprints(col("text")).alias("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(0L) === fps(3L))
+    assert(fps(0L).intersect(fps(2L)).isEmpty)
+  }
+
+  test("brute-force top-k picks the true nearest neighbor") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 1)
+      .select("n_id").head().getLong(0)
+    assert(top1 === 1L)
+  }
+
+  test("LSH ANN: deterministic and attains nonzero recall vs brute force") {
+    val emb = Tables.load(spark, SF, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall > 0.0, s"recall was $recall")
+    // determinism: fixed-seed planes ⇒ identical resultsets across runs
+    val ann2 = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann === ann2)
+  }
+
+  test("language ID picks the profile language on natural sentences") {
+    val samples = Seq(
+      ("en", "the cat is on the mat and it is a fine day for this"),
+      ("fr", "le chat est dans la maison et il est content du jour"),
+      ("de", "der hund ist in dem haus und er ist mit dem ball"),
+      ("es", "el perro es grande y la casa es bonita para el gato")
+    ).toDF("expected", "text")
+    val preds = samples.select(col("expected"),
+        TextAnalysis.languageId(col("text")).getField("lang").alias("pred"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    preds.foreach { case (exp, got) => assert(got === exp) }
+  }
+
+  test("token counting: whitespace vs BPE-ish") {
+    val df = Seq(Tuple1("don't stop! go-go 42")).toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.bpeishTokenCount(col("text"))).head()
+    assert(r.getInt(0) === 4)
+    // don | ' | t | stop | ! | go | - | go | 42
+    assert(r.getInt(1) === 9)
+  }
+
+  test("multimodal: stub decode deterministic, features bounded, frame sampling strides") {
+    implicit val s = spark
+    val media = Multimodal.mediaTable(
+      docs.withColumn("source", lit("src")), "doc_id", "text", "source")
+      .as[Multimodal.MediaItem]
+    val dec = Multimodal.decodeAll(media).collect().sortBy(_.media_id)
+    assert(dec.length === 4)
+    assert(dec.forall(_.ok))
+    val d0 = dec.head
+    val n = docs.filter(col("doc_id") === 0).head().getString(1).length
+    assert(d0.width === 256 + n % 1024)
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(feats.forall(_.features.length === 16))
+    val frames = Multimodal.sampleFrames(Multimodal.decodeAll(media), stride = 10)
+    assert(frames.columns.toSeq === Seq("media_id", "frame_idx"))
+  }
+}
