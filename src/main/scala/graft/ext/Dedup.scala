@@ -42,14 +42,29 @@ object Dedup {
       .agg(min(col(idCol)).alias("canonical_id"),
         count(lit(1)).alias("copies"))
 
-  /** MinHash signature: array of `numHashes` minima of seeded xxhash64 over
-    * the shingle set. One pass, codegen'd, no shuffle. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  /** One string-hash pass over the shingles (the expensive step — do it
+    * exactly once per row and MATERIALIZE the result as a column before
+    * deriving signatures; re-using the expression tree instead would
+    * re-hash every shingle once per derived hash function). */
+  def shingleHashes(text: Column, shingleSize: Int): Column =
+    transform(shingles(text, shingleSize), s => xxhash64(s))
+
+  /** MinHash signature from a MATERIALIZED hash-array column: numHashes
+    * passes of seeded long-hashing (codegen'd integer mixing — no string
+    * re-hashing, and no ANSI overflow since the mixing is internal). */
+  def minhashFromHashes(hashCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
+      array_min(transform(hashCol, h => xxhash64(h, lit(i))))
     }: _*)
 
-  /** Banded LSH candidate pairs + exact Jaccard verify.
+  /** Column-API convenience (single use only — for pipelines, prefer
+    * materializing [[shingleHashes]] then [[minhashFromHashes]]). */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    minhashFromHashes(transform(shingleCol, s => xxhash64(s)), numHashes)
+
+  /** Banded LSH candidate pairs + exact Jaccard verify (over distinct
+    * shingle-hash sets — same granularity MinHash estimates, and cheaper
+    * to carry through the join than shingle strings).
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
@@ -59,11 +74,11 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignature(shingles(col(textCol), shingleSize), numHashes)
-    // verify on the same granularity MinHash estimates: distinct shingle sets
-    val banded = df.select(col(idCol).alias("id"),
-        array_distinct(shingles(col(textCol), shingleSize)).alias("toks"),
-        sig.alias("sig"))
+    val banded = df
+      .select(col(idCol).alias("id"),
+        shingleHashes(col(textCol), shingleSize).alias("hs"))
+      .select(col("id"), array_distinct(col("hs")).alias("toks"),
+        minhashFromHashes(col("hs"), numHashes).alias("sig"))
       .select(col("id"), col("toks"),
         posexplode(array((0 until bands).map(b =>
           hash(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))

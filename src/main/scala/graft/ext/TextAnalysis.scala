@@ -92,15 +92,27 @@ object TextAnalysis {
         best.getField("confidence").alias("confidence")))
   }
 
-  /** Per-document rolling-hash fingerprints over word shingles — winnowing
-    * style: keep the min hash of each `window`-sized band of shingle hashes.
-    * Used for copy-detection; deterministic (xxhash64). */
-  def fingerprints(text: Column, shingleSize: Int = 5, window: Int = 4): Column = {
-    val hs = transform(Dedup.shingles(text, shingleSize), s => xxhash64(s))
+  /** Winnowing bands over a MATERIALIZED shingle-hash column: min hash of
+    * each `window`-sized band. (Materialize first — referencing a raw hash
+    * expression here would re-hash all shingles once per band.) */
+  def fingerprintBands(hashCol: Column, window: Int): Column = {
     // Column `/` is double division — keep band arithmetic integral
     val nBands = greatest(
-      floor((size(hs) + window - 1) / lit(window)).cast("int"), lit(1))
+      floor((size(hashCol) + window - 1) / lit(window)).cast("int"), lit(1))
     array_distinct(transform(sequence(lit(0), nBands - 1),
-      b => array_min(slice(hs, b * window + 1, lit(window)))))
+      b => array_min(slice(hashCol, b * window + 1, lit(window)))))
   }
+
+  /** Per-document rolling-hash fingerprints over word shingles — winnowing
+    * style. DataFrame-level so the hash pass is materialized once. */
+  def fingerprintsDf(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, window: Int = 4): DataFrame =
+    df.select(col(idCol),
+        Dedup.shingleHashes(col(textCol), shingleSize).alias("_hs"))
+      .select(col(idCol), fingerprintBands(col("_hs"), window).alias("fps"))
+
+  /** Column-API convenience for one-off use (see [[fingerprintsDf]] for the
+    * pipeline-grade path). */
+  def fingerprints(text: Column, shingleSize: Int = 5, window: Int = 4): Column =
+    fingerprintBands(Dedup.shingleHashes(text, shingleSize), window)
 }

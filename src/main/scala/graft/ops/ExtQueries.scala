@@ -139,8 +139,8 @@ object ExtQueries {
 
     QueryDef.noOracle("ext_text_fingerprint",
       "winnowing-style rolling-hash document fingerprints (xxhash64)") { (s, dir) =>
-      Tables.load(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.fingerprints(col("text")).alias("fps"))
+      TextAnalysis.fingerprintsDf(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
     },
 
     // ---- multimodal ------------------------------------------------------
