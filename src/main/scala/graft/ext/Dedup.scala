@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.VectorFunctions.cosine
+import graft.functions.GraftFunctions
+import graft.functions.VectorFunctions.cosineNative
 
 /** Deduplication family for large-scale corpus cleaning (SURVEY.md §7.5):
   * exact, MinHash+LSH, SimHash, blocked n-gram Jaccard, embedding near-dup.
@@ -171,6 +172,7 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nPlanes: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val pv = Similarity.planes(nPlanes, dim, seed)
     val sig = Similarity.lshSignature(col(vecCol), pv)
     val bucketed = df.select(col(idCol).alias("id"),
@@ -182,7 +184,7 @@ object Dedup {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a"), col("vec_b")).alias("cos"))
+        cosineNative(col("vec_a"), col("vec_b")).alias("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{cosine, dot}
+import graft.functions.GraftFunctions
+import graft.functions.VectorFunctions.{cosineNative, dot}
 
 /** Approximate & exact nearest-neighbor search over an embedding column
   * (extension tier, SURVEY.md §7.5).
@@ -34,6 +35,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(
       col(idCol).alias("q_id"), col(vecCol).alias("q_vec"))
     val c = corpus.select(
@@ -41,7 +43,7 @@ object Similarity {
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("n_id") =!= col("q_id") else lit(true))
       .select(col("q_id"), col("n_id"),
-        cosine(col("q_vec"), col("n_vec")).alias("score"))
+        cosineNative(col("q_vec"), col("n_vec")).alias("score"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -70,6 +72,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val pv = planes(nPlanes, dim, seed)
     val c = corpus.select(
       col(idCol).alias("n_id"), col(vecCol).alias("n_vec"),
@@ -88,7 +91,7 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        cosine(col("q_vec"), col("n_vec")).alias("score"))
+        cosineNative(col("q_vec"), col("n_vec")).alias("score"))
       .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("n_id").asc)

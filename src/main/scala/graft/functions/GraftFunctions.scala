@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration of graft's native Catalyst expressions.
+  *
+  * Two paths:
+  *   - [[register]] on a live session (what the library helpers use);
+  *   - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *     so SQL users get the functions at session build time.
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", "sequential-f64 dot product of two float vectors",
+      es => FloatVecDot(es.head, es(1))))
+
+  def register(spark: SparkSession): Unit = all.foreach { case (name, _, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+  }
+
+  /** Column API over the registered native function (call [[register]] or
+    * install [[GraftExtensions]] first). */
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+}
+
+/** `SparkSessionExtensions` installer: injectFunction for every native
+  * expression (SURVEY.md §7.3 mechanism (c)). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, usage),
+        builder))
+    }
+}

@@ -29,6 +29,14 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Cosine via the codegen'd native [[FloatVecDot]] (bit-identical to
+    * [[cosine]]; register via [[GraftFunctions.register]] first). This is
+    * the hot-loop variant the similarity operators use. */
+  def cosineNative(a: Column, b: Column): Column = {
+    val d = GraftFunctions.vecDot _
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+  }
+
   /** Squared euclidean distance. */
   def l2Sq(a: Column, b: Column): Column =
     aggregate(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.functions.VectorFunctions.cosine
+import graft.functions.{GraftFunctions, VectorFunctions}
 
 /** Extension-tier catalog (SURVEY.md §7.5): dedup, similarity search, text
   * analysis, multimodal plumbing over `documents` / `embeddings`.
@@ -73,13 +73,14 @@ object ExtQueries {
     QueryDef("ext_sim_cosine_scores",
       "exact cosine scores: 3 query vectors × corpus (bit-stable f64 fold)",
       s"SELECT q.vec_id AS q_id, n.vec_id AS n_id, $COS AS score FROM embeddings q, embeddings n WHERE q.vec_id < 3 AND n.vec_id <> q.vec_id") { (s, dir) =>
+      GraftFunctions.register(s)
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").alias("q_id"), col("embedding").alias("q_vec"))
       emb.select(col("vec_id").alias("n_id"), col("embedding").alias("n_vec"))
         .join(broadcast(q), col("n_id") =!= col("q_id"))
         .select(col("q_id"), col("n_id"),
-          cosine(col("q_vec"), col("n_vec")).alias("score"))
+          VectorFunctions.cosineNative(col("q_vec"), col("n_vec")).alias("score"))
     },
 
     QueryDef("ext_sim_topk_bruteforce",

@@ -82,6 +82,24 @@ class ExtSpec extends SparkSpec {
     assert(ann === ann2)
   }
 
+  test("native vec_dot is bit-identical to the HOF fold") {
+    import graft.functions.{GraftFunctions, VectorFunctions}
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, SF, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding"))
+    val both = emb.alias("a").crossJoin(emb.alias("b"))
+      .select(
+        VectorFunctions.dot(col("a.embedding"), col("b.embedding")).alias("hof"),
+        GraftFunctions.vecDot(col("a.embedding"), col("b.embedding")).alias("native"))
+    // bitwise: no tolerance
+    assert(both.filter(col("hof") =!= col("native")).count() === 0)
+    // and SQL registration path works
+    emb.createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      "SELECT vec_dot(embedding, embedding) AS d FROM emb_v LIMIT 1")
+    assert(viaSql.head().getDouble(0) > 0)
+  }
+
   test("language ID picks the profile language on natural sentences") {
     val samples = Seq(
       ("en", "the cat is on the mat and it is a fine day for this"),
