@@ -15,8 +15,8 @@ object SparkEntry {
   /** All catalog entries, ordered by family. */
   def catalog: Seq[QueryDef] =
     ops.CoreQueries.defs ++ ops.FunctionQueries.defs ++
-      ops.WindowQueries.defs ++ ops.ExtQueries.defs ++
-      ops.StreamingQueries.defs
+      ops.WindowQueries.defs ++ ops.AnalyticsQueries.defs ++
+      ops.ExtQueries.defs ++ ops.StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The multiway star-join revenue aggregate — the densest single plan in

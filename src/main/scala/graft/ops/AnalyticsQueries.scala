@@ -1,0 +1,94 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.Tables
+
+/** Second-ring analytics surface: exact percentiles, rollup/cube grouping
+  * sets, pivot, JSON extraction (events.props is a JSON column), pure-SQL
+  * interop, and the reference's lake-copy pattern (M:194-207).
+  */
+object AnalyticsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("a8_percentile_exact",
+      "exact interpolated percentile per group (median)",
+      "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty FROM lineitem GROUP BY l_returnflag") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").alias("median_qty"))
+    },
+
+    QueryDef("a9_rollup",
+      "ROLLUP grouping sets with supergroup rows",
+      "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).alias("sum_qty"), count(lit(1)).alias("cnt"))
+    },
+
+    QueryDef("a10_cube",
+      "CUBE grouping sets",
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).alias("cnt"))
+    },
+
+    QueryDef("a11_pivot",
+      "pivot on linestatus (CASE-aggregation equivalent)",
+      "SELECT l_returnflag, SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O, SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F FROM lineitem GROUP BY l_returnflag") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("O", "F"))
+        .sum("l_quantity")
+    },
+
+    QueryDef("f18_get_json_object",
+      "JSON path extraction from a string column",
+      "SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").alias("k_str"))
+    },
+
+    QueryDef("f19_from_json_typed",
+      "from_json with declared schema → typed field",
+      "SELECT event_id, CAST(props->>'$.k' AS INT) AS k_val FROM events") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast(IntegerType).alias("k_val"))
+    },
+
+    QueryDef("sql1_cte_window",
+      "pure-SQL entry: CTE + window over registered temp views (M %sql style)",
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """WITH r AS (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders)
+          |SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn = 1""".stripMargin)
+    },
+
+    QueryDef("s8_lake_copy",
+      "batch table copy: read → overwrite parquet → read back (ref M:194-207)",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_s8").toString
+      Tables.load(s, dir, "nation")
+        .write.mode("overwrite").parquet(s"$tmp/copy")
+      s.read.parquet(s"$tmp/copy")
+    }
+  )
+}
