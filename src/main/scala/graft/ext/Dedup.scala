@@ -43,20 +43,23 @@ object Dedup {
       .agg(min(col(idCol)).alias("canonical_id"),
         count(lit(1)).alias("copies"))
 
-  /** One string-hash pass over the shingles (the expensive step — do it
-    * exactly once per row and MATERIALIZE the result as a column before
-    * deriving signatures; re-using the expression tree instead would
-    * re-hash every shingle once per derived hash function). */
+  /** Shingle hashes without shingle strings: one xxhash64 per TOKEN, then
+    * the native [[graft.functions.ShingleHashes]] rolling combiner produces
+    * the n-gram hashes (same discriminative power as hashing joined shingle
+    * strings, none of the string allocation). MATERIALIZE the result as a
+    * column before deriving signatures. Requires [[GraftFunctions.register]]
+    * (callers here handle it). */
   def shingleHashes(text: Column, shingleSize: Int): Column =
-    transform(shingles(text, shingleSize), s => xxhash64(s))
+    call_function("shingle_hashes",
+      transform(tokens(text), t => xxhash64(t)), lit(shingleSize))
 
-  /** MinHash signature from a MATERIALIZED hash-array column: numHashes
-    * passes of seeded long-hashing (codegen'd integer mixing — no string
-    * re-hashing, and no ANSI overflow since the mixing is internal). */
+  /** MinHash signature from a MATERIALIZED hash-array column — the native
+    * [[graft.functions.MinHashSig]] expression computes all seeds in one
+    * generated loop over the array (the HOF formulation walks the array
+    * once per seed). Requires [[GraftFunctions.register]] (callers here
+    * handle it). */
   def minhashFromHashes(hashCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(hashCol, h => xxhash64(h, lit(i))))
-    }: _*)
+    call_function("minhash_sig", hashCol, lit(numHashes))
 
   /** Column-API convenience (single use only — for pipelines, prefer
     * materializing [[shingleHashes]] then [[minhashFromHashes]]). */
@@ -74,6 +77,7 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(df.sparkSession)
     val rows = numHashes / bands
     val banded = df
       .select(col(idCol).alias("id"),
@@ -112,6 +116,7 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val sigDf = df.select(col(idCol).alias("id"),
       simhashValue(col(textCol)).alias("sig"))
     val width = 64 / chunks
@@ -131,23 +136,11 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** 64-bit SimHash value (sign of per-bit vote sums). */
-  def simhashValue(text: Column): Column = {
-    val voteArr = aggregate(
-      tokens(text),
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L))),
-        (a, v) => a + v))
-    aggregate(
-      zip_with(voteArr, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, bit) => acc.bitwiseOR(bit))
-  }
+  /** 64-bit SimHash value via the native [[graft.functions.SimHash64]]
+    * expression: one string-hash pass over tokens, then a single generated
+    * vote loop. Requires [[GraftFunctions.register]] on the session. */
+  def simhashValue(text: Column): Column =
+    call_function("simhash64", transform(tokens(text), t => xxhash64(t)))
 
   /** Blocked exact n-gram Jaccard pairs: equi-block on cheap metadata
     * (language + length bucket) then verify — SQL-expressible, used as the

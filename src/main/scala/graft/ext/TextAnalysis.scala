@@ -106,13 +106,15 @@ object TextAnalysis {
   /** Per-document rolling-hash fingerprints over word shingles — winnowing
     * style. DataFrame-level so the hash pass is materialized once. */
   def fingerprintsDf(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 5, window: Int = 4): DataFrame =
+      shingleSize: Int = 5, window: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol),
         Dedup.shingleHashes(col(textCol), shingleSize).alias("_hs"))
       .select(col(idCol), fingerprintBands(col("_hs"), window).alias("fps"))
+  }
 
   /** Column-API convenience for one-off use (see [[fingerprintsDf]] for the
-    * pipeline-grade path). */
+    * pipeline-grade path). Requires GraftFunctions.register on the session. */
   def fingerprints(text: Column, shingleSize: Int = 5, window: Int = 4): Column =
     fingerprintBands(Dedup.shingleHashes(text, shingleSize), window)
 }

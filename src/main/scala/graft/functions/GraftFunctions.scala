@@ -16,7 +16,15 @@ object GraftFunctions {
 
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("vec_dot", "sequential-f64 dot product of two float vectors",
-      es => FloatVecDot(es.head, es(1))))
+      es => FloatVecDot(es.head, es(1))),
+    ("minhash_sig", "one-pass minhash signature over a pre-hashed array",
+      es => MinHashSig(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue())),
+    ("simhash64", "64-bit simhash over a pre-hashed token array",
+      es => SimHash64(es.head)),
+    ("shingle_hashes", "order-sensitive n-gram hashes from token hashes",
+      es => ShingleHashes(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, _, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

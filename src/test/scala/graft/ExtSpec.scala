@@ -49,6 +49,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("fingerprints: equal for identical text, disjoint-ish for different text") {
+    graft.functions.GraftFunctions.register(spark)
     val fps = docs.select(col("doc_id"),
         TextAnalysis.fingerprints(col("text")).alias("f"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
