@@ -82,6 +82,23 @@ object AnalyticsQueries {
           |SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn = 1""".stripMargin)
     },
 
+    QueryDef("src_json_roundtrip",
+      "JSON source: write → read back with explicit schema (beyond-reference format)",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_json").toString
+      val nation = Tables.load(s, dir, "nation")
+      nation.write.mode("overwrite").json(s"$tmp/j")
+      s.read.schema(nation.schema).json(s"$tmp/j")
+    },
+
+    QueryDef("src_orc_roundtrip",
+      "ORC source: write → read back (beyond-reference columnar format)",
+      "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_orc").toString
+      Tables.load(s, dir, "region").write.mode("overwrite").orc(s"$tmp/o")
+      s.read.orc(s"$tmp/o")
+    },
+
     QueryDef("s8_lake_copy",
       "batch table copy: read → overwrite parquet → read back (ref M:194-207)",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
