@@ -148,10 +148,14 @@ object Dedup {
   def blockedJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, langCol: String,
       lenCol: String, lenTol: Int, threshold: Double): DataFrame = {
+    // carry 8-byte token hashes through the join instead of the token
+    // strings: identical Jaccard values (collisions ~2^-64), a fraction of
+    // the shuffle bytes
+    val hashedSet = array_distinct(transform(tokens(col(textCol)), t => xxhash64(t)))
     val a = df.select(col(idCol).alias("id_a"), col(langCol).alias("lang"),
-      col(lenCol).alias("len_a"), tokenSet(col(textCol)).alias("toks_a"))
+      col(lenCol).alias("len_a"), hashedSet.alias("toks_a"))
     val b = df.select(col(idCol).alias("id_b"), col(langCol).alias("lang"),
-      col(lenCol).alias("len_b"), tokenSet(col(textCol)).alias("toks_b"))
+      col(lenCol).alias("len_b"), hashedSet.alias("toks_b"))
     a.join(b, Seq("lang"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= lenTol)

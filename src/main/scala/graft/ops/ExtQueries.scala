@@ -97,6 +97,31 @@ object ExtQueries {
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     },
 
+    QueryDef("ext_sim_topk_aggregator",
+      "same top-5 via the typed TopKAggregator (bounded partial agg — the 100TB-scale strategy; same oracle as the window variant)",
+      s"""SELECT q_id, n_id, score, rank FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM (SELECT q.vec_id AS q_id, n.vec_id AS n_id, $COS AS score
+         |        FROM embeddings q, embeddings n
+         |        WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id))
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      GraftFunctions.register(s)
+      val topk = udaf(new graft.functions.TopKAggregator(5))
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").alias("q_id"), col("embedding").alias("q_vec"))
+      emb.select(col("vec_id").alias("n_id"), col("embedding").alias("n_vec"))
+        .join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          VectorFunctions.cosineNative(col("q_vec"), col("n_vec")).alias("score"))
+        .groupBy("q_id")
+        .agg(topk(col("n_id"), col("score")).alias("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t._1").alias("n_id"),
+          col("t._2").alias("score"), (col("pos") + 1).alias("rank"))
+    },
+
     QueryDef.noOracle("ext_sim_topk_lsh",
       "ANN top-5 via hyperplane LSH + 1-bit multi-probe (recall tested vs brute force in ScalaTest)") { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
