@@ -79,24 +79,34 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(df.sparkSession)
     val rows = numHashes / bands
-    val banded = df
-      .select(col(idCol).alias("id"),
-        shingleHashes(col(textCol), shingleSize).alias("hs"))
-      .select(col("id"), array_distinct(col("hs")).alias("toks"),
-        minhashFromHashes(col("hs"), numHashes).alias("sig"))
-      .select(col("id"), col("toks"),
+    // Band rows carry ONLY (id, band, band_hash) — 24 bytes/row — through
+    // the bands-way-replicated candidate shuffle. The (id → shingle set)
+    // table joins back AFTER candidate pairs are deduped, so the heavy
+    // arrays cross the wire once per surviving candidate side, not
+    // `bands`× per document. (At corpus scale, persist/checkpoint `sets`
+    // instead of recomputing the scan branch.)
+    val hashed = df.select(col(idCol).alias("id"),
+      shingleHashes(col(textCol), shingleSize).alias("hs"))
+    val sets = hashed.select(col("id"), array_distinct(col("hs")).alias("toks"))
+    val banded = hashed
+      .select(col("id"), minhashFromHashes(col("hs"), numHashes).alias("sig"))
+      .select(col("id"),
         posexplode(array((0 until bands).map(b =>
           hash(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
           .as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").alias("id_a"), col("toks").alias("toks_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").alias("id_b"), col("toks").alias("toks_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").alias("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").alias("id_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("toks", "toks_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("toks", "toks_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("toks_a"), col("toks_b")).alias("jaccard"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("jaccard") >= threshold)
   }
 
