@@ -129,6 +129,13 @@ object ExtQueries {
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     },
 
+    QueryDef.noOracle("ext_sim_topk_ivf",
+      "ANN top-5 via IVF (k-means cells, 4-probe) — the √n-cell scale path") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ext.IvfIndex.topK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    },
+
     // ---- text analysis ---------------------------------------------------
     QueryDef("ext_text_token_count",
       "token counting: whitespace + BPE-ish (letter/digit runs + punct marks)",

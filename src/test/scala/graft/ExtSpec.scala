@@ -101,6 +101,18 @@ class ExtSpec extends SparkSpec {
     assert(viaSql.head().getDouble(0) > 0)
   }
 
+  test("IVF ANN: sane shape and nonzero recall vs brute force") {
+    val emb = Tables.load(spark, SF, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.ext.IvfIndex.topK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall > 0.0, s"recall was $recall")
+  }
+
   test("language ID picks the profile language on natural sentences") {
     val samples = Seq(
       ("en", "the cat is on the mat and it is a fine day for this"),
