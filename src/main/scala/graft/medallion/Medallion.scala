@@ -81,7 +81,11 @@ object Medallion {
       .writeStream.outputMode("complete")
       .option("checkpointLocation", p.cp("gold"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(p.gold)
+        // partition by publish year (SURVEY.md §4: exercises partition
+        // pruning for year-scoped gold readers; the reference wrote
+        // unpartitioned)
+        batch.write.mode("overwrite")
+          .partitionBy("Year_of_publish").parquet(p.gold)
       }
       .trigger(Trigger.AvailableNow()).start()
   }

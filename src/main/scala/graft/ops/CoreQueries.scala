@@ -307,6 +307,22 @@ object CoreQueries {
       "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders") { (s, dir) =>
       Tables.load(s, dir, "customer").select("c_custkey")
         .except(Tables.load(s, dir, "orders").select(col("o_custkey").alias("c_custkey")))
+    },
+
+    QueryDef("set4_intersect_all",
+      "INTERSECT ALL (multiset semantics)",
+      "SELECT l_orderkey FROM lineitem INTERSECT ALL SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      li.select("l_orderkey")
+        .intersectAll(li.filter(col("l_linenumber") <= 2).select("l_orderkey"))
+    },
+
+    QueryDef("set5_except_all",
+      "EXCEPT ALL (multiset semantics)",
+      "SELECT l_orderkey FROM lineitem EXCEPT ALL SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      li.select("l_orderkey")
+        .exceptAll(li.filter(col("l_linenumber") <= 2).select("l_orderkey"))
     }
   )
 }

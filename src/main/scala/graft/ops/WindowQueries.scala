@@ -86,6 +86,20 @@ object WindowQueries {
             .cast(DoubleType).alias("sum3"))
     },
 
+    QueryDef("w7_range_frame",
+      "RANGE frame over a numeric ordering key (decimal-exact)",
+      """SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+        |FROM events""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("event_id"))
+        .rangeBetween(-10, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          sum(col("value").cast(DecimalType(18, 6))).over(w)
+            .cast(DoubleType).alias("range_sum"))
+    },
+
     QueryDef("w6_ntile",
       "ntile bucketing over a global order",
       "SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile FROM customer") { (s, dir) =>
