@@ -144,6 +144,20 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink")
     },
 
+    QueryDef("st7_stream_dedup",
+      "streaming stateful deduplication (dropDuplicates over an unbounded stream — A4's streaming analog)",
+      "SELECT DISTINCT user_id FROM events") { (s, dir) =>
+      val out = tmp("graft_st7")
+      eventsStream(s, stageEventsDir(dir))
+        .select("user_id")
+        .dropDuplicates("user_id")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
     QueryDef("st6_sessionize_typed",
       "typed KeyValueGroupedDataset sessionization (30-min gap rule)",
       """WITH g AS (SELECT user_id,
