@@ -161,13 +161,53 @@ object ExtQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text")
     },
 
-    QueryDef.noOracle("ext_text_langid",
-      "language ID via stopword-profile argmax (struct lang/confidence)") { (s, dir) =>
+    // Oracle mirrors the argmax-with-ties rule exactly: highest stopword
+    // ratio wins, equal ratios fall to the lexicographically larger lang
+    // code (the struct-max order), all-zero → 'und'. Ratios are exact
+    // int/int divisions so the comparisons agree bit-for-bit.
+    QueryDef("ext_text_langid",
+      "language ID via stopword-profile argmax (struct lang/confidence)",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, greatest(len(toks), 1) AS n,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for','on','with','as','at','this','be'], x))) AS DOUBLE) / greatest(len(toks), 1) AS r_en,
+        |    CAST(len(list_filter(toks, x -> list_contains(['le','la','les','de','et','un','une','des','du','est','dans','que','pour','sur','avec','au'], x))) AS DOUBLE) / greatest(len(toks), 1) AS r_fr,
+        |    CAST(len(list_filter(toks, x -> list_contains(['el','la','los','las','de','y','un','una','es','en','que','por','con','para','del','se'], x))) AS DOUBLE) / greatest(len(toks), 1) AS r_es,
+        |    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ein','eine','ist','in','von','zu','den','mit','auf','für','des','im'], x))) AS DOUBLE) / greatest(len(toks), 1) AS r_de,
+        |    CAST(len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我','不','这','他','中','大','来','上','国','个'], x))) AS DOUBLE) / greatest(len(toks), 1) AS r_zh
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(r_en, r_fr, r_es, r_de, r_zh) = 0 THEN 'und'
+        |       WHEN r_zh >= r_fr AND r_zh >= r_es AND r_zh >= r_en AND r_zh >= r_de THEN 'zh'
+        |       WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
+        |       WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
+        |       WHEN r_en >= r_de THEN 'en'
+        |       ELSE 'de' END AS pred_lang,
+        |  CASE WHEN greatest(r_en, r_fr, r_es, r_de, r_zh) = 0 THEN 0.0
+        |       ELSE greatest(r_en, r_fr, r_es, r_de, r_zh) END AS confidence
+        |FROM r""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextAnalysis.languageId(col("text")).alias("pred"))
         .select(col("doc_id"), col("lang"),
           col("pred.lang").alias("pred_lang"),
           col("pred.confidence").alias("confidence"))
+    },
+
+    QueryDef("ext_text_quality_score",
+      "composite quality score in [0,1] (length + punctuation heuristics)",
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) AS n_toks,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct
+        |FROM documents)
+        |SELECT doc_id,
+        |  (CASE WHEN n_toks < 5 THEN n_toks / 5.0 WHEN n_toks > 10000 THEN 0.5 ELSE 1.0 END)
+        |  * (CASE WHEN punct > 0.3 THEN 0.3 ELSE 1.0 END) AS quality
+        |FROM t""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).alias("quality"))
     },
 
     QueryDef.noOracle("ext_text_fingerprint",
