@@ -53,7 +53,11 @@ object DetailsClean {
         col("title").alias("Title"), col("description"),
         explode(col("authors")).alias("authors"),
         col("image"), col("previewLink"), col("publisher"),
-        col("publishedDate"), col("infoLink"), col("categories"),
+        // pin the declared contract (Schemas.detailsCleaned): inference may
+        // type a date-clean corpus as timestamp, which would poison the
+        // bronze stream's declared-string schema downstream
+        col("publishedDate").cast("string").alias("publishedDate"),
+        col("infoLink"), col("categories"),
         col("Ratings_Count"), col("Year_of_publish"))
       .select(
         col("Title"), col("description"), col("authors"),

@@ -48,6 +48,14 @@ object AnalyticsQueries {
         .sum("l_quantity")
     },
 
+    QueryDef.noOracle("a12_hll_sketch",
+      "mergeable HLL sketches (datasketches): distinct users per event type — the shuffle-friendly distinct-count at fleet scale") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .alias("approx_users"))
+    },
+
     QueryDef("f18_get_json_object",
       "JSON path extraction from a string column",
       "SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events") { (s, dir) =>
