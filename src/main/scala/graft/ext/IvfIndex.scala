@@ -44,7 +44,7 @@ object IvfIndex {
 
   /** Train centroids with distributed k-means (seeded; sample-bounded). */
   def train(corpus: DataFrame, vecCol: String, nCells: Int,
-      seed: Long = 42L, maxIter: Int = 10, sampleCap: Int = 100000): Model = {
+      seed: Long = 42L, maxIter: Int = 5, sampleCap: Int = 20000): Model = {
     val n = corpus.count()
     val sampled = if (n > sampleCap)
       corpus.sample(withReplacement = false, sampleCap.toDouble / n, seed)
