@@ -158,6 +158,22 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink")
     },
 
+    QueryDef("st8_stream_dedup_watermarked",
+      "dropDuplicatesWithinWatermark: bounded-state streaming dedup (keys evicted as the watermark passes)",
+      "SELECT DISTINCT user_id FROM events") { (s, dir) =>
+      val out = tmp("graft_st8")
+      eventsStream(s, stageEventsDir(dir))
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts")
+        .dropDuplicatesWithinWatermark("user_id")
+        .select("user_id")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
     QueryDef("st6_sessionize_typed",
       "typed KeyValueGroupedDataset sessionization (30-min gap rule)",
       """WITH g AS (SELECT user_id,

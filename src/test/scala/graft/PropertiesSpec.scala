@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the reference's scalar-function semantics
+  * (SURVEY.md §5.2.2): ANSI-off cast-garbage→NULL, x/0→NULL, split/index,
+  * round stability — generated corpora evaluated in one Spark job per
+  * property and compared row-by-row against a Scala model.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): List[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
+
+  test("F6: cast-to-float yields NULL exactly on unparseable strings (ANSI off)") {
+    Graft.referenceSemantics(spark)
+    val gen = Gen.oneOf(
+      Gen.alphaStr.suchThat(_.nonEmpty),                   // garbage
+      Gen.chooseNum(-1e6f, 1e6f).map(_.toString),          // valid floats
+      Gen.chooseNum(-99999, 99999).map(_.toString))        // valid ints
+    val xs = samples(gen, 300)
+    val got = xs.toDF("s")
+      .select(col("s"), col("s").cast(FloatType).alias("f"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getFloat(1)))).toMap
+    xs.foreach { s =>
+      val model = s.toFloatOption
+      assert(got(s) === model, s"cast('$s')")
+    }
+  }
+
+  test("F8: x / y is NULL iff y == 0 (ANSI off), else IEEE division") {
+    Graft.referenceSemantics(spark)
+    val gen = for {
+      x <- Gen.chooseNum(-1e6, 1e6)
+      y <- Gen.frequency(1 -> Gen.const(0.0), 3 -> Gen.chooseNum(-1e3, 1e3))
+    } yield (x, y)
+    val xs = samples(gen, 300)
+    val got = xs.toDF("x", "y")
+      .select((col("x") / col("y")).alias("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    xs.zip(got).foreach { case ((x, y), d) =>
+      if (y == 0.0) assert(d.isEmpty, s"$x/0")
+      else assert(d.contains(x / y), s"$x/$y")
+    }
+  }
+
+  test("F5: split + getItem recovers the parts of 'a/b' strings") {
+    val gen = for {
+      a <- Gen.chooseNum(0, 9999)
+      b <- Gen.chooseNum(0, 9999)
+    } yield s"$a/$b"
+    val xs = samples(gen, 200)
+    val got = xs.toDF("s").select(
+        split(col("s"), "/").getItem(0).alias("p0"),
+        split(col("s"), "/").getItem(1).alias("p1"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    xs.zip(got).foreach { case (s, (p0, p1)) =>
+      val Array(e0, e1) = s.split("/")
+      assert(p0 === e0 && p1 === e1, s)
+    }
+  }
+
+  test("F1/F4: regexp strip + split matches the Scala model on list-literal strings") {
+    val word = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
+    val gen = Gen.nonEmptyListOf(word).map(_.take(4))
+    val xs = samples(gen, 150).map(ws => ws.mkString("['", "', '", "']"))
+    val got = xs.toDF("s").select(
+        split(regexp_replace(col("s"), """[\[\]']""", ""), ",").alias("a"))
+      .collect().map(_.getSeq[String](0))
+    xs.zip(got).foreach { case (s, arr) =>
+      val model = s.replaceAll("""[\[\]']""", "").split(",", -1).toSeq
+      assert(arr === model, s)
+    }
+  }
+}

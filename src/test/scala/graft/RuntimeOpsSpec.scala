@@ -30,6 +30,31 @@ class RuntimeOpsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("schema evolution: mergeSchema unions parquet file schemas") {
+    val out = tmpDir("evolve")
+    Tables.load(spark, SF, "region").write.parquet(s"$out/v=1")
+    Tables.load(spark, SF, "region")
+      .withColumn("r_comment", concat(lit("c-"), col("r_name")))
+      .write.parquet(s"$out/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet === Set("r_regionkey", "r_name", "r_comment", "v"))
+    assert(merged.count() === 10)
+    // old files surface the new column as NULL
+    assert(merged.filter(col("v") === 1 && col("r_comment").isNull).count() === 5)
+  }
+
+  test("stratified sampling (sampleBy) is seeded-deterministic and ratio-sane") {
+    val events = Tables.load(spark, SF, "events")
+    val fractions = Map("click" -> 0.5, "purchase" -> 0.1)
+    def run() = events.stat.sampleBy("event_type", fractions, seed = 42L)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = run()
+    assert(s1 === run(), "same seed, same sample")
+    assert(s1.keySet === Set("click", "purchase"))
+    assert(s1("click") > 50 && s1("click") < 160)
+  }
+
   test("repartition strategies produce the expected exchanges") {
     val df = Tables.load(spark, SF, "lineitem")
     val hashed = df.repartition(8, col("l_orderkey"))
