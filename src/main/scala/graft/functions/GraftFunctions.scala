@@ -37,13 +37,16 @@ object GraftFunctions {
 }
 
 /** `SparkSessionExtensions` installer: injectFunction for every native
-  * expression (SURVEY.md §7.3 mechanism (c)). */
+  * expression plus the custom top-k-per-key planner strategy
+  * (SURVEY.md §7.3 mechanism (c)). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name, usage),
         builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }

@@ -74,6 +74,21 @@ object AnalyticsQueries {
             .getField("k").cast(IntegerType).alias("k_val"))
     },
 
+    QueryDef("l2_topk_custom_operator",
+      "top-3 per group via the custom TopKPerKeyNode/Exec (bounded per-key heaps, no partition sort; same oracle as the window form)",
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM lineitem))
+        |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      graft.ops.TopK.perKey(
+        Tables.load(s, dir, "lineitem")
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq("l_returnflag"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)),
+        k = 3)
+    },
+
     QueryDef("sql1_cte_window",
       "pure-SQL entry: CTE + window over registered temp views (M %sql style)",
       """WITH r AS (

@@ -36,6 +36,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("custom TopKPerKey operator equals the window top-k") {
+    val li = Tables.load(spark, SF, "lineitem")
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val viaWindow = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val viaCustom = graft.ops.TopK.perKey(li, Seq("l_returnflag"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 3)
+      .select("l_returnflag", "l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaCustom === viaWindow)
+    assert(viaCustom.size === 9) // 3 flags × 3
+    // and the custom exec is actually in the plan
+    val plan = graft.ops.TopK.perKey(li, Seq("l_returnflag"),
+      Seq(("l_extendedprice", false)), 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+
   test("salted join equals the plain join") {
     val orders = Tables.load(spark, SF, "orders")
     val customer = Tables.load(spark, SF, "customer")
