@@ -8,11 +8,16 @@ import graft.plans.{TopKPerKeyNode, TopKPerKeyStrategy}
 /** Public API over the custom top-k-per-key operator. */
 object TopK {
 
-  /** Ensure the planner strategy is installed on the session (idempotent). */
+  /** Ensure the planner strategy + optimizer rule are installed on the
+    * session (idempotent). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies = cur :+ TopKPerKeyStrategy
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.contains(graft.plans.PushFilterThroughTopK))
+      spark.experimental.extraOptimizations =
+        rules :+ graft.plans.PushFilterThroughTopK
   }
 
   /** Top `k` rows per `keyCols` group, ranked by `orderCols` (each

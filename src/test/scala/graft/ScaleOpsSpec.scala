@@ -59,6 +59,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("PushFilterThroughTopK: key-only filter reaches the parquet scan") {
+    val li = Tables.load(spark, SF, "lineitem")
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val filteredAfter = graft.ops.TopK.perKey(li, Seq("l_returnflag"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 3)
+      .filter(col("l_returnflag") === "R")
+    val plan = filteredAfter.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), plan)
+    // semantics unchanged: equals filter-before-topk
+    val before = graft.ops.TopK.perKey(
+        li.filter(col("l_returnflag") === "R"), Seq("l_returnflag"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 3)
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val after = filteredAfter.select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after === before)
+    assert(after.size === 3)
+  }
+
   test("salted join equals the plain join") {
     val orders = Tables.load(spark, SF, "orders")
     val customer = Tables.load(spark, SF, "customer")
