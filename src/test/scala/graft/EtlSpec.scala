@@ -73,6 +73,29 @@ class EtlSpec extends SparkSpec {
     assert(r1 === "2011-03-13 07:06:40")
   }
 
+  test("malformed CSV rows: PERMISSIVE keeps + flags, DROPMALFORMED drops") {
+    val bad = tmpDir("badcsv") + "/in.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bad),
+      "a,b\n1,x\nnotanint,z\n2,y\n")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record").csv(bad)
+      .cache()
+    assert(permissive.count() === 3)
+    assert(permissive.filter(permissive("_corrupt_record").isNotNull).count() === 1)
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("header", "true").option("mode", "DROPMALFORMED").csv(bad)
+    // collect(), not count(): count() prunes every column, so the parser
+    // never attempts the failing conversion and drops nothing
+    assert(dropped.collect().length === 2)
+    permissive.unpersist()
+  }
+
   test("reviews: 10-column cleaned schema") {
     assert(reviews.columns.toSeq === Seq("Id", "Title", "User_id",
       "profileName", "Review_helpfulness", "review_score",

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.Upsert
+
+/** Streaming upsert sink: latest-version-per-key semantics across
+  * micro-batches (Delta MERGE analog on plain parquet). */
+object UpsertSpec {
+  case class Update(id: Long, value: String, version: Long)
+}
+
+class UpsertSpec extends SparkSpec {
+  import UpsertSpec.Update
+
+  test("foreachBatch merge keeps the latest version per key across batches") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("upsert") + "/t"
+
+    val input = MemoryStream[Update]
+    val q = input.toDS().toDF()
+      .writeStream
+      .option("checkpointLocation", tmpDir("upsert_cp"))
+      .foreachBatch(Upsert.sink(dir, Seq("id"), "version") _)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(Update(1, "a1", 1), Update(2, "b1", 1))
+      q.processAllAvailable()
+      input.addData(Update(1, "a2", 2), Update(3, "c1", 1))
+      q.processAllAvailable()
+      // stale version arrives late: must NOT overwrite v2
+      input.addData(Update(1, "a0", 0))
+      q.processAllAvailable()
+
+      val rows = spark.read.parquet(dir).as[Update].collect()
+        .map(u => u.id -> (u.value, u.version)).toMap
+      assert(rows === Map(
+        1L -> ("a2", 2L), 2L -> ("b1", 1L), 3L -> ("c1", 1L)))
+    } finally q.stop()
+  }
+}
