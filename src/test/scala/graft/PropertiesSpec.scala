@@ -49,6 +49,18 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("F9: round(double, 2) follows shortest-repr HALF_UP (the Spark contract)") {
+    val gen = Gen.chooseNum(-1e5, 1e5)
+    val xs = samples(gen, 300)
+    val got = xs.toDF("x").select(round(col("x"), 2).alias("r"))
+      .collect().map(_.getDouble(0))
+    xs.zip(got).foreach { case (x, r) =>
+      val model = java.math.BigDecimal.valueOf(x)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(r === model, s"round($x, 2)")
+    }
+  }
+
   test("F5: split + getItem recovers the parts of 'a/b' strings") {
     val gen = for {
       a <- Gen.chooseNum(0, 9999)
