@@ -228,8 +228,19 @@ object ExtQueries {
         .select("media_id", "kind", "source", "n_bytes")
     },
 
-    QueryDef.noOracle("ext_mm_decode",
-      "partition-wise decode pass over media payloads (stub codec)") { (s, dir) =>
+    // The stub codec is deterministic arithmetic over payload length, so
+    // even the decode pass is oracle-checkable end-to-end.
+    QueryDef("ext_mm_decode",
+      "partition-wise decode pass over media payloads (stub codec)",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n FROM documents)
+        |SELECT media_id, kind,
+        |  CAST(256 + n % 1024 AS INT) AS width,
+        |  CAST(256 + (n // 7) % 1024 AS INT) AS height,
+        |  CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + n % 30 END AS INT) AS n_frames,
+        |  true AS ok
+        |FROM m""".stripMargin) { (s, dir) =>
       implicit val sp = s
       import s.implicits._
       val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"),
@@ -246,8 +257,12 @@ object ExtQueries {
       Multimodal.extractFeatures(media).toDF()
     },
 
-    QueryDef.noOracle("ext_mm_frame_sample",
-      "frame sampling over decoded video rows") { (s, dir) =>
+    QueryDef("ext_mm_frame_sample",
+      "frame sampling over decoded video rows",
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+        |           FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, CAST(u.frame_idx AS INT) AS frame_idx
+        |FROM m, UNNEST(range(0, 1 + n % 30, 10)) AS u(frame_idx)""".stripMargin) { (s, dir) =>
       implicit val sp = s
       import s.implicits._
       val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"),
