@@ -59,6 +59,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("TopKPerKey property: equals window top-k on random data for k in {1,3,10}") {
+    val rnd = new scala.util.Random(99)
+    // duplicate scores included deliberately — tie-break on id must decide
+    val rows = Seq.tabulate(5000)(i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(50).toDouble, i.toLong))
+    val df = rows.toDF("key", "score", "id")
+    for (k <- Seq(1, 3, 10)) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("score").desc, col("id"))
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select("key", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaCustom = graft.ops.TopK.perKey(df, Seq("key"),
+          Seq(("score", false), ("id", true)), k)
+        .select("key", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaCustom === viaWindow, s"k=$k")
+    }
+  }
+
   test("PushFilterThroughTopK: key-only filter reaches the parquet scan") {
     val li = Tables.load(spark, SF, "lineitem")
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
