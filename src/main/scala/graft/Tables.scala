@@ -24,8 +24,10 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // integer DIV, not `/`: Column `/` is double division, which loses
+      // the low microsecond bit at 1e15+ nanosecond magnitudes
       spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -43,7 +43,7 @@ object StreamingQueries {
     s.readStream.schema(eventsRaw)
       .option("maxFilesPerTrigger", 1)
       .parquet(stagedDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // integer DIV — see Tables.load
   }
 
   private def tmp(prefix: String): String =
@@ -172,6 +172,47 @@ object StreamingQueries {
         .outputMode("append").trigger(Trigger.AvailableNow())
         .start().awaitTermination()
       s.read.parquet(s"$out/sink")
+    },
+
+    QueryDef("st9_sessions_flatmap",
+      "flatMapGroups: one output row per session per user (typed multi-row group op)",
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |FROM s GROUP BY user_id, session_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val gapUs = 30L * 60 * 1000 * 1000
+      graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).alias("ts_us"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (uid, it) =>
+          val sorted = it.toArray.sortBy(e => (e._3, e._2))
+          val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+          var idx = 0L
+          var start = sorted.head._3
+          var end = start
+          var n = 0L
+          sorted.foreach { e =>
+            if (n > 0 && e._3 - end > gapUs) {
+              out += ((uid, idx, n, start, end))
+              idx += 1; start = e._3; n = 0
+            }
+            end = e._3; n += 1
+          }
+          out += ((uid, idx, n, start, end))
+          out.result().iterator
+        }
+        .toDF("user_id", "session_idx", "n_events", "start_us", "end_us")
     },
 
     QueryDef("st6_sessionize_typed",
