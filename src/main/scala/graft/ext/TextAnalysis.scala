@@ -113,6 +113,25 @@ object TextAnalysis {
         best.getField("confidence").alias("confidence")))
   }
 
+  // RE2-compatible (no lookaround) so the same patterns run in the oracle
+  val EMAIL_PATTERN = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val URL_PATTERN = """https?://[^\s]+"""
+
+  /** PII-ish scrubbing for training corpora: mask emails and URLs. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+      URL_PATTERN, "<URL>")
+
+  /** Max single-token frequency ratio (Gopher-style repetition filter):
+    * docs dominated by one repeated token are boilerplate/spam. */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val maxFreq = array_max(transform(array_distinct(toks),
+      w => size(filter(toks, x => x === w))))
+    maxFreq.cast(DoubleType) / greatest(size(toks), lit(1)).cast(DoubleType)
+  }
+
   /** Winnowing bands over a MATERIALIZED shingle-hash column: min hash of
     * each `window`-sized band. (Materialize first — referencing a raw hash
     * expression here would re-hash all shingles once per band.) */

@@ -210,6 +210,29 @@ object ExtQueries {
         TextAnalysis.qualityScore(col("text")).alias("quality"))
     },
 
+    QueryDef("ext_text_scrub",
+      "PII-ish scrubbing: mask emails and URLs (RE2-safe patterns)",
+      s"""SELECT doc_id, regexp_replace(regexp_replace(text,
+         | '${TextAnalysis.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+         | '${TextAnalysis.URL_PATTERN}', '<URL>', 'g') AS text_scrubbed
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.scrub(col("text")).alias("text_scrubbed"))
+    },
+
+    QueryDef("ext_text_repetition",
+      "max single-token frequency ratio (Gopher-style repetition filter)",
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_max(list_transform(list_distinct(toks),
+        |       w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+        |  / CAST(greatest(len(toks), 1) AS DOUBLE) AS rep_ratio
+        |FROM t""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text")).alias("rep_ratio"))
+    },
+
     QueryDef.noOracle("ext_text_fingerprint",
       "winnowing-style rolling-hash document fingerprints (xxhash64)") { (s, dir) =>
       TextAnalysis.fingerprintsDf(

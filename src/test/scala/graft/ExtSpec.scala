@@ -126,6 +126,19 @@ class ExtSpec extends SparkSpec {
     preds.foreach { case (exp, got) => assert(got === exp) }
   }
 
+  test("scrub masks emails and URLs; repetition ratio flags spam") {
+    val df = Seq(
+      (0L, "contact me at jane.doe+x@example.co.uk or https://foo.bar/baz?q=1 thanks"),
+      (1L, "buy buy buy buy buy now")).toDF("doc_id", "text")
+    val scrubbed = df.select(TextAnalysis.scrub(col("text"))).collect().map(_.getString(0))
+    assert(scrubbed(0) === "contact me at <EMAIL> or <URL> thanks")
+    val rep = df.select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text")).alias("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep(1L) === 5.0 / 6.0)
+    assert(rep(0L) < 0.2)
+  }
+
   test("token counting: whitespace vs BPE-ish") {
     val df = Seq(Tuple1("don't stop! go-go 42")).toDF("text")
     val r = df.select(
