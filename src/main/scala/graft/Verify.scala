@@ -15,11 +15,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Watchdog: one hung query (e.g. a stream that never drains in a
+    // changed environment) must not stall the whole correctness dump.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // fresh daemon thread per query: a timed-out thread is abandoned
+      // (it cannot block the next query the way a pooled worker would)
+      @volatile var err: Throwable = null
+      val t = new Thread(() => {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable => err = e }
+      }, s"verify-$name")
+      t.setDaemon(true)
+      t.start()
+      t.join(timeoutSec * 1000)
+      if (t.isAlive) {
+        t.interrupt()
+        spark.sparkContext.cancelAllJobs()
+        spark.streams.active.foreach(q => scala.util.Try(q.stop()))
+        System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
+      } else if (err != null) {
+        System.err.println(s"[verify] $name failed: ${err.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
