@@ -15,6 +15,16 @@ class CatalogSpec extends SparkSpec {
     assert(rows.length === 5)
   }
 
+  test("catalog integrity: unique names, oracle keys subset, entry works") {
+    val names = SparkEntry.catalog.map(_.name)
+    assert(names.distinct.size === names.size,
+      s"duplicate catalog names: ${names.diff(names.distinct)}")
+    assert(SparkEntry.queries.size === names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.oracleSql.size >= 85) // oracle coverage floor
+    assert(SparkEntry.entry(spark).count() > 0) // driver smoke contract
+  }
+
   test("session conf round-trip (C5) and schema probe (C6)") {
     spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
     assert(spark.conf.get("spark.sql.legacy.timeParserPolicy") === "LEGACY")
