@@ -21,7 +21,13 @@ object Upsert {
       keyCols: Seq[String], versionCol: String): Unit = {
     val existing =
       try spark.read.parquet(dir).withColumn("_src", lit(0))
-      catch { case _: Throwable => null } // first batch: table absent
+      catch {
+        // first batch only: target doesn't exist yet; any other failure
+        // (corruption, permissions) must propagate, not become data loss
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") => null
+      }
     val incoming = updates.withColumn("_src", lit(1))
     val all = if (existing == null) incoming
       else existing.unionByName(incoming)
