@@ -80,6 +80,22 @@ class RuntimeOpsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 600572 || spark.read.parquet(out).count() > 0)
   }
 
+  test("clustered rewrite partitions by year and preserves rows") {
+    val in = tmpDir("cluster_in") + "/t"
+    val out = tmpDir("cluster_out") + "/t"
+    Tables.load(spark, SF, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .drop("o_orderdate") // timestamp col not needed for layout test
+      .write.parquet(in)
+    graft.ops.Maintenance.rewriteClustered(spark, in, out,
+      partitionCol = "o_year", clusterCols = Seq("o_custkey"))
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("o_year=")).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.head === "o_year=1995", dirs.mkString(","))
+    assert(spark.read.parquet(out).count() ===
+      spark.read.parquet(in).count())
+  }
+
   test("StreamingQueryListener observes query lifecycle and progress") {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
