@@ -66,6 +66,23 @@ object Dedup {
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     minhashFromHashes(transform(shingleCol, s => xxhash64(s)), numHashes)
 
+  /** Pick (bands, rowsPerBand) for a target Jaccard threshold: the LSH
+    * S-curve's inflection sits at t ≈ (1/b)^(1/r); choose the split of
+    * `numHashes` whose inflection lands closest to the target. Callers
+    * tune recall/precision by nudging the threshold they pass here. */
+  def bandsFor(numHashes: Int, threshold: Double): (Int, Int) = {
+    val candidates = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map { b =>
+        val r = numHashes / b
+        (b, r, math.pow(1.0 / b, 1.0 / r))
+      }
+    val (b, r, _) = candidates.minBy { case (_, _, t) =>
+      math.abs(t - threshold)
+    }
+    (b, r)
+  }
+
   /** Banded LSH candidate pairs + exact Jaccard verify (over distinct
     * shingle-hash sets — same granularity MinHash estimates, and cheaper
     * to carry through the join than shingle strings).

@@ -57,6 +57,13 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Plane count for a corpus size: buckets ≈ n / targetBucketSize, so
+    * nPlanes = ⌈log2(n / targetBucketSize)⌉ — the dial that keeps per-
+    * bucket candidate lists bounded as the corpus grows. */
+  def planesFor(corpusSize: Long, targetBucketSize: Int = 256): Int =
+    math.max(1, math.ceil(math.log(
+      math.max(corpusSize.toDouble / targetBucketSize, 2.0)) / math.log(2)).toInt)
+
   /** Sign-bit LSH bucket signature for a vector column. */
   def lshSignature(vec: Column, planeVecs: Seq[Seq[Double]]): Column =
     planeVecs.zipWithIndex.map { case (p, i) =>

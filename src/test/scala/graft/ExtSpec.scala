@@ -113,6 +113,18 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.0, s"recall was $recall")
   }
 
+  test("LSH tuning helpers: band split matches the S-curve, planes scale log2") {
+    // 64 hashes, want pairs above ~0.8 jaccard: (1/b)^(1/r) nearest 0.8
+    val (b8, r8) = Dedup.bandsFor(64, 0.8)
+    assert(b8 * r8 === 64)
+    assert(math.abs(math.pow(1.0 / b8, 1.0 / r8) - 0.8) < 0.15, s"($b8,$r8)")
+    // lower threshold → more bands (more candidates)
+    val (b3, _) = Dedup.bandsFor(64, 0.3)
+    assert(b3 > b8)
+    assert(Similarity.planesFor(1000000, 256) === 12)
+    assert(Similarity.planesFor(500, 256) >= 1)
+  }
+
   test("language ID picks the profile language on natural sentences") {
     val samples = Seq(
       ("en", "the cat is on the mat and it is a fine day for this"),
