@@ -5,7 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...}. Queries are forced through the
   * noop sink so every output column is actually computed (a bare count()
-  * would let Catalyst prune the projections being measured). */
+  * would let Catalyst prune the projections being measured).
+  *
+  * Two passes:
+  *   - concurrent (always): whole-catalog wall-clock — the headline
+  *     `value`, the throughput a multi-tenant cluster sees. Its per-query
+  *     times overlap under contention, so they are NOT comparable round
+  *     over round.
+  *   - sequential (SPARK_GRAFT_BENCH_SEQ=1): one query at a time →
+  *     `queries_seq` — attributable per-query data-path times for
+  *     regression tracking.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,39 +27,49 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Set every dialect conf the builders may flip ONCE, up front: some
+    // builders mutate session confs (ANSI off, nanosAsLong) and a conf set
+    // by one thread mid-flight would change analysis-time semantics of an
+    // unrelated query being planned concurrently.
+    Graft.referenceSemantics(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // JIT/classload warmup so per-query numbers measure the plan, not
     // first-use JVM costs.
     SparkEntry.queries.get("a2_grouped_count")
       .foreach(q => q(spark, sfDir).write.format("noop").mode("overwrite").save())
-    // Concurrent submission: Spark's scheduler interleaves jobs, so the
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val s0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - s0) / 1e9
+    }
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Concurrent pass: Spark's scheduler interleaves jobs, so the
     // catalog's per-query fixed costs (planning, stream startup, temp IO)
-    // overlap instead of serializing. `value` is wall-clock for the whole
-    // catalog — the throughput a multi-tenant cluster actually sees;
-    // per-query entries are individual elapsed times (overlapping).
-    // 2× cores: planning/stream-startup/temp-IO waits overlap compute
+    // overlap instead of serializing. 2× cores: waits overlap compute.
     val parallelism = math.max(4, cpus.toInt * 2)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      scala.concurrent.Future {
-        val s0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - s0) / 1e9
-      }
+    val futures = catalog.map { case (name, fn) =>
+      scala.concurrent.Future { name -> runOne(name, fn) }
     }
     val results = scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     val total = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def toJson(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val seqField =
+      if (sys.env.get("SPARK_GRAFT_BENCH_SEQ").contains("1")) {
+        val seqResults = catalog.map { case (name, fn) => name -> runOne(name, fn) }
+        s""","queries_seq":${toJson(seqResults)}"""
+      } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)}$seqField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

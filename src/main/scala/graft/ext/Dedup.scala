@@ -83,40 +83,56 @@ object Dedup {
     (b, r)
   }
 
-  /** Banded LSH candidate pairs + exact Jaccard verify (over distinct
-    * shingle-hash sets — same granularity MinHash estimates, and cheaper
-    * to carry through the join than shingle strings).
+  /** Drop bucket keys whose row count exceeds `cap` before a within-bucket
+    * self-join: a hot bucket (empty/boilerplate texts collapsing to one
+    * signature) is quadratic in its size — at corpus scale one such bucket
+    * stalls the stage. Rows in over-cap buckets are *dropped from candidate
+    * generation* (they are near-identical boilerplate; run [[exact]] dedup
+    * first to collapse them). The size pass is a partial-aggregating
+    * group-by on the same key the join shuffles on — no extra repartition. */
+  private def capBuckets(rows: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val sizes = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).alias("_bucket_n"))
+      .filter(col("_bucket_n") <= cap)
+    rows.join(sizes, keyCols).drop("_bucket_n")
+  }
+
+  /** Per-document distinct shingle-hash set — the exact-Jaccard verify
+    * payload (8-byte hashes, not shingle strings). Input: (id, hs) from
+    * [[shingleHashes]]. */
+  def shingleSets(hashed: DataFrame): DataFrame =
+    hashed.select(col("id"), array_distinct(col("hs")).alias("toks"))
+
+  /** Banded-LSH candidate pairs from (id, hs) shingle-hash rows.
+    * Band rows carry ONLY (id, band, band_hash) — 24 bytes/row — through
+    * the bands-way-replicated candidate shuffle; the heavy sets join in at
+    * the verify stage, once per surviving candidate side.
     *
-    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
+    * @return distinct (id_a, id_b) with id_a < id_b
     */
-  def minhashLshPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+  def minhashBandCandidates(hashed: DataFrame, numHashes: Int, bands: Int,
+      maxBucket: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    GraftFunctions.register(df.sparkSession)
     val rows = numHashes / bands
-    // Band rows carry ONLY (id, band, band_hash) — 24 bytes/row — through
-    // the bands-way-replicated candidate shuffle. The (id → shingle set)
-    // table joins back AFTER candidate pairs are deduped, so the heavy
-    // arrays cross the wire once per surviving candidate side, not
-    // `bands`× per document. (At corpus scale, persist/checkpoint `sets`
-    // instead of recomputing the scan branch.)
-    val hashed = df.select(col(idCol).alias("id"),
-      shingleHashes(col(textCol), shingleSize).alias("hs"))
-    val sets = hashed.select(col("id"), array_distinct(col("hs")).alias("toks"))
     val banded = hashed
       .select(col("id"), minhashFromHashes(col("hs"), numHashes).alias("sig"))
       .select(col("id"),
         posexplode(array((0 until bands).map(b =>
           hash(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
           .as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"), col("id").alias("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").alias("id_b"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
+    val capped = capBuckets(banded, Seq("band", "band_hash"), maxBucket)
+    val a = capped.select(col("band"), col("band_hash"), col("id").alias("id_a"))
+    val b = capped.select(col("band"), col("band_hash"), col("id").alias("id_b"))
+    a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact-Jaccard verify stage: join candidate pairs back to their
+    * shingle-hash sets, keep pairs at/above `threshold`. */
+  def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
     candidates
       .join(sets.withColumnRenamed("id", "id_a")
         .withColumnRenamed("toks", "toks_a"), Seq("id_a"))
@@ -125,6 +141,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccard(col("toks_a"), col("toks_b")).alias("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** Banded LSH candidate pairs + exact Jaccard verify (over distinct
+    * shingle-hash sets — same granularity MinHash estimates, and cheaper
+    * to carry through the join than shingle strings). Composition of
+    * [[shingleHashes]] → [[minhashBandCandidates]] → [[verifyJaccard]];
+    * at corpus scale, persist/checkpoint the hashed scan branch instead of
+    * recomputing it per stage.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.8, maxBucket: Int = 10000): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val hashed = df.select(col(idCol).alias("id"),
+      shingleHashes(col(textCol), shingleSize).alias("hs"))
+    verifyJaccard(
+      minhashBandCandidates(hashed, numHashes, bands, maxBucket),
+      shingleSets(hashed), threshold)
   }
 
   /** Exact Jaccard over two pre-deduplicated arrays. */
@@ -142,18 +178,30 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4, maxBucket: Int = 10000): DataFrame =
+    simhashPairsFromSigs(simhashSigs(df, idCol, textCol), maxHamming, chunks,
+      maxBucket)
+
+  /** (id, sig) SimHash signature table — materialize/stage this once per
+    * corpus; the pairing stage ([[simhashPairsFromSigs]]) reads it back. */
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val sigDf = df.select(col(idCol).alias("id"),
-      simhashValue(col(textCol)).alias("sig"))
+    df.select(col(idCol).alias("id"), simhashValue(col(textCol)).alias("sig"))
+  }
+
+  /** Pigeonhole chunk-blocked pairing over a (id, sig) signature table,
+    * Hamming-verified, hot buckets capped (see [[capBuckets]]). */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3,
+      chunks: Int = 4, maxBucket: Int = 10000): DataFrame = {
     val width = 64 / chunks
-    val chunked = sigDf.select(col("id"), col("sig"),
+    val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))): _*))
         .as(Seq("chunk", "chunk_val")))
-    val a = chunked.select(col("chunk"), col("chunk_val"),
+    val capped = capBuckets(chunked, Seq("chunk", "chunk_val"), maxBucket)
+    val a = capped.select(col("chunk"), col("chunk_val"),
       col("id").alias("id_a"), col("sig").alias("sig_a"))
-    val b = chunked.select(col("chunk"), col("chunk_val"),
+    val b = capped.select(col("chunk"), col("chunk_val"),
       col("id").alias("id_b"), col("sig").alias("sig_b"))
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
@@ -191,16 +239,20 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Embedding near-dup: LSH-bucketed cosine > threshold pairs. */
+  /** Embedding near-dup: LSH-bucketed cosine > threshold pairs. Hot buckets
+    * (all-zero / boilerplate embeddings collapsing to one signature) are
+    * capped — see [[capBuckets]]. */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nPlanes: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val pv = Similarity.planes(nPlanes, dim, seed)
     val sig = Similarity.lshSignature(col(vecCol), pv)
-    val bucketed = df.select(col(idCol).alias("id"),
-      col(vecCol).alias("vec"), sig.alias("bucket"))
+    val bucketed = capBuckets(
+      df.select(col(idCol).alias("id"),
+        col(vecCol).alias("vec"), sig.alias("bucket")),
+      Seq("bucket"), maxBucket)
     val a = bucketed.select(col("bucket"), col("id").alias("id_a"),
       col("vec").alias("vec_a"))
     val b = bucketed.select(col("bucket"), col("id").alias("id_b"),

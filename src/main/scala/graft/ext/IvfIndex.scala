@@ -2,10 +2,9 @@ package graft.ext
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.GraftFunctions
 import graft.functions.VectorFunctions.{cosineNative, l2Sq}
@@ -14,43 +13,64 @@ import graft.functions.VectorFunctions.{cosineNative, l2Sq}
   * probe their `nProbe` nearest cells (SURVEY.md §7.5 similarity-search
   * scale path, alternative to hyperplane LSH).
   *
-  * Scale design: training samples the corpus (k-means on a bounded sample);
-  * cell assignment is one broadcast-centroid pass over the corpus
-  * (scan-side, no shuffle); the probe join is an equi-join on cell id —
-  * hash-partitionable, with per-cell candidate lists ~n/nCells. Cell count
-  * scales as √n to balance probe cost against list length.
+  * Scale design: training samples the corpus (k-means on a bounded sample,
+  * no extra count pass); cell assignment is one pass over the corpus with
+  * the centroid table attached via a BROADCAST single-row cross join — the
+  * centroids are runtime data, so cell count is bounded by executor memory
+  * (√n cells at 100 TB is 10⁵⁺ centroids), not by plan/codegen size the
+  * way a literal-array argmin would be. The probe join is an equi-join on
+  * cell id — hash-partitionable, per-cell candidate lists ~n/nCells.
   */
 object IvfIndex {
 
   case class Model(centers: Seq[Seq[Double]]) {
     def nCells: Int = centers.length
 
-    /** Column: the cell id (argmin L2 distance to centroids). */
-    def cellOf(vec: Column): Column = {
-      val scored = array(centers.zipWithIndex.map { case (c, i) =>
-        struct(l2Sq(vec, typedlit(c)).alias("d"), lit(i).alias("cell"))
-      }: _*)
-      array_min(scored).getField("cell")
+    /** One-row DataFrame carrying every centroid in a single
+      * array<struct<cell,center>> column — broadcast onto scans below. */
+    private def centroidsDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      centers.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "center")
+        .agg(collect_list(struct(col("cell"), col("center")))
+          .alias("_centroids"))
     }
 
-    /** Column: the `nProbe` nearest cell ids, as an array. */
-    def probeCells(vec: Column, nProbe: Int): Column = {
-      val scored = array(centers.zipWithIndex.map { case (c, i) =>
-        struct(l2Sq(vec, typedlit(c)).alias("d"), lit(i).alias("cell"))
-      }: _*)
-      transform(slice(array_sort(scored), 1, nProbe), s => s.getField("cell"))
-    }
+    /** Per-row argmin-L2 over the attached centroid array. */
+    private def argminCell(vec: Column): Column =
+      array_min(transform(col("_centroids"),
+        c => struct(l2Sq(vec, c.getField("center")).alias("d"),
+          c.getField("cell").alias("cell")))).getField("cell")
+
+    /** Attach `cellCol` = nearest-centroid cell id (scan-side: broadcast
+      * cross join + per-row argmin, no shuffle of the corpus). */
+    def withCell(df: DataFrame, vecCol: String, cellCol: String): DataFrame =
+      df.crossJoin(broadcast(centroidsDf(df.sparkSession)))
+        .withColumn(cellCol, argminCell(col(vecCol)))
+        .drop("_centroids")
+
+    /** Attach `cellsCol` = the `nProbe` nearest cell ids, as an array. */
+    def withProbeCells(df: DataFrame, vecCol: String, cellsCol: String,
+        nProbe: Int): DataFrame =
+      df.crossJoin(broadcast(centroidsDf(df.sparkSession)))
+        .withColumn(cellsCol,
+          transform(
+            slice(array_sort(transform(col("_centroids"),
+              c => struct(l2Sq(col(vecCol), c.getField("center")).alias("d"),
+                c.getField("cell").alias("cell")))), 1, nProbe),
+            s => s.getField("cell")))
+        .drop("_centroids")
   }
 
-  /** Train centroids with distributed k-means (seeded; sample-bounded). */
+  /** Train centroids with distributed k-means on a bounded sample.
+    * `limit(sampleCap)` is fraction-free (no full count pass); rows come in
+    * scan order, so heavily clustered file layouts should pre-shuffle or
+    * raise the cap. */
   def train(corpus: DataFrame, vecCol: String, nCells: Int,
       seed: Long = 42L, maxIter: Int = 5, sampleCap: Int = 20000): Model = {
-    val n = corpus.count()
-    val sampled = if (n > sampleCap)
-      corpus.sample(withReplacement = false, sampleCap.toDouble / n, seed)
-    else corpus
-    val feats = sampled.select(array_to_vector(
+    val feats = corpus.select(array_to_vector(
       col(vecCol).cast("array<double>")).alias("features"))
+      .limit(sampleCap)
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .fit(feats)
     Model(model.clusterCenters.map(_.toArray.toSeq).toSeq)
@@ -63,10 +83,13 @@ object IvfIndex {
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val model = train(corpus, vecCol, nCells, seed)
-    val c = corpus.select(col(idCol).alias("n_id"),
-      col(vecCol).alias("n_vec"), model.cellOf(col(vecCol)).alias("cell"))
-    val q = queries.select(col(idCol).alias("q_id"), col(vecCol).alias("q_vec"),
-        explode(model.probeCells(col(vecCol), nProbe)).alias("cell"))
+    val c = model.withCell(
+      corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("n_vec")),
+      "n_vec", "cell")
+    val q = model.withProbeCells(
+        queries.select(col(idCol).alias("q_id"), col(vecCol).alias("q_vec")),
+        "q_vec", "cells", nProbe)
+      .select(col("q_id"), col("q_vec"), explode(col("cells")).alias("cell"))
     val scored = c.join(q, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),

@@ -124,11 +124,28 @@ object TextAnalysis {
       URL_PATTERN, "<URL>")
 
   /** Max single-token frequency ratio (Gopher-style repetition filter):
-    * docs dominated by one repeated token are boilerplate/spam. */
+    * docs dominated by one repeated token are boilerplate/spam.
+    *
+    * O(n log n) per document: sort the token array once, then a single
+    * aggregate pass takes the longest equal-run (= max frequency). The
+    * distinct×filter formulation is O(distinct × n) — a 100k-token
+    * adversarial doc would do 10⁹ comparisons in the scan's inner loop. */
   def repetitionRatio(text: Column): Column = {
     val toks = tokens(text)
-    val maxFreq = array_max(transform(array_distinct(toks),
-      w => size(filter(toks, x => x === w))))
+    val runState = aggregate(
+      array_sort(toks),
+      struct(lit(0).alias("best"), lit(0).alias("run"),
+        lit(null).cast("string").alias("prev")),
+      (acc, t) => {
+        val run = when(acc.getField("prev") === t, acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(greatest(acc.getField("best"), run).alias("best"),
+          run.alias("run"), t.alias("prev"))
+      })
+    // empty docs → NULL ratio (array_max over an empty array in the old
+    // formulation), not 0 — keep that contract
+    val maxFreq = when(size(toks) === 0, lit(null).cast("int"))
+      .otherwise(runState.getField("best"))
     maxFreq.cast(DoubleType) / greatest(size(toks), lit(1)).cast(DoubleType)
   }
 

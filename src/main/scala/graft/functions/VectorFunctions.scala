@@ -24,17 +24,22 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; NULL-safe on zero vectors (0/0 → NULL with ANSI off,
-    * NaN guard via nullif-style division left to callers that need it). */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Cosine similarity; zero-norm inputs yield NULL explicitly (under ANSI
+    * sessions 0/0 double division is NaN, and NaN sorts ABOVE every real
+    * score in the descending top-k windows — a zero vector would occupy
+    * the top-k slots). NULL drops out of `>=`/rank filters instead. */
+  def cosine(a: Column, b: Column): Column = {
+    val np = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(np === 0, lit(null)).otherwise(dot(a, b) / np)
+  }
 
   /** Cosine via the codegen'd native [[FloatVecDot]] (bit-identical to
     * [[cosine]]; register via [[GraftFunctions.register]] first). This is
     * the hot-loop variant the similarity operators use. */
   def cosineNative(a: Column, b: Column): Column = {
     val d = GraftFunctions.vecDot _
-    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+    val np = sqrt(d(a, a)) * sqrt(d(b, b))
+    when(np === 0, lit(null)).otherwise(d(a, b) / np)
   }
 
   /** Squared euclidean distance. */

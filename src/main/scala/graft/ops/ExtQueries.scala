@@ -17,6 +17,18 @@ import graft.functions.{GraftFunctions, VectorFunctions}
   */
 object ExtQueries {
 
+  /** Staging dir for hash-based entries whose intermediate stage is
+    * materialized so the DuckDB oracle can recompute the downstream stage
+    * over identical inputs (Spark reads the same staged files back). The
+    * path embeds the sf-dir name so a later run at another scale (bench at
+    * sf0.1, a spec at sf0.001) can't clobber the files the oracle of a
+    * sf0.01 verify dump will read; the literal `__SF__` in oracle SQL is
+    * substituted by [[graft.Verify]] when it writes oracle_sql.json. */
+  private val StageRoot = "/tmp/graft_stage"
+  private val StageSql = s"$StageRoot/__SF__"
+  private def stageDir(dir: String): String =
+    s"$StageRoot/${new java.io.File(dir).getName}"
+
   private val COS = {
     // shared SQL fragment: sequential-f64 cosine between two FLOAT[] lists
     def d(x: String, y: String) =
@@ -37,17 +49,54 @@ object ExtQueries {
         .select("canonical_id", "copies")
     },
 
-    QueryDef.noOracle("ext_dedup_minhash_lsh",
-      "MinHash(64)+LSH(16 bands) near-dup candidate pairs with exact shingle-Jaccard verify") { (s, dir) =>
-      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", numHashes = 64, bands = 16, shingleSize = 3,
-        threshold = 0.2)
+    // MinHash signatures are Spark-xxhash64-based (no DuckDB equivalent), so
+    // the candidate stage stays Spark-side; the sets and the candidate pairs
+    // are STAGED to parquet and the exact-Jaccard verify stage is recomputed
+    // by DuckDB over the identical staged inputs — a real cross-engine check
+    // of the verify join, not just a row count.
+    QueryDef("ext_dedup_minhash_lsh",
+      "MinHash(64)+LSH(16 bands) near-dup candidate pairs with exact shingle-Jaccard verify (verify stage oracled over staged candidates)",
+      s"""WITH s AS (SELECT id, toks FROM read_parquet('$StageSql/minhash_sets/*.parquet')),
+         |c AS (SELECT id_a, id_b FROM read_parquet('$StageSql/minhash_cands/*.parquet'))
+         |SELECT c.id_a, c.id_b,
+         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+         |FROM c JOIN s a ON c.id_a = a.id JOIN s b ON c.id_b = b.id
+         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.toks, b.toks))) AS DOUBLE) >= 0.2""".stripMargin) { (s, dir) =>
+      GraftFunctions.register(s)
+      val hashed = Tables.load(s, dir, "documents").select(
+        col("doc_id").alias("id"),
+        Dedup.shingleHashes(col("text"), 3).alias("hs"))
+      val sets = Dedup.shingleSets(hashed)
+      val cands = Dedup.minhashBandCandidates(hashed, numHashes = 64, bands = 16)
+      val stage = stageDir(dir)
+      sets.write.mode("overwrite").parquet(s"$stage/minhash_sets")
+      cands.write.mode("overwrite").parquet(s"$stage/minhash_cands")
+      Dedup.verifyJaccard(
+        s.read.parquet(s"$stage/minhash_cands"),
+        s.read.parquet(s"$stage/minhash_sets"), threshold = 0.2)
     },
 
-    QueryDef.noOracle("ext_dedup_simhash",
-      "SimHash64 near-dup pairs (chunk-blocked, Hamming-verified)") { (s, dir) =>
-      Dedup.simhashPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", maxHamming = 12, chunks = 4)
+    // Signatures staged to parquet; DuckDB recomputes the pigeonhole
+    // chunk-blocking, bucket cap, and Hamming verify bit-for-bit over the
+    // identical staged signatures (>> then &-mask agree between arithmetic
+    // and logical shifts, so signedness is immaterial).
+    QueryDef("ext_dedup_simhash",
+      "SimHash64 near-dup pairs (chunk-blocked, Hamming-verified; blocking+verify oracled over staged signatures)",
+      s"""WITH s AS (SELECT id, sig FROM read_parquet('$StageSql/simhash_sigs/*.parquet')),
+         |c AS (SELECT id, sig, u.chunk AS chunk, (sig >> (u.chunk * 16)) & 65535 AS chunk_val
+         |      FROM s, (SELECT unnest([0, 1, 2, 3]) AS chunk) u),
+         |ok AS (SELECT chunk, chunk_val FROM c GROUP BY chunk, chunk_val HAVING COUNT(*) <= 10000),
+         |cc AS (SELECT c.id, c.sig, c.chunk, c.chunk_val FROM c JOIN ok USING (chunk, chunk_val))
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM cc a JOIN cc b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.id < b.id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 12""".stripMargin) { (s, dir) =>
+      val sigs = Dedup.simhashSigs(Tables.load(s, dir, "documents"),
+        "doc_id", "text")
+      val stage = stageDir(dir)
+      sigs.write.mode("overwrite").parquet(s"$stage/simhash_sigs")
+      Dedup.simhashPairsFromSigs(s.read.parquet(s"$stage/simhash_sigs"),
+        maxHamming = 12, chunks = 4)
     },
 
     QueryDef("ext_dedup_jaccard_blocked",
@@ -233,10 +282,14 @@ object ExtQueries {
         TextAnalysis.repetitionRatio(col("text")).alias("rep_ratio"))
     },
 
+    // posexplode to (doc_id, fp_idx, fp) rows: the verifier sorts results in
+    // pandas, where raw array columns are unhashable — the array-typed form
+    // stays available as TextAnalysis.fingerprintsDf / fingerprints.
     QueryDef.noOracle("ext_text_fingerprint",
-      "winnowing-style rolling-hash document fingerprints (xxhash64)") { (s, dir) =>
+      "winnowing-style rolling-hash document fingerprints (xxhash64), one row per fingerprint") { (s, dir) =>
       TextAnalysis.fingerprintsDf(
         Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), posexplode(col("fps")).as(Seq("fp_idx", "fp")))
     },
 
     // ---- multimodal ------------------------------------------------------
@@ -271,13 +324,17 @@ object ExtQueries {
       Multimodal.decodeAll(media).toDF()
     },
 
+    // posexplode to (media_id, f_idx, f_val): same array-sortability rule as
+    // ext_text_fingerprint; the Array[Float] form stays the library output.
     QueryDef.noOracle("ext_mm_features",
-      "batched feature extraction from payload bytes (stub codec)") { (s, dir) =>
+      "batched feature extraction from payload bytes (stub codec), one row per feature slot") { (s, dir) =>
       implicit val sp = s
       import s.implicits._
       val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"),
         "doc_id", "text", "source").as[Multimodal.MediaItem]
       Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"),
+          posexplode(col("features")).as(Seq("f_idx", "f_val")))
     },
 
     QueryDef("ext_mm_frame_sample",

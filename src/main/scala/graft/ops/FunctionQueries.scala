@@ -43,11 +43,16 @@ object FunctionQueries {
           regexp_replace(col("props"), "\"", "").alias("props_nq"))
     },
 
+    // Split semantics proven through a sortable projection (n_words + the
+    // '|'-rejoined array): the verifier's pandas sort cannot hash raw array
+    // columns. The array-returning form is the library's split itself.
     QueryDef("f4_split_to_array",
-      "split string → array (ref D:76, D:86)",
-      "SELECT doc_id, string_split(text, ' ') AS words FROM documents") { (s, dir) =>
+      "split string → array (ref D:76, D:86), array projected sortable",
+      "SELECT doc_id, len(string_split(text, ' ')) AS n_words, array_to_string(string_split(text, ' '), '|') AS words_joined FROM documents") { (s, dir) =>
+      val words = split(col("text"), " ")
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").alias("words"))
+        .select(col("doc_id"), size(words).alias("n_words"),
+          array_join(words, "|").alias("words_joined"))
     },
 
     QueryDef("f5_split_index",

@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
 object Maintenance {
 
   /** Compact a parquet directory to ~`targetFileMB` files: read, coalesce
-    * to the computed file count, rewrite atomically via a temp dir swap.
-    * (Streaming sinks produce one file per micro-batch per partition —
-    * unreadable at scale without periodic compaction.)
+    * to the computed file count, rewrite via the checked two-rename
+    * [[SafeSwap]] commit. (Streaming sinks produce one file per micro-batch
+    * per partition — unreadable at scale without periodic compaction.)
     */
   def compactParquet(spark: SparkSession, dir: String,
       targetFileMB: Int = 128): Long = {
@@ -20,11 +20,9 @@ object Maintenance {
     val path = new org.apache.hadoop.fs.Path(dir)
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "_compacting")
     spark.read.parquet(dir).coalesce(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+      .write.mode("overwrite").parquet(SafeSwap.staging(dir))
+    SafeSwap.commit(fs, dir, targetExists = true)
     nFiles.toLong
   }
 

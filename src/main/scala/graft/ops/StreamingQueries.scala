@@ -177,15 +177,17 @@ object StreamingQueries {
     QueryDef("st9_sessions_flatmap",
       "flatMapGroups: one output row per session per user (typed multi-row group op)",
       """WITH g AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM events),
+        |  FROM g),
         |s AS (
         |  SELECT user_id, event_id, ts_us,
         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |                   ROWS UNBOUNDED PRECEDING) AS session_idx
-        |  FROM g)
+        |  FROM b)
         |SELECT user_id, session_idx, COUNT(*) AS n_events,
         |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_idx""".stripMargin) { (s, dir) =>
@@ -217,11 +219,12 @@ object StreamingQueries {
 
     QueryDef("st6_sessionize_typed",
       "typed KeyValueGroupedDataset sessionization (30-min gap rule)",
-      """WITH g AS (SELECT user_id,
-        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
-        |       THEN 1 ELSE 0 END AS brk FROM events)
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT user_id,
+        |  CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk FROM g)
         |SELECT user_id, 1 + SUM(brk) AS n_sessions, COUNT(*) AS n_events
-        |FROM g GROUP BY user_id""".stripMargin) { (s, dir) =>
+        |FROM b GROUP BY user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       // 30-minute gap in microseconds; ties broken on event_id like the oracle
       val gapUs = 30L * 60 * 1000 * 1000

@@ -16,18 +16,21 @@ import org.apache.spark.sql.functions._
 object Upsert {
 
   /** Merge `updates` into the parquet table at `dir`: per `keyCols`, keep
-    * the row with the highest `versionCol` (ties → incoming batch wins). */
+    * the row with the highest `versionCol` (ties → incoming batch wins).
+    *
+    * The commit is a two-rename swap through [[SafeSwap]]: the current
+    * table is renamed aside before the staged result takes its place, every
+    * delete/rename return value is checked, and a missing target is only
+    * treated as "first batch" when no leftover staging/backup dir says a
+    * previous swap died mid-flight — a replayed streaming batch must never
+    * silently rewrite the table with only its own rows. */
   def mergeIntoParquet(spark: SparkSession, dir: String, updates: DataFrame,
       keyCols: Seq[String], versionCol: String): Unit = {
-    val existing =
-      try spark.read.parquet(dir).withColumn("_src", lit(0))
-      catch {
-        // first batch only: target doesn't exist yet; any other failure
-        // (corruption, permissions) must propagate, not become data loss
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.contains("Path does not exist") => null
-      }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val targetExists = SafeSwap.checkTarget(fs, dir)
+    val existing = if (targetExists)
+      spark.read.parquet(dir).withColumn("_src", lit(0)) else null
     val incoming = updates.withColumn("_src", lit(1))
     val all = if (existing == null) incoming
       else existing.unionByName(incoming)
@@ -37,14 +40,8 @@ object Upsert {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_src")
-    // atomic-ish swap via staging dir (same pattern as Maintenance)
-    val tmp = dir + "_merging"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(dir))
+    merged.write.mode("overwrite").parquet(SafeSwap.staging(dir))
+    SafeSwap.commit(fs, dir, targetExists)
   }
 
   /** foreachBatch adapter: stream of updates → continuously merged table. */

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.AttributeSet
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -11,16 +11,24 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `df.topKPerKey(...).filter(key = x)` would otherwise rank EVERY group
   * and then discard all but one — at corpus scale that is the difference
   * between scanning one key's rows (filter reaches the parquet scan) and
-  * ranking the world. Pushing is sound exactly when the predicate
-  * references only the grouping keys: per-key top-k commutes with
-  * key-only selection (it never compares rows across keys).
+  * ranking the world. Pushing is sound exactly when the predicate is a
+  * function of the grouping keys — constant within each group, so it
+  * either keeps or drops a group whole. We require every key to BE an
+  * AttributeReference and the predicate to reference only those
+  * attributes: with a computed key like `a % 10`, a predicate on `a`
+  * references only the key's *inputs* yet varies within a group, and
+  * pushing it would change which rows rank (the node is public and
+  * installed session-wide, so the guard can't lean on how
+  * [[graft.ops.TopK.perKey]] happens to build keys today).
   */
 object PushFilterThroughTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, topk @ TopKPerKeyNode(keys, _, _, child))
-        if cond.deterministic &&
-          AttributeSet(cond.references).subsetOf(
-            AttributeSet(keys.flatMap(_.references))) =>
+        if cond.deterministic && {
+          val keyAttrs = keys.collect { case a: AttributeReference => a }
+          keyAttrs.length == keys.length &&
+            cond.references.subsetOf(AttributeSet(keyAttrs))
+        } =>
       topk.copy(child = Filter(cond, child))
   }
 }

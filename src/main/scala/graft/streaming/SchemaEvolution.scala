@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/** Auto Loader-style schema tracking for the file-stream sources
+  * (cloudFiles.schemaLocation + addNewColumns,
+  * /root/reference/Amazon_books_review_medallion_architecture.py:12, 53).
+  *
+  * OSS Spark's file source takes a FIXED schema, so drift is handled the
+  * way Auto Loader itself handles it: when newly-landed files carry
+  * columns the tracked schema doesn't know, the tracked schema is widened
+  * (new fields appended, nullable), persisted, and the stream is
+  * RESTARTED with the evolved schema — the checkpoint's file-offset log
+  * survives the restart, so only unprocessed files are read with the new
+  * schema. Downstream parquet readers see both generations via
+  * `mergeSchema`; pre-drift rows read NULL for the new columns.
+  */
+object SchemaEvolution {
+
+  /** Append fields present in `observed` but unknown to `tracked`
+    * (nullable — pre-drift data has no values for them). Existing fields
+    * keep their tracked type: silent type *changes* are not evolution,
+    * they are a pipeline bug to surface. */
+  def evolve(tracked: StructType, observed: StructType): StructType =
+    observed.fields.foldLeft(tracked) { (acc, f) =>
+      if (acc.fieldNames.contains(f.name)) acc
+      else acc.add(f.copy(nullable = true))
+    }
+
+  /** True iff `observed` carries fields `tracked` doesn't know. */
+  def drifted(tracked: StructType, observed: StructType): Boolean =
+    observed.fieldNames.exists(!tracked.fieldNames.contains(_))
+
+  private def schemaFile(schemaDir: String) = new Path(schemaDir, "_schema.ddl")
+
+  /** Load the persisted tracked schema, or None before first track. */
+  def load(spark: SparkSession, schemaDir: String): Option[StructType] = {
+    val fs = FileSystem.get(new java.net.URI(schemaDir),
+      spark.sparkContext.hadoopConfiguration)
+    val f = schemaFile(schemaDir)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(StructType.fromDDL(
+        new String(in.readAllBytes(), StandardCharsets.UTF_8)))
+      finally in.close()
+    }
+  }
+
+  /** Merge `observed` into the persisted schema at `schemaDir` (creating
+    * it on first call) and return the evolved schema — the schemaLocation
+    * bookkeeping a restart reads its source schema from. */
+  def track(spark: SparkSession, schemaDir: String,
+      observed: StructType): StructType = {
+    val tracked = load(spark, schemaDir).getOrElse(observed)
+    val evolved = evolve(tracked, observed)
+    val fs = FileSystem.get(new java.net.URI(schemaDir),
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(schemaFile(schemaDir), true)
+    try out.write(evolved.toDDL.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    evolved
+  }
+}

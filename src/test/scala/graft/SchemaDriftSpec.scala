@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.streaming.SchemaEvolution
+
+/** The Auto Loader capability the medallion substitution was missing
+  * (reference M:12/M:53): a NEW COLUMN appears in the landing zone
+  * mid-stream. [[SchemaEvolution]] detects the drift from the files,
+  * widens the tracked schema, and the restarted stream (same checkpoint)
+  * carries the new column forward; pre-drift silver rows read NULL for it.
+  */
+class SchemaDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("new column lands mid-stream; restart with evolved schema keeps old rows and surfaces the new column") {
+    val src = tmpDir("drift_src")
+    val silver = tmpDir("drift_silver")
+    val cp = tmpDir("drift_cp")
+    val schemaLoc = tmpDir("drift_schema")
+
+    def runStream(schema: StructType): Unit =
+      spark.readStream.schema(schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", cp).option("path", silver)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+
+    // generation 1: (id, a)
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .coalesce(1).write.mode("append").parquet(src)
+    val v1 = SchemaEvolution.track(spark, schemaLoc,
+      spark.read.parquet(src).schema)
+    runStream(v1)
+
+    // generation 2: (id, a, score) lands in the same zone
+    Seq((3L, "z", 4.2)).toDF("id", "a", "score")
+      .coalesce(1).write.mode("append").parquet(src)
+    val observed = spark.read.option("mergeSchema", "true").parquet(src).schema
+    assert(SchemaEvolution.drifted(v1, observed))
+    val v2 = SchemaEvolution.track(spark, schemaLoc, observed)
+    assert(v2.fieldNames.toSeq === Seq("id", "a", "score"))
+    // the persisted tracked schema is what a restart loads
+    assert(SchemaEvolution.load(spark, schemaLoc).get === v2)
+
+    // restart from the SAME checkpoint: only unprocessed files are read,
+    // now with the evolved schema
+    runStream(v2)
+
+    val out = spark.read.option("mergeSchema", "true").parquet(silver)
+    assert(out.columns.contains("score"))
+    assert(out.count() === 3)
+    // pre-drift rows survive with NULL for the new column
+    assert(out.filter(col("id") === 1 && col("score").isNull).count() === 1)
+    assert(out.filter(col("id") === 3).head().getAs[Double]("score") === 4.2)
+  }
+
+  test("evolve appends unknown fields nullable and never mutates existing types") {
+    val tracked = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("a", StringType)))
+    val observed = StructType(Seq(
+      StructField("id", IntegerType), // type change: NOT adopted
+      StructField("b", DoubleType, nullable = false)))
+    val evolved = SchemaEvolution.evolve(tracked, observed)
+    assert(evolved.fieldNames.toSeq === Seq("id", "a", "b"))
+    assert(evolved("id").dataType === LongType)
+    assert(evolved("b").nullable)
+  }
+}
