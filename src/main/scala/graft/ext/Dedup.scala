@@ -239,23 +239,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Embedding near-dup: LSH-bucketed cosine > threshold pairs. Hot buckets
-    * (all-zero / boilerplate embeddings collapsing to one signature) are
-    * capped — see [[capBuckets]]. */
-  def embeddingNearDupPairs(
-      df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, nPlanes: Int = 8, dim: Int = 64,
-      seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+  /** (id, vec, bucket) hyperplane-LSH bucket assignment — the stage to
+    * materialize/checkpoint before pairing at corpus scale. */
+  def embeddingBuckets(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val pv = Similarity.planes(nPlanes, dim, seed)
-    val sig = Similarity.lshSignature(col(vecCol), pv)
-    val bucketed = capBuckets(
-      df.select(col(idCol).alias("id"),
-        col(vecCol).alias("vec"), sig.alias("bucket")),
-      Seq("bucket"), maxBucket)
-    val a = bucketed.select(col("bucket"), col("id").alias("id_a"),
+    val sig = Similarity.lshSignature(col(vecCol), Similarity.planes(nPlanes, dim, seed))
+    df.select(col(idCol).alias("id"), col(vecCol).alias("vec"),
+      sig.alias("bucket"))
+  }
+
+  /** Within-bucket cosine-verified pairing over a bucketed table; hot
+    * buckets capped (see [[capBuckets]]). */
+  def embeddingPairsFromBuckets(bucketed: DataFrame, threshold: Double,
+      maxBucket: Int = 10000): DataFrame = {
+    GraftFunctions.register(bucketed.sparkSession)
+    val capped = capBuckets(bucketed, Seq("bucket"), maxBucket)
+    val a = capped.select(col("bucket"), col("id").alias("id_a"),
       col("vec").alias("vec_a"))
-    val b = bucketed.select(col("bucket"), col("id").alias("id_b"),
+    val b = capped.select(col("bucket"), col("id").alias("id_b"),
       col("vec").alias("vec_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
@@ -263,4 +265,15 @@ object Dedup {
         cosineNative(col("vec_a"), col("vec_b")).alias("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Embedding near-dup: LSH-bucketed cosine > threshold pairs. Hot buckets
+    * (all-zero / boilerplate embeddings collapsing to one signature) are
+    * capped — see [[capBuckets]]. */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 42L, maxBucket: Int = 10000): DataFrame =
+    embeddingPairsFromBuckets(
+      embeddingBuckets(df, idCol, vecCol, nPlanes, dim, seed),
+      threshold, maxBucket)
 }

@@ -3,11 +3,10 @@ package graft.ext
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.functions.VectorFunctions.{cosineNative, l2Sq}
+import graft.functions.VectorFunctions.l2Sq
 
 /** IVF (inverted-file) ANN index: k-means cells over the corpus, queries
   * probe their `nProbe` nearest cells (SURVEY.md §7.5 similarity-search
@@ -76,6 +75,25 @@ object IvfIndex {
     Model(model.clusterCenters.map(_.toArray.toSeq).toSeq)
   }
 
+  /** Distinct (q_id, n_id) candidate pairs: assign corpus rows to cells,
+    * probe `nProbe` cells per query, equi-join on cell id. Only ids cross
+    * the candidate shuffle; vectors join back at scoring time. */
+  def candidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: Model, nProbe: Int): DataFrame = {
+    val c = model.withCell(
+        corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("n_vec")),
+        "n_vec", "cell")
+      .select("n_id", "cell")
+    val q = model.withProbeCells(
+        queries.select(col(idCol).alias("q_id"), col(vecCol).alias("q_vec")),
+        "q_vec", "cells", nProbe)
+      .select(col("q_id"), explode(col("cells")).alias("cell"))
+    c.join(q, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id")
+      .dropDuplicates("q_id", "n_id")
+  }
+
   /** ANN top-k: assign corpus to cells, probe nProbe cells per query,
     * exact cosine + top-k on the candidates. */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -83,20 +101,8 @@ object IvfIndex {
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val model = train(corpus, vecCol, nCells, seed)
-    val c = model.withCell(
-      corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("n_vec")),
-      "n_vec", "cell")
-    val q = model.withProbeCells(
-        queries.select(col(idCol).alias("q_id"), col(vecCol).alias("q_vec")),
-        "q_vec", "cells", nProbe)
-      .select(col("q_id"), col("q_vec"), explode(col("cells")).alias("cell"))
-    val scored = c.join(q, Seq("cell"))
-      .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"),
-        cosineNative(col("q_vec"), col("n_vec")).alias("score"))
-      .dropDuplicates("q_id", "n_id")
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("score").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    Similarity.topKFromCandidates(
+      candidates(corpus, queries, idCol, vecCol, model, nProbe),
+      corpus.select(col(idCol).alias("id"), col(vecCol).alias("vec")), k)
   }
 }

@@ -70,6 +70,54 @@ object Similarity {
       when(dot(vec, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Distinct (q_id, n_id) LSH candidate pairs: bucket the corpus, probe
+    * each query's own bucket plus every 1-bit-flipped neighbor, equi-join
+    * on bucket. This is the stage to materialize at corpus scale — it
+    * carries only ids through the shuffle; vectors join back in
+    * [[topKFromCandidates]] once per surviving candidate. */
+  def lshCandidates(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val pv = planes(nPlanes, dim, seed)
+    val c = corpus.select(
+      col(idCol).alias("n_id"),
+      lshSignature(col(vecCol), pv).alias("bucket"))
+    // queries probe their own bucket plus each 1-bit-flipped neighbor bucket
+    val probeBuckets = array(
+      (lit(-1L) +: (0 until nPlanes).map(i => lit(1L << i))): _*)
+    val q = queries.select(
+        col(idCol).alias("q_id"),
+        lshSignature(col(vecCol), pv).alias("q_bucket"))
+      .withColumn("probe", explode(probeBuckets))
+      .select(col("q_id"),
+        when(col("probe") === -1L, col("q_bucket"))
+          .otherwise(expr("q_bucket ^ probe")).alias("bucket"))
+      .dropDuplicates("q_id", "bucket")
+    c.join(q, Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id")
+      .dropDuplicates("q_id", "n_id")
+  }
+
+  /** Exact-cosine scoring + bounded per-query rank over candidate pairs
+    * (from [[lshCandidates]], [[graft.ext.IvfIndex]], or a staged table).
+    * `vectors` is the (id, vec) side both ends join back to. */
+  def topKFromCandidates(candidates: DataFrame, vectors: DataFrame,
+      k: Int): DataFrame = {
+    GraftFunctions.register(candidates.sparkSession)
+    val qv = vectors.select(col("id").alias("q_id"), col("vec").alias("q_vec"))
+    val nv = vectors.select(col("id").alias("n_id"), col("vec").alias("n_vec"))
+    val scored = candidates.join(qv, Seq("q_id")).join(nv, Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineNative(col("q_vec"), col("n_vec")).alias("score"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN top-k via hyperplane LSH with 1-bit multi-probe.
     *
     * Recall/cost dial: more planes → smaller buckets (faster, lower recall);
@@ -78,31 +126,8 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
-    val pv = planes(nPlanes, dim, seed)
-    val c = corpus.select(
-      col(idCol).alias("n_id"), col(vecCol).alias("n_vec"),
-      lshSignature(col(vecCol), pv).alias("bucket"))
-    // queries probe their own bucket plus each 1-bit-flipped neighbor bucket
-    val probeBuckets = array(
-      (lit(-1L) +: (0 until nPlanes).map(i => lit(1L << i))): _*)
-    val q = queries.select(
-        col(idCol).alias("q_id"), col(vecCol).alias("q_vec"),
-        lshSignature(col(vecCol), pv).alias("q_bucket"))
-      .withColumn("probe", explode(probeBuckets))
-      .select(col("q_id"), col("q_vec"),
-        when(col("probe") === -1L, col("q_bucket"))
-          .otherwise(expr("q_bucket ^ probe")).alias("bucket"))
-      .dropDuplicates("q_id", "bucket")
-    val scored = c.join(q, Seq("bucket"))
-      .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"),
-        cosineNative(col("q_vec"), col("n_vec")).alias("score"))
-      .dropDuplicates("q_id", "n_id")
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("score").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+      nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame =
+    topKFromCandidates(
+      lshCandidates(corpus, queries, idCol, vecCol, nPlanes, dim, seed),
+      corpus.select(col(idCol).alias("id"), col(vecCol).alias("vec")), k)
 }

@@ -110,12 +110,27 @@ object ExtQueries {
         "doc_id", "text", "lang", "n_chars", lenTol = 5, threshold = 0.5)
     },
 
-    QueryDef.noOracle("ext_dedup_embedding_neardup",
-      "embedding near-dup pairs via hyperplane-LSH bucket + cosine verify") { (s, dir) =>
+    // Bucket assignments staged; DuckDB recomputes the bucket cap, the
+    // within-bucket self-join, and the bit-stable f64 cosine verify.
+    QueryDef("ext_dedup_embedding_neardup",
+      "embedding near-dup pairs via hyperplane-LSH bucket + cosine verify (pairing+verify oracled over staged buckets)",
+      s"""WITH b AS (SELECT id, vec, bucket FROM read_parquet('$StageSql/emb_buckets/*.parquet')),
+         |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 10000),
+         |bb AS (SELECT b.id, b.vec, b.bucket FROM b JOIN ok USING (bucket))
+         |SELECT a.id AS id_a, c.id AS id_b,
+         |  list_dot_product(CAST(a.vec AS DOUBLE[]), CAST(c.vec AS DOUBLE[]))
+         |    / (sqrt(list_dot_product(CAST(a.vec AS DOUBLE[]), CAST(a.vec AS DOUBLE[]))) * sqrt(list_dot_product(CAST(c.vec AS DOUBLE[]), CAST(c.vec AS DOUBLE[])))) AS cos
+         |FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.id < c.id
+         |WHERE list_dot_product(CAST(a.vec AS DOUBLE[]), CAST(c.vec AS DOUBLE[]))
+         |    / (sqrt(list_dot_product(CAST(a.vec AS DOUBLE[]), CAST(a.vec AS DOUBLE[]))) * sqrt(list_dot_product(CAST(c.vec AS DOUBLE[]), CAST(c.vec AS DOUBLE[])))) >= 0.3""".stripMargin) { (s, dir) =>
       // testdata embeddings are uniform-random (max pairwise cosine ≈ 0.48),
       // so the "near-dup" bar is 0.3 here; production corpora use ~0.9+
-      Dedup.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.3, nPlanes = 8)
+      val bucketed = Dedup.embeddingBuckets(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", nPlanes = 8)
+      val stage = stageDir(dir)
+      bucketed.write.mode("overwrite").parquet(s"$stage/emb_buckets")
+      Dedup.embeddingPairsFromBuckets(
+        s.read.parquet(s"$stage/emb_buckets"), threshold = 0.3)
     },
 
     // ---- similarity search ----------------------------------------------
@@ -171,18 +186,54 @@ object ExtQueries {
           col("t._2").alias("score"), (col("pos") + 1).alias("rank"))
     },
 
-    QueryDef.noOracle("ext_sim_topk_lsh",
-      "ANN top-5 via hyperplane LSH + 1-bit multi-probe (recall tested vs brute force in ScalaTest)") { (s, dir) =>
+    // ANN entries: the hash/k-means candidate generation stays Spark-side
+    // (no DuckDB equivalent), but the candidate (q_id, n_id) pairs are
+    // staged and DuckDB recomputes scoring + ranking against the embeddings
+    // table — recall remains ScalaTest's job, correctness of the score/rank
+    // path is now cross-engine.
+    QueryDef("ext_sim_topk_lsh",
+      "ANN top-5 via hyperplane LSH + 1-bit multi-probe (score+rank oracled over staged candidates)",
+      s"""WITH c AS (SELECT q_id, n_id FROM read_parquet('$StageSql/lsh_cands/*.parquet')),
+         |s AS (SELECT c.q_id, c.n_id, $COS AS score
+         |      FROM c JOIN embeddings q ON q.vec_id = c.q_id
+         |             JOIN embeddings n ON n.vec_id = c.n_id)
+         |SELECT q_id, n_id, score, rank FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM s)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.lshTopK(
-        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val cands = Similarity.lshCandidates(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding")
+      val stage = stageDir(dir)
+      cands.write.mode("overwrite").parquet(s"$stage/lsh_cands")
+      Similarity.topKFromCandidates(s.read.parquet(s"$stage/lsh_cands"),
+        emb.select(col("vec_id").alias("id"), col("embedding").alias("vec")),
+        k = 5)
     },
 
-    QueryDef.noOracle("ext_sim_topk_ivf",
-      "ANN top-5 via IVF (k-means cells, 4-probe) — the √n-cell scale path") { (s, dir) =>
+    QueryDef("ext_sim_topk_ivf",
+      "ANN top-5 via IVF (k-means cells, 4-probe) — the √n-cell scale path (score+rank oracled over staged candidates)",
+      s"""WITH c AS (SELECT q_id, n_id FROM read_parquet('$StageSql/ivf_cands/*.parquet')),
+         |s AS (SELECT c.q_id, c.n_id, $COS AS score
+         |      FROM c JOIN embeddings q ON q.vec_id = c.q_id
+         |             JOIN embeddings n ON n.vec_id = c.n_id)
+         |SELECT q_id, n_id, score, rank FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM s)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      GraftFunctions.register(s)
       val emb = Tables.load(s, dir, "embeddings")
-      graft.ext.IvfIndex.topK(
-        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val model = graft.ext.IvfIndex.train(emb, "embedding", nCells = 16)
+      val cands = graft.ext.IvfIndex.candidates(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        model, nProbe = 4)
+      val stage = stageDir(dir)
+      cands.write.mode("overwrite").parquet(s"$stage/ivf_cands")
+      Similarity.topKFromCandidates(s.read.parquet(s"$stage/ivf_cands"),
+        emb.select(col("vec_id").alias("id"), col("embedding").alias("vec")),
+        k = 5)
     },
 
     // ---- text analysis ---------------------------------------------------
@@ -282,14 +333,28 @@ object ExtQueries {
         TextAnalysis.repetitionRatio(col("text")).alias("rep_ratio"))
     },
 
-    // posexplode to (doc_id, fp_idx, fp) rows: the verifier sorts results in
-    // pandas, where raw array columns are unhashable — the array-typed form
+    // One row per distinct (doc, fingerprint): sortable for the verifier
+    // (raw array columns crash its pandas sort) — the array-typed form
     // stays available as TextAnalysis.fingerprintsDf / fingerprints.
-    QueryDef.noOracle("ext_text_fingerprint",
-      "winnowing-style rolling-hash document fingerprints (xxhash64), one row per fingerprint") { (s, dir) =>
-      TextAnalysis.fingerprintsDf(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), posexplode(col("fps")).as(Seq("fp_idx", "fp")))
+    // The shingle hashes are Spark-xxhash64 (staged); the winnowing
+    // band-min pass is pure arithmetic, recomputed by DuckDB over the
+    // staged hashes (list slices clamp identically in both engines; an
+    // empty hash array yields one NULL fingerprint in both).
+    QueryDef("ext_text_fingerprint",
+      "winnowing-style rolling-hash document fingerprints (xxhash64), band-min pass oracled over staged hashes",
+      s"""WITH h AS (SELECT id, hs FROM read_parquet('$StageSql/fp_hashes/*.parquet')),
+         |b AS (SELECT id, hs, greatest(CAST(ceil(len(hs) / 4.0) AS INT), 1) AS nb FROM h)
+         |SELECT DISTINCT b.id AS doc_id, list_min(b.hs[u.i*4+1 : u.i*4+4]) AS fp
+         |FROM b, UNNEST(range(0, b.nb)) AS u(i)""".stripMargin) { (s, dir) =>
+      GraftFunctions.register(s)
+      val hashed = Tables.load(s, dir, "documents").select(
+        col("doc_id").alias("id"),
+        Dedup.shingleHashes(col("text"), 5).alias("hs"))
+      val stage = stageDir(dir)
+      hashed.write.mode("overwrite").parquet(s"$stage/fp_hashes")
+      s.read.parquet(s"$stage/fp_hashes")
+        .select(col("id").alias("doc_id"),
+          explode(TextAnalysis.fingerprintBands(col("hs"), 4)).alias("fp"))
     },
 
     // ---- multimodal ------------------------------------------------------
