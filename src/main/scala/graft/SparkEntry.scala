@@ -16,7 +16,8 @@ object SparkEntry {
   def catalog: Seq[QueryDef] =
     ops.CoreQueries.defs ++ ops.FunctionQueries.defs ++
       ops.WindowQueries.defs ++ ops.AnalyticsQueries.defs ++
-      ops.ExtQueries.defs ++ ops.StreamingQueries.defs
+      ops.ExtQueries.defs ++ ops.PipelineQueries.defs ++
+      ops.StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The multiway star-join revenue aggregate — the densest single plan in

@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Dataset-assembly operators a training-data pipeline needs downstream of
+  * cleaning/dedup: deterministic split assignment, token-budget packing,
+  * and benchmark-contamination detection (SURVEY.md §7.5 extension tier).
+  */
+object PipelineOps {
+
+  /** Deterministic train/val/test assignment from a content-stable hash of
+    * the id — re-running on a grown corpus never moves an old row between
+    * splits (a `rand()` split reshuffles on every change and leaks val
+    * into train). md5's first 4 hex digits are uniform on [0, 65536); each
+    * split owns the lexicographic hex interval proportional to its
+    * weight. Pure per-row expression: no shuffle, no state. */
+  def assignSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val hexBounds = bounds.map(b => f"${math.min((b * 65536).round, 65535L)}%04x")
+    val cases = weights.map(_._1).zip(hexBounds).dropRight(1)
+      .foldRight(lit(weights.last._1): org.apache.spark.sql.Column) {
+        case ((name, bound), rest) => when(h < lit(bound), name).otherwise(rest)
+      }
+    df.withColumn("split", cases)
+  }
+
+  /** Hex thresholds for [[assignSplit]]'s oracle SQL. */
+  def splitBoundsHex(weights: Seq[(String, Double)]): Seq[String] =
+    weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+      .map(b => f"${math.min((b * 65536).round, 65535L)}%04x")
+
+  /** Token-budget chunk packing, the SQL-shaped variant: rows ordered by
+    * `orderCol` within each `groupCol` are assigned
+    * `pack_id = prior_cumulative_weight DIV budget`. A document can
+    * straddle a budget boundary by less than its own weight (fixed-budget
+    * chunking with overflow tolerance); [[greedyPack]] is the exact
+    * no-straddle variant. One hash shuffle on the group key; per-group
+    * window state is a running sum. */
+  def budgetPack(df: DataFrame, groupCol: String, orderCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(weightCol)).over(w) - col(weightCol))
+      .withColumn("pack_id", expr(s"CAST(_cum DIV $budget AS INT)"))
+      .drop("_cum")
+  }
+
+  // not private: Catalyst's generated deserializer needs public access
+  case class PackRow(group: String, ord: Long, weight: Long)
+
+  /** Exact greedy packing: fill each pack until adding the next row would
+    * exceed `budget`, then start a new pack (an over-budget single row
+    * gets its own pack). Stateful and non-associative, so it runs as a
+    * typed mapGroups per group key — the same bounded-state shape as
+    * sessionization. Returns (groupCol, orderCol, pack_id). */
+  def greedyPack(df: DataFrame, groupCol: String, orderCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").alias("group"),
+        col(orderCol).cast("long").alias("ord"),
+        col(weightCol).cast("long").alias("weight"))
+      .as[PackRow](Encoders.product[PackRow])
+      .groupByKey(_.group)
+      .flatMapGroups { (g, it) =>
+        val sorted = it.toArray.sortBy(_.ord)
+        var pack = 0L
+        var fill = 0L
+        sorted.iterator.map { r =>
+          if (fill > 0 && fill + r.weight > budget) { pack += 1; fill = 0 }
+          fill += r.weight
+          (g, r.ord, pack)
+        }
+      }
+      .toDF(groupCol, orderCol, "pack_id")
+  }
+
+  /** Benchmark-contamination check: for each corpus document, the fraction
+    * of its distinct word `n`-gram shingles that appear anywhere in the
+    * benchmark set (the decontamination pass run before training on any
+    * corpus that may contain eval data). Returns only contaminated docs
+    * (ratio > 0).
+    *
+    * Shape: explode distinct shingles on both sides, equi-join on the
+    * shingle, count per doc — the benchmark side is DISTINCT'd and small
+    * (eval sets are thousands of docs), so Catalyst broadcasts it and the
+    * corpus side never shuffles its shingles. At corpus scale, swap the
+    * shingle strings for xxhash64 of the shingle (same join, 8-byte keys)
+    * — kept as strings here so the DuckDB oracle can recompute them. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val corpusSh = corpus.select(col(idCol),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).alias("_sh"))
+    val benchSh = benchmark
+      .select(explode(array_distinct(Dedup.shingles(col(textCol), n))).alias("_sh"))
+      .distinct()
+    val shared = corpusSh.join(broadcast(benchSh), Seq("_sh"))
+      .groupBy(idCol).agg(count(lit(1)).alias("n_shared"))
+    val totals = corpus.select(col(idCol),
+      size(array_distinct(Dedup.shingles(col(textCol), n))).alias("n_total"))
+    shared.join(totals, Seq(idCol))
+      .select(col(idCol), col("n_shared"), col("n_total"),
+        (col("n_shared").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .alias("contamination"))
+  }
+}

@@ -24,7 +24,13 @@ object GraftFunctions {
       es => SimHash64(es.head)),
     ("shingle_hashes", "order-sensitive n-gram hashes from token hashes",
       es => ShingleHashes(es.head,
-        es(1).eval(null).asInstanceOf[Number].intValue())))
+        es(1).eval(null).asInstanceOf[Number].intValue())),
+    // Spark's own codegen'd bloom probe (internal expression, not in the
+    // public registry); the filter bytes must be foldable — see
+    // graft.ops.BloomSemi for the build-then-literal pattern
+    ("bloom_might_contain", "membership probe against serialized bloom-filter bytes",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es.head, es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, _, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{PipelineOps, TextAnalysis}
+
+/** Dataset-assembly catalog (extension tier, SURVEY.md §7.5): the
+  * operators that turn a cleaned/deduped corpus into training data —
+  * as-of enrichment, bloom-pruned filtering, split assignment, packing,
+  * decontamination. All fully oracle-checked (DuckDB has native ASOF
+  * JOIN; md5 and the window arithmetic are engine-identical).
+  */
+object PipelineQueries {
+
+  private val SPLITS = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("ext_asof_join",
+      "as-of backward join: latest order at/before each event date per user (union-merge, one shuffle — no range explosion)",
+      """WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS last_price
+        |           FROM orders GROUP BY o_custkey, o_orderdate),
+        |l AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events)
+        |SELECT l.event_id, l.user_id, l.event_date,
+        |  r.o_orderdate AS asof_date, r.last_price
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.event_date >= r.o_orderdate""".stripMargin) { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          to_date(col("ts")).alias("event_date"))
+      // uniquify right per (key, ts) so as-of tie-handling is deterministic
+      val orders = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).alias("last_price"))
+      AsofJoin.asofBackward(events, "user_id", "event_date",
+        orders, "o_custkey", "o_orderdate", Seq("last_price"),
+        asofTsCol = "asof_date")
+    },
+
+    QueryDef("ext_bloom_semi",
+      "bloom-prefiltered semi-join: orders of BUILDING-segment customers (bloom prunes scan-side, exact verify on survivors)",
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      BloomSemi.semiJoin(orders, cust, "o_custkey", "c_custkey")
+    },
+
+    QueryDef("ext_split_assign",
+      "deterministic content-hash train/val/test split (80/10/10, stable across corpus growth)", {
+      val Seq(b1, b2) = PipelineOps.splitBoundsHex(SPLITS).dropRight(1)
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN h < '$b1' THEN 'train' WHEN h < '$b2' THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM documents)""".stripMargin
+    }) { (s, dir) =>
+      PipelineOps.assignSplit(
+        Tables.load(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", SPLITS)
+    },
+
+    QueryDef("ext_pack_budget",
+      "token-budget chunk packing: pack_id per doc (512-token budget, per-lang, doc_id order)",
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_toks FROM documents),
+        |c AS (SELECT doc_id, lang, n_toks,
+        |  SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_toks AS prior FROM t)
+        |SELECT doc_id, lang, n_toks, CAST(prior // 512 AS INT) AS pack_id FROM c""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+        col("lang"), TextAnalysis.tokenCount(col("text")).alias("n_toks"))
+      PipelineOps.budgetPack(docs, "lang", "doc_id", "n_toks", 512)
+    },
+
+    QueryDef("ext_contamination",
+      "benchmark decontamination: fraction of distinct 3-gram shingles shared with the benchmark subset (doc_id < 20)",
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END AS shl FROM tok),
+        |b AS (SELECT DISTINCT u.s FROM sh, UNNEST(list_distinct(shl)) AS u(s) WHERE doc_id < 20),
+        |c AS (SELECT doc_id, u.s FROM sh, UNNEST(list_distinct(shl)) AS u(s) WHERE doc_id >= 20),
+        |shr AS (SELECT c.doc_id, COUNT(*) AS n_shared FROM c JOIN b ON c.s = b.s GROUP BY c.doc_id),
+        |tot AS (SELECT doc_id, len(list_distinct(shl)) AS n_total FROM sh WHERE doc_id >= 20)
+        |SELECT t.doc_id, s.n_shared, t.n_total,
+        |  CAST(s.n_shared AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS contamination
+        |FROM shr s JOIN tot t ON s.doc_id = t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      PipelineOps.contamination(docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), "doc_id", "text", n = 3)
+    }
+  )
+}
