@@ -42,6 +42,22 @@ object Medallion {
       .option("checkpointLocation", cpDir).option("path", sinkDir)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
 
+  /** Bronze with Auto Loader-style schema tracking
+    * (`cloudFiles.schemaLocation` + `addNewColumns`, M:12): observe the
+    * landing zone's merged schema, evolve the schema tracked at
+    * `schemaDir`, run the stream with it. Invoke again after new files
+    * land — a new column is adopted on that restart (the checkpoint's
+    * file log survives, so only unprocessed files read the wider schema);
+    * downstream readers use `mergeSchema` and see NULLs for pre-drift
+    * rows. See [[graft.streaming.SchemaEvolution]] / `SchemaDriftSpec`. */
+  def bronzeStreamEvolving(spark: SparkSession, srcDir: String,
+      schemaDir: String, sinkDir: String, cpDir: String): StreamingQuery = {
+    val observed =
+      spark.read.option("mergeSchema", "true").parquet(srcDir).schema
+    val schema = graft.streaming.SchemaEvolution.track(spark, schemaDir, observed)
+    bronzeStream(spark, srcDir, schema, sinkDir, cpDir)
+  }
+
   /** The silver transform of M:116-121: reviews-side Title, post-join
     * YEAR filter, re-derived Year_of_publish (LEGACY `yyyy` parse). */
   val silverSql: String =

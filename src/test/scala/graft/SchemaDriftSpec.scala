@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.streaming.SchemaEvolution
@@ -21,33 +20,29 @@ class SchemaDriftSpec extends SparkSpec {
     val cp = tmpDir("drift_cp")
     val schemaLoc = tmpDir("drift_schema")
 
-    def runStream(schema: StructType): Unit =
-      spark.readStream.schema(schema).parquet(src)
-        .writeStream.format("parquet")
-        .option("checkpointLocation", cp).option("path", silver)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+    def runBronze(): Unit =
+      graft.medallion.Medallion
+        .bronzeStreamEvolving(spark, src, schemaLoc, silver, cp)
+        .awaitTermination()
 
     // generation 1: (id, a)
     Seq((1L, "x"), (2L, "y")).toDF("id", "a")
       .coalesce(1).write.mode("append").parquet(src)
-    val v1 = SchemaEvolution.track(spark, schemaLoc,
-      spark.read.parquet(src).schema)
-    runStream(v1)
+    runBronze()
+    val v1 = SchemaEvolution.load(spark, schemaLoc).get
+    assert(v1.fieldNames.toSeq === Seq("id", "a"))
 
     // generation 2: (id, a, score) lands in the same zone
     Seq((3L, "z", 4.2)).toDF("id", "a", "score")
       .coalesce(1).write.mode("append").parquet(src)
     val observed = spark.read.option("mergeSchema", "true").parquet(src).schema
     assert(SchemaEvolution.drifted(v1, observed))
-    val v2 = SchemaEvolution.track(spark, schemaLoc, observed)
-    assert(v2.fieldNames.toSeq === Seq("id", "a", "score"))
-    // the persisted tracked schema is what a restart loads
-    assert(SchemaEvolution.load(spark, schemaLoc).get === v2)
 
     // restart from the SAME checkpoint: only unprocessed files are read,
     // now with the evolved schema
-    runStream(v2)
+    runBronze()
+    val v2 = SchemaEvolution.load(spark, schemaLoc).get
+    assert(v2.fieldNames.toSeq === Seq("id", "a", "score"))
 
     val out = spark.read.option("mergeSchema", "true").parquet(silver)
     assert(out.columns.contains("score"))

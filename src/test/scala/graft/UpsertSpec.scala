@@ -41,4 +41,21 @@ class UpsertSpec extends SparkSpec {
         1L -> ("a2", 2L), 2L -> ("b1", 1L), 3L -> ("c1", 1L)))
     } finally q.stop()
   }
+
+  test("interrupted swap is refused, not treated as a first batch") {
+    import graft.ops.SafeSwap
+    import spark.implicits._
+    val dir = tmpDir("swapcrash") + "/t"
+    // simulate a crash between rename(target -> backup) and
+    // rename(staging -> target): only the backup exists
+    Seq((1L, "old", 1L)).toDF("id", "value", "version")
+      .write.parquet(SafeSwap.backup(dir))
+    val updates = Seq((2L, "new", 2L)).toDF("id", "value", "version")
+    val e = intercept[java.io.IOException] {
+      Upsert.mergeIntoParquet(spark, dir, updates, Seq("id"), "version")
+    }
+    assert(e.getMessage.contains("interrupted"))
+    // the backup is untouched — recoverable by hand
+    assert(spark.read.parquet(SafeSwap.backup(dir)).count() === 1)
+  }
 }
