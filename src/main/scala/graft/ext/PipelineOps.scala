@@ -96,16 +96,18 @@ object PipelineOps {
     * — kept as strings here so the DuckDB oracle can recompute them. */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    val corpusSh = corpus.select(col(idCol),
-        explode(array_distinct(Dedup.shingles(col(textCol), n))).alias("_sh"))
+    // one shingle pass: carry the doc's distinct-shingle count through the
+    // explode so no second scan (or totals join-back) is needed
+    val corpusSh = corpus
+      .select(col(idCol),
+        array_distinct(Dedup.shingles(col(textCol), n)).alias("_shs"))
+      .select(col(idCol), size(col("_shs")).alias("n_total"),
+        explode(col("_shs")).alias("_sh"))
     val benchSh = benchmark
       .select(explode(array_distinct(Dedup.shingles(col(textCol), n))).alias("_sh"))
       .distinct()
-    val shared = corpusSh.join(broadcast(benchSh), Seq("_sh"))
-      .groupBy(idCol).agg(count(lit(1)).alias("n_shared"))
-    val totals = corpus.select(col(idCol),
-      size(array_distinct(Dedup.shingles(col(textCol), n))).alias("n_total"))
-    shared.join(totals, Seq(idCol))
+    corpusSh.join(broadcast(benchSh), Seq("_sh"))
+      .groupBy(idCol, "n_total").agg(count(lit(1)).alias("n_shared"))
       .select(col(idCol), col("n_shared"), col("n_total"),
         (col("n_shared").cast(DoubleType) / col("n_total").cast(DoubleType))
           .alias("contamination"))

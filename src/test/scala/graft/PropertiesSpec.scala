@@ -89,4 +89,45 @@ class PropertiesSpec extends SparkSpec {
       assert(arr === model, s)
     }
   }
+
+  test("asof join matches the naive latest-at-or-before model on random data") {
+    val gen = for {
+      k <- Gen.chooseNum(0L, 5L)
+      ts <- Gen.chooseNum(0L, 50L)
+    } yield (k, ts)
+    // right side uniqued per (key, ts) — asofBackward's documented contract
+    val right = samples(gen, 120).distinct.zipWithIndex
+      .map { case ((k, ts), i) => (k, ts, s"v$i") }
+    val left = samples(gen, 150).zipWithIndex
+      .map { case ((k, ts), i) => (i.toLong, k, ts) }
+    val out = graft.ops.AsofJoin.asofBackward(
+        left.toDF("id", "k", "ts"), "k", "ts",
+        right.toDF("rk", "rts", "v"), "rk", "rts", Seq("v"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
+    left.foreach { case (id, k, ts) =>
+      val model = right.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(out(id) === model, s"left($id, k=$k, ts=$ts)")
+    }
+  }
+
+  test("greedy packing never overfills a multi-row pack and preserves order") {
+    val gen = Gen.chooseNum(1L, 700L)
+    val weights = samples(gen, 200).zipWithIndex
+      .map { case (w, i) => ("g", i.toLong, w) }
+    val budget = 512L
+    val packs = graft.ext.PipelineOps.greedyPack(
+        weights.toDF("grp", "ord", "w"), "grp", "ord", "w", budget)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val byPack = weights.groupBy(r => packs(r._2))
+    byPack.foreach { case (p, rows) =>
+      val fill = rows.map(_._3).sum
+      assert(fill <= budget || rows.size == 1, s"pack $p filled to $fill")
+    }
+    // pack ids are monotone in row order
+    weights.map(r => packs(r._2)).foldLeft(0L) { (prev, p) =>
+      assert(p >= prev); p
+    }
+  }
 }
