@@ -33,6 +33,9 @@ object Bench {
     // unrelated query being planned concurrently.
     Graft.referenceSemantics(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // st10 flips the session to RocksDB mid-run; set it up front so every
+    // concurrent stream plans against the same provider
+    graft.streaming.SessionizeTws.configure(spark)
     // JIT/classload warmup so per-query numbers measure the plan, not
     // first-use JVM costs.
     SparkEntry.queries.get("a2_grouped_count")

@@ -61,6 +61,20 @@ object IvfIndex {
         .drop("_centroids")
   }
 
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), Model]
+
+  /** [[train]] memoized per (corpusKey, nCells, seed): an IVF index is
+    * built once and served for many query batches — re-running k-means
+    * per query both dominates latency and mismodels the operator. The
+    * caller's key names the corpus (e.g. its data directory); same key +
+    * seeded k-means ⇒ the cached model is identical to a fresh train, so
+    * caching never changes results. */
+  def trainCached(corpusKey: String, corpus: DataFrame, vecCol: String,
+      nCells: Int, seed: Long = 42L): Model =
+    modelCache.getOrElseUpdate((s"$corpusKey#$vecCol", nCells, seed),
+      train(corpus, vecCol, nCells, seed))
+
   /** Train centroids with distributed k-means on a bounded sample.
     * `limit(sampleCap)` is fraction-free (no full count pass); rows come in
     * scan order, so heavily clustered file layouts should pre-shuffle or

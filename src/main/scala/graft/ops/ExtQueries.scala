@@ -225,7 +225,7 @@ object ExtQueries {
          |WHERE rank <= 5""".stripMargin) { (s, dir) =>
       GraftFunctions.register(s)
       val emb = Tables.load(s, dir, "embeddings")
-      val model = graft.ext.IvfIndex.train(emb, "embedding", nCells = 16)
+      val model = graft.ext.IvfIndex.trainCached(dir, emb, "embedding", nCells = 16)
       val cands = graft.ext.IvfIndex.candidates(
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         model, nProbe = 4)

@@ -217,6 +217,51 @@ object StreamingQueries {
         .toDF("user_id", "session_idx", "n_events", "start_us", "end_us")
     },
 
+    // Only CLOSED sessions emit (a session closes when a later event opens
+    // the next one), so the oracle is st9's sessionization minus each
+    // user's last session. Runs on the RocksDB state store — the
+    // transformWithState requirement.
+    QueryDef("st10_sessions_tws",
+      "transformWithState sessionization (Spark 4 stateful API, RocksDB store): closed sessions per user",
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM b),
+        |agg AS (
+        |  SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_idx)
+        |SELECT user_id, start_us, end_us, n_events FROM (
+        |  SELECT agg.*, MAX(session_idx) OVER (PARTITION BY user_id) AS mx FROM agg)
+        |WHERE session_idx < mx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      implicit val sp = s
+      graft.streaming.SessionizeTws.configure(s)
+      val out = tmp("graft_st10")
+      val src = stageEventsDir(dir)
+      val events = eventsStream(s, src)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).alias("ts_us"))
+        .as[graft.streaming.Sessionize.Event]
+      graft.streaming.SessionizeTws
+        .sessions(events, gapUs = 30L * 60 * 1000 * 1000)
+        .select(col("user_id"), col("session_start_us").alias("start_us"),
+          col("session_end_us").alias("end_us"), col("n_events"))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
     QueryDef("st6_sessionize_typed",
       "typed KeyValueGroupedDataset sessionization (30-min gap rule)",
       """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
