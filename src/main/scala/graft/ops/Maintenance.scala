@@ -27,12 +27,28 @@ object Maintenance {
   }
 
   /** Clustered rewrite: partition by a coarse column and sort within
-    * partitions by cluster keys (z-order-lite) so min/max row-group stats
-    * prune reads on those keys. */
+    * partitions by cluster keys (lexicographic — prunes on the leading
+    * key) so min/max row-group stats prune reads on those keys. */
   def rewriteClustered(spark: SparkSession, inDir: String, outDir: String,
       partitionCol: String, clusterCols: Seq[String]): Unit =
     spark.read.parquet(inDir)
       .repartition(col(partitionCol))
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(outDir)
+
+  /** Z-ordered rewrite over two dimensions: range-partition + sort by the
+    * Morton key of the two (bucketed) columns, so EVERY output file holds
+    * a bounded rectangle of (a, b) space and parquet min/max stats prune
+    * on either column — the lexicographic rewrite above only prunes on
+    * the leading one. `aExpr`/`bExpr` must already be bucketed into
+    * [0, 2^bits) (see [[graft.functions.ZOrder]]). */
+  def rewriteZOrdered(spark: SparkSession, inDir: String, outDir: String,
+      aExpr: org.apache.spark.sql.Column, bExpr: org.apache.spark.sql.Column,
+      nFiles: Int, bits: Int = 16): Unit =
+    spark.read.parquet(inDir)
+      .withColumn("_z", graft.functions.ZOrder.interleave2(aExpr, bExpr, bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(outDir)
 }

@@ -72,6 +72,18 @@ object PipelineQueries {
       PipelineOps.budgetPack(docs, "lang", "doc_id", "n_toks", 512)
     },
 
+    QueryDef("ext_zorder_key",
+      "Morton z-order key over two bucketed dimensions (the layout key behind Maintenance.rewriteZOrdered)", {
+      val z = graft.functions.ZOrder.interleaveSql(
+        "(o_custkey & 255)", "(o_orderkey & 255)", bits = 8)
+      s"SELECT o_orderkey, $z AS z FROM orders"
+    }) { (s, dir) =>
+      Tables.load(s, dir, "orders").select(col("o_orderkey"),
+        graft.functions.ZOrder.interleave2(
+          col("o_custkey").bitwiseAND(lit(255)),
+          col("o_orderkey").bitwiseAND(lit(255)), bits = 8).alias("z"))
+    },
+
     QueryDef("ext_contamination",
       "benchmark decontamination: fraction of distinct 3-gram shingles shared with the benchmark subset (doc_id < 20)",
       """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t FROM documents),
