@@ -36,6 +36,23 @@ object PipelineOps {
     weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
       .map(b => f"${math.min((b * 65536).round, 65535L)}%04x")
 
+  /** A sampling rate as the 4-hex-digit md5-prefix threshold it keeps. */
+  def rateHex(rate: Double): String =
+    f"${math.min((rate * 65536).round, 65535L)}%04x"
+
+  /** Deterministic stratified sampling: per-stratum rates applied through
+    * the same md5-prefix interval trick as [[assignSplit]] — `sampleBy`
+    * semantics without `rand()`, so reruns and corpus growth keep every
+    * previously-sampled row. Scan-side filter, no shuffle. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    val thr = rates.foldLeft(lit(rateHex(defaultRate))) {
+      case (acc, (k, r)) => when(col(strataCol) === k, rateHex(r)).otherwise(acc)
+    }
+    df.filter(h < thr)
+  }
+
   /** Token-budget chunk packing, the SQL-shaped variant: rows ordered by
     * `orderCol` within each `groupCol` are assigned
     * `pack_id = prior_cumulative_weight DIV budget`. A document can

@@ -72,6 +72,38 @@ object PipelineQueries {
       PipelineOps.budgetPack(docs, "lang", "doc_id", "n_toks", 512)
     },
 
+    QueryDef("ext_quality_threshold",
+      "quality gate: keep docs at/above the exact 75th-percentile quality score (the C4/Gopher-style filter step)",
+      """WITH q AS (SELECT doc_id,
+        |  (CASE WHEN n_toks < 5 THEN n_toks / 5.0 WHEN n_toks > 10000 THEN 0.5 ELSE 1.0 END)
+        |  * (CASE WHEN punct > 0.3 THEN 0.3 ELSE 1.0 END) AS quality
+        |FROM (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) AS n_toks,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct
+        |FROM documents)),
+        |t AS (SELECT quantile_cont(quality, 0.75) AS thr FROM q)
+        |SELECT doc_id, quality FROM q, t WHERE quality >= thr""".stripMargin) { (s, dir) =>
+      val q = Tables.load(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).alias("quality"))
+      val thr = q.agg(expr("percentile(quality, 0.75)").alias("thr"))
+      q.crossJoin(broadcast(thr)).filter(col("quality") >= col("thr"))
+        .select("doc_id", "quality")
+    },
+
+    QueryDef("ext_sample_stratified",
+      "deterministic stratified sample: per-lang keep rates via md5-prefix intervals (sampleBy without rand())", {
+      import graft.ext.PipelineOps.rateHex
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM documents)
+         |WHERE h < CASE WHEN lang = 'en' THEN '${rateHex(0.5)}'
+         |              WHEN lang = 'fr' THEN '${rateHex(0.25)}'
+         |              ELSE '${rateHex(0.1)}' END""".stripMargin
+    }) { (s, dir) =>
+      PipelineOps.stratifiedSample(
+        Tables.load(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+    },
+
     QueryDef("ext_zorder_key",
       "Morton z-order key over two bucketed dimensions (the layout key behind Maintenance.rewriteZOrdered)", {
       val z = graft.functions.ZOrder.interleaveSql(
