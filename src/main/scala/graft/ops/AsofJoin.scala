@@ -27,7 +27,12 @@ object AsofJoin {
   /** @param valueCols right-side columns carried onto each left row
     *                   (NULL where no right row precedes the left row);
     *                   emitted as-named, plus `asofTsCol` = the matched
-    *                   right timestamp. */
+    *                   right timestamp.
+    *
+    * The right row travels as ONE struct carried by a single
+    * `last(ignoreNulls)`: carrying each value column separately would let
+    * a NULL in the matched row fall through to an older row's value —
+    * the matched row's fields must surface verbatim, NULLs included. */
   def asofBackward(
       left: DataFrame, leftKey: String, leftTs: String,
       right: DataFrame, rightKey: String, rightTs: String,
@@ -35,24 +40,31 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     def nullOf(df: DataFrame, c: String): Column =
       lit(null).cast(df.schema(c).dataType)
+    def rowStruct(ts: Column, vals: Seq[Column]): Column =
+      struct(ts.alias("_ts") +: vals.zip(valueCols).map {
+        case (v, c) => v.alias(s"_v_$c") }: _*)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_ts", right.schema(rightTs).dataType) +:
+        valueCols.map(c =>
+          org.apache.spark.sql.types.StructField(s"_v_$c", right.schema(c).dataType)))
     val lSel = left.select(
       leftCols.map(col) ++ Seq(
         col(leftKey).alias("_k"), col(leftTs).alias("_t"),
-        lit(1).alias("_tag"), nullOf(right, rightTs).alias("_vt")) ++
-        valueCols.map(c => nullOf(right, c).alias(s"_v_$c")): _*)
+        lit(1).alias("_tag"),
+        lit(null).cast(rStructType).alias("_r")): _*)
     val rSel = right.select(
       leftCols.map(c => nullOf(left, c).alias(c)) ++ Seq(
         col(rightKey).alias("_k"), col(rightTs).alias("_t"),
-        lit(0).alias("_tag"), col(rightTs).alias("_vt")) ++
-        valueCols.map(c => col(c).alias(s"_v_$c")): _*)
+        lit(0).alias("_tag"),
+        rowStruct(col(rightTs), valueCols.map(col)).alias("_r")): _*)
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = ("_vt" +: valueCols.map("_v_" + _)).map(c =>
-      last(col(c), ignoreNulls = true).over(w).alias(c))
     lSel.unionByName(rSel)
-      .select(leftCols.map(col) ++ Seq(col("_tag")) ++ carried: _*)
+      .select(leftCols.map(col) ++ Seq(col("_tag"),
+        last(col("_r"), ignoreNulls = true).over(w).alias("_r")): _*)
       .filter(col("_tag") === 1)
-      .select(leftCols.map(col) ++ Seq(col("_vt").alias(asofTsCol)) ++
-        valueCols.map(c => col(s"_v_$c").alias(c)): _*)
+      .select(leftCols.map(col) ++
+        Seq(col("_r._ts").alias(asofTsCol)) ++
+        valueCols.map(c => col(s"_r._v_$c").alias(c)): _*)
   }
 }

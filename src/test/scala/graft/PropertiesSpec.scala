@@ -95,9 +95,13 @@ class PropertiesSpec extends SparkSpec {
       k <- Gen.chooseNum(0L, 5L)
       ts <- Gen.chooseNum(0L, 50L)
     } yield (k, ts)
-    // right side uniqued per (key, ts) — asofBackward's documented contract
+    // right side uniqued per (key, ts) — asofBackward's documented contract;
+    // every third value NULL: the matched row's NULL must surface, not an
+    // older row's value
     val right = samples(gen, 120).distinct.zipWithIndex
-      .map { case ((k, ts), i) => (k, ts, s"v$i") }
+      .map { case ((k, ts), i) =>
+        (k, ts, if (i % 3 == 0) null else s"v$i")
+      }
     val left = samples(gen, 150).zipWithIndex
       .map { case ((k, ts), i) => (i.toLong, k, ts) }
     val out = graft.ops.AsofJoin.asofBackward(
@@ -107,7 +111,7 @@ class PropertiesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
     left.foreach { case (id, k, ts) =>
       val model = right.filter(r => r._1 == k && r._2 <= ts)
-        .sortBy(_._2).lastOption.map(_._3)
+        .sortBy(_._2).lastOption.map(_._3).flatMap(Option(_))
       assert(out(id) === model, s"left($id, k=$k, ts=$ts)")
     }
   }
