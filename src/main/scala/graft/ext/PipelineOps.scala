@@ -113,18 +113,22 @@ object PipelineOps {
     * — kept as strings here so the DuckDB oracle can recompute them. */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    // one shingle pass: carry the doc's distinct-shingle count through the
-    // explode so no second scan (or totals join-back) is needed
-    val corpusSh = corpus
-      .select(col(idCol),
-        array_distinct(Dedup.shingles(col(textCol), n)).alias("_shs"))
-      .select(col(idCol), size(col("_shs")).alias("n_total"),
-        explode(col("_shs")).alias("_sh"))
+    // Two scan branches ON PURPOSE: carrying the per-doc shingle count
+    // through the explode measures ~2x SLOWER — Catalyst collapses the
+    // count's projection into the Generate input and re-derives the
+    // shingle array alongside every exploded row. Two linear branches
+    // (explode for the join; size() for totals) each compute the array
+    // once per document, and the totals join is a cheap per-doc hash join.
+    val corpusSh = corpus.select(col(idCol),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).alias("_sh"))
     val benchSh = benchmark
       .select(explode(array_distinct(Dedup.shingles(col(textCol), n))).alias("_sh"))
       .distinct()
-    corpusSh.join(broadcast(benchSh), Seq("_sh"))
-      .groupBy(idCol, "n_total").agg(count(lit(1)).alias("n_shared"))
+    val shared = corpusSh.join(broadcast(benchSh), Seq("_sh"))
+      .groupBy(idCol).agg(count(lit(1)).alias("n_shared"))
+    val totals = corpus.select(col(idCol),
+      size(array_distinct(Dedup.shingles(col(textCol), n))).alias("n_total"))
+    shared.join(totals, Seq(idCol))
       .select(col(idCol), col("n_shared"), col("n_total"),
         (col("n_shared").cast(DoubleType) / col("n_total").cast(DoubleType))
           .alias("contamination"))
