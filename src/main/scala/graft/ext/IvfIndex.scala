@@ -26,8 +26,12 @@ object IvfIndex {
     def nCells: Int = centers.length
 
     /** One-row DataFrame carrying every centroid in a single
-      * array<struct<cell,center>> column — broadcast onto scans below. */
-    private def centroidsDf(spark: SparkSession): DataFrame = {
+      * array<struct<cell,center>> column — broadcast onto scans below.
+      * Callers joining BOTH a corpus side and a query side should build
+      * this once and pass it to both attach methods, so the two
+      * broadcast exchanges share one relation (Catalyst's ReuseExchange
+      * then ships the centroids once, not twice). */
+    def centroidsDf(spark: SparkSession): DataFrame = {
       import spark.implicits._
       centers.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("cell", "center")
@@ -43,15 +47,19 @@ object IvfIndex {
 
     /** Attach `cellCol` = nearest-centroid cell id (scan-side: broadcast
       * cross join + per-row argmin, no shuffle of the corpus). */
-    def withCell(df: DataFrame, vecCol: String, cellCol: String): DataFrame =
-      df.crossJoin(broadcast(centroidsDf(df.sparkSession)))
+    def withCell(df: DataFrame, vecCol: String, cellCol: String,
+        centroids: DataFrame = null): DataFrame = {
+      val cdf = Option(centroids).getOrElse(centroidsDf(df.sparkSession))
+      df.crossJoin(broadcast(cdf))
         .withColumn(cellCol, argminCell(col(vecCol)))
         .drop("_centroids")
+    }
 
     /** Attach `cellsCol` = the `nProbe` nearest cell ids, as an array. */
     def withProbeCells(df: DataFrame, vecCol: String, cellsCol: String,
-        nProbe: Int): DataFrame =
-      df.crossJoin(broadcast(centroidsDf(df.sparkSession)))
+        nProbe: Int, centroids: DataFrame = null): DataFrame = {
+      val cdf = Option(centroids).getOrElse(centroidsDf(df.sparkSession))
+      df.crossJoin(broadcast(cdf))
         .withColumn(cellsCol,
           transform(
             slice(array_sort(transform(col("_centroids"),
@@ -59,21 +67,28 @@ object IvfIndex {
                 c.getField("cell").alias("cell")))), 1, nProbe),
             s => s.getField("cell")))
         .drop("_centroids")
+    }
   }
 
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Long), Model]
+  private val ModelCacheCap = 8
 
   /** [[train]] memoized per (corpusKey, nCells, seed): an IVF index is
     * built once and served for many query batches — re-running k-means
     * per query both dominates latency and mismodels the operator. The
     * caller's key names the corpus (e.g. its data directory); same key +
     * seeded k-means ⇒ the cached model is identical to a fresh train, so
-    * caching never changes results. */
+    * caching never changes results. Bounded: past [[ModelCacheCap]]
+    * distinct keys the cache is cleared wholesale (a model is ~nCells×dim
+    * doubles — rotating corpus keys in a long-lived driver must not
+    * accumulate dead centroid tables). */
   def trainCached(corpusKey: String, corpus: DataFrame, vecCol: String,
-      nCells: Int, seed: Long = 42L): Model =
+      nCells: Int, seed: Long = 42L): Model = {
+    if (modelCache.size >= ModelCacheCap) modelCache.clear()
     modelCache.getOrElseUpdate((s"$corpusKey#$vecCol", nCells, seed),
       train(corpus, vecCol, nCells, seed))
+  }
 
   /** Train centroids with distributed k-means on a bounded sample.
     * `limit(sampleCap)` is fraction-free (no full count pass); rows come in
@@ -94,13 +109,15 @@ object IvfIndex {
     * the candidate shuffle; vectors join back at scoring time. */
   def candidates(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, model: Model, nProbe: Int): DataFrame = {
+    // one centroid relation for both sides → one broadcast (ReuseExchange)
+    val cdf = model.centroidsDf(corpus.sparkSession)
     val c = model.withCell(
         corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("n_vec")),
-        "n_vec", "cell")
+        "n_vec", "cell", cdf)
       .select("n_id", "cell")
     val q = model.withProbeCells(
         queries.select(col(idCol).alias("q_id"), col(vecCol).alias("q_vec")),
-        "q_vec", "cells", nProbe)
+        "q_vec", "cells", nProbe, cdf)
       .select(col("q_id"), explode(col("cells")).alias("cell"))
     c.join(q, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
@@ -117,6 +134,7 @@ object IvfIndex {
     val model = train(corpus, vecCol, nCells, seed)
     Similarity.topKFromCandidates(
       candidates(corpus, queries, idCol, vecCol, model, nProbe),
+      queries.select(col(idCol).alias("id"), col(vecCol).alias("vec")),
       corpus.select(col(idCol).alias("id"), col(vecCol).alias("vec")), k)
   }
 }

@@ -22,23 +22,25 @@ object PipelineOps {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
     val h = substring(md5(col(idCol).cast("string")), 1, 4)
-    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
-    val hexBounds = bounds.map(b => f"${math.min((b * 65536).round, 65535L)}%04x")
-    val cases = weights.map(_._1).zip(hexBounds).dropRight(1)
+    val cases = weights.map(_._1).zip(splitBoundsHex(weights)).dropRight(1)
       .foldRight(lit(weights.last._1): org.apache.spark.sql.Column) {
         case ((name, bound), rest) => when(h < lit(bound), name).otherwise(rest)
       }
     df.withColumn("split", cases)
   }
 
-  /** Hex thresholds for [[assignSplit]]'s oracle SQL. */
+  /** Hex thresholds for [[assignSplit]]'s oracle SQL — the single source
+    * the Spark when-chain also builds from (a divergent reimplementation
+    * would silently split engine vs oracle). */
   def splitBoundsHex(weights: Seq[(String, Double)]): Seq[String] =
-    weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
-      .map(b => f"${math.min((b * 65536).round, 65535L)}%04x")
+    weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail.map(rateHex)
 
-  /** A sampling rate as the 4-hex-digit md5-prefix threshold it keeps. */
+  /** A keep rate as the 4-hex-digit md5-prefix threshold below which rows
+    * are kept. rate ≥ 1 returns "g" — lexicographically above every hex
+    * string, so keep-everything really keeps the 'ffff' prefixes too. */
   def rateHex(rate: Double): String =
-    f"${math.min((rate * 65536).round, 65535L)}%04x"
+    if (rate >= 1.0) "g"
+    else f"${math.max((rate * 65536).round, 0L)}%04x"
 
   /** Deterministic stratified sampling: per-stratum rates applied through
     * the same md5-prefix interval trick as [[assignSplit]] — `sampleBy`
@@ -68,6 +70,22 @@ object PipelineOps {
       .withColumn("pack_id", expr(s"CAST(_cum DIV $budget AS INT)"))
       .drop("_cum")
   }
+
+  /** Materialize pack texts from a [[budgetPack]]/[[greedyPack]] output:
+    * one row per (group, pack_id) with the member docs concatenated in
+    * `orderCol` order. `array_sort(collect_list(struct(ord, text)))`
+    * makes the concatenation deterministic regardless of partition
+    * arrival order; per-pack state is bounded by the token budget. */
+  def concatPacks(packed: DataFrame, groupCol: String, orderCol: String,
+      textCol: String, sep: String = " "): DataFrame =
+    packed.groupBy(groupCol, "pack_id").agg(
+      count(lit(1)).alias("n_docs"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col(orderCol).alias("o"),
+            col(textCol).alias("t")))),
+          _.getField("t")),
+        sep).alias("pack_text"))
 
   // not private: Catalyst's generated deserializer needs public access
   case class PackRow(group: String, ord: Long, weight: Long)

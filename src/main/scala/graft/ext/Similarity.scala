@@ -103,12 +103,15 @@ object Similarity {
 
   /** Exact-cosine scoring + bounded per-query rank over candidate pairs
     * (from [[lshCandidates]], [[graft.ext.IvfIndex]], or a staged table).
-    * `vectors` is the (id, vec) side both ends join back to. */
-  def topKFromCandidates(candidates: DataFrame, vectors: DataFrame,
-      k: Int): DataFrame = {
+    * `queryVectors` / `corpusVectors` are (id, vec) tables — separate, so
+    * a query that is NOT a corpus row keeps its own vector (collapsing
+    * both to one lookup table would silently drop or mis-score
+    * out-of-corpus queries). */
+  def topKFromCandidates(candidates: DataFrame, queryVectors: DataFrame,
+      corpusVectors: DataFrame, k: Int): DataFrame = {
     GraftFunctions.register(candidates.sparkSession)
-    val qv = vectors.select(col("id").alias("q_id"), col("vec").alias("q_vec"))
-    val nv = vectors.select(col("id").alias("n_id"), col("vec").alias("n_vec"))
+    val qv = queryVectors.select(col("id").alias("q_id"), col("vec").alias("q_vec"))
+    val nv = corpusVectors.select(col("id").alias("n_id"), col("vec").alias("n_vec"))
     val scored = candidates.join(qv, Seq("q_id")).join(nv, Seq("n_id"))
       .select(col("q_id"), col("n_id"),
         cosineNative(col("q_vec"), col("n_vec")).alias("score"))
@@ -129,5 +132,6 @@ object Similarity {
       nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame =
     topKFromCandidates(
       lshCandidates(corpus, queries, idCol, vecCol, nPlanes, dim, seed),
+      queries.select(col(idCol).alias("id"), col(vecCol).alias("vec")),
       corpus.select(col(idCol).alias("id"), col(vecCol).alias("vec")), k)
 }

@@ -52,11 +52,17 @@ object AsofJoin {
         col(leftKey).alias("_k"), col(leftTs).alias("_t"),
         lit(1).alias("_tag"),
         lit(null).cast(rStructType).alias("_r")): _*)
-    val rSel = right.select(
-      leftCols.map(c => nullOf(left, c).alias(c)) ++ Seq(
-        col(rightKey).alias("_k"), col(rightTs).alias("_t"),
-        lit(0).alias("_tag"),
-        rowStruct(col(rightTs), valueCols.map(col)).alias("_r")): _*)
+    // ASOF equality never matches NULL = NULL and a NULL right ts can't
+    // satisfy `r.ts <= l.ts` — drop such right rows BEFORE the union, or
+    // the NULL-key window partition would attach them to NULL-key left
+    // rows (which must come out unmatched, as DuckDB's ASOF leaves them)
+    val rSel = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        leftCols.map(c => nullOf(left, c).alias(c)) ++ Seq(
+          col(rightKey).alias("_k"), col(rightTs).alias("_t"),
+          lit(0).alias("_tag"),
+          rowStruct(col(rightTs), valueCols.map(col)).alias("_r")): _*)
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSel.unionByName(rSel)

@@ -207,9 +207,10 @@ object ExtQueries {
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding")
       val stage = stageDir(dir)
       cands.write.mode("overwrite").parquet(s"$stage/lsh_cands")
+      val vecs = emb.select(col("vec_id").alias("id"),
+        col("embedding").alias("vec"))
       Similarity.topKFromCandidates(s.read.parquet(s"$stage/lsh_cands"),
-        emb.select(col("vec_id").alias("id"), col("embedding").alias("vec")),
-        k = 5)
+        vecs.filter(col("id") < 10), vecs, k = 5)
     },
 
     QueryDef("ext_sim_topk_ivf",
@@ -231,9 +232,10 @@ object ExtQueries {
         model, nProbe = 4)
       val stage = stageDir(dir)
       cands.write.mode("overwrite").parquet(s"$stage/ivf_cands")
+      val vecs = emb.select(col("vec_id").alias("id"),
+        col("embedding").alias("vec"))
       Similarity.topKFromCandidates(s.read.parquet(s"$stage/ivf_cands"),
-        emb.select(col("vec_id").alias("id"), col("embedding").alias("vec")),
-        k = 5)
+        vecs.filter(col("id") < 10), vecs, k = 5)
     },
 
     // ---- text analysis ---------------------------------------------------

@@ -72,6 +72,23 @@ object PipelineQueries {
       PipelineOps.budgetPack(docs, "lang", "doc_id", "n_toks", 512)
     },
 
+    QueryDef("ext_pack_concat",
+      "materialized training sequences: docs concatenated per (lang, pack_id) in doc order",
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_toks FROM documents),
+        |c AS (SELECT doc_id, lang, text,
+        |  CAST((SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_toks) // 512 AS INT) AS pack_id FROM t)
+        |SELECT lang, pack_id, COUNT(*) AS n_docs,
+        |  array_to_string(list_transform(list_sort(list(struct_pack(o := doc_id, t := text))), x -> x.t), ' ') AS pack_text
+        |FROM c GROUP BY lang, pack_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+        col("lang"), col("text"),
+        TextAnalysis.tokenCount(col("text")).alias("n_toks"))
+      PipelineOps.concatPacks(
+        PipelineOps.budgetPack(docs, "lang", "doc_id", "n_toks", 512),
+        "lang", "doc_id", "text")
+    },
+
     QueryDef("ext_quality_threshold",
       "quality gate: keep docs at/above the exact 75th-percentile quality score (the C4/Gopher-style filter step)",
       """WITH q AS (SELECT doc_id,

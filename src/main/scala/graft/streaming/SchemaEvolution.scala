@@ -53,16 +53,26 @@ object SchemaEvolution {
 
   /** Merge `observed` into the persisted schema at `schemaDir` (creating
     * it on first call) and return the evolved schema — the schemaLocation
-    * bookkeeping a restart reads its source schema from. */
+    * bookkeeping a restart reads its source schema from. The write goes
+    * through a temp file + checked rename: `create(overwrite)` truncates
+    * in place, so a crash mid-write would leave an empty DDL file that
+    * breaks every subsequent restart (the interrupted-swap failure class
+    * [[graft.ops.SafeSwap]] exists for, in miniature). */
   def track(spark: SparkSession, schemaDir: String,
       observed: StructType): StructType = {
     val tracked = load(spark, schemaDir).getOrElse(observed)
     val evolved = evolve(tracked, observed)
     val fs = FileSystem.get(new java.net.URI(schemaDir),
       spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(schemaFile(schemaDir), true)
+    val tmp = new Path(schemaDir, s"_schema.ddl.tmp")
+    val out = fs.create(tmp, true)
     try out.write(evolved.toDDL.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    val target = schemaFile(schemaDir)
+    if (fs.exists(target) && !fs.delete(target, false))
+      throw new java.io.IOException(s"delete $target failed")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
     evolved
   }
 }

@@ -101,6 +101,22 @@ class ExtSpec extends SparkSpec {
     assert(viaSql.head().getDouble(0) > 0)
   }
 
+  test("ANN top-k serves queries that are NOT corpus rows (own vectors, not corpus lookups)") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    // nPlanes=1 → own bucket + 1-bit probe covers every bucket: exact
+    val lsh = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+        k = 1, nPlanes = 1, dim = 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.toSeq === Seq((100L, 1L)))
+    // nCells=2, nProbe=2 → every cell probed: exact
+    val ivf = graft.ext.IvfIndex.topK(corpus, queries, "vec_id", "embedding",
+        k = 1, nCells = 2, nProbe = 2)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.toSeq === Seq((100L, 1L)))
+  }
+
   test("IVF ANN: sane shape and nonzero recall vs brute force") {
     val emb = Tables.load(spark, SF, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
