@@ -217,6 +217,42 @@ object StreamingQueries {
         .toDF("user_id", "session_idx", "n_events", "start_us", "end_us")
     },
 
+    QueryDef("st11_stream_static_join",
+      "stream-static enrichment join: streaming events x static customer dim (broadcast per micro-batch, no state)",
+      """SELECT e.event_id, e.user_id, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      val out = tmp("graft_st11")
+      val dim = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      eventsStream(s, stageEventsDir(dir))
+        .filter(col("event_type") === "purchase")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select("event_id", "user_id", "c_mktsegment")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
+    QueryDef("st12_stream_agg_update",
+      "update-mode streaming aggregate: changed groups per trigger, merged by an upsert sink (T5's third output mode)",
+      "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type") { (s, dir) =>
+      val out = tmp("graft_st12")
+      eventsStream(s, stageEventsDir(dir))
+        .groupBy("event_type").agg(count(lit(1)).alias("cnt"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$out/_cp")
+        // update mode emits only the groups changed in each trigger; the
+        // upsert sink merges them by key so the table converges to the
+        // complete-mode answer without rewriting unchanged groups
+        .foreachBatch(graft.ops.Upsert.sink(s"$out/sink",
+          Seq("event_type"), versionCol = "cnt") _)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
     // Only CLOSED sessions emit (a session closes when a later event opens
     // the next one), so the oracle is st9's sessionization minus each
     // user's last session. Runs on the RocksDB state store — the
