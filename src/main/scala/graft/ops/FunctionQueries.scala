@@ -55,6 +55,20 @@ object FunctionQueries {
           array_join(words, "|").alias("words_joined"))
     },
 
+    // explode_outer: the row-preserving explode variant (F16 covers the
+    // inner cross-product form). DuckDB has no outer unnest — the oracle
+    // substitutes [NULL] for empty lists, which is exactly its semantics.
+    QueryDef("f20_explode_outer",
+      "explode_outer keeps a NULL row for docs with no matches (emails per doc)",
+      s"""SELECT doc_id, u.email FROM (
+         |  SELECT doc_id, regexp_extract_all(text, '${graft.ext.TextAnalysis.EMAIL_PATTERN}') AS l
+         |  FROM documents) t,
+         |UNNEST(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS u(email)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        explode_outer(regexp_extract_all(col("text"),
+          lit(graft.ext.TextAnalysis.EMAIL_PATTERN), lit(0))).alias("email"))
+    },
+
     QueryDef("f5_split_index",
       "split + element index (ref R:42-43 helpfulness x/y)",
       "SELECT event_id, string_split(props, ':')[2] AS after_colon FROM events") { (s, dir) =>

@@ -116,6 +116,24 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("asof join never matches NULL keys or NULL right timestamps (ASOF equality semantics)") {
+    val left = Seq((1L, Some(7L), 10L), (2L, None, 10L)).map {
+      case (id, k, ts) => (id, k.map(Long.box).orNull, ts)
+    }.toDF("id", "k", "ts")
+    val right = Seq(
+      (Some(7L), Some(5L), "match"),     // legit: key 7 at ts 5
+      (None, Some(1L), "nullkey"),       // NULL key: matches nothing
+      (Some(7L), None, "nullts")         // NULL ts: can't satisfy r.ts <= l.ts
+    ).map { case (k, ts, v) =>
+      (k.map(Long.box).orNull, ts.map(Long.box).orNull, v)
+    }.toDF("rk", "rts", "v")
+    val out = graft.ops.AsofJoin.asofBackward(left, "k", "ts",
+        right, "rk", "rts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
+    assert(out(1L) === Some("match"))  // the legit row, not the NULL-ts one
+    assert(out(2L) === None)           // NULL-key left row stays unmatched
+  }
+
   test("greedy packing never overfills a multi-row pack and preserves order") {
     val gen = Gen.chooseNum(1L, 700L)
     val weights = samples(gen, 200).zipWithIndex
