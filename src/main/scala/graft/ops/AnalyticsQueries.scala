@@ -31,6 +31,16 @@ object AnalyticsQueries {
         .agg(sum(col("l_quantity")).alias("sum_qty"), count(lit(1)).alias("cnt"))
     },
 
+    QueryDef("a13_grouping_sets",
+      "GROUPING SETS: two independent aggregates in one pass (the general form behind rollup/cube)",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+    },
+
     QueryDef("a10_cube",
       "CUBE grouping sets",
       "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)") { (s, dir) =>
