@@ -12,9 +12,13 @@ import org.apache.spark.sql.SparkSession
   *     `value`, the throughput a multi-tenant cluster sees. Its per-query
   *     times overlap under contention, so they are NOT comparable round
   *     over round.
-  *   - sequential (SPARK_GRAFT_BENCH_SEQ=1): one query at a time →
-  *     `queries_seq` — attributable per-query data-path times for
-  *     regression tracking.
+  *   - sequential (always): one query at a time → `queries_seq` —
+  *     attributable per-query data-path times for regression tracking.
+  *
+  * Output protocol: two full-precision `{"detail":...}` lines, then ONE
+  * compact headline line LAST — the driver tail-captures a bounded number
+  * of bytes from the end of stdout, so the parseable line must be short
+  * and final.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -65,14 +69,24 @@ object Bench {
       scala.concurrent.duration.Duration.Inf)
     val total = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
-    def toJson(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val seqField =
-      if (sys.env.get("SPARK_GRAFT_BENCH_SEQ").contains("1")) {
-        val seqResults = catalog.map { case (name, fn) => name -> runOne(name, fn) }
-        s""","queries_seq":${toJson(seqResults)}"""
-      } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)}$seqField,"sf":"$sfDir"}""")
+    def toJson(xs: Seq[(String, Double)], dp: Int = -1): String =
+      xs.map { case (k, v) =>
+        val value = if (dp < 0) v.toString else s"%.${dp}f".format(v)
+        "\"" + k + "\":" + value
+      }.mkString("{", ",", "}")
+    // Sequential pass (always): one query at a time — attributable
+    // per-query data-path times for round-over-round regression tracking.
+    val seqT0 = System.nanoTime()
+    val seqResults = catalog.map { case (name, fn) => name -> runOne(name, fn) }
+    val seqTotal = (System.nanoTime() - seqT0) / 1e9
+    // Full-precision detail lines FIRST; the driver's tail capture is
+    // byte-bounded from the end, so anything that must be parsed has to
+    // live on a short final line (r01/r02 shipped one giant line and the
+    // head — including "value" — fell outside the capture: parsed null).
+    println(s"""{"detail":"concurrent","total":$total,"queries":${toJson(results)}}""")
+    println(s"""{"detail":"sequential","total":$seqTotal,"queries":${toJson(seqResults)}}""")
+    // Compact headline LAST: 2-decimal per-query times keep it ~3.5 KB.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","seq_total":$seqTotal,"queries_seq":${toJson(seqResults, dp = 2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -91,14 +91,29 @@ object IvfIndex {
   }
 
   /** Train centroids with distributed k-means on a bounded sample.
-    * `limit(sampleCap)` is fraction-free (no full count pass); rows come in
-    * scan order, so heavily clustered file layouts should pre-shuffle or
-    * raise the cap. */
+    *
+    * The sample is deterministic AND order-insensitive, still with no
+    * count pass: rows are ranked by a content hash and the lowest
+    * `sampleCap` kept (`orderBy(hash).limit(cap)` plans as
+    * TakeOrderedAndProject — a bounded per-partition heap, not a full
+    * sort). A bare `limit(cap)` took the first files in scan order, so a
+    * clustered/sorted layout trained centroids on one region of the space
+    * and recall fell off a cliff. At very large corpora pass
+    * `sampleRate` (a scan-side hash-prefix pre-filter, the same trick as
+    * [[PipelineOps.stratifiedSample]]) sized so ~2-5× sampleCap rows
+    * survive; the ordered backstop then only ranks that sliver. */
   def train(corpus: DataFrame, vecCol: String, nCells: Int,
-      seed: Long = 42L, maxIter: Int = 5, sampleCap: Int = 20000): Model = {
-    val feats = corpus.select(array_to_vector(
-      col(vecCol).cast("array<double>")).alias("features"))
-      .limit(sampleCap)
+      seed: Long = 42L, maxIter: Int = 5, sampleCap: Int = 20000,
+      sampleRate: Double = 1.0): Model = {
+    val hash = xxhash64(col(vecCol).cast("array<double>"))
+    val pre =
+      if (sampleRate >= 1.0) corpus
+      else corpus.filter(pmod(hash, lit(1000000L)) < (sampleRate * 1e6).toLong)
+    val feats = pre.select(array_to_vector(
+        col(vecCol).cast("array<double>")).alias("features"),
+        hash.alias("_h"))
+      .orderBy("_h").limit(sampleCap)
+      .drop("_h")
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .fit(feats)
     Model(model.clusterCenters.map(_.toArray.toSeq).toSeq)

@@ -37,12 +37,21 @@ object Multimodal {
       (256 + n % 1024, 256 + (n / 7) % 1024, 1 + n % 30)
     }
     def features(payload: Array[Byte], dim: Int): Array[Float] = {
-      val out = new Array[Float](dim)
+      // Integer slot sums of (byte & 0xff): order-free and exactly
+      // representable in f32 while a slot sum stays < 2^24 (needs a
+      // >1 MB payload per 16-dim slot to break), so an external SQL
+      // engine can recompute the vector bit-for-bit from the raw bytes.
+      // The previous f32 accumulation was sequential-order-dependent and
+      // therefore unverifiable cross-engine.
+      val acc = new Array[Long](dim)
       var i = 0
       while (i < payload.length) {
-        out(i % dim) = out(i % dim) + (payload(i) & 0xff) / 255.0f
+        acc(i % dim) += (payload(i) & 0xff).toLong
         i += 1
       }
+      val out = new Array[Float](dim)
+      i = 0
+      while (i < dim) { out(i) = acc(i).toFloat; i += 1 }
       out
     }
   }

@@ -4,6 +4,7 @@ import java.io.ByteArrayOutputStream
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.functions.GraftFunctions
 
@@ -24,6 +25,13 @@ import graft.functions.GraftFunctions
   * The literal is `expectedKeys`-sized (~1.2 MB per million keys at 3%
   * fpp); for dim sets big enough that the literal hurts the plan, use the
   * SQL scalar-subquery form or a plain shuffled semi-join instead.
+  *
+  * Key-type contract: Spark's `BloomFilterMightContain` probe accepts
+  * LongType only, so `factKey`/`dimKey` must be integral (checked up
+  * front with a clear message — an unchecked non-integral key surfaced as
+  * an opaque AnalysisException deep in the probe). Non-integral keys
+  * should use a plain left-semi join, or hash the key to a long
+  * (`xxhash64`) on BOTH sides first.
   */
 object BloomSemi {
 
@@ -31,15 +39,30 @@ object BloomSemi {
       dimKey: String, expectedKeys: Long = 1000000L,
       fpp: Double = 0.03): DataFrame = {
     GraftFunctions.register(fact.sparkSession)
-    val keys = dim.select(col(dimKey)).distinct()
-    val bloom = keys.stat.bloomFilter(dimKey, expectedKeys, fpp)
+    Seq(fact.schema(factKey) -> factKey, dim.schema(dimKey) -> dimKey)
+      .foreach { case (f, name) =>
+        val integral = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        require(integral,
+          s"BloomSemi.semiJoin: key '$name' is ${f.dataType.simpleString}, but " +
+            "bloom_might_contain probes LongType only — use a plain left-semi " +
+            "join or pre-hash the key to a long (xxhash64) on both sides")
+      }
+    // Alias the dim side: joining on col(factKey) === col(dimKey) throws an
+    // ambiguous-reference AnalysisException whenever both tables share the
+    // key column name.
+    val keys = dim.select(col(dimKey).cast("long").alias("_dim_key")).distinct()
+    val bloom = keys.stat.bloomFilter("_dim_key", expectedKeys, fpp)
     val bytes = {
       val os = new ByteArrayOutputStream()
       bloom.writeTo(os)
       os.toByteArray
     }
     fact
-      .filter(call_function("bloom_might_contain", lit(bytes), col(factKey)))
-      .join(keys, col(factKey) === col(dimKey), "left_semi")
+      .filter(call_function("bloom_might_contain", lit(bytes),
+        col(factKey).cast("long")))
+      .join(keys, col(factKey).cast("long") === col("_dim_key"), "left_semi")
   }
 }

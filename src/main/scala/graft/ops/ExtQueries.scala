@@ -30,10 +30,15 @@ object ExtQueries {
     s"$StageRoot/${new java.io.File(dir).getName}"
 
   private val COS = {
-    // shared SQL fragment: sequential-f64 cosine between two FLOAT[] lists
+    // shared SQL fragment: sequential-f64 cosine between two FLOAT[] lists.
+    // Zero-norm guard mirrors VectorFunctions.cosine returning NULL: a raw
+    // division gives NaN here, and DuckDB sorts NaN above all reals, so an
+    // unguarded zero-norm vector would pass thresholds and win rank slots
+    // in the oracle while Spark drops it.
     def d(x: String, y: String) =
       s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
-    s"${d("q.embedding", "n.embedding")} / (sqrt(${d("q.embedding", "q.embedding")}) * sqrt(${d("n.embedding", "n.embedding")}))"
+    val np = s"(sqrt(${d("q.embedding", "q.embedding")}) * sqrt(${d("n.embedding", "n.embedding")}))"
+    s"(CASE WHEN $np = 0 THEN NULL ELSE ${d("q.embedding", "n.embedding")} / $np END)"
   }
 
   private val TOKS =
@@ -116,13 +121,14 @@ object ExtQueries {
       "embedding near-dup pairs via hyperplane-LSH bucket + cosine verify (pairing+verify oracled over staged buckets)",
       s"""WITH b AS (SELECT id, vec, bucket FROM read_parquet('$StageSql/emb_buckets/*.parquet')),
          |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 10000),
-         |bb AS (SELECT b.id, b.vec, b.bucket FROM b JOIN ok USING (bucket))
-         |SELECT a.id AS id_a, c.id AS id_b,
-         |  list_dot_product(CAST(a.vec AS DOUBLE[]), CAST(c.vec AS DOUBLE[]))
-         |    / (sqrt(list_dot_product(CAST(a.vec AS DOUBLE[]), CAST(a.vec AS DOUBLE[]))) * sqrt(list_dot_product(CAST(c.vec AS DOUBLE[]), CAST(c.vec AS DOUBLE[])))) AS cos
-         |FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.id < c.id
-         |WHERE list_dot_product(CAST(a.vec AS DOUBLE[]), CAST(c.vec AS DOUBLE[]))
-         |    / (sqrt(list_dot_product(CAST(a.vec AS DOUBLE[]), CAST(a.vec AS DOUBLE[]))) * sqrt(list_dot_product(CAST(c.vec AS DOUBLE[]), CAST(c.vec AS DOUBLE[])))) >= 0.3""".stripMargin) { (s, dir) =>
+         |bb AS (SELECT b.id, b.vec, b.bucket FROM b JOIN ok USING (bucket)),
+         |pairs AS (SELECT a.id AS id_a, c.id AS id_b,
+         |  CASE WHEN sqrt(list_dot_product(CAST(a.vec AS DOUBLE[]), CAST(a.vec AS DOUBLE[]))) * sqrt(list_dot_product(CAST(c.vec AS DOUBLE[]), CAST(c.vec AS DOUBLE[]))) = 0
+         |       THEN NULL
+         |       ELSE list_dot_product(CAST(a.vec AS DOUBLE[]), CAST(c.vec AS DOUBLE[]))
+         |          / (sqrt(list_dot_product(CAST(a.vec AS DOUBLE[]), CAST(a.vec AS DOUBLE[]))) * sqrt(list_dot_product(CAST(c.vec AS DOUBLE[]), CAST(c.vec AS DOUBLE[])))) END AS cos
+         |FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.id < c.id)
+         |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.3""".stripMargin) { (s, dir) =>
       // testdata embeddings are uniform-random (max pairwise cosine ≈ 0.48),
       // so the "near-dup" bar is 0.3 here; production corpora use ~0.9+
       val bucketed = Dedup.embeddingBuckets(
@@ -393,12 +399,27 @@ object ExtQueries {
 
     // posexplode to (media_id, f_idx, f_val): same array-sortability rule as
     // ext_text_fingerprint; the Array[Float] form stays the library output.
-    QueryDef.noOracle("ext_mm_features",
-      "batched feature extraction from payload bytes (stub codec), one row per feature slot") { (s, dir) =>
+    // The stub codec's slots are integer byte-sums (order-free, exact in
+    // f32), so the payload bytes are STAGED and DuckDB recomputes every
+    // feature slot via unnest+group-by — the dedup family's staged-parquet
+    // pattern applied to the multimodal path.
+    QueryDef("ext_mm_features",
+      "batched feature extraction from payload bytes (stub codec), one row per feature slot; slot sums oracled over staged bytes",
+      s"""WITH b AS (SELECT media_id, bs FROM read_parquet('$StageSql/mm_bytes/*.parquet')),
+         |slots AS (SELECT media_id, CAST(r.i AS INT) AS f_idx FROM b, UNNEST(range(0, 16)) AS r(i)),
+         |u AS (SELECT media_id, CAST(u.i % 16 AS INT) AS f_idx, bs[CAST(u.i AS INT) + 1] AS v
+         |      FROM b, UNNEST(range(0, len(bs))) AS u(i)),
+         |sums AS (SELECT media_id, f_idx, SUM(v) AS sm FROM u GROUP BY media_id, f_idx)
+         |SELECT slots.media_id, slots.f_idx, CAST(COALESCE(sums.sm, 0) AS REAL) AS f_val
+         |FROM slots LEFT JOIN sums ON slots.media_id = sums.media_id AND slots.f_idx = sums.f_idx""".stripMargin) { (s, dir) =>
       implicit val sp = s
       import s.implicits._
       val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"),
         "doc_id", "text", "source").as[Multimodal.MediaItem]
+      val stage = stageDir(dir)
+      media.map(m => (m.media_id, m.payload.map(b => b & 0xff)))
+        .toDF("media_id", "bs")
+        .write.mode("overwrite").parquet(s"$stage/mm_bytes")
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"),
           posexplode(col("features")).as(Seq("f_idx", "f_val")))

@@ -63,7 +63,7 @@ object FunctionQueries {
       s"""SELECT doc_id, u.email FROM (
          |  SELECT doc_id, regexp_extract_all(text, '${graft.ext.TextAnalysis.EMAIL_PATTERN}') AS l
          |  FROM documents) t,
-         |UNNEST(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS u(email)""".stripMargin) { (s, dir) =>
+         |UNNEST(CASE WHEN l IS NULL OR len(l) = 0 THEN [NULL] ELSE l END) AS u(email)""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents").select(col("doc_id"),
         explode_outer(regexp_extract_all(col("text"),
           lit(graft.ext.TextAnalysis.EMAIL_PATTERN), lit(0))).alias("email"))

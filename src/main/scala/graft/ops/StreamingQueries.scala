@@ -188,7 +188,7 @@ object StreamingQueries {
         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |                   ROWS UNBOUNDED PRECEDING) AS session_idx
         |  FROM b)
-        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
         |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_idx""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -304,7 +304,7 @@ object StreamingQueries {
         |b AS (SELECT user_id,
         |  CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
         |       THEN 1 ELSE 0 END AS brk FROM g)
-        |SELECT user_id, 1 + SUM(brk) AS n_sessions, COUNT(*) AS n_events
+        |SELECT user_id, CAST(1 + SUM(brk) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM b GROUP BY user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       // 30-minute gap in microseconds; ties broken on event_id like the oracle

@@ -36,18 +36,31 @@ object SchemaEvolution {
     observed.fieldNames.exists(!tracked.fieldNames.contains(_))
 
   private def schemaFile(schemaDir: String) = new Path(schemaDir, "_schema.ddl")
+  private def tmpFile(schemaDir: String) = new Path(schemaDir, "_schema.ddl.tmp")
 
-  /** Load the persisted tracked schema, or None before first track. */
+  private def readDdl(fs: FileSystem, f: Path): StructType = {
+    val in = fs.open(f)
+    try StructType.fromDDL(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** Load the persisted tracked schema, or None before first track.
+    *
+    * The delete+rename swap in [[track]] is not atomic: a crash between the
+    * two leaves only `_schema.ddl.tmp`. The tmp holds a COMPLETE evolved
+    * schema (fully written and closed before the swap starts), so recover
+    * it rather than returning None — reinitializing from the currently
+    * observed files would silently drop previously-evolved columns once
+    * old landing files are retired. */
   def load(spark: SparkSession, schemaDir: String): Option[StructType] = {
     val fs = FileSystem.get(new java.net.URI(schemaDir),
       spark.sparkContext.hadoopConfiguration)
     val f = schemaFile(schemaDir)
-    if (!fs.exists(f)) None
+    if (fs.exists(f)) Some(readDdl(fs, f))
     else {
-      val in = fs.open(f)
-      try Some(StructType.fromDDL(
-        new String(in.readAllBytes(), StandardCharsets.UTF_8)))
-      finally in.close()
+      val tmp = tmpFile(schemaDir)
+      if (fs.exists(tmp)) Some(readDdl(fs, tmp))
+      else None
     }
   }
 
@@ -57,14 +70,16 @@ object SchemaEvolution {
     * through a temp file + checked rename: `create(overwrite)` truncates
     * in place, so a crash mid-write would leave an empty DDL file that
     * breaks every subsequent restart (the interrupted-swap failure class
-    * [[graft.ops.SafeSwap]] exists for, in miniature). */
+    * [[graft.ops.SafeSwap]] exists for, in miniature). A crash BETWEEN the
+    * delete and the rename is covered on the read side: [[load]] recovers
+    * the complete tmp, and the next track() re-runs the swap to completion. */
   def track(spark: SparkSession, schemaDir: String,
       observed: StructType): StructType = {
     val tracked = load(spark, schemaDir).getOrElse(observed)
     val evolved = evolve(tracked, observed)
     val fs = FileSystem.get(new java.net.URI(schemaDir),
       spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(schemaDir, s"_schema.ddl.tmp")
+    val tmp = tmpFile(schemaDir)
     val out = fs.create(tmp, true)
     try out.write(evolved.toDDL.getBytes(StandardCharsets.UTF_8))
     finally out.close()

@@ -190,6 +190,17 @@ class ExtSpec extends SparkSpec {
     assert(d0.width === 256 + n % 1024)
     val feats = Multimodal.extractFeatures(media, dim = 16).collect()
     assert(feats.forall(_.features.length === 16))
+    // slots are integer byte-sums (order-free, f32-exact) — pin the math
+    // the ext_mm_features oracle recomputes from staged bytes
+    val f0 = feats.find(_.media_id == 0).get.features
+    val payload0 =
+      docs.filter(col("doc_id") === 0).head().getString(1).getBytes("UTF-8")
+    val expect0 = payload0.indices
+      .groupBy(_ % 16)
+      .map { case (slot, idxs) =>
+        slot -> idxs.map(i => (payload0(i) & 0xff).toLong).sum
+      }
+    assert((0 until 16).forall(i => f0(i) === expect0.getOrElse(i, 0L).toFloat))
     val frames = Multimodal.sampleFrames(Multimodal.decodeAll(media), stride = 10)
     assert(frames.columns.toSeq === Seq("media_id", "frame_idx"))
   }

@@ -36,6 +36,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaBloom === exact)
   }
 
+  test("bloom semi-join survives a shared key column name (dim side aliased)") {
+    val orders = Tables.load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    val dim = Tables.load(spark, SF, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").alias("o_custkey")) // same name as fact key
+    val viaBloom = BloomSemi.semiJoin(orders, dim, "o_custkey", "o_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val exact = orders.join(
+        dim.withColumnRenamed("o_custkey", "k"),
+        col("o_custkey") === col("k"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBloom === exact)
+  }
+
+  test("bloom semi-join rejects non-integral keys with a clear message") {
+    val fact = Tables.load(spark, SF, "customer")
+    val e = intercept[IllegalArgumentException] {
+      BloomSemi.semiJoin(fact, fact.select("c_mktsegment"),
+        "c_mktsegment", "c_mktsegment")
+    }
+    assert(e.getMessage.contains("LongType"))
+  }
+
   test("split assignment is deterministic, complete, and stable under corpus growth") {
     val small = (0L until 200L).toDF("id")
     val big = (0L until 1000L).toDF("id")

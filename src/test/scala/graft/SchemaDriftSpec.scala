@@ -64,4 +64,31 @@ class SchemaDriftSpec extends SparkSpec {
     assert(evolved("id").dataType === LongType)
     assert(evolved("b").nullable)
   }
+
+  test("interrupted swap (tmp present, target missing) recovers the tmp instead of reinitializing") {
+    val schemaLoc = tmpDir("drift_swap")
+    SchemaEvolution.track(spark, schemaLoc,
+      StructType(Seq(StructField("id", LongType), StructField("a", StringType))))
+    val evolved = SchemaEvolution.track(spark, schemaLoc,
+      StructType(Seq(StructField("id", LongType), StructField("a", StringType),
+        StructField("b", DoubleType))))
+    assert(evolved.fieldNames.toSeq === Seq("id", "a", "b"))
+    // reproduce the crash window in track(): delete committed, rename not —
+    // only _schema.ddl.tmp (holding the complete evolved schema) remains
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(schemaLoc),
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(schemaLoc, "_schema.ddl")
+    val tmp = new org.apache.hadoop.fs.Path(schemaLoc, "_schema.ddl.tmp")
+    assert(fs.rename(target, tmp))
+    // load() recovers the tmp — previously it returned None here and the
+    // next track() silently dropped the evolved column 'b'
+    assert(SchemaEvolution.load(spark, schemaLoc).get.fieldNames.toSeq ===
+      Seq("id", "a", "b"))
+    // next track() (observing only the OLD landing schema) keeps 'b' and
+    // completes the swap
+    val recovered = SchemaEvolution.track(spark, schemaLoc,
+      StructType(Seq(StructField("id", LongType), StructField("a", StringType))))
+    assert(recovered.fieldNames.toSeq === Seq("id", "a", "b"))
+    assert(fs.exists(target))
+  }
 }

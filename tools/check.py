@@ -55,6 +55,22 @@ def main():
                 print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
                 n_bad += 1
                 continue
+            # dtype KIND compare FIRST: the driver hashes serialized frames,
+            # so int64 `3` vs float64 `3.0` (DuckDB HUGEINT → pandas
+            # float64) is a driver FAIL even though pandas `==` calls them
+            # equal — this lenience produced a false local 109/109 in
+            # round 2. Width-only diffs (int32 vs int64) serialize
+            # identically and pass at the driver (14 r02-green entries have
+            # them), so compare `.kind`, not the full dtype.
+            dtype_diff = [(c, str(g[c].dtype), str(w[c].dtype))
+                          for c in g.columns
+                          if g[c].dtype.kind != w[c].dtype.kind]
+            if dtype_diff:
+                print(f"FAIL {name}: dtype diffs (spark vs oracle) {dtype_diff}")
+                print("  hint: CAST the oracle column (HUGEINT sums -> "
+                      "CAST(... AS BIGINT)) or align the Spark output type")
+                n_bad += 1
+                continue
             # exact value compare
             diff_cols = []
             for c in g.columns:
