@@ -298,6 +298,46 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink")
     },
 
+    // Streaming as-of enrichment (the production shape of st11 once the
+    // dimension changes over time): clicks are the dimension-update
+    // stream, purchases the fact stream; each purchase gets the click
+    // value current AT ITS OWN timestamp from keyed dimension history.
+    // Under AvailableNow over the staged dir all rows share one batch, so
+    // the result equals the batch as-of join — DuckDB's native ASOF JOIN
+    // is the oracle (cross-batch/out-of-order behavior pinned in
+    // StreamAsofSpec instead).
+    QueryDef("st13_stream_asof",
+      "streaming as-of enrichment via transformWithState: bounded per-key dimension history, facts matched to the latest update at-or-before their ts",
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |             arg_max("value", event_id) AS dim_value
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.ts_us AS asof_ts_us, c.dim_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      implicit val sp = s
+      graft.streaming.SessionizeTws.configure(s)
+      val out = tmp("graft_st13")
+      val ticks = eventsStream(s, stageEventsDir(dir))
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id").alias("key"),
+          unix_micros(col("ts")).alias("ts_us"),
+          when(col("event_type") === "click", 0).otherwise(1).alias("tag"),
+          col("event_id"), col("value"))
+        .as[graft.streaming.StreamAsof.Tick]
+      graft.streaming.StreamAsof.enrich(ticks)
+        .select(col("event_id"), col("key").alias("user_id"), col("ts_us"),
+          col("asof_ts_us"), col("dim_value"))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
     QueryDef("st6_sessionize_typed",
       "typed KeyValueGroupedDataset sessionization (30-min gap rule)",
       """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
