@@ -33,14 +33,20 @@ object Medallion {
     def cp(name: String) = s"$root/_checkpoints/$name"
   }
 
-  /** Bronze: incremental file ingest → append sink (M:9-14 + M:34-39). */
+  /** Bronze: incremental file ingest → append sink (M:9-14 + M:34-39).
+    * Observed as `<sink-basename>` (e.g. `bronze_details`): per-batch row
+    * counts ride the ingest for free — the reference's interactive
+    * count() probes (M:44, M:83) made continuous. */
   def bronzeStream(spark: SparkSession, srcDir: String, schema: StructType,
-      sinkDir: String, cpDir: String): StreamingQuery =
-    spark.readStream.schema(schema)
+      sinkDir: String, cpDir: String): StreamingQuery = {
+    val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 4).parquet(srcDir)
+    graft.streaming.Observability
+      .observeQuality(src, new java.io.File(sinkDir).getName, Seq.empty)
       .writeStream.format("parquet")
       .option("checkpointLocation", cpDir).option("path", sinkDir)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
+  }
 
   /** Bronze with Auto Loader-style schema tracking
     * (`cloudFiles.schemaLocation` + `addNewColumns`, M:12): observe the
@@ -70,14 +76,18 @@ object Medallion {
       |WHERE YEAR(b.review_Time) > 2010""".stripMargin
 
   /** Silver: stream-stream inner equi-join on Title (no watermark ⇒
-    * symmetric-hash-join state on both sides, as in the reference). */
+    * symmetric-hash-join state on both sides, as in the reference).
+    * Observed as `silver_quality`: join output rows + null rates on the
+    * columns the gold aggregate depends on. */
   def silverStream(spark: SparkSession, p: Paths): StreamingQuery = {
     Graft.referenceSemantics(spark)
     spark.readStream.schema(Schemas.detailsCleaned).parquet(p.bronzeDetails)
       .createOrReplaceTempView("Books_Details_bronze_temp")
     spark.readStream.schema(Schemas.ratingsCleaned).parquet(p.bronzeReviews)
       .createOrReplaceTempView("Books_reviews_bronze_temp")
-    spark.sql(silverSql)
+    graft.streaming.Observability
+      .observeQuality(spark.sql(silverSql), "silver_quality",
+        Seq("Title", "User_id", "review_score"))
       .writeStream.format("parquet")
       .option("checkpointLocation", p.cp("silver")).option("path", p.silver)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -93,7 +103,11 @@ object Medallion {
   def goldStream(spark: SparkSession, p: Paths): StreamingQuery = {
     spark.readStream.schema(Schemas.silver).parquet(p.silver)
       .createOrReplaceTempView("silver_temp")
+    // complete mode re-reports the FULL result each trigger: read the
+    // last gold_quality batch, never the sum across batches
     spark.sql(goldSql)
+      .observe("gold_quality", count(lit(1)).alias("n_rows"),
+        sum(col("users_count")).alias("sum_users"))
       .writeStream.outputMode("complete")
       .option("checkpointLocation", p.cp("gold"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
