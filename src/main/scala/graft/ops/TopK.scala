@@ -22,9 +22,14 @@ object TopK {
 
   /** Top `k` rows per `keyCols` group, ranked by `orderCols` (each
     * (name, ascending)); ties beyond the order spec are broken by adding a
-    * unique column to `orderCols`, exactly as with window top-k. */
+    * unique column to `orderCols`, exactly as with window top-k.
+    * `maxKeysInMemory` bounds the per-partition heap map — past it the
+    * exec spills key-sorted chunks and merges them exactly (see
+    * [[graft.plans.TopKPerKeyExec]]). */
   def perKey(df: DataFrame, keyCols: Seq[String],
-      orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+      orderCols: Seq[(String, Boolean)], k: Int,
+      maxKeysInMemory: Int = graft.plans.TopKPerKeyExec.DefaultMaxKeysInMemory)
+      : DataFrame = {
     val spark = df.sparkSession
     install(spark)
     val child = df.queryExecution.analyzed
@@ -34,6 +39,6 @@ object TopK {
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }
     GraftSqlBridge.ofRows(spark,
-      TopKPerKeyNode(keyCols.map(attr), order, k, child))
+      TopKPerKeyNode(keyCols.map(attr), order, k, child, maxKeysInMemory))
   }
 }

@@ -23,7 +23,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object PushFilterThroughTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case f @ Filter(cond, topk @ TopKPerKeyNode(keys, _, _, child))
+    case f @ Filter(cond, topk @ TopKPerKeyNode(keys, _, _, child, _))
         if cond.deterministic && {
           val keyAttrs = keys.collect { case a: AttributeReference => a }
           keyAttrs.length == keys.length &&

@@ -59,6 +59,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("TopKPerKey spill path: forced chunk spills still equal the window top-k exactly") {
+    val rnd = new scala.util.Random(7)
+    // keys interleaved so every key's rows straddle several spill chunks
+    val rows = Seq.tabulate(8000)(i =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(100).toDouble, i.toLong))
+    val df = rows.toDF("key", "score", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("key", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxKeysInMemory=16 forces dozens of spills per partition
+    val viaSpill = graft.ops.TopK.perKey(df, Seq("key"),
+        Seq(("score", false), ("id", true)), 3, maxKeysInMemory = 16)
+      .select("key", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSpill === viaWindow)
+  }
+
+  test("TopKPerKey memory guard: 1M distinct keys in ONE partition complete under a bounded heap") {
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val n = 1000000L
+      // two rows per key — the kept row must be the even (smaller-ord) one
+      val df = spark.range(0, 2 * n)
+        .select((col("id") % n).alias("key"), col("id").alias("ord"))
+      // 64k-key cap → ~15 spill chunks of ≤64k×1 rows; the merge holds
+      // O(chunks × k) rows, never the 1M-key heap map
+      val out = graft.ops.TopK.perKey(df, Seq("key"), Seq(("ord", true)), 1,
+        maxKeysInMemory = 1 << 16)
+      assert(out.count() === n)
+      assert(out.filter(col("ord") >= n).count() === 0L)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
   test("TopKPerKey property: equals window top-k on random data for k in {1,3,10}") {
     val rnd = new scala.util.Random(99)
     // duplicate scores included deliberately — tie-break on id must decide
