@@ -276,4 +276,77 @@ object Dedup {
     embeddingPairsFromBuckets(
       embeddingBuckets(df, idCol, vecCol, nPlanes, dim, seed),
       threshold, maxBucket)
+
+  /** Connected components over an undirected near-dup pair list → one row
+    * per vertex `(id, comp)`, `comp` = the smallest id reachable from `id`.
+    *
+    * Pair-wise dedup is not enough to pick survivors: near-duplication is
+    * transitive in practice (A≈B, B≈C but A and C never became a candidate
+    * pair), and keeping "the smaller id of each pair" can drop BOTH of A, C
+    * or keep both. Components give each duplicate CLUSTER exactly one
+    * canonical representative — the standard last stage of a corpus dedup
+    * pipeline after [[minhashLshPairs]] / [[simhashPairs]].
+    *
+    * Algorithm: distributed min-label propagation — every round each vertex
+    * takes the min of its own label and its neighbors' labels (one shuffle
+    * to group neighbor labels, one to re-join), converging in
+    * graph-diameter rounds. Near-dup graphs are many tiny cliques-ish
+    * clusters (bucket caps bound the fan-out), so the diameter is single-
+    * digit and rounds stay cheap; for adversarially long chains the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) brings
+    * O(log n) rounds — the upgrade path if a corpus ever produces deep
+    * chains. Non-convergence within `maxIters` throws rather than
+    * returning silently-wrong labels.
+    *
+    * Each round's result is `localCheckpoint`ed: the iterative join plan
+    * otherwise grows a level per round and analysis cost, not data, becomes
+    * the bottleneck. On a multi-executor cluster prefer reliable
+    * `checkpoint` (localCheckpoint pins blocks to executors and cannot
+    * survive their loss).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 100): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").alias("src"), col(bCol).cast("long").alias("dst"))
+      .union(pairs.select(col(bCol).cast("long").alias("src"), col(aCol).cast("long").alias("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").alias("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").alias("id"))
+        .agg(min("comp").alias("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).alias("comp"),
+          (col("nbr_comp") < col("comp")).alias("_chg"))
+        .localCheckpoint(true)
+      converged = next.filter(col("_chg")).isEmpty
+      labels = next.drop("_chg")
+      round += 1
+    }
+    edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "graph diameter exceeds the cap; raise maxIters or switch to the " +
+        "alternating-star algorithm (see scaladoc)")
+    labels
+  }
+
+  /** Keep exactly one document per duplicate cluster: rows whose id is its
+    * component's canonical (minimum) id survive; rows in no pair survive
+    * untouched (left-anti join against the non-canonical vertex set). */
+  def dropNearDuplicates(df: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").alias("_loser_id"))
+    df.join(losers, df(idCol) === col("_loser_id"), "left_anti")
+  }
 }

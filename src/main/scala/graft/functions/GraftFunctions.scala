@@ -25,6 +25,9 @@ object GraftFunctions {
     ("shingle_hashes", "order-sensitive n-gram hashes from token hashes",
       es => ShingleHashes(es.head,
         es(1).eval(null).asInstanceOf[Number].intValue())),
+    ("hilbert_key", "Hilbert curve index of a 2-D grid cell (layout key)",
+      es => HilbertKey(es.head, es(1),
+        es(2).eval(null).asInstanceOf[Number].intValue())),
     // Spark's own codegen'd bloom probe (internal expression, not in the
     // public registry); the filter bytes must be foldable — see
     // graft.ops.BloomSemi for the build-then-literal pattern

@@ -139,6 +139,27 @@ object ExtQueries {
         s.read.parquet(s"$stage/emb_buckets"), threshold = 0.3)
     },
 
+    // The near-dup PAIR list is staged so both engines cluster the
+    // identical graph; DuckDB computes reachability with a recursive CTE
+    // (UNION-dedup bounds the fixpoint), Spark with iterative min-label
+    // propagation (Dedup.connectedComponents) — two genuinely different
+    // fixpoint algorithms agreeing on every vertex's cluster.
+    QueryDef("ext_dedup_components",
+      "duplicate-cluster assignment: connected components over MinHash near-dup pairs, canonical = min id (recursive-CTE oracle over staged pairs)",
+      s"""WITH RECURSIVE e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM read_parquet('$StageSql/cc_pairs/*.parquet')
+         |  UNION SELECT id_b, id_a FROM read_parquet('$StageSql/cc_pairs/*.parquet')),
+         |r AS (SELECT src AS id, src AS reach FROM e
+         |      UNION SELECT r.id, e.dst FROM r JOIN e ON e.src = r.reach)
+         |SELECT id, MIN(reach) AS comp FROM r GROUP BY id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.2).select("id_a", "id_b")
+      val stage = stageDir(dir)
+      pairs.write.mode("overwrite").parquet(s"$stage/cc_pairs")
+      Dedup.connectedComponents(s.read.parquet(s"$stage/cc_pairs"),
+        "id_a", "id_b")
+    },
+
     // ---- similarity search ----------------------------------------------
     QueryDef("ext_sim_cosine_scores",
       "exact cosine scores: 3 query vectors × corpus (bit-stable f64 fold)",

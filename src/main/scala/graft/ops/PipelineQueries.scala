@@ -133,6 +133,25 @@ object PipelineQueries {
           col("o_orderkey").bitwiseAND(lit(255)), bits = 8).alias("z"))
     },
 
+    // Same grid as ext_zorder_key so the two layout keys are comparable;
+    // the oracle recomputes the per-bit rotate/flip walk as nested
+    // subqueries (HilbertKey.xy2dSql) — a bit-for-bit cross-engine check
+    // of the curve, not just a row count.
+    QueryDef("ext_hilbert_key",
+      "Hilbert curve key over two bucketed dimensions (higher-locality alternative to the Morton key; see Maintenance.rewriteCurveOrdered)", {
+      val walk = graft.functions.HilbertKey.xy2dSql(
+        "o_custkey & 255", "o_orderkey & 255", bits = 8,
+        from = "orders", passCols = Seq("o_orderkey"))
+      s"SELECT o_orderkey, _hd AS h FROM ($walk)"
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.load(s, dir, "orders").select(col("o_orderkey"),
+        call_function("hilbert_key",
+          col("o_custkey").bitwiseAND(lit(255)).cast("long"),
+          col("o_orderkey").bitwiseAND(lit(255)).cast("long"),
+          lit(8)).alias("h"))
+    },
+
     QueryDef("ext_contamination",
       "benchmark decontamination: fraction of distinct 3-gram shingles shared with the benchmark subset (doc_id < 20)",
       """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t FROM documents),
