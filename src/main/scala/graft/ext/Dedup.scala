@@ -287,17 +287,20 @@ object Dedup {
     * canonical representative — the standard last stage of a corpus dedup
     * pipeline after [[minhashLshPairs]] / [[simhashPairs]].
     *
-    * Algorithm: distributed min-label propagation — every round each vertex
-    * takes the min of its own label and its neighbors' labels (one shuffle
-    * to group neighbor labels, one to re-join), converging in
-    * graph-diameter rounds. Near-dup graphs are many tiny cliques-ish
-    * clusters (bucket caps bound the fan-out), so the diameter is single-
-    * digit and rounds stay cheap; for adversarially long chains the
-    * alternating large-star/small-star algorithm (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14) brings
-    * O(log n) rounds — the upgrade path if a corpus ever produces deep
-    * chains. Non-convergence within `maxIters` throws rather than
-    * returning silently-wrong labels.
+    * Algorithm: min-label propagation with pointer jumping. Every round
+    * each vertex first takes the min of its own label and its neighbors'
+    * labels (one hop), then replaces its label with its LABEL's label
+    * (the pointer-jumping/path-halving step — labels are always vertex
+    * ids, so the label table self-joins). One hop alone needs
+    * graph-diameter rounds; the jump composes the label chain with
+    * itself, so chain depth roughly halves per round and rounds are
+    * O(log n) even for adversarially long chains (same bound as the
+    * alternating large-star/small-star algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14, with
+    * simpler rounds: the near-dup graphs this serves are many tiny
+    * clusters, so per-round cost is dominated by the fixed shuffle, not
+    * the fan-out those variants optimize). Non-convergence within
+    * `maxIters` throws rather than returning silently-wrong labels.
     *
     * Each round's result is `localCheckpoint`ed: the iterative join plan
     * otherwise grows a level per round and analysis cost, not data, becomes
@@ -322,13 +325,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").alias("id"))
         .agg(min("comp").alias("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).alias("comp"),
-          (col("nbr_comp") < col("comp")).alias("_chg"))
+      val hopped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").alias("_old"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).alias("comp"))
+      // pointer jump: comp ← comp(comp). Labels are vertex ids, so every
+      // comp value has a labels row; monotone non-increasing, hence safe.
+      val next = hopped
+        .join(labels.select(col("id").alias("comp"),
+          col("comp").alias("_jump")), Seq("comp"), "left")
+        .select(col("id"), col("_old"),
+          least(col("comp"), coalesce(col("_jump"), col("comp"))).alias("comp"))
         .localCheckpoint(true)
-      converged = next.filter(col("_chg")).isEmpty
-      labels = next.drop("_chg")
+      converged = next.filter(col("comp") < col("_old")).isEmpty
+      labels = next.drop("_old")
       round += 1
     }
     edges.unpersist()

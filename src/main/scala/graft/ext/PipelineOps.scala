@@ -151,4 +151,43 @@ object PipelineOps {
         (col("n_shared").cast(DoubleType) / col("n_total").cast(DoubleType))
           .alias("contamination"))
   }
+
+  /** Per-doc distinct shingle HASHES: the corpus-scale contamination input.
+    * One xxhash64 per token + the native rolling n-gram combiner
+    * ([[Dedup.shingleHashes]]) — no shingle strings are ever allocated,
+    * and the exploded row carries 8 bytes instead of an ~n-word string.
+    * Requires [[graft.functions.GraftFunctions.register]]. */
+  def shingleHashSet(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol),
+      explode(array_distinct(Dedup.shingleHashes(col(textCol), n))).alias("h"))
+
+  /** Contamination over pre-hashed shingle sets — the 100 TB shape of
+    * [[contamination]]: the benchmark side collapses to a broadcast set of
+    * 8-byte hashes, the corpus side streams (id, hash) rows through a
+    * broadcast semi-join and two per-doc counts; nothing wider than
+    * 16 bytes ever shuffles. A 64-bit hash collision needs ~2^32 distinct
+    * shingles per doc to matter (birthday bound) — immaterial, and both
+    * engines see identical hashes so the check is unaffected. */
+  def contaminationFromHashes(corpusHashes: DataFrame,
+      benchHashes: DataFrame, idCol: String): DataFrame = {
+    val shared = corpusHashes
+      .join(broadcast(benchHashes.select("h").distinct()), Seq("h"))
+      .groupBy(idCol).agg(count(lit(1)).alias("n_shared"))
+    val totals = corpusHashes.groupBy(idCol)
+      .agg(count(lit(1)).alias("n_total"))
+    shared.join(totals, Seq(idCol))
+      .select(col(idCol), col("n_shared"), col("n_total"),
+        (col("n_shared").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .alias("contamination"))
+  }
+
+  /** [[contaminationFromHashes]] over freshly hashed corpus + benchmark. */
+  def contaminationHashed(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    contaminationFromHashes(
+      shingleHashSet(corpus, idCol, textCol, n),
+      shingleHashSet(benchmark, idCol, textCol, n).select("h"), idCol)
+  }
 }

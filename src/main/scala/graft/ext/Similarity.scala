@@ -134,4 +134,78 @@ object Similarity {
       lshCandidates(corpus, queries, idCol, vecCol, nPlanes, dim, seed),
       queries.select(col(idCol).alias("id"), col(vecCol).alias("vec")),
       corpus.select(col(idCol).alias("id"), col(vecCol).alias("vec")), k)
+
+  /** Symmetric per-vector int8 quantization: each component is scaled by
+    * 127 / max|vᵢ| and rounded, so the full int8 range is used and the
+    * sign structure is preserved. Cosine is scale-invariant, so ranking by
+    * quantized cosine needs NO dequantization — the per-vector scale
+    * cancels. All-zero vectors quantize to all zeros (guarded against
+    * 0-division) and are dropped by the zero-norm cosine guard downstream,
+    * matching [[graft.functions.VectorFunctions.cosine]] semantics. */
+  def quantizeSq8(vec: Column): Column = {
+    val scale = greatest(array_max(transform(vec, x => abs(x))),
+      lit(Float.MinPositiveValue)) / lit(127.0f)
+    transform(vec, x => round(x / scale).cast("byte"))
+  }
+
+  /** Quantized cosine between two MATERIALIZED int8 vectors — integer
+    * dots ([[graft.functions.ByteVecDot]], exact, order-independent) with
+    * one f64 division at the end; NULL on zero norms. */
+  def sq8Cosine(a: Column, b: Column): Column = {
+    val np = sqrt(call_function("vec_dot_i8", a, a).cast("double") *
+      call_function("vec_dot_i8", b, b).cast("double"))
+    when(np === 0d, lit(null).cast("double"))
+      .otherwise(call_function("vec_dot_i8", a, b).cast("double") / np)
+  }
+
+  /** ANN top-k via SQ8 shortlist + exact rerank — the memory-bandwidth
+    * scale path (int8 is 4× smaller than f32 through cache, shuffle, and
+    * broadcast): the corpus-×-queries sweep scores QUANTIZED vectors
+    * only, a per-query shortlist of `k × shortlistFactor` survives, and
+    * exact f32 cosine reranks just the shortlist. Recall loss is the
+    * quantization error of a 1/127-step grid — tiny against typical
+    * neighbor gaps (pinned in `Sq8Spec`); raise `shortlistFactor` to
+    * trade compute back for recall. */
+  def sq8TopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      shortlistFactor: Int = 4): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).alias("q_id"),
+      quantizeSq8(col(vecCol)).alias("q_q"), col(vecCol).alias("q_vec"))
+    val c = corpus.select(col(idCol).alias("n_id"),
+      quantizeSq8(col(vecCol)).alias("n_q"), col(vecCol).alias("n_vec"))
+    sq8TopKFromQuantized(c, q, k, shortlistFactor)
+  }
+
+  /** The shortlist + rerank over PRE-QUANTIZED (id, qvec, vec) tables —
+    * the stage to materialize at corpus scale (and the stage the catalog
+    * entry stages for its oracle: integer dots are engine-exact, so DuckDB
+    * replays shortlist AND rerank bit-for-bit). */
+  def sq8TopKFromQuantized(corpus: DataFrame, queries: DataFrame,
+      k: Int, shortlistFactor: Int = 4): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    // the full-corpus sweep touches ONLY int8 vectors and emits only ids —
+    // f32 vectors join back for the (k × factor)-bounded shortlist
+    val swept = corpus.select(col("n_id"), col("n_q"))
+      .join(broadcast(queries.select(col("q_id"), col("q_q"))),
+        col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        sq8Cosine(col("q_q"), col("n_q")).alias("cos_q"))
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("cos_q").desc, col("n_id").asc)
+    val shortlist = swept
+      .withColumn("_sr", row_number().over(wq))
+      .filter(col("_sr") <= k * shortlistFactor)
+      .select("q_id", "n_id")
+    val reranked = shortlist
+      .join(broadcast(queries.select(col("q_id"), col("q_vec"))), Seq("q_id"))
+      .join(corpus.select(col("n_id"), col("n_vec")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineNative(col("q_vec"), col("n_vec")).alias("score"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("n_id").asc)
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

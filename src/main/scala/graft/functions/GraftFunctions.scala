@@ -25,6 +25,8 @@ object GraftFunctions {
     ("shingle_hashes", "order-sensitive n-gram hashes from token hashes",
       es => ShingleHashes(es.head,
         es(1).eval(null).asInstanceOf[Number].intValue())),
+    ("vec_dot_i8", "exact integer dot product of two int8-quantized vectors",
+      es => ByteVecDot(es.head, es(1))),
     ("hilbert_key", "Hilbert curve index of a 2-D grid cell (layout key)",
       es => HilbertKey(es.head, es(1),
         es(2).eval(null).asInstanceOf[Number].intValue())),

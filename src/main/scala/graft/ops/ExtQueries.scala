@@ -17,17 +17,8 @@ import graft.functions.{GraftFunctions, VectorFunctions}
   */
 object ExtQueries {
 
-  /** Staging dir for hash-based entries whose intermediate stage is
-    * materialized so the DuckDB oracle can recompute the downstream stage
-    * over identical inputs (Spark reads the same staged files back). The
-    * path embeds the sf-dir name so a later run at another scale (bench at
-    * sf0.1, a spec at sf0.001) can't clobber the files the oracle of a
-    * sf0.01 verify dump will read; the literal `__SF__` in oracle SQL is
-    * substituted by [[graft.Verify]] when it writes oracle_sql.json. */
-  private val StageRoot = "/tmp/graft_stage"
-  private val StageSql = s"$StageRoot/__SF__"
-  private def stageDir(dir: String): String =
-    s"$StageRoot/${new java.io.File(dir).getName}"
+  // staged-parquet oracle helpers shared with PipelineQueries
+  import QueryDef.{StageSql, stageDir}
 
   private val COS = {
     // shared SQL fragment: sequential-f64 cosine between two FLOAT[] lists.
@@ -263,6 +254,52 @@ object ExtQueries {
         col("embedding").alias("vec"))
       Similarity.topKFromCandidates(s.read.parquet(s"$stage/ivf_cands"),
         vecs.filter(col("id") < 10), vecs, k = 5)
+    },
+
+    // SQ8: unlike the LSH/IVF entries (where only score+rank is oracled),
+    // BOTH stages replay in DuckDB — int8 dots are exact integers in f64,
+    // so the quantized shortlist is engine-deterministic, and the rerank
+    // uses the same bit-stable f64 cosine as every other entry. Only the
+    // quantization itself (Spark round-half-up on f32) stays Spark-side,
+    // via the staged qvec columns.
+    QueryDef("ext_sim_topk_sq8",
+      "ANN top-5 via int8 scalar-quantized shortlist (4k) + exact f32 rerank (shortlist AND rerank oracled over staged quantized vectors)", {
+      def qdot(x: String, y: String) =
+        s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
+      val qnp = s"sqrt(${qdot("q.qvec", "q.qvec")} * ${qdot("c.qvec", "c.qvec")})"
+      val cosQ = s"(CASE WHEN $qnp = 0 THEN NULL ELSE ${qdot("q.qvec", "c.qvec")} / $qnp END)"
+      val rnp = s"(sqrt(${qdot("s.q_vec", "s.q_vec")}) * sqrt(${qdot("s.n_vec", "s.n_vec")}))"
+      val cosR = s"(CASE WHEN $rnp = 0 THEN NULL ELSE ${qdot("s.q_vec", "s.n_vec")} / $rnp END)"
+      s"""WITH c AS (SELECT id, qvec, vec FROM read_parquet('$StageSql/sq8_corpus/*.parquet')),
+         |q AS (SELECT id, qvec, vec FROM read_parquet('$StageSql/sq8_queries/*.parquet')),
+         |sw AS (SELECT q.id AS q_id, c.id AS n_id, q.vec AS q_vec, c.vec AS n_vec, $cosQ AS cos_q
+         |       FROM q JOIN c ON c.id <> q.id),
+         |s AS (SELECT q_id, n_id, q_vec, n_vec FROM (
+         |  SELECT q_id, n_id, q_vec, n_vec,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos_q DESC, n_id) AS sr FROM sw) WHERE sr <= 20),
+         |re AS (SELECT s.q_id, s.n_id, $cosR AS score FROM s)
+         |SELECT q_id, n_id, score, rank FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM re)
+         |WHERE rank <= 5""".stripMargin
+    }) { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val quantized = emb.select(col("vec_id").alias("id"),
+        Similarity.quantizeSq8(col("embedding")).alias("qvec"),
+        col("embedding").alias("vec"))
+      val stage = stageDir(dir)
+      quantized.write.mode("overwrite").parquet(s"$stage/sq8_corpus")
+      quantized.filter(col("id") < 10)
+        .write.mode("overwrite").parquet(s"$stage/sq8_queries")
+      def shape(df: org.apache.spark.sql.DataFrame, p: String) = df.select(
+        col("id").alias(s"${p}_id"), col("qvec").alias(s"${p}_q"),
+        col("vec").alias(s"${p}_vec"))
+      Similarity.sq8TopKFromQuantized(
+        shape(s.read.parquet(s"$stage/sq8_corpus"), "n"),
+        shape(s.read.parquet(s"$stage/sq8_queries"), "q"),
+        k = 5, shortlistFactor = 4)
     },
 
     // ---- text analysis ---------------------------------------------------

@@ -167,6 +167,34 @@ object PipelineQueries {
       val docs = Tables.load(s, dir, "documents")
       PipelineOps.contamination(docs.filter(col("doc_id") >= 20),
         docs.filter(col("doc_id") < 20), "doc_id", "text", n = 3)
+    },
+
+    // The 100 TB shape of ext_contamination: shingles carried as xxhash64
+    // (8 bytes) instead of strings. Spark's xxhash64 has no DuckDB
+    // equivalent, so both hash sets are staged and the oracle recomputes
+    // the broadcast semi-join + per-doc counts over the identical staged
+    // inputs (the string entry above keeps full shingling oracled).
+    QueryDef("ext_contamination_hashed",
+      "benchmark decontamination over 8-byte shingle hashes (corpus-scale variant; join+counts oracled over staged hash sets)",
+      s"""WITH c AS (SELECT doc_id, h FROM read_parquet('${QueryDef.StageSql}/contam_corpus/*.parquet')),
+         |b AS (SELECT DISTINCT h FROM read_parquet('${QueryDef.StageSql}/contam_bench/*.parquet')),
+         |shr AS (SELECT doc_id, COUNT(*) AS n_shared FROM c JOIN b USING (h) GROUP BY doc_id),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_total FROM c GROUP BY doc_id)
+         |SELECT t.doc_id, s.n_shared, t.n_total,
+         |  CAST(s.n_shared AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS contamination
+         |FROM shr s JOIN tot t ON s.doc_id = t.doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      val ch = PipelineOps.shingleHashSet(
+        docs.filter(col("doc_id") >= 20), "doc_id", "text", n = 3)
+      val bh = PipelineOps.shingleHashSet(
+        docs.filter(col("doc_id") < 20), "doc_id", "text", n = 3).select("h")
+      val stage = QueryDef.stageDir(dir)
+      ch.write.mode("overwrite").parquet(s"$stage/contam_corpus")
+      bh.write.mode("overwrite").parquet(s"$stage/contam_bench")
+      PipelineOps.contaminationFromHashes(
+        s.read.parquet(s"$stage/contam_corpus"),
+        s.read.parquet(s"$stage/contam_bench"), "doc_id")
     }
   )
 }

@@ -30,4 +30,16 @@ object QueryDef {
   def noOracle(name: String, doc: String)(
       build: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, doc, build, None)
+
+  /** Staging dir for entries whose intermediate stage is materialized so
+    * the DuckDB oracle recomputes the downstream stage over identical
+    * inputs (the Spark side reads the same staged files back). The path
+    * embeds the sf-dir name so runs at different scales can't clobber each
+    * other's staged files between the dump and the DuckDB pass; the
+    * literal `__SF__` in oracle SQL is substituted by [[graft.Verify]]
+    * when it writes oracle_sql.json. */
+  val StageRoot = "/tmp/graft_stage"
+  val StageSql: String = s"$StageRoot/__SF__"
+  def stageDir(dir: String): String =
+    s"$StageRoot/${new java.io.File(dir).getName}"
 }

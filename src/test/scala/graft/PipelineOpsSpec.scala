@@ -110,4 +110,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.contains(100L) && out(100L) > 0.0)
     assert(!out.contains(101L))
   }
+
+  test("hashed contamination equals the string-shingle variant") {
+    // the 8-byte-hash scale path must not change the answer — per-doc
+    // shared/total counts and ratios identical on a corpus with planted
+    // full, partial, and zero overlap
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sfDir, "documents")
+    val (corpus, bench) =
+      (docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val viaStrings = key(
+      PipelineOps.contamination(corpus, bench, "doc_id", "text", 3)
+        .select(col("doc_id"), col("n_shared").cast("long"),
+          col("n_total").cast("long"), col("contamination")))
+    val viaHashes = key(
+      PipelineOps.contaminationHashed(corpus, bench, "doc_id", "text", 3)
+        .select(col("doc_id"), col("n_shared").cast("long"),
+          col("n_total").cast("long"), col("contamination")))
+    assert(viaHashes === viaStrings)
+    assert(viaHashes.nonEmpty)
+  }
 }
