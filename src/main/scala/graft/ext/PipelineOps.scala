@@ -182,6 +182,40 @@ object PipelineOps {
           .alias("contamination"))
   }
 
+  /** Per-source keep rates for temperature-weighted corpus mixing — the
+    * data-mixing stage of a training pipeline: source s with total weight
+    * (token count) T_s gets share w_s = T_s^α / Σ T_s^α of a token budget
+    * `budgetFrac × Σ T_s`, i.e. keep rate min(1, budget·w_s / T_s).
+    * α = 1 keeps every source at exactly `budgetFrac` (proportional);
+    * α = 0 splits the budget evenly across sources; 0 < α < 1 upsamples
+    * small sources relative to proportional — the standard dial for
+    * low-resource language/domain balance.
+    *
+    * Driver-side scalar computation over ONE ROW PER SOURCE (the same
+    * sanctioned shape as the reference's mean-imputation collect): the
+    * rates become literals/broadcast rows, so applying the mix is a pure
+    * scan-side filter with no shuffle — at 100 TB the mixing decision
+    * costs one aggregation pass, the application costs zero. */
+  def temperatureRates(df: DataFrame, sourceCol: String, weightCol: String,
+      alpha: Double = 0.5, budgetFrac: Double = 0.4): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    val totals = df.groupBy(sourceCol)
+      .agg(sum(col(weightCol)).alias("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val budget = budgetFrac * totals.values.sum
+    val wSum = totals.values.map(math.pow(_, alpha)).sum
+    totals.map { case (s, t) =>
+      s -> math.min(1.0, budget * math.pow(t, alpha) / wSum / t)
+    }
+  }
+
+  /** Apply precomputed mixing rates deterministically: the same
+    * md5-interval trick as [[stratifiedSample]], so re-mixing a grown
+    * corpus never drops a previously-kept row of an unchanged source. */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double]): DataFrame =
+    stratifiedSample(df, idCol, sourceCol, rates, defaultRate = 0.0)
+
   /** [[contaminationFromHashes]] over freshly hashed corpus + benchmark. */
   def contaminationHashed(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 3): DataFrame = {

@@ -169,6 +169,29 @@ object PipelineQueries {
         docs.filter(col("doc_id") < 20), "doc_id", "text", n = 3)
     },
 
+    // Temperature mixing: the rate DERIVATION (α-weighted budget shares)
+    // is driver-side float math that no cross-engine hash could pin, so
+    // the computed per-source hex thresholds are STAGED and both engines
+    // apply the identical deterministic md5-interval filter; the
+    // derivation itself is pinned in TemperatureMixSpec (α=1 ⇒ every rate
+    // equals budgetFrac exactly; α=0 ⇒ even budget split; caps at 1).
+    QueryDef("ext_mix_temperature",
+      "temperature-weighted corpus mixing: α=0.5 budget shares per source, deterministic md5-interval application (filter oracled over staged thresholds)",
+      s"""WITH thr AS (SELECT source, thr FROM read_parquet('${QueryDef.StageSql}/mix_rates/*.parquet'))
+         |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val rates = PipelineOps.temperatureRates(docs, "source", "n_chars",
+        alpha = 0.5, budgetFrac = 0.4)
+      val thrDf = s.createDataFrame(rates.toSeq.map { case (src, r) =>
+        (src, PipelineOps.rateHex(r)) }).toDF("source", "thr")
+      val stage = QueryDef.stageDir(dir)
+      thrDf.coalesce(1).write.mode("overwrite").parquet(s"$stage/mix_rates")
+      docs.join(broadcast(s.read.parquet(s"$stage/mix_rates")), Seq("source"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+        .select("doc_id", "source")
+    },
+
     // The 100 TB shape of ext_contamination: shingles carried as xxhash64
     // (8 bytes) instead of strings. Spark's xxhash64 has no DuckDB
     // equivalent, so both hash sets are staged and the oracle recomputes

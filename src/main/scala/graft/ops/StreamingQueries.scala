@@ -49,6 +49,25 @@ object StreamingQueries {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  private val docsRaw = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Staged documents landing dir + streaming read (the corpus-ingest
+    * analog of [[stageEventsDir]]/[[eventsStream]]). */
+  private def stageDocsDir(dir: String): String = {
+    val d = Files.createTempDirectory("graft_docs_src")
+    Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve("documents.parquet"))
+    d.toString
+  }
+
+  private def docsStream(s: SparkSession, stagedDir: String): DataFrame =
+    s.readStream.schema(docsRaw)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("st1_stream_file_append",
@@ -331,6 +350,37 @@ object StreamingQueries {
       graft.streaming.StreamAsof.enrich(ticks)
         .select(col("event_id"), col("key").alias("user_id"), col("ts_us"),
           col("asof_ts_us"), col("dim_value"))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
+    // Streaming corpus ingest — the LLM-pipeline counterpart of the
+    // events medallion: quality-gate (stateless, scan-side) then
+    // content-hash dedup (stateful, exactly the unbounded-key state
+    // dropDuplicates manages) in ONE streaming pass. Every output column
+    // is a function of the dedup key (text), so which physical duplicate
+    // row wins is immaterial and the append sink is deterministic —
+    // that's what makes a streaming dedup oracle-able at all.
+    QueryDef("st14_stream_ingest_clean",
+      "streaming corpus ingest: quality gate + content-hash dedup in one pass (document bronze→silver)",
+      """WITH t AS (SELECT text,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) AS n_toks,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct
+        |FROM documents),
+        |q AS (SELECT md5(text) AS doc_hash,
+        |  (CASE WHEN n_toks < 5 THEN n_toks / 5.0 WHEN n_toks > 10000 THEN 0.5 ELSE 1.0 END)
+        |  * (CASE WHEN punct > 0.3 THEN 0.3 ELSE 1.0 END) AS quality
+        |FROM t)
+        |SELECT DISTINCT doc_hash, quality FROM q WHERE quality >= 0.5""".stripMargin) { (s, dir) =>
+      val out = tmp("graft_st14")
+      docsStream(s, stageDocsDir(dir))
+        .select(md5(col("text")).alias("doc_hash"),
+          graft.ext.TextAnalysis.qualityScore(col("text")).alias("quality"))
+        .filter(col("quality") >= 0.5)
+        .dropDuplicates("doc_hash")
         .writeStream.format("parquet")
         .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
         .outputMode("append").trigger(Trigger.AvailableNow())
