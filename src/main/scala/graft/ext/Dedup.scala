@@ -112,14 +112,7 @@ object Dedup {
     */
   def minhashBandCandidates(hashed: DataFrame, numHashes: Int, bands: Int,
       maxBucket: Int = 10000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val banded = hashed
-      .select(col("id"), minhashFromHashes(col("hs"), numHashes).alias("sig"))
-      .select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          hash(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
-          .as(Seq("band", "band_hash")))
+    val banded = minhashBandTable(hashed, numHashes, bands)
     val capped = capBuckets(banded, Seq("band", "band_hash"), maxBucket)
     val a = capped.select(col("band"), col("band_hash"), col("id").alias("id_a"))
     val b = capped.select(col("band"), col("band_hash"), col("id").alias("id_b"))
@@ -128,6 +121,54 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** (id, band, band_hash) MinHash band table — the PERSISTABLE DEDUP
+    * INDEX. [[minhashBandCandidates]] is its self-join;
+    * [[incrementalCandidates]] joins a new batch's band table against a
+    * stored one, which is what dedup against a 100 TB corpus actually
+    * looks like day-to-day: the corpus is banded once, each incremental
+    * batch costs O(|batch|) — never a corpus rescan, never a corpus
+    * self-join. Store partitioned/bucketed by (band, band_hash) and the
+    * incremental join needs no corpus-side shuffle at all. */
+  def minhashBandTable(hashed: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    hashed
+      .select(col("id"), minhashFromHashes(col("hs"), numHashes).alias("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          hash(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
+          .as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate (id_new, id_idx) pairs of a new batch against a stored
+    * band-table index ([[minhashBandTable]]): equi-join on (band,
+    * band_hash). Hot buckets are capped on BOTH sides (the blowup per
+    * bucket is |new ∩ bucket| × |index ∩ bucket|; see [[capBuckets]]). */
+  def incrementalCandidates(newBands: DataFrame, indexBands: DataFrame,
+      maxBucket: Int = 10000): DataFrame = {
+    val nb = capBuckets(newBands, Seq("band", "band_hash"), maxBucket)
+      .select(col("band"), col("band_hash"), col("id").alias("id_new"))
+    val ib = capBuckets(indexBands, Seq("band", "band_hash"), maxBucket)
+      .select(col("band"), col("band_hash"), col("id").alias("id_idx"))
+    nb.join(ib, Seq("band", "band_hash"))
+      .filter(col("id_new") =!= col("id_idx"))
+      .select("id_new", "id_idx")
+      .dropDuplicates("id_new", "id_idx")
+  }
+
+  /** Verify incremental candidates with exact Jaccard across the two
+    * shingle-set tables (batch side and index side). */
+  def verifyJaccardIncremental(candidates: DataFrame, newSets: DataFrame,
+      indexSets: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(newSets.withColumnRenamed("id", "id_new")
+        .withColumnRenamed("toks", "toks_new"), Seq("id_new"))
+      .join(indexSets.withColumnRenamed("id", "id_idx")
+        .withColumnRenamed("toks", "toks_idx"), Seq("id_idx"))
+      .select(col("id_new"), col("id_idx"),
+        jaccard(col("toks_new"), col("toks_idx")).alias("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
   /** Exact-Jaccard verify stage: join candidate pairs back to their
     * shingle-hash sets, keep pairs at/above `threshold`. */

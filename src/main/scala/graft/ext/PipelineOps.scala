@@ -117,6 +117,42 @@ object PipelineOps {
       .toDF(groupCol, orderCol, "pack_id")
   }
 
+  /** Sliding token-window chunking — the context-window preparation step
+    * between cleaning and packing: each document becomes
+    * `ceil((n - chunkSize) / stride) + 1` chunks (one chunk when
+    * `n <= chunkSize`), chunk i covering tokens
+    * `[i·stride, i·stride + chunkSize)`. `stride < chunkSize` gives
+    * overlapping windows (the standard LM training shape, so no token is
+    * only ever seen truncated at a boundary); `stride == chunkSize` tiles.
+    *
+    * Pure per-row generate: tokens are materialized once per document,
+    * chunks are slices of that one array — no shuffle, no state, and the
+    * output inherits the input's partitioning. At 100 TB this is a
+    * scan-side map whose output is ~`1 + overlap` × input bytes; the
+    * expansion factor is the only dial that matters.
+    *
+    * @return (idCol, chunk_idx, n_chunk_tokens, chunk_text)
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val n = size(col("_toks"))
+    // integral ceil-div: Column `/` is double division, floor() restores
+    // the exact integer for any corpus-realistic magnitude (< 2^52)
+    val nChunks = when(n <= chunkSize, lit(1)).otherwise(
+      floor((n - chunkSize + stride - 1) / lit(stride)).cast("int") + 1)
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).alias("_toks"))
+      .select(col(idCol), col("_toks"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("_toks"), i * stride + 1, lit(chunkSize)), " ")))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx"),
+        greatest(least(lit(chunkSize), n - col("chunk_idx") * stride), lit(0))
+          .alias("n_chunk_tokens"),
+        col("chunk_text"))
+  }
+
   /** Benchmark-contamination check: for each corpus document, the fraction
     * of its distinct word `n`-gram shingles that appear anywhere in the
     * benchmark set (the decontamination pass run before training on any

@@ -72,6 +72,51 @@ object ExtQueries {
         s.read.parquet(s"$stage/minhash_sets"), threshold = 0.2)
     },
 
+    // Incremental dedup: the day-2 operational shape of minhash dedup —
+    // the corpus is banded ONCE into a persisted index (here: staged), a
+    // new batch joins its bands against the index, so each increment costs
+    // O(|batch|), never a corpus rescan. DuckDB recomputes cap + join +
+    // Jaccard verify over the staged band tables and shingle sets.
+    QueryDef("ext_dedup_incremental",
+      "incremental near-dup check of a new batch (doc_id >= 250) against a persisted MinHash band index (doc_id < 250); cap+join+verify oracled over staged bands and sets",
+      s"""WITH ib AS (SELECT id, band, band_hash FROM read_parquet('$StageSql/inc_index_bands/*.parquet')),
+         |nb AS (SELECT id, band, band_hash FROM read_parquet('$StageSql/inc_new_bands/*.parquet')),
+         |iok AS (SELECT band, band_hash FROM ib GROUP BY band, band_hash HAVING COUNT(*) <= 10000),
+         |nok AS (SELECT band, band_hash FROM nb GROUP BY band, band_hash HAVING COUNT(*) <= 10000),
+         |c AS (SELECT DISTINCT n.id AS id_new, i.id AS id_idx
+         |      FROM (SELECT nb.* FROM nb JOIN nok USING (band, band_hash)) n
+         |      JOIN (SELECT ib.* FROM ib JOIN iok USING (band, band_hash)) i
+         |      USING (band, band_hash) WHERE n.id <> i.id),
+         |ns AS (SELECT id, toks FROM read_parquet('$StageSql/inc_new_sets/*.parquet')),
+         |idx AS (SELECT id, toks FROM read_parquet('$StageSql/inc_index_sets/*.parquet'))
+         |SELECT c.id_new, c.id_idx,
+         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+         |FROM c JOIN ns a ON c.id_new = a.id JOIN idx b ON c.id_idx = b.id
+         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.toks, b.toks))) AS DOUBLE) >= 0.2""".stripMargin) { (s, dir) =>
+      GraftFunctions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      def hashed(part: org.apache.spark.sql.DataFrame) = part.select(
+        col("doc_id").alias("id"),
+        Dedup.shingleHashes(col("text"), 3).alias("hs"))
+      val idxHashed = hashed(docs.filter(col("doc_id") < 250))
+      val newHashed = hashed(docs.filter(col("doc_id") >= 250))
+      val stage = stageDir(dir)
+      Dedup.minhashBandTable(idxHashed, numHashes = 64, bands = 16)
+        .write.mode("overwrite").parquet(s"$stage/inc_index_bands")
+      Dedup.minhashBandTable(newHashed, numHashes = 64, bands = 16)
+        .write.mode("overwrite").parquet(s"$stage/inc_new_bands")
+      Dedup.shingleSets(idxHashed)
+        .write.mode("overwrite").parquet(s"$stage/inc_index_sets")
+      Dedup.shingleSets(newHashed)
+        .write.mode("overwrite").parquet(s"$stage/inc_new_sets")
+      Dedup.verifyJaccardIncremental(
+        Dedup.incrementalCandidates(
+          s.read.parquet(s"$stage/inc_new_bands"),
+          s.read.parquet(s"$stage/inc_index_bands")),
+        s.read.parquet(s"$stage/inc_new_sets"),
+        s.read.parquet(s"$stage/inc_index_sets"), threshold = 0.2)
+    },
+
     // Signatures staged to parquet; DuckDB recomputes the pigeonhole
     // chunk-blocking, bucket cap, and Hamming verify bit-for-bit over the
     // identical staged signatures (>> then &-mask agree between arithmetic

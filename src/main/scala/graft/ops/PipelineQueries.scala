@@ -89,6 +89,56 @@ object PipelineQueries {
         "lang", "doc_id", "text")
     },
 
+    // Sliding-window chunking is pure integer/slice arithmetic, so the
+    // WHOLE operator is oracled — chunk counts, boundaries, and the
+    // joined chunk text are recomputed bit-for-bit by DuckDB.
+    QueryDef("ext_chunk_text",
+      "sliding token-window chunking: 64-token windows, stride 48 (context-window preparation; fully oracled, no staging)",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk FROM documents),
+        |c AS (SELECT doc_id, tk, len(tk) AS n,
+        |  CASE WHEN len(tk) <= 64 THEN 1 ELSE CAST((len(tk) - 64 + 47) // 48 AS INT) + 1 END AS n_chunks FROM t)
+        |SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+        |  CAST(greatest(least(64, n - u.i * 48), 0) AS INT) AS n_chunk_tokens,
+        |  array_to_string(tk[u.i * 48 + 1 : u.i * 48 + 64], ' ') AS chunk_text
+        |FROM c, UNNEST(range(0, n_chunks)) AS u(i)""".stripMargin) { (s, dir) =>
+      PipelineOps.chunkByTokens(Tables.load(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 64, stride = 48)
+    },
+
+    // Unigram LM scoring: the ln() derivation is Spark-side math (staged
+    // as micro-nat LONGs — see UnigramLm's determinism note), and the
+    // scoring join + exact integer sum + single final division are
+    // recomputed by DuckDB over the staged vocabulary. CAST(SUM AS
+    // BIGINT) in the oracle: DuckDB sums BIGINT into HUGEINT, which
+    // pandas renders as float64 — the round-2 dtype trap.
+    QueryDef("ext_text_lm_score",
+      "unigram LM quality score: micro-nat log-probs trained on doc_id < 250, mean log-prob per doc (scoring oracled over staged vocab)",
+      ("""WITH tok AS (SELECT doc_id, u.t AS token
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk FROM documents),
+         |  UNNEST(tk) AS u(t)),
+         |""" +
+       s"""v AS (SELECT token, lp_micro FROM read_parquet('${QueryDef.StageSql}/lm_vocab/*.parquet')),
+         |o AS (SELECT lp_micro AS oov FROM read_parquet('${QueryDef.StageSql}/lm_oov/*.parquet')),
+         |""" +
+       """s AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(COALESCE(v.lp_micro, o.oov)) AS BIGINT) AS lp_sum
+         |  FROM tok LEFT JOIN v USING (token) CROSS JOIN o GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, lp_sum,
+         |  CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6) AS avg_lp FROM s""").stripMargin) { (s, dir) =>
+      import graft.ext.UnigramLm
+      val docs = Tables.load(s, dir, "documents")
+      val counts = UnigramLm.unigramCounts(docs.filter(col("doc_id") < 250), "text")
+      val total = UnigramLm.totalTokens(counts)
+      val oov = UnigramLm.oovMicro(total)
+      val stage = QueryDef.stageDir(dir)
+      UnigramLm.vocab(counts, total, minCount = 2)
+        .write.mode("overwrite").parquet(s"$stage/lm_vocab")
+      s.createDataFrame(Seq(Tuple1(oov))).toDF("lp_micro").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/lm_oov")
+      UnigramLm.score(docs, "doc_id", "text",
+        s.read.parquet(s"$stage/lm_vocab"), oov)
+    },
+
     QueryDef("ext_quality_threshold",
       "quality gate: keep docs at/above the exact 75th-percentile quality score (the C4/Gopher-style filter step)",
       """WITH q AS (SELECT doc_id,
