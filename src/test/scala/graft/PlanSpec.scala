@@ -69,4 +69,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p)
   }
+
+  test("token chunking is a pure generate — zero exchanges (ext_chunk_text)") {
+    val p = plan("ext_chunk_text")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("LM scoring broadcasts the vocab and partially aggregates (ext_text_lm_score)") {
+    val p = plan("ext_text_lm_score")
+    assert(p.contains("BroadcastHashJoin"), p)   // vocab side never shuffles
+    assert(p.contains("partial_sum"), p)         // map-side combine before the per-doc shuffle
+  }
 }
