@@ -42,6 +42,32 @@ class IncrementalDedupSpec extends SparkSpec {
       "fixture must contain cross-boundary near-dups for this test to bite")
   }
 
+  test("bucketed band index: the incremental join shuffles ONLY the batch side") {
+    val split = 250L
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so exchanges (or their absence) show
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.minhashBandTable(hashed(docs.filter(col("doc_id") < split)), 64, 16)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "band", "band_hash").saveAsTable("band_index")
+      val newBands = Dedup.minhashBandTable(
+        hashed(docs.filter(col("doc_id") >= split)), 64, 16)
+
+      val joined = newBands.join(spark.table("band_index")
+          .withColumnRenamed("id", "id_idx"), Seq("band", "band_hash"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // exactly one Exchange — the O(batch) side; the stored index is
+      // read pre-partitioned on the join key (the scaladoc's 100 TB
+      // claim: an increment never shuffles the corpus)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS band_index")
+    }
+  }
+
   test("verify stage keeps only pairs at/above the Jaccard threshold") {
     val split = 250L
     val idxH = hashed(docs.filter(col("doc_id") < split))
