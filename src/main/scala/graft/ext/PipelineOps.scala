@@ -117,6 +117,39 @@ object PipelineOps {
       .toDF(groupCol, orderCol, "pack_id")
   }
 
+  /** One-pass column profiling — the ANALYZE/monitoring surface of a
+    * pipeline: per column, row count, non-null count, exact distinct
+    * count, and min/max (as strings, so heterogeneous columns share one
+    * schema). All columns profile in a SINGLE aggregation job: Catalyst
+    * plans the multi-distinct via one Expand (rows × |cols| in the map
+    * stage, partial-aggregated before the one shuffle), not one job per
+    * column — at 100 TB that is one corpus scan instead of |cols|.
+    * Exact distincts are the honest profiling default; swap in
+    * `approx_count_distinct` (see a6) when ±2% is acceptable and the
+    * Expand multiplier hurts.
+    *
+    * Avoid double columns here: min/max stringification is not
+    * cross-engine-stable for floats (profile them via exact casts).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).alias(s"_nn_$c"),
+      count_distinct(col(c)).alias(s"_nd_$c"),
+      min(col(c)).cast("string").alias(s"_mn_$c"),
+      max(col(c)).cast("string").alias(s"_mx_$c"))) :+
+      count(lit(1)).alias("_n_rows")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).alias("column"),
+        col("_n_rows").alias("n_rows"),
+        col(s"_nn_$c").alias("n_nonnull"),
+        col(s"_nd_$c").alias("n_distinct"),
+        col(s"_mn_$c").alias("min_val"),
+        col(s"_mx_$c").alias("max_val"))): _*)).alias("p"))
+      .select("p.*")
+  }
+
   /** Sliding token-window chunking — the context-window preparation step
     * between cleaning and packing: each document becomes
     * `ceil((n - chunkSize) / stride) + 1` chunks (one chunk when

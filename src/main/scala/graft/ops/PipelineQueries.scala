@@ -89,6 +89,24 @@ object PipelineQueries {
         "lang", "doc_id", "text")
     },
 
+    QueryDef("ext_profile",
+      "one-pass column profiling: per-column row/non-null/exact-distinct counts and min/max (the ANALYZE surface; single aggregation job via Expand)",
+      """SELECT 'doc_id' AS "column", COUNT(*) AS n_rows, COUNT(doc_id) AS n_nonnull,
+        |  COUNT(DISTINCT doc_id) AS n_distinct, CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+        |  CAST(MAX(doc_id) AS VARCHAR) AS max_val FROM documents
+        |UNION ALL
+        |SELECT 'lang', COUNT(*), COUNT(lang), COUNT(DISTINCT lang),
+        |  MIN(lang), MAX(lang) FROM documents
+        |UNION ALL
+        |SELECT 'source', COUNT(*), COUNT(source), COUNT(DISTINCT source),
+        |  MIN(source), MAX(source) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', COUNT(*), COUNT(n_chars), COUNT(DISTINCT n_chars),
+        |  CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents""".stripMargin) { (s, dir) =>
+      PipelineOps.profile(Tables.load(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))
+    },
+
     // Sliding-window chunking is pure integer/slice arithmetic, so the
     // WHOLE operator is oracled — chunk counts, boundaries, and the
     // joined chunk text are recomputed bit-for-bit by DuckDB.
