@@ -117,6 +117,23 @@ object PipelineOps {
       .toDF(groupCol, orderCol, "pack_id")
   }
 
+  /** Deterministic count-based sampling: the `k` rows per group with the
+    * smallest md5(id) — "k random-looking docs per source" without
+    * `rand()`, so reruns agree bit-for-bit (eval-set carving, per-domain
+    * inspection samples). Complements [[stratifiedSample]] (rate-based):
+    * a count cap bounds every group regardless of its size.
+    *
+    * Drives the custom [[graft.ops.TopK]] operator: one hash shuffle on
+    * the group key, then bounded per-key heaps — rows that can never rank
+    * are dropped on the stream, where the window `row_number` form sorts
+    * every row of every partition first. */
+  def samplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    val withH = df.withColumn("_h", md5(col(idCol).cast("string")))
+    graft.ops.TopK.perKey(withH, Seq(groupCol),
+      Seq(("_h", true), (idCol, true)), k).drop("_h")
+  }
+
   /** One-pass column profiling — the ANALYZE/monitoring surface of a
     * pipeline: per column, row count, non-null count, exact distinct
     * count, and min/max (as strings, so heterogeneous columns share one

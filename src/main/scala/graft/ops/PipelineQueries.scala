@@ -89,6 +89,19 @@ object PipelineQueries {
         "lang", "doc_id", "text")
     },
 
+    QueryDef("ext_sample_per_group",
+      "deterministic k-per-group sampling: 20 smallest-md5 docs per source (count-capped complement of the rate-based stratified sample; runs on the custom TopKPerKey operator)",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin) { (s, dir) =>
+      PipelineOps.samplePerGroup(
+        Tables.load(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", k = 20)
+    },
+
     QueryDef("ext_profile",
       "one-pass column profiling: per-column row/non-null/exact-distinct counts and min/max (the ANALYZE surface; single aggregation job via Expand)",
       """SELECT 'doc_id' AS "column", COUNT(*) AS n_rows, COUNT(doc_id) AS n_nonnull,
