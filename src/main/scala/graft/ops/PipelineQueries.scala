@@ -89,6 +89,41 @@ object PipelineQueries {
         "lang", "doc_id", "text")
     },
 
+    // The flagship composition: every stage is an already-oracled
+    // operator, chained the way a real corpus-prep run chains them —
+    // proof the pieces compose end-to-end, checked as ONE cross-engine
+    // query (quality gate → exact dedup → deterministic split → report).
+    QueryDef("ext_pipeline_e2e",
+      "end-to-end corpus prep: quality gate (>= 0.5) → exact text dedup (min doc_id wins) → 80/10/10 content-hash split → per-(split, lang) doc/token report", {
+      val Seq(b1, b2) = PipelineOps.splitBoundsHex(SPLITS).dropRight(1)
+      s"""WITH q AS (SELECT doc_id, lang, text,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS DOUBLE) AS n_toks,
+         |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct
+         |FROM documents),
+         |g AS (SELECT doc_id, lang, text, CAST(n_toks AS BIGINT) AS n_toks FROM q
+         |      WHERE (CASE WHEN n_toks < 5 THEN n_toks / 5.0 WHEN n_toks > 10000 THEN 0.5 ELSE 1.0 END)
+         |        * (CASE WHEN punct > 0.3 THEN 0.3 ELSE 1.0 END) >= 0.5),
+         |c AS (SELECT text, MIN(doc_id) AS doc_id FROM g GROUP BY text),
+         |d AS (SELECT g.* FROM g JOIN c ON g.text = c.text AND g.doc_id = c.doc_id),
+         |s AS (SELECT lang, n_toks,
+         |  CASE WHEN h < '$b1' THEN 'train' WHEN h < '$b2' THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT lang, n_toks, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM d))
+         |SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         |FROM s GROUP BY split, lang""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val gated = docs
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").alias("n_toks"))
+      val dedup = gated.join(
+        gated.groupBy("text").agg(min("doc_id").alias("doc_id")),
+        Seq("text", "doc_id"))
+      PipelineOps.assignSplit(dedup, "doc_id", SPLITS)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).alias("n_docs"), sum("n_toks").alias("n_tokens"))
+    },
+
     QueryDef("ext_sample_per_group",
       "deterministic k-per-group sampling: 20 smallest-md5 docs per source (count-capped complement of the rate-based stratified sample; runs on the custom TopKPerKey operator)",
       """SELECT doc_id, source FROM (
