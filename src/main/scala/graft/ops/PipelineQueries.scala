@@ -205,6 +205,33 @@ object PipelineQueries {
         s.read.parquet(s"$stage/lm_vocab"), oov)
     },
 
+    // TF-IDF: the ln(N/df) derivation is Spark-side math staged as
+    // micro-nat LONGs (UnigramLm's determinism pattern); DuckDB
+    // recomputes tokenization, term frequencies, the integer score
+    // product, and the per-doc top-k over the staged IDF table.
+    QueryDef("ext_text_tfidf",
+      "TF-IDF top-5 terms per doc: integer micro-nat IDF staged, exact tf*idf ranking on the custom TopKPerKey operator",
+      ("""WITH tok AS (SELECT doc_id AS doc, u.t AS token
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk FROM documents),
+         |  UNNEST(tk) AS u(t)),
+         |tf AS (SELECT doc, token, COUNT(*) AS tf FROM tok GROUP BY doc, token),
+         |""" +
+       s"""v AS (SELECT token, idf_micro FROM read_parquet('${QueryDef.StageSql}/tfidf_idf/*.parquet')),
+         |""" +
+       """sc AS (SELECT tf.doc, tf.token, tf.tf, tf.tf * v.idf_micro AS score
+         |  FROM tf JOIN v USING (token))
+         |SELECT doc, token, tf, score FROM sc
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc ORDER BY score DESC, token) <= 5""").stripMargin) { (s, dir) =>
+      import graft.ext.TfIdf
+      val docs = Tables.load(s, dir, "documents")
+      val tok = TfIdf.tokenized(docs, "doc_id", "text")
+      val stage = QueryDef.stageDir(dir)
+      TfIdf.idf(tok, docs.count())
+        .write.mode("overwrite").parquet(s"$stage/tfidf_idf")
+      TfIdf.topTerms(TfIdf.termFreq(tok),
+        s.read.parquet(s"$stage/tfidf_idf"), k = 5)
+    },
+
     QueryDef("ext_quality_threshold",
       "quality gate: keep docs at/above the exact 75th-percentile quality score (the C4/Gopher-style filter step)",
       """WITH q AS (SELECT doc_id,

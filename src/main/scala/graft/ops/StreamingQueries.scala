@@ -388,6 +388,40 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink")
     },
 
+    // Streaming context-window preparation: the quality gate and the
+    // sliding-window chunker are both stateless scan-side operators, so
+    // they run under incremental execution unchanged — micro-batch
+    // boundaries cannot affect the output (each row's chunks are a
+    // function of that row alone), which is why an append sink of this
+    // pass is deterministic and fully oracle-able.
+    QueryDef("st15_stream_chunk",
+      "streaming chunk preparation: quality gate then 64/48 token-window chunking, stateless append (micro-batch-boundary-proof)",
+      """WITH q AS (SELECT doc_id, text,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) AS n_toksd,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct
+        |FROM documents),
+        |g AS (SELECT doc_id, text FROM q
+        |      WHERE (CASE WHEN n_toksd < 5 THEN n_toksd / 5.0 WHEN n_toksd > 10000 THEN 0.5 ELSE 1.0 END)
+        |        * (CASE WHEN punct > 0.3 THEN 0.3 ELSE 1.0 END) >= 0.5),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk FROM g),
+        |c AS (SELECT doc_id, tk, len(tk) AS n,
+        |  CASE WHEN len(tk) <= 64 THEN 1 ELSE CAST((len(tk) - 64 + 47) // 48 AS INT) + 1 END AS n_chunks FROM t)
+        |SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+        |  CAST(greatest(least(64, n - u.i * 48), 0) AS INT) AS n_chunk_tokens,
+        |  array_to_string(tk[u.i * 48 + 1 : u.i * 48 + 64], ' ') AS chunk_text
+        |FROM c, UNNEST(range(0, n_chunks)) AS u(i)""".stripMargin) { (s, dir) =>
+      val out = tmp("graft_st15")
+      graft.ext.PipelineOps.chunkByTokens(
+        docsStream(s, stageDocsDir(dir))
+          .filter(graft.ext.TextAnalysis.qualityScore(col("text")) >= 0.5),
+        "doc_id", "text", chunkSize = 64, stride = 48)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
     QueryDef("st6_sessionize_typed",
       "typed KeyValueGroupedDataset sessionization (30-min gap rule)",
       """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
