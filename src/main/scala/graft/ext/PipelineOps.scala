@@ -117,6 +117,33 @@ object PipelineOps {
       .toDF(groupCol, orderCol, "pack_id")
   }
 
+  /** Corpus-version diff — the dataset-versioning primitive: classify
+    * every id across two snapshots as `added` (v2 only), `removed`
+    * (v1 only), `changed` (both, content hash differs), or `unchanged`.
+    * The audit that runs between corpus releases, and the input to an
+    * incremental re-processing pass (only `added`/`changed` docs need
+    * re-cleaning/re-embedding).
+    *
+    * One full-outer hash join on the id, carrying only (id, 16-byte
+    * content hash) per side — the text itself never moves. At 100 TB
+    * store both snapshots bucketed by id and even that shuffle
+    * disappears ([[graft.ext.Dedup.minhashBandTable]]'s bucketing
+    * argument, proven in `IncrementalDedupSpec`). */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    // presence flags, not hash-nullness: a present row with NULL text
+    // must not classify as absent, and NULL-vs-text must read as changed
+    // (null-safe <=> / IS DISTINCT FROM on both engines)
+    def side(df: DataFrame, h: String, p: String) = df.select(col(idCol),
+      md5(col(textCol)).alias(h), lit(true).alias(p))
+    side(v1, "_h1", "_p1").join(side(v2, "_h2", "_p2"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_p1").isNull, "added")
+          .when(col("_p2").isNull, "removed")
+          .when(!(col("_h1") <=> col("_h2")), "changed")
+          .otherwise("unchanged").alias("status"))
+  }
+
   /** Deterministic count-based sampling: the `k` rows per group with the
     * smallest md5(id) — "k random-looking docs per source" without
     * `rand()`, so reruns agree bit-for-bit (eval-set carving, per-domain

@@ -94,17 +94,17 @@ object PipelineQueries {
     // proof the pieces compose end-to-end, checked as ONE cross-engine
     // query (quality gate → exact dedup → deterministic split → report).
     QueryDef("ext_pipeline_e2e",
-      "end-to-end corpus prep: quality gate (>= 0.5) → exact text dedup (min doc_id wins) → 80/10/10 content-hash split → per-(split, lang) doc/token report", {
+      "end-to-end corpus prep: quality gate (>= 0.5) → exact content-hash dedup (min doc_id wins; text never shuffles) → 80/10/10 split → per-(split, lang) doc/token report", {
       val Seq(b1, b2) = PipelineOps.splitBoundsHex(SPLITS).dropRight(1)
       s"""WITH q AS (SELECT doc_id, lang, text,
          |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS DOUBLE) AS n_toks,
          |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct
          |FROM documents),
-         |g AS (SELECT doc_id, lang, text, CAST(n_toks AS BIGINT) AS n_toks FROM q
+         |g AS (SELECT doc_id, lang, md5(text) AS doc_hash, CAST(n_toks AS BIGINT) AS n_toks FROM q
          |      WHERE (CASE WHEN n_toks < 5 THEN n_toks / 5.0 WHEN n_toks > 10000 THEN 0.5 ELSE 1.0 END)
          |        * (CASE WHEN punct > 0.3 THEN 0.3 ELSE 1.0 END) >= 0.5),
-         |c AS (SELECT text, MIN(doc_id) AS doc_id FROM g GROUP BY text),
-         |d AS (SELECT g.* FROM g JOIN c ON g.text = c.text AND g.doc_id = c.doc_id),
+         |c AS (SELECT doc_hash, MIN(doc_id) AS doc_id FROM g GROUP BY doc_hash),
+         |d AS (SELECT g.* FROM g JOIN c ON g.doc_hash = c.doc_hash AND g.doc_id = c.doc_id),
          |s AS (SELECT lang, n_toks,
          |  CASE WHEN h < '$b1' THEN 'train' WHEN h < '$b2' THEN 'val' ELSE 'test' END AS split
          |FROM (SELECT lang, n_toks, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM d))
@@ -112,16 +112,39 @@ object PipelineQueries {
          |FROM s GROUP BY split, lang""".stripMargin
     }) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
+      // dedup key is a 16-byte content hash, not the text: at corpus
+      // scale the wide text column must never ride the dedup shuffle
       val gated = docs
         .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
-        .select(col("doc_id"), col("lang"), col("text"),
+        .select(col("doc_id"), col("lang"), md5(col("text")).alias("doc_hash"),
           TextAnalysis.tokenCount(col("text")).cast("long").alias("n_toks"))
       val dedup = gated.join(
-        gated.groupBy("text").agg(min("doc_id").alias("doc_id")),
-        Seq("text", "doc_id"))
+        gated.groupBy("doc_hash").agg(min("doc_id").alias("doc_id")),
+        Seq("doc_hash", "doc_id"))
       PipelineOps.assignSplit(dedup, "doc_id", SPLITS)
         .groupBy("split", "lang")
         .agg(count(lit(1)).alias("n_docs"), sum("n_toks").alias("n_tokens"))
+    },
+
+    // Two "versions" are carved deterministically from one table (v1 =
+    // doc_id < 450; v2 = doc_id >= 50 with every 7th text revised), so
+    // both engines construct identical snapshots and the full-outer
+    // diff classification is checked end to end.
+    QueryDef("ext_corpus_diff",
+      "corpus-version diff: added/removed/changed/unchanged by content hash across two snapshots (full-outer join on id; text never shuffles)",
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h, 1 AS p FROM documents WHERE doc_id < 450),
+        |v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h, 1 AS p
+        |       FROM documents WHERE doc_id >= 50)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.p IS NULL THEN 'added' WHEN v2.p IS NULL THEN 'removed'
+        |       WHEN v1.h IS DISTINCT FROM v2.h THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") < 450)
+      val v2 = docs.filter(col("doc_id") >= 50)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      PipelineOps.corpusDiff(v1, v2, "doc_id", "text")
     },
 
     QueryDef("ext_sample_per_group",
