@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import graft.ops.QueryDef.StageSql
+
 /** Structured Streaming surface (SURVEY.md §2.9) made oracle-checkable:
   * each entry runs a real streaming query (file source → stateful
   * transform → sink, with checkpoint) under `Trigger.AvailableNow`, then
@@ -415,6 +417,80 @@ object StreamingQueries {
         docsStream(s, stageDocsDir(dir))
           .filter(graft.ext.TextAnalysis.qualityScore(col("text")) >= 0.5),
         "doc_id", "text", chunkSize = 64, stride = 48)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
+    // Streaming near-dup screening against a STATIC corpus index — the
+    // production ingest shape: the 100 TB corpus is banded once
+    // (Dedup.minhashBandTable); each arriving document computes its own
+    // signature scan-side, probes the index via stream-static joins, and
+    // stateful pair-dedup collapses multi-band hits. Every stage is
+    // deterministic, so the stream's answer equals the batch answer —
+    // the new side's bands/sets are staged FROM A BATCH PASS for the
+    // oracle, and the stream must reproduce them bit-for-bit to match.
+    QueryDef("st16_stream_dedup_index",
+      "streaming near-dup screening: arriving docs (doc_id >= 250) probe a static MinHash band index (doc_id < 250) via stream-static joins; stateful pair dedup + Jaccard verify",
+      s"""WITH ib AS (SELECT id, band, band_hash FROM read_parquet('$StageSql/st16_index_bands/*.parquet')),
+         |iok AS (SELECT band, band_hash FROM ib GROUP BY band, band_hash HAVING COUNT(*) <= 10000),
+         |ibc AS (SELECT ib.* FROM ib JOIN iok USING (band, band_hash)),
+         |nb AS (SELECT id, band, band_hash FROM read_parquet('$StageSql/st16_new_bands/*.parquet')),
+         |c AS (SELECT DISTINCT nb.id AS id_new, ibc.id AS id_idx FROM nb JOIN ibc USING (band, band_hash)),
+         |ns AS (SELECT id, toks FROM read_parquet('$StageSql/st16_new_sets/*.parquet')),
+         |idx AS (SELECT id, toks FROM read_parquet('$StageSql/st16_index_sets/*.parquet'))
+         |SELECT c.id_new, c.id_idx,
+         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+         |FROM c JOIN ns a ON c.id_new = a.id JOIN idx b ON c.id_idx = b.id
+         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.toks, b.toks))) AS DOUBLE) >= 0.2""".stripMargin) { (s, dir) =>
+      import graft.ext.Dedup
+      graft.functions.GraftFunctions.register(s)
+      val docs = graft.Tables.load(s, dir, "documents")
+      def hashedB(part: DataFrame) = part.select(col("doc_id").alias("id"),
+        Dedup.shingleHashes(col("text"), 3).alias("hs"))
+      val stage = QueryDef.stageDir(dir)
+      val idxHashed = hashedB(docs.filter(col("doc_id") < 250))
+      Dedup.minhashBandTable(idxHashed, numHashes = 64, bands = 16)
+        .write.mode("overwrite").parquet(s"$stage/st16_index_bands")
+      Dedup.shingleSets(idxHashed)
+        .write.mode("overwrite").parquet(s"$stage/st16_index_sets")
+      // oracle-side replica of what the stream computes per row
+      val newHashed = hashedB(docs.filter(col("doc_id") >= 250))
+      Dedup.minhashBandTable(newHashed, numHashes = 64, bands = 16)
+        .write.mode("overwrite").parquet(s"$stage/st16_new_bands")
+      Dedup.shingleSets(newHashed)
+        .write.mode("overwrite").parquet(s"$stage/st16_new_sets")
+
+      // static side: cap hot buckets once, at batch cost
+      val ib = s.read.parquet(s"$stage/st16_index_bands")
+      val iok = ib.groupBy("band", "band_hash")
+        .agg(count(lit(1)).alias("_n")).filter(col("_n") <= 10000).drop("_n")
+      val ibc = ib.join(iok, Seq("band", "band_hash"))
+        .withColumnRenamed("id", "id_idx")
+      val idxSets = s.read.parquet(s"$stage/st16_index_sets")
+        .withColumnRenamed("id", "id_idx").withColumnRenamed("toks", "toks_idx")
+
+      // the stream: per-row signature -> band probe -> stateful pair dedup
+      val rowsPerBand = 64 / 16
+      val sigDf = docsStream(s, stageDocsDir(dir))
+        .filter(col("doc_id") >= 250)
+        .select(col("doc_id").alias("id_new"),
+          Dedup.shingleHashes(col("text"), 3).alias("hs"))
+        .select(col("id_new"), array_distinct(col("hs")).alias("toks_new"),
+          Dedup.minhashFromHashes(col("hs"), 64).alias("sig"))
+      val banded = sigDf.select(col("id_new"), col("toks_new"),
+        posexplode(array((0 until 16).map(b =>
+          hash(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+          .as(Seq("band", "band_hash")))
+      val out = tmp("graft_st16")
+      banded.join(ibc, Seq("band", "band_hash"))
+        .dropDuplicates("id_new", "id_idx")
+        .join(idxSets, Seq("id_idx"))
+        .select(col("id_new"), col("id_idx"),
+          Dedup.jaccard(col("toks_new"), col("toks_idx")).alias("jaccard"))
+        .filter(col("jaccard") >= 0.2)
         .writeStream.format("parquet")
         .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
         .outputMode("append").trigger(Trigger.AvailableNow())
