@@ -79,14 +79,26 @@ object Bench {
     val seqT0 = System.nanoTime()
     val seqResults = catalog.map { case (name, fn) => name -> runOne(name, fn) }
     val seqTotal = (System.nanoTime() - seqT0) / 1e9
-    // Full-precision detail lines FIRST; the driver's tail capture is
-    // byte-bounded from the end, so anything that must be parsed has to
-    // live on a short final line (r01/r02 shipped one giant line and the
-    // head — including "value" — fell outside the capture: parsed null).
+    // Full-precision detail lines FIRST; the driver's tail capture keeps
+    // only the LAST 2000 bytes of stdout (measured: BENCH_r03.tail is
+    // exactly 2000 chars), and sbt appends its own "[success] Total time"
+    // trailer after us. r01/r02 shipped one giant line; r03 shipped a
+    // ~3.5 KB 129-query headline — in all three the line's head (with
+    // "value") fell outside the capture: parsed null. The final line must
+    // therefore stay well under ~1.5 KB: headline totals plus a FIXED
+    // representative query subset; the full per-query map lives on the
+    // detail lines above (and in PERF.md).
     println(s"""{"detail":"concurrent","total":$total,"queries":${toJson(results)}}""")
     println(s"""{"detail":"sequential","total":$seqTotal,"queries":${toJson(seqResults)}}""")
-    // Compact headline LAST: 2-decimal per-query times keep it ~3.5 KB.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","seq_total":$seqTotal,"queries_seq":${toJson(seqResults, dp = 2)},"sf":"$sfDir"}""")
+    val headlineNames = Seq(
+      "a5_tpch_q1", "j5_join_multiway_agg", "sql1_cte_window", "w1_row_number_topk",
+      "s2_parquet_sink_scan", "ext_dedup_exact", "ext_dedup_minhash_lsh",
+      "ext_sim_topk_bruteforce", "ext_sim_topk_ivf", "ext_contamination",
+      "ext_pack_budget", "ext_chunk_text", "ext_text_lm_score",
+      "st1_stream_file_append", "st3_stream_stream_join", "st10_sessions_tws")
+    val seqMap = seqResults.toMap
+    val headline = headlineNames.flatMap(n => seqMap.get(n).map(n -> _))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","seq_total":$seqTotal,"n_queries":${catalog.size},"queries":${toJson(headline, dp = 2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
