@@ -347,6 +347,60 @@ object ExtQueries {
         k = 5, shortlistFactor = 4)
     },
 
+    // PQ: the codebook training (m small k-means fits) stays Spark-side,
+    // but BOTH scoring stages replay in DuckDB: the ADC shortlist is an
+    // exact integer sum of staged micro-unit LUT hits over staged codes
+    // (order-independent — the UnigramLm determinism trick applied to
+    // ANN), and the rerank uses the shared bit-stable f64 cosine. This is
+    // a stronger oracle than LSH/IVF (candidates-only): a wrong join key,
+    // a dropped subspace, or a rank tie-break bug all hash-mismatch.
+    QueryDef("ext_sim_topk_pq",
+      "ANN top-5 via product quantization (8 subspaces x 16 codes): integer-micro ADC shortlist (4k) + exact rerank (BOTH stages oracled over staged codes+LUT)",
+      s"""WITH cd AS (SELECT n_id, sub, code FROM read_parquet('$StageSql/pq_codes/*.parquet')),
+         |l AS (SELECT q_id, sub, code, lm FROM read_parquet('$StageSql/pq_lut/*.parquet')),
+         |a AS (SELECT l.q_id, cd.n_id, CAST(SUM(l.lm) AS BIGINT) AS adc
+         |      FROM cd JOIN l ON cd.sub = l.sub AND cd.code = l.code
+         |      WHERE cd.n_id <> l.q_id GROUP BY l.q_id, cd.n_id),
+         |s AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS sr FROM a) WHERE sr <= 20),
+         |re AS (SELECT s.q_id, s.n_id, $COS AS score
+         |       FROM s JOIN embeddings q ON q.vec_id = s.q_id
+         |              JOIN embeddings n ON n.vec_id = s.n_id)
+         |SELECT q_id, n_id, score, rank FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM re)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = graft.ext.PqIndex.trainCached(dir, emb, "embedding",
+        dim = 64, m = 8, nCodes = 16)
+      val stage = stageDir(dir)
+      model.encode(
+        emb.select(col("vec_id").alias("n_id"),
+          col("embedding").cast("array<double>").alias("vec")),
+        "vec", "codes")
+        .select(col("n_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .write.mode("overwrite").parquet(s"$stage/pq_codes")
+      model.lutMicro(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").alias("q_id"),
+          col("embedding").cast("array<double>").alias("vec")))
+        .write.mode("overwrite").parquet(s"$stage/pq_lut")
+      val cd = s.read.parquet(s"$stage/pq_codes")
+      val lut = s.read.parquet(s"$stage/pq_lut")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        .orderBy(col("adc").desc, col("n_id").asc)
+      val shortlist = cd.join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id").agg(sum("lm").alias("adc"))
+        .withColumn("_sr", row_number().over(w)).filter(col("_sr") <= 20)
+        .select("q_id", "n_id")
+      val vecs = emb.select(col("vec_id").alias("id"),
+        col("embedding").alias("vec"))
+      Similarity.topKFromCandidates(shortlist,
+        vecs.filter(col("id") < 10), vecs, k = 5)
+    },
+
     // ---- text analysis ---------------------------------------------------
     QueryDef("ext_text_token_count",
       "token counting: whitespace + BPE-ish (letter/digit runs + punct marks)",
