@@ -498,6 +498,58 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink")
     },
 
+    // Streaming LM-scored ingest — the perplexity-filter step of a
+    // training-data pipeline run AT INGEST instead of as a batch pass.
+    // The vocabulary is trained once (batch, on the reference slice) and
+    // staged; each micro-batch scores its documents with the broadcast
+    // vocab join + per-doc exact integer sum. The per-doc aggregation
+    // only combines tokens OF ONE ROW, so it is batch-local by
+    // construction — foreachBatch appends are deterministic no matter
+    // how the file source slices micro-batches. (A streaming groupBy
+    // would need a watermark for append mode; scoring doesn't, because
+    // no state crosses batch boundaries.) At 100 TB the vocab is
+    // count-thresholded (a few million (token, long) rows — broadcast
+    // range); the corpus side never shuffles.
+    QueryDef("st17_stream_lm_ingest",
+      "streaming LM-scored ingest: micro-nat unigram scoring per micro-batch (broadcast vocab join in foreachBatch; doc-local agg is batch-boundary-proof)",
+      ("""WITH tok AS (SELECT doc_id, u.t AS token
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk FROM documents),
+         |  UNNEST(tk) AS u(t)),
+         |""" +
+       s"""v AS (SELECT token, lp_micro FROM read_parquet('${QueryDef.StageSql}/st17_vocab/*.parquet')),
+         |o AS (SELECT lp_micro AS oov FROM read_parquet('${QueryDef.StageSql}/st17_oov/*.parquet')),
+         |""" +
+       """s AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(COALESCE(v.lp_micro, o.oov)) AS BIGINT) AS lp_sum
+         |  FROM tok LEFT JOIN v USING (token) CROSS JOIN o GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, lp_sum,
+         |  CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6) AS avg_lp FROM s
+         |WHERE CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6) >= -3.45""").stripMargin) { (s, dir) =>
+      import graft.ext.UnigramLm
+      val docs = graft.Tables.load(s, dir, "documents")
+      val counts = UnigramLm.unigramCounts(docs.filter(col("doc_id") < 250), "text")
+      val total = UnigramLm.totalTokens(counts)
+      val oov = UnigramLm.oovMicro(total)
+      val stage = QueryDef.stageDir(dir)
+      UnigramLm.vocab(counts, total, minCount = 2)
+        .write.mode("overwrite").parquet(s"$stage/st17_vocab")
+      s.createDataFrame(Seq(Tuple1(oov))).toDF("lp_micro").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/st17_oov")
+      val vocabDf = s.read.parquet(s"$stage/st17_vocab")
+      val out = tmp("graft_st17")
+      docsStream(s, stageDocsDir(dir))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          UnigramLm.score(batch, "doc_id", "text", vocabDf, oov)
+            .filter(col("avg_lp") >= -3.45)
+            .write.mode("append").parquet(s"$out/sink")
+        }
+        .option("checkpointLocation", s"$out/_cp")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
     QueryDef("st6_sessionize_typed",
       "typed KeyValueGroupedDataset sessionization (30-min gap rule)",
       """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
