@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures sbt stdout and parses the LAST line as the
+// bench headline JSON. Two sbt behaviors break that: forked-run output
+// is re-logged with an "[info] " prefix, and sbt appends its own
+// "[success] Total time: ..." trailer after our final line (BENCH_r01–r04
+// all ended with it → parsed:null every round). Route forked output raw
+// to stdout and drop the success trailer so the headline is the literal
+// last line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
