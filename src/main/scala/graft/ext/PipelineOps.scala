@@ -265,6 +265,39 @@ object PipelineOps {
           .alias("contamination"))
   }
 
+  /** Cross-document duplicated n-token spans — the corpus-internal
+    * counterpart of [[contamination]] (which screens against an external
+    * benchmark): for every document, how many of its distinct n-token
+    * spans also appear in at least one OTHER document. High dup_ratio
+    * flags boilerplate/templated text that exact- and MinHash-dedup both
+    * miss (the documents differ globally but share long verbatim runs) —
+    * the span-level signal behind suffix-array substring dedup, at n-gram
+    * granularity so it stays a pair of hash-partitioned aggregates.
+    *
+    * Shape: (doc, span) distinct pairs shuffle once on the span to count
+    * carriers; spans with ≥2 carriers join back (shuffle reuse on the
+    * span key — no new exchange) and a per-doc count closes it. Nothing
+    * driver-side, no all-pairs anything. At corpus scale spans travel as
+    * xxhash64 (8-byte keys, same plan); strings here keep the DuckDB
+    * oracle able to recompute them. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val spans = docs.select(col(idCol),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).alias("_sp"))
+    val dup = spans.groupBy("_sp")
+      .agg(count(lit(1)).alias("_carriers"))
+      .filter(col("_carriers") > 1)
+      .select("_sp")
+    val perDoc = spans.join(dup, Seq("_sp"))
+      .groupBy(idCol).agg(count(lit(1)).alias("n_dup"))
+    val totals = docs.select(col(idCol),
+      size(array_distinct(Dedup.shingles(col(textCol), n))).alias("n_spans"))
+    perDoc.join(totals, Seq(idCol))
+      .select(col(idCol), col("n_dup"), col("n_spans"),
+        (col("n_dup").cast(DoubleType) / col("n_spans").cast(DoubleType))
+          .alias("dup_ratio"))
+  }
+
   /** Per-doc distinct shingle HASHES: the corpus-scale contamination input.
     * One xxhash64 per token + the native rolling n-gram combiner
     * ([[Dedup.shingleHashes]]) — no shingle strings are ever allocated,

@@ -34,6 +34,26 @@ object TfIdf {
         round(log(lit(nDocs.toDouble) / col("df")) * 1e6).cast("long")
           .alias("idf_micro"))
 
+  /** (token, df) document frequencies — the persistable half of [[idf]],
+    * split out so an index can be refreshed incrementally. */
+  def docFreq(tokenizedDf: DataFrame): DataFrame =
+    tokenizedDf.select("doc", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).alias("df"))
+
+  /** Incremental IDF refresh: merge persisted per-batch `(token, df)`
+    * tables (disjoint doc sets) and re-derive micro-nat IDF for the grown
+    * corpus of `nDocs` documents — the base corpus text is NEVER
+    * rescanned, only its |vocab|-row df table is. union → one grouped sum
+    * per token (partial aggregation both engines); the finishing
+    * `round(ln(N/df)·1e6)` is a single IEEE expression from exact integer
+    * inputs, so the refreshed table stays bit-stable. */
+  def mergeIdf(dfTables: Seq[DataFrame], nDocs: Long): DataFrame =
+    dfTables.reduce(_.unionByName(_))
+      .groupBy("token").agg(sum(col("df")).alias("df"))
+      .select(col("token"), col("df"),
+        round(log(lit(nDocs.toDouble) / col("df")) * 1e6).cast("long")
+          .alias("idf_micro"))
+
   /** (doc, token, tf) in-document term frequencies. */
   def termFreq(tokenizedDf: DataFrame): DataFrame =
     tokenizedDf.groupBy("doc", "token").agg(count(lit(1)).alias("tf"))

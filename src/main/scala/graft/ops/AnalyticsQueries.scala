@@ -58,6 +58,57 @@ object AnalyticsQueries {
         .sum("l_quantity")
     },
 
+    // Correlation / variance / stddev via exact integer moment sums. The
+    // built-in corr()/stddev() accumulate doubles in partition order —
+    // not bit-stable across engines (or even across Spark runs). Both
+    // columns are integral, so the five moment sums are exact BIGINTs
+    // under partial aggregation (map-side combine on both engines), and
+    // the finishing arithmetic is ONE identical IEEE-754 expression
+    // evaluated from exact inputs — bit-identical by construction. Bounds:
+    // x≤7, y≤50 keep n·Σy² < 2^63 well past sf1.
+    QueryDef("a14_stats_moments",
+      "corr/var_pop/stddev_pop per group from exact integer moment sums (order-independent, bit-stable finish)",
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sx,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+        |  CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sxx,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syy,
+        |  CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS corr_xy,
+        |  CAST(n*syy - sy*sy AS DOUBLE) / CAST(n*n AS DOUBLE) AS var_pop_y,
+        |  sqrt(CAST(n*syy - sy*sy AS DOUBLE)) / n AS stddev_pop_y
+        |FROM m""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).alias("n"),
+          sum(col("l_linenumber").cast("long")).alias("sx"),
+          sum(col("l_quantity").cast("long")).alias("sy"),
+          sum(col("l_linenumber").cast("long") * col("l_linenumber").cast("long")).alias("sxx"),
+          sum(col("l_quantity").cast("long") * col("l_quantity").cast("long")).alias("syy"),
+          sum(col("l_linenumber").cast("long") * col("l_quantity").cast("long")).alias("sxy"))
+        .selectExpr("l_returnflag",
+          "CAST(n*sxy - sx*sy AS DOUBLE) / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS corr_xy",
+          "CAST(n*syy - sy*sy AS DOUBLE) / CAST(n*n AS DOUBLE) AS var_pop_y",
+          "sqrt(CAST(n*syy - sy*sy AS DOUBLE)) / n AS stddev_pop_y")
+    },
+
+    // max_by/min_by (DuckDB arg_max/arg_min): the "representative row per
+    // group" aggregate. Ordered by the UNIQUE key column — argmax over a
+    // column with ties is nondeterministic on both engines.
+    QueryDef("a15_min_max_by",
+      "max_by/min_by per group over a unique ordering key (arg_max/arg_min)",
+      """SELECT c_mktsegment, arg_max(c_name, c_custkey) AS last_name,
+        |  arg_min(c_name, c_custkey) AS first_name, MAX(c_custkey) AS max_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(max_by(col("c_name"), col("c_custkey")).alias("last_name"),
+          min_by(col("c_name"), col("c_custkey")).alias("first_name"),
+          max(col("c_custkey")).alias("max_key"))
+    },
+
     QueryDef.noOracle("a12_hll_sketch",
       "mergeable HLL sketches (datasketches): distinct users per event type — the shuffle-friendly distinct-count at fleet scale") { (s, dir) =>
       Tables.load(s, dir, "events")
@@ -130,6 +181,19 @@ object AnalyticsQueries {
       val tmp = Files.createTempDirectory("graft_orc").toString
       Tables.load(s, dir, "region").write.mode("overwrite").orc(s"$tmp/o")
       s.read.orc(s"$tmp/o")
+    },
+
+    // Text source/sink: the line-oriented format raw corpus drops arrive
+    // in before any schema exists. Round-trips a single-column projection
+    // (spark.read.text yields one `value` column) and aggregates it —
+    // identical to aggregating the original, which is the oracle.
+    QueryDef("src_text_roundtrip",
+      "text source: write lines → read back → group count (line-oriented raw-corpus format)",
+      "SELECT lang AS value, COUNT(*) AS cnt FROM documents GROUP BY lang") { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_text").toString
+      Tables.load(s, dir, "documents").select("lang")
+        .write.mode("overwrite").text(s"$tmp/t")
+      s.read.text(s"$tmp/t").groupBy("value").agg(count(lit(1)).alias("cnt"))
     },
 
     QueryDef("s8_lake_copy",

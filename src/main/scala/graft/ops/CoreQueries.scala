@@ -203,6 +203,77 @@ object CoreQueries {
         .agg(count(lit(1)).alias("late_lines"))
     },
 
+    QueryDef("j7_join_full_outer",
+      "full outer join of two sparse per-nation aggregates (COALESCE'd keys; the reconciliation-join shape)",
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_rich FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_poor FROM supplier WHERE s_acctbal < -800 GROUP BY s_nationkey)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_rich, s.n_poor
+        |FROM c FULL JOIN s ON c.nk = s.nk""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").alias("c_nk"))
+        .agg(count(lit(1)).alias("n_rich"))
+      val su = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") < -800)
+        .groupBy(col("s_nationkey").alias("s_nk"))
+        .agg(count(lit(1)).alias("n_poor"))
+      c.join(su, col("c_nk") === col("s_nk"), "full_outer")
+        .select(coalesce(col("c_nk"), col("s_nk")).alias("nationkey"),
+          col("n_rich"), col("n_poor"))
+    },
+
+    // Null-safe equality (<=> / IS NOT DISTINCT FROM): the join form every
+    // dimension-conforming pipeline needs when the key column is nullable —
+    // a plain equi-join silently drops NULL-keyed rows. NULLIF derives a
+    // genuinely NULL key from the data so both engines exercise the
+    // NULL<=>NULL match.
+    QueryDef("j8_join_null_safe",
+      "null-safe equi-join (<=>): NULL keys match NULL dimension rows instead of being dropped",
+      """WITH d AS (SELECT doc_id, NULLIF(lang, 'en') AS lk FROM documents),
+        |dim AS (SELECT DISTINCT NULLIF(lang, 'en') AS lk,
+        |        COALESCE(NULLIF(lang, 'en'), 'DEFAULT') AS label FROM documents)
+        |SELECT d.doc_id, dim.label FROM d JOIN dim ON d.lk IS NOT DISTINCT FROM dim.lk""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val d = docs.select(col("doc_id"), nullif(col("lang"), lit("en")).alias("lk"))
+      val dim = docs.select(nullif(col("lang"), lit("en")).alias("dlk"),
+          coalesce(nullif(col("lang"), lit("en")), lit("DEFAULT")).alias("label"))
+        .distinct()
+      d.join(dim, col("lk") <=> col("dlk")).select("doc_id", "label")
+    },
+
+    // ---- SQL subquery surface -------------------------------------------
+    QueryDef("sql2_exists_subquery",
+      "correlated EXISTS / NOT EXISTS / IN subqueries (Catalyst rewrites to semi/anti joins — verified in PlanSpec)",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+              |  AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+              |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)""".stripMargin)
+    },
+
+    // Scalar subqueries: uncorrelated (one broadcast value) and correlated
+    // (rewritten to an outer-join aggregate). MAX/COUNT only — exact
+    // selections, no order-dependent float accumulation.
+    QueryDef("sql3_scalar_subquery",
+      "scalar subqueries: uncorrelated MAX threshold + correlated per-row COUNT",
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+        |FROM orders o
+        |WHERE o_totalprice >= (SELECT MAX(o_totalprice) FROM orders) * 0.9""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT o_orderkey, o_totalprice,
+              |  (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+              |FROM orders o
+              |WHERE o_totalprice >= (SELECT MAX(o_totalprice) FROM orders) * 0.9""".stripMargin)
+    },
+
     // ---- A: aggregations -------------------------------------------------
     QueryDef("a1_global_mean",
       "global scalar aggregate (mean, ref R:102); decimal-exact sum / count for bit-stable result",

@@ -69,6 +69,50 @@ object FunctionQueries {
           lit(graft.ext.TextAnalysis.EMAIL_PATTERN), lit(0))).alias("email"))
     },
 
+    // Array function family over tokenized text: sort/distinct/contains/
+    // slice — all codegen'd builtins, no UDFs. Arrays are projected
+    // through array_join/size (verifier can't sort raw arrays); DuckDB
+    // list slicing is 1-based inclusive where Spark's slice(arr, 1, 3)
+    // takes 3 from position 1 — same elements.
+    QueryDef("f21_array_funcs",
+      "array functions: sort_array, array_distinct, array_contains, slice, size",
+      """SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        |  list_contains(tk, 'spark') AS has_spark,
+        |  array_to_string(list_sort(list_distinct(tk))[1:3], ' ') AS first3
+        |FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk FROM documents)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.tokens(lower(col("text"))).alias("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").alias("n_tokens"),
+          size(array_distinct(col("tk"))).cast("long").alias("n_distinct"),
+          array_contains(col("tk"), "spark").alias("has_spark"),
+          array_join(slice(sort_array(array_distinct(col("tk"))), 1, 3), " ")
+            .alias("first3"))
+    },
+
+    // Higher-order functions (transform/filter/aggregate/exists): the
+    // lambda-expression surface that keeps per-element logic inside
+    // codegen instead of a UDF. Integer accumulators only — exact on both
+    // engines regardless of fold order.
+    QueryDef("f22_higher_order",
+      "higher-order array lambdas: transform+aggregate (char sum), filter (len>4 count), exists (len>8)",
+      """SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(tk, x -> len(x))), 0) AS BIGINT) AS total_chars,
+        |  CAST(len(list_filter(tk, x -> len(x) > 4)) AS BIGINT) AS n_long,
+        |  len(list_filter(tk, x -> len(x) > 8)) > 0 AS any_very_long
+        |FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk FROM documents)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.tokens(lower(col("text"))).alias("tk"))
+        .selectExpr("doc_id",
+          "CAST(aggregate(tk, 0, (a, x) -> a + length(x)) AS BIGINT) AS total_chars",
+          "CAST(size(filter(tk, x -> length(x) > 4)) AS BIGINT) AS n_long",
+          "exists(tk, x -> length(x) > 8) AS any_very_long")
+    },
+
     QueryDef("f5_split_index",
       "split + element index (ref R:42-43 helpfulness x/y)",
       "SELECT event_id, string_split(props, ':')[2] AS after_colon FROM events") { (s, dir) =>

@@ -384,6 +384,90 @@ object PipelineQueries {
       PipelineOps.contaminationFromHashes(
         s.read.parquet(s"$stage/contam_corpus"),
         s.read.parquet(s"$stage/contam_bench"), "doc_id")
+    },
+
+    QueryDef("ext_dedup_ngram_span",
+      "cross-document duplicated 5-token spans: per-doc count + ratio of spans shared with any other doc (boilerplate detector)",
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        |       ELSE list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')) END AS shl FROM tok),
+        |sp AS (SELECT doc_id, u.s FROM sh, UNNEST(list_distinct(shl)) AS u(s)),
+        |d AS (SELECT s FROM sp GROUP BY s HAVING COUNT(*) > 1),
+        |pd AS (SELECT sp.doc_id, COUNT(*) AS n_dup FROM sp JOIN d ON sp.s = d.s GROUP BY sp.doc_id),
+        |tot AS (SELECT doc_id, len(list_distinct(shl)) AS n_spans FROM sh)
+        |SELECT t.doc_id, p.n_dup, t.n_spans,
+        |  CAST(p.n_dup AS DOUBLE) / CAST(t.n_spans AS DOUBLE) AS dup_ratio
+        |FROM pd p JOIN tot t ON p.doc_id = t.doc_id""".stripMargin) { (s, dir) =>
+      PipelineOps.duplicatedSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 5)
+    },
+
+    // Incremental IDF refresh: the base corpus contributes only its
+    // persisted (token, df) table — its text is never rescanned. The
+    // oracle reads the SAME staged base table but recomputes the batch
+    // side from raw text, so the check covers both the merge arithmetic
+    // and the batch tokenization.
+    QueryDef("ext_tfidf_incremental",
+      "incremental IDF refresh: persisted base df-table + fresh batch → merged df + micro-nat IDF without rescanning the base corpus",
+      ("""WITH tok AS (SELECT doc_id, u.t AS token
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk FROM documents WHERE doc_id >= 300),
+         |  UNNEST(tk) AS u(t)),
+         |bdf AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+         |""" +
+       s"""base AS (SELECT token, df FROM read_parquet('${QueryDef.StageSql}/inc_idf_base/*.parquet')),
+         |nd AS (SELECT n_docs FROM read_parquet('${QueryDef.StageSql}/inc_idf_ndocs/*.parquet')),
+         |""" +
+       """m AS (SELECT token, CAST(SUM(df) AS BIGINT) AS df
+         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM bdf) GROUP BY token)
+         |SELECT token, df,
+         |  CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT) AS idf_micro
+         |FROM m CROSS JOIN nd""").stripMargin) { (s, dir) =>
+      import graft.ext.TfIdf
+      val docs = Tables.load(s, dir, "documents")
+      val base = docs.filter(col("doc_id") < 300)
+      val batch = docs.filter(col("doc_id") >= 300)
+      val stage = QueryDef.stageDir(dir)
+      TfIdf.docFreq(TfIdf.tokenized(base, "doc_id", "text"))
+        .write.mode("overwrite").parquet(s"$stage/inc_idf_base")
+      val nDocs = base.count() + batch.count()
+      s.createDataFrame(Seq(Tuple1(nDocs))).toDF("n_docs").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/inc_idf_ndocs")
+      TfIdf.mergeIdf(Seq(
+        s.read.parquet(s"$stage/inc_idf_base"),
+        TfIdf.docFreq(TfIdf.tokenized(batch, "doc_id", "text"))), nDocs)
+    },
+
+    // Keyed MERGE ("upsert") on a plain parquet lake — the Delta-style
+    // write path (reference M:127-132) without Delta jars: latest version
+    // per key wins, incoming batch beats existing on ties, committed via
+    // the SafeSwap two-rename protocol. Both input frames are staged so
+    // the oracle replays the identical merge window.
+    QueryDef("ext_upsert_merge",
+      "MERGE into a parquet table: per-key latest-version-wins upsert (updates + brand-new keys), SafeSwap-committed",
+      s"""WITH b AS (SELECT *, 0 AS _src FROM read_parquet('${QueryDef.StageSql}/upsert_base/*.parquet')),
+         |u AS (SELECT *, 1 AS _src FROM read_parquet('${QueryDef.StageSql}/upsert_updates/*.parquet')),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC, _src DESC) AS rn
+         |      FROM (SELECT * FROM b UNION ALL SELECT * FROM u))
+         |SELECT c_custkey, c_name, c_acctbal, version FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val base = cust.withColumn("version", lit(1L))
+      val updates = cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("version", lit(2L))
+        .unionByName(cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .withColumn("version", lit(1L)))
+      val stage = QueryDef.stageDir(dir)
+      base.write.mode("overwrite").parquet(s"$stage/upsert_base")
+      updates.write.mode("overwrite").parquet(s"$stage/upsert_updates")
+      val target = java.nio.file.Files
+        .createTempDirectory("graft_upsert").toString + "/t"
+      s.read.parquet(s"$stage/upsert_base")
+        .write.mode("overwrite").parquet(target)
+      Upsert.mergeIntoParquet(s, target,
+        s.read.parquet(s"$stage/upsert_updates"), Seq("c_custkey"), "version")
+      s.read.parquet(target)
     }
   )
 }

@@ -366,6 +366,62 @@ object StreamingQueries {
     // is a function of the dedup key (text), so which physical duplicate
     // row wins is immaterial and the append sink is deterministic —
     // that's what makes a streaming dedup oracle-able at all.
+    // Decontamination AT INGEST: the benchmark shingle set is computed
+    // once (batch, staged, broadcast) and every arriving micro-batch is
+    // screened before it ever lands — the production place for the
+    // contamination check, since a post-hoc batch pass over an already-
+    // published corpus is a compliance incident, not a filter. Per-doc
+    // ratios are doc-local (documents arrive as whole rows), so
+    // micro-batch slicing cannot change the output and the append sink is
+    // fully oracle-able.
+    QueryDef("st18_stream_contamination",
+      "streaming decontamination at ingest: drop docs sharing >=50% of 3-gram shingles with the benchmark (broadcast staged bench set per micro-batch)",
+      ("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t FROM documents WHERE doc_id >= 20),
+         |sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |       ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END AS shl FROM tok),
+         |c AS (SELECT doc_id, u.s FROM sh, UNNEST(list_distinct(shl)) AS u(s)),
+         |""" +
+       s"""b AS (SELECT s FROM read_parquet('${QueryDef.StageSql}/st18_bench/*.parquet')),
+         |""" +
+       """shr AS (SELECT c.doc_id, COUNT(*) AS n_shared FROM c JOIN b ON c.s = b.s GROUP BY c.doc_id),
+         |tot AS (SELECT doc_id, len(list_distinct(shl)) AS n_total FROM sh)
+         |SELECT t.doc_id, CAST(COALESCE(r.n_shared, 0) AS BIGINT) AS n_shared, t.n_total
+         |FROM tot t LEFT JOIN shr r ON t.doc_id = r.doc_id
+         |WHERE CAST(COALESCE(r.n_shared, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE) < 0.5""").stripMargin) { (s, dir) =>
+      import graft.ext.Dedup
+      val stage = QueryDef.stageDir(dir)
+      graft.Tables.load(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(explode(array_distinct(
+          Dedup.shingles(col("text"), 3))).alias("s"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$stage/st18_bench")
+      val bench = s.read.parquet(s"$stage/st18_bench")
+      val out = tmp("graft_st18")
+      docsStream(s, stageDocsDir(dir))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val corpus = batch.filter(col("doc_id") >= 20)
+          val spans = corpus.select(col("doc_id"),
+            explode(array_distinct(
+              Dedup.shingles(col("text"), 3))).alias("s"))
+          val shared = spans.join(broadcast(bench), Seq("s"))
+            .groupBy("doc_id").agg(count(lit(1)).alias("n_shared"))
+          corpus.select(col("doc_id"), size(array_distinct(
+              Dedup.shingles(col("text"), 3))).alias("n_total"))
+            .join(shared, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n_shared"), lit(0L)).alias("n_shared"),
+              col("n_total"))
+            .filter(col("n_shared").cast("double") /
+              col("n_total").cast("double") < 0.5)
+            .write.mode("append").parquet(s"$out/sink")
+        }
+        .option("checkpointLocation", s"$out/_cp")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
     QueryDef("st14_stream_ingest_clean",
       "streaming corpus ingest: quality gate + content-hash dedup in one pass (document bronze→silver)",
       """WITH t AS (SELECT text,
