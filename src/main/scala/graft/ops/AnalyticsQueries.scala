@@ -196,6 +196,21 @@ object AnalyticsQueries {
       s.read.text(s"$tmp/t").groupBy("value").agg(count(lit(1)).alias("cnt"))
     },
 
+    // Hive-style partitioned layout: write partitioned by a column, read
+    // back, filter on the partition key. The filter never touches row
+    // data — it prunes whole directories at planning time (the same
+    // mechanism that makes date-partitioned 100 TB tables scan one day,
+    // asserted plan-level in PartitionPruneSpec for the gold table).
+    QueryDef("src_partitioned_prune",
+      "partitionBy write → partition-pruned scan (directory-level pruning on the partition key)",
+      "SELECT doc_id, source, lang FROM documents WHERE lang = 'de'") { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_part").toString
+      Tables.load(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/p")
+      s.read.parquet(s"$tmp/p").filter(col("lang") === "de")
+        .select("doc_id", "source", "lang")
+    },
+
     QueryDef("s8_lake_copy",
       "batch table copy: read → overwrite parquet → read back (ref M:194-207)",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>

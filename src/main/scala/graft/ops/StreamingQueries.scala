@@ -366,6 +366,30 @@ object StreamingQueries {
     // is a function of the dedup key (text), so which physical duplicate
     // row wins is immaterial and the append sink is deterministic —
     // that's what makes a streaming dedup oracle-able at all.
+    // Streaming MERGE: each micro-batch upserts into a parquet table via
+    // the SafeSwap-committed keyed merge — the Delta `MERGE INTO` write
+    // path of a CDC/latest-state stream, on a plain file lake. The
+    // per-user µs timestamp is the version, so "max version per key"
+    // commutes across any micro-batch slicing and the final table equals
+    // the batch window answer regardless of trigger boundaries
+    // ((user_id, µs-ts) is unique in the corpus; ties cannot arise).
+    QueryDef("st19_stream_upsert",
+      "streaming keyed upsert: latest event per user merged into a parquet table per micro-batch (CDC latest-state shape)",
+      """WITH v AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ver FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ver DESC) AS rn FROM v)
+        |SELECT user_id, event_id, event_type, value, ver FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val target = tmp("graft_st19") + "/t"
+      eventsStream(s, stageEventsDir(dir))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).alias("ver"))
+        .writeStream
+        .foreachBatch(Upsert.sink(target, Seq("user_id"), "ver") _)
+        .option("checkpointLocation", tmp("graft_st19_cp"))
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(target)
+    },
+
     // Decontamination AT INGEST: the benchmark shingle set is computed
     // once (batch, staged, broadcast) and every arriving micro-batch is
     // screened before it ever lands — the production place for the

@@ -100,6 +100,46 @@ object WindowQueries {
             .cast(DoubleType).alias("range_sum"))
     },
 
+    // Distribution functions: pure rank arithmetic — (rank-1)/(n-1) and
+    // rank/n computed from integers in one IEEE division, so the doubles
+    // are bit-identical across engines (unlike accumulated float aggs).
+    QueryDef("w8_percent_rank_cume",
+      "percent_rank / cume_dist over a deterministic per-group order",
+      """SELECT c_custkey, c_mktsegment,
+        |  percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS pr,
+        |  cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS cd
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          percent_rank().over(w).alias("pr"),
+          cume_dist().over(w).alias("cd"))
+    },
+
+    // Value functions with an EXPLICIT full frame: last_value/nth_value
+    // under the default frame (RANGE …CURRENT ROW) return the current
+    // row's value — the classic silent-wrong-answer; both engines get the
+    // full frame spelled out.
+    QueryDef("w9_value_functions",
+      "first_value / last_value / nth_value over an explicit full frame",
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER w AS best_order,
+        |  last_value(o_orderkey) OVER w AS worst_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          first_value(col("o_orderkey")).over(w).alias("best_order"),
+          last_value(col("o_orderkey")).over(w).alias("worst_order"),
+          nth_value(col("o_orderkey"), 2).over(w).alias("second_order"))
+    },
+
     QueryDef("w6_ntile",
       "ntile bucketing over a global order",
       "SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile FROM customer") { (s, dir) =>
