@@ -109,6 +109,26 @@ object AnalyticsQueries {
           max(col("c_custkey")).alias("max_key"))
     },
 
+    // Boolean and bitwise aggregates: all exact and order-independent
+    // (AND/OR/XOR are commutative+associative), so they partial-aggregate
+    // freely and hash-match across engines with no casting tricks.
+    QueryDef("a16_bool_bit_agg",
+      "bool_and/bool_or and bit_and/bit_or/bit_xor grouped aggregates",
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  bit_and(o_orderkey) AS key_and, bit_or(o_orderkey) AS key_or,
+        |  bit_xor(o_orderkey) AS key_xor
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("bool_and(o_totalprice > 1000)").alias("all_over_1k"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").alias("any_urgent"),
+          expr("bit_and(o_orderkey)").alias("key_and"),
+          expr("bit_or(o_orderkey)").alias("key_or"),
+          expr("bit_xor(o_orderkey)").alias("key_xor"))
+    },
+
     QueryDef.noOracle("a12_hll_sketch",
       "mergeable HLL sketches (datasketches): distinct users per event type — the shuffle-friendly distinct-count at fleet scale") { (s, dir) =>
       Tables.load(s, dir, "events")

@@ -394,6 +394,22 @@ object CoreQueries {
       val li = Tables.load(s, dir, "lineitem")
       li.select("l_orderkey")
         .exceptAll(li.filter(col("l_linenumber") <= 2).select("l_orderkey"))
+    },
+
+    // unionByName: schema-aligned union for frames whose column ORDER
+    // differs — positional UNION would silently pair k with v here.
+    QueryDef("set6_union_by_name",
+      "unionByName across different column orders (UNION ALL BY NAME)",
+      """SELECT c_custkey AS k, c_acctbal AS v FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL BY NAME
+        |SELECT o_totalprice AS v, o_custkey AS k FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").alias("k"), col("c_acctbal").alias("v"))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_totalprice").alias("v"), col("o_custkey").alias("k"))
+      c.unionByName(o)
     }
   )
 }
