@@ -76,6 +76,10 @@ object Bench {
       }.mkString("{", ",", "}")
     // Sequential pass (always): one query at a time — attributable
     // per-query data-path times for round-over-round regression tracking.
+    // Discard one warmup run first: the alphabetically-first query
+    // otherwise absorbs the concurrent pass's GC/JIT/page-cache debris
+    // (a5_tpch_q1 measured 1.14 s vs 6.33 s on identical code, r5 vs r6).
+    catalog.headOption.foreach { case (name, fn) => runOne(name, fn) }
     val seqT0 = System.nanoTime()
     val seqResults = catalog.map { case (name, fn) => name -> runOne(name, fn) }
     val seqTotal = (System.nanoTime() - seqT0) / 1e9

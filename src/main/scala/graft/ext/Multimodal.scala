@@ -29,9 +29,26 @@ object Multimodal {
   /** Fixed-size feature vector per media item. */
   case class MediaFeatures(media_id: Long, features: Array[Float])
 
+  /** The pluggable codec boundary: a real decoder (JNI/ffmpeg/PIL-server
+    * client) implements these two calls and slots into [[decodeAll]] /
+    * [[extractFeatures]] without touching the plan shape — the Spark side
+    * (schema, encoders, partition-wise batching) is codec-agnostic.
+    * [[init]] runs once per partition before any row is decoded: the place
+    * for expensive context setup (native lib load, model weights, socket).
+    * Implementations must be Serializable (shipped to executors) and
+    * deterministic per payload if their output feeds an oracled query. */
+  trait MediaCodec extends Serializable {
+    /** Once-per-partition setup hook; default no-op. */
+    def init(): Unit = ()
+    /** payload → (width, height, n_frames). */
+    def decode(payload: Array[Byte]): (Int, Int, Int)
+    /** payload → fixed-size feature vector. */
+    def features(payload: Array[Byte], dim: Int): Array[Float]
+  }
+
   /** Deterministic fake codec — replace with a real decoder at deploy time.
     * Reads only payload bytes, so behavior is stable across runs/executors. */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length
       (256 + n % 1024, 256 + (n / 7) % 1024, 1 + n % 30)
@@ -69,14 +86,16 @@ object Multimodal {
       col(sourceCol).alias("source"),
       octet_length(encode(col(payloadCol), "UTF-8")).cast("long").alias("n_bytes"))
 
-  /** Decode pass: mapPartitions so a real codec initializes once per
-    * partition (the expensive step at 100 TB), then streams rows. */
-  def decodeAll(media: Dataset[MediaItem])(implicit spark: SparkSession): Dataset[DecodedMedia] = {
+  /** Decode pass: mapPartitions so the codec initializes once per
+    * partition (the expensive step at 100 TB), then streams rows. The
+    * codec is resolved per partition via [[MediaCodec.init]]. */
+  def decodeAll(media: Dataset[MediaItem], codec: MediaCodec = StubCodec)(
+      implicit spark: SparkSession): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // codec init would go here (once per partition, not per row)
+      codec.init() // once per partition, not per row
       it.map { m =>
-        val (w, h, f) = StubCodec.decode(m.payload)
+        val (w, h, f) = codec.decode(m.payload)
         DecodedMedia(m.media_id, m.kind, w, h,
           n_frames = if (m.kind == "image") 1 else f, ok = true)
       }
@@ -85,12 +104,14 @@ object Multimodal {
 
   /** Feature extraction with bounded batch shape (`batch` rows per codec
     * call — mirrors an inference server's max batch size). */
-  def extractFeatures(media: Dataset[MediaItem], dim: Int = 16, batch: Int = 64)(
+  def extractFeatures(media: Dataset[MediaItem], dim: Int = 16, batch: Int = 64,
+      codec: MediaCodec = StubCodec)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
+      codec.init()
       it.grouped(batch).flatMap { chunk =>
-        chunk.map(m => MediaFeatures(m.media_id, StubCodec.features(m.payload, dim)))
+        chunk.map(m => MediaFeatures(m.media_id, codec.features(m.payload, dim)))
       }
     }
   }

@@ -84,7 +84,7 @@ object PqIndex {
     * |Q|·m·nCodes rows — build once per batch, broadcast into scoring. */
   def lutMicro(queries: DataFrame, codebook: DataFrame,
       subDim: Int): DataFrame =
-    queries.crossJoin(codebook)
+    queries.crossJoin(broadcast(codebook))
       .select(col("q_id"), col("sub"), col("code"),
         round(dot(slice(col("vec"), col("sub") * subDim + 1, lit(subDim)),
           col("center")) * 1e6).cast("long").alias("lm"))

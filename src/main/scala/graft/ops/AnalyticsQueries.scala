@@ -61,13 +61,17 @@ object AnalyticsQueries {
     // Correlation / variance / stddev via exact integer moment sums. The
     // built-in corr()/stddev() accumulate doubles in partition order —
     // not bit-stable across engines (or even across Spark runs). Both
-    // columns are integral, so the five moment sums are exact BIGINTs
-    // under partial aggregation (map-side combine on both engines), and
-    // the finishing arithmetic is ONE identical IEEE-754 expression
-    // evaluated from exact inputs — bit-identical by construction. Bounds:
-    // x≤7, y≤50 keep n·Σy² < 2^63 well past sf1.
+    // columns are integral, so the moment sums are exact under partial
+    // aggregation (map-side combine on both engines), and the finishing
+    // arithmetic is ONE identical IEEE-754 expression evaluated from exact
+    // inputs — bit-identical by construction. The Spark side accumulates
+    // DECIMAL(38,0), not BIGINT: the finishing products (n·Σy²) pass 2^63
+    // around sf10–100 (6e11 rows × Σy²≈1.5e15 ≈ 9e26 — 27 digits, well
+    // inside 38), where BIGINT under ANSI-off would wrap silently. DuckDB's
+    // integer SUM is already exact 128-bit HUGEINT, so both engines stay
+    // exact and the final double cast matches bit-for-bit.
     QueryDef("a14_stats_moments",
-      "corr/var_pop/stddev_pop per group from exact integer moment sums (order-independent, bit-stable finish)",
+      "corr/var_pop/stddev_pop per group from exact DECIMAL(38,0) moment sums (order-independent, bit-stable finish, overflow-safe past sf100)",
       """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sx,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
@@ -82,12 +86,12 @@ object AnalyticsQueries {
         |FROM m""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).alias("n"),
-          sum(col("l_linenumber").cast("long")).alias("sx"),
-          sum(col("l_quantity").cast("long")).alias("sy"),
-          sum(col("l_linenumber").cast("long") * col("l_linenumber").cast("long")).alias("sxx"),
-          sum(col("l_quantity").cast("long") * col("l_quantity").cast("long")).alias("syy"),
-          sum(col("l_linenumber").cast("long") * col("l_quantity").cast("long")).alias("sxy"))
+        .agg(count(lit(1)).cast("decimal(38,0)").alias("n"),
+          sum(col("l_linenumber").cast("decimal(38,0)")).alias("sx"),
+          sum(col("l_quantity").cast("decimal(38,0)")).alias("sy"),
+          sum(col("l_linenumber").cast("decimal(38,0)") * col("l_linenumber").cast("decimal(38,0)")).alias("sxx"),
+          sum(col("l_quantity").cast("decimal(38,0)") * col("l_quantity").cast("decimal(38,0)")).alias("syy"),
+          sum(col("l_linenumber").cast("decimal(38,0)") * col("l_quantity").cast("decimal(38,0)")).alias("sxy"))
         .selectExpr("l_returnflag",
           "CAST(n*sxy - sx*sy AS DOUBLE) / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS corr_xy",
           "CAST(n*syy - sy*sy AS DOUBLE) / CAST(n*n AS DOUBLE) AS var_pop_y",
@@ -238,6 +242,46 @@ object AnalyticsQueries {
       Tables.load(s, dir, "nation")
         .write.mode("overwrite").parquet(s"$tmp/copy")
       s.read.parquet(s"$tmp/copy")
+    },
+
+    // The transaction-log table tier (ref medallion.py:37/:129/:178-183
+    // managed Delta tables): v1 = initial load, v2 = keyed MERGE, both
+    // snapshots read back THROUGH THE LOG — the latest snapshot AND the
+    // time-travel read of v1 must each hash-match DuckDB recomputing them
+    // from the staged inputs. A wrong file set in either snapshot (broken
+    // commit fold, non-atomic publish, merge rewriting the wrong files)
+    // hash-mismatches. Crash-safety and concurrent-commit races are pinned
+    // in TxLogSpec.
+    QueryDef("src_txlog_versions",
+      "parquet transaction log (TxLog): atomic commit, snapshot read @v2 after MERGE, time-travel read @v1 (Delta-table semantics over plain parquet)",
+      s"""WITH b AS (SELECT * FROM read_parquet('${QueryDef.StageSql}/txlog_base/*.parquet')),
+         |u AS (SELECT * FROM read_parquet('${QueryDef.StageSql}/txlog_updates/*.parquet')),
+         |m AS (SELECT c_custkey, c_name, c_acctbal, version FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC, _src DESC) AS rn
+         |  FROM (SELECT *, 0 AS _src FROM b UNION ALL SELECT *, 1 AS _src FROM u)) WHERE rn = 1)
+         |SELECT CAST(2 AS BIGINT) AS snap, c_custkey, c_name, c_acctbal, version FROM m
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS snap, c_custkey, c_name, c_acctbal, version FROM b""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val base = cust.withColumn("version", lit(1L))
+      val updates = cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 500.0)
+        .withColumn("version", lit(2L))
+        .unionByName(cust.filter(pmod(col("c_custkey"), lit(11)) === 0)
+          .withColumn("c_custkey", col("c_custkey") + 2000000L)
+          .withColumn("version", lit(1L)))
+      val stage = QueryDef.stageDir(dir)
+      base.write.mode("overwrite").parquet(s"$stage/txlog_base")
+      updates.write.mode("overwrite").parquet(s"$stage/txlog_updates")
+      val table = Files.createTempDirectory("graft_txlog").toString + "/t"
+      TxLog.overwrite(s.read.parquet(s"$stage/txlog_base"), table) // v1
+      TxLog.merge(s, table, s.read.parquet(s"$stage/txlog_updates"),
+        Seq("c_custkey"), "version")                               // v2
+      TxLog.read(s, table).withColumn("snap", lit(2L))
+        .unionByName(TxLog.read(s, table, asOf = Some(1L))
+          .withColumn("snap", lit(1L)))
+        .select("snap", "c_custkey", "c_name", "c_acctbal", "version")
     }
   )
 }

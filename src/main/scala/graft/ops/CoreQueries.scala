@@ -241,6 +241,37 @@ object CoreQueries {
       d.join(dim, col("lk") <=> col("dlk")).select("doc_id", "label")
     },
 
+    // Skew-hardened join: the reference's J1 joins on book Title
+    // (M:116-121) — at 100× scale the hot titles are classic skew keys. A
+    // synthetic 30%-hot key (3 of every 10 orderkeys collapse to key 0)
+    // joins a distinct-key dim through Skew.saltedJoin, which spreads the
+    // hot key across 16 salt sub-keys so no shuffle partition holds 30% of
+    // the table. AQE's runtime skew split covers the batch path; explicit
+    // salting is the fix for streaming joins (AQE off) and single-key
+    // pathologies. Both halves — AQE splitting this key distribution and
+    // the salted join's partition balance (max ≤ 2× median) — are asserted
+    // in AqeSkewSpec.
+    QueryDef("j9_join_skew",
+      "skew-hardened join: 30%-hot key salted across 16 sub-keys (Skew.saltedJoin), grouped rollup — same rows as the plain join, even partitions",
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_orderkey % 997 END AS sk, l_quantity FROM lineitem),
+        |d AS (SELECT DISTINCT CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_orderkey % 997 END AS dk FROM lineitem),
+        |dim AS (SELECT dk, 'g' || CAST(dk % 7 AS VARCHAR) AS grp FROM d)
+        |SELECT grp, COUNT(*) AS n_rows, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM f JOIN dim ON f.sk = dim.dk GROUP BY grp""".stripMargin) { (s, dir) =>
+      def skewKey(c: org.apache.spark.sql.Column) =
+        when(pmod(c, lit(10)) < 3, lit(0L)).otherwise(pmod(c, lit(997)))
+      val f = Tables.load(s, dir, "lineitem")
+        .select(skewKey(col("l_orderkey")).alias("sk"), col("l_quantity"))
+      val dim = Tables.load(s, dir, "lineitem")
+        .select(skewKey(col("l_orderkey")).alias("dk")).distinct()
+        .withColumn("grp",
+          concat(lit("g"), pmod(col("dk"), lit(7)).cast("string")))
+      graft.ops.Skew.saltedJoin(f, dim, "sk", "dk", saltFactor = 16)
+        .groupBy("grp")
+        .agg(count(lit(1)).alias("n_rows"),
+          sum(col("l_quantity").cast("long")).alias("sum_qty"))
+    },
+
     // ---- SQL subquery surface -------------------------------------------
     QueryDef("sql2_exists_subquery",
       "correlated EXISTS / NOT EXISTS / IN subqueries (Catalyst rewrites to semi/anti joins — verified in PlanSpec)",

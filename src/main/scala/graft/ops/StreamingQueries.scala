@@ -39,9 +39,18 @@ object StreamingQueries {
     d.toString
   }
 
+  /** Catalog-wide state-store default: every streaming entry runs on
+    * RocksDB (st10's transformWithState requirement, and the 100 TB
+    * posture for the rest — state spills to disk instead of sizing the
+    * JVM heap to the key space). Session-level conf, picked up by each
+    * query at start. Asserted on a running query in StateStoreSpec. */
+  private def configureStreaming(s: SparkSession): Unit =
+    graft.streaming.SessionizeTws.configure(s)
+
   /** Streaming read of a staged events dir with µs TimestampType `ts`. */
   private def eventsStream(s: SparkSession, stagedDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    configureStreaming(s)
     s.readStream.schema(eventsRaw)
       .option("maxFilesPerTrigger", 1)
       .parquet(stagedDir)
@@ -65,10 +74,12 @@ object StreamingQueries {
     d.toString
   }
 
-  private def docsStream(s: SparkSession, stagedDir: String): DataFrame =
+  private def docsStream(s: SparkSession, stagedDir: String): DataFrame = {
+    configureStreaming(s)
     s.readStream.schema(docsRaw)
       .option("maxFilesPerTrigger", 1)
       .parquet(stagedDir)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -366,15 +377,19 @@ object StreamingQueries {
     // is a function of the dedup key (text), so which physical duplicate
     // row wins is immaterial and the append sink is deterministic —
     // that's what makes a streaming dedup oracle-able at all.
-    // Streaming MERGE: each micro-batch upserts into a parquet table via
-    // the SafeSwap-committed keyed merge — the Delta `MERGE INTO` write
-    // path of a CDC/latest-state stream, on a plain file lake. The
+    // Streaming MERGE: each micro-batch upserts into a TRANSACTION-LOG
+    // table ([[TxLog]]) — the Delta `MERGE INTO` write path of a
+    // CDC/latest-state stream: data files land invisibly, one atomic
+    // commit publishes them, and the commit records the batch id so a
+    // checkpoint-recovery replay of the same micro-batch is skipped
+    // (exactly-once contents over the at-least-once foreachBatch). The
     // per-user µs timestamp is the version, so "max version per key"
     // commutes across any micro-batch slicing and the final table equals
     // the batch window answer regardless of trigger boundaries
-    // ((user_id, µs-ts) is unique in the corpus; ties cannot arise).
+    // ((user_id, µs-ts) is unique in the corpus — asserted in UpsertSpec —
+    // so ties cannot arise).
     QueryDef("st19_stream_upsert",
-      "streaming keyed upsert: latest event per user merged into a parquet table per micro-batch (CDC latest-state shape)",
+      "streaming keyed upsert into a txlog table: latest event per user merged per micro-batch, batchId-idempotent atomic commits (CDC latest-state shape)",
       """WITH v AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ver FROM events),
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ver DESC) AS rn FROM v)
         |SELECT user_id, event_id, event_type, value, ver FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
@@ -383,11 +398,11 @@ object StreamingQueries {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).alias("ver"))
         .writeStream
-        .foreachBatch(Upsert.sink(target, Seq("user_id"), "ver") _)
+        .foreachBatch(TxLog.sink(target, Seq("user_id"), "ver") _)
         .option("checkpointLocation", tmp("graft_st19_cp"))
         .trigger(Trigger.AvailableNow())
         .start().awaitTermination()
-      s.read.parquet(target)
+      TxLog.read(s, target)
     },
 
     // Decontamination AT INGEST: the benchmark shingle set is computed
@@ -423,7 +438,10 @@ object StreamingQueries {
       val out = tmp("graft_st18")
       docsStream(s, stageDocsDir(dir))
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        // batchId-keyed subdir + overwrite: a checkpoint-recovery replay of
+        // micro-batch N rewrites ONLY batch=N instead of appending a second
+        // copy — the idempotent form of a foreachBatch file sink
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val corpus = batch.filter(col("doc_id") >= 20)
           val spans = corpus.select(col("doc_id"),
             explode(array_distinct(
@@ -438,12 +456,12 @@ object StreamingQueries {
               col("n_total"))
             .filter(col("n_shared").cast("double") /
               col("n_total").cast("double") < 0.5)
-            .write.mode("append").parquet(s"$out/sink")
+            .write.mode("overwrite").parquet(s"$out/sink/batch=$batchId")
         }
         .option("checkpointLocation", s"$out/_cp")
         .trigger(Trigger.AvailableNow())
         .start().awaitTermination()
-      s.read.parquet(s"$out/sink")
+      s.read.parquet(s"$out/sink").drop("batch")
     },
 
     QueryDef("st14_stream_ingest_clean",
@@ -619,15 +637,16 @@ object StreamingQueries {
       val out = tmp("graft_st17")
       docsStream(s, stageDocsDir(dir))
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        // batchId-keyed overwrite — replay-idempotent, same as st18
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           UnigramLm.score(batch, "doc_id", "text", vocabDf, oov)
             .filter(col("avg_lp") >= -3.45)
-            .write.mode("append").parquet(s"$out/sink")
+            .write.mode("overwrite").parquet(s"$out/sink/batch=$batchId")
         }
         .option("checkpointLocation", s"$out/_cp")
         .trigger(Trigger.AvailableNow())
         .start().awaitTermination()
-      s.read.parquet(s"$out/sink")
+      s.read.parquet(s"$out/sink").drop("batch")
     },
 
     QueryDef("st6_sessionize_typed",

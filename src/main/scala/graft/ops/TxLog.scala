@@ -1,0 +1,193 @@
+package graft.ops
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Minimal parquet transaction log — the ACID-table tier the reference gets
+  * from managed Delta tables (Amazon_books_review_medallion_architecture
+  * .py:37 `writeStream.table(...)`, :129 silver, :178-183 gold). No Delta
+  * jars exist in this environment (SURVEY.md §7.0), so this re-creates the
+  * three properties the reference's pipelines actually rely on, Delta-log
+  * style, over plain parquet:
+  *
+  *   1. **Atomic commit**: data files are written first under unique
+  *      `d-<uuid>/` subdirs (invisible to readers), then ONE commit file
+  *      `_txlog/<version>.json` publishes them. The commit is a
+  *      put-if-absent (hard-link creation, which fails atomically with
+  *      EEXIST on POSIX) — a crash before the link leaves only orphan data
+  *      files and readers still see version N−1.
+  *   2. **Snapshot isolation + time travel**: a reader folds the commit
+  *      actions (`add`/`remove` of relative file paths) up to the requested
+  *      version and reads exactly that file set — `read(spark, t)` for the
+  *      latest snapshot, `read(spark, t, asOf = Some(v))` for history.
+  *   3. **Concurrent-writer safety**: two writers racing to commit version
+  *      N both stage data, but only one hard-link succeeds; the loser
+  *      re-derives against the new snapshot and retries (optimistic
+  *      concurrency, same protocol as the Delta/Iceberg commit loop).
+  *
+  * Streaming sinks additionally record the micro-batch id in the commit, so
+  * a replayed `foreachBatch` (checkpoint recovery re-delivers the last
+  * batch) is detected and skipped — exactly-once table contents over an
+  * at-least-once callback.
+  *
+  * Scale shape: the log holds FILE PATHS, never data — a commit is O(files
+  * touched); reads plan from the file list without listing the data dirs
+  * (no eventually-consistent-listing hazard); the merge rewrite is bounded
+  * by the target table like [[Upsert]]. Put-if-absent is the single
+  * FS-specific primitive: this implementation uses java.nio hard links
+  * (correct on local/NFS-v4/HDFS-fuse POSIX semantics); an object-store
+  * deployment swaps in its conditional-put here and nothing else changes.
+  */
+object TxLog {
+
+  final case class Commit(version: Long, add: Seq[String],
+      remove: Seq[String], op: String, batchId: Long)
+
+  private val mapper = new ObjectMapper()
+
+  private def logDir(table: String): Path = Paths.get(table, "_txlog")
+
+  private def commitPath(table: String, version: Long): Path =
+    logDir(table).resolve(f"$version%020d.json")
+
+  /** All commits at `table`, ascending by version. */
+  def commits(table: String): Seq[Commit] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .sortBy(_.getFileName.toString)
+      .map { p =>
+        val node = mapper.readTree(Files.readAllBytes(p))
+        def arr(field: String): Seq[String] =
+          node.get(field).elements().asScala.map(_.asText()).toSeq
+        Commit(node.get("version").asLong(), arr("add"), arr("remove"),
+          node.get("op").asText(), node.get("batchId").asLong())
+      }
+  }
+
+  def latestVersion(table: String): Option[Long] =
+    commits(table).lastOption.map(_.version)
+
+  /** Active data files (relative paths) in the snapshot as of `asOf`
+    * (latest when None). Insertion-ordered for deterministic planning. */
+  def activeFiles(table: String, asOf: Option[Long] = None): Seq[String] = {
+    val files = scala.collection.mutable.LinkedHashSet.empty[String]
+    commits(table)
+      .filter(c => asOf.forall(c.version <= _))
+      .foreach { c => files --= c.remove; files ++= c.add }
+    files.toSeq
+  }
+
+  /** Atomically publish `commit` — false if that version already exists
+    * (lost the race; re-derive and retry with the next version). */
+  def tryCommit(table: String, commit: Commit): Boolean = {
+    Files.createDirectories(logDir(table))
+    val node = mapper.createObjectNode()
+    node.put("version", commit.version)
+    node.put("op", commit.op)
+    node.put("batchId", commit.batchId)
+    val addArr = node.putArray("add")
+    commit.add.foreach(addArr.add)
+    val removeArr = node.putArray("remove")
+    commit.remove.foreach(removeArr.add)
+    val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, mapper.writeValueAsBytes(node))
+    try {
+      Files.createLink(commitPath(table, commit.version), tmp) // put-if-absent
+      true
+    } catch {
+      case _: FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Stage `df` as parquet under a fresh uuid subdir; returns the relative
+    * paths of the written part files. NOT visible to readers until a commit
+    * references them — this is the crash-safe half of every write. */
+  def writeData(df: DataFrame, table: String): Seq[String] = {
+    val sub = s"d-${UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$table/$sub")
+    Files.list(Paths.get(table, sub)).iterator().asScala.toSeq
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted
+      .map(n => s"$sub/$n")
+  }
+
+  /** Snapshot read at `asOf` (latest when None). */
+  def read(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val files = activeFiles(table, asOf)
+    require(files.nonEmpty,
+      s"txlog table $table has no committed files at version $asOf")
+    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+  }
+
+  private def commitLoop(table: String, add: Seq[String],
+      removeAll: Boolean, op: String, batchId: Long): Long = {
+    var attempts = 0
+    while (attempts < 10) {
+      val v = latestVersion(table).getOrElse(0L) + 1
+      val remove = if (removeAll) activeFiles(table) else Seq.empty
+      if (tryCommit(table, Commit(v, add, remove, op, batchId))) return v
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog commit on $table lost 10 straight races — giving up")
+  }
+
+  /** Append `df` as a new version; returns the committed version. */
+  def append(df: DataFrame, table: String): Long =
+    commitLoop(table, writeData(df, table), removeAll = false, "append", -1L)
+
+  /** Replace the table contents with `df`; returns the committed version. */
+  def overwrite(df: DataFrame, table: String): Long =
+    commitLoop(table, writeData(df, table), removeAll = true, "overwrite", -1L)
+
+  /** Keyed MERGE: per `keyCols` keep the highest-`versionCol` row (ties →
+    * incoming wins), committed as one new txlog version. Optimistic: a lost
+    * commit race re-reads the new snapshot and re-merges. */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+      keyCols: Seq[String], versionCol: String, batchId: Long = -1L): Long = {
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      val existing = base.map(v => read(spark, table, Some(v)))
+      // latest-per-key applies to the incoming batch too: the first batch
+      // of a CDC stream can itself carry several versions of one key
+      val all = existing match {
+        case None => updates.withColumn("_src", lit(1))
+        case Some(cur) => cur.withColumn("_src", lit(0))
+          .unionByName(updates.withColumn("_src", lit(1)))
+      }
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(versionCol).desc, col("_src").desc)
+      val merged = all.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn", "_src")
+      val add = writeData(merged, table)
+      val v = base.getOrElse(0L) + 1
+      val remove = activeFiles(table, base)
+      if (tryCommit(table, Commit(v, add, remove, "merge", batchId))) return v
+      attempts += 1 // lost the race: new snapshot exists, re-merge against it
+    }
+    throw new IllegalStateException(
+      s"txlog merge on $table lost 10 straight races — giving up")
+  }
+
+  /** foreachBatch adapter: replay-idempotent streaming MERGE. A batch id
+    * already present in the log (checkpoint-recovery redelivery) is
+    * skipped, so the table is exactly-once even though foreachBatch is
+    * at-least-once. */
+  def sink(table: String, keyCols: Seq[String], versionCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (commits(table).exists(_.batchId == batchId)) return
+    merge(batch.sparkSession, table, batch, keyCols, versionCol, batchId)
+  }
+}

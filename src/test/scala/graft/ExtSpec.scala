@@ -204,4 +204,34 @@ class ExtSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(Multimodal.decodeAll(media), stride = 10)
     assert(frames.columns.toSeq === Seq("media_id", "frame_idx"))
   }
+
+  test("a second MediaCodec slots into decode/features without plan changes") {
+    implicit val s = spark
+    val media = Multimodal.mediaTable(
+      docs.withColumn("source", lit("src")), "doc_id", "text", "source")
+      .as[Multimodal.MediaItem]
+    val dec = Multimodal.decodeAll(media, ExtSpec.FixedCodec).collect()
+    assert(dec.nonEmpty)
+    assert(dec.filter(_.kind != "image").forall(d =>
+      d.width === 640 && d.height === 480 && d.n_frames === 24))
+    assert(dec.filter(_.kind == "image").forall(_.n_frames === 1))
+    val feats =
+      Multimodal.extractFeatures(media, dim = 4, codec = ExtSpec.FixedCodec)
+        .collect()
+    assert(feats.forall(_.features.toSeq === Seq(1f, 2f, 3f, 4f)))
+    assert(ExtSpec.FixedCodec.initialized.get() > 0,
+      "codec.init() never ran — per-partition resolution broken")
+  }
+}
+
+object ExtSpec {
+  /** Stand-in "real" codec: fixed decode metadata, ramp features, and an
+    * init() counter proving per-partition initialization actually fires. */
+  object FixedCodec extends graft.ext.Multimodal.MediaCodec {
+    val initialized = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def init(): Unit = { initialized.incrementAndGet(); () }
+    def decode(payload: Array[Byte]): (Int, Int, Int) = (640, 480, 24)
+    def features(payload: Array[Byte], dim: Int): Array[Float] =
+      Array.tabulate(dim)(i => (i + 1).toFloat)
+  }
 }

@@ -67,6 +67,22 @@ class PqSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("LUT build broadcasts the codebook, even when staged and re-read") {
+    // A staged codebook re-read from parquet has no size stats at plan
+    // time; without the explicit hint Catalyst may plan a shuffled
+    // nested-loop over |Q|*m*nCodes rows. Pin the BroadcastExchange.
+    val dir = tmpDir("pq-cb")
+    model.codebookDf(spark).write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").alias("q_id"),
+        col("embedding").cast("array<double>").alias("vec"))
+    val lut = PqIndex.lutMicro(queries, staged, model.subDim)
+    val plan = lut.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pq top-5 recall vs exact brute force on testdata embeddings") {
     val queries = emb.filter(col("vec_id") < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) = df

@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.TxLog
+
+/** Transaction-log table semantics (the Delta-tier emulation): version
+  * monotonicity, snapshot + time-travel reads, crash safety of the
+  * two-phase write (data files → atomic commit), optimistic-concurrency
+  * commit races, and the batchId replay guard on the streaming sink. */
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(): String = tmpDir("txlog") + "/t"
+
+  test("overwrite/append/merge commit consecutive versions; snapshot and time-travel reads") {
+    val t = table()
+    assert(TxLog.overwrite(
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver"), t) === 1L)
+    assert(TxLog.append(Seq((3L, "c", 1L)).toDF("k", "v", "ver"), t) === 2L)
+    // merge: update k=2 (higher version wins), insert k=4
+    assert(TxLog.merge(spark, t,
+      Seq((2L, "B", 2L), (4L, "d", 1L)).toDF("k", "v", "ver"),
+      Seq("k"), "ver") === 3L)
+    def rows(asOf: Option[Long]) = TxLog.read(spark, t, asOf)
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows(None) ===
+      Set((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 1L), (4L, "d", 1L)))
+    assert(rows(Some(2L)) === Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)))
+    assert(rows(Some(1L)) === Set((1L, "a", 1L), (2L, "b", 1L)))
+    assert(TxLog.latestVersion(t) === Some(3L))
+  }
+
+  test("older version loses the merge even when it arrives later") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "new", 5L)).toDF("k", "v", "ver"), t)
+    TxLog.merge(spark, t, Seq((1L, "stale", 3L)).toDF("k", "v", "ver"),
+      Seq("k"), "ver")
+    assert(TxLog.read(spark, t).as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "new", 5L)))
+  }
+
+  test("crash between data write and commit: readers still see version N-1") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    // simulate the crash: data files staged, the commit never happens
+    val orphan = TxLog.writeData(Seq((9L, "ghost")).toDF("k", "v"), t)
+    assert(orphan.nonEmpty)
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "a")))
+    assert(TxLog.latestVersion(t) === Some(1L))
+    assert(TxLog.activeFiles(t).intersect(orphan).isEmpty)
+  }
+
+  test("concurrent writers: exactly one commit wins a contended version") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    val before = TxLog.activeFiles(t)
+    val addA = TxLog.writeData(Seq((2L, "A")).toDF("k", "v"), t)
+    val addB = TxLog.writeData(Seq((2L, "B")).toDF("k", "v"), t)
+    val winA = TxLog.tryCommit(t,
+      TxLog.Commit(2L, addA, Seq.empty, "append", -1L))
+    val winB = TxLog.tryCommit(t,
+      TxLog.Commit(2L, addB, Seq.empty, "append", -1L))
+    assert(winA && !winB)
+    assert(TxLog.activeFiles(t).toSet === (before ++ addA).toSet)
+    // the losing writer's retry lands on the NEXT version, atop the winner
+    assert(TxLog.append(Seq((2L, "B")).toDF("k", "v"), t) === 3L)
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "A"), (2L, "B")))
+  }
+
+  test("streaming sink skips a replayed batchId (exactly-once contents)") {
+    val t = table()
+    val b0 = Seq((1L, "x", 1L)).toDF("k", "v", "ver")
+    TxLog.sink(t, Seq("k"), "ver")(b0, 0L)
+    val v = TxLog.latestVersion(t)
+    TxLog.sink(t, Seq("k"), "ver")(b0, 0L) // checkpoint-recovery replay
+    assert(TxLog.latestVersion(t) === v)
+    TxLog.sink(t, Seq("k"), "ver")(
+      Seq((1L, "y", 2L)).toDF("k", "v", "ver"), 1L)
+    assert(TxLog.read(spark, t).as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "y", 2L)))
+  }
+}

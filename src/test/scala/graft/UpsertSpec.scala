@@ -58,4 +58,19 @@ class UpsertSpec extends SparkSpec {
     // the backup is untouched — recoverable by hand
     assert(spark.read.parquet(SafeSwap.backup(dir)).count() === 1)
   }
+
+  // st19's oracle ("latest event per user, versioned by µs timestamp")
+  // is only deterministic if (user_id, µs-ts) never ties — otherwise
+  // row_number in DuckDB and max-version-wins in the merge could pick
+  // different rows. Pin the invariant at both scales the driver checks.
+  test("st19 invariant: (user_id, µs timestamp) is unique in events") {
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val dups = Tables.load(spark, d, "events")
+        .groupBy(col("user_id"), unix_micros(col("ts")).alias("ts_us"))
+        .count().filter(col("count") > 1).count()
+      assert(dups === 0L,
+        s"$d: $dups (user_id, ts_us) collisions — st19 oracle tie-break unsound")
+    }
+  }
 }
