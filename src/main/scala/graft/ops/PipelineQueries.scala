@@ -443,7 +443,7 @@ object PipelineQueries {
     // the SafeSwap two-rename protocol. Both input frames are staged so
     // the oracle replays the identical merge window.
     QueryDef("ext_upsert_merge",
-      "MERGE into a parquet table: per-key latest-version-wins upsert (updates + brand-new keys), SafeSwap-committed",
+      "MERGE into a txlog parquet table: per-key latest-version-wins upsert (updates + brand-new keys), atomic versioned commit",
       s"""WITH b AS (SELECT *, 0 AS _src FROM read_parquet('${QueryDef.StageSql}/upsert_base/*.parquet')),
          |u AS (SELECT *, 1 AS _src FROM read_parquet('${QueryDef.StageSql}/upsert_updates/*.parquet')),
          |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC, _src DESC) AS rn
@@ -463,11 +463,14 @@ object PipelineQueries {
       updates.write.mode("overwrite").parquet(s"$stage/upsert_updates")
       val target = java.nio.file.Files
         .createTempDirectory("graft_upsert").toString + "/t"
-      s.read.parquet(s"$stage/upsert_base")
-        .write.mode("overwrite").parquet(target)
-      Upsert.mergeIntoParquet(s, target,
+      // txlog-committed since r7 (VERDICT r6 item 1): v1 = base load,
+      // v2 = merge — same merge semantics as Upsert.mergeIntoParquet, but
+      // published through an atomic versioned commit instead of SafeSwap's
+      // directory swap (which st12 still exercises)
+      TxLog.overwrite(s.read.parquet(s"$stage/upsert_base"), target)
+      TxLog.merge(s, target,
         s.read.parquet(s"$stage/upsert_updates"), Seq("c_custkey"), "version")
-      s.read.parquet(target)
+      TxLog.read(s, target)
     }
   )
 }

@@ -57,13 +57,23 @@ object TxLog {
   private def commitPath(table: String, version: Long): Path =
     logDir(table).resolve(f"$version%020d.json")
 
-  /** All commits at `table`, ascending by version. */
-  def commits(table: String): Seq[Commit] = {
+  private def checkpointPath(table: String, version: Long): Path =
+    logDir(table).resolve(f"$version%020d.checkpoint.json")
+
+  private val CommitName = """(\d{20})\.json""".r
+  private val CheckpointName = """(\d{20})\.checkpoint\.json""".r
+
+  private def listLog(table: String): Seq[Path] = {
     val dir = logDir(table)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".json"))
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala.toSeq
       .sortBy(_.getFileName.toString)
+  }
+
+  /** All commits at `table`, ascending by version. */
+  def commits(table: String): Seq[Commit] =
+    listLog(table)
+      .filter(p => CommitName.matches(p.getFileName.toString))
       .map { p =>
         val node = mapper.readTree(Files.readAllBytes(p))
         def arr(field: String): Seq[String] =
@@ -71,17 +81,33 @@ object TxLog {
         Commit(node.get("version").asLong(), arr("add"), arr("remove"),
           node.get("op").asText(), node.get("batchId").asLong())
       }
-  }
 
   def latestVersion(table: String): Option[Long] =
     commits(table).lastOption.map(_.version)
 
+  /** (version, full file list) of checkpoints, ascending. */
+  private def checkpoints(table: String): Seq[(Long, Seq[String])] =
+    listLog(table).flatMap { p =>
+      p.getFileName.toString match {
+        case CheckpointName(v) =>
+          val node = mapper.readTree(Files.readAllBytes(p))
+          Some(v.toLong ->
+            node.get("files").elements().asScala.map(_.asText()).toSeq)
+        case _ => None
+      }
+    }
+
   /** Active data files (relative paths) in the snapshot as of `asOf`
-    * (latest when None). Insertion-ordered for deterministic planning. */
+    * (latest when None). Starts from the newest checkpoint at or before
+    * `asOf` and folds only the commits after it — O(commits since last
+    * [[compact]]), not O(table history). Insertion-ordered for
+    * deterministic planning. */
   def activeFiles(table: String, asOf: Option[Long] = None): Seq[String] = {
+    val cp = checkpoints(table).filter(c => asOf.forall(c._1 <= _)).lastOption
     val files = scala.collection.mutable.LinkedHashSet.empty[String]
+    cp.foreach(files ++= _._2)
     commits(table)
-      .filter(c => asOf.forall(c.version <= _))
+      .filter(c => cp.forall(c.version > _._1) && asOf.forall(c.version <= _))
       .foreach { c => files --= c.remove; files ++= c.add }
     files.toSeq
   }
@@ -189,5 +215,75 @@ object TxLog {
       batch: DataFrame, batchId: Long): Unit = {
     if (commits(table).exists(_.batchId == batchId)) return
     merge(batch.sparkSession, table, batch, keyCols, versionCol, batchId)
+  }
+
+  /** DESCRIBE HISTORY analog: one row per commit — version, operation,
+    * batch id (−1 for batch writes), files added/removed. The audit
+    * surface Delta users query before a time-travel read. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    commits(table)
+      .map(c => (c.version, c.op, c.batchId,
+        c.add.size.toLong, c.remove.size.toLong))
+      .toDF("version", "op", "batch_id", "n_added", "n_removed")
+  }
+
+  /** Write a checkpoint (`<v>.checkpoint.json`, the full active file list
+    * at the latest version) so reads replay only the commits after it —
+    * Delta's `_last_checkpoint` pattern. Run every N commits at scale; an
+    * existing checkpoint for the same version is left alone (put-if-absent,
+    * same primitive as [[tryCommit]]). Commit files are never deleted, so
+    * time travel and batchId replay detection keep their full history. */
+  def compact(table: String): Option[Long] =
+    latestVersion(table).map { v =>
+      val node = mapper.createObjectNode()
+      node.put("version", v)
+      val arr = node.putArray("files")
+      activeFiles(table, Some(v)).foreach(arr.add)
+      val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
+      Files.write(tmp, mapper.writeValueAsBytes(node))
+      try Files.createLink(checkpointPath(table, v), tmp)
+      catch { case _: FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+      v
+    }
+
+  /** Delete data files no snapshot in the last `retainVersions` versions
+    * references — removed-before-horizon files and crash orphans. Bounds
+    * disk to the live table (plus retention) but also bounds TIME TRAVEL
+    * to the horizon: older reads will miss files afterwards. `minAgeMs`
+    * protects files an in-flight writer staged but has not committed yet
+    * (production callers pass hours; tests pass 0). Returns the deleted
+    * relative paths. */
+  def vacuum(table: String, retainVersions: Int = 2,
+      minAgeMs: Long = 0L): Seq[String] = {
+    val latest = latestVersion(table).getOrElse(return Seq.empty)
+    val horizon = math.max(1L, latest - retainVersions + 1)
+    val protect = (horizon to latest)
+      .flatMap(v => activeFiles(table, Some(v))).toSet
+    val root = Paths.get(table)
+    val now = System.currentTimeMillis()
+    val onDisk = Files.list(root).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("d-"))
+      .flatMap(d => Files.list(d).iterator().asScala.toSeq)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val doomed = onDisk.filter { p =>
+      val rel = root.relativize(p).toString
+      !protect.contains(rel) &&
+        now - Files.getLastModifiedTime(p).toMillis >= minAgeMs
+    }
+    doomed.foreach(Files.delete)
+    // drop data dirs the sweep emptied of parquet (markers like _SUCCESS
+    // go with them); raced/live dirs are left alone
+    doomed.map(_.getParent).distinct.foreach { d =>
+      val left = Files.list(d).iterator().asScala.toSeq
+      if (!left.exists(_.getFileName.toString.endsWith(".parquet"))) {
+        left.foreach(f => try Files.delete(f)
+          catch { case _: java.io.IOException => () })
+        try Files.delete(d) catch { case _: java.io.IOException => () }
+      }
+    }
+    doomed.map(p => root.relativize(p).toString)
   }
 }

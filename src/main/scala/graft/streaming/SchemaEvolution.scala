@@ -90,4 +90,37 @@ object SchemaEvolution {
       throw new java.io.IOException(s"rename $tmp -> $target failed")
     evolved
   }
+
+  /** Auto Loader's AUTO-RESTART behavior (the `addNewColumns` failure→
+    * retry loop, reference medallion.py:12/:53), emulated as a
+    * supervisor: drive one `attempt` (an `AvailableNow` run that reads
+    * the landing zone with the tracked schema and calls [[track]] itself —
+    * e.g. `Medallion.bronzeStreamEvolving`) to completion, then compare
+    * the persisted schema against the landing zone's merged file schema.
+    * New columns ⇒ restart: the next attempt reads with the evolved
+    * schema, and the checkpoint's offset log keeps already-processed
+    * files processed. A file landing DURING an attempt is outside its
+    * AvailableNow snapshot, so drifted files are not consumed under the
+    * pre-drift schema (the residual race is the instant between track()
+    * and stream start — Auto Loader closes it with its notification
+    * service; this emulation narrows it to one attempt boundary).
+    * Returns (final tracked schema, attempts run); throws if the zone is
+    * still drifting after `maxRestarts` restarts. */
+  def runAutoRestart(spark: SparkSession, landingDir: String,
+      schemaDir: String, maxRestarts: Int = 5)(
+      attempt: () => org.apache.spark.sql.streaming.StreamingQuery)
+      : (StructType, Int) = {
+    def observed: StructType =
+      spark.read.option("mergeSchema", "true").parquet(landingDir).schema
+    var attempts = 0
+    while (attempts <= maxRestarts) {
+      attempt().awaitTermination()
+      attempts += 1
+      val tracked = load(spark, schemaDir).getOrElse(observed)
+      if (!drifted(tracked, observed)) return (tracked, attempts)
+    }
+    throw new IllegalStateException(
+      s"landing zone still drifting after $maxRestarts restarts — " +
+        "schema churn needs operator attention, not another retry")
+  }
 }

@@ -52,6 +52,38 @@ class SchemaDriftSpec extends SparkSpec {
     assert(out.filter(col("id") === 3).head().getAs[Double]("score") === 4.2)
   }
 
+  test("auto-restart supervisor: live drift after a drain triggers an evolved restart by itself") {
+    val src = tmpDir("adrift_src")
+    val silver = tmpDir("adrift_silver")
+    val cp = tmpDir("adrift_cp")
+    val schemaLoc = tmpDir("adrift_schema")
+
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    // gen-2 lands while the supervisor owns the stream: after attempt 1
+    // drains its AvailableNow snapshot, before the drift check
+    var first = true
+    val (schema, attempts) = SchemaEvolution.runAutoRestart(
+      spark, src, schemaLoc) { () =>
+      val q = graft.medallion.Medallion
+        .bronzeStreamEvolving(spark, src, schemaLoc, silver, cp)
+      if (first) {
+        q.processAllAvailable() // attempt 1 finishes gen-1
+        Seq((3L, "z", 4.2)).toDF("id", "a", "score")
+          .coalesce(1).write.mode("append").parquet(src) // live drift
+        first = false
+      }
+      q
+    }
+    assert(attempts === 2, s"expected exactly one auto-restart, got $attempts")
+    assert(schema.fieldNames.toSeq === Seq("id", "a", "score"))
+    val out = spark.read.option("mergeSchema", "true").parquet(silver)
+    assert(out.count() === 3)
+    assert(out.filter(col("id") === 1 && col("score").isNull).count() === 1)
+    assert(out.filter(col("id") === 3).head().getAs[Double]("score") === 4.2)
+  }
+
   test("evolve appends unknown fields nullable and never mutates existing types") {
     val tracked = StructType(Seq(
       StructField("id", LongType, nullable = false),

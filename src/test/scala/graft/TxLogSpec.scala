@@ -68,6 +68,50 @@ class TxLogSpec extends SparkSpec {
       Set((1L, "a"), (2L, "A"), (2L, "B")))
   }
 
+  test("checkpoint compaction: reads replay only post-checkpoint commits, history intact") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)            // v1
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)               // v2
+    val before = TxLog.activeFiles(t)
+    assert(TxLog.compact(t) === Some(2L))
+    // checkpointed snapshot identical to the folded one
+    assert(TxLog.activeFiles(t) === before)
+    // commits after the checkpoint fold on top of it
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)               // v3
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel BEFORE the checkpoint still folds from the full log
+    assert(TxLog.read(spark, t, Some(1L)).as[(Long, String)]
+      .collect().toSet === Set((1L, "a")))
+    // compacting again at the new head is fine; same-version recompact is a no-op
+    assert(TxLog.compact(t) === Some(3L))
+    assert(TxLog.compact(t) === Some(3L))
+    assert(TxLog.read(spark, t, Some(2L)).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("vacuum deletes pre-horizon files and crash orphans, keeps retained snapshots") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)            // v1
+    val v1Files = TxLog.activeFiles(t)
+    TxLog.overwrite(Seq((2L, "b")).toDF("k", "v"), t)            // v2 removes v1's files
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)               // v3
+    val orphan = TxLog.writeData(Seq((9L, "ghost")).toDF("k", "v"), t)
+    val deleted = TxLog.vacuum(t, retainVersions = 2)
+    // v1-only files and the uncommitted orphan are gone
+    assert(v1Files.forall(deleted.contains), s"$deleted vs $v1Files")
+    assert(orphan.forall(deleted.contains), s"$deleted vs $orphan")
+    // retained snapshots (v2, v3) still read
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ===
+      Set((2L, "b"), (3L, "c")))
+    assert(TxLog.read(spark, t, Some(2L)).as[(Long, String)]
+      .collect().toSet === Set((2L, "b")))
+    // pre-horizon time travel is gone by design: v1's files are deleted
+    intercept[Exception] {
+      TxLog.read(spark, t, Some(1L)).collect()
+    }
+  }
+
   test("streaming sink skips a replayed batchId (exactly-once contents)") {
     val t = table()
     val b0 = Seq((1L, "x", 1L)).toDF("k", "v", "ver")
@@ -79,5 +123,11 @@ class TxLogSpec extends SparkSpec {
       Seq((1L, "y", 2L)).toDF("k", "v", "ver"), 1L)
     assert(TxLog.read(spark, t).as[(Long, String, Long)].collect().toSet ===
       Set((1L, "y", 2L)))
+    // DESCRIBE HISTORY analog: the audit trail names both merges
+    val h = TxLog.history(spark, t)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(h.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1L, "merge", 0L), (2L, "merge", 1L)))
+    assert(h.forall(_._4 > 0))
   }
 }
