@@ -133,6 +133,27 @@ object AnalyticsQueries {
           expr("bit_xor(o_orderkey)").alias("key_xor"))
     },
 
+    // unpivot/melt — the wide→long inverse of a11_pivot. Row-local (no
+    // aggregation, no shuffle beyond the scan); values pass through
+    // exactly, so raw doubles are hash-safe. The four measures share
+    // DOUBLE, unpivot's common-type requirement.
+    QueryDef("a17_unpivot",
+      "unpivot/melt: lineitem measures wide→long (metric, value)",
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity").alias("quantity"),
+            col("l_extendedprice").alias("extendedprice"),
+            col("l_discount").alias("discount"),
+            col("l_tax").alias("tax")),
+          "metric", "value")
+    },
+
     QueryDef.noOracle("a12_hll_sketch",
       "mergeable HLL sketches (datasketches): distinct users per event type — the shuffle-friendly distinct-count at fleet scale") { (s, dir) =>
       Tables.load(s, dir, "events")

@@ -305,6 +305,27 @@ object CoreQueries {
               |WHERE o_totalprice >= (SELECT MAX(o_totalprice) FROM orders) * 0.9""".stripMargin)
     },
 
+    // LATERAL correlated subquery (Spark 3.2+ lateral join): per-nation
+    // top-2 customers by balance. Catalyst decorrelates the LIMIT'd
+    // correlated subquery into a ranked join — the declarative form of the
+    // grouped-top-k pattern (cf. l2_topk_custom_operator). DuckDB runs the
+    // identical SQL.
+    QueryDef("sql4_lateral_join",
+      "LATERAL correlated subquery: top-2 customers per nation (ORDER BY + LIMIT inside LATERAL)",
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""SELECT n.n_name, t.c_name, t.c_acctbal
+              |FROM nation n, LATERAL (
+              |  SELECT c_name, c_acctbal FROM customer c
+              |  WHERE c.c_nationkey = n.n_nationkey
+              |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+    },
+
     // ---- A: aggregations -------------------------------------------------
     QueryDef("a1_global_mean",
       "global scalar aggregate (mean, ref R:102); decimal-exact sum / count for bit-stable result",

@@ -45,6 +45,91 @@ object ExtQueries {
         .select("canonical_id", "copies")
     },
 
+    // Dedup reporting: the cluster-size histogram a 100 TB dedup job emits
+    // as its run summary (how much of the corpus is duplicated, and in what
+    // shape — many pairs vs few giant clusters drive opposite follow-ups).
+    // Keyed on the bag-of-words fingerprint (the ext_dedup_keep_best
+    // cluster key) so the synthetic corpus — which has no byte-identical
+    // texts — still yields a non-trivial histogram. Two tiny aggregations
+    // over the keyed cluster table; output is O(max cluster size) rows
+    // regardless of corpus size.
+    QueryDef("ext_dedup_cluster_stats",
+      "dedup run report: cluster-size histogram over bag-of-words dedup clusters (n_clusters + n_docs per size)",
+      """WITH c AS (SELECT COUNT(*) AS copies FROM documents
+        |  GROUP BY md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))), ' ')))
+        |SELECT copies AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(copies) AS BIGINT) AS n_docs
+        |FROM c GROUP BY copies""".stripMargin) { (s, dir) =>
+      val bag = array_sort(array_distinct(
+        filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)))
+      Dedup.exact(
+          Tables.load(s, dir, "documents")
+            .withColumn("bag_key", md5(concat_ws(" ", bag))),
+          "doc_id", Seq("bag_key"))
+        .groupBy(col("copies").alias("cluster_size"))
+        .agg(count(lit(1)).alias("n_clusters"), sum("copies").alias("n_docs"))
+    },
+
+    // Canonicalization POLICY, not just canonical-id selection: real dedup
+    // keeps the best representative of each cluster (longest / highest
+    // quality), not the smallest id. Cluster key here is the sorted distinct
+    // token bag (order/count-insensitive near-dup — catches shuffled copies
+    // exact dedup misses), fingerprinted to a string key so the shuffle
+    // carries 32 bytes instead of the token array. Keep rule: max n_chars,
+    // ties to the smallest doc_id — deterministic in both engines.
+    QueryDef("ext_dedup_keep_best",
+      "bag-of-words dedup with keep-best policy: md5(sorted token bag) clusters, keep longest doc (tie: min id)",
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))), ' ')) AS bag_key
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY bag_key ORDER BY n_chars DESC, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY bag_key) AS cluster_size
+        |  FROM t)
+        |SELECT doc_id, n_chars, CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bag = array_sort(array_distinct(
+        filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)))
+      val w = Window.partitionBy("bag_key")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          md5(concat_ws(" ", bag)).alias("bag_key"))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "n_chars", "cluster_size")
+    },
+
+    // Corpus-frequency heavy hitters: tokens present in ≥25% of documents —
+    // the data-driven stopword / boilerplate-vocabulary discovery step that
+    // precedes quality filtering at fleet scale. Exact (groupBy on distinct
+    // per-doc tokens), one shuffle keyed by token with map-side combine;
+    // the corpus size joins in as a broadcast one-row aggregate, never a
+    // driver-side collect.
+    QueryDef("ext_heavy_hitters",
+      "document-frequency heavy hitters: tokens in ≥25% of docs (df + doc_ratio)",
+      """WITH tok AS (SELECT doc_id, u.t
+        |  FROM (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tk FROM documents),
+        |  UNNEST(tk) AS u(t)),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS df,
+        |  CAST(COUNT(*) AS DOUBLE) / n_docs AS doc_ratio
+        |FROM tok CROSS JOIN n
+        |GROUP BY t, n_docs HAVING COUNT(*) * 4 >= n_docs""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).alias("n_docs"))
+      docs.select(col("doc_id"), explode(array_distinct(
+          filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)))
+          .alias("token"))
+        .groupBy("token").agg(count(lit(1)).alias("df"))
+        .crossJoin(broadcast(n))
+        .filter(col("df") * 4 >= col("n_docs"))
+        .select(col("token"), col("df"),
+          (col("df").cast("double") / col("n_docs")).alias("doc_ratio"))
+    },
+
     // MinHash signatures are Spark-xxhash64-based (no DuckDB equivalent), so
     // the candidate stage stays Spark-side; the sets and the candidate pairs
     // are STAGED to parquet and the exact-Jaccard verify stage is recomputed
@@ -399,6 +484,69 @@ object ExtQueries {
         col("embedding").alias("vec"))
       Similarity.topKFromCandidates(shortlist,
         vecs.filter(col("id") < 10), vecs, k = 5)
+    },
+
+    // OPQ-style rotated PQ: a fixed random orthonormal rotation (OpqIndex —
+    // the RR baseline of Ge et al.'s OPQ) decorrelates dimensions before
+    // the same 8×16 product quantizer. Rotation is a scan-side literal
+    // transform (no shuffle); the ROTATED vectors are staged, so the DuckDB
+    // oracle replays the full pipeline downstream of the rotation — the
+    // integer-micro ADC shortlist over staged codes+LUT AND the exact
+    // rerank over the staged rotated vectors (cosine is rotation-invariant,
+    // so ranks are comparable to the unrotated entries).
+    QueryDef("ext_sim_topk_opq",
+      "ANN top-5 via OPQ (random orthonormal rotation + PQ 8x16): ADC shortlist + exact rerank, BOTH stages oracled over staged rotated vectors", {
+      def d(x: String, y: String) =
+        s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
+      val np = s"(sqrt(${d("q.vec", "q.vec")}) * sqrt(${d("n.vec", "n.vec")}))"
+      val cosV = s"(CASE WHEN $np = 0 THEN NULL ELSE ${d("q.vec", "n.vec")} / $np END)"
+      s"""WITH v AS (SELECT id, vec FROM read_parquet('$StageSql/opq_vecs/*.parquet')),
+           |cd AS (SELECT n_id, sub, code FROM read_parquet('$StageSql/opq_codes/*.parquet')),
+           |l AS (SELECT q_id, sub, code, lm FROM read_parquet('$StageSql/opq_lut/*.parquet')),
+           |a AS (SELECT l.q_id, cd.n_id, CAST(SUM(l.lm) AS BIGINT) AS adc
+           |      FROM cd JOIN l ON cd.sub = l.sub AND cd.code = l.code
+           |      WHERE cd.n_id <> l.q_id GROUP BY l.q_id, cd.n_id),
+           |s AS (SELECT q_id, n_id FROM (
+           |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS sr FROM a) WHERE sr <= 20),
+           |re AS (SELECT s.q_id, s.n_id, $cosV AS score
+           |       FROM s JOIN v q ON q.id = s.q_id JOIN v n ON n.id = s.n_id)
+           |SELECT q_id, n_id, score, rank FROM (
+           |  SELECT q_id, n_id, score,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+           |  FROM re)
+           |WHERE rank <= 5""".stripMargin
+    }) { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val r = graft.ext.OpqIndex.rotationMatrix(dim = 64)
+      val stage = stageDir(dir)
+      emb.select(col("vec_id").alias("id"),
+          graft.ext.OpqIndex.rotate(col("embedding"), r).alias("vec"))
+        .write.mode("overwrite").parquet(s"$stage/opq_vecs")
+      val rotated = s.read.parquet(s"$stage/opq_vecs")
+      val model = graft.ext.PqIndex.trainCached(s"$dir#opq", rotated, "vec",
+        dim = 64, m = 8, nCodes = 16)
+      model.encode(
+        rotated.select(col("id").alias("n_id"),
+          col("vec").cast("array<double>").alias("vec")),
+        "vec", "codes")
+        .select(col("n_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .write.mode("overwrite").parquet(s"$stage/opq_codes")
+      model.lutMicro(rotated.filter(col("id") < 10)
+        .select(col("id").alias("q_id"),
+          col("vec").cast("array<double>").alias("vec")))
+        .write.mode("overwrite").parquet(s"$stage/opq_lut")
+      val cd = s.read.parquet(s"$stage/opq_codes")
+      val lut = s.read.parquet(s"$stage/opq_lut")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        .orderBy(col("adc").desc, col("n_id").asc)
+      val shortlist = cd.join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id").agg(sum("lm").alias("adc"))
+        .withColumn("_sr", row_number().over(w)).filter(col("_sr") <= 20)
+        .select("q_id", "n_id")
+      Similarity.topKFromCandidates(shortlist,
+        rotated.filter(col("id") < 10), rotated, k = 5)
     },
 
     // ---- text analysis ---------------------------------------------------

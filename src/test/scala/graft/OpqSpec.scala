@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{OpqIndex, PqIndex, Similarity}
+import graft.functions.{GraftFunctions, VectorFunctions}
+
+/** OPQ rotation front-end: the rotation really is orthonormal (so geometry
+  * — and therefore recall math — is preserved), rotating columns preserves
+  * cosine, and the rotated-PQ pipeline holds the same recall floor as
+  * unrotated PQ on the same embeddings. */
+class OpqSpec extends SparkSpec {
+
+  GraftFunctions.register(spark)
+
+  private val Dim = 64
+  private lazy val r = OpqIndex.rotationMatrix(Dim)
+
+  test("rotation matrix is orthonormal (R·Rᵀ = I) and deterministic") {
+    for (i <- 0 until Dim; j <- 0 until Dim) {
+      val d = (0 until Dim).map(k => r(i)(k) * r(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"R·Rᵀ[$i][$j] = $d")
+    }
+    val r2 = OpqIndex.rotationMatrix(Dim)
+    assert(r.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    // a different seed is a different basis
+    assert(r.map(_.toSeq).toSeq !==
+      OpqIndex.rotationMatrix(Dim, seed = 7L).map(_.toSeq).toSeq)
+  }
+
+  test("rotation preserves pairwise cosine (to float round-trip tolerance)") {
+    val emb = Tables.load(spark, SF, "embeddings").filter(col("vec_id") < 30)
+    val rot = emb.select(col("vec_id"),
+      col("embedding").alias("v"),
+      OpqIndex.rotate(col("embedding"), r).alias("rv"))
+    val pairs = rot.alias("a").join(rot.alias("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(
+        VectorFunctions.cosineNative(col("a.v"), col("b.v")).alias("c0"),
+        VectorFunctions.cosineNative(col("a.rv"), col("b.rv")).alias("c1"))
+      .collect()
+    assert(pairs.length === 30 * 29 / 2)
+    pairs.foreach { row =>
+      assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-4,
+        s"cosine drifted: ${row.getDouble(0)} vs ${row.getDouble(1)}")
+    }
+  }
+
+  test("rotated-PQ top-5 recall vs exact brute force") {
+    val emb = Tables.load(spark, SF, "embeddings")
+    val rot = emb.select(col("vec_id"),
+      OpqIndex.rotate(col("embedding"), r).alias("rvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    // ground truth on the ORIGINAL embeddings — valid because cosine is
+    // rotation-invariant (previous test pins the tolerance)
+    val exact = pairs(Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5))
+    val opq = pairs(PqIndex.topK(rot, rot.filter(col("vec_id") < 10),
+      "vec_id", "rvec", dim = Dim, k = 5, corpusKey = s"$SF#opq-spec"))
+    val recall = (exact & opq).size.toDouble / exact.size
+    // same floor as PqSpec: uniform-random embeddings are PQ's worst case;
+    // the rotation must not cost recall (it redistributes variance, and
+    // the 4k exact rerank recovers shortlist error either way)
+    assert(recall >= 0.5, s"recall@5 = $recall")
+    assert(exact.size === 50)
+  }
+}
