@@ -303,6 +303,37 @@ object AnalyticsQueries {
         .unionByName(TxLog.read(s, table, asOf = Some(1L))
           .withColumn("snap", lit(1L)))
         .select("snap", "c_custkey", "c_name", "c_acctbal", "version")
+    },
+
+    // OPTIMIZE: three appends land many small files; the compaction
+    // rewrites the snapshot into 2 range-clustered files in ONE atomic
+    // commit. Read @v4 (post-optimize) and time-travel @v3 (pre-optimize)
+    // must BOTH hash-match the staged inputs — a compaction that drops,
+    // duplicates, or reorders rows into the wrong snapshot mismatches.
+    // File-count reduction and disjoint cluster ranges are pinned in
+    // TxLogSpec (not SQL-expressible).
+    QueryDef("src_txlog_optimize",
+      "TxLog OPTIMIZE: 3 small appends → clustered compaction (repartitionByRange on key); snapshot + pre-optimize time travel both oracled",
+      s"""WITH c AS (SELECT c_custkey, c_name, c_acctbal
+         |  FROM read_parquet('${QueryDef.StageSql}/txopt_in/*.parquet'))
+         |SELECT CAST(2 AS BIGINT) AS snap, c_custkey, c_name, c_acctbal FROM c
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS snap, c_custkey, c_name, c_acctbal FROM c""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txopt_in")
+      val in = s.read.parquet(s"$stage/txopt_in")
+      val table = Files.createTempDirectory("graft_txopt").toString + "/t"
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(3)) === 0), table) // v1
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(3)) === 1), table) // v2
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(3)) === 2), table) // v3
+      val v = TxLog.optimize(s, table, targetFiles = 2,
+        clusterBy = Seq(col("c_custkey")))                                 // v4
+      TxLog.read(s, table, asOf = Some(v)).withColumn("snap", lit(2L))
+        .unionByName(TxLog.read(s, table, asOf = Some(v - 1))
+          .withColumn("snap", lit(1L)))
+        .select("snap", "c_custkey", "c_name", "c_acctbal")
     }
   )
 }

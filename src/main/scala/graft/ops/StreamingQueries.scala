@@ -206,6 +206,42 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink")
     },
 
+    // Built-in session_window aggregation — the declarative twin of the
+    // typed-state sessionizers (st6/st9/st10): Spark merges overlapping
+    // per-event windows [ts, ts+gap) in the state store, so a session
+    // breaks exactly when the inter-event gap is >= 30 min (end-exclusive
+    // — the oracle's `>=` lag rule). Complete mode emits every session of
+    // the bounded replay; the production shape is watermark + append
+    // (sessions emit as the watermark passes their end), same plan.
+    QueryDef("st20_session_window",
+      "streaming session_window aggregate (30-min gap): per-user session start/end/count, complete mode",
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT user_id, event_id, ts_us,
+        |  CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) >= 1800000000
+        |       THEN 1 ELSE 0 END AS brk FROM g),
+        |sg AS (SELECT user_id, ts_us,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b)
+        |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1800000000 AS end_us, COUNT(*) AS n_events
+        |FROM sg GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      val out = tmp("graft_st20")
+      eventsStream(s, stageEventsDir(dir))
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").alias("w"))
+        .agg(count(lit(1)).alias("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).alias("start_us"),
+          unix_micros(col("w.end")).alias("end_us"),
+          col("n_events"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$out/_cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/sink")
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
     QueryDef("st9_sessions_flatmap",
       "flatMapGroups: one output row per session per user (typed multi-row group op)",
       """WITH g AS (

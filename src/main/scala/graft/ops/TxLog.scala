@@ -248,6 +248,42 @@ object TxLog {
       v
     }
 
+  /** OPTIMIZE analog: rewrite the CURRENT snapshot into `targetFiles`
+    * larger files — the small-file compaction every streaming/merge table
+    * needs (each micro-batch commit lands a few small files; scan cost and
+    * open-file overhead grow with file count, not bytes). With `clusterBy`
+    * the rewrite range-partitions and sorts on those columns — pair with
+    * the Z-order/Hilbert key expressions (PipelineQueries ext_zorder_key /
+    * ext_hilbert_key) and this is OPTIMIZE ZORDER BY: each output file owns
+    * a disjoint key range, so min/max footer stats prune file-level reads.
+    *
+    * The rewrite is data-only: one new commit adds the compacted files and
+    * removes every pre-optimize file. Row multiset is unchanged, readers
+    * flip atomically, pre-optimize versions stay time-travelable until
+    * [[vacuum]] passes them. Optimistic like [[merge]]: losing the commit
+    * race re-reads the new snapshot and recompacts. */
+  def optimize(spark: SparkSession, table: String, targetFiles: Int = 1,
+      clusterBy: Seq[org.apache.spark.sql.Column] = Seq.empty): Long = {
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      require(base.nonEmpty, s"optimize on empty txlog table $table")
+      val cur = read(spark, table, base)
+      val arranged =
+        if (clusterBy.nonEmpty)
+          cur.repartitionByRange(targetFiles, clusterBy: _*)
+            .sortWithinPartitions(clusterBy: _*)
+        else cur.coalesce(targetFiles)
+      val add = writeData(arranged, table)
+      val v = base.get + 1
+      val remove = activeFiles(table, base)
+      if (tryCommit(table, Commit(v, add, remove, "optimize", -1L))) return v
+      attempts += 1 // lost the race: recompact against the new snapshot
+    }
+    throw new IllegalStateException(
+      s"txlog optimize on $table lost 10 straight races — giving up")
+  }
+
   /** Delete data files no snapshot in the last `retainVersions` versions
     * references — removed-before-horizon files and crash orphans. Bounds
     * disk to the live table (plus retention) but also bounds TIME TRAVEL

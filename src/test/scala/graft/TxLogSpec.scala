@@ -112,6 +112,44 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("optimize compacts small files, clusters by key, keeps time travel") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    // three appends, each spread over several files → a small-file table
+    (0 until 3).foreach { i =>
+      TxLog.append(
+        spark.range(i * 100, (i + 1) * 100).toDF("k")
+          .withColumn("v", col("k") * 2).repartition(4), t)
+    }
+    val before = TxLog.activeFiles(t)
+    assert(before.size > 2, s"setup should land many files: $before")
+    val v = TxLog.optimize(spark, t, targetFiles = 2,
+      clusterBy = Seq(col("k")))
+    val after = TxLog.activeFiles(t)
+    assert(after.size === 2, after)
+    // row multiset unchanged
+    assert(TxLog.read(spark, t).as[(Long, Long)].collect().toSet ===
+      (0L until 300L).map(k => (k, k * 2)).toSet)
+    assert(TxLog.read(spark, t).count() === 300)
+    // clusterBy → each output file owns a disjoint key range (footer
+    // min/max stats prune at file granularity)
+    val ranges = after.map { f =>
+      val r = spark.read.parquet(s"$t/$f")
+        .agg(org.apache.spark.sql.functions.min("k"),
+          org.apache.spark.sql.functions.max("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, ranges)
+      case _ =>
+    }
+    // the pre-optimize snapshot is still time-travelable
+    assert(TxLog.read(spark, t, Some(v - 1)).count() === 300)
+    // and the audit trail names the op
+    assert(TxLog.history(spark, t).filter(col("op") === "optimize")
+      .count() === 1)
+  }
+
   test("streaming sink skips a replayed batchId (exactly-once contents)") {
     val t = table()
     val b0 = Seq((1L, "x", 1L)).toDF("k", "v", "ver")
