@@ -334,6 +334,33 @@ object AnalyticsQueries {
         .unionByName(TxLog.read(s, table, asOf = Some(v - 1))
           .withColumn("snap", lit(1L)))
         .select("snap", "c_custkey", "c_name", "c_acctbal")
+    },
+
+    // Data skipping: appends record per-file min/max of c_custkey in the
+    // commit, and the range read plans ONLY the files whose recorded
+    // range intersects — Delta's stats-based file skipping (at fleet
+    // scale: open the log, not 100 TB of footers). The oracle proves the
+    // pruned read returns exactly the rows a full-scan filter would;
+    // that pruning actually dropped files is pinned in TxLogSpec.
+    QueryDef("src_txlog_skipping",
+      "TxLog data skipping: per-file column stats in commits; stats-pruned range read ≡ full-scan filter",
+      s"""SELECT c_custkey, c_name, c_acctbal
+         |FROM read_parquet('${QueryDef.StageSql}/txskip_in/*.parquet')
+         |WHERE c_custkey BETWEEN 700 AND 1200""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txskip_in")
+      val in = s.read.parquet(s"$stage/txskip_in")
+      val table = Files.createTempDirectory("graft_txskip").toString + "/t"
+      TxLog.append(in.filter(col("c_custkey") < 500), table,
+        statsCols = Seq("c_custkey"))
+      TxLog.append(in.filter(col("c_custkey") >= 500 &&
+        col("c_custkey") < 1000), table, statsCols = Seq("c_custkey"))
+      TxLog.append(in.filter(col("c_custkey") >= 1000), table,
+        statsCols = Seq("c_custkey"))
+      TxLog.readRange(s, table, "c_custkey", 700, 1200)
+        .select("c_custkey", "c_name", "c_acctbal")
     }
   )
 }

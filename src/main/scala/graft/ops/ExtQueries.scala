@@ -260,6 +260,49 @@ object ExtQueries {
         s.read.parquet(s"$stage/emb_buckets"), threshold = 0.3)
     },
 
+    // SemDeDup (Abbas et al., 2023): k-means-cluster the embedding space,
+    // compare pairs only WITHIN a cell, drop all but one representative of
+    // each near-identical group. Differs from ext_dedup_embedding_neardup
+    // in both halves: blocking is k-means cells (the published recipe —
+    // semantic neighborhoods, not random hyperplane buckets) and the
+    // output is the keep/drop decision per document (keep = no
+    // lower-id neighbor above the threshold), i.e. the actual dedup
+    // verdict a pipeline acts on. Cells are staged, so DuckDB replays
+    // pairing + cosine + the keep rule. Scale: nCells grows ~√n keeping
+    // cells bounded; centroids broadcast; no cross-cell pairs exist.
+    QueryDef("ext_dedup_semantic",
+      "SemDeDup: k-means-cell blocking + within-cell cosine ≥ 0.3 → keep/drop verdict per doc (cells staged, full rule oracled)", {
+      def d(x: String, y: String) =
+        s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
+      val np = s"(sqrt(${d("a.vec", "a.vec")}) * sqrt(${d("c.vec", "c.vec")}))"
+      val cosC = s"(CASE WHEN $np = 0 THEN NULL ELSE ${d("a.vec", "c.vec")} / $np END)"
+      s"""WITH b AS (SELECT id, vec, cell FROM read_parquet('$StageSql/sem_cells/*.parquet')),
+         |pairs AS (SELECT a.id AS id_a, c.id AS id_b
+         |  FROM b a JOIN b c ON a.cell = c.cell AND a.id < c.id
+         |  WHERE $cosC >= 0.3)
+         |SELECT b.id, b.id NOT IN (SELECT id_b FROM pairs) AS keep FROM b""".stripMargin
+    }) { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = graft.ext.IvfIndex.trainCached(s"$dir#semdedup", emb,
+        "embedding", nCells = 16)
+      val stage = stageDir(dir)
+      model.withCell(
+          emb.select(col("vec_id").alias("id"),
+            col("embedding").alias("vec")), "vec", "cell")
+        .select("id", "vec", "cell")
+        .write.mode("overwrite").parquet(s"$stage/sem_cells")
+      val cells = s.read.parquet(s"$stage/sem_cells")
+      val dropped = cells.alias("a")
+        .join(cells.alias("c"), col("a.cell") === col("c.cell") &&
+          col("a.id") < col("c.id"))
+        .filter(VectorFunctions.cosineNative(col("a.vec"), col("c.vec")) >= 0.3)
+        .select(col("c.id").alias("id")).distinct()
+        .withColumn("_drop", lit(true))
+      cells.select("id").join(dropped, Seq("id"), "left")
+        .select(col("id"), col("_drop").isNull.alias("keep"))
+    },
+
     // The near-dup PAIR list is staged so both engines cluster the
     // identical graph; DuckDB computes reachability with a recursive CTE
     // (UNION-dedup bounds the fixpoint), Spark with iterative min-label

@@ -206,6 +206,38 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink")
     },
 
+    // Bounded-memory streaming top-k: the Space-Saving sketch rides the
+    // stream as a typed Aggregator, so partial buffers stay ≤ capacity
+    // per partition and the shuffle is O(partitions × capacity) however
+    // long the stream runs — the 100 TB answer to "top users ever" that
+    // an exact groupBy count (state = key cardinality) cannot give.
+    // Capacity 4096 ≥ distinct users at every test sf ⇒ exact regime ⇒
+    // the DuckDB oracle is the plain exact top-10; the approximation
+    // regime (eviction, error bounds, merge) is pinned in
+    // SpaceSavingSpec.
+    QueryDef("st21_stream_heavy_hitters",
+      "streaming heavy hitters: mergeable Space-Saving sketch (typed Aggregator, capacity 4096 = exact regime), top-10 users, complete mode",
+      """SELECT user_id, cnt, rank FROM (
+        |  SELECT user_id, cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+        |  FROM (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id))
+        |WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val out = tmp("graft_st21")
+      val ss = udaf(new graft.functions.SpaceSavingAggregator(4096))
+      eventsStream(s, stageEventsDir(dir))
+        .agg(ss(col("user_id")).alias("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "t")))
+        .filter(col("pos") < 10)
+        .select(col("t._1").alias("user_id"), col("t._2").alias("cnt"),
+          (col("pos") + 1).alias("rank"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$out/_cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/sink")
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
     // Built-in session_window aggregation — the declarative twin of the
     // typed-state sessionizers (st6/st9/st10): Spark merges overlapping
     // per-event windows [ts, ts+gap) in the state store, so a session

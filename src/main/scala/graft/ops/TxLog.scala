@@ -47,8 +47,13 @@ import org.apache.spark.sql.functions._
   */
 object TxLog {
 
+  /** `stats`: optional per-added-file data-skipping stats — file →
+    * column → (min, max) as doubles (numeric columns only; the Delta
+    * `stats` field's role). Files committed without stats simply never
+    * prune. */
   final case class Commit(version: Long, add: Seq[String],
-      remove: Seq[String], op: String, batchId: Long)
+      remove: Seq[String], op: String, batchId: Long,
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -78,8 +83,16 @@ object TxLog {
         val node = mapper.readTree(Files.readAllBytes(p))
         def arr(field: String): Seq[String] =
           node.get(field).elements().asScala.map(_.asText()).toSeq
+        val stats = Option(node.get("stats")).map { s =>
+          s.properties().asScala.map { e =>
+            e.getKey -> e.getValue.properties().asScala.map { c =>
+              c.getKey -> (c.getValue.get(0).asDouble(),
+                c.getValue.get(1).asDouble())
+            }.toMap
+          }.toMap
+        }.getOrElse(Map.empty[String, Map[String, (Double, Double)]])
         Commit(node.get("version").asLong(), arr("add"), arr("remove"),
-          node.get("op").asText(), node.get("batchId").asLong())
+          node.get("op").asText(), node.get("batchId").asLong(), stats)
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -124,6 +137,15 @@ object TxLog {
     commit.add.foreach(addArr.add)
     val removeArr = node.putArray("remove")
     commit.remove.foreach(removeArr.add)
+    if (commit.stats.nonEmpty) {
+      val statsNode = node.putObject("stats")
+      commit.stats.foreach { case (file, cols) =>
+        val fileNode = statsNode.putObject(file)
+        cols.foreach { case (c, (mn, mx)) =>
+          val a = fileNode.putArray(c); a.add(mn); a.add(mx)
+        }
+      }
+    }
     val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, mapper.writeValueAsBytes(node))
     try {
@@ -156,26 +178,92 @@ object TxLog {
     spark.read.parquet(files.map(f => s"$table/$f"): _*)
   }
 
+  /** Per-file (min, max) of `statsCols` for freshly staged `files` — the
+    * data-skipping stats recorded in the commit. ONE distributed pass
+    * grouped by input_file_name; the collect is one row per file per
+    * commit (metadata-sized, like the commit itself). Numeric columns
+    * only: bounds are cast to double. */
+  private def fileStats(spark: SparkSession, table: String,
+      files: Seq[String], statsCols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
+    if (statsCols.isEmpty || files.isEmpty) return Map.empty
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("double").alias(s"__mn_$c"),
+      max(col(c)).cast("double").alias(s"__mx_$c")))
+    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      .groupBy(input_file_name().alias("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .flatMap { r =>
+        files.find(f => r.getString(0).endsWith(f)).map { rel =>
+          rel -> statsCols.zipWithIndex.map { case (c, i) =>
+            c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i))
+          }.toMap
+        }
+      }.toMap
+  }
+
   private def commitLoop(table: String, add: Seq[String],
-      removeAll: Boolean, op: String, batchId: Long): Long = {
+      removeAll: Boolean, op: String, batchId: Long,
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): Long = {
     var attempts = 0
     while (attempts < 10) {
       val v = latestVersion(table).getOrElse(0L) + 1
       val remove = if (removeAll) activeFiles(table) else Seq.empty
-      if (tryCommit(table, Commit(v, add, remove, op, batchId))) return v
+      if (tryCommit(table, Commit(v, add, remove, op, batchId, stats)))
+        return v
       attempts += 1
     }
     throw new IllegalStateException(
       s"txlog commit on $table lost 10 straight races — giving up")
   }
 
-  /** Append `df` as a new version; returns the committed version. */
-  def append(df: DataFrame, table: String): Long =
-    commitLoop(table, writeData(df, table), removeAll = false, "append", -1L)
+  /** Append `df` as a new version; returns the committed version. With
+    * `statsCols`, per-file min/max of those columns ride the commit for
+    * [[readRange]] file skipping. */
+  def append(df: DataFrame, table: String,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val add = writeData(df, table)
+    commitLoop(table, add, removeAll = false, "append", -1L,
+      fileStats(df.sparkSession, table, add, statsCols))
+  }
 
   /** Replace the table contents with `df`; returns the committed version. */
-  def overwrite(df: DataFrame, table: String): Long =
-    commitLoop(table, writeData(df, table), removeAll = true, "overwrite", -1L)
+  def overwrite(df: DataFrame, table: String,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val add = writeData(df, table)
+    commitLoop(table, add, removeAll = true, "overwrite", -1L,
+      fileStats(df.sparkSession, table, add, statsCols))
+  }
+
+  /** Active files whose recorded [min, max] for `colName` intersects
+    * [lo, hi] — plus every file committed WITHOUT stats (those must be
+    * read). Stats are folded from the full commit log (commits are never
+    * deleted, so files surviving [[compact]] checkpoints still find
+    * theirs). */
+  def filesForRange(table: String, colName: String, lo: Double, hi: Double,
+      asOf: Option[Long] = None): Seq[String] = {
+    val statsMap = commits(table).flatMap(_.stats).toMap
+    activeFiles(table, asOf).filter { f =>
+      statsMap.get(f).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+  }
+
+  /** Stats-pruned range read: plan only the files [[filesForRange]] keeps
+    * (the Delta data-skipping read path — at fleet scale this is the
+    * difference between opening every footer and opening the log), then
+    * apply the exact row-level filter. Result is identical to filtering a
+    * full [[read]]. */
+  def readRange(spark: SparkSession, table: String, colName: String,
+      lo: Double, hi: Double, asOf: Option[Long] = None): DataFrame = {
+    val keep = filesForRange(table, colName, lo, hi, asOf)
+    val base =
+      if (keep.nonEmpty) spark.read.parquet(keep.map(f => s"$table/$f"): _*)
+      else read(spark, table, asOf) // degenerate: keep schema, filter to ∅
+    base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
 
   /** Keyed MERGE: per `keyCols` keep the highest-`versionCol` row (ties →
     * incoming wins), committed as one new txlog version. Optimistic: a lost
@@ -263,7 +351,8 @@ object TxLog {
     * [[vacuum]] passes them. Optimistic like [[merge]]: losing the commit
     * race re-reads the new snapshot and recompacts. */
   def optimize(spark: SparkSession, table: String, targetFiles: Int = 1,
-      clusterBy: Seq[org.apache.spark.sql.Column] = Seq.empty): Long = {
+      clusterBy: Seq[org.apache.spark.sql.Column] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty): Long = {
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
@@ -277,7 +366,11 @@ object TxLog {
       val add = writeData(arranged, table)
       val v = base.get + 1
       val remove = activeFiles(table, base)
-      if (tryCommit(table, Commit(v, add, remove, "optimize", -1L))) return v
+      // clusterBy + statsCols is OPTIMIZE ZORDER BY with data skipping:
+      // compacted files own disjoint key ranges AND the ranges ride the
+      // commit, so readRange prunes to exactly the overlapping files
+      if (tryCommit(table, Commit(v, add, remove, "optimize", -1L,
+          fileStats(spark, table, add, statsCols)))) return v
       attempts += 1 // lost the race: recompact against the new snapshot
     }
     throw new IllegalStateException(

@@ -150,6 +150,35 @@ class TxLogSpec extends SparkSpec {
       .count() === 1)
   }
 
+  test("readRange prunes files by commit stats and matches the full scan") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    Seq(0, 1, 2).foreach { i =>
+      TxLog.append(
+        spark.range(i * 100, (i + 1) * 100).toDF("k")
+          .withColumn("v", col("k") * 2), t, statsCols = Seq("k"))
+    }
+    val all = TxLog.activeFiles(t)
+    val pruned = TxLog.filesForRange(t, "k", 120, 180)
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"stats should prune: ${pruned.size} of ${all.size}")
+    assert(TxLog.readRange(spark, t, "k", 120, 180)
+      .as[(Long, Long)].collect().toSet ===
+      (120L to 180L).map(k => (k, k * 2)).toSet)
+    // a commit WITHOUT stats is conservative: its file is always read
+    TxLog.append(Seq((999L, 0L)).toDF("k", "v"), t)
+    val withBlind = TxLog.filesForRange(t, "k", 120, 180)
+    assert(withBlind.size === pruned.size + 1, "stats-less file must-read")
+    assert(TxLog.readRange(spark, t, "k", 120, 180).count() === 61)
+    // skipping survives clustered compaction: stats re-recorded on the
+    // compacted files, disjoint ranges → prune back down
+    TxLog.optimize(spark, t, targetFiles = 3,
+      clusterBy = Seq(col("k")), statsCols = Seq("k"))
+    val afterOpt = TxLog.filesForRange(t, "k", 120, 180)
+    assert(afterOpt.size < TxLog.activeFiles(t).size)
+    assert(TxLog.readRange(spark, t, "k", 120, 180).count() === 61)
+  }
+
   test("streaming sink skips a replayed batchId (exactly-once contents)") {
     val t = table()
     val b0 = Seq((1L, "x", 1L)).toDF("k", "v", "ver")
