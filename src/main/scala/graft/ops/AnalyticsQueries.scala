@@ -361,6 +361,48 @@ object AnalyticsQueries {
         statsCols = Seq("c_custkey"))
       TxLog.readRange(s, table, "c_custkey", 700, 1200)
         .select("c_custkey", "c_name", "c_acctbal")
+    },
+
+    // Change data feed (Delta table_changes): v2 rewrites the table with
+    // updates, deletes, and inserts; changes(v1→v2) must classify every
+    // key — insert / delete / update via null-safe column compares —
+    // and emit nothing for untouched keys. The oracle recomputes the
+    // keyed full-outer diff over the two staged snapshots.
+    QueryDef("src_txlog_changes",
+      "TxLog change data feed: keyed full-outer diff of two versions → insert/delete/update rows",
+      s"""WITH a AS (SELECT * FROM read_parquet('${QueryDef.StageSql}/txcdf_v1/*.parquet')),
+         |b AS (SELECT * FROM read_parquet('${QueryDef.StageSql}/txcdf_v2/*.parquet')),
+         |j AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |  a.c_name AS name_a, a.c_acctbal AS bal_a,
+         |  b.c_name AS name_b, b.c_acctbal AS bal_b
+         |  FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey)
+         |SELECT COALESCE(kb, ka) AS c_custkey,
+         |  CASE WHEN kb IS NULL THEN name_a ELSE name_b END AS c_name,
+         |  CASE WHEN kb IS NULL THEN bal_a ELSE bal_b END AS c_acctbal,
+         |  CASE WHEN ka IS NULL THEN 'insert' WHEN kb IS NULL THEN 'delete'
+         |       ELSE 'update' END AS change_type
+         |FROM j
+         |WHERE ka IS NULL OR kb IS NULL
+         |   OR NOT (name_a IS NOT DISTINCT FROM name_b
+         |           AND bal_a IS NOT DISTINCT FROM bal_b)""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      cust.write.mode("overwrite").parquet(s"$stage/txcdf_v1")
+      // v2: delete %7 keys, bump %3 balances, insert shifted %11 copies
+      s.read.parquet(s"$stage/txcdf_v1")
+        .filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(3)) === 0, col("c_acctbal") + 500.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(s.read.parquet(s"$stage/txcdf_v1")
+          .filter(pmod(col("c_custkey"), lit(11)) === 0)
+          .withColumn("c_custkey", col("c_custkey") + 2000000L))
+        .write.mode("overwrite").parquet(s"$stage/txcdf_v2")
+      val table = Files.createTempDirectory("graft_txcdf").toString + "/t"
+      TxLog.overwrite(s.read.parquet(s"$stage/txcdf_v1"), table) // v1
+      TxLog.overwrite(s.read.parquet(s"$stage/txcdf_v2"), table) // v2
+      TxLog.changes(s, table, Seq("c_custkey"), 1L, 2L)
     }
   )
 }

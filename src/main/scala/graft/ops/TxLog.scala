@@ -305,6 +305,40 @@ object TxLog {
     merge(batch.sparkSession, table, batch, keyCols, versionCol, batchId)
   }
 
+  /** Change-data-feed between two committed versions (Delta's
+    * `table_changes`): keyed full-outer diff of the snapshots →
+    * `insert` (key only in `toV`), `delete` (key only in `fromV`),
+    * `update` (key in both, any non-key column differs; emits the NEW
+    * row). Unchanged keys emit nothing. This is what lets a downstream
+    * incremental consumer process a 100 TB table's delta instead of
+    * re-reading it; the diff itself is one key-partitioned join bounded
+    * by the two snapshots. Null-safe (`<=>`) column compares, so NULL→
+    * value and value→NULL both classify as updates. Requires `keyCols`
+    * to be unique per snapshot (the [[merge]] invariant). */
+  def changes(spark: SparkSession, table: String, keyCols: Seq[String],
+      fromV: Long, toV: Long): DataFrame = {
+    val pre = read(spark, table, Some(fromV)).alias("_pre")
+    val post = read(spark, table, Some(toV)).alias("_post")
+    val dataCols = post.columns.filterNot(keyCols.contains).toSeq
+    val keyEq = keyCols.map(k => col(s"_pre.$k") <=> col(s"_post.$k"))
+      .reduce(_ && _)
+    val sameData = dataCols.map(c => col(s"_pre.$c") <=> col(s"_post.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val preKey = col(s"_pre.${keyCols.head}")
+    val postKey = col(s"_post.${keyCols.head}")
+    pre.join(post, keyEq, "full_outer")
+      .withColumn("change_type",
+        when(preKey.isNull, lit("insert"))
+          .when(postKey.isNull, lit("delete"))
+          .when(!sameData, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(
+        keyCols.map(k => coalesce(col(s"_post.$k"), col(s"_pre.$k")).alias(k)) ++
+          dataCols.map(c => when(postKey.isNull, col(s"_pre.$c"))
+            .otherwise(col(s"_post.$c")).alias(c)) :+
+          col("change_type"): _*)
+  }
+
   /** DESCRIBE HISTORY analog: one row per commit — version, operation,
     * batch id (−1 for batch writes), files added/removed. The audit
     * surface Delta users query before a time-travel read. */

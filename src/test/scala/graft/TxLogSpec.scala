@@ -179,6 +179,23 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.readRange(spark, t, "k", 120, 180).count() === 61)
   }
 
+  test("changes classifies insert/update/delete, null-safely, skipping unchanged keys") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]),
+      (9L, "z")).toDF("k", "v"), t)                              // v1
+    TxLog.overwrite(Seq((1L, "a"), (2L, "B"), (3L, "c"),
+      (4L, "d")).toDF("k", "v"), t)                              // v2
+    val got = TxLog.changes(spark, t, Seq("k"), 1L, 2L)
+      .as[(Long, String, String)].collect().toSet
+    assert(got === Set(
+      (2L, "B", "update"),   // value change
+      (3L, "c", "update"),   // NULL → value is an update, not a miss
+      (4L, "d", "insert"),
+      (9L, "z", "delete")))  // delete carries the OLD row
+    // unchanged key 1 emits nothing — the incremental consumer contract
+    assert(!got.exists(_._1 == 1L))
+  }
+
   test("streaming sink skips a replayed batchId (exactly-once contents)") {
     val t = table()
     val b0 = Seq((1L, "x", 1L)).toDF("k", "v", "ver")
