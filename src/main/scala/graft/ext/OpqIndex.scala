@@ -49,6 +49,58 @@ object OpqIndex {
     m
   }
 
+  /** TRAINED rotation — the parametric OPQ solution (Ge et al. 2013 §4:
+    * for Gaussian data the optimal R is PCA followed by balanced
+    * eigenvalue allocation): decorrelate with a full-rank PCA, then deal
+    * the principal components into the m subspaces so the per-subspace
+    * variance products balance (greedy: components in descending variance,
+    * each to the unfilled subspace with the smallest log-variance sum).
+    * Balanced subspace variance = balanced per-subspace quantization error
+    * = no codebook starves while another saturates.
+    *
+    * Deterministic: the PCA fits on the same bounded hash-ordered sample
+    * [[PqIndex.train]] uses, and the eigen-decomposition of a fixed
+    * covariance is deterministic. Rows are orthonormal because principal
+    * components are. Driver-side output is dim×dim — broadcast-as-literal
+    * like [[rotationMatrix]]. */
+  def trainedRotation(corpus: org.apache.spark.sql.DataFrame, vecCol: String,
+      dim: Int, m: Int, sampleCap: Int = 20000): Array[Array[Double]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val sample = corpus
+      .select(col(vecCol).cast("array<double>").alias("v"),
+        xxhash64(col(vecCol).cast("array<double>")).alias("_h"))
+      .orderBy("_h").limit(sampleCap)
+      .select(org.apache.spark.ml.functions.array_to_vector(col("v"))
+        .alias("features"))
+    val pca = new org.apache.spark.ml.feature.PCA()
+      .setK(dim).setInputCol("features").setOutputCol("_p").fit(sample)
+    val pc = pca.pc // dim×dim; column i = i-th principal component
+    val ev = pca.explainedVariance.toArray
+    // Balance per-subspace Σlog(λ) by greedy LPT over SHIFTED loads: raw
+    // logs are negative for λ<1, so "assign to the min-sum bin" would pile
+    // everything into one subspace (each assignment makes that bin the
+    // minimum again). Because every bin ends with exactly subDim items, a
+    // constant shift per item moves every bin's total equally — shift
+    // loads positive and the classic makespan greedy balances the true
+    // log-products.
+    val logs = ev.map(e => math.log(math.max(e, 1e-12)))
+    val loads = logs.map(_ - logs.min + 1e-6)
+    val sums = Array.fill(m)(0.0)
+    val counts = Array.fill(m)(0)
+    val assign = Array.fill(dim)(-1)
+    for (i <- 0 until dim) { // descending variance ⇒ descending load (LPT)
+      val j = (0 until m).filter(counts(_) < subDim)
+        .minBy(j => (sums(j), j))
+      assign(i) = j
+      sums(j) += loads(i)
+      counts(j) += 1
+    }
+    (0 until m).flatMap(j => (0 until dim).filter(assign(_) == j))
+      .map(i => Array.tabulate(dim)(r => pc(r, i)))
+      .toArray
+  }
+
   /** Column expression rotating `vec` by `r`: element i is dot(r_i, vec).
     * Literal matrix + higher-order transform — stays in codegen, O(dim²)
     * multiplies per row, zero shuffle. Result is array<float> so staged

@@ -35,6 +35,70 @@ object ExtQueries {
   private val TOKS =
     """list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))"""
 
+  /** Oracle SQL for a rotated-PQ entry: integer-micro ADC shortlist over
+    * staged codes+LUT, exact rerank over the staged ROTATED vectors
+    * (cosine is rotation-invariant, so ranks are comparable to the
+    * unrotated entries). `prefix` keys the stage subdirs. */
+  private def rotatedPqOracle(prefix: String): String = {
+    def d(x: String, y: String) =
+      s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
+    val np = s"(sqrt(${d("q.vec", "q.vec")}) * sqrt(${d("n.vec", "n.vec")}))"
+    val cosV = s"(CASE WHEN $np = 0 THEN NULL ELSE ${d("q.vec", "n.vec")} / $np END)"
+    s"""WITH v AS (SELECT id, vec FROM read_parquet('$StageSql/${prefix}_vecs/*.parquet')),
+       |cd AS (SELECT n_id, sub, code FROM read_parquet('$StageSql/${prefix}_codes/*.parquet')),
+       |l AS (SELECT q_id, sub, code, lm FROM read_parquet('$StageSql/${prefix}_lut/*.parquet')),
+       |a AS (SELECT l.q_id, cd.n_id, CAST(SUM(l.lm) AS BIGINT) AS adc
+       |      FROM cd JOIN l ON cd.sub = l.sub AND cd.code = l.code
+       |      WHERE cd.n_id <> l.q_id GROUP BY l.q_id, cd.n_id),
+       |s AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS sr FROM a) WHERE sr <= 20),
+       |re AS (SELECT s.q_id, s.n_id, $cosV AS score
+       |       FROM s JOIN v q ON q.id = s.q_id JOIN v n ON n.id = s.n_id)
+       |SELECT q_id, n_id, score, rank FROM (
+       |  SELECT q_id, n_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+       |  FROM re)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  /** Shared rotated-PQ builder: rotate by `r` (scan-side literal
+    * transform), stage rotated vectors, train/encode/LUT with the cached
+    * PQ model, ADC shortlist (codes ⋈ broadcast LUT, integer-micro sums),
+    * exact rerank over the staged rotated vectors. */
+  private def rotatedPqTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+      prefix: String, r: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.load(s, dir, "embeddings")
+    val stage = stageDir(dir)
+    emb.select(col("vec_id").alias("id"),
+        graft.ext.OpqIndex.rotate(col("embedding"), r).alias("vec"))
+      .write.mode("overwrite").parquet(s"$stage/${prefix}_vecs")
+    val rotated = s.read.parquet(s"$stage/${prefix}_vecs")
+    val model = graft.ext.PqIndex.trainCached(s"$dir#$prefix", rotated, "vec",
+      dim = 64, m = 8, nCodes = 16)
+    model.encode(
+      rotated.select(col("id").alias("n_id"),
+        col("vec").cast("array<double>").alias("vec")),
+      "vec", "codes")
+      .select(col("n_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .write.mode("overwrite").parquet(s"$stage/${prefix}_codes")
+    model.lutMicro(rotated.filter(col("id") < 10)
+      .select(col("id").alias("q_id"),
+        col("vec").cast("array<double>").alias("vec")))
+      .write.mode("overwrite").parquet(s"$stage/${prefix}_lut")
+    val cd = s.read.parquet(s"$stage/${prefix}_codes")
+    val lut = s.read.parquet(s"$stage/${prefix}_lut")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("adc").desc, col("n_id").asc)
+    val shortlist = cd.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id").agg(sum("lm").alias("adc"))
+      .withColumn("_sr", row_number().over(w)).filter(col("_sr") <= 20)
+      .select("q_id", "n_id")
+    Similarity.topKFromCandidates(shortlist,
+      rotated.filter(col("id") < 10), rotated, k = 5)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- deduplication ---------------------------------------------------
@@ -538,58 +602,23 @@ object ExtQueries {
     // rerank over the staged rotated vectors (cosine is rotation-invariant,
     // so ranks are comparable to the unrotated entries).
     QueryDef("ext_sim_topk_opq",
-      "ANN top-5 via OPQ (random orthonormal rotation + PQ 8x16): ADC shortlist + exact rerank, BOTH stages oracled over staged rotated vectors", {
-      def d(x: String, y: String) =
-        s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
-      val np = s"(sqrt(${d("q.vec", "q.vec")}) * sqrt(${d("n.vec", "n.vec")}))"
-      val cosV = s"(CASE WHEN $np = 0 THEN NULL ELSE ${d("q.vec", "n.vec")} / $np END)"
-      s"""WITH v AS (SELECT id, vec FROM read_parquet('$StageSql/opq_vecs/*.parquet')),
-           |cd AS (SELECT n_id, sub, code FROM read_parquet('$StageSql/opq_codes/*.parquet')),
-           |l AS (SELECT q_id, sub, code, lm FROM read_parquet('$StageSql/opq_lut/*.parquet')),
-           |a AS (SELECT l.q_id, cd.n_id, CAST(SUM(l.lm) AS BIGINT) AS adc
-           |      FROM cd JOIN l ON cd.sub = l.sub AND cd.code = l.code
-           |      WHERE cd.n_id <> l.q_id GROUP BY l.q_id, cd.n_id),
-           |s AS (SELECT q_id, n_id FROM (
-           |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS sr FROM a) WHERE sr <= 20),
-           |re AS (SELECT s.q_id, s.n_id, $cosV AS score
-           |       FROM s JOIN v q ON q.id = s.q_id JOIN v n ON n.id = s.n_id)
-           |SELECT q_id, n_id, score, rank FROM (
-           |  SELECT q_id, n_id, score,
-           |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
-           |  FROM re)
-           |WHERE rank <= 5""".stripMargin
-    }) { (s, dir) =>
-      GraftFunctions.register(s)
-      val emb = Tables.load(s, dir, "embeddings")
-      val r = graft.ext.OpqIndex.rotationMatrix(dim = 64)
-      val stage = stageDir(dir)
-      emb.select(col("vec_id").alias("id"),
-          graft.ext.OpqIndex.rotate(col("embedding"), r).alias("vec"))
-        .write.mode("overwrite").parquet(s"$stage/opq_vecs")
-      val rotated = s.read.parquet(s"$stage/opq_vecs")
-      val model = graft.ext.PqIndex.trainCached(s"$dir#opq", rotated, "vec",
-        dim = 64, m = 8, nCodes = 16)
-      model.encode(
-        rotated.select(col("id").alias("n_id"),
-          col("vec").cast("array<double>").alias("vec")),
-        "vec", "codes")
-        .select(col("n_id"), posexplode(col("codes")).as(Seq("sub", "code")))
-        .write.mode("overwrite").parquet(s"$stage/opq_codes")
-      model.lutMicro(rotated.filter(col("id") < 10)
-        .select(col("id").alias("q_id"),
-          col("vec").cast("array<double>").alias("vec")))
-        .write.mode("overwrite").parquet(s"$stage/opq_lut")
-      val cd = s.read.parquet(s"$stage/opq_codes")
-      val lut = s.read.parquet(s"$stage/opq_lut")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-        .orderBy(col("adc").desc, col("n_id").asc)
-      val shortlist = cd.join(broadcast(lut), Seq("sub", "code"))
-        .filter(col("n_id") =!= col("q_id"))
-        .groupBy("q_id", "n_id").agg(sum("lm").alias("adc"))
-        .withColumn("_sr", row_number().over(w)).filter(col("_sr") <= 20)
-        .select("q_id", "n_id")
-      Similarity.topKFromCandidates(shortlist,
-        rotated.filter(col("id") < 10), rotated, k = 5)
+      "ANN top-5 via OPQ (random orthonormal rotation + PQ 8x16): ADC shortlist + exact rerank, BOTH stages oracled over staged rotated vectors",
+      rotatedPqOracle("opq")) { (s, dir) =>
+      rotatedPqTopK(s, dir, "opq",
+        graft.ext.OpqIndex.rotationMatrix(dim = 64))
+    },
+
+    // Trained OPQ (the parametric OPQ-P solution): PCA-decorrelate, then
+    // deal principal components into subspaces balancing the variance
+    // products, so no codebook starves while another saturates. Same
+    // staged pipeline and oracle shape as the random-rotation entry —
+    // only the matrix differs.
+    QueryDef("ext_sim_topk_opq_trained",
+      "ANN top-5 via trained OPQ (PCA + balanced eigenvalue allocation, Ge et al. parametric) + PQ 8x16, both stages oracled",
+      rotatedPqOracle("opqt")) { (s, dir) =>
+      rotatedPqTopK(s, dir, "opqt",
+        graft.ext.OpqIndex.trainedRotation(
+          Tables.load(s, dir, "embeddings"), "embedding", dim = 64, m = 8))
     },
 
     // ---- text analysis ---------------------------------------------------

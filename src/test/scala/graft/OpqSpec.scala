@@ -47,6 +47,30 @@ class OpqSpec extends SparkSpec {
     }
   }
 
+  test("trained rotation (PCA + eigenvalue allocation) is orthonormal and balances subspace variance") {
+    val emb = Tables.load(spark, SF, "embeddings")
+    val tr = OpqIndex.trainedRotation(emb, "embedding", Dim, m = 8)
+    assert(tr.length === Dim && tr.forall(_.length === Dim))
+    for (i <- 0 until Dim; j <- i until Dim) {
+      val d = (0 until Dim).map(k => tr(i)(k) * tr(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-8, s"R·Rᵀ[$i][$j] = $d")
+    }
+    // the allocation objective: per-subspace log-variance sums of the
+    // ROTATED data are near-equal (dealt greedily from sorted
+    // eigenvalues), so no subspace dominates quantization error
+    val rows = emb.select(OpqIndex.rotate(col("embedding"), tr).alias("rv"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = rows.length.toDouble
+    val mean = Array.tabulate(Dim)(d => rows.map(_(d)).sum / n)
+    val variance = Array.tabulate(Dim)(d =>
+      rows.map(r => math.pow(r(d) - mean(d), 2)).sum / n)
+    val subLogVar = (0 until 8).map(s =>
+      (s * 8 until (s + 1) * 8).map(d => math.log(variance(d))).sum)
+    assert(subLogVar.max - subLogVar.min < 1.0,
+      s"unbalanced subspace log-variance: $subLogVar")
+  }
+
   test("rotated-PQ top-5 recall vs exact brute force") {
     val emb = Tables.load(spark, SF, "embeddings")
     val rot = emb.select(col("vec_id"),
