@@ -339,6 +339,16 @@ object TxLog {
           col("change_type"): _*)
   }
 
+  /** Incremental-consumer form of [[changes]]: everything after the
+    * consumer's last-seen version, plus the version cursor to persist for
+    * the next poll. The CDF consumption loop — poll, apply the delta
+    * downstream, advance the cursor — replaces re-reading the table. */
+  def changesSince(spark: SparkSession, table: String, keyCols: Seq[String],
+      lastSeen: Long): (DataFrame, Long) = {
+    val latest = latestVersion(table).getOrElse(lastSeen)
+    (changes(spark, table, keyCols, lastSeen, latest), latest)
+  }
+
   /** DESCRIBE HISTORY analog: one row per commit — version, operation,
     * batch id (−1 for batch writes), files added/removed. The audit
     * surface Delta users query before a time-travel read. */

@@ -196,6 +196,28 @@ class TxLogSpec extends SparkSpec {
     assert(!got.exists(_._1 == 1L))
   }
 
+  test("a CDF consumer applying deltas reconstructs every snapshot") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)          // v1
+    TxLog.overwrite(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v"), t) // v2
+    TxLog.overwrite(Seq((3L, "c")).toDF("k", "v"), t)                     // v3
+    // consumer materializes v1, then folds changesSince deltas forward
+    var state = TxLog.read(spark, t, Some(1L))
+      .as[(Long, String)].collect().toMap
+    var cursor = 1L
+    val (delta, newCursor) = TxLog.changesSince(spark, t, Seq("k"), cursor)
+    delta.as[(Long, String, String)].collect().foreach {
+      case (k, _, "delete") => state -= k
+      case (k, v, _) => state += (k -> v)
+    }
+    cursor = newCursor
+    assert(cursor === 3L)
+    assert(state === TxLog.read(spark, t).as[(Long, String)].collect().toMap)
+    // idle poll: no new version → empty delta, cursor unchanged
+    val (idle, c2) = TxLog.changesSince(spark, t, Seq("k"), cursor)
+    assert(idle.count() === 0 && c2 === cursor)
+  }
+
   test("streaming sink skips a replayed batchId (exactly-once contents)") {
     val t = table()
     val b0 = Seq((1L, "x", 1L)).toDF("k", "v", "ver")
