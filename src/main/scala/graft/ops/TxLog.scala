@@ -50,10 +50,13 @@ object TxLog {
   /** `stats`: optional per-added-file data-skipping stats — file →
     * column → (min, max) as doubles (numeric columns only; the Delta
     * `stats` field's role). Files committed without stats simply never
-    * prune. */
+    * prune. `schemaDdl`: the table schema as of this commit (Delta's
+    * metadata action) — readers plan from the log instead of opening
+    * footers, and files written before a column existed backfill NULL. */
   final case class Commit(version: Long, add: Seq[String],
       remove: Seq[String], op: String, batchId: Long,
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      schemaDdl: Option[String] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -92,7 +95,8 @@ object TxLog {
           }.toMap
         }.getOrElse(Map.empty[String, Map[String, (Double, Double)]])
         Commit(node.get("version").asLong(), arr("add"), arr("remove"),
-          node.get("op").asText(), node.get("batchId").asLong(), stats)
+          node.get("op").asText(), node.get("batchId").asLong(), stats,
+          Option(node.get("schemaDdl")).map(_.asText()))
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -146,6 +150,7 @@ object TxLog {
         }
       }
     }
+    commit.schemaDdl.foreach(node.put("schemaDdl", _))
     val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, mapper.writeValueAsBytes(node))
     try {
@@ -169,14 +174,57 @@ object TxLog {
       .map(n => s"$sub/$n")
   }
 
-  /** Snapshot read at `asOf` (latest when None). */
+  /** Table schema as of `asOf`: the newest schema-carrying commit at or
+    * before it. None on logs written before schema tracking (falls back
+    * to footer inference). */
+  def schemaAsOf(table: String, asOf: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] =
+    commits(table)
+      .filter(c => asOf.forall(c.version <= _))
+      .flatMap(_.schemaDdl).lastOption
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+
+  /** Snapshot read at `asOf` (latest when None). When the log carries a
+    * schema, the read plans with it directly — no footer listing/merging
+    * at any table size — and files written before a column was added
+    * backfill NULL (the schema-evolution read path). */
   def read(spark: SparkSession, table: String,
       asOf: Option[Long] = None): DataFrame = {
     val files = activeFiles(table, asOf)
     require(files.nonEmpty,
       s"txlog table $table has no committed files at version $asOf")
-    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    val paths = files.map(f => s"$table/$f")
+    schemaAsOf(table, asOf) match {
+      case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
+
+  /** Schema-on-write contract (Delta's enforcement + `mergeSchema`
+    * evolution): same-name/different-type always throws; columns NEW in
+    * `df` require `mergeSchema = true` and widen the table schema;
+    * columns MISSING from `df` stay in the schema and read as NULL for
+    * the new files. Returns the schema to record in the commit. */
+  private def resolveSchema(table: String, df: DataFrame,
+      mergeSchema: Boolean): org.apache.spark.sql.types.StructType =
+    schemaAsOf(table) match {
+      case None => df.schema
+      case Some(cur) =>
+        val curByName = cur.fields.map(f => f.name -> f).toMap
+        df.schema.fields.foreach { f =>
+          curByName.get(f.name).foreach { c =>
+            require(c.dataType == f.dataType,
+              s"txlog schema conflict on '${f.name}': table has " +
+                s"${c.dataType.simpleString}, write has ${f.dataType.simpleString}")
+          }
+        }
+        val added = df.schema.fields.filter(f => !curByName.contains(f.name))
+        if (added.nonEmpty && !mergeSchema)
+          throw new IllegalArgumentException(
+            s"txlog schema enforcement: write adds column(s) " +
+              s"${added.map(_.name).mkString(", ")} — pass mergeSchema=true to evolve")
+        org.apache.spark.sql.types.StructType(
+          cur.fields ++ added.map(_.copy(nullable = true)))
+    }
 
   /** Per-file (min, max) of `statsCols` for freshly staged `files` — the
     * data-skipping stats recorded in the commit. ONE distributed pass
@@ -204,12 +252,14 @@ object TxLog {
 
   private def commitLoop(table: String, add: Seq[String],
       removeAll: Boolean, op: String, batchId: Long,
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): Long = {
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      schemaDdl: Option[String] = None): Long = {
     var attempts = 0
     while (attempts < 10) {
       val v = latestVersion(table).getOrElse(0L) + 1
       val remove = if (removeAll) activeFiles(table) else Seq.empty
-      if (tryCommit(table, Commit(v, add, remove, op, batchId, stats)))
+      if (tryCommit(table, Commit(v, add, remove, op, batchId, stats,
+          schemaDdl)))
         return v
       attempts += 1
     }
@@ -219,20 +269,28 @@ object TxLog {
 
   /** Append `df` as a new version; returns the committed version. With
     * `statsCols`, per-file min/max of those columns ride the commit for
-    * [[readRange]] file skipping. */
+    * [[readRange]] file skipping. Schema-on-write enforced; columns new
+    * in `df` require `mergeSchema = true` (see [[resolveSchema]]). */
   def append(df: DataFrame, table: String,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      mergeSchema: Boolean = false): Long = {
+    val schema = resolveSchema(table, df, mergeSchema)
     val add = writeData(df, table)
     commitLoop(table, add, removeAll = false, "append", -1L,
-      fileStats(df.sparkSession, table, add, statsCols))
+      fileStats(df.sparkSession, table, add, statsCols), Some(schema.toDDL))
   }
 
-  /** Replace the table contents with `df`; returns the committed version. */
+  /** Replace the table contents with `df`; returns the committed version.
+    * Overwrite REPLACES the schema too (rewriting every row is the one
+    * write where a narrowing rewrite is well-defined), except that
+    * same-name type changes still throw without `mergeSchema`. */
   def overwrite(df: DataFrame, table: String,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      mergeSchema: Boolean = false): Long = {
+    if (!mergeSchema) resolveSchema(table, df, mergeSchema = true) // type check only
     val add = writeData(df, table)
     commitLoop(table, add, removeAll = true, "overwrite", -1L,
-      fileStats(df.sparkSession, table, add, statsCols))
+      fileStats(df.sparkSession, table, add, statsCols), Some(df.schema.toDDL))
   }
 
   /** Active files whose recorded [min, max] for `colName` intersects
@@ -288,7 +346,8 @@ object TxLog {
       val add = writeData(merged, table)
       val v = base.getOrElse(0L) + 1
       val remove = activeFiles(table, base)
-      if (tryCommit(table, Commit(v, add, remove, "merge", batchId))) return v
+      if (tryCommit(table, Commit(v, add, remove, "merge", batchId,
+        schemaDdl = Some(merged.schema.toDDL)))) return v
       attempts += 1 // lost the race: new snapshot exists, re-merge against it
     }
     throw new IllegalStateException(
@@ -414,7 +473,8 @@ object TxLog {
       // compacted files own disjoint key ranges AND the ranges ride the
       // commit, so readRange prunes to exactly the overlapping files
       if (tryCommit(table, Commit(v, add, remove, "optimize", -1L,
-          fileStats(spark, table, add, statsCols)))) return v
+          fileStats(spark, table, add, statsCols),
+          Some(arranged.schema.toDDL)))) return v
       attempts += 1 // lost the race: recompact against the new snapshot
     }
     throw new IllegalStateException(

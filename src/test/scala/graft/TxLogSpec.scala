@@ -196,6 +196,33 @@ class TxLogSpec extends SparkSpec {
     assert(!got.exists(_._1 == 1L))
   }
 
+  test("schema is enforced on write and evolves only when asked") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)                 // v1
+    // same-name different-type always throws
+    intercept[IllegalArgumentException] {
+      TxLog.append(Seq((2L, 7)).toDF("k", "v"), t)
+    }
+    // a new column without mergeSchema throws (Delta enforcement)
+    intercept[IllegalArgumentException] {
+      TxLog.append(Seq((2L, "b", 1.5)).toDF("k", "v", "extra"), t)
+    }
+    // with mergeSchema it widens the table; pre-evolution files read NULL
+    TxLog.append(Seq((2L, "b", 1.5)).toDF("k", "v", "extra"), t,
+      mergeSchema = true)                                          // v2
+    val now = TxLog.read(spark, t)
+    assert(now.columns.toSeq === Seq("k", "v", "extra"))
+    assert(now.as[(Long, String, Option[Double])].collect().toSet ===
+      Set((1L, "a", None), (2L, "b", Some(1.5))))
+    // a write MISSING an evolved column is fine — its rows read NULL
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)                 // v3
+    assert(TxLog.read(spark, t).filter(col("k") === 3L)
+      .select("extra").as[Option[Double]].head() === None)
+    // time travel keeps the v1-era schema
+    assert(TxLog.read(spark, t, Some(1L)).columns.toSeq === Seq("k", "v"))
+  }
+
   test("a CDF consumer applying deltas reconstructs every snapshot") {
     val t = table()
     TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)          // v1
