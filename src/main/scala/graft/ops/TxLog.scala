@@ -53,10 +53,14 @@ object TxLog {
     * prune. `schemaDdl`: the table schema as of this commit (Delta's
     * metadata action) — readers plan from the log instead of opening
     * footers, and files written before a column existed backfill NULL. */
+  /** `constraint`: a named CHECK constraint added by this commit (no data
+    * files; folded into the active constraint set writers validate
+    * against). */
   final case class Commit(version: Long, add: Seq[String],
       remove: Seq[String], op: String, batchId: Long,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
-      schemaDdl: Option[String] = None)
+      schemaDdl: Option[String] = None,
+      constraint: Option[(String, String)] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -96,7 +100,9 @@ object TxLog {
         }.getOrElse(Map.empty[String, Map[String, (Double, Double)]])
         Commit(node.get("version").asLong(), arr("add"), arr("remove"),
           node.get("op").asText(), node.get("batchId").asLong(), stats,
-          Option(node.get("schemaDdl")).map(_.asText()))
+          Option(node.get("schemaDdl")).map(_.asText()),
+          Option(node.get("constraintName")).map(n =>
+            n.asText() -> node.get("constraintExpr").asText()))
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -151,6 +157,9 @@ object TxLog {
       }
     }
     commit.schemaDdl.foreach(node.put("schemaDdl", _))
+    commit.constraint.foreach { case (n, e) =>
+      node.put("constraintName", n); node.put("constraintExpr", e)
+    }
     val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, mapper.writeValueAsBytes(node))
     try {
@@ -198,6 +207,44 @@ object TxLog {
       case None => spark.read.parquet(paths: _*)
     }
   }
+
+  /** Active CHECK constraints (name → boolean SQL expression), folded
+    * from the log. */
+  def constraints(table: String): Map[String, String] =
+    commits(table).flatMap(_.constraint).toMap
+
+  /** ALTER TABLE ADD CONSTRAINT analog: a named CHECK every row of every
+    * subsequent write must satisfy. Existing rows are validated first
+    * (Delta's behavior — a constraint the current table violates is
+    * refused), then the constraint rides the log as a data-less commit so
+    * every future writer — including one on another driver — sees and
+    * enforces it. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      expr: String): Long = {
+    if (latestVersion(table).isDefined)
+      validateConstraints(read(spark, table), Map(name -> expr))
+    var attempts = 0
+    while (attempts < 10) {
+      val v = latestVersion(table).getOrElse(0L) + 1
+      if (tryCommit(table, Commit(v, Seq.empty, Seq.empty, "addConstraint",
+        -1L, constraint = Some(name -> expr)))) return v
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog addConstraint on $table lost 10 straight races — giving up")
+  }
+
+  /** Reject the write if any row violates any active constraint. One
+    * predicated scan of the incoming batch per write (Delta folds this
+    * into the write job via metrics; the extra pass here is the simple
+    * correct form — the batch is the small side of any sane commit). */
+  private def validateConstraints(df: DataFrame,
+      active: Map[String, String]): Unit =
+    active.foreach { case (name, sql) =>
+      if (!df.filter(!expr(sql)).isEmpty)
+        throw new IllegalArgumentException(
+          s"txlog CHECK constraint '$name' ($sql) violated by the write")
+    }
 
   /** Schema-on-write contract (Delta's enforcement + `mergeSchema`
     * evolution): same-name/different-type always throws; columns NEW in
@@ -275,6 +322,7 @@ object TxLog {
       statsCols: Seq[String] = Seq.empty,
       mergeSchema: Boolean = false): Long = {
     val schema = resolveSchema(table, df, mergeSchema)
+    validateConstraints(df, constraints(table))
     val add = writeData(df, table)
     commitLoop(table, add, removeAll = false, "append", -1L,
       fileStats(df.sparkSession, table, add, statsCols), Some(schema.toDDL))
@@ -288,6 +336,7 @@ object TxLog {
       statsCols: Seq[String] = Seq.empty,
       mergeSchema: Boolean = false): Long = {
     if (!mergeSchema) resolveSchema(table, df, mergeSchema = true) // type check only
+    validateConstraints(df, constraints(table))
     val add = writeData(df, table)
     commitLoop(table, add, removeAll = true, "overwrite", -1L,
       fileStats(df.sparkSession, table, add, statsCols), Some(df.schema.toDDL))
@@ -328,6 +377,7 @@ object TxLog {
     * commit race re-reads the new snapshot and re-merges. */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       keyCols: Seq[String], versionCol: String, batchId: Long = -1L): Long = {
+    validateConstraints(updates, constraints(table))
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)

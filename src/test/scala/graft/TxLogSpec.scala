@@ -196,6 +196,34 @@ class TxLogSpec extends SparkSpec {
     assert(!got.exists(_._1 == 1L))
   }
 
+  test("CHECK constraints gate every writer and refuse a violated add") {
+    val t = table()
+    TxLog.append(Seq((1L, 10L)).toDF("k", "qty"), t)               // v1
+    TxLog.addConstraint(spark, t, "qty_pos", "qty > 0")            // v2
+    // a constraint the CURRENT table violates is refused outright
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, t, "qty_big", "qty > 100")
+    }
+    // valid write passes; violating writes are rejected before commit
+    TxLog.append(Seq((2L, 5L)).toDF("k", "qty"), t)                // v3
+    val vBefore = TxLog.latestVersion(t)
+    intercept[IllegalArgumentException] {
+      TxLog.append(Seq((3L, -1L)).toDF("k", "qty"), t)
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, t, Seq((2L, 0L)).toDF("k", "qty"), Seq("k"), "qty")
+    }
+    // rejection is clean: no version advanced, snapshot unchanged
+    assert(TxLog.latestVersion(t) === vBefore)
+    assert(TxLog.read(spark, t).as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (2L, 5L)))
+    // the constraint is durable log state any future writer sees
+    assert(TxLog.constraints(t) === Map("qty_pos" -> "qty > 0"))
+    assert(TxLog.history(spark, t)
+      .filter(org.apache.spark.sql.functions.col("op") === "addConstraint")
+      .count() === 1)
+  }
+
   test("schema is enforced on write and evolves only when asked") {
     import org.apache.spark.sql.functions.col
     val t = table()
