@@ -56,11 +56,16 @@ object TxLog {
   /** `constraint`: a named CHECK constraint added by this commit (no data
     * files; folded into the active constraint set writers validate
     * against). */
+  /** `ts`: wall-clock commit time (epoch millis, stamped at publish) —
+    * the TIMESTAMP AS OF index. Subject to writer clock skew like any
+    * log-clock scheme (Delta shares the caveat); −1 on logs written
+    * before timestamping. */
   final case class Commit(version: Long, add: Seq[String],
       remove: Seq[String], op: String, batchId: Long,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
       schemaDdl: Option[String] = None,
-      constraint: Option[(String, String)] = None)
+      constraint: Option[(String, String)] = None,
+      ts: Long = -1L)
 
   private val mapper = new ObjectMapper()
 
@@ -102,7 +107,8 @@ object TxLog {
           node.get("op").asText(), node.get("batchId").asLong(), stats,
           Option(node.get("schemaDdl")).map(_.asText()),
           Option(node.get("constraintName")).map(n =>
-            n.asText() -> node.get("constraintExpr").asText()))
+            n.asText() -> node.get("constraintExpr").asText()),
+          Option(node.get("ts")).map(_.asLong()).getOrElse(-1L))
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -160,6 +166,8 @@ object TxLog {
     commit.constraint.foreach { case (n, e) =>
       node.put("constraintName", n); node.put("constraintExpr", e)
     }
+    node.put("ts",
+      if (commit.ts >= 0) commit.ts else System.currentTimeMillis())
     val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, mapper.writeValueAsBytes(node))
     try {
@@ -206,6 +214,18 @@ object TxLog {
       case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
+  }
+
+  /** TIMESTAMP AS OF: snapshot at the newest commit whose stamp is ≤
+    * `tsMillis`. Pre-timestamping commits (ts = −1) are treated as
+    * arbitrarily old. Throws if the timestamp predates the table. */
+  def readAsOfTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): DataFrame = {
+    val v = commits(table).filter(_.ts <= tsMillis).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"txlog table $table has no commit at or before ts $tsMillis"))
+      .version
+    read(spark, table, Some(v))
   }
 
   /** Active CHECK constraints (name → boolean SQL expression), folded
@@ -465,8 +485,8 @@ object TxLog {
     import spark.implicits._
     commits(table)
       .map(c => (c.version, c.op, c.batchId,
-        c.add.size.toLong, c.remove.size.toLong))
-      .toDF("version", "op", "batch_id", "n_added", "n_removed")
+        c.add.size.toLong, c.remove.size.toLong, c.ts))
+      .toDF("version", "op", "batch_id", "n_added", "n_removed", "ts")
   }
 
   /** Write a checkpoint (`<v>.checkpoint.json`, the full active file list

@@ -196,6 +196,26 @@ class TxLogSpec extends SparkSpec {
     assert(!got.exists(_._1 == 1L))
   }
 
+  test("TIMESTAMP AS OF resolves the newest commit at or before the stamp") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)              // v1
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    TxLog.overwrite(Seq((2L, "b")).toDF("k", "v"), t)              // v2
+    assert(TxLog.readAsOfTimestamp(spark, t, between)
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    assert(TxLog.readAsOfTimestamp(spark, t, System.currentTimeMillis())
+      .as[(Long, String)].collect().toSeq === Seq((2L, "b")))
+    // predating the table is an explicit error, not an empty read
+    intercept[IllegalArgumentException] {
+      TxLog.readAsOfTimestamp(spark, t, 1L)
+    }
+    // history exposes the stamps for the audit/debug path
+    val ts = TxLog.history(spark, t).select("ts").as[Long].collect()
+    assert(ts.forall(_ > 0) && ts.sorted.sameElements(ts))
+  }
+
   test("CHECK constraints gate every writer and refuse a violated add") {
     val t = table()
     TxLog.append(Seq((1L, 10L)).toDF("k", "qty"), t)               // v1
@@ -286,6 +306,7 @@ class TxLogSpec extends SparkSpec {
       Set((1L, "y", 2L)))
     // DESCRIBE HISTORY analog: the audit trail names both merges
     val h = TxLog.history(spark, t)
+      .select("version", "op", "batch_id", "n_added", "n_removed")
       .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
     assert(h.map(r => (r._1, r._2, r._3)).toSeq ===
       Seq((1L, "merge", 0L), (2L, "merge", 1L)))
