@@ -403,6 +403,31 @@ object AnalyticsQueries {
       TxLog.overwrite(s.read.parquet(s"$stage/txcdf_v1"), table) // v1
       TxLog.overwrite(s.read.parquet(s"$stage/txcdf_v2"), table) // v2
       TxLog.changes(s, table, Seq("c_custkey"), 1L, 2L)
+    },
+
+    // DELETE + UPDATE DML, file-granular copy-on-write (how Delta runs
+    // them): one scan finds the files containing matching rows, only
+    // those are rewritten, untouched files keep their paths (pinned in
+    // TxLogSpec). The oracle recomputes both verbs declaratively over
+    // the staged input.
+    QueryDef("src_txlog_dml",
+      "TxLog DML: DELETE WHERE (custkey%5=0) then UPDATE …SET bal+=100 WHERE (custkey%7=0), copy-on-write; final snapshot oracled",
+      s"""SELECT c_custkey, c_name,
+         |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+         |       ELSE c_acctbal END AS c_acctbal
+         |FROM read_parquet('${QueryDef.StageSql}/txdml_in/*.parquet')
+         |WHERE c_custkey % 5 <> 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txdml_in")
+      val table = Files.createTempDirectory("graft_txdml").toString + "/t"
+      TxLog.overwrite(s.read.parquet(s"$stage/txdml_in")
+        .repartition(6), table)                                     // v1
+      TxLog.delete(s, table, pmod(col("c_custkey"), lit(5)) === 0)  // v2
+      TxLog.update(s, table, pmod(col("c_custkey"), lit(7)) === 0,
+        Map("c_acctbal" -> (col("c_acctbal") + 100.0)))             // v3
+      TxLog.read(s, table)
     }
   )
 }

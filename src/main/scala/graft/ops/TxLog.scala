@@ -468,6 +468,63 @@ object TxLog {
           col("change_type"): _*)
   }
 
+  /** File-granular copy-on-write DML core (how Delta runs DELETE/UPDATE):
+    * ONE scan tags rows with their file and finds the files that contain
+    * any row matching `condition`; only THOSE files are rewritten through
+    * `rewrite`, every untouched file keeps its path, and one commit swaps
+    * the affected set. Cost is scan + rewrite-of-affected-files, not a
+    * table rewrite — with clustered layout (see [[optimize]]) a selective
+    * predicate touches few files. */
+  private def copyOnWrite(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column, op: String)(
+      rewrite: DataFrame => DataFrame): Long = {
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      require(base.nonEmpty, s"$op on empty txlog table $table")
+      val files = activeFiles(table, base)
+      // one scan finds the files containing any matching row (the collect
+      // is one row per TOUCHED file — metadata-sized, like the commit)
+      val touchedUris = read(spark, table, base)
+        .withColumn("_file", input_file_name())
+        .filter(condition)
+        .select("_file").distinct().collect().map(_.getString(0))
+      val touched = files.filter(f => touchedUris.exists(_.endsWith(f)))
+      if (touched.isEmpty) return base.get // nothing matches: no new version
+      val schema = schemaAsOf(table, base)
+      val touchedDf = schema match {
+        case Some(s) =>
+          spark.read.schema(s).parquet(touched.map(f => s"$table/$f"): _*)
+        case None =>
+          spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+      }
+      val add = writeData(rewrite(touchedDf), table)
+      val v = base.get + 1
+      if (tryCommit(table, Commit(v, add, touched, op, -1L,
+        schemaDdl = schema.map(_.toDDL)))) return v
+      attempts += 1 // lost the race: re-derive the touched set and retry
+    }
+    throw new IllegalStateException(
+      s"txlog $op on $table lost 10 straight races — giving up")
+  }
+
+  /** DELETE WHERE: drop matching rows, rewriting only the files that
+    * contain them. */
+  def delete(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): Long =
+    copyOnWrite(spark, table, condition, "delete")(_.filter(!condition))
+
+  /** UPDATE … SET … WHERE: apply `set` (column → new expression) to
+    * matching rows, rewriting only the files that contain them. */
+  def update(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long =
+    copyOnWrite(spark, table, condition, "update") { df =>
+      set.foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, when(condition, e).otherwise(col(c)))
+      }
+    }
+
   /** Incremental-consumer form of [[changes]]: everything after the
     * consumer's last-seen version, plus the version cursor to persist for
     * the next poll. The CDF consumption loop — poll, apply the delta

@@ -196,6 +196,37 @@ class TxLogSpec extends SparkSpec {
     assert(!got.exists(_._1 == 1L))
   }
 
+  test("DELETE/UPDATE rewrite only the files containing matching rows") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = table()
+    // three appends → three disjoint file sets; DML targets only range 1
+    (0 until 3).foreach { i =>
+      TxLog.append(spark.range(i * 100, (i + 1) * 100).toDF("k")
+        .withColumn("v", col("k") * 2).coalesce(1), t)
+    }
+    val before = TxLog.activeFiles(t)
+    val vDel = TxLog.delete(spark, t, col("k") === 150L)
+    val afterDel = TxLog.activeFiles(t)
+    // untouched files keep their exact paths — copy-on-write is
+    // file-granular, not a table rewrite
+    assert((before.toSet & afterDel.toSet).size === before.size - 1,
+      s"$before vs $afterDel")
+    assert(TxLog.read(spark, t).count() === 299)
+    assert(TxLog.read(spark, t).filter(col("k") === 150L).count() === 0)
+    // time travel still sees the pre-delete row
+    assert(TxLog.read(spark, t, Some(vDel - 1))
+      .filter(col("k") === 150L).count() === 1)
+    // UPDATE patches in place, same file-granular bound
+    TxLog.update(spark, t, col("k") === 10L, Map("v" -> lit(-1L)))
+    assert(TxLog.read(spark, t).filter(col("k") === 10L)
+      .select("v").as[Long].head() === -1L)
+    assert(TxLog.read(spark, t).count() === 299)
+    // no-match DML is a no-op: version does not advance
+    val v = TxLog.latestVersion(t)
+    assert(TxLog.delete(spark, t, col("k") === 99999L) === v.get)
+    assert(TxLog.latestVersion(t) === v)
+  }
+
   test("TIMESTAMP AS OF resolves the newest commit at or before the stamp") {
     val t = table()
     TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)              // v1
