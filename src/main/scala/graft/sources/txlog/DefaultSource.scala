@@ -1,0 +1,92 @@
+package graft.sources.txlog
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.TxLog
+
+/** TxLog tables as a first-class Spark data source:
+  *
+  * {{{
+  *   spark.read.format("graft.sources.txlog")
+  *     .option("path", "/lake/events")
+  *     .option("versionAsOf", "3")          // or timestampAsOf (millis)
+  *     .load()
+  * }}}
+  *
+  * The relation resolves the snapshot THROUGH the log (active file list +
+  * log-carried schema — no directory listing, no footer inference) and
+  * delegates the actual columnar scan to Spark's parquet reader over
+  * exactly the snapshot's files, so pushdown/pruning/codegen behave as a
+  * native parquet scan of those files. [[PrunedFilteredScan]] forwards
+  * the pruned columns and pushable filters into that delegate, keeping
+  * the plan scan-shaped rather than scan-then-filter-everything.
+  *
+  * Version resolution mirrors [[TxLog.read]] / [[TxLog.readAsOfTimestamp]];
+  * passing both options is an error. This registration makes the table
+  * tier consumable from `spark.read` API call sites (and SQL via
+  * `CREATE TABLE … USING graft.sources.txlog OPTIONS (path …)`) without
+  * importing TxLog.
+  */
+class DefaultSource extends RelationProvider {
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("txlog source requires option 'path'"))
+    val version = parameters.get("versionasof").map(_.toLong)
+    val tsMillis = parameters.get("timestampasof").map(_.toLong)
+    require(version.isEmpty || tsMillis.isEmpty,
+      "txlog source: pass versionAsOf OR timestampAsOf, not both")
+    val asOf = (version, tsMillis) match {
+      case (Some(v), _) => Some(v)
+      case (_, Some(ts)) =>
+        Some(TxLog.commits(path).filter(_.ts <= ts).lastOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"txlog table $path has no commit at or before ts $ts")).version)
+      case _ => None
+    }
+    TxLogRelation(sqlContext, path, asOf)
+  }
+}
+
+case class TxLogRelation(sqlContext: SQLContext, path: String,
+    asOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+
+  private def snapshot = TxLog.read(sqlContext.sparkSession, path, asOf)
+
+  override val schema: StructType = snapshot.schema
+
+  /** Delegate to the parquet reader over the snapshot's files with the
+    * pruning/filtering re-applied — Catalyst re-plans the delegate with
+    * the same pushdown it proved for a direct parquet scan. `filters`
+    * here are advisory (Spark re-evaluates residuals above this scan). */
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val pruned =
+      if (requiredColumns.isEmpty) snapshot
+      else snapshot.select(requiredColumns.head, requiredColumns.tail: _*)
+    filters.foldLeft(pruned) { (df, f) =>
+      filterToColumn(f).map(df.filter).getOrElse(df)
+    }.rdd
+  }
+
+  private def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === v)
+      case GreaterThan(a, v) => Some(col(a) > v)
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+      case LessThan(a, v) => Some(col(a) < v)
+      case LessThanOrEqual(a, v) => Some(col(a) <= v)
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case _ => None // residual filters are applied by Spark above the scan
+    }
+  }
+}

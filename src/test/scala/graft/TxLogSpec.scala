@@ -196,6 +196,27 @@ class TxLogSpec extends SparkSpec {
     assert(!got.exists(_._1 == 1L))
   }
 
+  test("spark.read.format exposes txlog tables with time travel and pushdown") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)   // v1
+    TxLog.overwrite(Seq((1L, "a"), (3L, "c")).toDF("k", "v"), t)   // v2
+    def fmt = spark.read.format("graft.sources.txlog").option("path", t)
+    assert(fmt.load().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (3L, "c")))
+    assert(fmt.option("versionAsOf", "1").load()
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    assert(fmt.option("timestampAsOf",
+      System.currentTimeMillis().toString).load().count() === 2)
+    intercept[IllegalArgumentException] {
+      fmt.option("versionAsOf", "1").option("timestampAsOf", "1").load()
+        .collect()
+    }
+    // pruning + filtering through the source API stay correct
+    assert(fmt.load().filter(col("k") > 1L).select("v")
+      .as[String].collect().toSeq === Seq("c"))
+  }
+
   test("DELETE/UPDATE rewrite only the files containing matching rows") {
     import org.apache.spark.sql.functions.{col, lit}
     val t = table()
