@@ -30,6 +30,8 @@ object GraftFunctions {
     ("hilbert_key", "Hilbert curve index of a 2-D grid cell (layout key)",
       es => HilbertKey(es.head, es(1),
         es(2).eval(null).asInstanceOf[Number].intValue())),
+    ("nfc_normalize", "Unicode NFC canonical composition (codegen'd, UDF-free)",
+      es => NfcNormalize(es.head)),
     // Spark's own codegen'd bloom probe (internal expression, not in the
     // public registry); the filter bytes must be foldable — see
     // graft.ops.BloomSemi for the build-then-literal pattern

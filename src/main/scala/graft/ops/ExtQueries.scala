@@ -622,6 +622,23 @@ object ExtQueries {
     },
 
     // ---- text analysis ---------------------------------------------------
+    // Unicode NFC normalization — the canonical-composition pass that
+    // precedes hashing/dedup/tokenization on multilingual corpora ("é"
+    // composed vs decomposed is the same text, different bytes). Native
+    // codegen'd expression (functions.NfcNormalize), DuckDB nfc_normalize
+    // as the oracle twin. The synthetic corpus is already NFC, so this is
+    // an identity pass here; the composition cases are pinned in
+    // NormalizeSpec.
+    QueryDef("ext_text_normalize",
+      "Unicode NFC normalization (native codegen'd expression) + post-normalization char count",
+      "SELECT doc_id, nfc_normalize(text) AS text_nfc, CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc FROM documents") { (s, dir) =>
+      GraftFunctions.register(s)
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        call_function("nfc_normalize", col("text")).alias("text_nfc"),
+        length(call_function("nfc_normalize", col("text")))
+          .cast("long").alias("n_chars_nfc"))
+    },
+
     QueryDef("ext_text_token_count",
       "token counting: whitespace + BPE-ish (letter/digit runs + punct marks)",
       s"""SELECT doc_id,

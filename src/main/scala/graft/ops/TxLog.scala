@@ -368,12 +368,22 @@ object TxLog {
     * deleted, so files surviving [[compact]] checkpoints still find
     * theirs). */
   def filesForRange(table: String, colName: String, lo: Double, hi: Double,
+      asOf: Option[Long] = None): Seq[String] =
+    filesForRanges(table, Map(colName -> (lo, hi)), asOf)
+
+  /** Multi-column form: a file survives only if EVERY predicate's range
+    * intersects its recorded [min, max] (conjunctive pruning — the
+    * multi-dimensional win of Z-order/Hilbert clustering, where each
+    * clustered column's ranges are simultaneously tight per file). */
+  def filesForRanges(table: String, ranges: Map[String, (Double, Double)],
       asOf: Option[Long] = None): Seq[String] = {
     val statsMap = commits(table).flatMap(_.stats).toMap
     activeFiles(table, asOf).filter { f =>
-      statsMap.get(f).flatMap(_.get(colName)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
+      ranges.forall { case (colName, (lo, hi)) =>
+        statsMap.get(f).flatMap(_.get(colName)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
       }
     }
   }
@@ -384,12 +394,20 @@ object TxLog {
     * apply the exact row-level filter. Result is identical to filtering a
     * full [[read]]. */
   def readRange(spark: SparkSession, table: String, colName: String,
-      lo: Double, hi: Double, asOf: Option[Long] = None): DataFrame = {
-    val keep = filesForRange(table, colName, lo, hi, asOf)
+      lo: Double, hi: Double, asOf: Option[Long] = None): DataFrame =
+    readRanges(spark, table, Map(colName -> (lo, hi)), asOf)
+
+  /** Multi-column stats-pruned read — see [[filesForRanges]]. */
+  def readRanges(spark: SparkSession, table: String,
+      ranges: Map[String, (Double, Double)],
+      asOf: Option[Long] = None): DataFrame = {
+    val keep = filesForRanges(table, ranges, asOf)
     val base =
       if (keep.nonEmpty) spark.read.parquet(keep.map(f => s"$table/$f"): _*)
       else read(spark, table, asOf) // degenerate: keep schema, filter to ∅
-    base.filter(col(colName) >= lo && col(colName) <= hi)
+    ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>
+      df.filter(col(c) >= lo && col(c) <= hi)
+    }
   }
 
   /** Keyed MERGE: per `keyCols` keep the highest-`versionCol` row (ties →

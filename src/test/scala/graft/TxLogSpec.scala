@@ -173,10 +173,19 @@ class TxLogSpec extends SparkSpec {
     // skipping survives clustered compaction: stats re-recorded on the
     // compacted files, disjoint ranges → prune back down
     TxLog.optimize(spark, t, targetFiles = 3,
-      clusterBy = Seq(col("k")), statsCols = Seq("k"))
+      clusterBy = Seq(col("k")), statsCols = Seq("k", "v"))
     val afterOpt = TxLog.filesForRange(t, "k", 120, 180)
     assert(afterOpt.size < TxLog.activeFiles(t).size)
     assert(TxLog.readRange(spark, t, "k", 120, 180).count() === 61)
+    // conjunctive multi-column pruning: both predicates must intersect,
+    // and an impossible conjunction prunes everything
+    val both = TxLog.filesForRanges(t, Map("k" -> (120.0, 180.0),
+      "v" -> (240.0, 360.0)))
+    assert(both === afterOpt)
+    assert(TxLog.filesForRanges(t, Map("k" -> (120.0, 180.0),
+      "v" -> (0.0, 10.0))).isEmpty)
+    assert(TxLog.readRanges(spark, t, Map("k" -> (120.0, 180.0),
+      "v" -> (240.0, 300.0))).count() === 31)
   }
 
   test("changes classifies insert/update/delete, null-safely, skipping unchanged keys") {
