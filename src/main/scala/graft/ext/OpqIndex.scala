@@ -101,6 +101,104 @@ object OpqIndex {
       .toArray
   }
 
+  /** FULL OPQ — the non-parametric trainer (Ge et al. 2013 §5):
+    * alternating minimization of the joint quantization objective
+    * ‖X·Rᵀ − recon(X·Rᵀ)‖²_F over the rotation AND the codebooks.
+    * Each outer iteration runs (a) code assignment + Lloyd centroid
+    * updates in the current rotated space, then (b) the orthogonal
+    * Procrustes update R = V·Uᵀ from SVD(Σᵢ xᵢ·reconᵢᵀ) — each step is
+    * individually non-increasing in the joint objective, so the error
+    * sequence (recorded after (a), before (b)) is monotone
+    * non-increasing; the spec pins that.
+    *
+    * Driver-side on the bounded hash-ordered sample: n ≤ sampleCap rows
+    * of dim doubles plus dim×dim matrices — megabytes, the same budget
+    * as [[PqIndex.train]]'s sampling, and the production corpus is never
+    * touched (the returned R feeds [[rotate]] scan-side as usual).
+    * Deterministic: seeded init, fixed iteration counts, LAPACK SVD of a
+    * fixed matrix.
+    *
+    * Returns (R, per-iteration mean quantization errors). */
+  def alternatingRotation(corpus: org.apache.spark.sql.DataFrame,
+      vecCol: String, dim: Int, m: Int, nCodes: Int = 16, iters: Int = 4,
+      lloydRounds: Int = 3, sampleCap: Int = 2000,
+      seed: Long = 42L): (Array[Array[Double]], Seq[Double]) = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val x: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").alias("v"),
+        xxhash64(col(vecCol).cast("array<double>")).alias("_h"))
+      .orderBy("_h").limit(sampleCap)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = x.length
+    require(n > nCodes, s"sample too small: $n rows for $nCodes codes")
+
+    var r = rotationMatrix(dim, seed)
+    def rotated: Array[Array[Double]] =
+      x.map { v =>
+        val out = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          var s = 0.0; var k = 0
+          while (k < dim) { s += r(i)(k) * v(k); k += 1 }
+          out(i) = s; i += 1
+        }
+        out
+      }
+
+    // codebooks: m × nCodes × subDim, seeded spread init over the sample
+    var xr = rotated
+    val cb = Array.tabulate(m, nCodes)((s, c) =>
+      xr(c * n / nCodes).slice(s * subDim, (s + 1) * subDim).clone())
+    val errors = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+    for (_ <- 0 until iters) {
+      xr = rotated
+      val codes = Array.ofDim[Int](n, m)
+      (0 until lloydRounds).foreach { _ =>
+        // E-step: nearest centroid per subspace
+        for (i <- 0 until n; s <- 0 until m) {
+          var best = 0; var bestD = Double.MaxValue
+          for (c <- 0 until nCodes) {
+            var d = 0.0; var k = 0
+            while (k < subDim) {
+              val diff = xr(i)(s * subDim + k) - cb(s)(c)(k)
+              d += diff * diff; k += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+          }
+          codes(i)(s) = best
+        }
+        // M-step: centroids ← cluster means (empty clusters keep position)
+        for (s <- 0 until m; c <- 0 until nCodes) {
+          val members = (0 until n).filter(codes(_)(s) == c)
+          if (members.nonEmpty) {
+            for (k <- 0 until subDim)
+              cb(s)(c)(k) =
+                members.map(i => xr(i)(s * subDim + k)).sum / members.size
+          }
+        }
+      }
+      val recon = Array.tabulate(n, dim)((i, d) =>
+        cb(d / subDim)(codes(i)(d / subDim))(d % subDim))
+      errors += (0 until n).map { i =>
+        var e = 0.0; var d = 0
+        while (d < dim) {
+          val diff = xr(i)(d) - recon(i)(d); e += diff * diff; d += 1
+        }
+        e
+      }.sum / n
+      // Procrustes: A = Σ xᵢ·reconᵢᵀ; A = UΣVᵀ ⇒ Rᵀ = U·Vᵀ ⇒ R = V·Uᵀ
+      val a = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+      for (i <- 0 until n; p <- 0 until dim; q <- 0 until dim)
+        a(p, q) += x(i)(p) * recon(i)(q)
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(a)
+      val vu = vt.t * u.t // X·Rᵀ ≈ recon ⇒ Rᵀ = U·Vᵀ ⇒ R = V·Uᵀ
+      r = Array.tabulate(dim, dim)((i, k) => vu(i, k))
+    }
+    (r, errors.toSeq)
+  }
+
   /** Column expression rotating `vec` by `r`: element i is dot(r_i, vec).
     * Literal matrix + higher-order transform — stays in codegen, O(dim²)
     * multiplies per row, zero shuffle. Result is array<float> so staged

@@ -71,6 +71,28 @@ class OpqSpec extends SparkSpec {
       s"unbalanced subspace log-variance: $subLogVar")
   }
 
+  test("full OPQ trainer: monotone error descent, orthonormal result") {
+    val emb = Tables.load(spark, SF, "embeddings")
+    val (tr, errors) = OpqIndex.alternatingRotation(
+      emb, "embedding", Dim, m = 8, iters = 4, sampleCap = 500)
+    assert(errors.length === 4)
+    // alternating minimization: every recorded error is ≤ its predecessor
+    // (codebook step and Procrustes step each non-increasing)
+    errors.sliding(2).foreach {
+      case Seq(prev, next) =>
+        assert(next <= prev + 1e-9, s"error rose: $errors")
+      case _ =>
+    }
+    // and training actually helped vs the random-rotation start
+    assert(errors.last < errors.head, errors.toString)
+    // result is still a rotation
+    for (i <- 0 until Dim; j <- i until Dim) {
+      val d = (0 until Dim).map(k => tr(i)(k) * tr(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-8, s"R·Rᵀ[$i][$j] = $d")
+    }
+  }
+
   test("rotated-PQ top-5 recall vs exact brute force") {
     val emb = Tables.load(spark, SF, "embeddings")
     val rot = emb.select(col("vec_id"),
