@@ -206,6 +206,82 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink")
     },
 
+    // Streaming change data feed: the commit LOG is the stream — a file
+    // stream over `_txlog/*.json` delivers each commit exactly once
+    // (checkpointed), and foreachBatch resolves every arriving version
+    // into its keyed diff vs the previous snapshot (TxLog.changes),
+    // landing it in a version-keyed overwrite (idempotent under replay).
+    // This is the readChangeFeed streaming shape: downstream consumers
+    // tail O(delta) per version, never rescanning the table. The
+    // `.tmp-` hard-link sources are dot-prefixed, so the file source
+    // ignores in-flight commits by construction.
+    QueryDef("st22_stream_txlog_cdf",
+      "streaming CDF over a TxLog table: commit-log file stream → per-version keyed diff (insert/delete/update + version)", {
+      def diff(x: String, y: String, v: Int) =
+        s"""(SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+           |  CASE WHEN b.c_custkey IS NULL THEN a.c_name ELSE b.c_name END AS c_name,
+           |  CASE WHEN b.c_custkey IS NULL THEN a.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+           |  CASE WHEN a.c_custkey IS NULL THEN 'insert' WHEN b.c_custkey IS NULL THEN 'delete'
+           |       ELSE 'update' END AS change_type,
+           |  CAST($v AS BIGINT) AS version
+           |FROM $x a FULL OUTER JOIN $y b ON a.c_custkey = b.c_custkey
+           |WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+           |   OR NOT (a.c_name IS NOT DISTINCT FROM b.c_name
+           |           AND a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal))""".stripMargin
+      s"""WITH s1 AS (SELECT * FROM read_parquet('$StageSql/stcdf_v1/*.parquet')),
+         |s2 AS (SELECT * FROM read_parquet('$StageSql/stcdf_v2/*.parquet')),
+         |s3 AS (SELECT * FROM read_parquet('$StageSql/stcdf_v3/*.parquet'))
+         |SELECT c_custkey, c_name, c_acctbal, 'insert' AS change_type,
+         |  CAST(1 AS BIGINT) AS version FROM s1
+         |UNION ALL SELECT * FROM ${diff("s1", "s2", 2)}
+         |UNION ALL SELECT * FROM ${diff("s2", "s3", 3)}""".stripMargin
+    }) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      val cust = graft.Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      cust.write.mode("overwrite").parquet(s"$stage/stcdf_v1")
+      s.read.parquet(s"$stage/stcdf_v1")
+        .filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(3)) === 0, col("c_acctbal") + 500.0)
+            .otherwise(col("c_acctbal")))
+        .write.mode("overwrite").parquet(s"$stage/stcdf_v2")
+      s.read.parquet(s"$stage/stcdf_v2")
+        .filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(5)) === 0, col("c_acctbal") + 50.0)
+            .otherwise(col("c_acctbal")))
+        .write.mode("overwrite").parquet(s"$stage/stcdf_v3")
+      val table = tmp("graft_st22") + "/t"
+      TxLog.overwrite(s.read.parquet(s"$stage/stcdf_v1"), table)
+      TxLog.overwrite(s.read.parquet(s"$stage/stcdf_v2"), table)
+      TxLog.overwrite(s.read.parquet(s"$stage/stcdf_v3"), table)
+      val out = tmp("graft_st22_out")
+      val commitSchema = StructType(Seq(
+        StructField("version", LongType), StructField("op", StringType)))
+      configureStreaming(s)
+      s.readStream.schema(commitSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(s"$table/_txlog")
+        .filter(col("version").isNotNull && col("op") =!= "addConstraint")
+        .writeStream
+        .option("checkpointLocation", s"$out/_cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("version").distinct().collect().map(_.getLong(0))
+            .sorted.foreach { v =>
+              val delta =
+                if (v == 1L) TxLog.read(s, table, Some(1L))
+                  .withColumn("change_type", lit("insert"))
+                else TxLog.changes(s, table, Seq("c_custkey"), v - 1, v)
+              delta.withColumn("version", lit(v))
+                .write.mode("overwrite").parquet(s"$out/v=$v")
+            }
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      s.read.parquet(s"$out/v=*")
+        .select("c_custkey", "c_name", "c_acctbal", "change_type", "version")
+    },
+
     // Bounded-memory streaming top-k: the Space-Saving sketch rides the
     // stream as a typed Aggregator, so partial buffers stay ≤ capacity
     // per partition and the shuffle is O(partitions × capacity) however
