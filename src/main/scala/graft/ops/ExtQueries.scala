@@ -621,6 +621,20 @@ object ExtQueries {
           Tables.load(s, dir, "embeddings"), "embedding", dim = 64, m = 8))
     },
 
+    // Full OPQ (non-parametric): the alternating Lloyd + Procrustes
+    // trainer (OpqIndex.alternatingRotation, monotone-descent proof in
+    // OpqSpec) producing the rotation; identical staged pipeline/oracle.
+    // Completes the family: random R → parametric (PCA) → jointly
+    // trained.
+    QueryDef("ext_sim_topk_opq_full",
+      "ANN top-5 via full OPQ (alternating minimization: Lloyd + orthogonal Procrustes) + PQ 8x16, both stages oracled",
+      rotatedPqOracle("opqf")) { (s, dir) =>
+      rotatedPqTopK(s, dir, "opqf",
+        graft.ext.OpqIndex.alternatingRotation(
+          Tables.load(s, dir, "embeddings"), "embedding", dim = 64, m = 8,
+          iters = 3, sampleCap = 1000)._1)
+    },
+
     // ---- text analysis ---------------------------------------------------
     // Unicode NFC normalization — the canonical-composition pass that
     // precedes hashing/dedup/tokenization on multilingual corpora ("é"
