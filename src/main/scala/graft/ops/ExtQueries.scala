@@ -726,6 +726,51 @@ object ExtQueries {
         TextAnalysis.qualityScore(col("text")).alias("quality"))
     },
 
+    // Gopher quality rules (Rae et al. 2021, Table A1 — the filter set
+    // most open-data pipelines start from), as a rule-by-rule verdict so
+    // a pipeline can both gate on `pass` and audit WHICH rule rejected a
+    // document. All arithmetic is exact int/int → one IEEE division, so
+    // the booleans agree bit-for-bit across engines. Thresholds are the
+    // published ones (50–100k tokens, mean token length 3–10, symbol
+    // ratio < 0.1, ≥2 common-word hits).
+    QueryDef("ext_quality_gopher",
+      "Gopher quality rules: per-rule booleans + overall pass verdict per doc",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |r AS (SELECT doc_id, len(toks) AS n_toks,
+        |  CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE) / greatest(len(toks), 1) AS mean_len,
+        |  CAST(len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE) / greatest(len(toks), 1) AS sym_ratio,
+        |  len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for','on','with','as','at','this','be'], lower(x)))) AS n_stop
+        |FROM t)
+        |SELECT doc_id,
+        |  n_toks >= 50 AND n_toks <= 100000 AS r_n_tokens,
+        |  mean_len >= 3 AND mean_len <= 10 AS r_mean_len,
+        |  sym_ratio < 0.1 AS r_symbol,
+        |  n_stop >= 2 AS r_common_words,
+        |  n_toks >= 50 AND n_toks <= 100000 AND mean_len >= 3 AND mean_len <= 10
+        |    AND sym_ratio < 0.1 AND n_stop >= 2 AS pass
+        |FROM r""".stripMargin) { (s, dir) =>
+      val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it",
+        "that", "for", "on", "with", "as", "at", "this", "be")
+      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      val nToks = size(col("toks"))
+      val denom = greatest(nToks, lit(1))
+      val meanLen = aggregate(transform(col("toks"), t => length(t)),
+        lit(0), (a, x) => a + x).cast("double") / denom
+      val symRatio = size(filter(col("toks"),
+        t => t.contains("#") || t.contains("..."))).cast("double") / denom
+      val nStop = size(filter(col("toks"),
+        t => lower(t).isInCollection(stop)))
+      Tables.load(s, dir, "documents")
+        .withColumn("toks", toks)
+        .select(col("doc_id"),
+          (nToks >= 50 && nToks <= 100000).alias("r_n_tokens"),
+          (meanLen >= 3 && meanLen <= 10).alias("r_mean_len"),
+          (symRatio < 0.1).alias("r_symbol"),
+          (nStop >= 2).alias("r_common_words"))
+        .withColumn("pass", col("r_n_tokens") && col("r_mean_len") &&
+          col("r_symbol") && col("r_common_words"))
+    },
+
     QueryDef("ext_text_scrub",
       "PII-ish scrubbing: mask emails and URLs (RE2-safe patterns)",
       s"""SELECT doc_id, regexp_replace(regexp_replace(text,
