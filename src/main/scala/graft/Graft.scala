@@ -24,6 +24,24 @@ object Graft {
     spark
   }
 
+  /** Orderly end-of-main teardown for Bench/Verify. The RocksDB state-store
+    * provider keeps native handles loaded after every streaming query has
+    * finished, and the StateStore maintenance daemon keeps polling their
+    * native statistics (ticker counts). If the JVM exits — or `spark.stop()`
+    * tears the env down — while a poll is in flight, the poll reads a freed
+    * native Statistics object: SIGSEGV in librocksdbjni
+    * (`StatisticsImpl::getTickerCountLocked`), observed twice at bench
+    * teardown in round 7. Sequence here: stop every live stream, then
+    * `StateStore.stop()` (joins the maintenance thread and closes every
+    * loaded provider under the providers lock — no poll can race a close),
+    * then `spark.stop()`. */
+  def shutdown(spark: SparkSession): Unit = {
+    spark.streams.active.foreach(q => scala.util.Try(q.stop()))
+    scala.util.Try(
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop())
+    spark.stop()
+  }
+
   /** Local session tuned for this environment (single JVM, many cores).
     * On a real cluster the same settings hold except master/partitions,
     * which come from the deploy environment.

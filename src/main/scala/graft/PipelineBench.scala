@@ -31,6 +31,6 @@ object PipelineBench {
     }
     println(s"[pipeline] rows: details=${details.count()} reviews=${reviews.count()} " +
       s"silver=${spark.read.parquet(s"$out/m/silver").count()} gold=${gold.count()}")
-    spark.stop()
+    Graft.shutdown(spark)
   }
 }

@@ -122,6 +122,6 @@ object ScaleProbe {
     rows.foreach { case (n, a, b, r) =>
       println(f"$n,$a%.2f,$b%.2f,$r%.1fx")
     }
-    spark.stop()
+    Graft.shutdown(spark)
   }
 }

@@ -59,6 +59,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SF__", sfName))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    // Orderly stream/state-store/session teardown — a RocksDB metrics poll
+    // racing JVM exit SIGSEGVs in native code (see Graft.shutdown).
+    Graft.shutdown(spark)
   }
 }

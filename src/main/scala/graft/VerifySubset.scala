@@ -52,6 +52,6 @@ object VerifySubset {
         s"${esc(q.name)}: ${esc(o.replace("__SF__", sfName))}"))
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    Graft.shutdown(spark)
   }
 }

@@ -154,12 +154,30 @@ object AnalyticsQueries {
           "metric", "value")
     },
 
-    QueryDef.noOracle("a12_hll_sketch",
-      "mergeable HLL sketches (datasketches): distinct users per event type — the shuffle-friendly distinct-count at fleet scale") { (s, dir) =>
+    // Same staged-estimate oracle pattern as a6: the datasketches estimate
+    // can't be recomputed in DuckDB, but its error contract can be VERIFIED
+    // there. Default lgK = 12 → rsd = 1.04/√4096 ≈ 0.01625; the oracle
+    // checks ±3·rsd (≤ 4.875%) against the exact distinct count.
+    QueryDef("a12_hll_sketch",
+      "mergeable HLL sketches (datasketches, lgK 12): staged estimate + oracle-checked ±3·rsd bound vs exact distinct — the shuffle-friendly distinct-count at fleet scale",
+      s"""SELECT s.event_type, s.approx_users,
+         |  ABS(s.approx_users - e.exact_users) <= 3 * 0.01625 * e.exact_users AS within_bound
+         |FROM read_parquet('${QueryDef.StageSql}/a12_est/*.parquet') s
+         |JOIN (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+         |      FROM events GROUP BY event_type) e USING (event_type)""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
       Tables.load(s, dir, "events")
         .groupBy("event_type")
         .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
           .alias("approx_users"))
+        .write.mode("overwrite").parquet(s"$stage/a12_est")
+      val exact = Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).alias("exact_users"))
+      s.read.parquet(s"$stage/a12_est").join(exact, "event_type")
+        .select(col("event_type"), col("approx_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            lit(3 * 0.01625) * col("exact_users")).alias("within_bound"))
     },
 
     QueryDef("f18_get_json_object",

@@ -389,11 +389,30 @@ object CoreQueries {
         .agg(countDistinct(col("user_id")).alias("users"))
     },
 
-    QueryDef.noOracle("a6_approx_count_distinct",
-      "approx_count_distinct (HLL++); sketch differs from DuckDB's so rows-only check") { (s, dir) =>
+    // The sketch itself differs from DuckDB's, so the estimate can't be
+    // recomputed by the oracle — instead the ESTIMATE is staged and BOTH
+    // engines verify the ±3·rsd error contract against the exact distinct
+    // count (rsd = 0.02 as requested below): the hash check now proves the
+    // estimate and its bound, not just a row count.
+    QueryDef("a6_approx_count_distinct",
+      "approx_count_distinct (HLL++, rsd 0.02): staged estimate + oracle-checked ±3·rsd bound vs exact distinct",
+      s"""SELECT s.event_type, s.approx_users,
+         |  ABS(s.approx_users - e.exact_users) <= 3 * 0.02 * e.exact_users AS within_bound
+         |FROM read_parquet('${QueryDef.StageSql}/a6_est/*.parquet') s
+         |JOIN (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+         |      FROM events GROUP BY event_type) e USING (event_type)""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
       Tables.load(s, dir, "events")
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.02).alias("approx_users"))
+        .write.mode("overwrite").parquet(s"$stage/a6_est")
+      val exact = Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).alias("exact_users"))
+      s.read.parquet(s"$stage/a6_est").join(exact, "event_type")
+        .select(col("event_type"), col("approx_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            lit(3 * 0.02) * col("exact_users")).alias("within_bound"))
     },
 
     // ---- L: sort / limit / top-k -----------------------------------------

@@ -67,6 +67,19 @@ object TxLog {
       constraint: Option[(String, String)] = None,
       ts: Long = -1L)
 
+  /** Reader/writer protocol version stamped into every commit. A reader
+    * meeting a HIGHER version fails loudly instead of silently
+    * misinterpreting actions it doesn't know (Delta's protocol action plays
+    * the same role: an old reader must refuse, not guess). Bump when a
+    * commit gains an action whose absence changes read results. */
+  val ProtocolVersion = 1
+
+  /** Every op this reader knows how to fold. An op outside this set means
+    * the log was written by a newer writer — [[commits]] refuses to read
+    * rather than fold actions with unknown semantics. */
+  private val KnownOps = Set("append", "overwrite", "merge", "delete",
+    "update", "optimize", "addConstraint")
+
   private val mapper = new ObjectMapper()
 
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
@@ -93,6 +106,17 @@ object TxLog {
       .filter(p => CommitName.matches(p.getFileName.toString))
       .map { p =>
         val node = mapper.readTree(Files.readAllBytes(p))
+        // Fail loudly on logs from the future: a silently-skipped unknown
+        // action would fold to a WRONG snapshot, not a degraded one.
+        val proto = Option(node.get("protocolVersion"))
+          .map(_.asInt()).getOrElse(1) // pre-versioning logs are v1
+        if (proto > ProtocolVersion) throw new IllegalStateException(
+          s"txlog commit ${p.getFileName} requires protocol version $proto " +
+            s"but this reader supports <= $ProtocolVersion — upgrade the reader")
+        val opName = node.get("op").asText()
+        if (!KnownOps.contains(opName)) throw new IllegalStateException(
+          s"txlog commit ${p.getFileName} carries unknown op '$opName' — " +
+            "written by a newer writer; refusing to fold a log I can't interpret")
         def arr(field: String): Seq[String] =
           node.get(field).elements().asScala.map(_.asText()).toSeq
         val stats = Option(node.get("stats")).map { s =>
@@ -104,7 +128,7 @@ object TxLog {
           }.toMap
         }.getOrElse(Map.empty[String, Map[String, (Double, Double)]])
         Commit(node.get("version").asLong(), arr("add"), arr("remove"),
-          node.get("op").asText(), node.get("batchId").asLong(), stats,
+          opName, node.get("batchId").asLong(), stats,
           Option(node.get("schemaDdl")).map(_.asText()),
           Option(node.get("constraintName")).map(n =>
             n.asText() -> node.get("constraintExpr").asText()),
@@ -120,6 +144,11 @@ object TxLog {
       p.getFileName.toString match {
         case CheckpointName(v) =>
           val node = mapper.readTree(Files.readAllBytes(p))
+          val proto = Option(node.get("protocolVersion"))
+            .map(_.asInt()).getOrElse(1)
+          if (proto > ProtocolVersion) throw new IllegalStateException(
+            s"txlog checkpoint ${p.getFileName} requires protocol version " +
+              s"$proto but this reader supports <= $ProtocolVersion")
           Some(v.toLong ->
             node.get("files").elements().asScala.map(_.asText()).toSeq)
         case _ => None
@@ -146,6 +175,7 @@ object TxLog {
   def tryCommit(table: String, commit: Commit): Boolean = {
     Files.createDirectories(logDir(table))
     val node = mapper.createObjectNode()
+    node.put("protocolVersion", ProtocolVersion)
     node.put("version", commit.version)
     node.put("op", commit.op)
     node.put("batchId", commit.batchId)
@@ -310,8 +340,12 @@ object TxLog {
       .collect()
       .flatMap { r =>
         files.find(f => r.getString(0).endsWith(f)).map { rel =>
-          rel -> statsCols.zipWithIndex.map { case (c, i) =>
-            c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i))
+          // A column that is all-NULL within one file (or failed the double
+          // cast) has NULL min/max: record no stats for it — the file is
+          // simply never pruned on that column, the safe direction.
+          rel -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+            else Some(c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
           }.toMap
         }
       }.toMap
@@ -403,7 +437,17 @@ object TxLog {
       asOf: Option[Long] = None): DataFrame = {
     val keep = filesForRanges(table, ranges, asOf)
     val base =
-      if (keep.nonEmpty) spark.read.parquet(keep.map(f => s"$table/$f"): _*)
+      if (keep.nonEmpty) {
+        // Plan with the log-carried schema exactly like read(): after
+        // mergeSchema evolution a bare parquet read of old files would drop
+        // the NULL-backfilled columns, breaking the "identical to filtering
+        // a full read" contract.
+        val paths = keep.map(f => s"$table/$f")
+        schemaAsOf(table, asOf) match {
+          case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+      }
       else read(spark, table, asOf) // degenerate: keep schema, filter to ∅
     ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>
       df.filter(col(c) >= lo && col(c) <= hi)
@@ -464,9 +508,29 @@ object TxLog {
     * to be unique per snapshot (the [[merge]] invariant). */
   def changes(spark: SparkSession, table: String, keyCols: Seq[String],
       fromV: Long, toV: Long): DataFrame = {
-    val pre = read(spark, table, Some(fromV)).alias("_pre")
-    val post = read(spark, table, Some(toV)).alias("_post")
-    val dataCols = post.columns.filterNot(keyCols.contains).toSeq
+    // Bootstrap: version 0 is "before the table existed" — everything in
+    // toV is an insert. This is how a NEW incremental consumer starts
+    // (changesSince(lastSeen = 0)) without a special first-poll code path.
+    if (fromV <= 0L) {
+      val snap = read(spark, table, Some(toV))
+      val dataCols = snap.columns.filterNot(keyCols.contains).toSeq
+      return snap.select(
+        (keyCols ++ dataCols).map(col) :+ lit("insert").alias("change_type"): _*)
+    }
+    val preRaw = read(spark, table, Some(fromV))
+    val postRaw = read(spark, table, Some(toV))
+    // Align both snapshots to the union schema (missing columns read as
+    // typed NULLs) so a mergeSchema evolution between fromV and toV diffs
+    // as updates instead of failing to resolve `_pre.<newcol>`.
+    val unionFields = postRaw.schema.fields ++
+      preRaw.schema.fields.filterNot(f => postRaw.columns.contains(f.name))
+    def align(df: DataFrame): DataFrame = df.select(unionFields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).alias(f.name)
+    }: _*)
+    val pre = align(preRaw).alias("_pre")
+    val post = align(postRaw).alias("_post")
+    val dataCols = unionFields.map(_.name).filterNot(keyCols.contains).toSeq
     val keyEq = keyCols.map(k => col(s"_pre.$k") <=> col(s"_post.$k"))
       .reduce(_ && _)
     val sameData = dataCols.map(c => col(s"_pre.$c") <=> col(s"_post.$c"))
@@ -516,7 +580,13 @@ object TxLog {
         case None =>
           spark.read.parquet(touched.map(f => s"$table/$f"): _*)
       }
-      val add = writeData(rewrite(touchedDf), table)
+      val rewritten = rewrite(touchedDf)
+      // DML honors the same CHECK constraints as append/overwrite/merge:
+      // an UPDATE … SET that lands a violating row must be refused, not
+      // committed (Delta enforces constraints on every write path). Cheap:
+      // only the touched files' rewrite is scanned.
+      validateConstraints(rewritten, constraints(table))
+      val add = writeData(rewritten, table)
       val v = base.get + 1
       if (tryCommit(table, Commit(v, add, touched, op, -1L,
         schemaDdl = schema.map(_.toDDL)))) return v
@@ -573,6 +643,7 @@ object TxLog {
   def compact(table: String): Option[Long] =
     latestVersion(table).map { v =>
       val node = mapper.createObjectNode()
+      node.put("protocolVersion", ProtocolVersion)
       node.put("version", v)
       val arr = node.putArray("files")
       activeFiles(table, Some(v)).foreach(arr.add)

@@ -54,7 +54,16 @@ class DefaultSource extends RelationProvider {
 case class TxLogRelation(sqlContext: SQLContext, path: String,
     asOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
 
-  private def snapshot = TxLog.read(sqlContext.sparkSession, path, asOf)
+  /** Snapshot isolation: the version is resolved ONCE, at relation
+    * creation. Without this, an asOf=None relation re-folds the active
+    * file list at every buildScan, so a commit landing between planning
+    * (schema fixed here) and execution would scan a different — possibly
+    * schema-incompatible — version than was planned. */
+  private val pinnedVersion: Option[Long] =
+    asOf.orElse(TxLog.latestVersion(path))
+
+  private def snapshot =
+    TxLog.read(sqlContext.sparkSession, path, pinnedVersion)
 
   override val schema: StructType = snapshot.schema
 

@@ -373,4 +373,165 @@ class TxLogSpec extends SparkSpec {
       Seq((1L, "merge", 0L), (2L, "merge", 1L)))
     assert(h.forall(_._4 > 0))
   }
+
+  private def writeRawCommit(t: String, version: Long, json: String): Unit = {
+    val dir = java.nio.file.Paths.get(t, "_txlog")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(
+      dir.resolve(f"$version%020d.json"), json)
+  }
+
+  test("protocol versioning: future versions and unknown ops fail loudly, legacy logs still read") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)            // v1
+    // a log written BEFORE protocol stamping (no field) defaults to v1
+    writeRawCommit(t, 2L,
+      """{"version":2,"op":"append","batchId":-1,"add":[],"remove":[]}""")
+    assert(TxLog.latestVersion(t) === Some(2L))
+    // a commit from a FUTURE writer: reading must refuse, not guess
+    writeRawCommit(t, 3L,
+      """{"protocolVersion":99,"version":3,"op":"append","batchId":-1,"add":[],"remove":[]}""")
+    val e1 = intercept[IllegalStateException] { TxLog.read(spark, t) }
+    assert(e1.getMessage.contains("protocol version 99"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, "_txlog").resolve(f"${3L}%020d.json"))
+    // an op this reader can't fold: refuse for the same reason
+    writeRawCommit(t, 3L,
+      """{"protocolVersion":1,"version":3,"op":"cloneTable","batchId":-1,"add":[],"remove":[]}""")
+    val e2 = intercept[IllegalStateException] { TxLog.activeFiles(t) }
+    assert(e2.getMessage.contains("cloneTable"))
+  }
+
+  test("changesSince bootstraps a new consumer from version 0 as all-inserts") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)   // v1
+    TxLog.overwrite(Seq((1L, "a"), (3L, "c")).toDF("k", "v"), t)   // v2
+    val (delta, cursor) = TxLog.changesSince(spark, t, Seq("k"), 0L)
+    assert(cursor === 2L)
+    assert(delta.as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a", "insert"), (3L, "c", "insert")))
+    // schema matches the incremental shape exactly — the consumer's fold
+    // loop needs no first-poll special case
+    assert(delta.columns.toSeq === Seq("k", "v", "change_type"))
+  }
+
+  test("changes diffs across a mergeSchema evolution (old snapshot lacks the new column)") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)   // v1: (k, v)
+    TxLog.append(Seq((3L, "c", 1.5)).toDF("k", "v", "extra"), t,
+      mergeSchema = true)                                          // v2: + extra
+    val got = TxLog.changes(spark, t, Seq("k"), 1L, 2L)
+      .as[(Long, String, Option[Double], String)].collect().toSet
+    // pre-evolution rows align to extra = NULL on BOTH sides → unchanged
+    assert(got === Set((3L, "c", Some(1.5), "insert")))
+  }
+
+  test("readRanges carries the log schema: pruned reads NULL-backfill evolved columns") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    TxLog.append(spark.range(0, 100).toDF("k"), t, statsCols = Seq("k"))
+    TxLog.append(spark.range(100, 200).toDF("k")
+      .withColumn("extra", col("k") * 1.0), t,
+      statsCols = Seq("k"), mergeSchema = true)
+    // the pruned branch keeps only the OLD file; without the log schema it
+    // would drop `extra` and diverge from filtering a full read
+    val pruned = TxLog.readRanges(spark, t, Map("k" -> (10.0, 20.0)))
+    assert(pruned.columns.toSeq === TxLog.read(spark, t).columns.toSeq)
+    assert(pruned.as[(Long, Option[Double])].collect().toSet ===
+      (10L to 20L).map(k => (k, None)).toSet)
+  }
+
+  test("UPDATE honors CHECK constraints: a violating rewrite is refused atomically") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = table()
+    TxLog.overwrite(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t)
+    TxLog.addConstraint(spark, t, "v_nonneg", "v >= 0")
+    val vBefore = TxLog.latestVersion(t)
+    val filesBefore = TxLog.activeFiles(t)
+    intercept[IllegalArgumentException] {
+      TxLog.update(spark, t, col("k") === 1L, Map("v" -> lit(-5L)))
+    }
+    // nothing committed, nothing staged into the active set
+    assert(TxLog.latestVersion(t) === vBefore)
+    assert(TxLog.activeFiles(t) === filesBefore)
+    assert(TxLog.read(spark, t).as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (2L, 20L)))
+    // a conforming update still goes through
+    TxLog.update(spark, t, col("k") === 1L, Map("v" -> lit(99L)))
+    assert(TxLog.read(spark, t).as[(Long, Long)].collect().toSet ===
+      Set((1L, 99L), (2L, 20L)))
+  }
+
+  test("stats on an all-NULL column: commit succeeds, file is simply never pruned") {
+    val t = table()
+    TxLog.append(Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("k", "amt"), t, statsCols = Seq("k", "amt"))
+    // previously an NPE after data was staged; now the amt entry is omitted
+    assert(TxLog.latestVersion(t) === Some(1L))
+    // no amt stats → conservative must-read on any amt range
+    assert(TxLog.filesForRange(t, "amt", 1000.0, 2000.0) ===
+      TxLog.activeFiles(t))
+    // k stats still recorded and still prune
+    assert(TxLog.filesForRange(t, "k", 50.0, 60.0).isEmpty)
+  }
+
+  test("stress: parallel appends all commit with distinct versions and no lost files") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = table()
+    TxLog.overwrite(Seq((0L, "seed")).toDF("k", "v"), t)
+    val writers = (1 to 4).map { i =>
+      Future(TxLog.append(Seq((i.toLong, s"w$i")).toDF("k", "v"), t))
+    }
+    val versions = Await.result(Future.sequence(writers), 120.seconds)
+    // every writer won SOME version, all distinct, log is gapless
+    assert(versions.toSet.size === 4)
+    assert(versions.toSet === (2L to 5L).toSet)
+    // no writer's files were dropped by a racing commit
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ===
+      (Set(0L -> "seed") ++ (1 to 4).map(i => i.toLong -> s"w$i")).toSet)
+    val adds = TxLog.commits(t).flatMap(_.add)
+    assert(adds.toSet.size === adds.size, "a staged file was committed twice")
+  }
+
+  test("stress: reads racing OPTIMIZE always see one consistent snapshot") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = table()
+    (0 to 3).foreach { i =>
+      TxLog.append(spark.range(i * 50, (i + 1) * 50).toDF("k"), t)
+    }
+    val expected = (0L until 200L).toSet
+    val optimizer = Future {
+      (1 to 3).foreach(n => TxLog.optimize(spark, t, targetFiles = n))
+    }
+    // hammer snapshot reads until the optimizer finishes: every read must
+    // be exactly the table contents — never a half-swapped file set (pre-
+    // optimize files stay on disk until vacuum, so pinned snapshots hold)
+    var readsDone = 0
+    while (!optimizer.isCompleted) {
+      assert(TxLog.read(spark, t).as[Long].collect().toSet === expected)
+      readsDone += 1
+    }
+    Await.result(optimizer, 120.seconds)
+    assert(TxLog.read(spark, t).as[Long].collect().toSet === expected)
+    assert(readsDone > 0, "optimizer finished before any concurrent read ran")
+  }
+
+  test("data-source relation pins its version: a commit mid-plan cannot swap the scan") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)   // v1
+    val rel = spark.read.format("graft.sources.txlog").option("path", t).load()
+    // a writer lands between planning and execution — even an evolution
+    TxLog.append(Seq((3L, "c", 7.0)).toDF("k", "v", "extra"), t,
+      mergeSchema = true)                                          // v2
+    // the relation still scans the v1 snapshot it planned
+    assert(rel.as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    // a FRESH relation sees v2
+    assert(spark.read.format("graft.sources.txlog").option("path", t)
+      .load().count() === 3)
+  }
 }
