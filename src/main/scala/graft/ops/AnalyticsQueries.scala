@@ -446,6 +446,61 @@ object AnalyticsQueries {
       TxLog.update(s, table, pmod(col("c_custkey"), lit(7)) === 0,
         Map("c_acctbal" -> (col("c_acctbal") + 100.0)))             // v3
       TxLog.read(s, table)
+    },
+
+    // Row-level DELETE via deletion vectors (protocol v2, Delta's DV
+    // feature): two stacked dvDeletes kill rows with ZERO data files
+    // rewritten — reads anti-join the active DV set. The oracle
+    // recomputes both predicates declaratively over the staged input;
+    // file-set invariance, cumulative stacking, copy-on-write interplay
+    // and OPTIMIZE retirement are pinned in TxLogSpec.
+    QueryDef("src_txlog_dv",
+      "TxLog deletion vectors: dvDelete (custkey%6=0) then dvDelete (bal<0), no rewrite; DV-filtered snapshot oracled",
+      s"""SELECT c_custkey, c_name, c_acctbal
+         |FROM read_parquet('${QueryDef.StageSql}/txdv_in/*.parquet')
+         |WHERE c_custkey % 6 <> 0 AND c_acctbal >= 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txdv_in")
+      val table = Files.createTempDirectory("graft_txdv").toString + "/t"
+      TxLog.overwrite(s.read.parquet(s"$stage/txdv_in")
+        .repartition(6), table)                                        // v1
+      TxLog.deleteVectors(s, table, pmod(col("c_custkey"), lit(6)) === 0) // v2
+      TxLog.deleteVectors(s, table, col("c_acctbal") < 0)               // v3
+      TxLog.read(s, table)
+    },
+
+    // RESTORE TABLE … TO VERSION AS OF: one forward commit re-points the
+    // active file + DV sets at an older snapshot (no rewrite; Delta
+    // RESTORE semantics). Output = restored snapshot UNION the pre-restore
+    // head, proving both that the restore equals v1 exactly and that the
+    // in-between history stays time-travelable after it.
+    QueryDef("src_txlog_restore",
+      "TxLog RESTORE: v1 load → v2 DML → restore to v1 as v3; restored snapshot + time travel to the pre-restore head both oracled",
+      s"""WITH b AS (SELECT c_custkey, c_name, c_acctbal
+         |  FROM read_parquet('${QueryDef.StageSql}/txrst_in/*.parquet'))
+         |SELECT CAST(3 AS BIGINT) AS snap, c_custkey, c_name, c_acctbal FROM b
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS snap, c_custkey, c_name,
+         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal - 50.0 ELSE c_acctbal END AS c_acctbal
+         |FROM b WHERE c_custkey % 4 <> 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txrst_in")
+      val table = Files.createTempDirectory("graft_txrst").toString + "/t"
+      TxLog.overwrite(s.read.parquet(s"$stage/txrst_in")
+        .repartition(4), table)                                        // v1
+      TxLog.deleteVectors(s, table, pmod(col("c_custkey"), lit(4)) === 0) // v2
+      TxLog.update(s, table, pmod(col("c_custkey"), lit(3)) === 0,
+        Map("c_acctbal" -> (col("c_acctbal") - 50.0)))                 // v3
+      val head = TxLog.latestVersion(table).get
+      val v = TxLog.restore(s, table, 1L)                              // v4
+      TxLog.read(s, table, Some(v)).withColumn("snap", lit(3L))
+        .unionByName(TxLog.read(s, table, Some(head))
+          .withColumn("snap", lit(2L)))
+        .select("snap", "c_custkey", "c_name", "c_acctbal")
     }
   )
 }

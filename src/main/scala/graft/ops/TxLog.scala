@@ -60,25 +60,34 @@ object TxLog {
     * the TIMESTAMP AS OF index. Subject to writer clock skew like any
     * log-clock scheme (Delta shares the caveat); −1 on logs written
     * before timestamping. */
+  /** `dvAdd`/`dvRemove`: deletion-vector files (relative paths, parquet of
+    * (file STRING, row_index BIGINT)) entering/leaving the active DV set —
+    * the protocol-v2 feature: rows listed in an active DV are dead without
+    * their data file being rewritten. */
   final case class Commit(version: Long, add: Seq[String],
       remove: Seq[String], op: String, batchId: Long,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
       schemaDdl: Option[String] = None,
       constraint: Option[(String, String)] = None,
-      ts: Long = -1L)
+      ts: Long = -1L,
+      dvAdd: Seq[String] = Seq.empty,
+      dvRemove: Seq[String] = Seq.empty)
 
-  /** Reader/writer protocol version stamped into every commit. A reader
-    * meeting a HIGHER version fails loudly instead of silently
-    * misinterpreting actions it doesn't know (Delta's protocol action plays
-    * the same role: an old reader must refuse, not guess). Bump when a
-    * commit gains an action whose absence changes read results. */
-  val ProtocolVersion = 1
+  /** Highest protocol version this reader understands. A reader meeting a
+    * HIGHER version fails loudly instead of silently misinterpreting
+    * actions it doesn't know (Delta's protocol action plays the same
+    * role: an old reader must refuse, not guess). Commits are stamped with
+    * the MINIMUM version that can read them correctly (Delta's
+    * minReaderVersion): plain commits say 1, deletion-vector commits say 2
+    * — so a v1-era reader keeps working on tables that never used DVs and
+    * refuses exactly the tables it would misread. */
+  val ProtocolVersion = 2
 
   /** Every op this reader knows how to fold. An op outside this set means
     * the log was written by a newer writer — [[commits]] refuses to read
     * rather than fold actions with unknown semantics. */
   private val KnownOps = Set("append", "overwrite", "merge", "delete",
-    "update", "optimize", "addConstraint")
+    "update", "optimize", "addConstraint", "dvDelete", "restore")
 
   private val mapper = new ObjectMapper()
 
@@ -119,6 +128,9 @@ object TxLog {
             "written by a newer writer; refusing to fold a log I can't interpret")
         def arr(field: String): Seq[String] =
           node.get(field).elements().asScala.map(_.asText()).toSeq
+        def optArr(field: String): Seq[String] =
+          Option(node.get(field)).map(
+            _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
         val stats = Option(node.get("stats")).map { s =>
           s.properties().asScala.map { e =>
             e.getKey -> e.getValue.properties().asScala.map { c =>
@@ -132,7 +144,8 @@ object TxLog {
           Option(node.get("schemaDdl")).map(_.asText()),
           Option(node.get("constraintName")).map(n =>
             n.asText() -> node.get("constraintExpr").asText()),
-          Option(node.get("ts")).map(_.asLong()).getOrElse(-1L))
+          Option(node.get("ts")).map(_.asLong()).getOrElse(-1L),
+          optArr("dvAdd"), optArr("dvRemove"))
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -170,12 +183,73 @@ object TxLog {
     files.toSeq
   }
 
+  /** Active deletion-vector files in the snapshot as of `asOf`. Folded
+    * from the FULL commit log (no checkpoint shortcut: commits are never
+    * deleted and DV commits are rare — the fold is O(history) JSON reads,
+    * all metadata-sized). Rows a DV lists for a data file that has since
+    * been removed are inert: the anti-join key includes the file, and
+    * removed paths never reappear. */
+  def activeDvs(table: String, asOf: Option[Long] = None): Seq[String] = {
+    val dvs = scala.collection.mutable.LinkedHashSet.empty[String]
+    commits(table)
+      .filter(c => asOf.forall(c.version <= _))
+      .foreach { c => dvs --= c.dvRemove; dvs ++= c.dvAdd }
+    dvs.toSeq
+  }
+
+  /** The per-file key a deletion vector stores: the last two path segments
+    * of the scan's `_metadata.file_path` — exactly the relative path
+    * [[writeData]] returned (`d-<uuid>/part-….parquet`), so the DV
+    * anti-join is a plain equi-join however the table root moves. */
+  private def relFileKey: org.apache.spark.sql.Column = {
+    val parts = split(col("_metadata.file_path"), "/")
+    concat_ws("/", element_at(parts, -2), element_at(parts, -1))
+  }
+
+  /** Schema-aware, DV-filtered read of a specific file subset — the ONE
+    * place scan semantics live, shared by [[read]], [[readRanges]] and
+    * [[copyOnWrite]] so a deletion vector can never be skipped on one path
+    * and honored on another. The DV set is broadcast: it is bounded by
+    * rows deleted since the last rewrite, and any sane DML keeps that far
+    * below the table (a DV set that WOULD outgrow a broadcast is the
+    * signal to run OPTIMIZE, which collapses DVs into rewritten files). */
+  private def readFiles(spark: SparkSession, table: String,
+      files: Seq[String], asOf: Option[Long],
+      keepRowKeys: Boolean = false): DataFrame = {
+    val paths = files.map(f => s"$table/$f")
+    val base = schemaAsOf(table, asOf) match {
+      case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val dvs = activeDvs(table, asOf)
+    // `_metadata` resolves only on the scan relation itself, so the row
+    // keys must be materialized HERE — a caller cannot re-derive them
+    // after the anti-join projection. DV-free reads skip the key columns
+    // entirely: the common path stays a bare scan.
+    if (dvs.isEmpty && !keepRowKeys) return base
+    val keyed = base
+      .withColumn("__dv_f", relFileKey)
+      .withColumn("__dv_ri", col("_metadata.row_index"))
+    val filtered =
+      if (dvs.isEmpty) keyed
+      else {
+        val dv = spark.read.parquet(dvs.map(f => s"$table/$f"): _*)
+          .withColumnRenamed("file", "__dv_f")
+          .withColumnRenamed("row_index", "__dv_ri")
+        keyed.join(broadcast(dv), Seq("__dv_f", "__dv_ri"), "left_anti")
+      }
+    if (keepRowKeys) filtered else filtered.drop("__dv_f", "__dv_ri")
+  }
+
   /** Atomically publish `commit` — false if that version already exists
     * (lost the race; re-derive and retry with the next version). */
   def tryCommit(table: String, commit: Commit): Boolean = {
     Files.createDirectories(logDir(table))
     val node = mapper.createObjectNode()
-    node.put("protocolVersion", ProtocolVersion)
+    // minimum version that can read this commit correctly: plain commits
+    // stay readable by v1-era readers; DV commits demand a DV-aware reader
+    node.put("protocolVersion",
+      if (commit.dvAdd.nonEmpty || commit.dvRemove.nonEmpty) 2 else 1)
     node.put("version", commit.version)
     node.put("op", commit.op)
     node.put("batchId", commit.batchId)
@@ -191,6 +265,12 @@ object TxLog {
           val a = fileNode.putArray(c); a.add(mn); a.add(mx)
         }
       }
+    }
+    if (commit.dvAdd.nonEmpty) {
+      val a = node.putArray("dvAdd"); commit.dvAdd.foreach(a.add)
+    }
+    if (commit.dvRemove.nonEmpty) {
+      val a = node.putArray("dvRemove"); commit.dvRemove.foreach(a.add)
     }
     commit.schemaDdl.foreach(node.put("schemaDdl", _))
     commit.constraint.foreach { case (n, e) =>
@@ -239,11 +319,7 @@ object TxLog {
     val files = activeFiles(table, asOf)
     require(files.nonEmpty,
       s"txlog table $table has no committed files at version $asOf")
-    val paths = files.map(f => s"$table/$f")
-    schemaAsOf(table, asOf) match {
-      case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
-    }
+    readFiles(spark, table, files, asOf)
   }
 
   /** TIMESTAMP AS OF: snapshot at the newest commit whose stamp is ≤
@@ -359,8 +435,10 @@ object TxLog {
     while (attempts < 10) {
       val v = latestVersion(table).getOrElse(0L) + 1
       val remove = if (removeAll) activeFiles(table) else Seq.empty
+      // a full rewrite retires every active DV with the files it covered
+      val dvRem = if (removeAll) activeDvs(table) else Seq.empty
       if (tryCommit(table, Commit(v, add, remove, op, batchId, stats,
-          schemaDdl)))
+          schemaDdl, dvRemove = dvRem)))
         return v
       attempts += 1
     }
@@ -436,18 +514,11 @@ object TxLog {
       ranges: Map[String, (Double, Double)],
       asOf: Option[Long] = None): DataFrame = {
     val keep = filesForRanges(table, ranges, asOf)
+    // readFiles carries the log schema and the DV filter exactly like
+    // read() — the pruned read must stay "identical to filtering a full
+    // read" across mergeSchema evolution AND deletion vectors.
     val base =
-      if (keep.nonEmpty) {
-        // Plan with the log-carried schema exactly like read(): after
-        // mergeSchema evolution a bare parquet read of old files would drop
-        // the NULL-backfilled columns, breaking the "identical to filtering
-        // a full read" contract.
-        val paths = keep.map(f => s"$table/$f")
-        schemaAsOf(table, asOf) match {
-          case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
-          case None => spark.read.parquet(paths: _*)
-        }
-      }
+      if (keep.nonEmpty) readFiles(spark, table, keep, asOf)
       else read(spark, table, asOf) // degenerate: keep schema, filter to ∅
     ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>
       df.filter(col(c) >= lo && col(c) <= hi)
@@ -479,7 +550,8 @@ object TxLog {
       val v = base.getOrElse(0L) + 1
       val remove = activeFiles(table, base)
       if (tryCommit(table, Commit(v, add, remove, "merge", batchId,
-        schemaDdl = Some(merged.schema.toDDL)))) return v
+        schemaDdl = Some(merged.schema.toDDL),
+        dvRemove = activeDvs(table, base)))) return v
       attempts += 1 // lost the race: new snapshot exists, re-merge against it
     }
     throw new IllegalStateException(
@@ -565,21 +637,21 @@ object TxLog {
       val base = latestVersion(table)
       require(base.nonEmpty, s"$op on empty txlog table $table")
       val files = activeFiles(table, base)
-      // one scan finds the files containing any matching row (the collect
-      // is one row per TOUCHED file — metadata-sized, like the commit)
-      val touchedUris = read(spark, table, base)
-        .withColumn("_file", input_file_name())
+      // one scan finds the files containing any LIVE matching row (the
+      // collect is one row per TOUCHED file — metadata-sized, like the
+      // commit). The file key comes from readFiles' row keys rather than
+      // input_file_name(): with a DV anti-join in the plan there are two
+      // sources, and input_file_name() refuses multi-source expressions.
+      val touchedRel = readFiles(spark, table, files, base,
+          keepRowKeys = true)
         .filter(condition)
-        .select("_file").distinct().collect().map(_.getString(0))
-      val touched = files.filter(f => touchedUris.exists(_.endsWith(f)))
+        .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
+      val touched = files.filter(touchedRel.contains)
       if (touched.isEmpty) return base.get // nothing matches: no new version
       val schema = schemaAsOf(table, base)
-      val touchedDf = schema match {
-        case Some(s) =>
-          spark.read.schema(s).parquet(touched.map(f => s"$table/$f"): _*)
-        case None =>
-          spark.read.parquet(touched.map(f => s"$table/$f"): _*)
-      }
+      // DV-filtered like every other scan: rewriting a touched file must
+      // not resurrect rows an active deletion vector already killed
+      val touchedDf = readFiles(spark, table, touched, base)
       val rewritten = rewrite(touchedDf)
       // DML honors the same CHECK constraints as append/overwrite/merge:
       // an UPDATE … SET that lands a violating row must be refused, not
@@ -601,6 +673,74 @@ object TxLog {
   def delete(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column): Long =
     copyOnWrite(spark, table, condition, "delete")(_.filter(!condition))
+
+  /** DELETE WHERE via deletion vectors (protocol v2; Delta's DV feature):
+    * NO data file is rewritten — one scan records the (file, row_index)
+    * of every live matching row into a DV parquet, and a data-less commit
+    * activates it. Reads anti-join active DVs (see [[readFiles]]), so the
+    * delete is visible atomically. Cost is O(matching rows) regardless of
+    * file sizes — the right DELETE when a predicate touches a few rows in
+    * many large files, where copy-on-write ([[delete]]) would rewrite
+    * them all. DVs accumulate until a rewrite ([[optimize]] / merge /
+    * overwrite) materializes and retires them. */
+  def deleteVectors(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      require(base.nonEmpty, s"dvDelete on empty txlog table $table")
+      val hits = readFiles(spark, table, activeFiles(table, base), base,
+          keepRowKeys = true)
+        .filter(condition)
+        .select(col("__dv_f").alias("file"), col("__dv_ri").alias("row_index"))
+      val sub = s"dv-${UUID.randomUUID().toString.take(8)}"
+      hits.coalesce(1).write.parquet(s"$table/$sub")
+      val dvFiles = Files.list(Paths.get(table, sub)).iterator().asScala
+        .toSeq.map(_.getFileName.toString)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .sorted.map(n => s"$sub/$n")
+      // empty hit set: drop the staged dir, no new version
+      if (spark.read.parquet(s"$table/$sub").isEmpty) {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$table/$sub"))
+        return base.get
+      }
+      val v = base.get + 1
+      if (tryCommit(table, Commit(v, Seq.empty, Seq.empty, "dvDelete", -1L,
+        dvAdd = dvFiles))) return v
+      attempts += 1 // lost the race: re-scan against the new snapshot
+    }
+    throw new IllegalStateException(
+      s"txlog dvDelete on $table lost 10 straight races — giving up")
+  }
+
+  /** RESTORE TABLE … TO VERSION AS OF: make the CURRENT snapshot equal the
+    * `toV` snapshot again, as one new commit (history moves forward —
+    * nothing is rewritten, the restore just re-points the active file and
+    * DV sets, like Delta RESTORE). Time travel to the in-between versions
+    * keeps working. Caveat shared with Delta: restoring past a [[vacuum]]
+    * horizon fails at read time, since vacuumed data files are gone. */
+  def restore(spark: SparkSession, table: String, toV: Long): Long = {
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      require(base.nonEmpty, s"restore on empty txlog table $table")
+      require(toV <= base.get, s"restore target $toV is ahead of ${base.get}")
+      val target = activeFiles(table, Some(toV))
+      require(target.nonEmpty, s"restore target $toV has no files")
+      val cur = activeFiles(table, base)
+      val targetDvs = activeDvs(table, Some(toV))
+      val curDvs = activeDvs(table, base)
+      val v = base.get + 1
+      if (tryCommit(table, Commit(v, target.diff(cur), cur.diff(target),
+        "restore", -1L, schemaDdl = schemaAsOf(table, Some(toV)).map(_.toDDL),
+        dvAdd = targetDvs.diff(curDvs), dvRemove = curDvs.diff(targetDvs))))
+        return v
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog restore on $table lost 10 straight races — giving up")
+  }
 
   /** UPDATE … SET … WHERE: apply `set` (column → new expression) to
     * matching rows, rewriting only the files that contain them. */
@@ -688,9 +828,12 @@ object TxLog {
       // clusterBy + statsCols is OPTIMIZE ZORDER BY with data skipping:
       // compacted files own disjoint key ranges AND the ranges ride the
       // commit, so readRange prunes to exactly the overlapping files
+      // compaction materializes DV deletes into the rewritten files (the
+      // rewrite read through readFiles), so the DVs retire with the commit
       if (tryCommit(table, Commit(v, add, remove, "optimize", -1L,
           fileStats(spark, table, add, statsCols),
-          Some(arranged.schema.toDDL)))) return v
+          Some(arranged.schema.toDDL),
+          dvRemove = activeDvs(table, base)))) return v
       attempts += 1 // lost the race: recompact against the new snapshot
     }
     throw new IllegalStateException(
@@ -709,12 +852,15 @@ object TxLog {
     val latest = latestVersion(table).getOrElse(return Seq.empty)
     val horizon = math.max(1L, latest - retainVersions + 1)
     val protect = (horizon to latest)
-      .flatMap(v => activeFiles(table, Some(v))).toSet
+      .flatMap(v => activeFiles(table, Some(v)) ++
+        activeDvs(table, Some(v))).toSet
     val root = Paths.get(table)
     val now = System.currentTimeMillis()
     val onDisk = Files.list(root).iterator().asScala.toSeq
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("d-"))
+      .filter(p => Files.isDirectory(p) && {
+        val n = p.getFileName.toString
+        n.startsWith("d-") || n.startsWith("dv-") // data + deletion vectors
+      })
       .flatMap(d => Files.list(d).iterator().asScala.toSeq)
       .filter(_.getFileName.toString.endsWith(".parquet"))
     val doomed = onDisk.filter { p =>

@@ -520,6 +520,89 @@ class TxLogSpec extends SparkSpec {
     assert(readsDone > 0, "optimizer finished before any concurrent read ran")
   }
 
+  test("deletion vectors: row-level DELETE with zero data files rewritten") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = table()
+    TxLog.append(spark.range(0, 100).toDF("k"), t)               // v1
+    TxLog.append(spark.range(100, 200).toDF("k"), t)             // v2
+    val filesBefore = TxLog.activeFiles(t)
+    val v3 = TxLog.deleteVectors(spark, t, col("k") % 10 === 0)  // v3
+    assert(v3 === 3L)
+    // NO data file changed — only a DV rides the commit
+    assert(TxLog.activeFiles(t) === filesBefore)
+    assert(TxLog.activeDvs(t).nonEmpty)
+    assert(TxLog.read(spark, t).as[Long].collect().toSet ===
+      (0L until 200L).filter(_ % 10 != 0).toSet)
+    // time travel BEFORE the DV still sees every row
+    assert(TxLog.read(spark, t, Some(2L)).count() === 200)
+    // DVs are cumulative: a second dvDelete stacks on the first
+    TxLog.deleteVectors(spark, t, col("k") < 5)                  // v4
+    assert(TxLog.read(spark, t).as[Long].collect().toSet ===
+      (5L until 200L).filter(_ % 10 != 0).toSet)
+    // a no-match dvDelete commits nothing
+    assert(TxLog.deleteVectors(spark, t, col("k") > 10000) === 4L)
+    // range reads honor DVs exactly like full reads
+    assert(TxLog.readRange(spark, t, "k", 0, 30).as[Long].collect().toSet ===
+      (5L to 30L).filter(_ % 10 != 0).toSet)
+    // copy-on-write UPDATE over a DV'd file must not resurrect dead rows
+    TxLog.update(spark, t, col("k") === 7L, Map("k" -> lit(7000L)))
+    val got = TxLog.read(spark, t).as[Long].collect().toSet
+    assert(got.contains(7000L) && !got.contains(7L))
+    assert(!got.exists(k => k < 5 || (k % 10 == 0 && k < 7000)),
+      s"DV-deleted rows resurrected: ${got.filter(k => k < 5 || k % 10 == 0)}")
+    // OPTIMIZE materializes the deletes and retires every DV
+    TxLog.optimize(spark, t, targetFiles = 1)
+    assert(TxLog.activeDvs(t).isEmpty)
+    assert(TxLog.read(spark, t).as[Long].collect().toSet === got)
+    // a DV commit demands a protocol-v2 reader; plain commits stay v1
+    val json = TxLog.commits(t).map(c => c.version ->
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "_txlog", f"${c.version}%020d.json")))).toMap
+    assert(json(1L).contains("\"protocolVersion\":1"))
+    assert(json(3L).contains("\"protocolVersion\":2"))
+  }
+
+  test("restore re-points the snapshot at an older version as a forward commit") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)   // v1
+    TxLog.overwrite(Seq((1L, "A"), (3L, "c")).toDF("k", "v"), t)   // v2
+    TxLog.deleteVectors(spark, t, col("k") === 3L)                 // v3
+    val v4 = TxLog.restore(spark, t, 1L)                           // v4
+    assert(v4 === 4L)
+    // current snapshot == v1 exactly (files AND deletion vectors)
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    assert(TxLog.activeDvs(t).isEmpty)
+    // nothing was rewritten: restore reuses v1's files
+    assert(TxLog.activeFiles(t) === TxLog.activeFiles(t, Some(1L)))
+    // in-between versions stay time-travelable (incl. the DV'd one)
+    assert(TxLog.read(spark, t, Some(3L)).as[(Long, String)]
+      .collect().toSet === Set((1L, "A")))
+    // history audits the restore; writes continue on top of it
+    assert(TxLog.history(spark, t).filter(col("op") === "restore").count() === 1)
+    TxLog.append(Seq((9L, "z")).toDF("k", "v"), t)                 // v5
+    assert(TxLog.read(spark, t).count() === 3)
+    // restoring past the head is refused
+    intercept[IllegalArgumentException] { TxLog.restore(spark, t, 99L) }
+  }
+
+  test("vacuum sweeps retired deletion-vector files past the horizon") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    TxLog.append(spark.range(0, 50).toDF("k"), t)                  // v1
+    TxLog.deleteVectors(spark, t, col("k") < 10)                   // v2
+    val dv = TxLog.activeDvs(t)
+    assert(dv.nonEmpty)
+    TxLog.optimize(spark, t, targetFiles = 1)                      // v3: retires DV
+    TxLog.append(spark.range(50, 60).toDF("k"), t)                 // v4
+    TxLog.append(spark.range(60, 70).toDF("k"), t)                 // v5
+    val swept = TxLog.vacuum(t, retainVersions = 2, minAgeMs = 0L)
+    assert(dv.forall(swept.contains), s"retired DV not vacuumed: $swept")
+    assert(TxLog.read(spark, t).as[Long].collect().toSet ===
+      ((10L until 70L)).toSet)
+  }
+
   test("data-source relation pins its version: a commit mid-plan cannot swap the scan") {
     val t = table()
     TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)   // v1
