@@ -549,6 +549,35 @@ object StreamingQueries {
       TxLog.read(s, target)
     },
 
+    // APPLY CHANGES INTO: st19's upsert feed, now with DELETES riding the
+    // same stream (CDC op column). Per key the highest-version change
+    // wins; a winning delete removes the key, out-of-order deletes lose
+    // to newer upserts by version ordering, and the whole fold is one
+    // batchId-idempotent atomic commit per micro-batch (TxLog.cdcSink).
+    // The op rule is deterministic (click with event_id%5=0 → delete) so
+    // the DuckDB oracle replays the exact same CDC semantics.
+    QueryDef("st23_stream_cdc_apply",
+      "streaming CDC APPLY CHANGES into a txlog table: keyed upserts + deletes per micro-batch, winning delete removes the key, batchId-idempotent",
+      """WITH v AS (SELECT user_id, event_id, value, epoch_us(ts) AS ver,
+        |  CASE WHEN event_type = 'click' AND event_id % 5 = 0
+        |       THEN 'delete' ELSE 'upsert' END AS op FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ver DESC) AS rn FROM v)
+        |SELECT user_id, event_id, value, ver FROM r WHERE rn = 1 AND op <> 'delete'""".stripMargin) { (s, dir) =>
+      val target = tmp("graft_st23") + "/t"
+      eventsStream(s, stageEventsDir(dir))
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).alias("ver"),
+          when(col("event_type") === "click" &&
+              pmod(col("event_id"), lit(5)) === 0, lit("delete"))
+            .otherwise(lit("upsert")).alias("op"))
+        .writeStream
+        .foreachBatch(TxLog.cdcSink(target, Seq("user_id"), "ver", "op") _)
+        .option("checkpointLocation", tmp("graft_st23_cp"))
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      TxLog.read(s, target)
+    },
+
     // Decontamination AT INGEST: the benchmark shingle set is computed
     // once (batch, staged, broadcast) and every arriving micro-batch is
     // screened before it ever lands — the production place for the

@@ -568,6 +568,59 @@ object TxLog {
     merge(batch.sparkSession, table, batch, keyCols, versionCol, batchId)
   }
 
+  /** APPLY CHANGES INTO analog: fold a CDC batch — upserts AND deletes —
+    * into the table as one commit. Per key, the highest-`versionCol` row
+    * wins (ties → incoming beats existing, later `opCol`='delete' beats an
+    * earlier upsert); a winning delete removes the key, a winning upsert
+    * lands WITHOUT the op column. Same optimistic commit loop and scale
+    * shape as [[merge]]: one key-partitioned window over current ∪ batch.
+    * Out-of-order CDC is handled by the version ordering — a stale delete
+    * arriving after a newer upsert does NOT kill the key. */
+  def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
+      keyCols: Seq[String], versionCol: String, opCol: String,
+      batchId: Long = -1L): Long = {
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      val existing = base.map(v => read(spark, table, Some(v)))
+      val incoming = changes.withColumn("_src", lit(1))
+      val all = existing match {
+        case None => incoming
+        case Some(cur) => cur
+          .withColumn(opCol, lit("upsert"))
+          .withColumn("_src", lit(0))
+          .unionByName(incoming)
+      }
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(versionCol).desc, col("_src").desc)
+      // NULL op reads as upsert (a feed that only marks deletes), not as
+      // a silent delete-by-three-valued-logic
+      val merged = all.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 &&
+          coalesce(col(opCol), lit("upsert")) =!= "delete")
+        .drop("_rn", "_src", opCol)
+      validateConstraints(merged, constraints(table))
+      val add = writeData(merged, table)
+      val v = base.getOrElse(0L) + 1
+      val remove = activeFiles(table, base)
+      if (tryCommit(table, Commit(v, add, remove, "merge", batchId,
+        schemaDdl = Some(merged.schema.toDDL),
+        dvRemove = activeDvs(table, base)))) return v
+      attempts += 1 // lost the race: re-apply against the new snapshot
+    }
+    throw new IllegalStateException(
+      s"txlog applyChanges on $table lost 10 straight races — giving up")
+  }
+
+  /** foreachBatch adapter for [[applyChanges]] — batchId-idempotent like
+    * [[sink]], but the feed carries deletes. */
+  def cdcSink(table: String, keyCols: Seq[String], versionCol: String,
+      opCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (commits(table).exists(_.batchId == batchId)) return
+    applyChanges(batch.sparkSession, table, batch, keyCols, versionCol,
+      opCol, batchId)
+  }
+
   /** Change-data-feed between two committed versions (Delta's
     * `table_changes`): keyed full-outer diff of the snapshots →
     * `insert` (key only in `toV`), `delete` (key only in `fromV`),

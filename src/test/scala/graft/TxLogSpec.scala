@@ -520,6 +520,30 @@ class TxLogSpec extends SparkSpec {
     assert(readsDone > 0, "optimizer finished before any concurrent read ran")
   }
 
+  test("applyChanges folds upserts and deletes; out-of-order deletes lose by version") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("k", "v", "ver"), t)
+    // batch: update k=1, delete k=2, STALE delete for k=3 (ver 0 < 1),
+    // insert k=4, and k=5 inserted-then-deleted within the same batch
+    val batch = Seq(
+      (1L, "A", 2L, "upsert"),
+      (2L, "b", 2L, "delete"),
+      (3L, "c", 0L, "delete"), // stale: must NOT kill the newer upsert
+      (4L, "d", 1L, "upsert"),
+      (5L, "e", 1L, "upsert"), (5L, "e", 2L, "delete"))
+      .toDF("k", "v", "ver", "op")
+    TxLog.applyChanges(spark, t, batch, Seq("k"), "ver", "op")
+    assert(TxLog.read(spark, t).as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "A", 2L), (3L, "c", 1L), (4L, "d", 1L)))
+    // cdcSink is batchId-idempotent: a checkpoint-recovery replay no-ops
+    val vBefore = TxLog.latestVersion(t)
+    TxLog.cdcSink(t, Seq("k"), "ver", "op")(batch, 7L)
+    val vAfter = TxLog.latestVersion(t)
+    TxLog.cdcSink(t, Seq("k"), "ver", "op")(batch, 7L) // replay
+    assert(TxLog.latestVersion(t) === vAfter && vAfter === vBefore.map(_ + 1))
+  }
+
   test("deletion vectors: row-level DELETE with zero data files rewritten") {
     import org.apache.spark.sql.functions.{col, lit}
     val t = table()
