@@ -17,7 +17,18 @@ import org.apache.spark.sql.functions._
   * blow candidate pairs up quadratically, measuring the data not the
   * algorithm:
   *   - documents: replica i>0 gets a deterministic hash-shuffled token
-  *     order (new 3-gram shingles → not a near-dup of its source);
+  *     order (new 3-gram shingles → not a near-dup of its source) AND a
+  *     deterministic REPLACEMENT of half its tokens (per-replica suffix):
+  *     order-shuffling alone preserves the token MULTISET, so every
+  *     order-independent signature — blocked Jaccard (threshold 0.5),
+  *     SimHash, bag-of-words keys — saw 10-way cross-replica dup
+  *     families and measured quadratic pair growth instead of the
+  *     algorithm (r8 finding: 87×/77× at 10× data, both collapsing to
+  *     linear once the multiset is actually broken). Half-replacement
+  *     puts same-doc cross-replica Jaccard at 0.5/1.5 ≈ 0.33 < 0.5 and
+  *     flips far more than 12/64 simhash bits, while within-replica
+  *     duplicate structure is untouched (the token map is deterministic
+  *     per replica);
   *   - embeddings: per-element deterministic jitter (≫ cosine-dup
   *     threshold);
   *   - events: user/event ids shifted per replica (join keys stay
@@ -82,10 +93,15 @@ object ScaleProbe {
       val docReplicas = (0 until 10).map { i =>
         if (i == 0) docs
         else {
-          // deterministic per-replica token permutation: order tokens by
-          // xxhash64(token, position, replica) — adjacency (and therefore
-          // the shingle set) is destroyed, token multiset preserved
-          val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+          // deterministic per-replica token rewrite: half the tokens get a
+          // replica suffix (breaks the MULTISET → order-independent
+          // signatures can't match across replicas), then the order is
+          // permuted by xxhash64(token, position, replica) (breaks
+          // adjacency → shingle-based signatures can't either)
+          val toks = transform(
+            filter(split(col("text"), "\\s+"), t => length(t) > 0),
+            t => when(pmod(xxhash64(t, lit(i)), lit(2)) === 0,
+              concat(t, lit(s"x$i"))).otherwise(t))
           val shuffled = concat_ws(" ", transform(array_sort(
             transform(toks, (t, p) =>
               struct(xxhash64(t, p, lit(i)).alias("h"), t.alias("t")))),
