@@ -101,7 +101,10 @@ object Dedup {
     * payload (8-byte hashes, not shingle strings). Input: (id, hs) from
     * [[shingleHashes]]. */
   def shingleSets(hashed: DataFrame): DataFrame =
-    hashed.select(col("id"), array_distinct(col("hs")).alias("toks"))
+    // sorted once per DOCUMENT so every pairwise verify downstream is a
+    // primitive merge-walk (jaccardSorted) instead of a per-pair hash set
+    hashed.select(col("id"),
+      array_sort(array_distinct(col("hs"))).alias("toks"))
 
   /** Banded-LSH candidate pairs from (id, hs) shingle-hash rows.
     * Band rows carry ONLY (id, band, band_hash) — 24 bytes/row — through
@@ -167,7 +170,7 @@ object Dedup {
       .join(indexSets.withColumnRenamed("id", "id_idx")
         .withColumnRenamed("toks", "toks_idx"), Seq("id_idx"))
       .select(col("id_new"), col("id_idx"),
-        jaccard(col("toks_new"), col("toks_idx")).alias("jaccard"))
+        jaccardSorted(col("toks_new"), col("toks_idx")).alias("jaccard"))
       .filter(col("jaccard") >= threshold)
 
   /** Exact-Jaccard verify stage: join candidate pairs back to their
@@ -180,7 +183,7 @@ object Dedup {
       .join(sets.withColumnRenamed("id", "id_b")
         .withColumnRenamed("toks", "toks_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("toks_a"), col("toks_b")).alias("jaccard"))
+        jaccardSorted(col("toks_a"), col("toks_b")).alias("jaccard"))
       .filter(col("jaccard") >= threshold)
 
   /** Banded LSH candidate pairs + exact Jaccard verify (over distinct
@@ -204,10 +207,23 @@ object Dedup {
       shingleSets(hashed), threshold)
   }
 
-  /** Exact Jaccard over two pre-deduplicated arrays. */
+  /** Exact Jaccard over two pre-deduplicated arrays (hash-set form —
+    * order-insensitive; prefer [[jaccardSorted]] on sorted sets). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType)
+
+  /** Exact Jaccard over two SORTED duplicate-free `array<long>` sets via
+    * the native merge-walk ([[graft.functions.SortedIntersectSize]]):
+    * |A∩B| / (|A| + |B| − |A∩B|), bit-identical to [[jaccard]] on distinct
+    * inputs and allocation-free per pair — the verify-stage form for every
+    * all-pairs block (r8 probe: per-pair hash sets dominated
+    * ext_dedup_jaccard_blocked at 10× data). Callers must build sets with
+    * `array_sort(array_distinct(...))` (see [[shingleSets]]). */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = call_function("sorted_intersect_size", a, b).cast(DoubleType)
+    inter / (size(a).cast(DoubleType) + size(b).cast(DoubleType) - inter)
+  }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -259,24 +275,45 @@ object Dedup {
     call_function("simhash64", transform(tokens(text), t => xxhash64(t)))
 
   /** Blocked exact n-gram Jaccard pairs: equi-block on cheap metadata
-    * (language + length bucket) then verify — SQL-expressible, used as the
-    * oracle-checkable member of the near-dup family. */
+    * (language + length BUCKET — both in the join key) then verify —
+    * SQL-expressible, used as the oracle-checkable member of the near-dup
+    * family.
+    *
+    * Scale shape (r8 probe finding): with only `lang` in the equi-key
+    * (a handful of values) the pair enumeration is quadratic per language
+    * — the length tolerance must ride the JOIN KEY, not a post-join
+    * filter. One side buckets length at width lenTol+1; the other side
+    * explodes to the ≤2 buckets its ±lenTol window can land in, so every
+    * qualifying pair meets in exactly one (lang, bucket) block and blocks
+    * stay tolerance-sized. A cheap exact prefilter (min set size ≥
+    * threshold × max — implied by jaccard ≥ threshold) skips the array
+    * intersection for hopeless pairs. Result set is IDENTICAL to the
+    * declarative predicate; only the enumeration shrinks. */
   def blockedJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, langCol: String,
       lenCol: String, lenTol: Int, threshold: Double): DataFrame = {
     // carry 8-byte token hashes through the join instead of the token
     // strings: identical Jaccard values (collisions ~2^-64), a fraction of
-    // the shuffle bytes
-    val hashedSet = array_distinct(transform(tokens(col(textCol)), t => xxhash64(t)))
+    // the shuffle bytes; sorted once per doc so the per-pair verify is the
+    // allocation-free merge-walk (jaccardSorted)
+    GraftFunctions.register(df.sparkSession)
+    val hashedSet =
+      array_sort(array_distinct(transform(tokens(col(textCol)), t => xxhash64(t))))
+    val w = lenTol + 1
     val a = df.select(col(idCol).alias("id_a"), col(langCol).alias("lang"),
-      col(lenCol).alias("len_a"), hashedSet.alias("toks_a"))
+      col(lenCol).alias("len_a"), hashedSet.alias("toks_a"),
+      floor(col(lenCol) / w).alias("blk"))
     val b = df.select(col(idCol).alias("id_b"), col(langCol).alias("lang"),
-      col(lenCol).alias("len_b"), hashedSet.alias("toks_b"))
-    a.join(b, Seq("lang"))
+      col(lenCol).alias("len_b"), hashedSet.alias("toks_b"),
+      explode(sequence(floor((col(lenCol) - lenTol) / w),
+        floor((col(lenCol) + lenTol) / w))).alias("blk"))
+    a.join(b, Seq("lang", "blk"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= lenTol)
+      .filter(least(size(col("toks_a")), size(col("toks_b"))) >=
+        greatest(size(col("toks_a")), size(col("toks_b"))) * threshold)
       .select(col("id_a"), col("id_b"),
-        jaccard(col("toks_a"), col("toks_b")).alias("jaccard"))
+        jaccardSorted(col("toks_a"), col("toks_b")).alias("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -6,68 +6,49 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.functions.VectorFunctions.l2Sq
 
 /** IVF (inverted-file) ANN index: k-means cells over the corpus, queries
   * probe their `nProbe` nearest cells (SURVEY.md §7.5 similarity-search
   * scale path, alternative to hyperplane LSH).
   *
   * Scale design: training samples the corpus (k-means on a bounded sample,
-  * no extra count pass); cell assignment is one pass over the corpus with
-  * the centroid table attached via a BROADCAST single-row cross join — the
-  * centroids are runtime data, so cell count is bounded by executor memory
-  * (√n cells at 100 TB is 10⁵⁺ centroids), not by plan/codegen size the
-  * way a literal-array argmin would be. The probe join is an equi-join on
-  * cell id — hash-partitionable, per-cell candidate lists ~n/nCells.
+  * no extra count pass); cell assignment is one scan-side pass through the
+  * native codegen'd [[graft.functions.NearestCellsL2]] argmin — the
+  * centroid matrix rides the expression as a constant (no join, no
+  * per-row copy of the centroid array; the r8 probe measured the previous
+  * broadcast-cross-join + interpreted-HOF argmin as the dominant
+  * super-linear term once cells grow with the corpus). Constant-size
+  * ceiling ~10⁴ cells × dim; past that (10⁵⁺ cells at fleet scale) chain
+  * two coarse→fine NearestCells levels of √cells each. The probe join is
+  * an equi-join on cell id — hash-partitionable, per-cell candidate lists
+  * ~n/nCells.
   */
 object IvfIndex {
 
   case class Model(centers: Seq[Seq[Double]]) {
     def nCells: Int = centers.length
 
-    /** One-row DataFrame carrying every centroid in a single
-      * array<struct<cell,center>> column — broadcast onto scans below.
-      * Callers joining BOTH a corpus side and a query side should build
-      * this once and pass it to both attach methods, so the two
-      * broadcast exchanges share one relation (Catalyst's ReuseExchange
-      * then ships the centroids once, not twice). */
-    def centroidsDf(spark: SparkSession): DataFrame = {
-      import spark.implicits._
-      centers.zipWithIndex.map { case (c, i) => (i, c) }
-        .toDF("cell", "center")
-        .agg(collect_list(struct(col("cell"), col("center")))
-          .alias("_centroids"))
+    /** `k` nearest cell ids as a Column — the native codegen'd argmin
+      * (see [[graft.functions.NearestCellsL2]]); ties break to the lower
+      * cell id, matching the previous struct-min ordering. */
+    private def nearestCells(spark: SparkSession, vec: Column, k: Int): Column = {
+      GraftFunctions.register(spark)
+      call_function("nearest_cells", vec,
+        typedLit[Seq[Seq[Double]]](centers), lit(k))
     }
 
-    /** Per-row argmin-L2 over the attached centroid array. */
-    private def argminCell(vec: Column): Column =
-      array_min(transform(col("_centroids"),
-        c => struct(l2Sq(vec, c.getField("center")).alias("d"),
-          c.getField("cell").alias("cell")))).getField("cell")
-
-    /** Attach `cellCol` = nearest-centroid cell id (scan-side: broadcast
-      * cross join + per-row argmin, no shuffle of the corpus). */
-    def withCell(df: DataFrame, vecCol: String, cellCol: String,
-        centroids: DataFrame = null): DataFrame = {
-      val cdf = Option(centroids).getOrElse(centroidsDf(df.sparkSession))
-      df.crossJoin(broadcast(cdf))
-        .withColumn(cellCol, argminCell(col(vecCol)))
-        .drop("_centroids")
-    }
+    /** Attach `cellCol` = nearest-centroid cell id (pure scan-side
+      * projection — no join, the centroid matrix is an expression
+      * constant). */
+    def withCell(df: DataFrame, vecCol: String, cellCol: String): DataFrame =
+      df.withColumn(cellCol,
+        element_at(nearestCells(df.sparkSession, col(vecCol), 1), 1))
 
     /** Attach `cellsCol` = the `nProbe` nearest cell ids, as an array. */
     def withProbeCells(df: DataFrame, vecCol: String, cellsCol: String,
-        nProbe: Int, centroids: DataFrame = null): DataFrame = {
-      val cdf = Option(centroids).getOrElse(centroidsDf(df.sparkSession))
-      df.crossJoin(broadcast(cdf))
-        .withColumn(cellsCol,
-          transform(
-            slice(array_sort(transform(col("_centroids"),
-              c => struct(l2Sq(col(vecCol), c.getField("center")).alias("d"),
-                c.getField("cell").alias("cell")))), 1, nProbe),
-            s => s.getField("cell")))
-        .drop("_centroids")
-    }
+        nProbe: Int): DataFrame =
+      df.withColumn(cellsCol,
+        nearestCells(df.sparkSession, col(vecCol), nProbe))
   }
 
   private val modelCache =
@@ -124,15 +105,13 @@ object IvfIndex {
     * the candidate shuffle; vectors join back at scoring time. */
   def candidates(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, model: Model, nProbe: Int): DataFrame = {
-    // one centroid relation for both sides → one broadcast (ReuseExchange)
-    val cdf = model.centroidsDf(corpus.sparkSession)
     val c = model.withCell(
         corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("n_vec")),
-        "n_vec", "cell", cdf)
+        "n_vec", "cell")
       .select("n_id", "cell")
     val q = model.withProbeCells(
         queries.select(col(idCol).alias("q_id"), col(vecCol).alias("q_vec")),
-        "q_vec", "cells", nProbe, cdf)
+        "q_vec", "cells", nProbe)
       .select(col("q_id"), explode(col("cells")).alias("cell"))
     c.join(q, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))

@@ -51,7 +51,7 @@ object PqIndex {
     }
 
     /** One-row array<struct<sub,code,center>> carrier for scan-side
-      * encoding (same broadcast shape as [[IvfIndex.Model.centroidsDf]]). */
+      * encoding (same literal-constant shape as [[graft.functions.NearestCellsL2]]). */
     def codebookOneRow(spark: SparkSession): DataFrame =
       codebookDf(spark)
         .agg(collect_list(struct(col("sub"), col("code"), col("center")))

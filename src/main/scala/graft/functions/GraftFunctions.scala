@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -27,11 +28,23 @@ object GraftFunctions {
         es(1).eval(null).asInstanceOf[Number].intValue())),
     ("vec_dot_i8", "exact integer dot product of two int8-quantized vectors",
       es => ByteVecDot(es.head, es(1))),
+    ("sorted_intersect_size", "set-intersection size of two sorted long arrays (merge-walk, zero allocation)",
+      es => SortedIntersectSize(es.head, es(1))),
     ("hilbert_key", "Hilbert curve index of a 2-D grid cell (layout key)",
       es => HilbertKey(es.head, es(1),
         es(2).eval(null).asInstanceOf[Number].intValue())),
     ("nfc_normalize", "Unicode NFC canonical composition (codegen'd, UDF-free)",
       es => NfcNormalize(es.head)),
+    // the centroid matrix and k must be foldable literals (typedLit / lit):
+    // they are evaluated once at plan time and ride the expression as a
+    // constant reference object — see NearestCellsL2's scaladoc for the
+    // size ceiling and the two-level pattern past it
+    ("nearest_cells", "k nearest centroid ids by squared L2 (codegen'd argmin over a literal centroid matrix)",
+      es => NearestCellsL2(es.head,
+        es(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(ArrayType(DoubleType))
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()),
+        es(2).eval(null).asInstanceOf[Number].intValue())),
     // Spark's own codegen'd bloom probe (internal expression, not in the
     // public registry); the filter bytes must be foldable — see
     // graft.ops.BloomSemi for the build-then-literal pattern

@@ -348,8 +348,16 @@ object ExtQueries {
     }) { (s, dir) =>
       GraftFunctions.register(s)
       val emb = Tables.load(s, dir, "embeddings")
-      val model = graft.ext.IvfIndex.trainCached(s"$dir#semdedup", emb,
-        "embedding", nCells = 16)
+      // Cells of ~constant SIZE (nCells ∝ n), not a constant count — the
+      // r8 probe measured fixed 16 cells as quadratic pair growth at 10×
+      // data, and √n cells still leaves √n-sized cells. Training is
+      // already sample-bounded (IvfIndex.train: 20k-row cap, 5 iters), so
+      // centroid cost grows linearly with nCells and the within-cell
+      // pairing stays ~125 comparisons per doc at ANY corpus size. Floor
+      // of 16 keeps the small-sf oracle shape stable.
+      val nCells = math.max(16, math.ceil(emb.count() / 125.0).toInt)
+      val model = graft.ext.IvfIndex.trainCached(s"$dir#semdedup$nCells",
+        emb, "embedding", nCells = nCells)
       val stage = stageDir(dir)
       model.withCell(
           emb.select(col("vec_id").alias("id"),

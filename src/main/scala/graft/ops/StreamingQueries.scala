@@ -749,7 +749,8 @@ object StreamingQueries {
         .filter(col("doc_id") >= 250)
         .select(col("doc_id").alias("id_new"),
           Dedup.shingleHashes(col("text"), 3).alias("hs"))
-        .select(col("id_new"), array_distinct(col("hs")).alias("toks_new"),
+        .select(col("id_new"),
+          array_sort(array_distinct(col("hs"))).alias("toks_new"),
           Dedup.minhashFromHashes(col("hs"), 64).alias("sig"))
       val banded = sigDf.select(col("id_new"), col("toks_new"),
         posexplode(array((0 until 16).map(b =>
@@ -760,7 +761,7 @@ object StreamingQueries {
         .dropDuplicates("id_new", "id_idx")
         .join(idxSets, Seq("id_idx"))
         .select(col("id_new"), col("id_idx"),
-          Dedup.jaccard(col("toks_new"), col("toks_idx")).alias("jaccard"))
+          Dedup.jaccardSorted(col("toks_new"), col("toks_idx")).alias("jaccard"))
         .filter(col("jaccard") >= 0.2)
         .writeStream.format("parquet")
         .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
