@@ -501,6 +501,39 @@ object AnalyticsQueries {
         .unionByName(TxLog.read(s, table, Some(head))
           .withColumn("snap", lit(2L)))
         .select("snap", "c_custkey", "c_name", "c_acctbal")
+    },
+
+    // Shallow CLONE: the clone's first commit REFERENCES the source
+    // snapshot's files (zero copied bytes — metadata cost at any table
+    // size), then both sides evolve independently. Output = post-append
+    // clone ∪ the source, proving the clone saw the snapshot and the
+    // source never saw the clone's append. Zero-copy/stats-carry/
+    // localize-on-OPTIMIZE invariants are pinned in TxLogSpec.
+    QueryDef("src_txlog_clone",
+      "TxLog shallow clone: zero-copy snapshot reference, clone-side append isolated from the source; both tables oracled",
+      s"""WITH b AS (SELECT c_custkey, c_name, c_acctbal
+         |  FROM read_parquet('${QueryDef.StageSql}/txcln_in/*.parquet'))
+         |SELECT CAST(1 AS BIGINT) AS side, c_custkey, c_name, c_acctbal FROM b
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS side, c_custkey, c_name, c_acctbal FROM b
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS side, c_custkey + 9000000, c_name,
+         |  c_acctbal FROM b WHERE c_custkey % 10 = 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txcln_in")
+      val root = Files.createTempDirectory("graft_txcln").toString
+      val src = s"$root/src"
+      val dst = s"$root/dst"
+      TxLog.overwrite(s.read.parquet(s"$stage/txcln_in").repartition(4), src)
+      TxLog.cloneTable(s, src, dst)
+      TxLog.append(s.read.parquet(s"$stage/txcln_in")
+        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .withColumn("c_custkey", col("c_custkey") + 9000000L), dst)
+      TxLog.read(s, src).withColumn("side", lit(1L))
+        .unionByName(TxLog.read(s, dst).withColumn("side", lit(2L)))
+        .select("side", "c_custkey", "c_name", "c_acctbal")
     }
   )
 }

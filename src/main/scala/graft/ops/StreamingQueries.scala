@@ -159,6 +159,66 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink")
     },
 
+    // OUTER stream-stream join: matched pairs emit immediately; an
+    // UNMATCHED left row may only emit once the watermark proves no
+    // matching right row can still arrive — which means a bounded stream
+    // needs the watermark pushed PAST its own tail or the trailing
+    // unmatched rows sit in state forever. A sentinel event (user −1, two
+    // hours after the real max, its own final micro-batch) advances both
+    // sides' watermarks; the sentinel itself stays in state (nothing ever
+    // passes ITS timestamp) and a post-join guard drops its key. This is
+    // the production enrich-with-optional-match shape at 100 TB: state
+    // stays one eviction horizon per side, exactly like st4.
+    QueryDef("st24_stream_join_left_outer",
+      "watermarked LEFT OUTER stream-stream join: purchases with their click within 1h, or NULL once the watermark proves none",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin) { (s, dir) =>
+      val out = tmp("graft_st24")
+      val src = stageEventsDir(dir)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val maxTs = s.read.schema(eventsRaw).parquet(src)
+        .agg(max("ts")).head().getLong(0)
+      // TWO sentinel files, each its own micro-batch (maxFilesPerTrigger
+      // = 1): a watermark computed at batch N's end only evicts state —
+      // and emits outer NULLs — while batch N+1 RUNS, so the first
+      // sentinel advances the watermark past the real tail and the second
+      // gives the join a batch to flush under it
+      import s.implicits._
+      Seq(2L, 4L).foreach { h =>
+        Seq(
+          (-2 * h, maxTs + h * 3600 * 1000000000L, -1L, "purchase", 0.0, "{}"),
+          (-2 * h - 1, maxTs + h * 3600 * 1000000000L, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      val p = eventsStream(s, src).filter(col("event_type") === "purchase")
+        .select(col("event_id").alias("purchase_id"), col("user_id"),
+          col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = eventsStream(s, src).filter(col("event_type") === "click")
+        .select(col("event_id").alias("click_id"),
+          col("user_id").alias("c_user_id"), col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      p.join(c,
+          col("user_id") === col("c_user_id") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"), "left_outer")
+        .select("purchase_id", "click_id")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      // sentinel guard OUTSIDE the streaming plan: a filter on the left
+      // key column would be pushed below the left watermark node and
+      // stall it at the real data's tail. The sentinels can't reach the
+      // sink anyway (nothing ever passes THEIR timestamp); this is a
+      // belt-and-braces batch-side guard.
+      s.read.parquet(s"$out/sink").filter(col("purchase_id") >= 0)
+    },
+
     QueryDef("st5_stream_window_agg",
       "event-time tumbling-window streaming aggregate, complete mode (T2 extension)",
       "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS cnt FROM events GROUP BY 1") { (s, dir) =>

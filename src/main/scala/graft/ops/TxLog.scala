@@ -87,7 +87,12 @@ object TxLog {
     * the log was written by a newer writer — [[commits]] refuses to read
     * rather than fold actions with unknown semantics. */
   private val KnownOps = Set("append", "overwrite", "merge", "delete",
-    "update", "optimize", "addConstraint", "dvDelete", "restore")
+    "update", "optimize", "addConstraint", "dvDelete", "restore", "clone")
+
+  /** File entries are table-relative (`d-<uuid>/part-….parquet`) except
+    * shallow-CLONE entries, which reference the SOURCE table absolutely. */
+  private def resolve(table: String, f: String): String =
+    if (f.startsWith("/")) f else s"$table/$f"
 
   private val mapper = new ObjectMapper()
 
@@ -216,7 +221,7 @@ object TxLog {
   private def readFiles(spark: SparkSession, table: String,
       files: Seq[String], asOf: Option[Long],
       keepRowKeys: Boolean = false): DataFrame = {
-    val paths = files.map(f => s"$table/$f")
+    val paths = files.map(resolve(table, _))
     val base = schemaAsOf(table, asOf) match {
       case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
@@ -233,7 +238,7 @@ object TxLog {
     val filtered =
       if (dvs.isEmpty) keyed
       else {
-        val dv = spark.read.parquet(dvs.map(f => s"$table/$f"): _*)
+        val dv = spark.read.parquet(dvs.map(resolve(table, _)): _*)
           .withColumnRenamed("file", "__dv_f")
           .withColumnRenamed("row_index", "__dv_ri")
         keyed.join(broadcast(dv), Seq("__dv_f", "__dv_ri"), "left_anti")
@@ -247,9 +252,11 @@ object TxLog {
     Files.createDirectories(logDir(table))
     val node = mapper.createObjectNode()
     // minimum version that can read this commit correctly: plain commits
-    // stay readable by v1-era readers; DV commits demand a DV-aware reader
-    node.put("protocolVersion",
-      if (commit.dvAdd.nonEmpty || commit.dvRemove.nonEmpty) 2 else 1)
+    // stay readable by v1-era readers; deletion vectors and absolute
+    // (shallow-clone) file references demand a v2 reader
+    val needsV2 = commit.dvAdd.nonEmpty || commit.dvRemove.nonEmpty ||
+      (commit.add ++ commit.remove).exists(_.startsWith("/"))
+    node.put("protocolVersion", if (needsV2) 2 else 1)
     node.put("version", commit.version)
     node.put("op", commit.op)
     node.put("batchId", commit.batchId)
@@ -699,7 +706,10 @@ object TxLog {
           keepRowKeys = true)
         .filter(condition)
         .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
-      val touched = files.filter(touchedRel.contains)
+      // __dv_f is the last-two-segments key: equals a relative entry
+      // outright, and suffixes an absolute (shallow-clone) entry
+      val touched = files.filter(f =>
+        touchedRel.contains(f) || touchedRel.exists(r => f.endsWith(s"/$r")))
       if (touched.isEmpty) return base.get // nothing matches: no new version
       val schema = schemaAsOf(table, base)
       // DV-filtered like every other scan: rewriting a touched file must
@@ -814,6 +824,38 @@ object TxLog {
       lastSeen: Long): (DataFrame, Long) = {
     val latest = latestVersion(table).getOrElse(lastSeen)
     (changes(spark, table, keyCols, lastSeen, latest), latest)
+  }
+
+  /** Shallow CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`): `dst`
+    * becomes an independent table whose version-1 commit REFERENCES the
+    * source snapshot's data (and deletion-vector) files absolutely — zero
+    * bytes copied, metadata-only cost at ANY table size. The clone then
+    * evolves independently: appends/DML/OPTIMIZE land new files under
+    * `dst` and retire the references; the source never sees clone writes.
+    * The source's data-skipping stats ride the clone commit (re-keyed to
+    * the absolute paths) so range reads prune identically. Shared caveat
+    * with Delta: `vacuum` on the SOURCE does not know about clones — run
+    * it only past every clone's horizon, or OPTIMIZE the clone first
+    * (which localizes its files). Absolute references stamp the commit
+    * protocol v2, so a pre-clone reader refuses rather than misresolves. */
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+      asOf: Option[Long] = None): Long = {
+    require(latestVersion(dst).isEmpty,
+      s"clone destination $dst already has a txlog")
+    val srcAbs = Paths.get(src).toAbsolutePath.normalize.toString
+    val files = activeFiles(src, asOf)
+    require(files.nonEmpty, s"clone source $src has no committed files")
+    val absFiles = files.map(f => s"$srcAbs/$f")
+    val statsByAbs = {
+      val statsMap = commits(src).flatMap(_.stats).toMap
+      files.flatMap(f => statsMap.get(f).map(s => s"$srcAbs/$f" -> s)).toMap
+    }
+    val dvs = activeDvs(src, asOf).map(f => s"$srcAbs/$f")
+    if (!tryCommit(dst, Commit(1L, absFiles, Seq.empty, "clone", -1L,
+      statsByAbs, schemaAsOf(src, asOf).map(_.toDDL), dvAdd = dvs)))
+      throw new IllegalStateException(
+        s"clone destination $dst gained a commit mid-clone")
+    1L
   }
 
   /** DESCRIBE HISTORY analog: one row per commit — version, operation,

@@ -1,8 +1,8 @@
 package graft.sources.txlog
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext}
-import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Filter, PrunedFilteredScan, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.TxLog
@@ -30,7 +30,41 @@ import graft.ops.TxLog
   * `CREATE TABLE … USING graft.sources.txlog OPTIONS (path …)`) without
   * importing TxLog.
   */
-class DefaultSource extends RelationProvider {
+class DefaultSource extends RelationProvider with CreatableRelationProvider {
+
+  /** Write path: `df.write.format("graft.sources.txlog").mode(…).save(path)`
+    * (and SQL `INSERT INTO/OVERWRITE` on a `USING graft.sources.txlog`
+    * table). Append → [[TxLog.append]], Overwrite → [[TxLog.overwrite]] —
+    * each ONE atomic commit with the usual schema enforcement and CHECK
+    * constraints; ErrorIfExists/Ignore follow their SaveMode contracts
+    * against the table's existence in the LOG (a directory with no commits
+    * is not a table). Options: `statsCols` (comma-separated) records
+    * per-file min/max for data skipping; `mergeSchema` allows evolution. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("txlog sink requires option 'path'"))
+    val statsCols = parameters.get("statscols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val mergeSchema = parameters.get("mergeschema").exists(_.toBoolean)
+    val exists = TxLog.latestVersion(path).isDefined
+    mode match {
+      case SaveMode.Append =>
+        TxLog.append(data, path, statsCols, mergeSchema)
+      case SaveMode.Overwrite =>
+        TxLog.overwrite(data, path, statsCols, mergeSchema)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"txlog table $path already exists (SaveMode.ErrorIfExists)")
+      case SaveMode.ErrorIfExists =>
+        TxLog.overwrite(data, path, statsCols, mergeSchema)
+      case SaveMode.Ignore =>
+        if (!exists) TxLog.overwrite(data, path, statsCols, mergeSchema)
+    }
+    TxLogRelation(sqlContext, path, None)
+  }
+
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import graft.ops.TxLog
 
 /** Transaction-log table semantics (the Delta-tier emulation): version
@@ -625,6 +627,72 @@ class TxLogSpec extends SparkSpec {
     assert(dv.forall(swept.contains), s"retired DV not vacuumed: $swept")
     assert(TxLog.read(spark, t).as[Long].collect().toSet ===
       ((10L until 70L)).toSet)
+  }
+
+  test("shallow clone references the source snapshot; both sides evolve independently") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = table()
+    val c = table()
+    TxLog.append(spark.range(0, 100).toDF("k"), t, statsCols = Seq("k"))  // v1
+    TxLog.append(spark.range(100, 200).toDF("k"), t, statsCols = Seq("k")) // v2
+    TxLog.deleteVectors(spark, t, col("k") < 10)                           // v3
+    TxLog.cloneTable(spark, t, c)
+    // clone reads the source snapshot — deletion vectors included
+    val expect = (10L until 200L).toSet
+    assert(TxLog.read(spark, c).as[Long].collect().toSet === expect)
+    // zero bytes copied: no data dirs under the clone, only its log
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(c))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(dirs === Seq("_txlog"), s"clone staged data: $dirs")
+    // source stats ride the clone: range reads prune without re-scanning
+    assert(TxLog.filesForRange(c, "k", 150, 160).size <
+      TxLog.activeFiles(c).size)
+    assert(TxLog.readRange(spark, c, "k", 150, 160).count() === 11)
+    // clone writes never touch the source…
+    TxLog.append(spark.range(500, 510).toDF("k"), c)
+    assert(TxLog.read(spark, t).count() === 190)
+    assert(TxLog.read(spark, c).count() === 200)
+    // …and source DML after the clone never changes the clone (the
+    // rewrite lands new source files; the clone still references the old)
+    TxLog.update(spark, t, col("k") === 20L, Map("k" -> lit(9999L)))
+    assert(TxLog.read(spark, c).as[Long].collect().toSet ===
+      expect ++ (500L until 510L))
+    // OPTIMIZE localizes the clone: every reference becomes clone-relative
+    TxLog.optimize(spark, c, targetFiles = 1)
+    assert(TxLog.activeFiles(c).forall(!_.startsWith("/")))
+    assert(TxLog.read(spark, c).count() === 200)
+    // absolute references demand a v2 reader
+    val v1Json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(c, "_txlog", f"${1L}%020d.json")))
+    assert(v1Json.contains("\"protocolVersion\":2"))
+    // cloning onto an existing table is refused
+    intercept[IllegalArgumentException] { TxLog.cloneTable(spark, t, c) }
+  }
+
+  test("data source write path: save modes map to atomic txlog commits") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    def fmt = spark.range(0, 50).toDF("k").write
+      .format("graft.sources.txlog").option("path", t)
+    fmt.mode("overwrite").option("statsCols", "k").save()
+    assert(TxLog.latestVersion(t) === Some(1L))
+    // stats option recorded per-file skipping bounds
+    assert(TxLog.filesForRange(t, "k", 1000, 2000).isEmpty)
+    spark.range(50, 60).toDF("k").write.format("graft.sources.txlog")
+      .option("path", t).mode("append").save()
+    assert(spark.read.format("graft.sources.txlog").option("path", t)
+      .load().count() === 60)
+    intercept[Exception] { fmt.mode("errorifexists").save() }
+    // ignore: existing table untouched
+    spark.range(0, 5).toDF("k").write.format("graft.sources.txlog")
+      .option("path", t).mode("ignore").save()
+    assert(TxLog.latestVersion(t) === Some(2L))
+    // schema enforcement holds through the sink API
+    intercept[Exception] {
+      spark.range(0, 5).select(col("id").cast("string").alias("k"))
+        .write.format("graft.sources.txlog").option("path", t)
+        .mode("append").save()
+    }
   }
 
   test("data-source relation pins its version: a commit mid-plan cannot swap the scan") {
