@@ -282,16 +282,27 @@ object PipelineOps {
     * oracle able to recompute them. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
-    val spans = docs.select(col(idCol),
-      explode(array_distinct(Dedup.shingles(col(textCol), n))).alias("_sp"))
+    // spans ride as 8-byte rolling HASHES, not n-word strings: the span is
+    // both a group-by key and a join key here, so the string form shuffled
+    // ~40 bytes/span twice — the single largest constant in the catalog
+    // (8.4 s at sf0.1). Counts are hash-collision-exact to 2^-64 and the
+    // oracle recomputes from the raw text either way. Empty-token docs
+    // keep their single whole-doc span (hash 0), matching the string
+    // form's [""] so per-doc totals stay oracle-identical.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sets = docs
+      .select(col(idCol), Dedup.shingleHashes(col(textCol), n).alias("_h"))
+      .select(col(idCol), array_distinct(
+        when(size(col("_h")) === 0, array(lit(0L)))
+          .otherwise(col("_h"))).alias("_sps"))
+    val spans = sets.select(col(idCol), explode(col("_sps")).alias("_sp"))
     val dup = spans.groupBy("_sp")
       .agg(count(lit(1)).alias("_carriers"))
       .filter(col("_carriers") > 1)
       .select("_sp")
     val perDoc = spans.join(dup, Seq("_sp"))
       .groupBy(idCol).agg(count(lit(1)).alias("n_dup"))
-    val totals = docs.select(col(idCol),
-      size(array_distinct(Dedup.shingles(col(textCol), n))).alias("n_spans"))
+    val totals = sets.select(col(idCol), size(col("_sps")).alias("n_spans"))
     perDoc.join(totals, Seq(idCol))
       .select(col(idCol), col("n_dup"), col("n_spans"),
         (col("n_dup").cast(DoubleType) / col("n_spans").cast(DoubleType))
