@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
+import graft.functions.VectorFunctions.l2Sq
 
 /** IVF (inverted-file) ANN index: k-means cells over the corpus, queries
   * probe their `nProbe` nearest cells (SURVEY.md §7.5 similarity-search
@@ -113,6 +114,51 @@ object IvfIndex {
         queries.select(col(idCol).alias("q_id"), col(vecCol).alias("q_vec")),
         "q_vec", "cells", nProbe)
       .select(col("q_id"), explode(col("cells")).alias("cell"))
+    c.join(q, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id")
+      .dropDuplicates("q_id", "n_id")
+  }
+
+  /** Two-level (coarse → fine) candidate generation — the fleet-scale
+    * probe shape the flat form can't reach: with 10⁵⁺ fine cells at
+    * 100 TB, ranking EVERY fine centroid per query is itself a
+    * cells × dim scan. Here a coarse codebook (√cells centroids, trained
+    * over the fine centroid table — driver-local, it is √cells points)
+    * routes each query to `nProbeCoarse` coarse groups, and only the fine
+    * cells INSIDE those groups are distance-ranked (per query:
+    * √cells + nProbeCoarse·√cells distances instead of cells). Corpus
+    * rows keep their one-off flat assignment (index-build cost, amortized
+    * over every query batch). Same candidate contract as [[candidates]]:
+    * distinct (q_id, n_id), ids only through the shuffle. */
+  def twoLevelCandidates(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, fine: Model, coarseCells: Int,
+      nProbeCoarse: Int, nProbeFine: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // coarse codebook over the fine CENTROIDS (tiny: |fine| rows)
+    val centroidRows = fine.centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("fine_cell", "center")
+    val coarse = train(centroidRows, "center", coarseCells, maxIter = 10)
+    // fine-cell → coarse-group routing table (|fine| rows, broadcast)
+    val routing = coarse.withCell(centroidRows, "center", "coarse_cell")
+    val c = fine.withCell(
+        corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("n_vec")),
+        "n_vec", "cell")
+      .select("n_id", "cell")
+    // query side: nProbeCoarse coarse groups → rank only THEIR fine cells
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("_d"), col("fine_cell"))
+    val q = coarse.withProbeCells(
+        queries.select(col(idCol).alias("q_id"), col(vecCol).alias("q_vec")),
+        "q_vec", "ccells", nProbeCoarse)
+      .select(col("q_id"), col("q_vec"), explode(col("ccells")).alias("coarse_cell"))
+      .join(broadcast(routing), Seq("coarse_cell"))
+      .withColumn("_d", l2Sq(col("q_vec").cast("array<double>"), col("center")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nProbeFine)
+      .select(col("q_id"), col("fine_cell").alias("cell"))
     c.join(q, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .select("q_id", "n_id")

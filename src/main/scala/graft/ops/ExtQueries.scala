@@ -501,6 +501,38 @@ object ExtQueries {
         vecs.filter(col("id") < 10), vecs, k = 5)
     },
 
+    // Two-level IVF — the 10⁵-cell fleet shape of the flat entry above:
+    // queries route through a coarse codebook (trained over the fine
+    // CENTROIDS) and rank only the fine cells inside their probed coarse
+    // groups, so per-query centroid work is O(√cells) instead of
+    // O(cells). Same oracle pattern: candidates staged, DuckDB recomputes
+    // the exact cosine rerank.
+    QueryDef("ext_sim_topk_ivf2",
+      "ANN top-5 via two-level IVF (coarse→fine probing, O(√cells) centroid work per query); score+rank oracled over staged candidates",
+      s"""WITH c AS (SELECT q_id, n_id FROM read_parquet('$StageSql/ivf2_cands/*.parquet')),
+         |s AS (SELECT c.q_id, c.n_id, $COS AS score
+         |      FROM c JOIN embeddings q ON q.vec_id = c.q_id
+         |             JOIN embeddings n ON n.vec_id = c.n_id)
+         |SELECT q_id, n_id, score, rank FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM s)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val fine = graft.ext.IvfIndex.trainCached(s"$dir#ivf2", emb,
+        "embedding", nCells = 32)
+      val cands = graft.ext.IvfIndex.twoLevelCandidates(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        fine, coarseCells = 6, nProbeCoarse = 3, nProbeFine = 8)
+      val stage = stageDir(dir)
+      cands.write.mode("overwrite").parquet(s"$stage/ivf2_cands")
+      val vecs = emb.select(col("vec_id").alias("id"),
+        col("embedding").alias("vec"))
+      Similarity.topKFromCandidates(s.read.parquet(s"$stage/ivf2_cands"),
+        vecs.filter(col("id") < 10), vecs, k = 5)
+    },
+
     // SQ8: unlike the LSH/IVF entries (where only score+rank is oracled),
     // BOTH stages replay in DuckDB — int8 dots are exact integers in f64,
     // so the quantized shortlist is engine-deterministic, and the rerank

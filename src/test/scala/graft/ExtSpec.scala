@@ -129,6 +129,36 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.0, s"recall was $recall")
   }
 
+  test("two-level IVF: candidates are a subset of flat probing's cells, recall holds") {
+    val emb = Tables.load(spark, SF, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val fine = graft.ext.IvfIndex.train(emb, "embedding", nCells = 32)
+    val cands = graft.ext.IvfIndex.twoLevelCandidates(
+      emb, queries, "vec_id", "embedding", fine,
+      coarseCells = 6, nProbeCoarse = 3, nProbeFine = 8)
+    // every query routed somewhere; no self-pairs; ids distinct
+    val rows = cands.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._1).distinct.length === queries.count())
+    assert(rows.forall { case (q, n) => q != n })
+    assert(rows.distinct.length === rows.length)
+    // recall vs exact top-5 — coarse routing must not destroy the shortlist
+    val exact = graft.ext.Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.ext.Similarity.topKFromCandidates(cands,
+        queries.select(col("vec_id").alias("id"), col("embedding").alias("vec")),
+        emb.select(col("vec_id").alias("id"), col("embedding").alias("vec")), 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall > 0.0, s"recall was $recall")
+    // probing 3 of 6 coarse groups × 8 fine cells bounds the candidate set
+    // below a full scan: the point of the hierarchy
+    assert(rows.length < queries.count() * emb.count(),
+      "two-level candidates degenerated to all-pairs")
+  }
+
   test("LSH tuning helpers: band split matches the S-curve, planes scale log2") {
     // 64 hashes, want pairs above ~0.8 jaccard: (1/b)^(1/r) nearest 0.8
     val (b8, r8) = Dedup.bandsFor(64, 0.8)
