@@ -697,6 +697,58 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink").drop("batch")
     },
 
+    // st18's 100 TB twin: the same decontamination-at-ingest, but every
+    // shingle rides as an 8-byte hash (native rolling combiner, no span
+    // strings allocated or shuffled) — the bench side is a broadcast hash
+    // set and nothing wider than 16 bytes crosses a stage boundary. Each
+    // micro-batch stages its (doc_id, h) rows batch-keyed (idempotent
+    // under replay) and scores FROM the staged rows, so the DuckDB oracle
+    // recomputes join+counts over byte-identical inputs.
+    QueryDef("st25_stream_contamination_hashed",
+      "streaming decontamination at ingest over 8-byte shingle hashes (st18's corpus-scale form: broadcast bench hash set per micro-batch)",
+      s"""WITH c AS (SELECT doc_id, h FROM read_parquet('${QueryDef.StageSql}/st25_corpus/*/*.parquet')),
+         |b AS (SELECT DISTINCT h FROM read_parquet('${QueryDef.StageSql}/st25_bench/*.parquet')),
+         |shr AS (SELECT doc_id, COUNT(*) AS n_shared FROM c JOIN b USING (h) GROUP BY doc_id),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_total FROM c GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared, t.n_total
+         |FROM tot t LEFT JOIN shr s USING (doc_id)
+         |WHERE CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE) < 0.5""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.ext.PipelineOps
+      val stage = QueryDef.stageDir(dir)
+      val docsAll = graft.Tables.load(s, dir, "documents")
+      PipelineOps.shingleHashSet(
+          docsAll.filter(col("doc_id") < 20), "doc_id", "text", n = 3)
+        .select("h").distinct()
+        .write.mode("overwrite").parquet(s"$stage/st25_bench")
+      val bench = s.read.parquet(s"$stage/st25_bench")
+      val out = tmp("graft_st25")
+      docsStream(s, stageDocsDir(dir))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val corpus = batch.filter(col("doc_id") >= 20)
+          PipelineOps.shingleHashSet(corpus, "doc_id", "text", n = 3)
+            .write.mode("overwrite")
+            .parquet(s"$stage/st25_corpus/batch=$batchId")
+          val staged = batch.sparkSession.read
+            .parquet(s"$stage/st25_corpus/batch=$batchId")
+          val shared = staged.join(broadcast(bench), Seq("h"))
+            .groupBy("doc_id").agg(count(lit(1)).alias("n_shared"))
+          staged.groupBy("doc_id").agg(count(lit(1)).alias("n_total"))
+            .join(shared, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n_shared"), lit(0L)).alias("n_shared"),
+              col("n_total"))
+            .filter(col("n_shared").cast("double") /
+              col("n_total").cast("double") < 0.5)
+            .write.mode("overwrite").parquet(s"$out/sink/batch=$batchId")
+        }
+        .option("checkpointLocation", s"$out/_cp")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink").drop("batch")
+    },
+
     QueryDef("st14_stream_ingest_clean",
       "streaming corpus ingest: quality gate + content-hash dedup in one pass (document bronze→silver)",
       """WITH t AS (SELECT text,
