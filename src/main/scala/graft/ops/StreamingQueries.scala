@@ -219,6 +219,53 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink").filter(col("purchase_id") >= 0)
     },
 
+    // FULL OUTER completes the outer family: unmatched rows on BOTH sides
+    // emit with NULLs once the watermark proves closure — same sentinel
+    // tail-flush and same pushdown trap as st24.
+    QueryDef("st26_stream_join_full_outer",
+      "watermarked FULL OUTER stream-stream join: purchases and clicks, NULL-padded on both sides once the watermark closes the window",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin) { (s, dir) =>
+      val out = tmp("graft_st26")
+      val src = stageEventsDir(dir)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val maxTs = s.read.schema(eventsRaw).parquet(src)
+        .agg(max("ts")).head().getLong(0)
+      import s.implicits._
+      Seq(2L, 4L).foreach { h =>
+        Seq(
+          (-2 * h, maxTs + h * 3600 * 1000000000L, -1L, "purchase", 0.0, "{}"),
+          (-2 * h - 1, maxTs + h * 3600 * 1000000000L, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      val p = eventsStream(s, src).filter(col("event_type") === "purchase")
+        .select(col("event_id").alias("purchase_id"), col("user_id"),
+          col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = eventsStream(s, src).filter(col("event_type") === "click")
+        .select(col("event_id").alias("click_id"),
+          col("user_id").alias("c_user_id"), col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      p.join(c,
+          col("user_id") === col("c_user_id") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"), "full_outer")
+        .select("purchase_id", "click_id")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      // batch-side sentinel guard (see st24's pushdown note); NULL-padded
+      // rows keep whichever side is present
+      s.read.parquet(s"$out/sink")
+        .filter(coalesce(col("purchase_id"), lit(0L)) >= 0 &&
+          coalesce(col("click_id"), lit(0L)) >= 0)
+    },
+
     QueryDef("st5_stream_window_agg",
       "event-time tumbling-window streaming aggregate, complete mode (T2 extension)",
       "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS cnt FROM events GROUP BY 1") { (s, dir) =>

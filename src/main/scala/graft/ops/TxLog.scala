@@ -87,7 +87,8 @@ object TxLog {
     * the log was written by a newer writer — [[commits]] refuses to read
     * rather than fold actions with unknown semantics. */
   private val KnownOps = Set("append", "overwrite", "merge", "delete",
-    "update", "optimize", "addConstraint", "dvDelete", "restore", "clone")
+    "update", "optimize", "optimizeDvs", "addConstraint", "dvDelete",
+    "restore", "clone")
 
   /** File entries are table-relative (`d-<uuid>/part-….parquet`) except
     * shallow-CLONE entries, which reference the SOURCE table absolutely. */
@@ -933,6 +934,65 @@ object TxLog {
     }
     throw new IllegalStateException(
       s"txlog optimize on $table lost 10 straight races — giving up")
+  }
+
+  /** Deletion-vector maintenance (Delta's DV compaction threshold inside
+    * OPTIMIZE): rewrite ONLY the data files whose DV'd-row fraction
+    * exceeds `maxDeletedFraction` — those files pay the anti-join for
+    * many dead rows on every read — and leave lightly-deleted files
+    * riding their cheap DVs. DV files whose every referenced data file
+    * has left the active set retire with the commit. All bookkeeping
+    * collects are metadata-sized (one row per DV'd file / per DV-file
+    * reference). Returns the base version unchanged when nothing crosses
+    * the threshold. */
+  def optimizeDvs(spark: SparkSession, table: String,
+      maxDeletedFraction: Double = 0.2): Long = {
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      require(base.nonEmpty, s"optimizeDvs on empty txlog table $table")
+      val dvs = activeDvs(table, base)
+      if (dvs.isEmpty) return base.get
+      val files = activeFiles(table, base)
+      // dead rows per data-file key, and which DV file holds which refs
+      val dvRows = spark.read.parquet(dvs.map(resolve(table, _)): _*)
+        .withColumn("_dv", input_file_name())
+      val dead = dvRows.groupBy("file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val refs = dvRows.select("_dv", "file").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      def key(f: String): String = {
+        val parts = f.split('/'); parts.takeRight(2).mkString("/")
+      }
+      // total rows per file (projection-free scan keyed like the DV)
+      val totals = spark.read
+        .parquet(files.map(resolve(table, _)): _*)
+        .select(relFileKey.alias("_f")).groupBy("_f").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val touched = files.filter { f =>
+        val k = key(f)
+        dead.get(k).exists(d =>
+          d.toDouble / math.max(totals.getOrElse(k, d), 1L) > maxDeletedFraction)
+      }
+      if (touched.isEmpty) return base.get
+      val rewritten = readFiles(spark, table, touched, base) // DVs applied
+      val add = writeData(rewritten, table)
+      // retire DV files whose every referenced data file leaves the set
+      val remainingKeys = files.diff(touched).map(key).toSet
+      val dvRemove = dvs.filter { dv =>
+        val itsRefs = refs.collect {
+          case (uri, f) if uri.endsWith(key(dv)) => f
+        }
+        itsRefs.nonEmpty && itsRefs.forall(f => !remainingKeys.contains(f))
+      }
+      val v = base.get + 1
+      if (tryCommit(table, Commit(v, add, touched, "optimizeDvs", -1L,
+        schemaDdl = schemaAsOf(table, base).map(_.toDDL),
+        dvRemove = dvRemove))) return v
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog optimizeDvs on $table lost 10 straight races — giving up")
   }
 
   /** Delete data files no snapshot in the last `retainVersions` versions

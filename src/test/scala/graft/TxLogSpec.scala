@@ -588,6 +588,32 @@ class TxLogSpec extends SparkSpec {
     assert(json(3L).contains("\"protocolVersion\":2"))
   }
 
+  test("optimizeDvs rewrites only heavily-deleted files and retires inert DVs") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    TxLog.append(spark.range(0, 100).coalesce(1).toDF("k"), t)    // file A
+    TxLog.append(spark.range(100, 200).coalesce(1).toDF("k"), t)   // file B
+    // one DV kills 60% of A but only 5% of B
+    TxLog.deleteVectors(spark, t, col("k") < 60 || col("k") >= 195)
+    val filesBefore = TxLog.activeFiles(t)
+    val v = TxLog.optimizeDvs(spark, t, maxDeletedFraction = 0.2)
+    assert(v === 4L)
+    val after = TxLog.activeFiles(t)
+    // A (60% dead) was rewritten; B (5% dead) kept its path and its DV
+    assert(after.intersect(filesBefore).size === 1)
+    assert(TxLog.activeDvs(t).nonEmpty, "partially-referenced DV must stay")
+    assert(TxLog.read(spark, t).as[Long].collect().toSet ===
+      (60L until 195L).toSet)
+    // below-threshold state: second pass is a no-op, version unchanged
+    assert(TxLog.optimizeDvs(spark, t, maxDeletedFraction = 0.2) === v)
+    // push B over the threshold too: its rewrite retires the DV entirely
+    TxLog.deleteVectors(spark, t, col("k") >= 150)
+    TxLog.optimizeDvs(spark, t, maxDeletedFraction = 0.2)
+    assert(TxLog.activeDvs(t).isEmpty, "fully-inert DVs must retire")
+    assert(TxLog.read(spark, t).as[Long].collect().toSet ===
+      (60L until 150L).toSet)
+  }
+
   test("restore re-points the snapshot at an older version as a forward commit") {
     import org.apache.spark.sql.functions.col
     val t = table()
