@@ -1003,7 +1003,7 @@ object TxLog {
     * (production callers pass hours; tests pass 0). Returns the deleted
     * relative paths. */
   def vacuum(table: String, retainVersions: Int = 2,
-      minAgeMs: Long = 0L): Seq[String] = {
+      minAgeMs: Long = 0L, dryRun: Boolean = false): Seq[String] = {
     val latest = latestVersion(table).getOrElse(return Seq.empty)
     val horizon = math.max(1L, latest - retainVersions + 1)
     val protect = (horizon to latest)
@@ -1023,6 +1023,9 @@ object TxLog {
       !protect.contains(rel) &&
         now - Files.getLastModifiedTime(p).toMillis >= minAgeMs
     }
+    // dry run (VACUUM ... DRY RUN): report what WOULD go, touch nothing —
+    // the audit step before an irreversible horizon-bounded delete
+    if (dryRun) return doomed.map(p => root.relativize(p).toString)
     doomed.foreach(Files.delete)
     // drop data dirs the sweep emptied of parquet (markers like _SUCCESS
     // go with them); raced/live dirs are left alone

@@ -99,7 +99,12 @@ class TxLogSpec extends SparkSpec {
     TxLog.overwrite(Seq((2L, "b")).toDF("k", "v"), t)            // v2 removes v1's files
     TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)               // v3
     val orphan = TxLog.writeData(Seq((9L, "ghost")).toDF("k", "v"), t)
+    // dry run reports the same doomed set but deletes NOTHING
+    val wouldDelete = TxLog.vacuum(t, retainVersions = 2, dryRun = true)
+    assert(TxLog.read(spark, t, Some(1L)).count() === 1,
+      "dry run must not delete")
     val deleted = TxLog.vacuum(t, retainVersions = 2)
+    assert(deleted.toSet === wouldDelete.toSet)
     // v1-only files and the uncommitted orphan are gone
     assert(v1Files.forall(deleted.contains), s"$deleted vs $v1Files")
     assert(orphan.forall(deleted.contains), s"$deleted vs $orphan")
