@@ -174,14 +174,20 @@ object ScaleProbe {
     def unload(): Unit = scala.util.Try(
       org.apache.spark.sql.execution.streaming.state.StateStore.stop())
     def time(name: String, dir: String): Double = {
+      // elapsed captured BEFORE the unload: closing every RocksDB provider
+      // belongs to harness cleanup, not the entry's measured duration
+      // (Bench keeps unloads outside its timed region the same way)
       val s0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      val elapsed = try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - s0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[probe] $name@$dir failed: ${e.getMessage}")
-        return Double.NaN
-      } finally unload()
-      (System.nanoTime() - s0) / 1e9
+        Double.NaN
+      }
+      unload()
+      elapsed
     }
     def minOf2(name: String, dir: String): Double = {
       val a = time(name, dir); val b = time(name, dir)

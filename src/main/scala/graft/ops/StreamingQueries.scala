@@ -81,6 +81,66 @@ object StreamingQueries {
       .parquet(stagedDir)
   }
 
+  /** Shared core of the watermarked OUTER stream-stream join entries
+    * (st24/st26): stage events + two sentinel micro-batches, run the
+    * 1-hour-window join with the requested `joinType`, return the
+    * materialized sink (caller applies its batch-side sentinel guard).
+    *
+    * Runs on a DERIVED session (own SQLConf, shared SparkContext) with 8
+    * state partitions instead of the session's 32. The partition count is
+    * a throughput knob, not semantics — at 100 TB you size it to the
+    * cluster; at bench scale the entry's wall time IS the fixed RocksDB
+    * commit cost of (partitions × 4 join state stores × 3 micro-batches),
+    * which 32 partitions quadruples for zero benefit on 60 k rows. The
+    * sub-session keeps the narrower setting out of the shared session —
+    * Bench's concurrent pass forbids mid-run session-conf mutation. */
+  private def outerStreamJoin(s0: SparkSession, dir: String,
+      joinType: String, prefix: String): DataFrame = {
+    val out = tmp(prefix)
+    val src = stageEventsDir(dir)
+    val s = s0.newSession()
+    graft.Graft.referenceSemantics(s)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // inherit the caller's maintenance cadence (Bench parks the daemon
+    // for its sequential pass; a sub-session must not un-park it)
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval",
+      s0.conf.get("spark.sql.streaming.stateStore.maintenanceInterval"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxTs = s.read.schema(eventsRaw).parquet(src)
+      .agg(max("ts")).head().getLong(0)
+    // TWO sentinel files, each its own micro-batch (maxFilesPerTrigger
+    // = 1): a watermark computed at batch N's end only evicts state —
+    // and emits outer NULLs — while batch N+1 RUNS, so the first
+    // sentinel advances the watermark past the real tail and the second
+    // gives the join a batch to flush under it
+    import s.implicits._
+    Seq(2L, 4L).foreach { h =>
+      Seq(
+        (-2 * h, maxTs + h * 3600 * 1000000000L, -1L, "purchase", 0.0, "{}"),
+        (-2 * h - 1, maxTs + h * 3600 * 1000000000L, -1L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val p = eventsStream(s, src).filter(col("event_type") === "purchase")
+      .select(col("event_id").alias("purchase_id"), col("user_id"),
+        col("ts").alias("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = eventsStream(s, src).filter(col("event_type") === "click")
+      .select(col("event_id").alias("click_id"),
+        col("user_id").alias("c_user_id"), col("ts").alias("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"), joinType)
+      .select("purchase_id", "click_id")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    s0.read.parquet(s"$out/sink")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("st1_stream_file_append",
@@ -176,47 +236,13 @@ object StreamingQueries {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin) { (s, dir) =>
-      val out = tmp("graft_st24")
-      val src = stageEventsDir(dir)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val maxTs = s.read.schema(eventsRaw).parquet(src)
-        .agg(max("ts")).head().getLong(0)
-      // TWO sentinel files, each its own micro-batch (maxFilesPerTrigger
-      // = 1): a watermark computed at batch N's end only evicts state —
-      // and emits outer NULLs — while batch N+1 RUNS, so the first
-      // sentinel advances the watermark past the real tail and the second
-      // gives the join a batch to flush under it
-      import s.implicits._
-      Seq(2L, 4L).foreach { h =>
-        Seq(
-          (-2 * h, maxTs + h * 3600 * 1000000000L, -1L, "purchase", 0.0, "{}"),
-          (-2 * h - 1, maxTs + h * 3600 * 1000000000L, -1L, "click", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("append").parquet(src)
-      }
-      val p = eventsStream(s, src).filter(col("event_type") === "purchase")
-        .select(col("event_id").alias("purchase_id"), col("user_id"),
-          col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-      val c = eventsStream(s, src).filter(col("event_type") === "click")
-        .select(col("event_id").alias("click_id"),
-          col("user_id").alias("c_user_id"), col("ts").alias("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-      p.join(c,
-          col("user_id") === col("c_user_id") &&
-            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-            col("c_ts") <= col("p_ts"), "left_outer")
-        .select("purchase_id", "click_id")
-        .writeStream.format("parquet")
-        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
-      // sentinel guard OUTSIDE the streaming plan: a filter on the left
-      // key column would be pushed below the left watermark node and
-      // stall it at the real data's tail. The sentinels can't reach the
-      // sink anyway (nothing ever passes THEIR timestamp); this is a
-      // belt-and-braces batch-side guard.
-      s.read.parquet(s"$out/sink").filter(col("purchase_id") >= 0)
+      outerStreamJoin(s, dir, "left_outer", "graft_st24")
+        // sentinel guard OUTSIDE the streaming plan: a filter on the left
+        // key column would be pushed below the left watermark node and
+        // stall it at the real data's tail. The sentinels can't reach the
+        // sink anyway (nothing ever passes THEIR timestamp); this is a
+        // belt-and-braces batch-side guard.
+        .filter(col("purchase_id") >= 0)
     },
 
     // FULL OUTER completes the outer family: unmatched rows on BOTH sides
@@ -229,39 +255,9 @@ object StreamingQueries {
         |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin) { (s, dir) =>
-      val out = tmp("graft_st26")
-      val src = stageEventsDir(dir)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val maxTs = s.read.schema(eventsRaw).parquet(src)
-        .agg(max("ts")).head().getLong(0)
-      import s.implicits._
-      Seq(2L, 4L).foreach { h =>
-        Seq(
-          (-2 * h, maxTs + h * 3600 * 1000000000L, -1L, "purchase", 0.0, "{}"),
-          (-2 * h - 1, maxTs + h * 3600 * 1000000000L, -1L, "click", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("append").parquet(src)
-      }
-      val p = eventsStream(s, src).filter(col("event_type") === "purchase")
-        .select(col("event_id").alias("purchase_id"), col("user_id"),
-          col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-      val c = eventsStream(s, src).filter(col("event_type") === "click")
-        .select(col("event_id").alias("click_id"),
-          col("user_id").alias("c_user_id"), col("ts").alias("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-      p.join(c,
-          col("user_id") === col("c_user_id") &&
-            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-            col("c_ts") <= col("p_ts"), "full_outer")
-        .select("purchase_id", "click_id")
-        .writeStream.format("parquet")
-        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
       // batch-side sentinel guard (see st24's pushdown note); NULL-padded
       // rows keep whichever side is present
-      s.read.parquet(s"$out/sink")
+      outerStreamJoin(s, dir, "full_outer", "graft_st26")
         .filter(coalesce(col("purchase_id"), lit(0L)) >= 0 &&
           coalesce(col("click_id"), lit(0L)) >= 0)
     },

@@ -61,9 +61,11 @@ object TxLog {
     * log-clock scheme (Delta shares the caveat); −1 on logs written
     * before timestamping. */
   /** `dvAdd`/`dvRemove`: deletion-vector files (relative paths, parquet of
-    * (file STRING, row_index BIGINT)) entering/leaving the active DV set —
-    * the protocol-v2 feature: rows listed in an active DV are dead without
-    * their data file being rewritten. */
+    * RLE ranges (file STRING, start BIGINT, end BIGINT) — one row per
+    * consecutive run of deleted row indexes; pre-r9 DVs stored one row per
+    * deleted row and are still readable) entering/leaving the active DV
+    * set — the protocol-v2 feature: rows listed in an active DV are dead
+    * without their data file being rewritten. */
   final case class Commit(version: Long, add: Seq[String],
       remove: Seq[String], op: String, batchId: Long,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
@@ -212,13 +214,62 @@ object TxLog {
     concat_ws("/", element_at(parts, -2), element_at(parts, -1))
   }
 
+  /** Driver-side twin of [[relFileKey]]: the last two path segments of a
+    * log entry — equal for relative and absolute (clone) spellings of the
+    * same file, which is what makes DV keys survive a table root move. */
+  private def fileKey(f: String): String =
+    f.split('/').takeRight(2).mkString("/")
+
+  /** Normalized view of a DV file set: one row per (file, start, end)
+    * deleted-row-index range. Reads BOTH on-disk formats — the current RLE
+    * ranges and the pre-r9 row-level (file, row_index) pairs, which
+    * normalize to width-1 ranges — so a v2 reader never refuses a DV it
+    * understands. `withSource` adds the DV file's own URI (`_dv`) for
+    * inert-DV bookkeeping. */
+  private def readDvRanges(spark: SparkSession, table: String,
+      dvs: Seq[String], withSource: Boolean = false): DataFrame = {
+    var df = spark.read.option("mergeSchema", "true")
+      .parquet(dvs.map(resolve(table, _)): _*)
+    if (withSource) df = df.withColumn("_dv", input_file_name())
+    val cols = df.columns.toSet
+    def norm(c: String): org.apache.spark.sql.Column =
+      if (cols(c) && cols("row_index")) coalesce(col(c), col("row_index"))
+      else if (cols(c)) col(c)
+      else col("row_index")
+    df.select(Seq(col("file"), norm("start").alias("start"),
+      norm("end").alias("end")) ++
+      (if (withSource) Seq(col("_dv")) else Nil): _*)
+  }
+
+  /** DV files whose every referenced data file is absent from
+    * `remainingKeys` (the post-commit active set): their anti-join can
+    * never match again, so they should retire with the commit that removed
+    * their last data file instead of paying the broadcast on every
+    * subsequent read. Bookkeeping collect is one row per (DV file,
+    * referenced data file) — metadata-sized. */
+  private def inertDvs(spark: SparkSession, table: String, dvs: Seq[String],
+      remainingKeys: Set[String]): Seq[String] = {
+    if (dvs.isEmpty) return Seq.empty
+    val refs = readDvRanges(spark, table, dvs, withSource = true)
+      .select("_dv", "file").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    dvs.filter { dv =>
+      val itsRefs = refs.collect {
+        case (uri, f) if uri.endsWith(fileKey(dv)) => f
+      }
+      itsRefs.nonEmpty && itsRefs.forall(f => !remainingKeys.contains(f))
+    }
+  }
+
   /** Schema-aware, DV-filtered read of a specific file subset — the ONE
     * place scan semantics live, shared by [[read]], [[readRanges]] and
     * [[copyOnWrite]] so a deletion vector can never be skipped on one path
-    * and honored on another. The DV set is broadcast: it is bounded by
-    * rows deleted since the last rewrite, and any sane DML keeps that far
-    * below the table (a DV set that WOULD outgrow a broadcast is the
-    * signal to run OPTIMIZE, which collapses DVs into rewritten files). */
+    * and honored on another. The DV set is broadcast as RLE RANGES:
+    * bounded by the number of consecutive deleted runs, not deleted rows
+    * — contiguous predicate deletes of any size broadcast a few ranges.
+    * A pathological scattered-delete DV that WOULD outgrow a broadcast is
+    * the signal to run [[optimizeDvs]]/OPTIMIZE, which collapses DVs into
+    * rewritten files. */
   private def readFiles(spark: SparkSession, table: String,
       files: Seq[String], asOf: Option[Long],
       keepRowKeys: Boolean = false): DataFrame = {
@@ -239,10 +290,16 @@ object TxLog {
     val filtered =
       if (dvs.isEmpty) keyed
       else {
-        val dv = spark.read.parquet(dvs.map(resolve(table, _)): _*)
-          .withColumnRenamed("file", "__dv_f")
-          .withColumnRenamed("row_index", "__dv_ri")
-        keyed.join(broadcast(dv), Seq("__dv_f", "__dv_ri"), "left_anti")
+        // broadcast hash anti-join on the file key with the range bounds
+        // as residual condition: broadcast size is O(ranges), not
+        // O(deleted rows) — a 50%-contiguous delete of a billion-row file
+        // broadcasts a handful of ranges
+        val dv = readDvRanges(spark, table, dvs)
+          .withColumnRenamed("file", "__dv_file")
+        keyed.join(broadcast(dv),
+          col("__dv_f") === col("__dv_file") &&
+            col("__dv_ri") >= col("start") && col("__dv_ri") <= col("end"),
+          "left_anti")
       }
     if (keepRowKeys) filtered else filtered.drop("__dv_f", "__dv_ri")
   }
@@ -599,8 +656,13 @@ object TxLog {
           .withColumn("_src", lit(0))
           .unionByName(incoming)
       }
+      // Final key: on a full (version, src) tie — two rows in the SAME
+      // batch with the same key and version, one delete and one upsert —
+      // the delete wins deterministically; without it row_number breaks
+      // the tie arbitrarily and the survivor can differ run-to-run.
       val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(col(versionCol).desc, col("_src").desc)
+        .orderBy(col(versionCol).desc, col("_src").desc,
+          (coalesce(col(opCol), lit("upsert")) === "delete").desc)
       // NULL op reads as upsert (a feed that only marks deletes), not as
       // a silent delete-by-three-valued-logic
       val merged = all.withColumn("_rn", row_number().over(w))
@@ -724,8 +786,13 @@ object TxLog {
       validateConstraints(rewritten, constraints(table))
       val add = writeData(rewritten, table)
       val v = base.get + 1
+      // the rewrite materialized any DV'd deletes for the touched files;
+      // DVs that referenced ONLY touched files are now inert — retire them
+      // here or they stay active (and vacuum-protected) forever
+      val dvRemove = inertDvs(spark, table, activeDvs(table, base),
+        files.diff(touched).map(fileKey).toSet)
       if (tryCommit(table, Commit(v, add, touched, op, -1L,
-        schemaDdl = schema.map(_.toDDL)))) return v
+        schemaDdl = schema.map(_.toDDL), dvRemove = dvRemove))) return v
       attempts += 1 // lost the race: re-derive the touched set and retry
     }
     throw new IllegalStateException(
@@ -739,24 +806,36 @@ object TxLog {
     copyOnWrite(spark, table, condition, "delete")(_.filter(!condition))
 
   /** DELETE WHERE via deletion vectors (protocol v2; Delta's DV feature):
-    * NO data file is rewritten — one scan records the (file, row_index)
-    * of every live matching row into a DV parquet, and a data-less commit
-    * activates it. Reads anti-join active DVs (see [[readFiles]]), so the
-    * delete is visible atomically. Cost is O(matching rows) regardless of
-    * file sizes — the right DELETE when a predicate touches a few rows in
-    * many large files, where copy-on-write ([[delete]]) would rewrite
-    * them all. DVs accumulate until a rewrite ([[optimize]] / merge /
-    * overwrite) materializes and retires them. */
+    * NO data file is rewritten — one scan finds every live matching row,
+    * compresses its (file, row_index) set into RLE ranges (gaps-and-
+    * islands over a key-partitioned window: fully distributed, no driver
+    * or per-file materialization), and a data-less commit activates the
+    * DV parquet. Reads anti-join active DVs (see [[readFiles]]), so the
+    * delete is visible atomically. Scan cost is O(matching rows); the
+    * PERSISTED and BROADCAST cost is O(ranges) — predicate deletes are
+    * overwhelmingly contiguous-in-file (clustered layout makes them more
+    * so), so a 50%-delete of a huge file is a few range rows, where the
+    * r8 row-level encoding paid one broadcast row per deleted row. Worst
+    * case (every other row dead) degrades to deleted/2 ranges — the
+    * [[optimizeDvs]] threshold is the relief valve that rewrites such
+    * files. DVs accumulate until a rewrite ([[optimize]] / merge /
+    * overwrite / [[optimizeDvs]]) materializes and retires them. */
   def deleteVectors(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column): Long = {
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
       require(base.nonEmpty, s"dvDelete on empty txlog table $table")
+      val w = Window.partitionBy(col("file")).orderBy(col("ri"))
       val hits = readFiles(spark, table, activeFiles(table, base), base,
           keepRowKeys = true)
         .filter(condition)
-        .select(col("__dv_f").alias("file"), col("__dv_ri").alias("row_index"))
+        .select(col("__dv_f").alias("file"), col("__dv_ri").alias("ri"))
+        // consecutive row indexes share (ri − row_number) → one range row
+        .withColumn("_grp", col("ri") - row_number().over(w))
+        .groupBy(col("file"), col("_grp"))
+        .agg(min("ri").alias("start"), max("ri").alias("end"))
+        .drop("_grp")
       val sub = s"dv-${UUID.randomUUID().toString.take(8)}"
       hits.coalesce(1).write.parquet(s"$table/$sub")
       val dvFiles = Files.list(Paths.get(table, sub)).iterator().asScala
@@ -846,12 +925,17 @@ object TxLog {
     val srcAbs = Paths.get(src).toAbsolutePath.normalize.toString
     val files = activeFiles(src, asOf)
     require(files.nonEmpty, s"clone source $src has no committed files")
-    val absFiles = files.map(f => s"$srcAbs/$f")
+    // The source's active set can itself hold absolute entries (cloning a
+    // clone, or a clone that appended locally) — those are already fully
+    // resolved and must pass through verbatim; prefixing them again would
+    // point the new clone at nonexistent paths.
+    def abs(f: String): String = if (f.startsWith("/")) f else s"$srcAbs/$f"
+    val absFiles = files.map(abs)
     val statsByAbs = {
       val statsMap = commits(src).flatMap(_.stats).toMap
-      files.flatMap(f => statsMap.get(f).map(s => s"$srcAbs/$f" -> s)).toMap
+      files.flatMap(f => statsMap.get(f).map(s => abs(f) -> s)).toMap
     }
-    val dvs = activeDvs(src, asOf).map(f => s"$srcAbs/$f")
+    val dvs = activeDvs(src, asOf).map(abs)
     if (!tryCommit(dst, Commit(1L, absFiles, Seq.empty, "clone", -1L,
       statsByAbs, schemaAsOf(src, asOf).map(_.toDDL), dvAdd = dvs)))
       throw new IllegalStateException(
@@ -878,11 +962,18 @@ object TxLog {
     * time travel and batchId replay detection keep their full history. */
   def compact(table: String): Option[Long] =
     latestVersion(table).map { v =>
+      val files = activeFiles(table, Some(v))
+      // same minimum-readable-version rule as tryCommit: a checkpoint of a
+      // table that never used a v2 feature must stay readable by a v1-era
+      // reader (absolute clone refs in the file list, or DV history — whose
+      // commits a reader must fold — are what demand v2)
+      val needsV2 = files.exists(_.startsWith("/")) ||
+        commits(table).exists(c => c.dvAdd.nonEmpty || c.dvRemove.nonEmpty)
       val node = mapper.createObjectNode()
-      node.put("protocolVersion", ProtocolVersion)
+      node.put("protocolVersion", if (needsV2) 2 else 1)
       node.put("version", v)
       val arr = node.putArray("files")
-      activeFiles(table, Some(v)).foreach(arr.add)
+      files.foreach(arr.add)
       val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
       Files.write(tmp, mapper.writeValueAsBytes(node))
       try Files.createLink(checkpointPath(table, v), tmp)
@@ -955,22 +1046,20 @@ object TxLog {
       if (dvs.isEmpty) return base.get
       val files = activeFiles(table, base)
       // dead rows per data-file key, and which DV file holds which refs
-      val dvRows = spark.read.parquet(dvs.map(resolve(table, _)): _*)
-        .withColumn("_dv", input_file_name())
-      val dead = dvRows.groupBy("file").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val refs = dvRows.select("_dv", "file").distinct().collect()
-        .map(r => (r.getString(0), r.getString(1)))
-      def key(f: String): String = {
-        val parts = f.split('/'); parts.takeRight(2).mkString("/")
-      }
+      // dead-row count per file = total width of its ranges (DV files
+      // never overlap ranges for live rows: a re-delete of an already-
+      // dead row can't happen — readFiles filters it out of the scan)
+      val dead = readDvRanges(spark, table, dvs)
+        .groupBy("file")
+        .agg(sum(col("end") - col("start") + 1).alias("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // total rows per file (projection-free scan keyed like the DV)
       val totals = spark.read
         .parquet(files.map(resolve(table, _)): _*)
         .select(relFileKey.alias("_f")).groupBy("_f").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val touched = files.filter { f =>
-        val k = key(f)
+        val k = fileKey(f)
         dead.get(k).exists(d =>
           d.toDouble / math.max(totals.getOrElse(k, d), 1L) > maxDeletedFraction)
       }
@@ -978,13 +1067,8 @@ object TxLog {
       val rewritten = readFiles(spark, table, touched, base) // DVs applied
       val add = writeData(rewritten, table)
       // retire DV files whose every referenced data file leaves the set
-      val remainingKeys = files.diff(touched).map(key).toSet
-      val dvRemove = dvs.filter { dv =>
-        val itsRefs = refs.collect {
-          case (uri, f) if uri.endsWith(key(dv)) => f
-        }
-        itsRefs.nonEmpty && itsRefs.forall(f => !remainingKeys.contains(f))
-      }
+      val dvRemove = inertDvs(spark, table, dvs,
+        files.diff(touched).map(fileKey).toSet)
       val v = base.get + 1
       if (tryCommit(table, Commit(v, add, touched, "optimizeDvs", -1L,
         schemaDdl = schemaAsOf(table, base).map(_.toDDL),

@@ -593,6 +593,61 @@ class TxLogSpec extends SparkSpec {
     assert(json(3L).contains("\"protocolVersion\":2"))
   }
 
+  test("DV ranges: a 50% contiguous delete persists O(ranges), not O(deleted rows)") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    TxLog.append(spark.range(0, 100000).coalesce(1).toDF("k"), t)
+    TxLog.deleteVectors(spark, t, col("k") < 50000)
+    val dvs = TxLog.activeDvs(t)
+    assert(dvs.nonEmpty)
+    // the DV parquet holds RANGE rows: a contiguous 50 000-row delete is
+    // ONE row per touched file — the r8 row-level encoding persisted (and
+    // broadcast on every read) 50 000
+    val dvRows = spark.read.parquet(dvs.map(f => s"$t/$f"): _*)
+    assert(dvRows.columns.toSet === Set("file", "start", "end"))
+    assert(dvRows.count() <= 2,
+      s"contiguous delete must compress to ~1 range/file: ${dvRows.count()}")
+    assert(TxLog.read(spark, t).count() === 50000)
+    // scattered worst case (every other row) still answers exactly
+    TxLog.deleteVectors(spark, t, col("k") % 2 === 0)
+    assert(TxLog.read(spark, t).as[Long].collect().toSet ===
+      (50001L until 100000L by 2).toSet)
+    // and the relief valve collapses the scattered DV into a rewrite
+    TxLog.optimizeDvs(spark, t, maxDeletedFraction = 0.2)
+    assert(TxLog.activeDvs(t).isEmpty)
+    assert(TxLog.read(spark, t).count() === 25000)
+  }
+
+  test("pre-r9 row-level DV files still read, and mix with range DVs") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    TxLog.append(spark.range(0, 100).coalesce(1).toDF("k"), t)     // v1
+    val dataFile = TxLog.activeFiles(t).head
+    // hand-write an r8-format DV — one (file, row_index) row per delete —
+    // and activate it via a raw commit, simulating a table carried
+    // forward from before the range encoding
+    import spark.implicits._
+    Seq((dataFile, 3L), (dataFile, 7L)).toDF("file", "row_index")
+      .coalesce(1).write.parquet(s"$t/dv-legacy")
+    val legacy = java.nio.file.Files.list(
+        java.nio.file.Paths.get(t, "dv-legacy")).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .map(n => s"dv-legacy/$n").toSeq
+    assert(TxLog.tryCommit(t, TxLog.Commit(2L, Seq.empty, Seq.empty,
+      "dvDelete", -1L, dvAdd = legacy)))
+    assert(TxLog.read(spark, t).as[Long].collect().toSet ===
+      (0L until 100L).toSet -- Set(3L, 7L))
+    // a NEW range-format DV stacks on the legacy one (mixed-schema read)
+    TxLog.deleteVectors(spark, t, col("k") >= 90)                  // v3
+    assert(TxLog.read(spark, t).as[Long].collect().toSet ===
+      (0L until 90L).toSet -- Set(3L, 7L))
+    // optimizeDvs folds BOTH formats' dead counts and retires them
+    TxLog.optimizeDvs(spark, t, maxDeletedFraction = 0.05)
+    assert(TxLog.activeDvs(t).isEmpty)
+    assert(TxLog.read(spark, t).count() === 88)
+  }
+
   test("optimizeDvs rewrites only heavily-deleted files and retires inert DVs") {
     import org.apache.spark.sql.functions.col
     val t = table()
@@ -698,6 +753,131 @@ class TxLogSpec extends SparkSpec {
     assert(v1Json.contains("\"protocolVersion\":2"))
     // cloning onto an existing table is refused
     intercept[IllegalArgumentException] { TxLog.cloneTable(spark, t, c) }
+  }
+
+  test("cloning a clone resolves already-absolute entries instead of double-prefixing") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    val c1 = table()
+    val c2 = table()
+    TxLog.append(spark.range(0, 100).toDF("k"), t, statsCols = Seq("k"))
+    TxLog.deleteVectors(spark, t, col("k") < 10)
+    TxLog.cloneTable(spark, t, c1)
+    // c1 appends locally: its active set now MIXES absolute (source) and
+    // relative (own) entries — the case that used to double-prefix
+    TxLog.append(spark.range(500, 520).toDF("k"), c1, statsCols = Seq("k"))
+    val expect = (10L until 100L).toSet ++ (500L until 520L)
+    assert(TxLog.read(spark, c1).as[Long].collect().toSet === expect)
+    TxLog.cloneTable(spark, c1, c2)
+    // the second clone reads the first's snapshot exactly (DVs included)
+    assert(TxLog.read(spark, c2).as[Long].collect().toSet === expect)
+    // every c2 entry is absolute and points at a real file on disk
+    val entries = TxLog.activeFiles(c2)
+    assert(entries.forall(_.startsWith("/")), entries)
+    entries.foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f)),
+        s"clone-of-clone reference resolves to a nonexistent path: $f")
+    }
+    // stats survived the re-keying: range reads still prune on c2
+    assert(TxLog.filesForRange(c2, "k", 505, 510).size <
+      TxLog.activeFiles(c2).size)
+    assert(TxLog.readRange(spark, c2, "k", 505, 510).count() === 6)
+  }
+
+  test("copy-on-write DML retires DVs whose every referenced file was rewritten") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = table()
+    TxLog.append(spark.range(0, 100).coalesce(1).toDF("k"), t)    // file A
+    TxLog.append(spark.range(100, 200).coalesce(1).toDF("k"), t)  // file B
+    TxLog.deleteVectors(spark, t, col("k") < 10)  // DV references only A
+    assert(TxLog.activeDvs(t).nonEmpty)
+    // UPDATE touches only file A: the rewrite materializes the DV's
+    // deletes, so the DV references no active file and retires with the
+    // commit instead of paying the anti-join broadcast forever
+    TxLog.update(spark, t, col("k") === 50L, Map("k" -> lit(5000L)))
+    assert(TxLog.activeDvs(t).isEmpty, "inert DV stayed active")
+    assert(TxLog.read(spark, t).as[Long].collect().toSet ===
+      (10L until 200L).toSet - 50L + 5000L)
+    // a DV referencing an UNtouched file survives the same path
+    TxLog.deleteVectors(spark, t, col("k") === 150L) // references only B
+    TxLog.update(spark, t, col("k") === 5000L, Map("k" -> lit(50L)))
+    assert(TxLog.activeDvs(t).nonEmpty, "live DV wrongly retired")
+    assert(TxLog.read(spark, t).as[Long].collect().toSet ===
+      (10L until 200L).toSet - 150L)
+  }
+
+  test("checkpoint protocol stamp follows the minimum-readable-version rule") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    TxLog.append(spark.range(0, 10).toDF("k"), t)                  // v1
+    TxLog.compact(t)
+    def cpJson(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_txlog", f"$v%020d.checkpoint.json")))
+    // a table that never used a v2 feature checkpoints readable-by-v1
+    assert(cpJson(1L).contains("\"protocolVersion\":1"))
+    // DV history upgrades the stamp: folding this table needs a v2 reader
+    TxLog.deleteVectors(spark, t, col("k") < 2)                    // v2
+    TxLog.compact(t)
+    assert(cpJson(2L).contains("\"protocolVersion\":2"))
+  }
+
+  test("applyChanges tie (same key AND version): the delete wins deterministically") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver"), t)
+    // one batch carries BOTH a delete and an upsert for k=1 at ver=2 — a
+    // full (version, src) tie that row_number would otherwise break
+    // arbitrarily; the documented contract says the delete beats it
+    val batch = Seq(
+      (1L, "X", 2L, "upsert"), (1L, "x", 2L, "delete"),
+      (2L, "B", 2L, "upsert"))
+      .toDF("k", "v", "ver", "op")
+    (1 to 3).foreach { _ =>
+      val probe = table()
+      TxLog.overwrite(Seq((1L, "a", 1L), (2L, "b", 1L))
+        .toDF("k", "v", "ver"), probe)
+      TxLog.applyChanges(spark, probe, batch, Seq("k"), "ver", "op")
+      assert(TxLog.read(spark, probe).as[(Long, String, Long)]
+        .collect().toSet === Set((2L, "B", 2L)),
+        "tie between same-version delete and upsert must resolve to delete")
+    }
+  }
+
+  test("a pinned time-travel reader on a retained version survives vacuum") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)              // v1
+    TxLog.overwrite(Seq((2L, "b")).toDF("k", "v"), t)              // v2
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)                 // v3
+    // reader pins v2 — older than head but inside retainVersions=2 —
+    // BEFORE vacuum runs; vacuum must protect every horizon version's
+    // files, so the open relation keeps reading afterwards
+    val pinned = spark.read.format("graft.sources.txlog")
+      .option("path", t).option("versionAsOf", "2").load()
+    TxLog.vacuum(t, retainVersions = 2)
+    assert(pinned.as[(Long, String)].collect().toSet === Set((2L, "b")))
+    // and a FRESH v2 read agrees — the protection is the horizon, not a
+    // lucky cache
+    assert(TxLog.read(spark, t, Some(2L)).as[(Long, String)]
+      .collect().toSet === Set((2L, "b")))
+  }
+
+  test("vacuum dry run at the same state previews exactly the real deletion set") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)              // v1
+    TxLog.overwrite(Seq((2L, "b")).toDF("k", "v"), t)              // v2: v1 files doomed
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)                 // v3
+    TxLog.writeData(Seq((9L, "ghost")).toDF("k", "v"), t)          // orphan
+    val preview = TxLog.vacuum(t, retainVersions = 2, dryRun = true)
+    assert(preview.nonEmpty)
+    // preview touched nothing: a second dry run sees the identical set
+    assert(TxLog.vacuum(t, retainVersions = 2, dryRun = true).toSet ===
+      preview.toSet)
+    // with no intervening commit the real run deletes exactly the preview
+    // — never MORE than the audit showed (the property an operator relies
+    // on when approving the preview)
+    val deleted = TxLog.vacuum(t, retainVersions = 2)
+    assert(deleted.toSet === preview.toSet)
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ===
+      Set((2L, "b"), (3L, "c")))
   }
 
   test("data source write path: save modes map to atomic txlog commits") {
