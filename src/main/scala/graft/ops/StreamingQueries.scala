@@ -74,6 +74,15 @@ object StreamingQueries {
     d.toString
   }
 
+  /** Stage any single-file sf table into its own landing dir (the bronze
+    * ingest source shape — the file-stream source reads directories). */
+  private def stageTable(dir: String, name: String): String = {
+    val d = Files.createTempDirectory(s"graft_${name}_src")
+    Files.copy(java.nio.file.Paths.get(s"$dir/$name.parquet"),
+      d.resolve(s"$name.parquet"))
+    d.toString
+  }
+
   private def docsStream(s: SparkSession, stagedDir: String): DataFrame = {
     configureStreaming(s)
     s.readStream.schema(docsRaw)
@@ -383,6 +392,117 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
       s.read.parquet(s"$out/v=*")
         .select("c_custkey", "c_name", "c_acctbal", "change_type", "version")
+    },
+
+    // CDF must surface DV commits: a deletion-vector DELETE changes the
+    // snapshot without touching a data file, and a downstream incremental
+    // consumer still has to see those row-level deletes as change rows.
+    // The commit-log stream + per-version keyed snapshot diff does
+    // exactly that — TxLog.changes reads each snapshot THROUGH the DV
+    // anti-join, so DV'd rows diff as deletes. The flip side is pinned
+    // too: the optimizeDvs rewrite between two versions changes files
+    // but not content, so its version must emit ZERO change rows.
+    QueryDef("st27_stream_cdf_dv",
+      "streaming CDF over DV commits: dvDelete versions emit row-level delete change rows; the optimizeDvs rewrite version emits none",
+      s"""WITH s1 AS (SELECT * FROM read_parquet('$StageSql/stcdfdv_v1/*.parquet'))
+         |SELECT c_custkey, c_name, c_acctbal, 'insert' AS change_type,
+         |  CAST(1 AS BIGINT) AS version FROM s1
+         |UNION ALL
+         |SELECT c_custkey, c_name, c_acctbal, 'delete' AS change_type,
+         |  CAST(2 AS BIGINT) AS version FROM s1 WHERE c_custkey % 7 = 0
+         |UNION ALL
+         |SELECT c_custkey, c_name, c_acctbal, 'delete' AS change_type,
+         |  CAST(4 AS BIGINT) AS version FROM s1
+         |WHERE c_custkey % 7 <> 0 AND c_acctbal < 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      graft.Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/stcdfdv_v1")
+      val table = tmp("graft_st27") + "/t"
+      TxLog.overwrite(s.read.parquet(s"$stage/stcdfdv_v1"), table)      // v1
+      TxLog.deleteVectors(s, table, pmod(col("c_custkey"), lit(7)) === 0) // v2
+      TxLog.optimizeDvs(s, table, maxDeletedFraction = 0.05)            // v3
+      TxLog.deleteVectors(s, table, col("c_acctbal") < 0)               // v4
+      val out = tmp("graft_st27_out")
+      val commitSchema = StructType(Seq(
+        StructField("version", LongType), StructField("op", StringType)))
+      configureStreaming(s)
+      s.readStream.schema(commitSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(s"$table/_txlog")
+        .filter(col("version").isNotNull)
+        .writeStream
+        .option("checkpointLocation", s"$out/_cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("version").distinct().collect().map(_.getLong(0))
+            .sorted.foreach { v =>
+              val delta =
+                if (v == 1L) TxLog.read(s, table, Some(1L))
+                  .withColumn("change_type", lit("insert"))
+                else TxLog.changes(s, table, Seq("c_custkey"), v - 1, v)
+              delta.withColumn("version", lit(v))
+                .write.mode("overwrite").parquet(s"$out/v=$v")
+            }
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      s.read.parquet(s"$out/v=*")
+        .select("c_custkey", "c_name", "c_acctbal", "change_type", "version")
+    },
+
+    // The full medallion chain (bronze→silver→gold) as ONE oracled
+    // entry: the reference's topology (Auto Loader ingest → silver join
+    // + year filter → complete-mode grouped-count gold, medallion.py:
+    // 9-183) over the TPC-H tables so DuckDB can oracle the end-to-end
+    // result. Four AvailableNow streams run sequentially, each draining
+    // its input — one full pass of the always-on topology. The silver
+    // join runs STREAM-STATIC (orders stream against the completed
+    // bronze customer table): the dimension side is bounded and
+    // broadcast per micro-batch, so silver holds ZERO join state at any
+    // corpus size — the production posture for a fact-to-dimension
+    // medallion join; the reference's watermark-free stream-stream form
+    // is covered (and quantified as unbounded) by st3/MedallionSpec.
+    QueryDef("st28_medallion_gold",
+      "medallion chain end-to-end: bronze ingest ×2 → silver stream-static join + year filter → gold grouped count (complete mode)",
+      """SELECT c.c_mktsegment, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+        |  COUNT(o.o_orderkey) AS orders_count
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |WHERE EXTRACT(year FROM o.o_orderdate) > 1995
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val root = tmp("graft_st28")
+      configureStreaming(s)
+      val custSchema = s.read.parquet(s"$dir/customer.parquet").schema
+      val ordSchema = s.read.parquet(s"$dir/orders.parquet").schema
+      // bronze ×2: incremental file ingest → append sink + checkpoint
+      graft.medallion.Medallion.bronzeStream(s, stageTable(dir, "customer"),
+        custSchema, s"$root/bronze_cust", s"$root/_cp/bc").awaitTermination()
+      graft.medallion.Medallion.bronzeStream(s, stageTable(dir, "orders"),
+        ordSchema, s"$root/bronze_ord", s"$root/_cp/bo").awaitTermination()
+      // silver: orders stream ⋈ static bronze customer (broadcast dim)
+      val cust = s.read.parquet(s"$root/bronze_cust")
+        .select("c_custkey", "c_mktsegment")
+      s.readStream.schema(ordSchema).parquet(s"$root/bronze_ord")
+        .filter(year(col("o_orderdate")) > 1995)
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast(LongType).alias("order_year"))
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"), "inner")
+        .select("c_mktsegment", "order_year", "o_orderkey")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$root/_cp/silver")
+        .option("path", s"$root/silver")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      // gold: complete-mode grouped count via foreachBatch overwrite
+      val silverSchema = s.read.parquet(s"$root/silver").schema
+      s.readStream.schema(silverSchema).parquet(s"$root/silver")
+        .groupBy("c_mktsegment", "order_year")
+        .agg(count(col("o_orderkey")).alias("orders_count"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$root/_cp/gold")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$root/gold")
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      s.read.parquet(s"$root/gold")
     },
 
     // Bounded-memory streaming top-k: the Space-Saving sketch rides the

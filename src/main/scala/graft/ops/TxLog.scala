@@ -290,16 +290,28 @@ object TxLog {
     val filtered =
       if (dvs.isEmpty) keyed
       else {
-        // broadcast hash anti-join on the file key with the range bounds
-        // as residual condition: broadcast size is O(ranges), not
-        // O(deleted rows) — a 50%-contiguous delete of a billion-row file
-        // broadcasts a handful of ranges
-        val dv = readDvRanges(spark, table, dvs)
+        // Hybrid anti-join, split on range width. A range join keyed only
+        // on the file would hash every probe row of a file against ALL of
+        // that file's ranges — for a scattered delete (width-1 ranges)
+        // that is rows × deleted comparisons per file, quadratic (the r9
+        // probe measured st27 at 33× under it). So: NARROW ranges expand
+        // back to exact (file, row) keys — an O(1) hash probe per row,
+        // broadcast O(deleted) like the r8 row-level encoding; WIDE
+        // ranges stay ranges — broadcast O(ranges), and they are few by
+        // construction (wide = contiguous delete). Both sides bounded,
+        // neither degenerate.
+        val ranges = readDvRanges(spark, table, dvs)
+        val narrow = ranges.filter(col("end") - col("start") < 8)
+          .select(col("file").alias("__dv_f"),
+            explode(sequence(col("start"), col("end"))).alias("__dv_ri"))
+        val wide = ranges.filter(col("end") - col("start") >= 8)
           .withColumnRenamed("file", "__dv_file")
-        keyed.join(broadcast(dv),
-          col("__dv_f") === col("__dv_file") &&
-            col("__dv_ri") >= col("start") && col("__dv_ri") <= col("end"),
-          "left_anti")
+        keyed
+          .join(broadcast(narrow), Seq("__dv_f", "__dv_ri"), "left_anti")
+          .join(broadcast(wide),
+            col("__dv_f") === col("__dv_file") &&
+              col("__dv_ri") >= col("start") && col("__dv_ri") <= col("end"),
+            "left_anti")
       }
     if (keepRowKeys) filtered else filtered.drop("__dv_f", "__dv_ri")
   }
