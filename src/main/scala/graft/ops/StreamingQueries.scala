@@ -449,6 +449,35 @@ object StreamingQueries {
         .select("c_custkey", "c_name", "c_acctbal", "change_type", "version")
     },
 
+    // The TxLog table as a NATIVE streaming source (readStream.format,
+    // the Delta streaming-source analog — offsets are commit versions,
+    // each micro-batch scans exactly the files its versions ADDED, so a
+    // 100 TB table streams by increments with no re-listing). The staged
+    // table interleaves a data-neutral OPTIMIZE between appends: the
+    // source must skip its rewritten files or every pre-compaction row
+    // would deliver twice — the entry's exactly-once hash proves it.
+    QueryDef("st29_stream_txlog_source",
+      "TxLog table as a native streaming source: version offsets, appends delivered incrementally, the OPTIMIZE rewrite delivers nothing",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 0""".stripMargin) { (s, dir) =>
+      configureStreaming(s)
+      val t = tmp("graft_st29") + "/t"
+      val cust = graft.Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(3)) === 0), t) // v1
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(3)) === 1), t) // v2
+      TxLog.optimize(s, t, targetFiles = 2)                              // v3
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(3)) === 2), t) // v4
+      val out = tmp("graft_st29_out")
+      s.readStream.format("graft.sources.txlog").option("path", t).load()
+        .filter(col("c_acctbal") > 0)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
     // The full medallion chain (bronze→silver→gold) as ONE oracled
     // entry: the reference's topology (Auto Loader ingest → silver join
     // + year filter → complete-mode grouped-count gold, medallion.py:

@@ -2,7 +2,8 @@ package graft.sources.txlog
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Filter, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.TxLog
@@ -30,7 +31,38 @@ import graft.ops.TxLog
   * `CREATE TABLE … USING graft.sources.txlog OPTIONS (path …)`) without
   * importing TxLog.
   */
-class DefaultSource extends RelationProvider with CreatableRelationProvider {
+class DefaultSource extends RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider {
+
+  /** Streaming-source schema: the log-carried schema of the table's
+    * latest version, fixed for the stream's lifetime (the Delta streaming
+    * source contract — schema evolution requires a new stream). */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("txlog stream requires option 'path'"))
+    (providerName, schema.getOrElse(TxLogStreamSource.tableSchema(sqlContext, path)))
+  }
+
+  /** `spark.readStream.format("graft.sources.txlog").option("path", …)` —
+    * the TxLog table as a native streaming SOURCE (the Delta streaming
+    * source analog): offsets are COMMIT VERSIONS, each micro-batch reads
+    * exactly the data files the commits in (start, end] ADDED, so a
+    * downstream pipeline consumes a 100 TB table's increments without
+    * ever re-listing or re-reading the table. See [[TxLogStreamSource]]
+    * for the op-by-op delivery semantics. */
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("txlog stream requires option 'path'"))
+    new TxLogStreamSource(sqlContext, path,
+      startingVersion = parameters.get("startingversion").map(_.toLong).getOrElse(0L),
+      ignoreChanges = parameters.get("ignorechanges").exists(_.toBoolean),
+      ignoreDeletes = parameters.get("ignoredeletes").exists(_.toBoolean),
+      fixedSchema = schema)
+  }
 
   /** Write path: `df.write.format("graft.sources.txlog").mode(…).save(path)`
     * (and SQL `INSERT INTO/OVERWRITE` on a `USING graft.sources.txlog`
@@ -132,4 +164,125 @@ case class TxLogRelation(sqlContext: SQLContext, path: String,
       case _ => None // residual filters are applied by Spark above the scan
     }
   }
+}
+
+/** Streaming offset = the highest commit VERSION delivered (json is the
+  * bare number, so checkpoint-recovered `SerializedOffset`s parse back
+  * with `json.toLong`). */
+case class VersionOffset(version: Long) extends V1Offset {
+  override def json: String = version.toString
+}
+
+object TxLogStreamSource {
+  /** Log-carried schema of the latest version; falls back to footer
+    * inference over the active files for pre-schema-tracking logs. */
+  def tableSchema(sqlContext: SQLContext, path: String): StructType =
+    TxLog.schemaAsOf(path).getOrElse {
+      val files = TxLog.activeFiles(path)
+        .map(f => if (f.startsWith("/")) f else s"$path/$f")
+      sqlContext.sparkSession.read.parquet(files: _*).schema
+    }
+}
+
+/** The TxLog table as a v1 streaming [[Source]] — Delta streaming-source
+  * semantics over the commit log:
+  *
+  *   - **append** commits deliver exactly their added files (incremental
+  *     consumption: a micro-batch's scan is bounded by the new data, not
+  *     the table).
+  *   - **optimize / optimizeDvs** commits deliver NOTHING — they rewrite
+  *     files without changing table content (Delta's `dataChange=false`),
+  *     so re-delivering their adds would duplicate rows downstream.
+  *   - **overwrite / merge / delete / update / restore** change or remove
+  *     existing rows, which an append-only stream cannot express: the
+  *     source REFUSES with a pointed error unless `ignoreChanges=true`,
+  *     which re-delivers the commit's added (rewritten) files — the
+  *     documented Delta `ignoreChanges` contract (downstream must
+  *     tolerate duplicates; use the CDF entries for keyed deltas).
+  *   - **dvDelete** removes rows while adding no files: refused unless
+  *     `ignoreDeletes=true` (then skipped). Delivered files are read RAW
+  *     — deletion vectors landing AFTER a file was delivered do not
+  *     retro-filter it, which is exactly why dvDelete demands the opt-in.
+  *   - **clone** bootstrap commits deliver their (absolute) references —
+  *     streaming a fresh clone starts from its referenced snapshot.
+  *
+  * `startingVersion` (default 0) skips commits at or below it: 0 streams
+  * the table from genesis (for an append-only table, the full contents),
+  * `latestVersion` streams only future commits. Exactly-once delivery is
+  * the offset log's: versions in (start, end] are read once per committed
+  * batch, and checkpoint recovery replays the same half-open range. */
+class TxLogStreamSource(sqlContext: SQLContext, path: String,
+    startingVersion: Long, ignoreChanges: Boolean, ignoreDeletes: Boolean,
+    fixedSchema: Option[StructType]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
+
+  override val schema: StructType =
+    fixedSchema.getOrElse(TxLogStreamSource.tableSchema(sqlContext, path))
+
+  /** Trigger.AvailableNow support (admission control): the version cap is
+    * pinned when the trigger prepares, so the run drains exactly the
+    * commits that existed at start and stops — commits racing in behind
+    * it wait for the next run. */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = TxLog.latestVersion(path)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: V2Offset, limit: ReadLimit): V2Offset = {
+    val head = TxLog.latestVersion(path).getOrElse(startingVersion)
+    val capped = availableNowCap.fold(head)(math.min(head, _))
+    if (capped <= startingVersion) null else VersionOffset(capped)
+  }
+
+  override def reportLatestOffset(): V2Offset =
+    TxLog.latestVersion(path).map(VersionOffset(_)).orNull
+
+  override def getOffset: Option[V1Offset] =
+    TxLog.latestVersion(path).filter(_ > startingVersion).map(VersionOffset(_))
+
+  private def ver(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case VersionOffset(v) => v
+      case other => other.json.trim.toLong // SerializedOffset on recovery
+    }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(ver).getOrElse(startingVersion)
+    val to = ver(end)
+    val files = TxLog.commits(path)
+      .filter(c => c.version > from && c.version <= to)
+      .flatMap { c =>
+        c.op match {
+          case "append" | "clone" => c.add
+          case "optimize" | "optimizeDvs" | "addConstraint" => Seq.empty
+          case "dvDelete" =>
+            if (!ignoreDeletes && !ignoreChanges) throw new IllegalStateException(
+              s"txlog stream on $path hit a row-deleting commit " +
+                s"(version ${c.version}, dvDelete): an append-only stream " +
+                "cannot express deletes — pass ignoreDeletes=true to skip " +
+                "them, or consume the change feed instead")
+            Seq.empty
+          case _ => // overwrite / merge / delete / update / restore
+            if (!ignoreChanges) throw new IllegalStateException(
+              s"txlog stream on $path hit a data-changing commit " +
+                s"(version ${c.version}, op '${c.op}'): pass " +
+                "ignoreChanges=true to re-deliver its rewritten files " +
+                "(downstream must tolerate duplicates), or consume the " +
+                "change feed instead")
+            c.add
+        }
+      }
+      .map(f => if (f.startsWith("/")) f else s"$path/$f")
+    // getBatch's contract wants an isStreaming-flagged plan — see the shim
+    org.apache.spark.sql.execution.streaming.GraftSourceShim
+      .streamingParquetBatch(sqlContext.sparkSession, schema, files)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"TxLogStreamSource[$path]"
 }

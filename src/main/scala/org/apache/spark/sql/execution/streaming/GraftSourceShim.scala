@@ -1,0 +1,38 @@
+package org.apache.spark.sql.execution.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.types.StructType
+
+/** The one `private[sql]` doorway a v1 streaming `Source` implemented
+  * outside `org.apache.spark.sql` needs: `getBatch` must return a
+  * DataFrame whose logical plan carries `isStreaming = true`
+  * (MicroBatchExecution asserts it), and the only constructors that set
+  * the flag — `LogicalRelation(relation, isStreaming)` and
+  * `SparkSession.internalCreateDataFrame` — are package-private. This
+  * object lives in the Spark package namespace solely to re-export that
+  * capability to [[graft.sources.txlog.TxLogStreamSource]]; it contains
+  * no behavior of its own. The same shim pattern is what third-party
+  * v1 streaming connectors have always used.
+  */
+object GraftSourceShim {
+
+  /** A streaming-flagged batch DataFrame over exactly `paths`, read as
+    * parquet with the given schema; an empty path list yields an empty
+    * streaming-flagged batch. */
+  def streamingParquetBatch(spark: SparkSession, schema: StructType,
+      paths: Seq[String]): DataFrame = {
+    val cs = spark.asInstanceOf[CSparkSession]
+    if (paths.isEmpty)
+      cs.internalCreateDataFrame(
+        cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+        schema, isStreaming = true)
+    else {
+      val relation = DataSource(cs, className = "parquet", paths = paths,
+        userSpecifiedSchema = Some(schema)).resolveRelation()
+      CDataset.ofRows(cs, LogicalRelation(relation, isStreaming = true))
+    }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.ops.TxLog
+
+/** The TxLog table as a native streaming SOURCE (Delta streaming-source
+  * analog): version offsets, incremental add-file delivery, checkpointed
+  * exactly-once resume, data-neutral OPTIMIZE skip, and the
+  * ignoreChanges/ignoreDeletes refusal contract. */
+class TxLogStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(): String = tmpDir("txstream") + "/t"
+
+  private def drain(t: String, cp: String, sink: String,
+      opts: Map[String, String] = Map.empty): Unit = {
+    val r = opts.foldLeft(
+      spark.readStream.format("graft.sources.txlog").option("path", t)) {
+      case (b, (k, v)) => b.option(k, v)
+    }
+    r.load()
+      .writeStream.format("parquet")
+      .option("checkpointLocation", cp).option("path", sink)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+  }
+
+  test("version offsets: appends deliver incrementally, resume is exactly-once, OPTIMIZE delivers nothing") {
+    val t = table()
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)      // v1
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)                 // v2
+    val cp = tmpDir("txstream_cp"); val sink = tmpDir("txstream_sink")
+    drain(t, cp, sink)
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // new data + a compaction land between runs
+    TxLog.append(Seq((4L, "d")).toDF("k", "v"), t)                 // v3
+    TxLog.optimize(spark, t, targetFiles = 1)                      // v4
+    drain(t, cp, sink)
+    // ONLY v3's rows arrive: v1/v2 are behind the checkpointed offset,
+    // and the optimize rewrite is data-neutral — re-delivering its adds
+    // would duplicate every row downstream
+    assert(spark.read.parquet(sink).as[(Long, String)].collect()
+      .groupBy(identity).forall(_._2.length == 1), "duplicate delivery")
+    assert(spark.read.parquet(sink).count() === 4)
+    // idle resume: nothing new → nothing delivered
+    drain(t, cp, sink)
+    assert(spark.read.parquet(sink).count() === 4)
+  }
+
+  test("startingVersion skips history; stream sees only future commits") {
+    val t = table()
+    TxLog.append(Seq((1L, "old")).toDF("k", "v"), t)               // v1
+    val head = TxLog.latestVersion(t).get
+    TxLog.append(Seq((2L, "new")).toDF("k", "v"), t)               // v2
+    val sink = tmpDir("txstream_sv_sink")
+    drain(t, tmpDir("txstream_sv_cp"), sink,
+      Map("startingVersion" -> head.toString))
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet ===
+      Set((2L, "new")))
+  }
+
+  test("data-changing commits refuse without ignoreChanges, re-deliver with it") {
+    val t = table()
+    TxLog.append(spark.range(0, 10).toDF("k").coalesce(1), t)      // v1
+    TxLog.delete(spark, t, col("k") === 5L)                        // v2: rewrite
+    val e = intercept[StreamingQueryException] {
+      drain(t, tmpDir("txstream_ic_cp1"), tmpDir("txstream_ic_s1"))
+    }
+    assert(e.getMessage.contains("ignoreChanges"), e.getMessage)
+    // with the opt-in, the rewritten file is delivered alongside v1's —
+    // the documented duplicate-tolerant contract
+    val sink = tmpDir("txstream_ic_s2")
+    drain(t, tmpDir("txstream_ic_cp2"), sink,
+      Map("ignoreChanges" -> "true"))
+    val got = spark.read.parquet(sink).as[Long].collect()
+    assert(got.count(_ == 3L) === 2, "v1 file + v2 rewrite both delivered")
+    assert(!got.contains(5L) || got.count(_ == 5L) == 1,
+      "deleted row may appear only from the pre-rewrite delivery")
+  }
+
+  test("dvDelete commits refuse without ignoreDeletes, skip with it") {
+    val t = table()
+    TxLog.append(spark.range(0, 10).toDF("k").coalesce(1), t)      // v1
+    TxLog.deleteVectors(spark, t, col("k") < 3)                    // v2: DV only
+    val e = intercept[StreamingQueryException] {
+      drain(t, tmpDir("txstream_dv_cp1"), tmpDir("txstream_dv_s1"))
+    }
+    assert(e.getMessage.contains("ignoreDeletes"), e.getMessage)
+    val sink = tmpDir("txstream_dv_s2")
+    drain(t, tmpDir("txstream_dv_cp2"), sink,
+      Map("ignoreDeletes" -> "true"))
+    // the DV commit adds no files: delivery is v1's raw file, unfiltered
+    assert(spark.read.parquet(sink).as[Long].collect().toSet ===
+      (0L until 10L).toSet)
+  }
+}
