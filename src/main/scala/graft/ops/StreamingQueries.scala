@@ -478,6 +478,26 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink")
     },
 
+    // The write-side twin of st29: writeStream INTO a TxLog table. Each
+    // micro-batch is ONE atomic commit stamped with its batch id, so a
+    // checkpoint-recovery redelivery is detected in the log and skipped —
+    // exactly-once table contents over the engine's at-least-once sink
+    // callback, with none of the foreachBatch boilerplate st19/st23 carry.
+    QueryDef("st30_stream_txlog_sink",
+      "TxLog table as a native streaming sink: one atomic batchId-stamped commit per micro-batch, replay-idempotent",
+      "SELECT event_id, user_id FROM events WHERE event_type = 'click'") { (s, dir) =>
+      val t = tmp("graft_st30") + "/t"
+      val cp = tmp("graft_st30_cp")
+      eventsStream(s, stageEventsDir(dir))
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id")
+        .writeStream.format("graft.sources.txlog")
+        .option("checkpointLocation", cp).option("path", t)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      TxLog.read(s, t)
+    },
+
     // The full medallion chain (bronze→silver→gold) as ONE oracled
     // entry: the reference's topology (Auto Loader ingest → silver join
     // + year filter → complete-mode grouped-count gold, medallion.py:

@@ -529,11 +529,11 @@ object TxLog {
     * in `df` require `mergeSchema = true` (see [[resolveSchema]]). */
   def append(df: DataFrame, table: String,
       statsCols: Seq[String] = Seq.empty,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false, batchId: Long = -1L): Long = {
     val schema = resolveSchema(table, df, mergeSchema)
     validateConstraints(df, constraints(table))
     val add = writeData(df, table)
-    commitLoop(table, add, removeAll = false, "append", -1L,
+    commitLoop(table, add, removeAll = false, "append", batchId,
       fileStats(df.sparkSession, table, add, statsCols), Some(schema.toDDL))
   }
 
@@ -543,11 +543,11 @@ object TxLog {
     * same-name type changes still throw without `mergeSchema`. */
   def overwrite(df: DataFrame, table: String,
       statsCols: Seq[String] = Seq.empty,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false, batchId: Long = -1L): Long = {
     if (!mergeSchema) resolveSchema(table, df, mergeSchema = true) // type check only
     validateConstraints(df, constraints(table))
     val add = writeData(df, table)
-    commitLoop(table, add, removeAll = true, "overwrite", -1L,
+    commitLoop(table, add, removeAll = true, "overwrite", batchId,
       fileStats(df.sparkSession, table, add, statsCols), Some(df.schema.toDDL))
   }
 

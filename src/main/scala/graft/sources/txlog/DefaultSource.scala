@@ -2,8 +2,9 @@ package graft.sources.txlog
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Filter, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.TxLog
@@ -32,7 +33,48 @@ import graft.ops.TxLog
   * importing TxLog.
   */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
+
+  /** `df.writeStream.format("graft.sources.txlog").option("path", …)` —
+    * the TxLog table as a native streaming SINK. Each micro-batch is ONE
+    * atomic commit stamped with its batch id, so checkpoint-recovery
+    * redelivery (foreachBatch-style at-least-once) is detected in the log
+    * and skipped: exactly-once TABLE CONTENTS over an at-least-once
+    * callback, with no user-written idempotence code. Append mode commits
+    * adds; Complete mode overwrites the snapshot per trigger (the
+    * complete-mode gold-table shape with time travel for free). Schema
+    * enforcement, CHECK constraints, and `statsCols`/`mergeSchema`
+    * options behave exactly as on the batch write path. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("txlog sink requires option 'path'"))
+    require(partitionColumns.isEmpty,
+      "txlog tables do not model directory partitions (see PERF.md r9): " +
+        "use statsCols + OPTIMIZE clusterBy for pruning")
+    val statsCols = parameters.get("statscols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val mergeSchema = parameters.get("mergeschema").exists(_.toBoolean)
+    val complete = outputMode == OutputMode.Complete()
+    new Sink {
+      override def name(): String = s"TxLogSink[$path]"
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // replay guard: a batch id already in the log was fully committed
+        // before the crash — skip, don't double-append
+        if (TxLog.commits(path).exists(_.batchId == batchId)) return
+        // addBatch's frame is streaming-flagged; batch writers refuse it
+        val batch = org.apache.spark.sql.execution.streaming
+          .GraftSourceShim.asBatch(data)
+        if (complete)
+          TxLog.overwrite(batch, path, statsCols, mergeSchema, batchId)
+        else
+          TxLog.append(batch, path, statsCols, mergeSchema, batchId)
+      }
+      override def toString: String = name()
+    }
+  }
 
   /** Streaming-source schema: the log-carried schema of the table's
     * latest version, fixed for the stream's lifetime (the Delta streaming

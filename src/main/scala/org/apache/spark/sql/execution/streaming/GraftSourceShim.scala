@@ -19,6 +19,18 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftSourceShim {
 
+  /** The inverse doorway for a v1 streaming `Sink`: the DataFrame handed
+    * to `addBatch` carries `isStreaming = true`, so batch writers refuse
+    * it — re-wrap the micro-batch's physical RDD as a batch-flagged plan,
+    * the same move the engine's own foreachBatch sink makes before
+    * handing users a writable frame. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[CDataset[org.apache.spark.sql.Row]]
+    CDataset.ofRows(cdf.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        cdf.queryExecution.toRdd, cdf, isStreaming = false))
+  }
+
   /** A streaming-flagged batch DataFrame over exactly `paths`, read as
     * parquet with the given schema; an empty path list yields an empty
     * streaming-flagged batch. */

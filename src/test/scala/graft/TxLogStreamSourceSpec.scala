@@ -80,6 +80,67 @@ class TxLogStreamSourceSpec extends SparkSpec {
       "deleted row may appear only from the pre-rewrite delivery")
   }
 
+  test("streaming sink: batchId-stamped commits, exactly-once across resume, complete mode overwrites") {
+    val src = tmpDir("txsink_src")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    val t = tmpDir("txsink") + "/t"
+    val cp = tmpDir("txsink_cp")
+    def drainTo(mode: String): Unit = {
+      spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        .writeStream.format("graft.sources.txlog")
+        .option("checkpointLocation", cp).option("path", t)
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    drainTo("append")
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    // the commit carries its micro-batch id — the replay guard's key
+    assert(TxLog.commits(t).exists(_.batchId >= 0L))
+    // resume with no new data: no new version (idempotent, not re-append)
+    val v = TxLog.latestVersion(t)
+    drainTo("append")
+    assert(TxLog.latestVersion(t) === v)
+    // new file → exactly the delta lands as the next version
+    Seq((3L, "c")).toDF("k", "v").coalesce(1).write.mode("append").parquet(src)
+    drainTo("append")
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // complete mode: per-trigger OVERWRITE, old snapshot stays travelable
+    val t2 = tmpDir("txsink2") + "/t"
+    spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+      .groupBy("v").agg(count(lit(1)).alias("n"))
+      .writeStream.format("graft.sources.txlog")
+      .option("checkpointLocation", tmpDir("txsink2_cp")).option("path", t2)
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(TxLog.read(spark, t2).as[(String, Long)].collect().toSet ===
+      Set(("a", 1L), ("b", 1L), ("c", 1L)))
+    assert(TxLog.commits(t2).last.op === "overwrite")
+  }
+
+  test("txlog-to-txlog pipe: source streams into sink, incrementally, exactly-once") {
+    val up = table(); val down = table()
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), up)                 // v1
+    val cp = tmpDir("txpipe_cp")
+    def pipe(): Unit =
+      spark.readStream.format("graft.sources.txlog").option("path", up).load()
+        .writeStream.format("graft.sources.txlog")
+        .option("checkpointLocation", cp).option("path", down)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    pipe()
+    assert(TxLog.read(spark, down).as[(Long, String)].collect().toSet ===
+      Set((1L, "a")))
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), up)                 // v2
+    pipe()
+    // only the upstream delta flowed; nothing re-delivered downstream
+    assert(TxLog.read(spark, down).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    assert(TxLog.read(spark, down).count() === 2)
+  }
+
   test("dvDelete commits refuse without ignoreDeletes, skip with it") {
     val t = table()
     TxLog.append(spark.range(0, 10).toDF("k").coalesce(1), t)      // v1
