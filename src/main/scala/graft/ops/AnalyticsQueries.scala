@@ -158,6 +158,39 @@ object AnalyticsQueries {
     // can't be recomputed in DuckDB, but its error contract can be VERIFIED
     // there. Default lgK = 12 → rsd = 1.04/√4096 ≈ 0.01625; the oracle
     // checks ±3·rsd (≤ 4.875%) against the exact distinct count.
+    // Approximate percentiles complete the sketch family (a6/a12 count
+    // distincts): the GK-style sketch shuffles O(sketch) per group where
+    // exact percentile shuffles every value. Bound check is RANK-BASED
+    // counting (fraction of values ≤ the estimate must sit in q ± 0.01)
+    // — no quantile-interpolation convention to disagree on: both
+    // engines count the same exact doubles against the same staged
+    // estimate. Rank error at accuracy 10⁴ is 10⁻⁴ ≪ the 0.01 band.
+    QueryDef("a18_approx_percentile",
+      "approximate median per group (GK sketch, accuracy 10^4): staged estimate + oracle-checked rank bound vs exact counts",
+      s"""WITH s AS (SELECT * FROM read_parquet('${QueryDef.StageSql}/a18_est/*.parquet')),
+         |b AS (SELECT e.event_type,
+         |        CAST(SUM(CASE WHEN e.value <= s.p50 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_le,
+         |        CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM events e JOIN s USING (event_type) GROUP BY e.event_type)
+         |SELECT s.event_type, s.p50,
+         |  CAST(b.cnt_le AS DOUBLE) / b.n BETWEEN 0.49 AND 0.51 AS within_bound
+         |FROM s JOIN b USING (event_type)""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).alias("p50"))
+        .write.mode("overwrite").parquet(s"$stage/a18_est")
+      val est = s.read.parquet(s"$stage/a18_est")
+      val ranks = Tables.load(s, dir, "events").join(est, "event_type")
+        .groupBy("event_type")
+        .agg(sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).alias("cnt_le"),
+          count(lit(1)).alias("n"))
+      est.join(ranks, "event_type")
+        .select(col("event_type"), col("p50"),
+          (col("cnt_le").cast("double") / col("n"))
+            .between(0.49, 0.51).alias("within_bound"))
+    },
+
     QueryDef("a12_hll_sketch",
       "mergeable HLL sketches (datasketches, lgK 12): staged estimate + oracle-checked ±3·rsd bound vs exact distinct — the shuffle-friendly distinct-count at fleet scale",
       s"""SELECT s.event_type, s.approx_users,

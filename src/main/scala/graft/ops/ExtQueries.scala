@@ -454,6 +454,68 @@ object ExtQueries {
     // staged and DuckDB recomputes scoring + ranking against the embeddings
     // table — recall remains ScalaTest's job, correctness of the score/rank
     // path is now cross-engine.
+    // Streaming ANN-index maintenance — st16's incremental-index shape
+    // applied to the similarity tier: the index's POSTINGS (n_id, cell)
+    // are a TxLog table that every embeddings micro-batch APPENDS through
+    // the native streaming sink; cells stay fixed (trained once, the
+    // codegen'd NearestCellsL2 assignment rides the stream as a broadcast
+    // constant), so ingest is append-only at any corpus size and query
+    // serving probes the accumulated postings exactly like the batch IVF
+    // entry. Score+rank oracled over the staged candidates, same as ivf.
+    QueryDef("st31_stream_ivf_ingest",
+      "streaming ANN index maintenance: embeddings stream → per-batch cell assignment → postings appended via the native txlog sink; queries probe the accumulated postings",
+      s"""WITH c AS (SELECT q_id, n_id FROM read_parquet('$StageSql/st31_cands/*.parquet')),
+         |s AS (SELECT c.q_id, c.n_id, $COS AS score
+         |      FROM c JOIN embeddings q ON q.vec_id = c.q_id
+         |             JOIN embeddings n ON n.vec_id = c.n_id)
+         |SELECT q_id, n_id, score, rank FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM s)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      GraftFunctions.register(s)
+      graft.streaming.SessionizeTws.configure(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = graft.ext.IvfIndex.trainCached(s"$dir#st31", emb,
+        "embedding", nCells = 16)
+      // ingest: stream the corpus, assign cells per micro-batch, append
+      // postings to the index table
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st31_src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+        srcDir.resolve("embeddings.parquet"))
+      val postingsT =
+        java.nio.file.Files.createTempDirectory("graft_st31").toString + "/t"
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .select(col("vec_id").alias("n_id"), col("embedding").alias("n_vec"))
+      model.withCell(src, "n_vec", "cell")
+        .select("n_id", "cell")
+        .writeStream.format("graft.sources.txlog")
+        .option("checkpointLocation", s"$srcDir-cp")
+        .option("path", postingsT)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      // query: probe cells against the ACCUMULATED postings table
+      val postings = graft.ops.TxLog.read(s, postingsT)
+      val q = model.withProbeCells(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").alias("q_id"), col("embedding").alias("q_vec")),
+          "q_vec", "cells", 4)
+        .select(col("q_id"), explode(col("cells")).alias("cell"))
+      val cands = postings.join(q, Seq("cell"))
+        .filter(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id").dropDuplicates("q_id", "n_id")
+      val stage = stageDir(dir)
+      cands.write.mode("overwrite").parquet(s"$stage/st31_cands")
+      val vecs = emb.select(col("vec_id").alias("id"),
+        col("embedding").alias("vec"))
+      Similarity.topKFromCandidates(s.read.parquet(s"$stage/st31_cands"),
+        vecs.filter(col("id") < 10), vecs, k = 5)
+    },
+
     QueryDef("ext_sim_topk_lsh",
       "ANN top-5 via hyperplane LSH + 1-bit multi-probe (score+rank oracled over staged candidates)",
       s"""WITH c AS (SELECT q_id, n_id FROM read_parquet('$StageSql/lsh_cands/*.parquet')),
