@@ -498,6 +498,57 @@ object StreamingQueries {
       TxLog.read(s, t)
     },
 
+    // Schema evolution ACROSS a streaming restart (the Delta streaming
+    // source's schema-change contract): a stream fixes its schema at
+    // start; a mergeSchema append landing mid-history must FAIL the
+    // batch that would read the widened files (silently null-dropping
+    // the new column is corruption, not tolerance) — but only AFTER the
+    // pre-drift versions committed their offsets, which is what
+    // maxVersionsPerTrigger=1 guarantees here. The restart re-resolves
+    // the evolved schema from the log and the checkpoint resumes at the
+    // failed version: v1 delivered exactly once under the narrow schema,
+    // v2/v3 under the wide one, old rows reading NULL for the new column.
+    QueryDef("st32_stream_txlog_evolve",
+      "txlog streaming source schema evolution: drift fails the batch after pre-drift versions commit; checkpoint-preserving restart resumes under the evolved schema",
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey % 3 <> 0""".stripMargin) { (s, dir) =>
+      configureStreaming(s)
+      val t = tmp("graft_st32") + "/t"
+      val cust = graft.Tables.load(s, dir, "customer")
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .select("c_custkey", "c_name"), t)                              // v1
+      val narrow = TxLog.schemaAsOf(t).get
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(3)) === 1)
+        .select("c_custkey", "c_name", "c_acctbal"), t,
+        mergeSchema = true)                                             // v2: +c_acctbal
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(3)) === 2)
+        .select("c_custkey", "c_name", "c_acctbal"), t)                 // v3
+      val out = tmp("graft_st32_out")
+      def run(pinned: Option[StructType]): Unit = {
+        val reader = s.readStream.format("graft.sources.txlog")
+          .option("path", t).option("maxVersionsPerTrigger", "1")
+        pinned.foreach(reader.schema)
+        reader.load()
+          .writeStream.format("parquet")
+          .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      }
+      // phase 1: a stream whose schema predates the evolution (pinned to
+      // v1's) delivers v1, then fails at v2's widened files
+      val drift = try { run(Some(narrow)); None } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e)
+      }
+      require(drift.exists(_.getMessage.contains("Restart the stream")),
+        s"expected the schema-drift failure, got $drift")
+      // phase 2: restart — schema re-resolved from the log, offsets kept
+      run(None)
+      s.read.option("mergeSchema", "true").parquet(s"$out/sink")
+        .select("c_custkey", "c_name", "c_acctbal")
+    },
+
     // The full medallion chain (bronze→silver→gold) as ONE oracled
     // entry: the reference's topology (Auto Loader ingest → silver join
     // + year filter → complete-mode grouped-count gold, medallion.py:

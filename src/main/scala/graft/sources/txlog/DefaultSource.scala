@@ -103,6 +103,11 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       startingVersion = parameters.get("startingversion").map(_.toLong).getOrElse(0L),
       ignoreChanges = parameters.get("ignorechanges").exists(_.toBoolean),
       ignoreDeletes = parameters.get("ignoredeletes").exists(_.toBoolean),
+      maxVersionsPerTrigger = parameters.get("maxversionspertrigger").map { v =>
+        val n = v.toLong
+        require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+        n
+      },
       fixedSchema = schema)
   }
 
@@ -252,9 +257,26 @@ object TxLogStreamSource {
   * the table from genesis (for an append-only table, the full contents),
   * `latestVersion` streams only future commits. Exactly-once delivery is
   * the offset log's: versions in (start, end] are read once per committed
-  * batch, and checkpoint recovery replays the same half-open range. */
+  * batch, and checkpoint recovery replays the same half-open range.
+  *
+  * `maxVersionsPerTrigger` (Delta's maxFilesPerTrigger analog, but in the
+  * offset's own unit) rate-limits admission: each micro-batch advances the
+  * version offset by at most N, so a stream catching up on deep history —
+  * or bootstrapping from genesis on a large table — processes bounded
+  * work per trigger instead of one giant batch, and Trigger.AvailableNow
+  * drains to its pinned cap in N-version steps. Default: all available.
+  *
+  * The stream's schema is FIXED at start (latest version's log-carried
+  * schema). A delivered commit whose schema carries columns this stream
+  * doesn't know FAILS the batch loudly (reading its files under the old
+  * schema would silently drop the new columns) — restart the stream: the
+  * checkpoint's version offsets survive, and the restarted stream reads
+  * the remaining commits under the evolved schema (the Delta streaming
+  * source's schema-change contract). Pre-evolution commits under a wider
+  * stream schema are fine — parquet null-fills the missing columns. */
 class TxLogStreamSource(sqlContext: SQLContext, path: String,
     startingVersion: Long, ignoreChanges: Boolean, ignoreDeletes: Boolean,
+    maxVersionsPerTrigger: Option[Long],
     fixedSchema: Option[StructType]) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -275,9 +297,14 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(startOffset: V2Offset, limit: ReadLimit): V2Offset = {
-    val head = TxLog.latestVersion(path).getOrElse(startingVersion)
-    val capped = availableNowCap.fold(head)(math.min(head, _))
-    if (capped <= startingVersion) null else VersionOffset(capped)
+    val from = Option(startOffset).map(ver).getOrElse(startingVersion)
+    val head = TxLog.latestVersion(path).getOrElse(from)
+    val available = availableNowCap.fold(head)(math.min(head, _))
+    // admission control: advance at most N versions past the last
+    // committed offset, so catch-up runs micro-batch in bounded steps
+    val capped = maxVersionsPerTrigger.fold(available)(n =>
+      math.min(available, from + n))
+    if (capped <= from) null else VersionOffset(capped)
   }
 
   override def reportLatestOffset(): V2Offset =
@@ -292,12 +319,31 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
       case other => other.json.trim.toLong // SerializedOffset on recovery
     }
 
+  /** Fail the batch if a delivered commit's schema carries columns this
+    * stream's fixed schema doesn't know — reading its files under the old
+    * schema would silently DROP the new columns' data. The checkpoint's
+    * version offsets survive the failure: a restarted stream re-resolves
+    * the (evolved) latest schema and resumes from the same offset. */
+  private def checkSchemaDrift(c: TxLog.Commit): Unit =
+    for {
+      ddl <- c.schemaDdl
+      committed = StructType.fromDDL(ddl)
+      if graft.streaming.SchemaEvolution.drifted(schema, committed)
+    } throw new IllegalStateException(
+      s"txlog stream on $path: commit version ${c.version} evolved the " +
+        s"table schema (new columns: ${committed.fieldNames
+          .filterNot(schema.fieldNames.contains).mkString(", ")}) — this " +
+        "stream reads with the schema fixed at start and would silently " +
+        "drop the new columns. Restart the stream: the checkpoint resumes " +
+        "from this version under the evolved schema")
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)
     val to = ver(end)
     val files = TxLog.commits(path)
       .filter(c => c.version > from && c.version <= to)
       .flatMap { c =>
+        if (c.add.nonEmpty) checkSchemaDrift(c)
         c.op match {
           case "append" | "clone" => c.add
           case "optimize" | "optimizeDvs" | "addConstraint" => Seq.empty

@@ -141,6 +141,57 @@ class TxLogStreamSourceSpec extends SparkSpec {
     assert(TxLog.read(spark, down).count() === 2)
   }
 
+  test("maxVersionsPerTrigger: AvailableNow drains in bounded version steps") {
+    val t = table()
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)                 // v1
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)                 // v2
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)                 // v3
+    val cp = tmpDir("txstream_rl_cp"); val sink = tmpDir("txstream_rl_sink")
+    drain(t, cp, sink, Map("maxVersionsPerTrigger" -> "1"))
+    // one micro-batch per version: the checkpoint's offset log shows the
+    // drain happened in three bounded steps, not one giant batch
+    val batches = new java.io.File(s"$cp/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches === 3, s"expected 3 rate-limited micro-batches, got $batches")
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // resume respects the committed offset: nothing re-delivered
+    TxLog.append(Seq((4L, "d")).toDF("k", "v"), t)                 // v4
+    TxLog.append(Seq((5L, "e")).toDF("k", "v"), t)                 // v5
+    drain(t, cp, sink, Map("maxVersionsPerTrigger" -> "2"))
+    assert(spark.read.parquet(sink).count() === 5)
+  }
+
+  test("schema drift fails the batch; restart resumes from the checkpoint under the evolved schema") {
+    val t = table()
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)                 // v1
+    val narrow = TxLog.schemaAsOf(t).get
+    TxLog.append(Seq((2L, "b", 9.5)).toDF("k", "v", "w"), t,
+      mergeSchema = true)                                          // v2: +w
+    val cp = tmpDir("txstream_ev_cp"); val sink = tmpDir("txstream_ev_sink")
+    // a stream pinned to the pre-evolution schema (the schema a
+    // long-running stream fixed at ITS start) must fail at v2 — reading
+    // v2's files under the narrow schema would silently drop column w —
+    // but only AFTER delivering v1, whose offset commits first
+    val e = intercept[StreamingQueryException] {
+      spark.readStream.format("graft.sources.txlog")
+        .schema(narrow).option("path", t)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", cp).option("path", sink)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e.getMessage.contains("Restart the stream"), e.getMessage)
+    assert(spark.read.parquet(sink).count() === 1, "v1 delivered before the drift")
+    // restart with the same checkpoint, schema re-resolved from the log:
+    // resumes AT v2 (offset survived), delivers it under the evolved schema
+    drain(t, cp, sink)
+    val got = spark.read.option("mergeSchema", "true").parquet(sink)
+      .select("k", "v", "w").as[(Long, String, Option[Double])]
+      .collect().toSet
+    assert(got === Set((1L, "a", None), (2L, "b", Some(9.5))))
+  }
+
   test("dvDelete commits refuse without ignoreDeletes, skip with it") {
     val t = table()
     TxLog.append(spark.range(0, 10).toDF("k").coalesce(1), t)      // v1
