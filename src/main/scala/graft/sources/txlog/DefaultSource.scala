@@ -3,7 +3,7 @@ package graft.sources.txlog
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Filter, InsertableRelation, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -34,6 +34,7 @@ import graft.ops.TxLog
   */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
     with StreamSourceProvider with StreamSinkProvider {
+  import DefaultSource.pathOf
 
   /** `df.writeStream.format("graft.sources.txlog").option("path", …)` —
     * the TxLog table as a native streaming SINK. Each micro-batch is ONE
@@ -48,8 +49,7 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("txlog sink requires option 'path'"))
+    val path = pathOf(parameters, "sink")
     require(partitionColumns.isEmpty,
       "txlog tables do not model directory partitions (see PERF.md r9): " +
         "use statsCols + OPTIMIZE clusterBy for pruning")
@@ -82,8 +82,7 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("txlog stream requires option 'path'"))
+    val path = pathOf(parameters, "stream")
     (providerName, schema.getOrElse(TxLogStreamSource.tableSchema(sqlContext, path)))
   }
 
@@ -97,8 +96,7 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("txlog stream requires option 'path'"))
+    val path = pathOf(parameters, "stream")
     new TxLogStreamSource(sqlContext, path,
       startingVersion = parameters.get("startingversion").map(_.toLong).getOrElse(0L),
       ignoreChanges = parameters.get("ignorechanges").exists(_.toBoolean),
@@ -106,6 +104,11 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       maxVersionsPerTrigger = parameters.get("maxversionspertrigger").map { v =>
         val n = v.toLong
         require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+        n
+      },
+      maxFilesPerTrigger = parameters.get("maxfilespertrigger").map { v =>
+        val n = v.toLong
+        require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
         n
       },
       fixedSchema = schema)
@@ -121,8 +124,7 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     * per-file min/max for data skipping; `mergeSchema` allows evolution. */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("txlog sink requires option 'path'"))
+    val path = pathOf(parameters, "sink")
     val statsCols = parameters.get("statscols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
@@ -146,8 +148,7 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("txlog source requires option 'path'"))
+    val path = pathOf(parameters, "source")
     val version = parameters.get("versionasof").map(_.toLong)
     val tsMillis = parameters.get("timestampasof").map(_.toLong)
     require(version.isEmpty || tsMillis.isEmpty,
@@ -164,8 +165,48 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
   }
 }
 
+object DefaultSource {
+  /** The `path` option, normalized to a local filesystem path: catalog
+    * table resolution (`CREATE TABLE … USING … OPTIONS (path …)`)
+    * URI-qualifies the option to `file:/…`, which the log's java.nio
+    * file handling must see scheme-less. Non-file schemes are refused —
+    * the log tier is local/shared-FS by design (SURVEY §7.0). */
+  private[txlog] def pathOf(parameters: Map[String, String],
+      what: String): String = {
+    val raw = parameters.getOrElse("path",
+      throw new IllegalArgumentException(s"txlog $what requires option 'path'"))
+    if (!raw.contains(":")) raw
+    else {
+      val uri = new java.net.URI(raw)
+      uri.getScheme match {
+        case null | "file" => uri.getPath
+        case s => throw new IllegalArgumentException(
+          s"txlog $what: unsupported path scheme '$s' (local/shared-FS paths only)")
+      }
+    }
+  }
+}
+
 case class TxLogRelation(sqlContext: SQLContext, path: String,
-    asOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+    asOf: Option[Long]) extends BaseRelation with PrunedFilteredScan
+    with InsertableRelation {
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a
+    * `CREATE TABLE … USING graft.sources.txlog` table: one atomic commit
+    * per statement, through the same schema-enforced append/overwrite
+    * path as the DataFrame writer. Afterwards the catalog's
+    * resolved-relation cache is invalidated: relations pin their version
+    * at creation (snapshot isolation below), so a cached pre-insert
+    * relation would keep serving the old snapshot to later queries. The
+    * session catalog keys that cache by table name, which a path-scoped
+    * relation doesn't know — invalidating all cached tables trades a
+    * re-resolve (metadata-scale: re-fold the log) on the next query of
+    * ANY txlog table for correctness, at DML frequency. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    if (overwrite) TxLog.overwrite(data, path)
+    else TxLog.append(data, path)
+    sqlContext.sparkSession.sessionState.catalog.invalidateAllCachedTables()
+  }
 
   /** Snapshot isolation: the version is resolved ONCE, at relation
     * creation. Without this, an asOf=None relation re-folds the active
@@ -266,6 +307,15 @@ object TxLogStreamSource {
   * work per trigger instead of one giant batch, and Trigger.AvailableNow
   * drains to its pinned cap in N-version steps. Default: all available.
   *
+  * `maxFilesPerTrigger` (Delta's option, same semantics) bounds admission
+  * by the cumulative ADD-file count of the admitted versions — the finer
+  * unit when commit sizes vary wildly (a bulk backfill version next to
+  * trickle appends). Versions are atomic (offsets are versions), so a
+  * single version larger than the budget is still admitted alone rather
+  * than stalling forever; file counts come from the commit log itself, no
+  * filesystem listing. Composes with `maxVersionsPerTrigger`: both caps
+  * apply, the tighter one wins.
+  *
   * The stream's schema is FIXED at start (latest version's log-carried
   * schema). A delivered commit whose schema carries columns this stream
   * doesn't know FAILS the batch loudly (reading its files under the old
@@ -276,7 +326,7 @@ object TxLogStreamSource {
   * stream schema are fine — parquet null-fills the missing columns. */
 class TxLogStreamSource(sqlContext: SQLContext, path: String,
     startingVersion: Long, ignoreChanges: Boolean, ignoreDeletes: Boolean,
-    maxVersionsPerTrigger: Option[Long],
+    maxVersionsPerTrigger: Option[Long], maxFilesPerTrigger: Option[Long],
     fixedSchema: Option[StructType]) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -302,8 +352,19 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
     val available = availableNowCap.fold(head)(math.min(head, _))
     // admission control: advance at most N versions past the last
     // committed offset, so catch-up runs micro-batch in bounded steps
-    val capped = maxVersionsPerTrigger.fold(available)(n =>
+    val byVersions = maxVersionsPerTrigger.fold(available)(n =>
       math.min(available, from + n))
+    val capped = maxFilesPerTrigger.fold(byVersions) { budget =>
+      // admit versions until their cumulative add-file count exceeds the
+      // budget; versions are atomic, so the FIRST one is admitted even if
+      // oversized (a too-big backfill must not stall the stream forever)
+      var v = from; var spent = 0L
+      TxLog.commits(path).iterator
+        .filter(c => c.version > from && c.version <= byVersions)
+        .takeWhile { c => spent += c.add.size; v == from || spent <= budget }
+        .foreach(c => v = c.version)
+      v
+    }
     if (capped <= from) null else VersionOffset(capped)
   }
 

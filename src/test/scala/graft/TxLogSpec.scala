@@ -920,4 +920,29 @@ class TxLogSpec extends SparkSpec {
     assert(spark.read.format("graft.sources.txlog").option("path", t)
       .load().count() === 3)
   }
+
+  test("SQL surface: CREATE TABLE USING, INSERT INTO/OVERWRITE, time-travel reads") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)              // v1
+    spark.sql(s"""CREATE TABLE txsql USING graft.sources.txlog
+                 |OPTIONS (path '$t')""".stripMargin)
+    try {
+      assert(spark.table("txsql").as[(Long, String)].collect().toSet ===
+        Set((1L, "a")))
+      // INSERT INTO appends one atomic commit; the catalog's cached
+      // relation (pinned at v1) must not keep serving the old snapshot
+      spark.sql("INSERT INTO txsql VALUES (2, 'b')")               // v2
+      assert(spark.table("txsql").as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (2L, "b")))
+      spark.sql("INSERT OVERWRITE txsql VALUES (9, 'z')")          // v3
+      assert(spark.table("txsql").as[(Long, String)].collect().toSet ===
+        Set((9L, "z")))
+      // the overwritten history stays travelable (reader-option time
+      // travel over the same path the SQL table fronts)
+      assert(spark.read.format("graft.sources.txlog").option("path", t)
+        .option("versionAsOf", "2").load()
+        .as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (2L, "b")))
+    } finally spark.sql("DROP TABLE IF EXISTS txsql")
+  }
 }

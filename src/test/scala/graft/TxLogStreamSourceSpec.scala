@@ -162,6 +162,29 @@ class TxLogStreamSourceSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() === 5)
   }
 
+  test("maxFilesPerTrigger: cumulative add-file budget; oversized versions still admitted alone") {
+    val t = table()
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(2), t) // v1: 2 files
+    TxLog.append(Seq((3L, "c")).toDF("k", "v").coalesce(1), t)               // v2: 1 file
+    TxLog.append(Seq((4L, "d"), (5L, "e"), (6L, "f")).toDF("k", "v")
+      .repartition(3), t)                                                    // v3: 3 files
+    val cp = tmpDir("txstream_fl_cp"); val sink = tmpDir("txstream_fl_sink")
+    drain(t, cp, sink, Map("maxFilesPerTrigger" -> "3"))
+    // batch 1 admits v1+v2 (2+1 files = the budget); v3 would overflow it
+    // and lands alone in batch 2 — 3 files > budget is fine because the
+    // version is atomic and oversized versions must not stall the stream
+    val batches = new java.io.File(s"$cp/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches === 2, s"expected 2 file-budgeted micro-batches, got $batches")
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f")))
+    // a single version over budget: admitted alone, not skipped
+    TxLog.append(Seq((7L, "g"), (8L, "h"), (9L, "i"), (10L, "j"))
+      .toDF("k", "v").repartition(4), t)                                     // v4: 4 files
+    drain(t, cp, sink, Map("maxFilesPerTrigger" -> "3"))
+    assert(spark.read.parquet(sink).count() === 10)
+  }
+
   test("schema drift fails the batch; restart resumes from the checkpoint under the evolved schema") {
     val t = table()
     TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)                 // v1
