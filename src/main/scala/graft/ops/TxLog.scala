@@ -66,6 +66,12 @@ object TxLog {
     * deleted row and are still readable) entering/leaving the active DV
     * set — the protocol-v2 feature: rows listed in an active DV are dead
     * without their data file being rewritten. */
+  /** `sizes`: bytes per ADD entry, recorded at commit time ([[tryCommit]]
+    * stats the staged files — they exist on disk before the commit
+    * publishes them). Lets consumers budget work in bytes without
+    * re-listing the filesystem (the streaming source's
+    * `maxBytesPerTrigger`); absent on pre-r9 logs (readers stat as a
+    * fallback). */
   final case class Commit(version: Long, add: Seq[String],
       remove: Seq[String], op: String, batchId: Long,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
@@ -73,7 +79,8 @@ object TxLog {
       constraint: Option[(String, String)] = None,
       ts: Long = -1L,
       dvAdd: Seq[String] = Seq.empty,
-      dvRemove: Seq[String] = Seq.empty)
+      dvRemove: Seq[String] = Seq.empty,
+      sizes: Map[String, Long] = Map.empty)
 
   /** Highest protocol version this reader understands. A reader meeting a
     * HIGHER version fails loudly instead of silently misinterpreting
@@ -147,13 +154,16 @@ object TxLog {
             }.toMap
           }.toMap
         }.getOrElse(Map.empty[String, Map[String, (Double, Double)]])
+        val sizes = Option(node.get("sizes")).map { s =>
+          s.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        }.getOrElse(Map.empty[String, Long])
         Commit(node.get("version").asLong(), arr("add"), arr("remove"),
           opName, node.get("batchId").asLong(), stats,
           Option(node.get("schemaDdl")).map(_.asText()),
           Option(node.get("constraintName")).map(n =>
             n.asText() -> node.get("constraintExpr").asText()),
           Option(node.get("ts")).map(_.asLong()).getOrElse(-1L),
-          optArr("dvAdd"), optArr("dvRemove"))
+          optArr("dvAdd"), optArr("dvRemove"), sizes)
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -341,6 +351,16 @@ object TxLog {
         cols.foreach { case (c, (mn, mx)) =>
           val a = fileNode.putArray(c); a.add(mn); a.add(mx)
         }
+      }
+    }
+    if (commit.add.nonEmpty) {
+      // byte sizes ride the commit so consumers (streaming admission,
+      // compaction targeting) budget in bytes without re-listing; the
+      // staged files exist before publication, so the stat is safe here
+      val szNode = node.putObject("sizes")
+      commit.add.foreach { f =>
+        val p = Paths.get(resolve(table, f))
+        if (Files.exists(p)) szNode.put(f, Files.size(p))
       }
     }
     if (commit.dvAdd.nonEmpty) {

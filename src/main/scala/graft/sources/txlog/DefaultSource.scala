@@ -111,6 +111,11 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
         require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
         n
       },
+      maxBytesPerTrigger = parameters.get("maxbytespertrigger").map { v =>
+        val n = v.toLong
+        require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+        n
+      },
       fixedSchema = schema)
   }
 
@@ -313,8 +318,10 @@ object TxLogStreamSource {
   * trickle appends). Versions are atomic (offsets are versions), so a
   * single version larger than the budget is still admitted alone rather
   * than stalling forever; file counts come from the commit log itself, no
-  * filesystem listing. Composes with `maxVersionsPerTrigger`: both caps
-  * apply, the tighter one wins.
+  * filesystem listing. `maxBytesPerTrigger` (Delta's option) budgets in
+  * the unit executors are actually sized against — cumulative ADD bytes,
+  * from the sizes the commit recorded at write time (stat fallback for
+  * pre-sizes logs). All three caps compose; the tightest wins.
   *
   * The stream's schema is FIXED at start (latest version's log-carried
   * schema). A delivered commit whose schema carries columns this stream
@@ -327,6 +334,7 @@ object TxLogStreamSource {
 class TxLogStreamSource(sqlContext: SQLContext, path: String,
     startingVersion: Long, ignoreChanges: Boolean, ignoreDeletes: Boolean,
     maxVersionsPerTrigger: Option[Long], maxFilesPerTrigger: Option[Long],
+    maxBytesPerTrigger: Option[Long],
     fixedSchema: Option[StructType]) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -354,18 +362,35 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
     // committed offset, so catch-up runs micro-batch in bounded steps
     val byVersions = maxVersionsPerTrigger.fold(available)(n =>
       math.min(available, from + n))
-    val capped = maxFilesPerTrigger.fold(byVersions) { budget =>
-      // admit versions until their cumulative add-file count exceeds the
-      // budget; versions are atomic, so the FIRST one is admitted even if
-      // oversized (a too-big backfill must not stall the stream forever)
-      var v = from; var spent = 0L
-      TxLog.commits(path).iterator
-        .filter(c => c.version > from && c.version <= byVersions)
-        .takeWhile { c => spent += c.add.size; v == from || spent <= budget }
-        .foreach(c => v = c.version)
-      v
-    }
+    val byFiles = maxFilesPerTrigger.fold(byVersions)(
+      admitUpTo(from, byVersions, _)(_.add.size.toLong))
+    val capped = maxBytesPerTrigger.fold(byFiles)(
+      admitUpTo(from, byFiles, _) { c =>
+        c.add.map(f => c.sizes.getOrElse(f, sizeOnDisk(f))).sum
+      })
     if (capped <= from) null else VersionOffset(capped)
+  }
+
+  /** Admit versions in (from, upTo] until their cumulative `cost` exceeds
+    * `budget`; versions are atomic, so the FIRST one is admitted even if
+    * oversized (a too-big backfill must not stall the stream forever).
+    * The walk stops at the budget, so per-trigger work is bounded by the
+    * admitted window, not the backlog. */
+  private def admitUpTo(from: Long, upTo: Long, budget: Long)(
+      cost: TxLog.Commit => Long): Long = {
+    var v = from; var spent = 0L
+    TxLog.commits(path).iterator
+      .filter(c => c.version > from && c.version <= upTo)
+      .takeWhile { c => spent += cost(c); v == from || spent <= budget }
+      .foreach(c => v = c.version)
+    v
+  }
+
+  /** Byte-size fallback for pre-`sizes` commits (local/shared FS only —
+    * see [[DefaultSource.pathOf]]); a vacuumed-away file costs 0. */
+  private def sizeOnDisk(f: String): Long = {
+    val p = java.nio.file.Paths.get(if (f.startsWith("/")) f else s"$path/$f")
+    if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
   }
 
   override def reportLatestOffset(): V2Offset =

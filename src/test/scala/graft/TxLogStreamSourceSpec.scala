@@ -185,6 +185,34 @@ class TxLogStreamSourceSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() === 10)
   }
 
+  test("maxBytesPerTrigger: cumulative add-byte budget from commit-carried sizes") {
+    val t = table()
+    TxLog.append(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)     // v1
+    TxLog.append(Seq((2L, "b")).toDF("k", "v").coalesce(1), t)     // v2
+    TxLog.append(Seq((3L, "c")).toDF("k", "v").coalesce(1), t)     // v3
+    val cs = TxLog.commits(t)
+    // commits record byte sizes for every add at write time — the
+    // consumer budgets in bytes without re-listing the filesystem
+    assert(cs.forall(c => c.add.forall(c.sizes.contains)))
+    val perV = cs.map(_.sizes.values.sum)
+    // budget exactly v1+v2: batch 1 admits both, v3 overflows → batch 2
+    val cp = tmpDir("txstream_by_cp"); val sink = tmpDir("txstream_by_sink")
+    drain(t, cp, sink,
+      Map("maxBytesPerTrigger" -> (perV(0) + perV(1)).toString))
+    val batches = new java.io.File(s"$cp/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches === 2, s"expected 2 byte-budgeted micro-batches, got $batches")
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a 1-byte budget: every version is oversized, each admitted alone
+    val cp2 = tmpDir("txstream_by_cp2"); val sink2 = tmpDir("txstream_by_sink2")
+    drain(t, cp2, sink2, Map("maxBytesPerTrigger" -> "1"))
+    val batches2 = new java.io.File(s"$cp2/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches2 === 3, s"expected 3 single-version micro-batches, got $batches2")
+    assert(spark.read.parquet(sink2).count() === 3)
+  }
+
   test("schema drift fails the batch; restart resumes from the checkpoint under the evolved schema") {
     val t = table()
     TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)                 // v1
