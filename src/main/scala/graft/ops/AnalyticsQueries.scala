@@ -387,6 +387,42 @@ object AnalyticsQueries {
         .select("snap", "c_custkey", "c_name", "c_acctbal")
     },
 
+    // Bin-packing OPTIMIZE (Delta's minFileSize form): a big file plus a
+    // trickle of small appends; compaction rewrites ONLY the small files
+    // — at 100 TB you compact the micro-batch trickle, never the table
+    // (full-snapshot OPTIMIZE would rewrite 100 TB to fix 1% of it).
+    // Deletion vectors split precisely across the boundary: the
+    // small-file DV materializes into the rewrite and retires, the
+    // big-file DV keeps filtering its untouched file — the oracle's two
+    // delete predicates prove both kept working through the commit.
+    QueryDef("src_txlog_optimize_small",
+      "TxLog bin-packing OPTIMIZE: only sub-threshold files rewritten (large file untouched), DVs materialize into the rewrite or survive on kept files",
+      s"""SELECT c_custkey, c_name, c_acctbal
+         |FROM read_parquet('${QueryDef.StageSql}/txoptsm_in/*.parquet')
+         |WHERE c_custkey % 100 <> 1 AND c_custkey % 200 <> 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txoptsm_in")
+      val in = s.read.parquet(s"$stage/txoptsm_in")
+      val table = Files.createTempDirectory("graft_txoptsm").toString + "/t"
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(4)) =!= 0)
+        .coalesce(1), table)                                              // v1: big
+      Seq(0, 4, 8).foreach(r =>
+        TxLog.append(in.filter(pmod(col("c_custkey"), lit(12)) === r)
+          .coalesce(1), table))                                           // v2-4: trickle
+      TxLog.deleteVectors(s, table,
+        pmod(col("c_custkey"), lit(100)) === 1)    // v5: DV on the big file
+      TxLog.deleteVectors(s, table,
+        pmod(col("c_custkey"), lit(200)) === 0)    // v6: DV on small files
+      val sizes = TxLog.fileSizes(table)
+      val big = TxLog.activeFiles(table).maxBy(sizes)
+      TxLog.optimizeSmall(s, table, sizes(big)).get                       // v7
+      require(TxLog.activeFiles(table).contains(big),
+        "bin-packing must not rewrite the large file")
+      TxLog.read(s, table).select("c_custkey", "c_name", "c_acctbal")
+    },
+
     // Data skipping: appends record per-file min/max of c_custkey in the
     // commit, and the range read plans ONLY the files whose recorded
     // range intersects — Delta's stats-based file skipping (at fleet

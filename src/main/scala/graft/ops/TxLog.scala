@@ -1028,19 +1028,41 @@ object TxLog {
     * flip atomically, pre-optimize versions stay time-travelable until
     * [[vacuum]] passes them. Optimistic like [[merge]]: losing the commit
     * race re-reads the new snapshot and recompacts. */
+  /** Byte size per active file as of `asOf`: commit-carried sizes first
+    * (recorded by [[tryCommit]]), a filesystem stat as the fallback for
+    * pre-sizes logs. Metadata-scale — one map entry per active file. */
+  def fileSizes(table: String, asOf: Option[Long] = None): Map[String, Long] = {
+    val recorded = commits(table)
+      .filter(c => asOf.forall(c.version <= _))
+      .flatMap(_.sizes).toMap
+    activeFiles(table, asOf).flatMap { f =>
+      recorded.get(f).orElse {
+        val p = Paths.get(resolve(table, f))
+        if (Files.exists(p)) Some(Files.size(p)) else None
+      }.map(f -> _)
+    }.toMap
+  }
+
   def optimize(spark: SparkSession, table: String, targetFiles: Int = 1,
       clusterBy: Seq[org.apache.spark.sql.Column] = Seq.empty,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      targetBytes: Option[Long] = None): Long = {
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
       require(base.nonEmpty, s"optimize on empty txlog table $table")
       val cur = read(spark, table, base)
+      // targetBytes sizes the output in the unit that matters at scale:
+      // total active bytes / target file size, from the commit-carried
+      // sizes — OPTIMIZE toward ~1 GB files regardless of file count
+      val nOut = targetBytes.map { tb =>
+        math.max(1L, (fileSizes(table, base).values.sum + tb - 1) / tb).toInt
+      }.getOrElse(targetFiles)
       val arranged =
         if (clusterBy.nonEmpty)
-          cur.repartitionByRange(targetFiles, clusterBy: _*)
+          cur.repartitionByRange(nOut, clusterBy: _*)
             .sortWithinPartitions(clusterBy: _*)
-        else cur.coalesce(targetFiles)
+        else cur.coalesce(nOut)
       val add = writeData(arranged, table)
       val v = base.get + 1
       val remove = activeFiles(table, base)
@@ -1057,6 +1079,46 @@ object TxLog {
     }
     throw new IllegalStateException(
       s"txlog optimize on $table lost 10 straight races — giving up")
+  }
+
+  /** Bin-packing OPTIMIZE (Delta's minFileSize form): rewrite ONLY the
+    * active files smaller than `minFileSizeBytes` into `targetFiles`
+    * compacted files, leaving already-large files byte-identical in
+    * place. THIS is the form that scales — a streaming table accretes a
+    * trickle of micro-batch files next to properly-sized ones, and
+    * full-snapshot OPTIMIZE would rewrite 100 TB to fix 1% of it. Sizes
+    * come from the commit log ([[fileSizes]]); the rewrite reads the
+    * selected files THROUGH their deletion vectors (deletes
+    * materialize), and DVs whose every reference was rewritten retire
+    * with the commit — DVs still covering an untouched large file stay
+    * active. Returns None when fewer than 2 small files exist. */
+  def optimizeSmall(spark: SparkSession, table: String,
+      minFileSizeBytes: Long, targetFiles: Int = 1,
+      statsCols: Seq[String] = Seq.empty): Option[Long] = {
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      require(base.nonEmpty, s"optimize on empty txlog table $table")
+      val sizes = fileSizes(table, base)
+      val active = activeFiles(table, base)
+      val small = active.filter(f => sizes.getOrElse(f, 0L) < minFileSizeBytes)
+      if (small.size < 2) return None // nothing to gain from a rewrite
+      val cur = readFiles(spark, table, small, base)
+      val arranged = cur.coalesce(targetFiles)
+      val add = writeData(arranged, table)
+      val v = base.get + 1
+      val keep = active.filterNot(small.toSet).toSet
+      // DVs never reference files newer than themselves, so the
+      // post-commit reference universe for inertness is the kept set
+      val dvRemove = inertDvs(spark, table, activeDvs(table, base), keep)
+      if (tryCommit(table, Commit(v, add, small, "optimize", -1L,
+          fileStats(spark, table, add, statsCols),
+          Some(arranged.schema.toDDL), dvRemove = dvRemove)))
+        return Some(v)
+      attempts += 1 // lost the race: re-select against the new snapshot
+    }
+    throw new IllegalStateException(
+      s"txlog optimizeSmall on $table lost 10 straight races — giving up")
   }
 
   /** Deletion-vector maintenance (Delta's DV compaction threshold inside

@@ -921,6 +921,40 @@ class TxLogSpec extends SparkSpec {
       .load().count() === 3)
   }
 
+  test("optimizeSmall compacts only sub-threshold files; large files stay; DVs retire precisely") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    TxLog.overwrite(spark.range(0, 1000).toDF("k").coalesce(1), t)     // v1: big
+    (1 to 3).foreach(i =>
+      TxLog.append(Seq(1000L + i).toDF("k").coalesce(1), t))           // v2-4: trickle
+    val sizes = TxLog.fileSizes(t)
+    val big = TxLog.activeFiles(t).maxBy(sizes)
+    TxLog.deleteVectors(spark, t, col("k") === 5L)                     // DV on big
+    TxLog.deleteVectors(spark, t, col("k") === 1001L)                  // DV on small
+    val v = TxLog.optimizeSmall(spark, t, sizes(big), targetFiles = 1)
+    assert(v.nonEmpty)
+    val after = TxLog.activeFiles(t)
+    assert(after.contains(big), "the large file must not be rewritten")
+    assert(after.size === 2, s"big + one compacted, got $after")
+    // deletes: the small-file DV materialized into the rewrite, the
+    // big-file DV still filters its untouched file
+    assert(TxLog.read(spark, t).as[Long].collect().toSet ===
+      ((0L until 1000L).toSet - 5L ++ Set(1002L, 1003L)))
+    assert(TxLog.activeDvs(t).size === 1, "only the big-file DV stays active")
+    // converged: one compacted small file left → nothing to gain
+    assert(TxLog.optimizeSmall(spark, t, sizes(big)).isEmpty)
+  }
+
+  test("optimize targetBytes sizes the output from commit-carried bytes") {
+    val t = table()
+    TxLog.overwrite(spark.range(0, 10000).toDF("k").repartition(8), t)
+    val total = TxLog.fileSizes(t).values.sum
+    TxLog.optimize(spark, t, targetBytes = Some(total / 2))
+    val n = TxLog.activeFiles(t).size
+    assert(n >= 2 && n <= 3, s"expected ~2 output files, got $n")
+    assert(TxLog.read(spark, t).count() === 10000)
+  }
+
   test("SQL surface: CREATE TABLE USING, INSERT INTO/OVERWRITE, time-travel reads") {
     val t = table()
     TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)              // v1
