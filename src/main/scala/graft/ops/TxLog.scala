@@ -414,9 +414,40 @@ object TxLog {
   def read(spark: SparkSession, table: String,
       asOf: Option[Long] = None): DataFrame = {
     val files = activeFiles(table, asOf)
-    require(files.nonEmpty,
-      s"txlog table $table has no committed files at version $asOf")
+    if (files.isEmpty) {
+      // a CREATE TABLE'd (or fully-deleted) snapshot: zero files but a
+      // log-carried schema is a legal empty table, not an error
+      val schema = schemaAsOf(table, asOf).getOrElse(throw
+        new IllegalArgumentException(
+          s"txlog table $table has no committed files at version $asOf"))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
     readFiles(spark, table, files, asOf)
+  }
+
+  /** CREATE TABLE: commit an empty snapshot carrying only `schema` — the
+    * SQL DDL shape (define now, INSERT later). No-op if the table already
+    * exists with the same column names+types; refuses a shape mismatch
+    * (silently adopting a different schema is how two writers corrupt
+    * each other). Returns the created version, None if pre-existing. */
+  def createTable(table: String,
+      schema: org.apache.spark.sql.types.StructType): Option[Long] = {
+    schemaAsOf(table) match {
+      case Some(existing) =>
+        val shape = (s: org.apache.spark.sql.types.StructType) =>
+          s.fields.toSeq.map(f => (f.name, f.dataType))
+        require(shape(existing) == shape(schema),
+          s"txlog table $table already exists with schema ${existing.toDDL}, " +
+            s"refusing CREATE with ${schema.toDDL}")
+        None
+      case None =>
+        val v = latestVersion(table).getOrElse(0L) + 1
+        require(tryCommit(table, Commit(v, Seq.empty, Seq.empty,
+          "overwrite", -1L, schemaDdl = Some(schema.toDDL))),
+          s"txlog createTable on $table lost the commit race")
+        Some(v)
+    }
   }
 
   /** TIMESTAMP AS OF: snapshot at the newest commit whose stamp is ≤

@@ -3,7 +3,7 @@ package graft.sources.txlog
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Filter, InsertableRelation, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Filter, InsertableRelation, PrunedFilteredScan, RelationProvider, SchemaRelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -32,7 +32,8 @@ import graft.ops.TxLog
   * `CREATE TABLE … USING graft.sources.txlog OPTIONS (path …)`) without
   * importing TxLog.
   */
-class DefaultSource extends RelationProvider with CreatableRelationProvider
+class DefaultSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider
     with StreamSourceProvider with StreamSinkProvider {
   import DefaultSource.pathOf
 
@@ -149,6 +150,17 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
         if (!exists) TxLog.overwrite(data, path, statsCols, mergeSchema)
     }
     TxLogRelation(sqlContext, path, None)
+  }
+
+  /** `CREATE TABLE t (cols…) USING graft.sources.txlog OPTIONS (path …)`
+    * — the define-now-INSERT-later DDL shape: a fresh path gets an empty
+    * schema-only commit ([[TxLog.createTable]]); an existing table is
+    * validated against the declared shape (names+types) and refused on
+    * mismatch rather than silently adopted. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation = {
+    TxLog.createTable(pathOf(parameters, "source"), schema)
+    createRelation(sqlContext, parameters)
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -955,6 +955,29 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t).count() === 10000)
   }
 
+  test("SQL DDL lifecycle: CREATE TABLE with schema on a fresh path, INSERT, shape mismatch refused") {
+    val t = table()
+    spark.sql(s"""CREATE TABLE txddl (k BIGINT, v STRING)
+                 |USING graft.sources.txlog OPTIONS (path '$t')""".stripMargin)
+    try {
+      // a legal empty table: zero rows, the declared schema, one commit
+      assert(spark.table("txddl").count() === 0)
+      assert(spark.table("txddl").schema.fieldNames.toSeq === Seq("k", "v"))
+      assert(TxLog.latestVersion(t) === Some(1L))
+      spark.sql("INSERT INTO txddl VALUES (1, 'a')")
+      assert(spark.table("txddl").as[(Long, String)].collect().toSet ===
+        Set((1L, "a")))
+      // re-declaring the same shape is a no-op; a DIFFERENT shape refuses
+      TxLog.createTable(t, spark.table("txddl").schema)
+      assert(TxLog.latestVersion(t) === Some(2L), "same-shape CREATE is a no-op")
+      val e = intercept[IllegalArgumentException] {
+        TxLog.createTable(t, org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, v BIGINT"))
+      }
+      assert(e.getMessage.contains("refusing CREATE"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS txddl")
+  }
+
   test("SQL surface: CREATE TABLE USING, INSERT INTO/OVERWRITE, time-travel reads") {
     val t = table()
     TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)              // v1
