@@ -443,10 +443,11 @@ object TxLog {
         None
       case None =>
         val v = latestVersion(table).getOrElse(0L) + 1
-        require(tryCommit(table, Commit(v, Seq.empty, Seq.empty,
-          "overwrite", -1L, schemaDdl = Some(schema.toDDL))),
-          s"txlog createTable on $table lost the commit race")
-        Some(v)
+        if (tryCommit(table, Commit(v, Seq.empty, Seq.empty,
+            "overwrite", -1L, schemaDdl = Some(schema.toDDL)))) Some(v)
+        // lost the race to a concurrent writer: re-validate against what
+        // it committed instead of failing a semantically-fine CREATE
+        else createTable(table, schema)
     }
   }
 

@@ -441,6 +441,13 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
     val files = TxLog.commits(path)
       .filter(c => c.version > from && c.version <= to)
       .flatMap { c =>
+        // a commit touching no data files (CREATE TABLE's schema-only
+        // snapshot, metadata-only ops) changes nothing a stream could
+        // deliver or violate — skip it before the op gate, or a stream
+        // from genesis over a DDL-created table would refuse on the
+        // empty "overwrite" the create committed
+        if (c.add.isEmpty && c.remove.isEmpty && c.dvAdd.isEmpty) Seq.empty
+        else {
         if (c.add.nonEmpty) checkSchemaDrift(c)
         c.op match {
           case "append" | "clone" => c.add
@@ -460,6 +467,7 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
                 "(downstream must tolerate duplicates), or consume the " +
                 "change feed instead")
             c.add
+        }
         }
       }
       .map(f => if (f.startsWith("/")) f else s"$path/$f")

@@ -243,6 +243,16 @@ class TxLogStreamSourceSpec extends SparkSpec {
     assert(got === Set((1L, "a", None), (2L, "b", Some(9.5))))
   }
 
+  test("streaming from genesis over a DDL-created table: the schema-only create commit is a no-op, not a refusal") {
+    val t = table()
+    TxLog.createTable(t, Seq((0L, "")).toDF("k", "v").schema)      // v1: empty
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)                 // v2
+    val sink = tmpDir("txstream_ddl_sink")
+    drain(t, tmpDir("txstream_ddl_cp"), sink)
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet ===
+      Set((1L, "a")))
+  }
+
   test("dvDelete commits refuse without ignoreDeletes, skip with it") {
     val t = table()
     TxLog.append(spark.range(0, 10).toDF("k").coalesce(1), t)      // v1
