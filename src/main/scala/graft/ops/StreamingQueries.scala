@@ -498,6 +498,48 @@ object StreamingQueries {
       TxLog.read(s, t)
     },
 
+    // Update-mode streaming aggregate upserted NATIVELY into a TxLog
+    // table: each micro-batch's changed groups MERGE on the group key
+    // (sink option mergeKeys), rows stamped with a persisted
+    // _merge_version = batch id so later batches win — st12's shape
+    // without the foreachBatch boilerplate, and the running totals stay
+    // time-travelable. A group untouched by the final batch keeps its
+    // last-emitted running total, which IS its final total (counts only
+    // change when events arrive), so the end state equals the batch
+    // aggregate whatever the file-order of the three staged micro-batches.
+    QueryDef("st33_stream_txlog_update_sink",
+      "update-mode streaming aggregate into the TxLog sink: per-batch MERGE on the group key via synthesized batch version",
+      "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY event_type") { (s0, dir) =>
+      configureStreaming(s0)
+      val srcDir = tmp("graft_st33_src")
+      val ev = graft.Tables.load(s0, dir, "events")
+        .select("event_id", "event_type")
+      Seq(0, 1, 2).foreach(r =>
+        ev.filter(pmod(col("event_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(srcDir))
+      // derived session, 8 state partitions (the st24/st26 rationale: at
+      // bench scale the wall time is fixed per-partition RocksDB commit
+      // cost × 3 micro-batches; partition count is a throughput knob)
+      val s = s0.newSession()
+      graft.Graft.referenceSemantics(s)
+      graft.streaming.SessionizeTws.configure(s)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval",
+        s0.conf.get("spark.sql.streaming.stateStore.maintenanceInterval"))
+      val t = tmp("graft_st33") + "/t"
+      val evSchema = StructType(Seq(StructField("event_id", LongType),
+        StructField("event_type", StringType)))
+      s.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .groupBy("event_type").agg(count(lit(1)).alias("cnt"))
+        .writeStream.format("graft.sources.txlog")
+        .option("checkpointLocation", tmp("graft_st33_cp"))
+        .option("path", t).option("mergeKeys", "event_type")
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      TxLog.read(s, t).select("event_type", "cnt")
+    },
+
     // Schema evolution ACROSS a streaming restart (the Delta streaming
     // source's schema-change contract): a stream fixes its schema at
     // start; a mergeSchema append landing mid-history must FAIL the

@@ -44,9 +44,17 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
     * and skipped: exactly-once TABLE CONTENTS over an at-least-once
     * callback, with no user-written idempotence code. Append mode commits
     * adds; Complete mode overwrites the snapshot per trigger (the
-    * complete-mode gold-table shape with time travel for free). Schema
-    * enforcement, CHECK constraints, and `statsCols`/`mergeSchema`
-    * options behave exactly as on the batch write path. */
+    * complete-mode gold-table shape with time travel for free); Update
+    * mode MERGES each micro-batch on the `mergeKeys` option's columns —
+    * the streaming-upsert shape st19/st23 build with foreachBatch, as a
+    * one-line sink. Update-mode ordering uses the `versionCol` option's
+    * column when given (CDC streams carry one); without it, rows are
+    * stamped with a persisted `_merge_version` = the batch id, so later
+    * batches win per key — correct whenever a batch carries at most one
+    * row per key, which is exactly what an update-mode streaming
+    * aggregate emits. Schema enforcement, CHECK constraints, and
+    * `statsCols`/`mergeSchema` options behave as on the batch write
+    * path. */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
@@ -59,6 +67,14 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
       .getOrElse(Seq.empty)
     val mergeSchema = parameters.get("mergeschema").exists(_.toBoolean)
     val complete = outputMode == OutputMode.Complete()
+    val update = outputMode == OutputMode.Update()
+    val mergeKeys = parameters.get("mergekeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val versionCol = parameters.get("versioncol")
+    require(!update || mergeKeys.nonEmpty,
+      "txlog sink in Update mode requires option 'mergeKeys' " +
+        "(comma-separated key columns to upsert on)")
     new Sink {
       override def name(): String = s"TxLogSink[$path]"
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -68,7 +84,16 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
         // addBatch's frame is streaming-flagged; batch writers refuse it
         val batch = org.apache.spark.sql.execution.streaming
           .GraftSourceShim.asBatch(data)
-        if (complete)
+        if (update) versionCol match {
+          case Some(vc) =>
+            TxLog.merge(batch.sparkSession, path, batch, mergeKeys, vc, batchId)
+          case None =>
+            TxLog.merge(batch.sparkSession, path,
+              batch.withColumn("_merge_version",
+                org.apache.spark.sql.functions.lit(batchId)),
+              mergeKeys, "_merge_version", batchId)
+        }
+        else if (complete)
           TxLog.overwrite(batch, path, statsCols, mergeSchema, batchId)
         else
           TxLog.append(batch, path, statsCols, mergeSchema, batchId)

@@ -120,6 +120,46 @@ class TxLogStreamSourceSpec extends SparkSpec {
     assert(TxLog.commits(t2).last.op === "overwrite")
   }
 
+  test("update-mode sink merges each micro-batch on mergeKeys; later batches win per key") {
+    val src = tmpDir("txupd_src")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    val t = tmpDir("txupd") + "/t"; val cp = tmpDir("txupd_cp")
+    def drainUpd(): Unit =
+      spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        .writeStream.format("graft.sources.txlog")
+        .option("checkpointLocation", cp).option("path", t)
+        .option("mergeKeys", "k")
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    drainUpd()
+    assert(TxLog.read(spark, t).select("k", "v").as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b")))
+    // next batch updates k=1 and inserts k=3; k=2 survives untouched —
+    // the synthesized _merge_version (= batch id) makes the later batch
+    // win without the stream carrying a version column
+    Seq((1L, "A"), (3L, "c")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    drainUpd()
+    assert(TxLog.read(spark, t).select("k", "v").as[(Long, String)]
+      .collect().toSet === Set((1L, "A"), (2L, "b"), (3L, "c")))
+    assert(TxLog.commits(t).last.op === "merge")
+    // replay guard holds for the merge path too
+    val v = TxLog.latestVersion(t)
+    drainUpd()
+    assert(TxLog.latestVersion(t) === v)
+    // Update mode without keys is a configuration error, caught at start
+    val e = intercept[Exception] {
+      spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        .writeStream.format("graft.sources.txlog")
+        .option("checkpointLocation", tmpDir("txupd_cp2"))
+        .option("path", tmpDir("txupd2") + "/t")
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(e.getMessage.contains("mergeKeys"), e.getMessage)
+  }
+
   test("txlog-to-txlog pipe: source streams into sink, incrementally, exactly-once") {
     val up = table(); val down = table()
     TxLog.append(Seq((1L, "a")).toDF("k", "v"), up)                 // v1
