@@ -657,15 +657,53 @@ object TxLog {
   /** Keyed MERGE: per `keyCols` keep the highest-`versionCol` row (ties →
     * incoming wins), committed as one new txlog version. Optimistic: a lost
     * commit race re-reads the new snapshot and re-merges. */
+  /** Bounds of a single numeric merge key over the incoming batch, or
+    * None when pruning can't be proven sound: multiple key columns,
+    * a non-numeric key (stats are numeric min/max), any NULL key in the
+    * batch (null-key rows fall outside every stats range, so an existing
+    * null-key row could hide in a "kept" file), or an empty batch. One
+    * driver-side aggregate row. */
+  private def mergeKeyBounds(updates: DataFrame,
+      keyCols: Seq[String]): Option[(Double, Double)] = {
+    if (keyCols.size != 1) return None
+    val kd = col(keyCols.head).cast("double")
+    val r = updates.agg(min(kd), max(kd), count(lit(1)), count(kd)).head()
+    if (r.getLong(2) == 0L || r.getLong(3) != r.getLong(2) || r.isNullAt(0))
+      None
+    else Some((r.getDouble(0), r.getDouble(1)))
+  }
+
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       keyCols: Seq[String], versionCol: String, batchId: Long = -1L): Long = {
     validateConstraints(updates, constraints(table))
+    val keyBounds = mergeKeyBounds(updates, keyCols) // snapshot-independent
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
-      val existing = base.map(v => read(spark, table, Some(v)))
+      val allActive = base.map(_ => activeFiles(table, base)).getOrElse(Seq.empty)
+      // Stats-pruned MERGE: only files whose recorded key range intersects
+      // the batch's key bounds are rewritten — for a key-clustered table
+      // with localized updates (the CDC shape), per-merge cost follows the
+      // TOUCHED files, not the table. filesForRanges keeps files with NO
+      // recorded stats (they could hold any key), so pruning never drops
+      // a row that might lose to an incoming key; untouched files' rows
+      // are unchallenged by construction (their keys are outside the
+      // batch's bounds) and stay byte-identical in place.
+      val touched =
+        if (base.isEmpty) Seq.empty
+        else keyBounds match {
+          case Some((lo, hi)) => filesForRange(table, keyCols.head, lo, hi, base)
+          case None => allActive
+        }
+      val untouched = allActive.filterNot(touched.toSet)
       // latest-per-key applies to the incoming batch too: the first batch
-      // of a CDC stream can itself carry several versions of one key
+      // of a CDC stream can itself carry several versions of one key.
+      // When every file prunes away, the zero-row read still enforces the
+      // union's schema compatibility against the table.
+      val existing = base.map { _ =>
+        if (touched.nonEmpty) readFiles(spark, table, touched, base)
+        else read(spark, table, base).limit(0)
+      }
       val all = existing match {
         case None => updates.withColumn("_src", lit(1))
         case Some(cur) => cur.withColumn("_src", lit(0))
@@ -677,10 +715,14 @@ object TxLog {
         .filter(col("_rn") === 1).drop("_rn", "_src")
       val add = writeData(merged, table)
       val v = base.getOrElse(0L) + 1
-      val remove = activeFiles(table, base)
-      if (tryCommit(table, Commit(v, add, remove, "merge", batchId,
+      // DVs referencing only rewritten files retire (their deletes just
+      // materialized); a DV still covering a kept file stays active
+      val dvRemove =
+        if (untouched.isEmpty) activeDvs(table, base)
+        else inertDvs(spark, table, activeDvs(table, base), untouched.toSet)
+      if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
         schemaDdl = Some(merged.schema.toDDL),
-        dvRemove = activeDvs(table, base)))) return v
+        dvRemove = dvRemove))) return v
       attempts += 1 // lost the race: new snapshot exists, re-merge against it
     }
     throw new IllegalStateException(

@@ -945,6 +945,41 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.optimizeSmall(spark, t, sizes(big)).isEmpty)
   }
 
+  test("merge prunes untouched files via key stats: only intersecting files rewritten, DVs on kept files survive") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = table()
+    // three key-clustered appends with recorded stats: [0,99] [100,199] [200,299]
+    Seq(0L, 100L, 200L).foreach(lo =>
+      TxLog.append(spark.range(lo, lo + 100).toDF("k")
+        .withColumn("ver", lit(1L)).coalesce(1), t, statsCols = Seq("k")))
+    TxLog.deleteVectors(spark, t, col("k") === 250L)   // DV on the [200,299] file
+    val statsByFile = TxLog.commits(t).flatMap(_.stats).toMap
+    def fileWithMin(mn: Double) =
+      statsByFile.collectFirst { case (f, s) if s("k")._1 == mn => f }.get
+    val (loF, midF, hiF) = (fileWithMin(0), fileWithMin(100), fileWithMin(200))
+    // batch touches only the middle range
+    TxLog.merge(spark, t,
+      Seq((150L, 9L), (199L, 9L)).toDF("k", "ver"), Seq("k"), "ver")
+    val after = TxLog.activeFiles(t)
+    assert(after.contains(loF) && after.contains(hiF),
+      "files outside the batch's key bounds must stay byte-identical in place")
+    assert(!after.contains(midF), "the intersecting file must be rewritten")
+    // semantics unchanged: updated keys win, untouched rows (and the DV
+    // on the kept file) still apply
+    val rows = TxLog.read(spark, t).as[(Long, Long)].collect().toMap
+    assert(rows(150L) === 9L && rows(199L) === 9L && rows(100L) === 1L)
+    assert(!rows.contains(250L), "DV on the kept file must survive the merge")
+    assert(rows.size === 299)
+    assert(TxLog.activeDvs(t).nonEmpty)
+    // a batch with a NULL key disables pruning (falls back to full rewrite)
+    TxLog.merge(spark, t,
+      Seq((Some(5L), 9L), (None: Option[Long], 9L)).toDF("k", "ver"),
+      Seq("k"), "ver")
+    assert(!TxLog.activeFiles(t).contains(loF),
+      "null-key batch must fall back to rewriting everything")
+    assert(TxLog.read(spark, t).filter(col("k").isNull).count() === 1)
+  }
+
   test("optimize targetBytes sizes the output from commit-carried bytes") {
     val t = table()
     TxLog.overwrite(spark.range(0, 10000).toDF("k").repartition(8), t)
