@@ -716,10 +716,14 @@ object TxLog {
       val add = writeData(merged, table)
       val v = base.getOrElse(0L) + 1
       // DVs referencing only rewritten files retire (their deletes just
-      // materialized); a DV still covering a kept file stays active
+      // materialized); a DV still covering a kept file stays active.
+      // Kept entries normalize through fileKey — DV refs are recorded in
+      // that form, and a shallow-clone's ABSOLUTE entry would otherwise
+      // never match, mis-retiring a live DV (rows would resurrect)
       val dvRemove =
         if (untouched.isEmpty) activeDvs(table, base)
-        else inertDvs(spark, table, activeDvs(table, base), untouched.toSet)
+        else inertDvs(spark, table, activeDvs(table, base),
+          untouched.map(fileKey).toSet)
       if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
         schemaDdl = Some(merged.schema.toDDL),
         dvRemove = dvRemove))) return v
@@ -750,10 +754,25 @@ object TxLog {
   def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
       keyCols: Seq[String], versionCol: String, opCol: String,
       batchId: Long = -1L): Long = {
+    // same stats pruning as [[merge]]: upserts AND deletes only contest
+    // keys inside the batch's bounds, so files whose recorded key range
+    // misses those bounds hold no challengeable rows and stay in place
+    val keyBounds = mergeKeyBounds(changes, keyCols)
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
-      val existing = base.map(v => read(spark, table, Some(v)))
+      val allActive = base.map(_ => activeFiles(table, base)).getOrElse(Seq.empty)
+      val touched =
+        if (base.isEmpty) Seq.empty
+        else keyBounds match {
+          case Some((lo, hi)) => filesForRange(table, keyCols.head, lo, hi, base)
+          case None => allActive
+        }
+      val untouched = allActive.filterNot(touched.toSet)
+      val existing = base.map { _ =>
+        if (touched.nonEmpty) readFiles(spark, table, touched, base)
+        else read(spark, table, base).limit(0)
+      }
       val incoming = changes.withColumn("_src", lit(1))
       val all = existing match {
         case None => incoming
@@ -778,10 +797,13 @@ object TxLog {
       validateConstraints(merged, constraints(table))
       val add = writeData(merged, table)
       val v = base.getOrElse(0L) + 1
-      val remove = activeFiles(table, base)
-      if (tryCommit(table, Commit(v, add, remove, "merge", batchId,
+      val dvRemove =
+        if (untouched.isEmpty) activeDvs(table, base)
+        else inertDvs(spark, table, activeDvs(table, base),
+          untouched.map(fileKey).toSet)
+      if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
         schemaDdl = Some(merged.schema.toDDL),
-        dvRemove = activeDvs(table, base)))) return v
+        dvRemove = dvRemove))) return v
       attempts += 1 // lost the race: re-apply against the new snapshot
     }
     throw new IllegalStateException(
@@ -1181,10 +1203,13 @@ object TxLog {
       val arranged = cur.coalesce(targetFiles)
       val add = writeData(arranged, table)
       val v = base.get + 1
-      val keep = active.filterNot(small.toSet).toSet
+      val keep = active.filterNot(small.toSet)
       // DVs never reference files newer than themselves, so the
       // post-commit reference universe for inertness is the kept set
-      val dvRemove = inertDvs(spark, table, activeDvs(table, base), keep)
+      // (fileKey-normalized: DV refs are recorded in that form, and a
+      // shallow-clone's absolute entry would otherwise never match)
+      val dvRemove = inertDvs(spark, table, activeDvs(table, base),
+        keep.map(fileKey).toSet)
       if (tryCommit(table, Commit(v, add, small, "optimize", -1L,
           fileStats(spark, table, add, statsCols),
           Some(arranged.schema.toDDL), dvRemove = dvRemove)))

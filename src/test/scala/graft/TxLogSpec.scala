@@ -980,6 +980,44 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t).filter(col("k").isNull).count() === 1)
   }
 
+  test("applyChanges prunes untouched files via key stats; deletes still land") {
+    import org.apache.spark.sql.functions.lit
+    val t = table()
+    Seq(0L, 100L).foreach(lo =>
+      TxLog.append(spark.range(lo, lo + 100).toDF("k")
+        .withColumn("ver", lit(1L)).coalesce(1), t, statsCols = Seq("k")))
+    val statsByFile = TxLog.commits(t).flatMap(_.stats).toMap
+    val loF = statsByFile.collectFirst { case (f, s) if s("k")._1 == 0 => f }.get
+    // CDC batch: delete k=150, upsert k=120 — both inside the high file
+    TxLog.applyChanges(spark, t,
+      Seq((150L, 2L, "delete"), (120L, 2L, "upsert"))
+        .toDF("k", "ver", "op"), Seq("k"), "ver", "op")
+    assert(TxLog.activeFiles(t).contains(loF),
+      "the file outside the batch's key bounds must stay in place")
+    val rows = TxLog.read(spark, t).as[(Long, Long)].collect().toMap
+    assert(!rows.contains(150L) && rows(120L) === 2L && rows(0L) === 1L)
+    assert(rows.size === 199)
+  }
+
+  test("merge on a cloned table keeps DVs covering untouched absolute entries (fileKey normalization)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val src = table(); val dst = table()
+    Seq(0L, 100L).foreach(lo =>
+      TxLog.append(spark.range(lo, lo + 100).toDF("k")
+        .withColumn("ver", lit(1L)).coalesce(1), src, statsCols = Seq("k")))
+    TxLog.cloneTable(spark, src, dst)
+    // DV on the clone's HIGH file (an absolute entry referencing src)
+    TxLog.deleteVectors(spark, dst, col("k") === 150L)
+    // merge touches only the LOW range: the high entry is untouched, and
+    // its DV must survive — raw absolute paths would never match the
+    // DV's fileKey refs, mis-retiring it and resurrecting k=150
+    TxLog.merge(spark, dst, Seq((5L, 9L)).toDF("k", "ver"), Seq("k"), "ver")
+    val rows = TxLog.read(spark, dst).as[(Long, Long)].collect().toMap
+    assert(!rows.contains(150L), "the kept file's DV must survive the pruned merge")
+    assert(rows(5L) === 9L && rows.size === 199)
+    assert(TxLog.activeDvs(dst).nonEmpty)
+  }
+
   test("optimize targetBytes sizes the output from commit-carried bytes") {
     val t = table()
     TxLog.overwrite(spark.range(0, 10000).toDF("k").repartition(8), t)
