@@ -387,6 +387,38 @@ object AnalyticsQueries {
         .select("snap", "c_custkey", "c_name", "c_acctbal")
     },
 
+    // The SQL DDL+DML lifecycle end-to-end: CREATE TABLE with a declared
+    // schema on a fresh path (empty schema-only commit), two INSERT INTO
+    // … SELECT statements (one atomic commit each), read the final
+    // snapshot. The catalog table name is UUID-suffixed because catalog
+    // state is session-global and this entry runs twice per bench
+    // session (and concurrently with everything else).
+    QueryDef("src_txlog_sql_lifecycle",
+      "SQL DDL+DML on a txlog table: CREATE TABLE with schema, INSERT INTO ... SELECT x2, final snapshot",
+      s"""SELECT c_custkey, c_name
+         |FROM read_parquet('${QueryDef.StageSql}/txsql_in/*.parquet')
+         |WHERE c_custkey % 2 = 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+        .write.mode("overwrite").parquet(s"$stage/txsql_in")
+      val t = Files.createTempDirectory("graft_txsql").toString + "/t"
+      val id = java.util.UUID.randomUUID.toString.take(8)
+      val tbl = s"txsql_$id"; val view = s"txsql_src_$id"
+      s.read.parquet(s"$stage/txsql_in").createOrReplaceTempView(view)
+      s.sql(s"""CREATE TABLE $tbl (c_custkey BIGINT, c_name STRING)
+               |USING graft.sources.txlog OPTIONS (path '$t')""".stripMargin)
+      try {
+        s.sql(s"""INSERT INTO $tbl SELECT c_custkey, c_name
+                 |FROM $view WHERE c_custkey % 4 = 0""".stripMargin)
+        s.sql(s"""INSERT INTO $tbl SELECT c_custkey, c_name
+                 |FROM $view WHERE c_custkey % 4 = 2""".stripMargin)
+        TxLog.read(s, t).select("c_custkey", "c_name")
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.catalog.dropTempView(view)
+      }
+    },
+
     // Bin-packing OPTIMIZE (Delta's minFileSize form): a big file plus a
     // trickle of small appends; compaction rewrites ONLY the small files
     // — at 100 TB you compact the micro-batch trickle, never the table
