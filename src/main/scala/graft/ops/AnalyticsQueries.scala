@@ -387,6 +387,32 @@ object AnalyticsQueries {
         .select("snap", "c_custkey", "c_name", "c_acctbal")
     },
 
+    // DESCRIBE HISTORY analog: the commit log itself as a queryable
+    // DataFrame. The staged op sequence has fully deterministic file
+    // deltas (partition counts pinned with coalesce), so the oracle is a
+    // plain VALUES literal — the history API's content is checked
+    // row-for-row, not just shaped. Timestamps/bytes are excluded from
+    // the projection (wall-clock and encoding-dependent).
+    QueryDef("src_txlog_history",
+      "DESCRIBE HISTORY analog: commit log as a DataFrame — version, op, file deltas, row-for-row against a VALUES oracle",
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'overwrite', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'append',    CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'dvDelete',  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'optimize',  CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(version, op, n_added, n_removed, n_added_dvs)""".stripMargin) { (s, dir) =>
+      val in = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+      val t = Files.createTempDirectory("graft_txhist").toString + "/t"
+      TxLog.overwrite(in.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .repartition(2), t)                                            // v1: 2 files
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .coalesce(1), t)                                               // v2: 1 file
+      TxLog.deleteVectors(s, t, pmod(col("c_custkey"), lit(7)) === 0)  // v3: 1 DV
+      TxLog.optimize(s, t, targetFiles = 1)                            // v4: 3→1
+      TxLog.history(s, t)
+        .select("version", "op", "n_added", "n_removed", "n_added_dvs")
+    },
+
     // The SQL DDL+DML lifecycle end-to-end: CREATE TABLE with a declared
     // schema on a fresh path (empty schema-only commit), two INSERT INTO
     // … SELECT statements (one atomic commit each), read the final

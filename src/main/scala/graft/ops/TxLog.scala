@@ -1078,8 +1078,10 @@ object TxLog {
     import spark.implicits._
     commits(table)
       .map(c => (c.version, c.op, c.batchId,
-        c.add.size.toLong, c.remove.size.toLong, c.ts))
-      .toDF("version", "op", "batch_id", "n_added", "n_removed", "ts")
+        c.add.size.toLong, c.remove.size.toLong,
+        c.dvAdd.size.toLong, c.sizes.values.sum, c.ts))
+      .toDF("version", "op", "batch_id", "n_added", "n_removed",
+        "n_added_dvs", "added_bytes", "ts")
   }
 
   /** Write a checkpoint (`<v>.checkpoint.json`, the full active file list
