@@ -1046,6 +1046,24 @@ object TxLog {
     * it only past every clone's horizon, or OPTIMIZE the clone first
     * (which localizes its files). Absolute references stamp the commit
     * protocol v2, so a pre-clone reader refuses rather than misresolves. */
+  /** DEEP clone: an independent copy of `src`'s snapshot at `asOf` —
+    * data materialized into `dst`'s own (relative) files, CHECK
+    * constraints carried over, history reset to one overwrite commit.
+    * Costs a full read+write of the snapshot (run it AS the Spark job it
+    * is), buys complete independence: the source can be vacuumed,
+    * overwritten, or deleted without touching the copy — the remedy for
+    * the shallow-clone-vs-source-vacuum hazard [[vacuum]] documents.
+    * Stats re-record for the new files via `statsCols`. */
+  def cloneTableDeep(spark: SparkSession, src: String, dst: String,
+      asOf: Option[Long] = None,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    require(latestVersion(dst).isEmpty,
+      s"clone destination $dst already has a txlog")
+    val v = overwrite(read(spark, src, asOf), dst, statsCols)
+    constraints(src).foreach { case (n, e) => addConstraint(spark, dst, n, e) }
+    v
+  }
+
   def cloneTable(spark: SparkSession, src: String, dst: String,
       asOf: Option[Long] = None): Long = {
     require(latestVersion(dst).isEmpty,
@@ -1280,7 +1298,14 @@ object TxLog {
     * to the horizon: older reads will miss files afterwards. `minAgeMs`
     * protects files an in-flight writer staged but has not committed yet
     * (production callers pass hours; tests pass 0). Returns the deleted
-    * relative paths. */
+    * relative paths.
+    *
+    * WARNING — shallow clones: a [[cloneTable]] of this table references
+    * this table's files ABSOLUTELY, and vacuum cannot see those
+    * references (clones carry no back-pointer — Delta's shallow clones
+    * share the exact hazard). Vacuuming a clone SOURCE past the cloned
+    * version breaks the clone. Use [[cloneTableDeep]] when the copy must
+    * outlive the source's retention. */
   def vacuum(table: String, retainVersions: Int = 2,
       minAgeMs: Long = 0L, dryRun: Boolean = false): Seq[String] = {
     val latest = latestVersion(table).getOrElse(return Seq.empty)

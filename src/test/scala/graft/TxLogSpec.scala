@@ -999,6 +999,27 @@ class TxLogSpec extends SparkSpec {
     assert(rows.size === 199)
   }
 
+  test("deep clone survives source vacuum; shallow clone documents the hazard") {
+    import org.apache.spark.sql.functions.lit
+    val src = table(); val deep = table(); val shallow = table()
+    TxLog.overwrite(spark.range(0, 100).toDF("k").coalesce(1), src)   // v1
+    TxLog.addConstraint(spark, src, "k_nonneg", "k >= 0")
+    TxLog.cloneTableDeep(spark, src, deep)
+    TxLog.cloneTable(spark, src, shallow)
+    // source moves on and vacuums past the cloned version
+    TxLog.overwrite(spark.range(500, 510).toDF("k").coalesce(1), src) // v3
+    TxLog.vacuum(src, retainVersions = 1)
+    // the deep clone is independent: reads fine, constraint carried over
+    assert(TxLog.read(spark, deep).count() === 100)
+    assert(TxLog.constraints(deep) === Map("k_nonneg" -> "k >= 0"))
+    intercept[Exception] {
+      TxLog.append(Seq(-5L).toDF("k").withColumn("k", lit(-5L)), deep)
+    }
+    // the shallow clone referenced the vacuumed files — the documented
+    // Delta-parity hazard the vacuum Scaladoc warns about
+    intercept[Exception] { TxLog.read(spark, shallow).collect() }
+  }
+
   test("merge on a cloned table keeps DVs covering untouched absolute entries (fileKey normalization)") {
     import org.apache.spark.sql.functions.{col, lit}
     val src = table(); val dst = table()
