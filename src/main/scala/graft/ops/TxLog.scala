@@ -72,6 +72,16 @@ object TxLog {
     * re-listing the filesystem (the streaming source's
     * `maxBytesPerTrigger`); absent on pre-r9 logs (readers stat as a
     * fallback). */
+  /** `sstats`: per-file (min, max) for STRING stats columns, recorded AS
+    * STRINGS in Spark's binary (UTF-8 byte) collation order — never cast
+    * to double. The r9 `stats` field cast string min/max through double,
+    * which is doubly wrong for numeric-looking strings ('9' sorts after
+    * '100' lexicographically but casts to 9.0 < 100.0), so a stats range
+    * could wrongly prune a file holding a contested merge key — stale row
+    * survives next to the new one. String pruning is sound only compared
+    * lexicographically against lexicographic bounds ([[utf8Cmp]]).
+    * Optional field: absent on older logs, ignored by readers that
+    * predate it — pruning degrades, correctness doesn't. */
   final case class Commit(version: Long, add: Seq[String],
       remove: Seq[String], op: String, batchId: Long,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
@@ -80,7 +90,8 @@ object TxLog {
       ts: Long = -1L,
       dvAdd: Seq[String] = Seq.empty,
       dvRemove: Seq[String] = Seq.empty,
-      sizes: Map[String, Long] = Map.empty)
+      sizes: Map[String, Long] = Map.empty,
+      sstats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   /** Highest protocol version this reader understands. A reader meeting a
     * HIGHER version fails loudly instead of silently misinterpreting
@@ -157,13 +168,21 @@ object TxLog {
         val sizes = Option(node.get("sizes")).map { s =>
           s.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
         }.getOrElse(Map.empty[String, Long])
+        val sstats = Option(node.get("sstats")).map { s =>
+          s.properties().asScala.map { e =>
+            e.getKey -> e.getValue.properties().asScala.map { c =>
+              c.getKey -> (c.getValue.get(0).asText(),
+                c.getValue.get(1).asText())
+            }.toMap
+          }.toMap
+        }.getOrElse(Map.empty[String, Map[String, (String, String)]])
         Commit(node.get("version").asLong(), arr("add"), arr("remove"),
           opName, node.get("batchId").asLong(), stats,
           Option(node.get("schemaDdl")).map(_.asText()),
           Option(node.get("constraintName")).map(n =>
             n.asText() -> node.get("constraintExpr").asText()),
           Option(node.get("ts")).map(_.asLong()).getOrElse(-1L),
-          optArr("dvAdd"), optArr("dvRemove"), sizes)
+          optArr("dvAdd"), optArr("dvRemove"), sizes, sstats)
       }
 
   def latestVersion(table: String): Option[Long] =
