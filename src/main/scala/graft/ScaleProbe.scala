@@ -128,7 +128,9 @@ object ScaleProbe {
 
     if (!have("events")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$Sf01/events.parquet") // ts stays raw long
+      // ts passes through in whatever physical encoding the lake wrote
+      // (nanos-long / NTZ / µs) — Tables.loadEvents adapts at read time
+      val ev = spark.read.parquet(s"$Sf01/events.parquet")
       val evReplicas = (0 until 10).map { i =>
         ev.withColumn("event_id", col("event_id") + lit(i * 10000000L))
           .withColumn("user_id", col("user_id") + lit(i * 1000000L))

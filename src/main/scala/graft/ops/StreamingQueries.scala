@@ -23,19 +23,28 @@ import graft.ops.QueryDef.StageSql
   */
 object StreamingQueries {
 
-  /** events schema for the file-stream source (ts = nanos long on disk). */
+  /** events schema for the file-stream source. `ts` is µs TimestampType
+    * because [[stageEventsDir]] normalizes the lake's mixed physical
+    * encodings (nanos-long / TIMESTAMP_NTZ / µs timestamp) at staging
+    * time — every downstream stream is encoding-agnostic. */
   private val eventsRaw = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** The file stream source ingests directories; stage the single-file
     * events table into a temp dir (stand-in for the landing zone the
-    * reference's Auto Loader watched). */
-  private def stageEventsDir(dir: String): String = {
+    * reference's Auto Loader watched). Staging goes through
+    * [[graft.Tables.loadEvents]], so whatever timestamp precision the
+    * lake produced, the landing file always carries µs TimestampType
+    * `ts` — the 100 TB posture is "normalize once at the bronze edge,
+    * never branch downstream". coalesce(1) keeps the table a single
+    * file so `maxFilesPerTrigger = 1` still means one micro-batch per
+    * staged file. */
+  private def stageEventsDir(s: SparkSession, dir: String): String = {
     val d = Files.createTempDirectory("graft_events_src")
-    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      d.resolve("events.parquet"))
+    graft.Tables.loadEvents(s, s"$dir/events.parquet")
+      .coalesce(1).write.mode("append").parquet(d.toString)
     d.toString
   }
 
@@ -47,14 +56,13 @@ object StreamingQueries {
   private def configureStreaming(s: SparkSession): Unit =
     graft.streaming.SessionizeTws.configure(s)
 
-  /** Streaming read of a staged events dir with µs TimestampType `ts`. */
+  /** Streaming read of a staged events dir with µs TimestampType `ts`
+    * (the staged file is already normalized — see [[stageEventsDir]]). */
   private def eventsStream(s: SparkSession, stagedDir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     configureStreaming(s)
     s.readStream.schema(eventsRaw)
       .option("maxFilesPerTrigger", 1)
       .parquet(stagedDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // integer DIV — see Tables.load
   }
 
   private def tmp(prefix: String): String =
@@ -106,7 +114,7 @@ object StreamingQueries {
   private def outerStreamJoin(s0: SparkSession, dir: String,
       joinType: String, prefix: String): DataFrame = {
     val out = tmp(prefix)
-    val src = stageEventsDir(dir)
+    val src = stageEventsDir(s0, dir)
     val s = s0.newSession()
     graft.Graft.referenceSemantics(s)
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -114,9 +122,9 @@ object StreamingQueries {
     // for its sequential pass; a sub-session must not un-park it)
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval",
       s0.conf.get("spark.sql.streaming.stateStore.maintenanceInterval"))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxTs = s.read.schema(eventsRaw).parquet(src)
-      .agg(max("ts")).head().getLong(0)
+    // staged ts is normalized µs TimestampType; compute the tail in µs
+    val maxTsUs = s.read.schema(eventsRaw).parquet(src)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
     // TWO sentinel files, each its own micro-batch (maxFilesPerTrigger
     // = 1): a watermark computed at batch N's end only evicts state —
     // and emits outer NULLs — while batch N+1 RUNS, so the first
@@ -125,9 +133,10 @@ object StreamingQueries {
     import s.implicits._
     Seq(2L, 4L).foreach { h =>
       Seq(
-        (-2 * h, maxTs + h * 3600 * 1000000000L, -1L, "purchase", 0.0, "{}"),
-        (-2 * h - 1, maxTs + h * 3600 * 1000000000L, -1L, "click", 0.0, "{}"))
+        (-2 * h, maxTsUs + h * 3600 * 1000000L, -1L, "purchase", 0.0, "{}"),
+        (-2 * h - 1, maxTsUs + h * 3600 * 1000000L, -1L, "click", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("ts")))
         .coalesce(1).write.mode("append").parquet(src)
     }
     val p = eventsStream(s, src).filter(col("event_type") === "purchase")
@@ -156,7 +165,7 @@ object StreamingQueries {
       "file stream source → filter/project → append parquet sink + checkpoint (S4/S6/T5/T6)",
       "SELECT event_id, user_id FROM events WHERE event_type = 'click'") { (s, dir) =>
       val out = tmp("graft_st1")
-      eventsStream(s, stageEventsDir(dir))
+      eventsStream(s, stageEventsDir(s, dir))
         .filter(col("event_type") === "click")
         .select("event_id", "user_id")
         .writeStream.format("parquet")
@@ -170,7 +179,7 @@ object StreamingQueries {
       "watermark-free streaming grouped count, complete mode via foreachBatch overwrite (A2/S7)",
       "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type") { (s, dir) =>
       val out = tmp("graft_st2")
-      eventsStream(s, stageEventsDir(dir))
+      eventsStream(s, stageEventsDir(s, dir))
         .groupBy("event_type").agg(count(lit(1)).alias("cnt"))
         .writeStream.outputMode("complete")
         .option("checkpointLocation", s"$out/_cp")
@@ -185,7 +194,7 @@ object StreamingQueries {
       "watermark-free stream-stream inner equi-join (J1 shape: unbounded symmetric-hash state)",
       "SELECT p.event_id AS purchase_id, c.event_id AS click_id FROM events p JOIN events c ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'") { (s, dir) =>
       val out = tmp("graft_st3")
-      val src = stageEventsDir(dir)
+      val src = stageEventsDir(s, dir)
       val p = eventsStream(s, src).filter(col("event_type") === "purchase")
         .select(col("event_id").alias("purchase_id"), col("user_id"))
       val c = eventsStream(s, src).filter(col("event_type") === "click")
@@ -207,7 +216,7 @@ object StreamingQueries {
         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin) { (s, dir) =>
       val out = tmp("graft_st4")
-      val src = stageEventsDir(dir)
+      val src = stageEventsDir(s, dir)
       val p = eventsStream(s, src).filter(col("event_type") === "purchase")
         .select(col("event_id").alias("purchase_id"), col("user_id"),
           col("ts").alias("p_ts"))
@@ -275,7 +284,7 @@ object StreamingQueries {
       "event-time tumbling-window streaming aggregate, complete mode (T2 extension)",
       "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS cnt FROM events GROUP BY 1") { (s, dir) =>
       val out = tmp("graft_st5")
-      eventsStream(s, stageEventsDir(dir))
+      eventsStream(s, stageEventsDir(s, dir))
         .groupBy(window(col("ts"), "1 day").alias("w"))
         .agg(count(lit(1)).alias("cnt"))
         .select(col("w.start").cast(DateType).alias("day"), col("cnt"))
@@ -292,7 +301,7 @@ object StreamingQueries {
       "streaming stateful deduplication (dropDuplicates over an unbounded stream — A4's streaming analog)",
       "SELECT DISTINCT user_id FROM events") { (s, dir) =>
       val out = tmp("graft_st7")
-      eventsStream(s, stageEventsDir(dir))
+      eventsStream(s, stageEventsDir(s, dir))
         .select("user_id")
         .dropDuplicates("user_id")
         .writeStream.format("parquet")
@@ -306,7 +315,7 @@ object StreamingQueries {
       "dropDuplicatesWithinWatermark: bounded-state streaming dedup (keys evicted as the watermark passes)",
       "SELECT DISTINCT user_id FROM events") { (s, dir) =>
       val out = tmp("graft_st8")
-      eventsStream(s, stageEventsDir(dir))
+      eventsStream(s, stageEventsDir(s, dir))
         .withWatermark("ts", "1 hour")
         .select("user_id", "ts")
         .dropDuplicatesWithinWatermark("user_id")
@@ -488,7 +497,7 @@ object StreamingQueries {
       "SELECT event_id, user_id FROM events WHERE event_type = 'click'") { (s, dir) =>
       val t = tmp("graft_st30") + "/t"
       val cp = tmp("graft_st30_cp")
-      eventsStream(s, stageEventsDir(dir))
+      eventsStream(s, stageEventsDir(s, dir))
         .filter(col("event_type") === "click")
         .select("event_id", "user_id")
         .writeStream.format("graft.sources.txlog")
@@ -664,7 +673,7 @@ object StreamingQueries {
         |WHERE rank <= 10""".stripMargin) { (s, dir) =>
       val out = tmp("graft_st21")
       val ss = udaf(new graft.functions.SpaceSavingAggregator(4096))
-      eventsStream(s, stageEventsDir(dir))
+      eventsStream(s, stageEventsDir(s, dir))
         .agg(ss(col("user_id")).alias("hh"))
         .select(posexplode(col("hh")).as(Seq("pos", "t")))
         .filter(col("pos") < 10)
@@ -698,7 +707,7 @@ object StreamingQueries {
         |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1800000000 AS end_us, COUNT(*) AS n_events
         |FROM sg GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
       val out = tmp("graft_st20")
-      eventsStream(s, stageEventsDir(dir))
+      eventsStream(s, stageEventsDir(s, dir))
         .groupBy(col("user_id"),
           session_window(col("ts"), "30 minutes").alias("w"))
         .agg(count(lit(1)).alias("n_events"))
@@ -766,7 +775,7 @@ object StreamingQueries {
       val out = tmp("graft_st11")
       val dim = graft.Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
-      eventsStream(s, stageEventsDir(dir))
+      eventsStream(s, stageEventsDir(s, dir))
         .filter(col("event_type") === "purchase")
         .join(broadcast(dim), col("user_id") === col("c_custkey"))
         .select("event_id", "user_id", "c_mktsegment")
@@ -781,7 +790,7 @@ object StreamingQueries {
       "update-mode streaming aggregate: changed groups per trigger, merged by an upsert sink (T5's third output mode)",
       "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type") { (s, dir) =>
       val out = tmp("graft_st12")
-      eventsStream(s, stageEventsDir(dir))
+      eventsStream(s, stageEventsDir(s, dir))
         .groupBy("event_type").agg(count(lit(1)).alias("cnt"))
         .writeStream.outputMode("update")
         .option("checkpointLocation", s"$out/_cp")
@@ -823,7 +832,7 @@ object StreamingQueries {
       implicit val sp = s
       graft.streaming.SessionizeTws.configure(s)
       val out = tmp("graft_st10")
-      val src = stageEventsDir(dir)
+      val src = stageEventsDir(s, dir)
       val events = eventsStream(s, src)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).alias("ts_us"))
@@ -862,7 +871,7 @@ object StreamingQueries {
       implicit val sp = s
       graft.streaming.SessionizeTws.configure(s)
       val out = tmp("graft_st13")
-      val ticks = eventsStream(s, stageEventsDir(dir))
+      val ticks = eventsStream(s, stageEventsDir(s, dir))
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id").alias("key"),
           unix_micros(col("ts")).alias("ts_us"),
@@ -903,7 +912,7 @@ object StreamingQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ver DESC) AS rn FROM v)
         |SELECT user_id, event_id, event_type, value, ver FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
       val target = tmp("graft_st19") + "/t"
-      eventsStream(s, stageEventsDir(dir))
+      eventsStream(s, stageEventsDir(s, dir))
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).alias("ver"))
         .writeStream
@@ -929,7 +938,7 @@ object StreamingQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ver DESC) AS rn FROM v)
         |SELECT user_id, event_id, value, ver FROM r WHERE rn = 1 AND op <> 'delete'""".stripMargin) { (s, dir) =>
       val target = tmp("graft_st23") + "/t"
-      eventsStream(s, stageEventsDir(dir))
+      eventsStream(s, stageEventsDir(s, dir))
         .select(col("user_id"), col("event_id"), col("value"),
           unix_micros(col("ts")).alias("ver"),
           when(col("event_type") === "click" &&
