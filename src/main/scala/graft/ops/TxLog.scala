@@ -6,7 +6,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -372,6 +372,15 @@ object TxLog {
         }
       }
     }
+    if (commit.sstats.nonEmpty) {
+      val sNode = node.putObject("sstats")
+      commit.sstats.foreach { case (file, cols) =>
+        val fileNode = sNode.putObject(file)
+        cols.foreach { case (c, (mn, mx)) =>
+          val a = fileNode.putArray(c); a.add(mn); a.add(mx)
+        }
+      }
+    }
     if (commit.add.nonEmpty) {
       // byte sizes ride the commit so consumers (streaming admission,
       // compaction targeting) budget in bytes without re-listing; the
@@ -550,34 +559,64 @@ object TxLog {
   /** Per-file (min, max) of `statsCols` for freshly staged `files` — the
     * data-skipping stats recorded in the commit. ONE distributed pass
     * grouped by input_file_name; the collect is one row per file per
-    * commit (metadata-sized, like the commit itself). Numeric columns
-    * only: bounds are cast to double. */
+    * commit (metadata-sized, like the commit itself).
+    *
+    * Returns (numeric stats, string stats). Numeric columns record double
+    * bounds; STRING columns record their bounds AS STRINGS in `sstats`
+    * (Spark's min/max on strings is UTF8String binary order — compared
+    * back with [[utf8Cmp]]). Casting a lexicographic string min/max
+    * through double is never done: for numeric-looking strings it records
+    * inverted garbage bounds ('100','9' → (100.0, 9.0)) that can wrongly
+    * prune a file holding a contested merge key. Columns of any other
+    * type record nothing — the file is simply never pruned on them, the
+    * safe direction. */
   private def fileStats(spark: SparkSession, table: String,
-      files: Seq[String], statsCols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
-    if (statsCols.isEmpty || files.isEmpty) return Map.empty
-    val aggs = statsCols.flatMap(c => Seq(
+      files: Seq[String], statsCols: Seq[String]): (Map[String, Map[String, (Double, Double)]], Map[String, Map[String, (String, String)]]) = {
+    if (statsCols.isEmpty || files.isEmpty) return (Map.empty, Map.empty)
+    val df = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    val numCols = statsCols.filter(c =>
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val strCols = statsCols.filter(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val kept = numCols ++ strCols
+    if (kept.isEmpty) return (Map.empty, Map.empty)
+    val aggs = numCols.flatMap(c => Seq(
       min(col(c)).cast("double").alias(s"__mn_$c"),
-      max(col(c)).cast("double").alias(s"__mx_$c")))
-    spark.read.parquet(files.map(f => s"$table/$f"): _*)
-      .groupBy(input_file_name().alias("_f"))
+      max(col(c)).cast("double").alias(s"__mx_$c"))) ++
+      strCols.flatMap(c => Seq(
+        min(col(c)).alias(s"__smn_$c"), max(col(c)).alias(s"__smx_$c")))
+    val rows = df.groupBy(input_file_name().alias("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .flatMap { r =>
+    def perFile[T](cols: Seq[String], offset: Int, get: (Row, Int) => T): Map[String, Map[String, (T, T)]] =
+      rows.flatMap { r =>
         files.find(f => r.getString(0).endsWith(f)).map { rel =>
-          // A column that is all-NULL within one file (or failed the double
-          // cast) has NULL min/max: record no stats for it — the file is
-          // simply never pruned on that column, the safe direction.
-          rel -> statsCols.zipWithIndex.flatMap { case (c, i) =>
-            if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-            else Some(c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
+          // all-NULL within one file → NULL min/max → record no stats
+          rel -> cols.zipWithIndex.flatMap { case (c, i) =>
+            val (a, b) = (offset + 2 * i, offset + 2 * i + 1)
+            if (r.isNullAt(a) || r.isNullAt(b)) None
+            else Some(c -> (get(r, a), get(r, b)))
           }.toMap
         }
       }.toMap
+    (perFile[Double](numCols, 1, _.getDouble(_)).filter(_._2.nonEmpty),
+      perFile[String](strCols, 1 + 2 * numCols.size, _.getString(_))
+        .filter(_._2.nonEmpty))
   }
+
+  /** Lexicographic comparison in UTF-8 byte (unsigned) order — the same
+    * total order Spark's UTF8String binary collation uses for string
+    * min/max, and therefore the ONLY order `sstats` bounds may be
+    * compared in. Java's String.compareTo (UTF-16 code units) disagrees
+    * on supplementary characters, so it is not used. */
+  private[graft] def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   private def commitLoop(table: String, add: Seq[String],
       removeAll: Boolean, op: String, batchId: Long,
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      stats: (Map[String, Map[String, (Double, Double)]], Map[String, Map[String, (String, String)]]) = (Map.empty, Map.empty),
       schemaDdl: Option[String] = None): Long = {
     var attempts = 0
     while (attempts < 10) {
@@ -585,8 +624,8 @@ object TxLog {
       val remove = if (removeAll) activeFiles(table) else Seq.empty
       // a full rewrite retires every active DV with the files it covered
       val dvRem = if (removeAll) activeDvs(table) else Seq.empty
-      if (tryCommit(table, Commit(v, add, remove, op, batchId, stats,
-          schemaDdl, dvRemove = dvRem)))
+      if (tryCommit(table, Commit(v, add, remove, op, batchId, stats._1,
+          schemaDdl, dvRemove = dvRem, sstats = stats._2)))
         return v
       attempts += 1
     }
@@ -648,6 +687,21 @@ object TxLog {
     }
   }
 
+  /** String twin of [[filesForRanges]]: active files whose recorded
+    * `sstats` [min, max] for each column intersects [lo, hi] in UTF-8
+    * byte order ([[utf8Cmp]] — the order the bounds were recorded in),
+    * plus every file committed without string stats. */
+  def filesForStringRange(table: String, colName: String, lo: String,
+      hi: String, asOf: Option[Long] = None): Seq[String] = {
+    val statsMap = commits(table).flatMap(_.sstats).toMap
+    activeFiles(table, asOf).filter { f =>
+      statsMap.get(f).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0
+        case None => true
+      }
+    }
+  }
+
   /** Stats-pruned range read: plan only the files [[filesForRange]] keeps
     * (the Delta data-skipping read path — at fleet scale this is the
     * difference between opening every footer and opening the log), then
@@ -676,20 +730,48 @@ object TxLog {
   /** Keyed MERGE: per `keyCols` keep the highest-`versionCol` row (ties →
     * incoming wins), committed as one new txlog version. Optimistic: a lost
     * commit race re-reads the new snapshot and re-merges. */
-  /** Bounds of a single numeric merge key over the incoming batch, or
-    * None when pruning can't be proven sound: multiple key columns,
-    * a non-numeric key (stats are numeric min/max), any NULL key in the
-    * batch (null-key rows fall outside every stats range, so an existing
-    * null-key row could hide in a "kept" file), or an empty batch. One
-    * driver-side aggregate row. */
+  /** Typed bounds of a single merge key over the incoming batch. A
+    * NumericType key yields double bounds (pruned via [[filesForRange]]);
+    * a StringType key yields lexicographic string bounds (pruned via
+    * [[filesForStringRange]] against `sstats` — NEVER cast through
+    * double: '9' > '100' lexicographically but 9.0 < 100.0, so a
+    * double-cast bound can wrongly prune a file holding a contested key,
+    * leaving a stale row beside the new one). */
+  private sealed trait KeyBounds
+  private final case class NumBounds(lo: Double, hi: Double) extends KeyBounds
+  private final case class StrBounds(lo: String, hi: String) extends KeyBounds
+
+  /** Bounds of a single merge key over the incoming batch, or None when
+    * pruning can't be proven sound: multiple key columns, a key type
+    * without sound stats (only NumericType and StringType qualify), any
+    * NULL key in the batch (null-key rows fall outside every stats range,
+    * so an existing null-key row could hide in a "kept" file), or an
+    * empty batch. One driver-side aggregate row. */
   private def mergeKeyBounds(updates: DataFrame,
-      keyCols: Seq[String]): Option[(Double, Double)] = {
+      keyCols: Seq[String]): Option[KeyBounds] = {
     if (keyCols.size != 1) return None
-    val kd = col(keyCols.head).cast("double")
-    val r = updates.agg(min(kd), max(kd), count(lit(1)), count(kd)).head()
-    if (r.getLong(2) == 0L || r.getLong(3) != r.getLong(2) || r.isNullAt(0))
-      None
-    else Some((r.getDouble(0), r.getDouble(1)))
+    val k = col(keyCols.head)
+    def bounds[T](c: org.apache.spark.sql.Column)(get: (Row, Int) => T): Option[(T, T)] = {
+      val r = updates.agg(min(c), max(c), count(lit(1)), count(c)).head()
+      if (r.getLong(2) == 0L || r.getLong(3) != r.getLong(2) || r.isNullAt(0))
+        None
+      else Some((get(r, 0), get(r, 1)))
+    }
+    updates.schema(keyCols.head).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        bounds(k.cast("double"))(_.getDouble(_)).map((NumBounds.apply _).tupled)
+      case org.apache.spark.sql.types.StringType =>
+        bounds(k)(_.getString(_)).map((StrBounds.apply _).tupled)
+      case _ => None
+    }
+  }
+
+  /** Files a merge/applyChanges batch with `bounds` on `keyCol` may
+    * contest — dispatches to the numeric or lexicographic pruner. */
+  private def filesForKeyBounds(table: String, keyCol: String,
+      bounds: KeyBounds, asOf: Option[Long]): Seq[String] = bounds match {
+    case NumBounds(lo, hi) => filesForRange(table, keyCol, lo, hi, asOf)
+    case StrBounds(lo, hi) => filesForStringRange(table, keyCol, lo, hi, asOf)
   }
 
   def merge(spark: SparkSession, table: String, updates: DataFrame,
@@ -711,7 +793,7 @@ object TxLog {
       val touched =
         if (base.isEmpty) Seq.empty
         else keyBounds match {
-          case Some((lo, hi)) => filesForRange(table, keyCols.head, lo, hi, base)
+          case Some(b) => filesForKeyBounds(table, keyCols.head, b, base)
           case None => allActive
         }
       val untouched = allActive.filterNot(touched.toSet)
@@ -784,7 +866,7 @@ object TxLog {
       val touched =
         if (base.isEmpty) Seq.empty
         else keyBounds match {
-          case Some((lo, hi)) => filesForRange(table, keyCols.head, lo, hi, base)
+          case Some(b) => filesForKeyBounds(table, keyCols.head, b, base)
           case None => allActive
         }
       val untouched = allActive.filterNot(touched.toSet)
@@ -1206,10 +1288,10 @@ object TxLog {
       // commit, so readRange prunes to exactly the overlapping files
       // compaction materializes DV deletes into the rewritten files (the
       // rewrite read through readFiles), so the DVs retire with the commit
+      val (nstats, sstats) = fileStats(spark, table, add, statsCols)
       if (tryCommit(table, Commit(v, add, remove, "optimize", -1L,
-          fileStats(spark, table, add, statsCols),
-          Some(arranged.schema.toDDL),
-          dvRemove = activeDvs(table, base)))) return v
+          nstats, Some(arranged.schema.toDDL),
+          dvRemove = activeDvs(table, base), sstats = sstats))) return v
       attempts += 1 // lost the race: recompact against the new snapshot
     }
     throw new IllegalStateException(
@@ -1249,9 +1331,10 @@ object TxLog {
       // shallow-clone's absolute entry would otherwise never match)
       val dvRemove = inertDvs(spark, table, activeDvs(table, base),
         keep.map(fileKey).toSet)
+      val (nstats, sstats) = fileStats(spark, table, add, statsCols)
       if (tryCommit(table, Commit(v, add, small, "optimize", -1L,
-          fileStats(spark, table, add, statsCols),
-          Some(arranged.schema.toDDL), dvRemove = dvRemove)))
+          nstats, Some(arranged.schema.toDDL), dvRemove = dvRemove,
+          sstats = sstats)))
         return Some(v)
       attempts += 1 // lost the race: re-select against the new snapshot
     }

@@ -1096,4 +1096,67 @@ class TxLogSpec extends SparkSpec {
         Set((1L, "a"), (2L, "b")))
     } finally spark.sql("DROP TABLE IF EXISTS txsql")
   }
+
+  test("string-keyed merge never prunes a contested key (the '9' vs '100' trap)") {
+    val t = table()
+    // one file whose keys are '100' and '9': lexicographic bounds are
+    // ('100', '9'); the pre-r11 stats path cast them through double to
+    // the INVERTED range (100.0, 9.0), which excluded the incoming key
+    // '100' — the file was wrongly pruned and the stale row survived
+    TxLog.append(Seq(("100", "old", 1L), ("9", "x", 1L))
+      .toDF("k", "v", "ver"), t, statsCols = Seq("k"))
+    // string columns must no longer record numeric stats at all
+    assert(TxLog.commits(t).flatMap(_.stats.values).forall(_.isEmpty))
+    TxLog.merge(spark, t, Seq(("100", "new", 2L)).toDF("k", "v", "ver"),
+      Seq("k"), "ver")
+    assert(TxLog.read(spark, t).as[(String, String, Long)].collect().toSet
+      === Set(("100", "new", 2L), ("9", "x", 1L)))
+    // same trap through the CDC path: a delete on the contested key
+    TxLog.applyChanges(spark, t,
+      Seq(("100", null.asInstanceOf[String], 3L, "delete"))
+        .toDF("k", "v", "ver", "op"), Seq("k"), "ver", "op")
+    assert(TxLog.read(spark, t).as[(String, String, Long)].collect().toSet
+      === Set(("9", "x", 1L)))
+  }
+
+  test("sstats prune string-keyed merges lexicographically; uncontested files stay in place") {
+    val t = table()
+    TxLog.append(Seq(("apple", "a", 1L), ("banana", "b", 1L))
+      .toDF("k", "v", "ver").coalesce(1), t, statsCols = Seq("k"))
+    TxLog.append(Seq(("melon", "m", 1L), ("zebra", "z", 1L))
+      .toDF("k", "v", "ver").coalesce(1), t, statsCols = Seq("k"))
+    // string bounds rode the commits as strings, and round-trip the JSON
+    val perCommit = TxLog.commits(t).map(_.sstats)
+    assert(perCommit.exists(_.values.exists(_.get("k")
+      .contains(("apple", "banana")))))
+    assert(perCommit.exists(_.values.exists(_.get("k")
+      .contains(("melon", "zebra")))))
+    val highFiles = TxLog.commits(t).filter(_.sstats.values.exists(
+      _.get("k").contains(("melon", "zebra")))).flatMap(_.add).toSet
+    // the batch contests only 'banana': the melon..zebra file's range
+    // misses ['banana','banana'], so it must survive byte-identical
+    TxLog.merge(spark, t, Seq(("banana", "B", 2L)).toDF("k", "v", "ver"),
+      Seq("k"), "ver")
+    val after = TxLog.activeFiles(t).toSet
+    assert(highFiles.subsetOf(after), "uncontested file was rewritten")
+    assert(TxLog.read(spark, t).as[(String, String, Long)].collect().toSet
+      === Set(("apple", "a", 1L), ("banana", "B", 2L),
+        ("melon", "m", 1L), ("zebra", "z", 1L)))
+  }
+
+  test("utf8Cmp orders by UTF-8 bytes, matching Spark's string min/max collation") {
+    assert(TxLog.utf8Cmp("100", "9") < 0) // lexicographic, NOT numeric
+    assert(TxLog.utf8Cmp("apple", "apple") === 0)
+    assert(TxLog.utf8Cmp("app", "apple") < 0)
+    // supplementary character: U+10000 is F0 90 80 80 in UTF-8 (> U+FFFF's
+    // EF BF BF) but D800 DC00 in UTF-16 (< FFFF) — String.compareTo gets
+    // this backwards relative to Spark's UTF8String binary order
+    val supp = new String(Character.toChars(0x10000))
+    assert(TxLog.utf8Cmp(supp, "￿") > 0)
+    assert(supp.compareTo("￿") < 0, "if this flips, revisit the doc")
+    // and Spark's own max() agrees with utf8Cmp on that pair
+    val mx = Seq(supp, "￿").toDF("s")
+      .agg(org.apache.spark.sql.functions.max("s")).head().getString(0)
+    assert(mx === supp)
+  }
 }
