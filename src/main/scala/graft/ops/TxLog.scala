@@ -82,6 +82,14 @@ object TxLog {
     * lexicographically against lexicographic bounds ([[utf8Cmp]]).
     * Optional field: absent on older logs, ignored by readers that
     * predate it — pruning degrades, correctness doesn't. */
+  /** `streamId`: identity of the streaming query that committed this
+    * batch (the sink records its checkpoint location). The replay guard
+    * keys on (streamId, batchId) — batchId alone would make a SECOND
+    * query writing the same table, or a fresh-checkpoint restart (batch
+    * ids restart at 0), silently skip its batches. Absent on batch
+    * commits and pre-r11 logs; a legacy streamId-less commit matches any
+    * stream, preserving replay idempotency for tables written before the
+    * field existed. */
   final case class Commit(version: Long, add: Seq[String],
       remove: Seq[String], op: String, batchId: Long,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
@@ -91,7 +99,8 @@ object TxLog {
       dvAdd: Seq[String] = Seq.empty,
       dvRemove: Seq[String] = Seq.empty,
       sizes: Map[String, Long] = Map.empty,
-      sstats: Map[String, Map[String, (String, String)]] = Map.empty)
+      sstats: Map[String, Map[String, (String, String)]] = Map.empty,
+      streamId: Option[String] = None)
 
   /** Highest protocol version this reader understands. A reader meeting a
     * HIGHER version fails loudly instead of silently misinterpreting
@@ -182,7 +191,8 @@ object TxLog {
           Option(node.get("constraintName")).map(n =>
             n.asText() -> node.get("constraintExpr").asText()),
           Option(node.get("ts")).map(_.asLong()).getOrElse(-1L),
-          optArr("dvAdd"), optArr("dvRemove"), sizes, sstats)
+          optArr("dvAdd"), optArr("dvRemove"), sizes, sstats,
+          Option(node.get("streamId")).map(_.asText()))
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -333,13 +343,18 @@ object TxLog {
         val narrow = ranges.filter(col("end") - col("start") < 8)
           .select(col("file").alias("__dv_f"),
             explode(sequence(col("start"), col("end"))).alias("__dv_ri"))
+        // range bounds join under reserved __dv_* names: an unqualified
+        // col("start")/col("end") would be ambiguous against any user
+        // table that itself has a start/end column
         val wide = ranges.filter(col("end") - col("start") >= 8)
-          .withColumnRenamed("file", "__dv_file")
+          .select(col("file").alias("__dv_file"),
+            col("start").alias("__dv_start"), col("end").alias("__dv_end"))
         keyed
           .join(broadcast(narrow), Seq("__dv_f", "__dv_ri"), "left_anti")
           .join(broadcast(wide),
             col("__dv_f") === col("__dv_file") &&
-              col("__dv_ri") >= col("start") && col("__dv_ri") <= col("end"),
+              col("__dv_ri") >= col("__dv_start") &&
+              col("__dv_ri") <= col("__dv_end"),
             "left_anti")
       }
     if (keepRowKeys) filtered else filtered.drop("__dv_f", "__dv_ri")
@@ -397,6 +412,7 @@ object TxLog {
     if (commit.dvRemove.nonEmpty) {
       val a = node.putArray("dvRemove"); commit.dvRemove.foreach(a.add)
     }
+    commit.streamId.foreach(node.put("streamId", _))
     commit.schemaDdl.foreach(node.put("schemaDdl", _))
     commit.constraint.foreach { case (n, e) =>
       node.put("constraintName", n); node.put("constraintExpr", e)
@@ -492,9 +508,12 @@ object TxLog {
   }
 
   /** Active CHECK constraints (name → boolean SQL expression), folded
-    * from the log. */
-  def constraints(table: String): Map[String, String] =
-    commits(table).flatMap(_.constraint).toMap
+    * from the log up to `asOf` (latest when None) — a constraint added
+    * AFTER a cloned/travelled version is not part of that snapshot's
+    * contract. */
+  def constraints(table: String, asOf: Option[Long] = None): Map[String, String] =
+    commits(table).filter(c => asOf.forall(c.version <= _))
+      .flatMap(_.constraint).toMap
 
   /** ALTER TABLE ADD CONSTRAINT analog: a named CHECK every row of every
     * subsequent write must satisfy. Existing rows are validated first
@@ -617,7 +636,8 @@ object TxLog {
   private def commitLoop(table: String, add: Seq[String],
       removeAll: Boolean, op: String, batchId: Long,
       stats: (Map[String, Map[String, (Double, Double)]], Map[String, Map[String, (String, String)]]) = (Map.empty, Map.empty),
-      schemaDdl: Option[String] = None): Long = {
+      schemaDdl: Option[String] = None,
+      streamId: Option[String] = None): Long = {
     var attempts = 0
     while (attempts < 10) {
       val v = latestVersion(table).getOrElse(0L) + 1
@@ -625,7 +645,8 @@ object TxLog {
       // a full rewrite retires every active DV with the files it covered
       val dvRem = if (removeAll) activeDvs(table) else Seq.empty
       if (tryCommit(table, Commit(v, add, remove, op, batchId, stats._1,
-          schemaDdl, dvRemove = dvRem, sstats = stats._2)))
+          schemaDdl, dvRemove = dvRem, sstats = stats._2,
+          streamId = streamId)))
         return v
       attempts += 1
     }
@@ -639,12 +660,14 @@ object TxLog {
     * in `df` require `mergeSchema = true` (see [[resolveSchema]]). */
   def append(df: DataFrame, table: String,
       statsCols: Seq[String] = Seq.empty,
-      mergeSchema: Boolean = false, batchId: Long = -1L): Long = {
+      mergeSchema: Boolean = false, batchId: Long = -1L,
+      streamId: Option[String] = None): Long = {
     val schema = resolveSchema(table, df, mergeSchema)
     validateConstraints(df, constraints(table))
     val add = writeData(df, table)
     commitLoop(table, add, removeAll = false, "append", batchId,
-      fileStats(df.sparkSession, table, add, statsCols), Some(schema.toDDL))
+      fileStats(df.sparkSession, table, add, statsCols), Some(schema.toDDL),
+      streamId)
   }
 
   /** Replace the table contents with `df`; returns the committed version.
@@ -653,12 +676,14 @@ object TxLog {
     * same-name type changes still throw without `mergeSchema`. */
   def overwrite(df: DataFrame, table: String,
       statsCols: Seq[String] = Seq.empty,
-      mergeSchema: Boolean = false, batchId: Long = -1L): Long = {
+      mergeSchema: Boolean = false, batchId: Long = -1L,
+      streamId: Option[String] = None): Long = {
     if (!mergeSchema) resolveSchema(table, df, mergeSchema = true) // type check only
     validateConstraints(df, constraints(table))
     val add = writeData(df, table)
     commitLoop(table, add, removeAll = true, "overwrite", batchId,
-      fileStats(df.sparkSession, table, add, statsCols), Some(df.schema.toDDL))
+      fileStats(df.sparkSession, table, add, statsCols), Some(df.schema.toDDL),
+      streamId)
   }
 
   /** Active files whose recorded [min, max] for `colName` intersects
@@ -775,7 +800,8 @@ object TxLog {
   }
 
   def merge(spark: SparkSession, table: String, updates: DataFrame,
-      keyCols: Seq[String], versionCol: String, batchId: Long = -1L): Long = {
+      keyCols: Seq[String], versionCol: String, batchId: Long = -1L,
+      streamId: Option[String] = None): Long = {
     validateConstraints(updates, constraints(table))
     val keyBounds = mergeKeyBounds(updates, keyCols) // snapshot-independent
     var attempts = 0
@@ -827,7 +853,7 @@ object TxLog {
           untouched.map(fileKey).toSet)
       if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
         schemaDdl = Some(merged.schema.toDDL),
-        dvRemove = dvRemove))) return v
+        dvRemove = dvRemove, streamId = streamId))) return v
       attempts += 1 // lost the race: new snapshot exists, re-merge against it
     }
     throw new IllegalStateException(
@@ -837,12 +863,29 @@ object TxLog {
   /** foreachBatch adapter: replay-idempotent streaming MERGE. A batch id
     * already present in the log (checkpoint-recovery redelivery) is
     * skipped, so the table is exactly-once even though foreachBatch is
-    * at-least-once. */
-  def sink(table: String, keyCols: Seq[String], versionCol: String)(
+    * at-least-once. Pass `streamId` (any stable per-query identity, e.g.
+    * the checkpoint location) when more than one query may ever write the
+    * table — see [[batchCommitted]]. */
+  def sink(table: String, keyCols: Seq[String], versionCol: String,
+      streamId: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
-    if (commits(table).exists(_.batchId == batchId)) return
-    merge(batch.sparkSession, table, batch, keyCols, versionCol, batchId)
+    if (batchCommitted(table, streamId, batchId)) return
+    merge(batch.sparkSession, table, batch, keyCols, versionCol, batchId,
+      streamId)
   }
+
+  /** The (streamId, batchId) replay guard: true when this stream already
+    * committed this batch — the redelivery case a crash-recovered
+    * checkpoint produces. batchId ALONE is not identity: a second query
+    * writing the same table, or a fresh-checkpoint restart, reuses batch
+    * ids from 0 and must NOT be skipped. A commit without a recorded
+    * streamId (pre-r11 log, or an id-less caller) matches any stream,
+    * preserving replay idempotency for tables written before the field
+    * existed. */
+  def batchCommitted(table: String, streamId: Option[String],
+      batchId: Long): Boolean =
+    commits(table).exists(c => c.batchId == batchId &&
+      (c.streamId.isEmpty || streamId.isEmpty || c.streamId == streamId))
 
   /** APPLY CHANGES INTO analog: fold a CDC batch — upserts AND deletes —
     * into the table as one commit. Per key, the highest-`versionCol` row
@@ -854,7 +897,7 @@ object TxLog {
     * arriving after a newer upsert does NOT kill the key. */
   def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
       keyCols: Seq[String], versionCol: String, opCol: String,
-      batchId: Long = -1L): Long = {
+      batchId: Long = -1L, streamId: Option[String] = None): Long = {
     // same stats pruning as [[merge]]: upserts AND deletes only contest
     // keys inside the batch's bounds, so files whose recorded key range
     // misses those bounds hold no challengeable rows and stay in place
@@ -904,20 +947,21 @@ object TxLog {
           untouched.map(fileKey).toSet)
       if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
         schemaDdl = Some(merged.schema.toDDL),
-        dvRemove = dvRemove))) return v
+        dvRemove = dvRemove, streamId = streamId))) return v
       attempts += 1 // lost the race: re-apply against the new snapshot
     }
     throw new IllegalStateException(
       s"txlog applyChanges on $table lost 10 straight races — giving up")
   }
 
-  /** foreachBatch adapter for [[applyChanges]] — batchId-idempotent like
-    * [[sink]], but the feed carries deletes. */
+  /** foreachBatch adapter for [[applyChanges]] — (streamId, batchId)-
+    * idempotent like [[sink]], but the feed carries deletes. */
   def cdcSink(table: String, keyCols: Seq[String], versionCol: String,
-      opCol: String)(batch: DataFrame, batchId: Long): Unit = {
-    if (commits(table).exists(_.batchId == batchId)) return
+      opCol: String, streamId: Option[String] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batchCommitted(table, streamId, batchId)) return
     applyChanges(batch.sparkSession, table, batch, keyCols, versionCol,
-      opCol, batchId)
+      opCol, batchId, streamId)
   }
 
   /** Change-data-feed between two committed versions (Delta's
@@ -1161,7 +1205,11 @@ object TxLog {
     require(latestVersion(dst).isEmpty,
       s"clone destination $dst already has a txlog")
     val v = overwrite(read(spark, src, asOf), dst, statsCols)
-    constraints(src).foreach { case (n, e) => addConstraint(spark, dst, n, e) }
+    // constraints AS OF the cloned version: one added to src after the
+    // snapshot is no part of the snapshot's contract. The rows being
+    // cloned satisfied these at `asOf`, so validation cannot fail.
+    constraints(src, asOf).foreach { case (n, e) =>
+      addConstraint(spark, dst, n, e) }
     v
   }
 
@@ -1187,7 +1235,19 @@ object TxLog {
       statsByAbs, schemaAsOf(src, asOf).map(_.toDDL), dvAdd = dvs)))
       throw new IllegalStateException(
         s"clone destination $dst gained a commit mid-clone")
-    1L
+    // carry CHECK constraints AS-OF the cloned snapshot, metadata-only:
+    // the referenced rows satisfied them on src at `asOf`, so the
+    // validation scan addConstraint would run is pure waste against the
+    // zero-copy promise — commit the constraint actions directly
+    var v = 1L
+    constraints(src, asOf).foreach { case (n, e) =>
+      v += 1
+      if (!tryCommit(dst, Commit(v, Seq.empty, Seq.empty, "addConstraint",
+        -1L, constraint = Some(n -> e))))
+        throw new IllegalStateException(
+          s"clone destination $dst gained a commit mid-clone")
+    }
+    v
   }
 
   /** DESCRIBE HISTORY analog: one row per commit — version, operation,

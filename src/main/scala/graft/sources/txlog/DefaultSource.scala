@@ -75,28 +75,35 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
     require(!update || mergeKeys.nonEmpty,
       "txlog sink in Update mode requires option 'mergeKeys' " +
         "(comma-separated key columns to upsert on)")
+    // Stream identity for the replay guard: the checkpoint location is
+    // stable across restarts of the SAME query and distinct for a second
+    // query or a fresh checkpoint — keying the guard on batchId alone
+    // would silently skip a different query's batches (they also count
+    // from 0). Recorded in each commit; see TxLog.batchCommitted.
+    val streamId = parameters.get("checkpointlocation")
     new Sink {
       override def name(): String = s"TxLogSink[$path]"
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
-        // replay guard: a batch id already in the log was fully committed
-        // before the crash — skip, don't double-append
-        if (TxLog.commits(path).exists(_.batchId == batchId)) return
+        // replay guard: a (streamId, batchId) already in the log was fully
+        // committed before the crash — skip, don't double-append
+        if (TxLog.batchCommitted(path, streamId, batchId)) return
         // addBatch's frame is streaming-flagged; batch writers refuse it
         val batch = org.apache.spark.sql.execution.streaming
           .GraftSourceShim.asBatch(data)
         if (update) versionCol match {
           case Some(vc) =>
-            TxLog.merge(batch.sparkSession, path, batch, mergeKeys, vc, batchId)
+            TxLog.merge(batch.sparkSession, path, batch, mergeKeys, vc,
+              batchId, streamId)
           case None =>
             TxLog.merge(batch.sparkSession, path,
               batch.withColumn("_merge_version",
                 org.apache.spark.sql.functions.lit(batchId)),
-              mergeKeys, "_merge_version", batchId)
+              mergeKeys, "_merge_version", batchId, streamId)
         }
         else if (complete)
-          TxLog.overwrite(batch, path, statsCols, mergeSchema, batchId)
+          TxLog.overwrite(batch, path, statsCols, mergeSchema, batchId, streamId)
         else
-          TxLog.append(batch, path, statsCols, mergeSchema, batchId)
+          TxLog.append(batch, path, statsCols, mergeSchema, batchId, streamId)
       }
       override def toString: String = name()
     }

@@ -1144,6 +1144,84 @@ class TxLogSpec extends SparkSpec {
         ("melon", "m", 1L), ("zebra", "z", 1L)))
   }
 
+  test("DV-filtered reads survive a user table with start/end columns") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    // columns named exactly like the DV range schema: the anti-join must
+    // keep its bounds under reserved __dv_* names (pre-r11 this was an
+    // ambiguous-column analysis error on every DV-filtered read)
+    TxLog.append(spark.range(0, 100).select(col("id").alias("start"),
+      (col("id") * 2).alias("end")), t)
+    // one contiguous range (wide join path) plus one singleton (narrow)
+    TxLog.deleteVectors(spark, t,
+      col("start") < 10 || col("start") === 50)
+    assert(TxLog.read(spark, t).as[(Long, Long)].collect().toSet ===
+      (10L until 100L).filter(_ != 50L).map(k => (k, k * 2)).toSet)
+  }
+
+  test("replay guard keys on (streamId, batchId); legacy commits match any stream") {
+    val t = table()
+    TxLog.append(Seq((1L, "a", 1L)).toDF("k", "v", "ver"), t,
+      batchId = 0L, streamId = Some("cp1"))
+    assert(TxLog.batchCommitted(t, Some("cp1"), 0L)) // same query replays
+    assert(!TxLog.batchCommitted(t, Some("cp2"), 0L)) // second query lands
+    assert(!TxLog.batchCommitted(t, Some("cp1"), 1L))
+    // a pre-r11 commit carries no streamId: treat as matching any stream
+    // (replay idempotency for tables written before the field existed)
+    TxLog.append(Seq((2L, "b", 1L)).toDF("k", "v", "ver"), t, batchId = 7L)
+    assert(TxLog.batchCommitted(t, Some("cpX"), 7L))
+    assert(TxLog.batchCommitted(t, None, 7L))
+  }
+
+  test("two streaming queries with distinct checkpoints both write the table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = table()
+    def run(data: Seq[Long], cp: String): Unit = {
+      val in = MemoryStream[Long]
+      in.addData(data: _*)
+      in.toDF().select(col("value").alias("k"))
+        .writeStream.format("graft.sources.txlog")
+        .option("checkpointLocation", cp).option("path", t)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    run(Seq(1L, 2L), tmpDir("txsink_cp1"))
+    // the second query also counts batches from 0 — with a batchId-only
+    // guard its first batch was silently dropped as a "replay"
+    run(Seq(10L, 20L), tmpDir("txsink_cp2"))
+    assert(TxLog.read(spark, t).as[Long].collect().toSet ===
+      Set(1L, 2L, 10L, 20L))
+    assert(TxLog.commits(t).flatMap(_.streamId).distinct.size === 2)
+  }
+
+  test("clone carries CHECK constraints as-of the cloned version only") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    TxLog.append(spark.range(1, 50).toDF("k"), t)              // v1
+    TxLog.addConstraint(spark, t, "k_pos", "k > 0")            // v2
+    TxLog.append(spark.range(50, 60).toDF("k"), t)             // v3
+    TxLog.addConstraint(spark, t, "k_small", "k < 1000")       // v4
+    // shallow clone of v3: k_pos applies, the later k_small does not
+    val c1 = table()
+    TxLog.cloneTable(spark, t, c1, asOf = Some(3L))
+    assert(TxLog.constraints(c1) === Map("k_pos" -> "k > 0"))
+    intercept[IllegalArgumentException] {
+      TxLog.append(Seq(-1L).toDF("k"), c1)
+    }
+    TxLog.append(Seq(5000L).toDF("k"), c1) // k_small never cloned
+    // deep clone at latest: both constraints carry
+    val c2 = table()
+    TxLog.cloneTableDeep(spark, t, c2)
+    assert(TxLog.constraints(c2) ===
+      Map("k_pos" -> "k > 0", "k_small" -> "k < 1000"))
+    intercept[IllegalArgumentException] {
+      TxLog.append(Seq(5000L).toDF("k"), c2)
+    }
+  }
+
   test("utf8Cmp orders by UTF-8 bytes, matching Spark's string min/max collation") {
     assert(TxLog.utf8Cmp("100", "9") < 0) // lexicographic, NOT numeric
     assert(TxLog.utf8Cmp("apple", "apple") === 0)
