@@ -445,6 +445,31 @@ object AnalyticsQueries {
       }
     },
 
+    // Pure-SQL time travel (no API calls): CREATE TEMPORARY VIEW ...
+    // USING pins versionAsOf per view, so a SQL-only reader queries two
+    // versions of one table side by side — the relation pins its version
+    // at resolution (see TxLogRelationSpec), making the views stable
+    // snapshots exactly like Delta's VERSION AS OF. EXCEPT diffs them.
+    QueryDef("src_txlog_sql_time_travel",
+      "SQL time travel: two temp views pin versionAsOf 1 and 2 of one txlog table; EXCEPT yields exactly the rows version 2 added",
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 1") { (s, dir) =>
+      val t = Files.createTempDirectory("graft_txtt").toString + "/t"
+      val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 0), t) // v1
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 1), t) // v2
+      val id = java.util.UUID.randomUUID.toString.take(8)
+      val (v1, v2) = (s"txtt_v1_$id", s"txtt_v2_$id")
+      // session-scoped temp views; unique names keep concurrent Bench
+      // runs apart, and they must outlive this builder (the returned
+      // frame evaluates lazily), so no drop here
+      s.sql(s"""CREATE TEMPORARY VIEW $v1 USING graft.sources.txlog
+               |OPTIONS (path '$t', versionAsOf '1')""".stripMargin)
+      s.sql(s"""CREATE TEMPORARY VIEW $v2 USING graft.sources.txlog
+               |OPTIONS (path '$t', versionAsOf '2')""".stripMargin)
+      s.sql(s"""SELECT c_custkey, c_name FROM $v2
+               |EXCEPT SELECT c_custkey, c_name FROM $v1""".stripMargin)
+    },
+
     // Bin-packing OPTIMIZE (Delta's minFileSize form): a big file plus a
     // trickle of small appends; compaction rewrites ONLY the small files
     // — at 100 TB you compact the micro-batch trickle, never the table

@@ -549,6 +549,50 @@ object StreamingQueries {
       TxLog.read(s, t).select("event_type", "cnt")
     },
 
+    // The change-feed answer to "an append-only stream cannot express a
+    // MERGE": changeFeed=true streams each commit's KEYED DIFF (insert/
+    // update/delete + _commit_version) instead of refusing without
+    // ignoreChanges. Each delivered diff reads only the files its commit
+    // touched (TxLog.commitChanges), so a CDC consumer's per-trigger work
+    // follows the write volume, not the table size — the 100 TB path for
+    // downstream incremental pipelines.
+    QueryDef("st34_stream_cdf_feed",
+      "native change-feed stream over a TxLog table: an interleaved MERGE delivers keyed insert/update rows with commit versions",
+      """SELECT event_id, user_id, value, CAST(1 AS BIGINT) AS ver,
+        |  'insert' AS change_type, CAST(1 AS BIGINT) AS _commit_version
+        |FROM events WHERE event_id % 3 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, value, 2, 'insert', 2
+        |FROM events WHERE event_id % 3 = 1
+        |UNION ALL
+        |SELECT event_id, user_id, value + 1000, 2, 'update', 2
+        |FROM events WHERE event_id % 6 = 0""".stripMargin) { (s, dir) =>
+      configureStreaming(s)
+      val t = tmp("graft_st34") + "/t"
+      val ev = graft.Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "value")
+      TxLog.append(ev.filter(pmod(col("event_id"), lit(3)) === 0)
+        .withColumn("ver", lit(1L)), t)                                 // v1
+      // interleaved MERGE: brand-new keys (mod 3 = 1) plus value changes
+      // to existing keys (mod 6 = 0); untouched keys must emit nothing
+      val updates = ev.filter(pmod(col("event_id"), lit(3)) === 1)
+        .withColumn("ver", lit(2L))
+        .unionByName(ev.filter(pmod(col("event_id"), lit(6)) === 0)
+          .withColumn("value", col("value") + 1000)
+          .withColumn("ver", lit(2L)))
+      TxLog.merge(s, t, updates, Seq("event_id"), "ver")                // v2
+      val out = tmp("graft_st34_out")
+      s.readStream.format("graft.sources.txlog").option("path", t)
+        .option("changeFeed", "true").option("keyCols", "event_id")
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp")
+        .option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
     // Schema evolution ACROSS a streaming restart (the Delta streaming
     // source's schema-change contract): a stream fixes its schema at
     // start; a mergeSchema append landing mid-history must FAIL the

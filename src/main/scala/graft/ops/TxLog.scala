@@ -1018,6 +1018,112 @@ object TxLog {
           col("change_type"): _*)
   }
 
+  /** The change-feed row schema for `table` as of a version: key columns
+    * first, remaining table columns, then `change_type` — the column
+    * order [[changes]] and [[commitChanges]] emit. */
+  def cdfSchema(table: String, keyCols: Seq[String],
+      asOf: Option[Long] = None): org.apache.spark.sql.types.StructType = {
+    val s = schemaAsOf(table, asOf).getOrElse(throw new IllegalArgumentException(
+      s"txlog table $table has no schema-carrying commit"))
+    org.apache.spark.sql.types.StructType(
+      keyCols.map(k => s(k)) ++
+        s.fields.filterNot(f => keyCols.contains(f.name)) :+
+        org.apache.spark.sql.types.StructField("change_type",
+          org.apache.spark.sql.types.StringType))
+  }
+
+  /** Keyed change rows produced by ONE commit — O(files the commit
+    * touched), never O(snapshot), which is what makes a streaming
+    * change-feed consumer viable on a 100 TB table. Pre-state = the
+    * files the commit removed plus the data files its new deletion
+    * vectors reference, read as of version−1; post-state = the files it
+    * added plus those same DV'd files, read as of `version` (under the
+    * new DVs). A row in an untouched file is byte-identical in both
+    * states and can never produce a change row, so restricting the diff
+    * to touched files is exact, not an approximation. Classification
+    * matches [[changes]]: insert / delete / update (emitting the new
+    * row), unchanged keys emit nothing. The table's first data commit —
+    * and a [[cloneTable]] bootstrap — is all-insert with no diff. */
+  def commitChanges(spark: SparkSession, table: String, version: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val c = commits(table).find(_.version == version).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog table $table has no commit at version $version"))
+    def empty(): DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      cdfSchema(table, keyCols, Some(version)))
+    def ordered(df: DataFrame, tag: org.apache.spark.sql.Column): DataFrame = {
+      val dataCols = df.columns.filterNot(keyCols.contains).toSeq
+      df.select((keyCols ++ dataCols).map(col) :+
+        tag.alias("change_type"): _*)
+    }
+    if (c.add.isEmpty && c.remove.isEmpty && c.dvAdd.isEmpty) return empty()
+    c.op match {
+      case "optimize" | "optimizeDvs" | "addConstraint" =>
+        empty() // layout/metadata only: no logical row changed
+      case _ =>
+        val bootstrap = c.op == "clone" ||
+          !commits(table).exists(p => p.version < version &&
+            (p.add.nonEmpty || p.dvAdd.nonEmpty))
+        if (bootstrap)
+          return ordered(readFiles(spark, table, c.add, Some(version)),
+            lit("insert"))
+        if (c.op == "append")
+          return ordered(readFiles(spark, table, c.add, Some(version)),
+            lit("insert"))
+        // data files referenced by the commit's new deletion vectors:
+        // their rows changed (some died) without the file moving
+        val dvRefFiles =
+          if (c.dvAdd.isEmpty) Seq.empty[String]
+          else {
+            val keys = spark.read
+              .parquet(c.dvAdd.map(resolve(table, _)): _*)
+              .select("file").distinct().collect()
+              .map(_.getString(0)).toSet
+            activeFiles(table, Some(version))
+              .filter(f => keys.contains(fileKey(f)))
+          }
+        val preFiles = (c.remove ++ dvRefFiles).distinct
+        val postFiles = (c.add ++ dvRefFiles).distinct
+        val preRaw =
+          if (preFiles.isEmpty) empty().drop("change_type")
+          else readFiles(spark, table, preFiles, Some(version - 1))
+        val postRaw =
+          if (postFiles.isEmpty) empty().drop("change_type")
+          else readFiles(spark, table, postFiles, Some(version))
+        // align both states to the union schema (a mergeSchema evolution
+        // lands in this very commit) — same move as [[changes]]
+        val unionFields = postRaw.schema.fields ++
+          preRaw.schema.fields.filterNot(f => postRaw.columns.contains(f.name))
+        def align(df: DataFrame): DataFrame =
+          df.select(unionFields.toSeq.map { f =>
+            if (df.columns.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).alias(f.name)
+          }: _*)
+        val pre = align(preRaw).alias("_pre")
+        val post = align(postRaw).alias("_post")
+        val dataCols = unionFields.map(_.name).filterNot(keyCols.contains).toSeq
+        val keyEq = keyCols.map(k => col(s"_pre.$k") <=> col(s"_post.$k"))
+          .reduce(_ && _)
+        val sameData = dataCols.map(c => col(s"_pre.$c") <=> col(s"_post.$c"))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val preKey = col(s"_pre.${keyCols.head}")
+        val postKey = col(s"_post.${keyCols.head}")
+        pre.join(post, keyEq, "full_outer")
+          .withColumn("change_type",
+            when(preKey.isNull, lit("insert"))
+              .when(postKey.isNull, lit("delete"))
+              .when(!sameData, lit("update")))
+          .filter(col("change_type").isNotNull)
+          .select(
+            keyCols.map(k =>
+              coalesce(col(s"_post.$k"), col(s"_pre.$k")).alias(k)) ++
+              dataCols.map(c => when(postKey.isNull, col(s"_pre.$c"))
+                .otherwise(col(s"_post.$c")).alias(c)) :+
+              col("change_type"): _*)
+    }
+  }
+
   /** File-granular copy-on-write DML core (how Delta runs DELETE/UPDATE):
     * ONE scan tags rows with their file and finds the files that contain
     * any row matching `condition`; only THOSE files are rewritten through

@@ -116,8 +116,30 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val path = pathOf(parameters, "stream")
-    (providerName, schema.getOrElse(TxLogStreamSource.tableSchema(sqlContext, path)))
+    (providerName, schema.getOrElse {
+      cdfKeyCols(parameters) match {
+        case Some(keys) => TxLogStreamSource.cdfStreamSchema(path, keys)
+        case None => TxLogStreamSource.tableSchema(sqlContext, path)
+      }
+    })
   }
+
+  /** `changeFeed=true` + `keyCols=k1,k2`: stream KEYED CHANGE ROWS
+    * (insert/update/delete + `_commit_version`) instead of appended
+    * files — the Delta `readChangeData` analog, and the answer to
+    * "merge/overwrite commits refuse without ignoreChanges": a CDC
+    * consumer reads the deltas as deltas. */
+  private def cdfKeyCols(parameters: Map[String, String]): Option[Seq[String]] =
+    if (!parameters.get("changefeed").exists(_.toBoolean)) None
+    else {
+      val keys = parameters.get("keycols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      require(keys.nonEmpty,
+        "txlog changeFeed=true requires option 'keyCols' " +
+          "(comma-separated key columns the change rows are keyed on)")
+      Some(keys)
+    }
 
   /** `spark.readStream.format("graft.sources.txlog").option("path", …)` —
     * the TxLog table as a native streaming SOURCE (the Delta streaming
@@ -131,6 +153,7 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
       parameters: Map[String, String]): Source = {
     val path = pathOf(parameters, "stream")
     new TxLogStreamSource(sqlContext, path,
+      changeFeedKeys = cdfKeyCols(parameters),
       startingVersion = parameters.get("startingversion").map(_.toLong).getOrElse(0L),
       ignoreChanges = parameters.get("ignorechanges").exists(_.toBoolean),
       ignoreDeletes = parameters.get("ignoredeletes").exists(_.toBoolean),
@@ -319,6 +342,14 @@ object TxLogStreamSource {
         .map(f => if (f.startsWith("/")) f else s"$path/$f")
       sqlContext.sparkSession.read.parquet(files: _*).schema
     }
+
+  /** Change-feed stream schema: the keyed-diff row ([[TxLog.cdfSchema]]:
+    * keys, data columns, `change_type`) plus `_commit_version` — which
+    * commit produced each change row. */
+  def cdfStreamSchema(path: String, keyCols: Seq[String]): StructType =
+    StructType(TxLog.cdfSchema(path, keyCols).fields :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false))
 }
 
 /** The TxLog table as a v1 streaming [[Source]] — Delta streaming-source
@@ -342,6 +373,14 @@ object TxLogStreamSource {
   *     retro-filter it, which is exactly why dvDelete demands the opt-in.
   *   - **clone** bootstrap commits deliver their (absolute) references —
   *     streaming a fresh clone starts from its referenced snapshot.
+  *
+  * **Change-feed mode** (`changeFeed=true` + `keyCols=…`, Delta's
+  * `readChangeData` analog) replaces file delivery entirely: every commit
+  * — merge, overwrite, dvDelete included, no `ignoreChanges` /
+  * `ignoreDeletes` escape hatches needed — streams as its KEYED DIFF
+  * (insert / update / delete rows + `_commit_version`), computed from
+  * only the files the commit touched ([[TxLog.commitChanges]]). This is
+  * the CDC-consumer path the refusal errors above point at.
   *
   * `startingVersion` (default 0) skips commits at or below it: 0 streams
   * the table from genesis (for an append-only table, the full contents),
@@ -379,13 +418,17 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
     startingVersion: Long, ignoreChanges: Boolean, ignoreDeletes: Boolean,
     maxVersionsPerTrigger: Option[Long], maxFilesPerTrigger: Option[Long],
     maxBytesPerTrigger: Option[Long],
-    fixedSchema: Option[StructType]) extends Source
+    fixedSchema: Option[StructType],
+    changeFeedKeys: Option[Seq[String]] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
 
   override val schema: StructType =
-    fixedSchema.getOrElse(TxLogStreamSource.tableSchema(sqlContext, path))
+    fixedSchema.getOrElse(changeFeedKeys match {
+      case Some(keys) => TxLogStreamSource.cdfStreamSchema(path, keys)
+      case None => TxLogStreamSource.tableSchema(sqlContext, path)
+    })
 
   /** Trigger.AvailableNow support (admission control): the version cap is
     * pinned when the trigger prepares, so the run drains exactly the
@@ -467,9 +510,49 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
         "drop the new columns. Restart the stream: the checkpoint resumes " +
         "from this version under the evolved schema")
 
+  /** The vacuum × startingVersion guard: a stream positioned below the
+    * vacuum horizon must FAIL LOUDLY, never silently skip — delivering a
+    * commit whose files were swept would quietly lose rows downstream.
+    * Existence checks are metadata-scale (one stat per delivered file on
+    * the local/shared FS this source targets — see [[sizeOnDisk]]). */
+  private def ensureOnDisk(version: Long, files: Seq[String]): Unit = {
+    val missing = files
+      .map(f => if (f.startsWith("/")) f else s"$path/$f")
+      .filterNot(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"txlog stream on $path: commit version $version references " +
+        s"${missing.size} file(s) no longer on disk (e.g. ${missing.head}) " +
+        "— vacuum has swept past this stream's position. Silently " +
+        "skipping would lose rows; restart with startingVersion at or " +
+        "above the earliest fully-retained version")
+  }
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)
     val to = ver(end)
+    changeFeedKeys.foreach { keys =>
+      // change-feed mode: deliver each commit's KEYED DIFF (insert/
+      // update/delete + _commit_version) instead of its added files —
+      // merge/overwrite/dvDelete commits stream as the deltas they are,
+      // no ignoreChanges escape hatch needed. Each commit's diff reads
+      // only the files that commit touched (TxLog.commitChanges), so a
+      // micro-batch's work is bounded by the admitted commits' writes.
+      import org.apache.spark.sql.functions.lit
+      val spark = sqlContext.sparkSession
+      val perCommit = TxLog.commits(path)
+        .filter(c => c.version > from && c.version <= to)
+        .map { c =>
+          if (c.add.nonEmpty) checkSchemaDrift(c)
+          ensureOnDisk(c.version, c.add ++ c.remove)
+          TxLog.commitChanges(spark, path, c.version, keys)
+            .withColumn("_commit_version", lit(c.version))
+        }
+      val out = perCommit.reduceOption(_ unionByName _).getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      return org.apache.spark.sql.execution.streaming
+        .GraftSourceShim.asStreaming(out)
+    }
     val files = TxLog.commits(path)
       .filter(c => c.version > from && c.version <= to)
       .flatMap { c =>
@@ -481,7 +564,7 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
         if (c.add.isEmpty && c.remove.isEmpty && c.dvAdd.isEmpty) Seq.empty
         else {
         if (c.add.nonEmpty) checkSchemaDrift(c)
-        c.op match {
+        val delivered = c.op match {
           case "append" | "clone" => c.add
           case "optimize" | "optimizeDvs" | "addConstraint" => Seq.empty
           case "dvDelete" =>
@@ -500,6 +583,8 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
                 "change feed instead")
             c.add
         }
+        ensureOnDisk(c.version, delivered)
+        delivered
         }
       }
       .map(f => if (f.startsWith("/")) f else s"$path/$f")

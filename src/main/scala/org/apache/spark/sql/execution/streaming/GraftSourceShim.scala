@@ -31,6 +31,16 @@ object GraftSourceShim {
         cdf.queryExecution.toRdd, cdf, isStreaming = false))
   }
 
+  /** Streaming-flag an arbitrary computed batch plan — the change-feed
+    * source's rows are a keyed diff, not a raw parquet scan, so they
+    * can't go through [[streamingParquetBatch]]. Mirror of [[asBatch]]. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[CDataset[org.apache.spark.sql.Row]]
+    CDataset.ofRows(cdf.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        cdf.queryExecution.toRdd, cdf, isStreaming = true))
+  }
+
   /** A streaming-flagged batch DataFrame over exactly `paths`, read as
     * parquet with the given schema; an empty path list yields an empty
     * streaming-flagged batch. */

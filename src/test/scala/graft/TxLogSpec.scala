@@ -1222,6 +1222,104 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  // Write-write conflict matrix: pairwise concurrent {merge, dvDelete,
+  // optimizeSmall, copyOnWrite-update} interleavings. The optimistic
+  // commit loop makes the loser of a version race re-derive against the
+  // winner's snapshot, so whatever order the pair lands in, the final
+  // table must show BOTH effects — no lost updates, no resurrected rows,
+  // no duplicates. Concurrency makes real races likely; the invariants
+  // hold under every interleaving including the serialized ones.
+  private def concurrently(a: => Long, b: => Long): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (fa, fb) = (Future(a), Future(b))
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+  }
+
+  private def kvTable(): String = {
+    import org.apache.spark.sql.functions.lit
+    val t = table()
+    TxLog.append(spark.range(0, 100).toDF("k")
+      .withColumn("v", lit(0L)).withColumn("ver", lit(1L))
+      .repartition(4), t, statsCols = Seq("k"))
+    t
+  }
+
+  private def upd(keys: Range, v: Long) = {
+    import org.apache.spark.sql.functions.lit
+    spark.createDataFrame(keys.map(k => (k.toLong, v, 2L)))
+      .toDF("k", "v", "ver")
+  }
+
+  private def snapshot(t: String): Map[Long, Long] =
+    TxLog.read(spark, t).select("k", "v").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (k, rows) =>
+        assert(rows.length === 1, s"duplicate rows for key $k")
+        k -> rows.head._2
+      }
+
+  test("conflict matrix: merge x merge on disjoint keys — both land") {
+    val t = kvTable()
+    concurrently(
+      TxLog.merge(spark, t, upd(0 until 10, 1L), Seq("k"), "ver"),
+      TxLog.merge(spark, t, upd(50 until 60, 2L), Seq("k"), "ver"))
+    val snap = snapshot(t)
+    assert(snap.size === 100)
+    assert((0 until 10).forall(k => snap(k) === 1L), "merge A lost")
+    assert((50 until 60).forall(k => snap(k) === 2L), "merge B lost")
+    assert(snap.count(_._2 == 0L) === 80)
+    // the two merges committed distinct versions (no silent overwrite)
+    assert(TxLog.commits(t).count(_.op == "merge") === 2)
+  }
+
+  test("conflict matrix: merge x dvDelete — update lands, deleted rows stay dead") {
+    import org.apache.spark.sql.functions.col
+    val t = kvTable()
+    concurrently(
+      TxLog.merge(spark, t, upd(50 until 60, 2L), Seq("k"), "ver"),
+      TxLog.deleteVectors(spark, t, col("k") < 10))
+    val snap = snapshot(t)
+    assert(snap.size === 90, s"expected 90 live keys, got ${snap.size}")
+    assert((0 until 10).forall(k => !snap.contains(k)), "deleted rows resurrected")
+    assert((50 until 60).forall(k => snap(k) === 2L), "merge lost to dvDelete")
+  }
+
+  test("conflict matrix: merge x optimizeSmall — compaction never undoes the merge") {
+    val t = kvTable()
+    concurrently(
+      TxLog.merge(spark, t, upd(10 until 30, 3L), Seq("k"), "ver"),
+      TxLog.optimizeSmall(spark, t, minFileSizeBytes = 1 << 30).getOrElse(-1L))
+    val snap = snapshot(t)
+    assert(snap.size === 100)
+    assert((10 until 30).forall(k => snap(k) === 3L), "merge lost to compaction")
+    assert(snap.count(_._2 == 0L) === 80)
+  }
+
+  test("conflict matrix: dvDelete x optimizeSmall — deletes survive the rewrite") {
+    import org.apache.spark.sql.functions.col
+    val t = kvTable()
+    concurrently(
+      TxLog.deleteVectors(spark, t, col("k") >= 90),
+      TxLog.optimizeSmall(spark, t, minFileSizeBytes = 1 << 30).getOrElse(-1L))
+    val snap = snapshot(t)
+    assert(snap.size === 90)
+    assert((90 until 100).forall(k => !snap.contains(k)), "deleted rows resurrected by compaction")
+  }
+
+  test("conflict matrix: copyOnWrite update x merge on disjoint predicates") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = kvTable()
+    concurrently(
+      TxLog.update(spark, t, col("k") < 10, Map("v" -> lit(7L))),
+      TxLog.merge(spark, t, upd(50 until 60, 2L), Seq("k"), "ver"))
+    val snap = snapshot(t)
+    assert(snap.size === 100)
+    assert((0 until 10).forall(k => snap(k) === 7L), "UPDATE lost")
+    assert((50 until 60).forall(k => snap(k) === 2L), "merge lost")
+    assert(snap.count(_._2 == 0L) === 80)
+  }
+
   test("utf8Cmp orders by UTF-8 bytes, matching Spark's string min/max collation") {
     assert(TxLog.utf8Cmp("100", "9") < 0) // lexicographic, NOT numeric
     assert(TxLog.utf8Cmp("apple", "apple") === 0)

@@ -308,4 +308,62 @@ class TxLogStreamSourceSpec extends SparkSpec {
     assert(spark.read.parquet(sink).as[Long].collect().toSet ===
       (0L until 10L).toSet)
   }
+
+  test("a stream below the vacuum horizon fails loudly; from the horizon it resumes correctly") {
+    val t = table()
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)                 // v1
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)                 // v2
+    TxLog.optimize(spark, t, targetFiles = 1)                      // v3 rewrite
+    TxLog.vacuum(t, retainVersions = 1)                            // v1/v2 files swept
+    // genesis stream positioned below the horizon: the swept files CAN'T
+    // be delivered — the source must refuse with a pointed error, never
+    // silently skip (that would quietly lose v1/v2's rows downstream)
+    val e = intercept[StreamingQueryException] {
+      drain(t, tmpDir("txvac_cp1"), tmpDir("txvac_s1"))
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    assert(e.getMessage.contains("startingVersion"), e.getMessage)
+    // positioned at the horizon (the optimize), the stream resumes
+    // correctly: only post-horizon commits deliver
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)                 // v4
+    val sink = tmpDir("txvac_s2")
+    drain(t, tmpDir("txvac_cp2"), sink, Map("startingVersion" -> "3"))
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet ===
+      Set((3L, "c")))
+  }
+
+  test("changeFeed=true streams keyed change rows across MERGE, dvDelete, and resume") {
+    val t = table()
+    TxLog.append(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("k", "v", "ver"), t)                                   // v1
+    TxLog.merge(spark, t, Seq((2L, "B", 2L), (4L, "d", 2L))
+      .toDF("k", "v", "ver"), Seq("k"), "ver")                     // v2
+    val cp = tmpDir("txcdf_cp"); val sink = tmpDir("txcdf_sink")
+    def drainCdf(): Unit = drain(t, cp, sink,
+      Map("changeFeed" -> "true", "keyCols" -> "k"))
+    drainCdf()
+    def got() = spark.read.parquet(sink)
+      .select("k", "v", "ver", "change_type", "_commit_version")
+      .as[(Long, String, Long, String, Long)].collect().toSet
+    // v1 bootstraps as inserts; v2's merge streams as its keyed delta —
+    // the untouched key 1 (and the unchanged content of key 3, whose
+    // file WAS rewritten) emit nothing
+    assert(got() === Set(
+      (1L, "a", 1L, "insert", 1L), (2L, "b", 1L, "insert", 1L),
+      (3L, "c", 1L, "insert", 1L),
+      (2L, "B", 2L, "update", 2L), (4L, "d", 2L, "insert", 2L)))
+    // resume past the checkpoint: a dvDelete streams as delete rows (no
+    // ignoreDeletes escape hatch), an OPTIMIZE streams nothing
+    TxLog.deleteVectors(spark, t, col("k") === 3L)                 // v3
+    TxLog.optimize(spark, t, targetFiles = 1)                      // v4
+    drainCdf()
+    assert(got() === Set(
+      (1L, "a", 1L, "insert", 1L), (2L, "b", 1L, "insert", 1L),
+      (3L, "c", 1L, "insert", 1L),
+      (2L, "B", 2L, "update", 2L), (4L, "d", 2L, "insert", 2L),
+      (3L, "c", 1L, "delete", 3L)))
+    // idle resume delivers nothing
+    drainCdf()
+    assert(spark.read.parquet(sink).count() === 6)
+  }
 }
