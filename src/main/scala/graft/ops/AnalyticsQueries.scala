@@ -533,6 +533,32 @@ object AnalyticsQueries {
         .select("c_custkey", "c_name", "c_acctbal")
     },
 
+    // The STRING twin of src_txlog_skipping: string columns record their
+    // per-file bounds as strings (sstats, UTF-8 byte order — casting a
+    // lexicographic min/max through double records inverted garbage for
+    // numeric-looking strings), and readStringRange prunes by them. The
+    // two appends split customer on c_name's zero-padded midpoint, so
+    // each file's name range is disjoint and the narrow read plans one.
+    QueryDef("src_txlog_skipping_string",
+      "TxLog string data skipping: sstats bounds in commits; lexicographically pruned name-range read ≡ full-scan filter",
+      s"""SELECT c_custkey, c_name, c_acctbal
+         |FROM read_parquet('${QueryDef.StageSql}/txskipstr_in/*.parquet')
+         |WHERE c_name BETWEEN 'Customer#000000020' AND 'Customer#000000045'""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txskipstr_in")
+      val in = s.read.parquet(s"$stage/txskipstr_in")
+      val table = Files.createTempDirectory("graft_txskipstr").toString + "/t"
+      TxLog.append(in.filter(col("c_name") < "Customer#000000075"), table,
+        statsCols = Seq("c_name"))
+      TxLog.append(in.filter(col("c_name") >= "Customer#000000075"), table,
+        statsCols = Seq("c_name"))
+      TxLog.readStringRange(s, table, "c_name",
+        "Customer#000000020", "Customer#000000045")
+        .select("c_custkey", "c_name", "c_acctbal")
+    },
+
     // Change data feed (Delta table_changes): v2 rewrites the table with
     // updates, deletes, and inserts; changes(v1→v2) must classify every
     // key — insert / delete / update via null-safe column compares —

@@ -752,6 +752,21 @@ object TxLog {
     }
   }
 
+  /** Stats-pruned STRING range read — the sstats twin of [[readRange]]:
+    * plan only the files [[filesForStringRange]] keeps (bounds compared
+    * in UTF-8 byte order, the order Spark's string comparison operators
+    * and the recorded min/max both use), then apply the exact row-level
+    * filter. Result is identical to filtering a full [[read]] — files
+    * without recorded string stats are always read. */
+  def readStringRange(spark: SparkSession, table: String, colName: String,
+      lo: String, hi: String, asOf: Option[Long] = None): DataFrame = {
+    val keep = filesForStringRange(table, colName, lo, hi, asOf)
+    val base =
+      if (keep.nonEmpty) readFiles(spark, table, keep, asOf)
+      else read(spark, table, asOf) // degenerate: keep schema, filter to ∅
+    base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
   /** Keyed MERGE: per `keyCols` keep the highest-`versionCol` row (ties →
     * incoming wins), committed as one new txlog version. Optimistic: a lost
     * commit race re-reads the new snapshot and re-merges. */

@@ -1144,6 +1144,25 @@ class TxLogSpec extends SparkSpec {
         ("melon", "m", 1L), ("zebra", "z", 1L)))
   }
 
+  test("readStringRange prunes files by sstats and matches the full-scan filter") {
+    val t = table()
+    Seq(Seq("apple", "cherry"), Seq("fig", "mango"), Seq("peach", "zebra"))
+      .foreach { ks =>
+        TxLog.append(ks.map(k => (k, k.length.toLong)).toDF("k", "n")
+          .coalesce(1), t, statsCols = Seq("k"))
+      }
+    val pruned = TxLog.filesForStringRange(t, "k", "fig", "grape")
+    assert(pruned.nonEmpty && pruned.size < TxLog.activeFiles(t).size,
+      s"sstats should prune: ${pruned.size} of ${TxLog.activeFiles(t).size}")
+    assert(TxLog.readStringRange(spark, t, "k", "fig", "grape")
+      .as[(String, Long)].collect().toSet === Set(("fig", 3L)))
+    // a commit without string stats is conservative: always read
+    TxLog.append(Seq(("gorilla", 7L)).toDF("k", "n"), t)
+    assert(TxLog.readStringRange(spark, t, "k", "fig", "grape")
+      .as[(String, Long)].collect().toSet ===
+      Set(("fig", 3L), ("gorilla", 7L)))
+  }
+
   test("DV-filtered reads survive a user table with start/end columns") {
     import org.apache.spark.sql.functions.col
     val t = table()
