@@ -956,12 +956,14 @@ object StreamingQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ver DESC) AS rn FROM v)
         |SELECT user_id, event_id, event_type, value, ver FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
       val target = tmp("graft_st19") + "/t"
+      val cp = tmp("graft_st19_cp")
       eventsStream(s, stageEventsDir(s, dir))
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).alias("ver"))
         .writeStream
-        .foreachBatch(TxLog.sink(target, Seq("user_id"), "ver") _)
-        .option("checkpointLocation", tmp("graft_st19_cp"))
+        // checkpoint location doubles as the replay-guard stream identity
+        .foreachBatch(TxLog.sink(target, Seq("user_id"), "ver", Some(cp)) _)
+        .option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow())
         .start().awaitTermination()
       TxLog.read(s, target)
@@ -982,6 +984,7 @@ object StreamingQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ver DESC) AS rn FROM v)
         |SELECT user_id, event_id, value, ver FROM r WHERE rn = 1 AND op <> 'delete'""".stripMargin) { (s, dir) =>
       val target = tmp("graft_st23") + "/t"
+      val cp = tmp("graft_st23_cp")
       eventsStream(s, stageEventsDir(s, dir))
         .select(col("user_id"), col("event_id"), col("value"),
           unix_micros(col("ts")).alias("ver"),
@@ -989,8 +992,10 @@ object StreamingQueries {
               pmod(col("event_id"), lit(5)) === 0, lit("delete"))
             .otherwise(lit("upsert")).alias("op"))
         .writeStream
-        .foreachBatch(TxLog.cdcSink(target, Seq("user_id"), "ver", "op") _)
-        .option("checkpointLocation", tmp("graft_st23_cp"))
+        // checkpoint location doubles as the replay-guard stream identity
+        .foreachBatch(
+          TxLog.cdcSink(target, Seq("user_id"), "ver", "op", Some(cp)) _)
+        .option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow())
         .start().awaitTermination()
       TxLog.read(s, target)

@@ -1161,6 +1161,18 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.readStringRange(spark, t, "k", "fig", "grape")
       .as[(String, Long)].collect().toSet ===
       Set(("fig", 3L), ("gorilla", 7L)))
+    // skipping survives clustered compaction: OPTIMIZE clusterBy on the
+    // string key re-records sstats on the compacted files (disjoint
+    // lexicographic ranges), so the narrow read prunes back down
+    import org.apache.spark.sql.functions.col
+    TxLog.optimize(spark, t, targetFiles = 3,
+      clusterBy = Seq(col("k")), statsCols = Seq("k"))
+    val afterOpt = TxLog.filesForStringRange(t, "k", "fig", "grape")
+    assert(afterOpt.size < TxLog.activeFiles(t).size,
+      s"post-optimize sstats should prune: ${afterOpt.size} of ${TxLog.activeFiles(t).size}")
+    assert(TxLog.readStringRange(spark, t, "k", "fig", "grape")
+      .as[(String, Long)].collect().toSet ===
+      Set(("fig", 3L), ("gorilla", 7L)))
   }
 
   test("DV-filtered reads survive a user table with start/end columns") {
