@@ -559,6 +559,27 @@ object AnalyticsQueries {
         .select("c_custkey", "c_name", "c_acctbal")
     },
 
+    // Event-time data skipping — the single most common pruning shape at
+    // lake scale (time-clustered fact tables, time-bounded reads).
+    // Timestamp statsCols record epoch-seconds double bounds; readRange
+    // compares through the identical cast, so both engines evaluate the
+    // same IEEE-754 seconds from the same exact microsecond integers.
+    QueryDef("src_txlog_skipping_time",
+      "TxLog event-time data skipping: timestamp stats in commits; time-range read ≡ full-scan filter",
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+        |WHERE epoch(ts) >= 1704844800.0 AND epoch(ts) <= 1705017599.0""".stripMargin) { (s, dir) =>
+      val table = Files.createTempDirectory("graft_txskiptime").toString + "/t"
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      TxLog.append(ev.filter(col("ts") < split), table, statsCols = Seq("ts"))
+      TxLog.append(ev.filter(col("ts") >= split), table, statsCols = Seq("ts"))
+      // Jan 10–11 inclusive (epoch seconds): prunes the second-half file
+      TxLog.readRange(s, table, "ts", 1704844800.0, 1705017599.0)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).alias("ts_us"), col("value"))
+    },
+
     // Change data feed (Delta table_changes): v2 rewrites the table with
     // updates, deletes, and inserts; changes(v1→v2) must classify every
     // key — insert / delete / update via null-safe column compares —

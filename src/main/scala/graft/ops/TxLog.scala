@@ -593,8 +593,7 @@ object TxLog {
       files: Seq[String], statsCols: Seq[String]): (Map[String, Map[String, (Double, Double)]], Map[String, Map[String, (String, String)]]) = {
     if (statsCols.isEmpty || files.isEmpty) return (Map.empty, Map.empty)
     val df = spark.read.parquet(files.map(f => s"$table/$f"): _*)
-    val numCols = statsCols.filter(c =>
-      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val numCols = statsCols.filter(c => doubleCastable(df.schema(c).dataType))
     val strCols = statsCols.filter(c =>
       df.schema(c).dataType == org.apache.spark.sql.types.StringType)
     val kept = numCols ++ strCols
@@ -622,6 +621,18 @@ object TxLog {
       perFile[String](strCols, 1 + 2 * numCols.size, _.getString(_))
         .filter(_._2.nonEmpty))
   }
+
+  /** Types whose min/max cast to double losslessly enough for range
+    * stats: numerics, and timestamps (epoch seconds — the same cast
+    * [[mergeKeyBounds]] and range callers apply, so units always agree).
+    * Event-time is the most common clustering column at lake scale;
+    * without this a time-range read would open every footer. */
+  private def doubleCastable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _: org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
 
   /** Lexicographic comparison in UTF-8 byte (unsigned) order — the same
     * total order Spark's UTF8String binary collation uses for string
@@ -748,7 +759,15 @@ object TxLog {
       if (keep.nonEmpty) readFiles(spark, table, keep, asOf)
       else read(spark, table, asOf) // degenerate: keep schema, filter to ∅
     ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>
-      df.filter(col(c) >= lo && col(c) <= hi)
+      // timestamp columns compare through the same epoch-seconds double
+      // cast their stats recorded; numeric columns compare natively so
+      // the predicate still pushes to the parquet scan
+      val cc =
+        if (df.schema(c).dataType
+            .isInstanceOf[org.apache.spark.sql.types.TimestampType])
+          col(c).cast("double")
+        else col(c)
+      df.filter(cc >= lo && cc <= hi)
     }
   }
 
@@ -798,7 +817,7 @@ object TxLog {
       else Some((get(r, 0), get(r, 1)))
     }
     updates.schema(keyCols.head).dataType match {
-      case _: org.apache.spark.sql.types.NumericType =>
+      case dt if doubleCastable(dt) =>
         bounds(k.cast("double"))(_.getDouble(_)).map((NumBounds.apply _).tupled)
       case org.apache.spark.sql.types.StringType =>
         bounds(k)(_.getString(_)).map((StrBounds.apply _).tupled)

@@ -1175,6 +1175,35 @@ class TxLogSpec extends SparkSpec {
       Set(("fig", 3L), ("gorilla", 7L)))
   }
 
+  test("timestamp columns record range stats and prune reads and merges") {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    val t = table()
+    // three files with disjoint hour ranges of event time
+    (0 until 3).foreach { h =>
+      TxLog.append(spark.range(0, 10).toDF("i")
+        .select((col("i") + h * 10).alias("k"),
+          timestamp_micros(col("i") * 1000000L + h * 3600000000L)
+            .alias("ts"), lit(1L).alias("ver")).coalesce(1),
+        t, statsCols = Seq("ts", "k"))
+    }
+    // time-range read prunes to the middle hour (bounds in epoch seconds,
+    // the same cast the stats recorded)
+    val pruned = TxLog.filesForRange(t, "ts", 3600.0, 3609.0)
+    assert(pruned.size === 1, s"expected 1 file, got ${pruned.size}")
+    assert(TxLog.readRange(spark, t, "ts", 3600.0, 3609.0).count() === 10)
+    // a merge keyed on the timestamp prunes to the file holding the key
+    val before = TxLog.activeFiles(t).toSet
+    TxLog.merge(spark, t,
+      Seq((99L, 3605000000L, 2L)).toDF("k", "ts", "ver")
+        .select(col("k"), timestamp_micros(col("ts")).alias("ts"), col("ver")),
+      Seq("ts"), "ver")
+    val untouchedKept = TxLog.activeFiles(t).toSet.intersect(before)
+    assert(untouchedKept.size === 2,
+      s"timestamp-keyed merge should rewrite 1 of 3 files, kept $untouchedKept")
+    assert(TxLog.read(spark, t).filter(col("k") === 99L).count() === 1)
+    assert(TxLog.read(spark, t).count() === 30)
+  }
+
   test("DV-filtered reads survive a user table with start/end columns") {
     import org.apache.spark.sql.functions.col
     val t = table()
