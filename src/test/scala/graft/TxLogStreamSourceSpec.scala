@@ -332,6 +332,24 @@ class TxLogStreamSourceSpec extends SparkSpec {
       Set((3L, "c")))
   }
 
+  test("changeFeed composes with startingVersion and maxVersionsPerTrigger") {
+    val t = table()
+    TxLog.append(Seq((1L, "a", 1L)).toDF("k", "v", "ver"), t)      // v1
+    TxLog.append(Seq((2L, "b", 1L)).toDF("k", "v", "ver"), t)      // v2
+    TxLog.merge(spark, t, Seq((1L, "A", 2L)).toDF("k", "v", "ver"),
+      Seq("k"), "ver")                                             // v3
+    val sink = tmpDir("txcdfsv_sink")
+    // consumer joins mid-history: v1/v2 skipped, only v3's delta streams,
+    // one version per micro-batch (the admission cap applies unchanged)
+    drain(t, tmpDir("txcdfsv_cp"), sink, Map(
+      "changeFeed" -> "true", "keyCols" -> "k",
+      "startingVersion" -> "2", "maxVersionsPerTrigger" -> "1"))
+    assert(spark.read.parquet(sink)
+      .select("k", "v", "ver", "change_type", "_commit_version")
+      .as[(Long, String, Long, String, Long)].collect().toSet ===
+      Set((1L, "A", 2L, "update", 3L)))
+  }
+
   test("changeFeed=true streams keyed change rows across MERGE, dvDelete, and resume") {
     val t = table()
     TxLog.append(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
