@@ -789,48 +789,76 @@ object TxLog {
   /** Keyed MERGE: per `keyCols` keep the highest-`versionCol` row (ties →
     * incoming wins), committed as one new txlog version. Optimistic: a lost
     * commit race re-reads the new snapshot and re-merges. */
-  /** Typed bounds of a single merge key over the incoming batch. A
-    * NumericType key yields double bounds (pruned via [[filesForRange]]);
-    * a StringType key yields lexicographic string bounds (pruned via
-    * [[filesForStringRange]] against `sstats` — NEVER cast through
-    * double: '9' > '100' lexicographically but 9.0 < 100.0, so a
-    * double-cast bound can wrongly prune a file holding a contested key,
-    * leaving a stale row beside the new one). */
-  private sealed trait KeyBounds
-  private final case class NumBounds(lo: Double, hi: Double) extends KeyBounds
-  private final case class StrBounds(lo: String, hi: String) extends KeyBounds
+  /** Typed per-column bounds of the merge keys over the incoming batch:
+    * numeric/timestamp key columns yield double bounds (pruned against
+    * `stats`), string key columns lexicographic bounds (pruned against
+    * `sstats` — NEVER cast through double: '9' > '100' lexicographically
+    * but 9.0 < 100.0, so a double-cast bound can wrongly prune a file
+    * holding a contested key, leaving a stale row beside the new one). */
+  private final case class KeyBounds(
+      num: Map[String, (Double, Double)],
+      str: Map[String, (String, String)])
 
-  /** Bounds of a single merge key over the incoming batch, or None when
-    * pruning can't be proven sound: multiple key columns, a key type
-    * without sound stats (only NumericType and StringType qualify), any
-    * NULL key in the batch (null-key rows fall outside every stats range,
-    * so an existing null-key row could hide in a "kept" file), or an
-    * empty batch. One driver-side aggregate row. */
+  /** Per-column bounds of the merge keys over the incoming batch, or
+    * None when no column can prune. Composite keys prune CONJUNCTIVELY:
+    * a file can hold a contested composite key only if EVERY bounded
+    * column's recorded range intersects that column's batch bounds, so
+    * each soundly-bounded column narrows the touched set independently.
+    * A column contributes no bound when its type has no sound stats
+    * (only numeric/timestamp and string qualify) or when the batch has
+    * ANY null in it — a null-keyed incoming row contests existing rows
+    * whose value in that column is null, and those rows sit outside
+    * every recorded range (stats ignore nulls), so pruning on that
+    * column could strand a stale row. Empty batch → None (caller keeps
+    * the historical full-rewrite behavior). One driver-side aggregate
+    * row for all columns. */
   private def mergeKeyBounds(updates: DataFrame,
       keyCols: Seq[String]): Option[KeyBounds] = {
-    if (keyCols.size != 1) return None
-    val k = col(keyCols.head)
-    def bounds[T](c: org.apache.spark.sql.Column)(get: (Row, Int) => T): Option[(T, T)] = {
-      val r = updates.agg(min(c), max(c), count(lit(1)), count(c)).head()
-      if (r.getLong(2) == 0L || r.getLong(3) != r.getLong(2) || r.isNullAt(0))
-        None
-      else Some((get(r, 0), get(r, 1)))
+    val numCols = keyCols.filter(c => doubleCastable(updates.schema(c).dataType))
+    val strCols = keyCols.filter(c =>
+      updates.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    if (numCols.isEmpty && strCols.isEmpty) return None
+    val aggs = Seq(count(lit(1)).alias("__n")) ++
+      numCols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double")), count(col(c)))) ++
+      strCols.flatMap(c => Seq(min(col(c)), max(col(c)), count(col(c))))
+    val r = updates.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(0)
+    if (n == 0L) return None
+    def slot[T](base: Int, i: Int, get: (Row, Int) => T): Option[(T, T)] = {
+      val at = base + 3 * i
+      if (r.getLong(at + 2) != n || r.isNullAt(at)) None
+      else Some((get(r, at), get(r, at + 1)))
     }
-    updates.schema(keyCols.head).dataType match {
-      case dt if doubleCastable(dt) =>
-        bounds(k.cast("double"))(_.getDouble(_)).map((NumBounds.apply _).tupled)
-      case org.apache.spark.sql.types.StringType =>
-        bounds(k)(_.getString(_)).map((StrBounds.apply _).tupled)
-      case _ => None
-    }
+    val num = numCols.zipWithIndex.flatMap { case (c, i) =>
+      slot(1, i, _.getDouble(_)).map(c -> _) }.toMap
+    val str = strCols.zipWithIndex.flatMap { case (c, i) =>
+      slot(1 + 3 * numCols.size, i, _.getString(_)).map(c -> _) }.toMap
+    if (num.isEmpty && str.isEmpty) None else Some(KeyBounds(num, str))
   }
 
-  /** Files a merge/applyChanges batch with `bounds` on `keyCol` may
-    * contest — dispatches to the numeric or lexicographic pruner. */
-  private def filesForKeyBounds(table: String, keyCol: String,
-      bounds: KeyBounds, asOf: Option[Long]): Seq[String] = bounds match {
-    case NumBounds(lo, hi) => filesForRange(table, keyCol, lo, hi, asOf)
-    case StrBounds(lo, hi) => filesForStringRange(table, keyCol, lo, hi, asOf)
+  /** Files a merge/applyChanges batch with `bounds` may contest:
+    * conjunctive intersection over every bounded column, numeric bounds
+    * against `stats`, string bounds lexicographically against `sstats`;
+    * files without recorded stats for a column pass that column's test
+    * (they could hold any key). */
+  private def filesForKeyBounds(table: String,
+      bounds: KeyBounds, asOf: Option[Long]): Seq[String] = {
+    val nstats = commits(table).flatMap(_.stats).toMap
+    val lstats = commits(table).flatMap(_.sstats).toMap
+    activeFiles(table, asOf).filter { f =>
+      bounds.num.forall { case (c, (lo, hi)) =>
+        nstats.get(f).flatMap(_.get(c)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      } &&
+      bounds.str.forall { case (c, (lo, hi)) =>
+        lstats.get(f).flatMap(_.get(c)) match {
+          case Some((mn, mx)) => utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0
+          case None => true
+        }
+      }
+    }
   }
 
   def merge(spark: SparkSession, table: String, updates: DataFrame,
@@ -853,7 +881,7 @@ object TxLog {
       val touched =
         if (base.isEmpty) Seq.empty
         else keyBounds match {
-          case Some(b) => filesForKeyBounds(table, keyCols.head, b, base)
+          case Some(b) => filesForKeyBounds(table, b, base)
           case None => allActive
         }
       val untouched = allActive.filterNot(touched.toSet)
@@ -943,7 +971,7 @@ object TxLog {
       val touched =
         if (base.isEmpty) Seq.empty
         else keyBounds match {
-          case Some(b) => filesForKeyBounds(table, keyCols.head, b, base)
+          case Some(b) => filesForKeyBounds(table, b, base)
           case None => allActive
         }
       val untouched = allActive.filterNot(touched.toSet)

@@ -1204,6 +1204,40 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t).count() === 30)
   }
 
+  test("composite-key merge prunes conjunctively; null-keyed batches disable only that column") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    // 2x2 file grid over (region, k): each file owns one (region, k-range)
+    for (r <- Seq("eu", "us"); base <- Seq(0L, 100L))
+      TxLog.append((base until base + 10).map(k => (r, k, s"$r$k", 1L))
+        .toDF("region", "k", "v", "ver").coalesce(1), t,
+        statsCols = Seq("region", "k"))
+    val before = TxLog.activeFiles(t).toSet
+    // contest only (us, 105): string bound on region AND numeric bound on
+    // k — conjunctive pruning must rewrite exactly ONE of four files
+    TxLog.merge(spark, t,
+      Seq(("us", 105L, "UPDATED", 2L)).toDF("region", "k", "v", "ver"),
+      Seq("region", "k"), "ver")
+    val kept = TxLog.activeFiles(t).toSet.intersect(before)
+    assert(kept.size === 3,
+      s"composite bounds should keep 3 of 4 files, kept ${kept.size}")
+    val snap = TxLog.read(spark, t)
+    assert(snap.count() === 40)
+    assert(snap.filter(col("region") === "us" && col("k") === 105L)
+      .select("v").as[String].head() === "UPDATED")
+    // a null in ONE key column drops only that column's bound: k still
+    // prunes to the two base-100 files; the stale-null hazard is dodged
+    // because no existing row has a null region
+    val before2 = TxLog.activeFiles(t).toSet
+    TxLog.merge(spark, t,
+      Seq((null.asInstanceOf[String], 101L, "x", 3L))
+        .toDF("region", "k", "v", "ver"),
+      Seq("region", "k"), "ver")
+    val kept2 = TxLog.activeFiles(t).toSet.intersect(before2)
+    assert(kept2.size >= 2, s"k-bound should still prune, kept ${kept2.size}")
+    assert(TxLog.read(spark, t).count() === 41) // null-key row inserted
+  }
+
   test("DV-filtered reads survive a user table with start/end columns") {
     import org.apache.spark.sql.functions.col
     val t = table()
