@@ -50,7 +50,16 @@ object GraftFunctions {
     // graft.ops.BloomSemi for the build-then-literal pattern
     ("bloom_might_contain", "membership probe against serialized bloom-filter bytes",
       es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        es.head, es(1))))
+        es.head, es(1))),
+    // The matching builder (Spark's runtime-filter sketch aggregate):
+    // bloom_agg(xxhash64(col), estItems, numBits) -> serialized filter
+    // bytes. Partial per-task filters OR together map-side, so a grouped
+    // build (TxLog's per-file bloom index) is one distributed aggregation.
+    // Feed it PRE-HASHED longs and probe with the same hash — the sketch
+    // stores exactly the longs it was given.
+    ("bloom_agg", "bloom-filter build over pre-hashed longs (grouped sketch aggregate)",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es.head, es(1), es(2))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, _, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -559,6 +559,36 @@ object AnalyticsQueries {
         .select("c_custkey", "c_name", "c_acctbal")
     },
 
+    // Bloom-index point lookup — the pruning shape stats CANNOT do. The
+    // three appends interleave customers by c_custkey % 3, so every
+    // file's c_name [min, max] spans the whole domain and sstats admit
+    // all files; the per-file bloom filters (Delta's bloom-filter-index
+    // analog, built by one grouped sketch aggregation at append time)
+    // prune the needle-in-the-lake lookup to the files that might hold
+    // the probed names. Blooms have no false negatives, so the pruned
+    // read ≡ the full-scan IN-filter — which is what the oracle checks.
+    QueryDef("src_txlog_bloom_lookup",
+      "TxLog bloom-index skipping: per-file filters in sidecars; point lookup on a hash-scattered key ≡ full-scan IN filter",
+      s"""SELECT c_custkey, c_name, c_acctbal
+         |FROM read_parquet('${QueryDef.StageSql}/txbloom_in/*.parquet')
+         |WHERE c_name IN ('Customer#000000031', 'Customer#000000392',
+         |                 'Customer#000000663')""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txbloom_in")
+      val in = s.read.parquet(s"$stage/txbloom_in")
+      val table = Files.createTempDirectory("graft_txbloom").toString + "/t"
+      (0 until 3).foreach { m =>
+        TxLog.append(in.filter(col("c_custkey") % 3 === m), table,
+          statsCols = Seq("c_name"), bloomCols = Seq("c_name"))
+      }
+      TxLog.readEquals(s, table, "c_name",
+        Seq("Customer#000000031", "Customer#000000392",
+          "Customer#000000663"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    },
+
     // Event-time data skipping — the single most common pruning shape at
     // lake scale (time-clustered fact tables, time-bounded reads).
     // Timestamp statsCols record epoch-seconds double bounds; readRange

@@ -90,6 +90,20 @@ object TxLog {
     * commits and pre-r11 logs; a legacy streamId-less commit matches any
     * stream, preserving replay idempotency for tables written before the
     * field existed. */
+  /** `bloomAdd`/`bloomRemove`: bloom-index SIDECAR parquet files
+    * (relative paths, one row per (file, col, bloom BINARY)) entering /
+    * leaving the active index set — the Delta bloom-filter-index analog.
+    * Min/max stats prune RANGE reads on clustered columns; they prune
+    * NOTHING for a point lookup on a high-cardinality key whose values
+    * are hash-scattered across files (every file's [min, max] spans the
+    * whole domain — the needle-in-100-TB shape). A per-file bloom answers
+    * "might this file contain this exact value" in O(1) regardless of
+    * clustering: false positives only re-read a file, false negatives
+    * cannot happen, so pruning by it is sound. Bloom bytes live in
+    * sidecars, NOT the commit JSON — the log stays metadata-light (a
+    * 1 M-row file's filter is ~1 MB; inlining it would bloat every log
+    * fold). Optional field: absent on older logs; tables without blooms
+    * simply never bloom-prune. */
   final case class Commit(version: Long, add: Seq[String],
       remove: Seq[String], op: String, batchId: Long,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
@@ -100,7 +114,9 @@ object TxLog {
       dvRemove: Seq[String] = Seq.empty,
       sizes: Map[String, Long] = Map.empty,
       sstats: Map[String, Map[String, (String, String)]] = Map.empty,
-      streamId: Option[String] = None)
+      streamId: Option[String] = None,
+      bloomAdd: Seq[String] = Seq.empty,
+      bloomRemove: Seq[String] = Seq.empty)
 
   /** Highest protocol version this reader understands. A reader meeting a
     * HIGHER version fails loudly instead of silently misinterpreting
@@ -192,7 +208,8 @@ object TxLog {
             n.asText() -> node.get("constraintExpr").asText()),
           Option(node.get("ts")).map(_.asLong()).getOrElse(-1L),
           optArr("dvAdd"), optArr("dvRemove"), sizes, sstats,
-          Option(node.get("streamId")).map(_.asText()))
+          Option(node.get("streamId")).map(_.asText()),
+          optArr("bloomAdd"), optArr("bloomRemove"))
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -242,6 +259,18 @@ object TxLog {
       .filter(c => asOf.forall(c.version <= _))
       .foreach { c => dvs --= c.dvRemove; dvs ++= c.dvAdd }
     dvs.toSeq
+  }
+
+  /** Active bloom-index sidecar files as of `asOf` — folded like
+    * [[activeDvs]] (full-log fold, metadata-sized). A sidecar row whose
+    * data file has since left the active set is inert, not wrong: bloom
+    * pruning only ever consults rows for files it is about to read. */
+  def activeBlooms(table: String, asOf: Option[Long] = None): Seq[String] = {
+    val bls = scala.collection.mutable.LinkedHashSet.empty[String]
+    commits(table)
+      .filter(c => asOf.forall(c.version <= _))
+      .foreach { c => bls --= c.bloomRemove; bls ++= c.bloomAdd }
+    bls.toSeq
   }
 
   /** The per-file key a deletion vector stores: the last two path segments
@@ -411,6 +440,12 @@ object TxLog {
     }
     if (commit.dvRemove.nonEmpty) {
       val a = node.putArray("dvRemove"); commit.dvRemove.foreach(a.add)
+    }
+    if (commit.bloomAdd.nonEmpty) {
+      val a = node.putArray("bloomAdd"); commit.bloomAdd.foreach(a.add)
+    }
+    if (commit.bloomRemove.nonEmpty) {
+      val a = node.putArray("bloomRemove"); commit.bloomRemove.foreach(a.add)
     }
     commit.streamId.foreach(node.put("streamId", _))
     commit.schemaDdl.foreach(node.put("schemaDdl", _))
@@ -644,20 +679,192 @@ object TxLog {
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Driver-side twin of `functions.xxhash64` (seed 42) — the SAME hash
+    * the bloom build feeds per row, evaluated on one probe value. Hash
+    * equality requires TYPE equality: an Int and a Long of the same value
+    * hash differently, so probes are evaluated against the column's
+    * logged type, never the caller's boxed type. */
+  private def xxh64(v: Any, dt: org.apache.spark.sql.types.DataType): Long =
+    new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)))
+      .eval(null).asInstanceOf[Long]
+
+  /** Build per-file bloom filters for `bloomCols` over freshly-staged
+    * `files` and stage them as ONE sidecar parquet (file, col, bloom
+    * BINARY); returns the sidecar's relative paths for the commit's
+    * `bloomAdd`. The build is one distributed aggregation (Spark's
+    * codegen'd sketch aggregate grouped by file — partial filters OR
+    * together map-side); only the finished filters collect, O(batch
+    * files × filter bytes), the same commit-bounded driver footprint as
+    * [[fileStats]]. Filters are sized from the batch's largest file at
+    * ~3 % fpp, clamped to Spark's sketch-aggregate ceilings — an
+    * over-full filter degrades to more false positives (extra reads),
+    * never to false negatives (missed rows). */
+  private def fileBlooms(spark: SparkSession, table: String,
+      files: Seq[String], bloomCols: Seq[String]): Seq[String] = {
+    if (bloomCols.isEmpty || files.isEmpty) return Seq.empty
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    val cols = bloomCols.filter(df.columns.contains)
+    if (cols.isEmpty) return Seq.empty
+    val maxRows = df.groupBy(input_file_name().alias("_f")).count()
+      .agg(max("count")).head().getLong(0)
+    val est = math.min(math.max(maxRows, 64L), 4000000L)
+    val bits = math.min(est * 8L, 67108864L) // ~7.3 bits/key = 3% fpp
+    val aggs = cols.map(c => call_function("bloom_agg",
+      xxhash64(col(c)), lit(est), lit(bits)).alias(s"__bf_$c"))
+    val rows = df.groupBy(input_file_name().alias("_f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val out = rows.flatMap { r =>
+      files.find(f => r.getString(0).endsWith(f)).toSeq.flatMap { rel =>
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(i + 1)) None
+          else Some((rel, c, r.getAs[Array[Byte]](i + 1)))
+        }
+      }
+    }.toSeq
+    if (out.isEmpty) return Seq.empty
+    val sub = s"bl-${UUID.randomUUID().toString.take(8)}"
+    import spark.implicits._
+    out.toDF("file", "col", "bloom").coalesce(1)
+      .write.parquet(s"$table/$sub")
+    Files.list(Paths.get(table, sub)).iterator().asScala.toSeq
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted
+      .map(n => s"$sub/$n")
+  }
+
+  /** Columns any active bloom sidecar indexes — how rewrites (merge,
+    * OPTIMIZE) know which filters to rebuild for their output files
+    * without a table-properties store. One metadata-sized distinct. */
+  private def activeBloomCols(spark: SparkSession, table: String,
+      asOf: Option[Long]): Seq[String] = {
+    val bls = activeBlooms(table, asOf)
+    if (bls.isEmpty) return Seq.empty
+    spark.read.parquet(bls.map(resolve(table, _)): _*)
+      .select("col").distinct().collect().map(_.getString(0)).toSeq
+  }
+
+  /** Candidate files that survive the bloom tests: a file is pruned only
+    * when it HAS a filter for a tested column and NONE of that column's
+    * probe hashes hit. Files without a filter always pass (they could
+    * hold anything) — pruning degrades, correctness doesn't. The probing
+    * runs WHERE THE SIDECARS ARE READ — executors deserialize each
+    * (file, col) filter once, test the broadcast probe hashes, and only
+    * (file, col) MISSES collect (bounded by candidates × tested columns;
+    * filter bytes never move to the driver — at lake scale the active
+    * index is GBs across 100 k files, and a driver-side fold of it would
+    * be the non-distributed mistake). */
+  private def bloomSurvivors(spark: SparkSession, table: String,
+      candidates: Seq[String], tests: Map[String, Array[Long]],
+      asOf: Option[Long]): Seq[String] = {
+    if (candidates.isEmpty || tests.isEmpty) return candidates
+    val bls = activeBlooms(table, asOf)
+    if (bls.isEmpty) return candidates
+    val candKeys = candidates.map(fileKey).toSet
+    val testedCols = tests.keySet
+    import spark.implicits._
+    val misses = spark.read.parquet(bls.map(resolve(table, _)): _*)
+      .select("file", "col", "bloom").as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.filter { case (f, c, bytes) =>
+          candKeys.contains(f) && testedCols.contains(c) && {
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))
+            !tests(c).exists(bf.mightContainLong)
+          }
+        }.map(_._1)
+      }.collect().toSet
+    candidates.filterNot(f => misses.contains(fileKey(f)))
+  }
+
+  /** Bloom sidecar files whose every indexed data file is absent from
+    * `remainingKeys` — nothing they index can ever be read again, so
+    * they retire with the commit that removed their last file (the
+    * [[inertDvs]] pattern; same metadata-sized bookkeeping). */
+  private def inertBlooms(spark: SparkSession, table: String,
+      blooms: Seq[String], remainingKeys: Set[String]): Seq[String] = {
+    if (blooms.isEmpty) return Seq.empty
+    val refs = spark.read.parquet(blooms.map(resolve(table, _)): _*)
+      .withColumn("_bl", input_file_name())
+      .select("_bl", "file").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    blooms.filter { bl =>
+      val itsRefs = refs.collect {
+        case (uri, f) if uri.endsWith(fileKey(bl)) => f
+      }
+      itsRefs.nonEmpty && itsRefs.forall(f => !remainingKeys.contains(f))
+    }
+  }
+
+  /** Active files that MIGHT contain any of `values` in `colName`:
+    * range stats first (cheap, log-resident), then the bloom index for
+    * files that carry one. For a key-clustered table the stats do the
+    * work; for the hash-scattered high-cardinality key — where every
+    * file's [min, max] spans the domain and stats prune NOTHING — the
+    * blooms prune to ~fpp × files. Sound both ways: a bloom has no
+    * false negatives, and stats-less/bloom-less files always pass. */
+  def filesForEquals(spark: SparkSession, table: String, colName: String,
+      values: Seq[Any], asOf: Option[Long] = None): Seq[String] = {
+    require(values.nonEmpty, "filesForEquals needs at least one probe value")
+    val dt = schemaAsOf(table, asOf) match {
+      case Some(sc) if sc.fieldNames.contains(colName) => sc(colName).dataType
+      case _ => throw new IllegalArgumentException(
+        s"txlog table $table has no logged column '$colName'")
+    }
+    val nstats = commits(table).flatMap(_.stats).toMap
+    val lstats = commits(table).flatMap(_.sstats).toMap
+    val statsPass = activeFiles(table, asOf).filter { f =>
+      values.exists { v =>
+        val numOk = nstats.get(f).flatMap(_.get(colName)).forall {
+          case (mn, mx) => v match {
+            case n: Number => n.doubleValue() >= mn && n.doubleValue() <= mx
+            case _ => true
+          }
+        }
+        val strOk = lstats.get(f).flatMap(_.get(colName)).forall {
+          case (mn, mx) => v match {
+            case s: String => utf8Cmp(s, mn) >= 0 && utf8Cmp(s, mx) <= 0
+            case _ => true
+          }
+        }
+        numOk && strOk
+      }
+    }
+    val hashes = values.map(xxh64(_, dt)).toArray
+    bloomSurvivors(spark, table, statsPass, Map(colName -> hashes), asOf)
+  }
+
+  /** Point-lookup read: scan only the files [[filesForEquals]] admits,
+    * then apply the exact predicate (blooms prefilter files, never
+    * answer). DV-filtered through the shared [[readFiles]] like every
+    * other read path. */
+  def readEquals(spark: SparkSession, table: String, colName: String,
+      values: Seq[Any], asOf: Option[Long] = None): DataFrame = {
+    val files = filesForEquals(spark, table, colName, values, asOf)
+    if (files.isEmpty) read(spark, table, asOf).limit(0)
+    else readFiles(spark, table, files, asOf)
+      .filter(col(colName).isin(values: _*))
+  }
+
   private def commitLoop(table: String, add: Seq[String],
       removeAll: Boolean, op: String, batchId: Long,
       stats: (Map[String, Map[String, (Double, Double)]], Map[String, Map[String, (String, String)]]) = (Map.empty, Map.empty),
       schemaDdl: Option[String] = None,
-      streamId: Option[String] = None): Long = {
+      streamId: Option[String] = None,
+      bloomAdd: Seq[String] = Seq.empty): Long = {
     var attempts = 0
     while (attempts < 10) {
       val v = latestVersion(table).getOrElse(0L) + 1
       val remove = if (removeAll) activeFiles(table) else Seq.empty
-      // a full rewrite retires every active DV with the files it covered
+      // a full rewrite retires every active DV with the files it covered,
+      // and every bloom sidecar (nothing they index survives)
       val dvRem = if (removeAll) activeDvs(table) else Seq.empty
+      val blRem = if (removeAll) activeBlooms(table) else Seq.empty
       if (tryCommit(table, Commit(v, add, remove, op, batchId, stats._1,
           schemaDdl, dvRemove = dvRem, sstats = stats._2,
-          streamId = streamId)))
+          streamId = streamId, bloomAdd = bloomAdd, bloomRemove = blRem)))
         return v
       attempts += 1
     }
@@ -672,13 +879,14 @@ object TxLog {
   def append(df: DataFrame, table: String,
       statsCols: Seq[String] = Seq.empty,
       mergeSchema: Boolean = false, batchId: Long = -1L,
-      streamId: Option[String] = None): Long = {
+      streamId: Option[String] = None,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     val schema = resolveSchema(table, df, mergeSchema)
     validateConstraints(df, constraints(table))
     val add = writeData(df, table)
     commitLoop(table, add, removeAll = false, "append", batchId,
       fileStats(df.sparkSession, table, add, statsCols), Some(schema.toDDL),
-      streamId)
+      streamId, fileBlooms(df.sparkSession, table, add, bloomCols))
   }
 
   /** Replace the table contents with `df`; returns the committed version.
@@ -688,13 +896,14 @@ object TxLog {
   def overwrite(df: DataFrame, table: String,
       statsCols: Seq[String] = Seq.empty,
       mergeSchema: Boolean = false, batchId: Long = -1L,
-      streamId: Option[String] = None): Long = {
+      streamId: Option[String] = None,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     if (!mergeSchema) resolveSchema(table, df, mergeSchema = true) // type check only
     validateConstraints(df, constraints(table))
     val add = writeData(df, table)
     commitLoop(table, add, removeAll = true, "overwrite", batchId,
       fileStats(df.sparkSession, table, add, statsCols), Some(df.schema.toDDL),
-      streamId)
+      streamId, fileBlooms(df.sparkSession, table, add, bloomCols))
   }
 
   /** Active files whose recorded [min, max] for `colName` intersects
@@ -836,6 +1045,46 @@ object TxLog {
     if (num.isEmpty && str.isEmpty) None else Some(KeyBounds(num, str))
   }
 
+  /** Ceiling on distinct per-column probe hashes a merge batch may test
+    * against the bloom index. A CDC batch under the cap probes cheaply;
+    * a bulk batch over it skips bloom refinement — at that size the
+    * batch plausibly touches most files anyway and the range bounds
+    * already did the honest cut. */
+  private val MergeBloomProbeCap = 20000
+
+  /** Per-key-column distinct xxhash64 probes of a merge batch, for
+    * columns under [[MergeBloomProbeCap]]. Computed ONCE per merge
+    * (snapshot-independent, like [[mergeKeyBounds]]). */
+  private def mergeKeyProbes(updates: DataFrame,
+      keyCols: Seq[String]): Map[String, Array[Long]] =
+    keyCols.flatMap { c =>
+      val hs = updates.select(xxhash64(col(c)).alias("h")).distinct()
+        .limit(MergeBloomProbeCap + 1).collect().map(_.getLong(0))
+      if (hs.length > MergeBloomProbeCap) None else Some(c -> hs)
+    }.toMap
+
+  /** Bloom refinement of a merge's range-pruned rewrite set. Range
+    * bounds prune nothing when the key is hash-scattered (every file's
+    * [min, max] spans the domain — the steady-state CDC shape on an
+    * unclustered key); the per-file blooms cut the rewrite to files that
+    * might actually hold a batch key. A probe column is used only when
+    * the batch's column TYPE matches the logged type — xxhash64 of an
+    * Int and a Long differ, and a type-crossed probe could false-negative
+    * a file into wrongly surviving rows (the one failure mode bloom
+    * pruning must never have). */
+  private def refineTouchedByBlooms(spark: SparkSession, table: String,
+      touched: Seq[String], probes: Map[String, Array[Long]],
+      updates: DataFrame, asOf: Option[Long]): Seq[String] = {
+    if (probes.isEmpty || touched.isEmpty) return touched
+    val logged = schemaAsOf(table, asOf)
+    val tests = probes.filter { case (c, _) =>
+      logged.exists(sc => sc.fieldNames.contains(c) &&
+        sc(c).dataType == updates.schema(c).dataType)
+    }
+    if (tests.isEmpty) touched
+    else bloomSurvivors(spark, table, touched, tests, asOf)
+  }
+
   /** Files a merge/applyChanges batch with `bounds` may contest:
     * conjunctive intersection over every bounded column, numeric bounds
     * against `stats`, string bounds lexicographically against `sstats`;
@@ -866,6 +1115,7 @@ object TxLog {
       streamId: Option[String] = None): Long = {
     validateConstraints(updates, constraints(table))
     val keyBounds = mergeKeyBounds(updates, keyCols) // snapshot-independent
+    val keyProbes = mergeKeyProbes(updates, keyCols) // snapshot-independent
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
@@ -878,12 +1128,15 @@ object TxLog {
       // a row that might lose to an incoming key; untouched files' rows
       // are unchallenged by construction (their keys are outside the
       // batch's bounds) and stay byte-identical in place.
-      val touched =
+      val rangeTouched =
         if (base.isEmpty) Seq.empty
         else keyBounds match {
           case Some(b) => filesForKeyBounds(table, b, base)
           case None => allActive
         }
+      val touched =
+        refineTouchedByBlooms(spark, table, rangeTouched, keyProbes,
+          updates, base)
       val untouched = allActive.filterNot(touched.toSet)
       // latest-per-key applies to the incoming batch too: the first batch
       // of a CDC stream can itself carry several versions of one key.
@@ -913,9 +1166,20 @@ object TxLog {
         if (untouched.isEmpty) activeDvs(table, base)
         else inertDvs(spark, table, activeDvs(table, base),
           untouched.map(fileKey).toSet)
+      // the bloom index follows the rewrite: output files get filters
+      // for the columns the table already indexes, and sidecars whose
+      // every indexed file was rewritten retire with the commit
+      val blCols = activeBloomCols(spark, table, base)
+        .filter(merged.columns.contains)
+      val blAdd = fileBlooms(spark, table, add, blCols)
+      val blRemove =
+        if (untouched.isEmpty) activeBlooms(table, base)
+        else inertBlooms(spark, table, activeBlooms(table, base),
+          untouched.map(fileKey).toSet)
       if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
         schemaDdl = Some(merged.schema.toDDL),
-        dvRemove = dvRemove, streamId = streamId))) return v
+        dvRemove = dvRemove, streamId = streamId,
+        bloomAdd = blAdd, bloomRemove = blRemove))) return v
       attempts += 1 // lost the race: new snapshot exists, re-merge against it
     }
     throw new IllegalStateException(
@@ -964,16 +1228,20 @@ object TxLog {
     // keys inside the batch's bounds, so files whose recorded key range
     // misses those bounds hold no challengeable rows and stay in place
     val keyBounds = mergeKeyBounds(changes, keyCols)
+    val keyProbes = mergeKeyProbes(changes, keyCols)
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
       val allActive = base.map(_ => activeFiles(table, base)).getOrElse(Seq.empty)
-      val touched =
+      val rangeTouched =
         if (base.isEmpty) Seq.empty
         else keyBounds match {
           case Some(b) => filesForKeyBounds(table, b, base)
           case None => allActive
         }
+      val touched =
+        refineTouchedByBlooms(spark, table, rangeTouched, keyProbes,
+          changes, base)
       val untouched = allActive.filterNot(touched.toSet)
       val existing = base.map { _ =>
         if (touched.nonEmpty) readFiles(spark, table, touched, base)
@@ -1007,9 +1275,17 @@ object TxLog {
         if (untouched.isEmpty) activeDvs(table, base)
         else inertDvs(spark, table, activeDvs(table, base),
           untouched.map(fileKey).toSet)
+      val blCols = activeBloomCols(spark, table, base)
+        .filter(merged.columns.contains)
+      val blAdd = fileBlooms(spark, table, add, blCols)
+      val blRemove =
+        if (untouched.isEmpty) activeBlooms(table, base)
+        else inertBlooms(spark, table, activeBlooms(table, base),
+          untouched.map(fileKey).toSet)
       if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
         schemaDdl = Some(merged.schema.toDDL),
-        dvRemove = dvRemove, streamId = streamId))) return v
+        dvRemove = dvRemove, streamId = streamId,
+        bloomAdd = blAdd, bloomRemove = blRemove))) return v
       attempts += 1 // lost the race: re-apply against the new snapshot
     }
     throw new IllegalStateException(
@@ -1491,12 +1767,18 @@ object TxLog {
   def optimize(spark: SparkSession, table: String, targetFiles: Int = 1,
       clusterBy: Seq[org.apache.spark.sql.Column] = Seq.empty,
       statsCols: Seq[String] = Seq.empty,
-      targetBytes: Option[Long] = None): Long = {
+      targetBytes: Option[Long] = None,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
       require(base.nonEmpty, s"optimize on empty txlog table $table")
       val cur = read(spark, table, base)
+      // explicit bloomCols CREATES the index on an existing table (the
+      // "build a bloom index" entry point); otherwise the rewrite carries
+      // forward whatever columns the table already indexes
+      val blCols = (bloomCols ++ activeBloomCols(spark, table, base))
+        .distinct.filter(cur.columns.contains)
       // targetBytes sizes the output in the unit that matters at scale:
       // total active bytes / target file size, from the commit-carried
       // sizes — OPTIMIZE toward ~1 GB files regardless of file count
@@ -1519,7 +1801,9 @@ object TxLog {
       val (nstats, sstats) = fileStats(spark, table, add, statsCols)
       if (tryCommit(table, Commit(v, add, remove, "optimize", -1L,
           nstats, Some(arranged.schema.toDDL),
-          dvRemove = activeDvs(table, base), sstats = sstats))) return v
+          dvRemove = activeDvs(table, base), sstats = sstats,
+          bloomAdd = fileBlooms(spark, table, add, blCols),
+          bloomRemove = activeBlooms(table, base)))) return v
       attempts += 1 // lost the race: recompact against the new snapshot
     }
     throw new IllegalStateException(
@@ -1560,9 +1844,14 @@ object TxLog {
       val dvRemove = inertDvs(spark, table, activeDvs(table, base),
         keep.map(fileKey).toSet)
       val (nstats, sstats) = fileStats(spark, table, add, statsCols)
+      val blCols = activeBloomCols(spark, table, base)
+        .filter(arranged.columns.contains)
       if (tryCommit(table, Commit(v, add, small, "optimize", -1L,
           nstats, Some(arranged.schema.toDDL), dvRemove = dvRemove,
-          sstats = sstats)))
+          sstats = sstats,
+          bloomAdd = fileBlooms(spark, table, add, blCols),
+          bloomRemove = inertBlooms(spark, table, activeBlooms(table, base),
+            keep.map(fileKey).toSet))))
         return Some(v)
       attempts += 1 // lost the race: re-select against the new snapshot
     }
@@ -1612,10 +1901,15 @@ object TxLog {
       // retire DV files whose every referenced data file leaves the set
       val dvRemove = inertDvs(spark, table, dvs,
         files.diff(touched).map(fileKey).toSet)
+      val blCols = activeBloomCols(spark, table, base)
+        .filter(rewritten.columns.contains)
       val v = base.get + 1
       if (tryCommit(table, Commit(v, add, touched, "optimizeDvs", -1L,
         schemaDdl = schemaAsOf(table, base).map(_.toDDL),
-        dvRemove = dvRemove))) return v
+        dvRemove = dvRemove,
+        bloomAdd = fileBlooms(spark, table, add, blCols),
+        bloomRemove = inertBlooms(spark, table, activeBlooms(table, base),
+          files.diff(touched).map(fileKey).toSet)))) return v
       attempts += 1
     }
     throw new IllegalStateException(
@@ -1642,13 +1936,14 @@ object TxLog {
     val horizon = math.max(1L, latest - retainVersions + 1)
     val protect = (horizon to latest)
       .flatMap(v => activeFiles(table, Some(v)) ++
-        activeDvs(table, Some(v))).toSet
+        activeDvs(table, Some(v)) ++ activeBlooms(table, Some(v))).toSet
     val root = Paths.get(table)
     val now = System.currentTimeMillis()
     val onDisk = Files.list(root).iterator().asScala.toSeq
       .filter(p => Files.isDirectory(p) && {
         val n = p.getFileName.toString
-        n.startsWith("d-") || n.startsWith("dv-") // data + deletion vectors
+        // data + deletion vectors + bloom-index sidecars
+        n.startsWith("d-") || n.startsWith("dv-") || n.startsWith("bl-")
       })
       .flatMap(d => Files.list(d).iterator().asScala.toSeq)
       .filter(_.getFileName.toString.endsWith(".parquet"))

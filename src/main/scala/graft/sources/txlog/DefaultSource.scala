@@ -182,27 +182,34 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
     * constraints; ErrorIfExists/Ignore follow their SaveMode contracts
     * against the table's existence in the LOG (a directory with no commits
     * is not a table). Options: `statsCols` (comma-separated) records
-    * per-file min/max for data skipping; `mergeSchema` allows evolution. */
+    * per-file min/max for data skipping; `bloomCols` (comma-separated)
+    * builds per-file bloom filters for point-lookup skipping on
+    * hash-scattered keys; `mergeSchema` allows evolution. */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val path = pathOf(parameters, "sink")
-    val statsCols = parameters.get("statscols")
+    def cols(key: String): Seq[String] = parameters.get(key)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    val statsCols = cols("statscols")
+    val bloomCols = cols("bloomcols")
     val mergeSchema = parameters.get("mergeschema").exists(_.toBoolean)
     val exists = TxLog.latestVersion(path).isDefined
+    def write(f: (DataFrame, String, Seq[String], Boolean, Long,
+        Option[String], Seq[String]) => Long): Unit =
+      f(data, path, statsCols, mergeSchema, -1L, None, bloomCols)
     mode match {
       case SaveMode.Append =>
-        TxLog.append(data, path, statsCols, mergeSchema)
+        write(TxLog.append)
       case SaveMode.Overwrite =>
-        TxLog.overwrite(data, path, statsCols, mergeSchema)
+        write(TxLog.overwrite)
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(
           s"txlog table $path already exists (SaveMode.ErrorIfExists)")
       case SaveMode.ErrorIfExists =>
-        TxLog.overwrite(data, path, statsCols, mergeSchema)
+        write(TxLog.overwrite)
       case SaveMode.Ignore =>
-        if (!exists) TxLog.overwrite(data, path, statsCols, mergeSchema)
+        if (!exists) write(TxLog.overwrite)
     }
     TxLogRelation(sqlContext, path, None)
   }
