@@ -244,22 +244,29 @@ object PipelineOps {
     * — kept as strings here so the DuckDB oracle can recompute them. */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    // Two scan branches ON PURPOSE: carrying the per-doc shingle count
-    // through the explode measures ~2x SLOWER — Catalyst collapses the
-    // count's projection into the Generate input and re-derives the
-    // shingle array alongside every exploded row. Two linear branches
-    // (explode for the join; size() for totals) each compute the array
-    // once per document, and the totals join is a cheap per-doc hash join.
+    // ONE shingle pass over the corpus: explode the distinct-shingle
+    // array (computed once per document by the Generate's child
+    // projection), LEFT-join the broadcast benchmark set to tag hits,
+    // then a single per-doc aggregate derives BOTH counts from the same
+    // exploded stream — n_total = count(*) (= the set's size, since the
+    // array was distinct'd), n_shared = count(_hit). This replaces the
+    // old two-branch shape (a second full shingle pass for size() plus a
+    // per-doc totals join) with zero extra scans and zero extra joins;
+    // the per-doc agg is partially aggregable so nothing wider than the
+    // shingle itself shuffles. Docs sharing nothing are filtered (the
+    // contract: return only contaminated docs), which the old inner
+    // shared-join also enforced.
     val corpusSh = corpus.select(col(idCol),
       explode(array_distinct(Dedup.shingles(col(textCol), n))).alias("_sh"))
     val benchSh = benchmark
       .select(explode(array_distinct(Dedup.shingles(col(textCol), n))).alias("_sh"))
       .distinct()
-    val shared = corpusSh.join(broadcast(benchSh), Seq("_sh"))
-      .groupBy(idCol).agg(count(lit(1)).alias("n_shared"))
-    val totals = corpus.select(col(idCol),
-      size(array_distinct(Dedup.shingles(col(textCol), n))).alias("n_total"))
-    shared.join(totals, Seq(idCol))
+      .withColumn("_hit", lit(1))
+    corpusSh.join(broadcast(benchSh), Seq("_sh"), "left")
+      .groupBy(idCol)
+      .agg(count(col("_hit")).alias("n_shared"),
+        count(lit(1)).alias("n_total"))
+      .filter(col("n_shared") > 0)
       .select(col(idCol), col("n_shared"), col("n_total"),
         (col("n_shared").cast(DoubleType) / col("n_total").cast(DoubleType))
           .alias("contamination"))
@@ -327,17 +334,20 @@ object PipelineOps {
     * shingles per doc to matter (birthday bound) — immaterial, and both
     * engines see identical hashes so the check is unaffected. */
   def contaminationFromHashes(corpusHashes: DataFrame,
-      benchHashes: DataFrame, idCol: String): DataFrame = {
-    val shared = corpusHashes
-      .join(broadcast(benchHashes.select("h").distinct()), Seq("h"))
-      .groupBy(idCol).agg(count(lit(1)).alias("n_shared"))
-    val totals = corpusHashes.groupBy(idCol)
-      .agg(count(lit(1)).alias("n_total"))
-    shared.join(totals, Seq(idCol))
+      benchHashes: DataFrame, idCol: String): DataFrame =
+    // Same one-pass shape as [[contamination]]: broadcast LEFT join tags
+    // hits, one per-doc aggregate yields both counts — the corpus hash
+    // stream is scanned once instead of twice.
+    corpusHashes
+      .join(broadcast(benchHashes.select("h").distinct()
+        .withColumn("_hit", lit(1))), Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(count(col("_hit")).alias("n_shared"),
+        count(lit(1)).alias("n_total"))
+      .filter(col("n_shared") > 0)
       .select(col(idCol), col("n_shared"), col("n_total"),
         (col("n_shared").cast(DoubleType) / col("n_total").cast(DoubleType))
           .alias("contamination"))
-  }
 
   /** Per-source keep rates for temperature-weighted corpus mixing — the
     * data-mixing stage of a training pipeline: source s with total weight

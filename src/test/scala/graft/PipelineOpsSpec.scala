@@ -111,6 +111,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains(101L))
   }
 
+  test("contamination scans the corpus exactly once (single shingle pass)") {
+    // r11 verdict: the old shape re-derived the distinct-shingle sets in
+    // a second totals branch — two full corpus scans. The one-pass shape
+    // (broadcast LEFT join + one per-doc agg) must leave exactly two
+    // leaves in the optimized plan: one corpus scan, one benchmark scan.
+    val docs = Tables.load(spark, SF, "documents")
+    val plan = PipelineOps.contamination(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        "doc_id", "text", 3)
+      .queryExecution.optimizedPlan
+    assert(plan.collectLeaves().size === 2, plan.treeString)
+  }
+
   test("hashed contamination equals the string-shingle variant") {
     // the 8-byte-hash scale path must not change the answer — per-doc
     // shared/total counts and ratios identical on a corpus with planted
