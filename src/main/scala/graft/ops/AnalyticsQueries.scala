@@ -610,6 +610,36 @@ object AnalyticsQueries {
           unix_micros(col("ts")).alias("ts_us"), col("value"))
     },
 
+    // The SQL twin of src_txlog_skipping_time: NO TxLog API at the read
+    // site — a plain `WHERE ts BETWEEN …` over a `CREATE TEMPORARY VIEW
+    // … USING graft.sources.txlog` view. The relation derives per-column
+    // bounds from the PUSHED filters (timestamp → the same epoch-seconds
+    // double its stats recorded; strings → sstats) and plans the parquet
+    // scan over only the intersecting files — Delta's data-skipping read
+    // path surfaced to SQL readers. File-count proof is spec-pinned
+    // (TxLogSpec "SQL WHERE over a txlog view prunes files"); this entry
+    // oracles the end-to-end SQL answer.
+    QueryDef("src_txlog_sql_skipping",
+      "SQL data skipping: plain WHERE over a txlog temp view prunes files via pushed-filter timestamp bounds (no API call site)",
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+        |WHERE epoch(ts) >= 1704844800.0 AND epoch(ts) <= 1705017599.0""".stripMargin) { (s, dir) =>
+      val table = Files.createTempDirectory("graft_txsqlskip").toString + "/t"
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      TxLog.append(ev.filter(col("ts") < split), table, statsCols = Seq("ts"))
+      TxLog.append(ev.filter(col("ts") >= split), table, statsCols = Seq("ts"))
+      val id = java.util.UUID.randomUUID.toString.take(8)
+      val view = s"txsqlskip_$id"
+      // temp view outlives this builder (lazy evaluation) — no drop here
+      s.sql(s"""CREATE TEMPORARY VIEW $view USING graft.sources.txlog
+               |OPTIONS (path '$table')""".stripMargin)
+      s.sql(s"""SELECT event_id, user_id, unix_micros(ts) AS ts_us, value
+               |FROM $view
+               |WHERE ts >= timestamp'2024-01-10 00:00:00'
+               |  AND ts <= timestamp'2024-01-11 23:59:59'""".stripMargin)
+    },
+
     // Change data feed (Delta table_changes): v2 rewrites the table with
     // updates, deletes, and inserts; changes(v1→v2) must classify every
     // key — insert / delete / update via null-safe column compares —

@@ -707,8 +707,13 @@ object TxLog {
     val df = spark.read.parquet(files.map(f => s"$table/$f"): _*)
     val cols = bloomCols.filter(df.columns.contains)
     if (cols.isEmpty) return Seq.empty
-    val maxRows = df.groupBy(input_file_name().alias("_f")).count()
-      .agg(max("count")).head().getLong(0)
+    // zero-row staged write: Spark still emits a schema-only part file,
+    // so `files` is non-empty but the grouped count has no groups and
+    // max(count) is NULL — there is nothing to index, not an error
+    val maxRowsRow = df.groupBy(input_file_name().alias("_f")).count()
+      .agg(max("count")).head()
+    if (maxRowsRow.isNullAt(0)) return Seq.empty
+    val maxRows = maxRowsRow.getLong(0)
     val est = math.min(math.max(maxRows, 64L), 4000000L)
     val bits = math.min(est * 8L, 67108864L) // ~7.3 bits/key = 3% fpp
     val aggs = cols.map(c => call_function("bloom_agg",
@@ -798,6 +803,66 @@ object TxLog {
     }
   }
 
+  /** One-pass view of the active bloom sidecar set for a single write
+    * attempt. merge/applyChanges need THREE derived answers per attempt
+    * — indexed columns, probe survivors, inert sidecars — and asking
+    * each against a fresh `spark.read.parquet(sidecars)` was 3+
+    * redundant distributed reads per commit attempt (repeated on every
+    * optimistic-concurrency retry; at lake scale the sidecar set is
+    * GBs). Here the frame loads ONCE and persists (filter bytes stay
+    * distributed — never collected); the (sidecar, file, col) manifest
+    * WITHOUT the bytes collects lazily, metadata-sized, and answers the
+    * columns/inertness questions driver-side. [[release]] when the
+    * attempt ends. */
+  private final class BloomIndex(spark: SparkSession, table: String,
+      val sidecars: Seq[String]) {
+    private val df =
+      if (sidecars.isEmpty) None
+      else Some(spark.read.parquet(sidecars.map(resolve(table, _)): _*)
+        .withColumn("_bl", input_file_name())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    /** (sidecar uri, data file, col) — one row per indexed pair. */
+    private lazy val manifest: Seq[(String, String, String)] = df match {
+      case None => Seq.empty
+      case Some(d) => d.select("_bl", "file", "col").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    }
+    /** Columns any sidecar indexes (the [[activeBloomCols]] answer). */
+    def cols: Seq[String] = manifest.map(_._3).distinct
+    /** Candidates surviving the probe tests (the [[bloomSurvivors]]
+      * answer, served from the persisted frame). */
+    def survivors(candidates: Seq[String],
+        tests: Map[String, Array[Long]]): Seq[String] = df match {
+      case Some(d) if candidates.nonEmpty && tests.nonEmpty =>
+        val candKeys = candidates.map(fileKey).toSet
+        val testedCols = tests.keySet
+        import spark.implicits._
+        val misses = d.select("file", "col", "bloom")
+          .as[(String, String, Array[Byte])]
+          .mapPartitions { it =>
+            it.filter { case (f, c, bytes) =>
+              candKeys.contains(f) && testedCols.contains(c) && {
+                val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(bytes))
+                !tests(c).exists(bf.mightContainLong)
+              }
+            }.map(_._1)
+          }.collect().toSet
+        candidates.filterNot(f => misses.contains(fileKey(f)))
+      case _ => candidates
+    }
+    /** Sidecars whose every indexed file is outside `remainingKeys`
+      * (the [[inertBlooms]] answer, from the collected manifest). */
+    def inert(remainingKeys: Set[String]): Seq[String] =
+      sidecars.filter { bl =>
+        val itsRefs = manifest.collect {
+          case (uri, f, _) if uri.endsWith(fileKey(bl)) => f
+        }
+        itsRefs.nonEmpty && itsRefs.forall(f => !remainingKeys.contains(f))
+      }
+    def release(): Unit = df.foreach(_.unpersist(false))
+  }
+
   /** Active files that MIGHT contain any of `values` in `colName`:
     * range stats first (cheap, log-resident), then the bloom index for
     * files that carry one. For a key-clustered table the stats do the
@@ -805,6 +870,41 @@ object TxLog {
     * file's [min, max] spans the domain and stats prune NOTHING — the
     * blooms prune to ~fpp × files. Sound both ways: a bloom has no
     * false negatives, and stats-less/bloom-less files always pass. */
+  /** Probe values hash through `Literal.create(v, loggedType)`, whose
+    * error modes are a footgun: an Int probe on a bigint column throws
+    * an opaque Literal validation error, while TimestampType/DateType
+    * silently accept a raw Long/Int as the INTERNAL value (micros/days)
+    * — an epoch-millis Long probe would hash garbage and return a
+    * silently-empty result. Validate the probe's runtime class against
+    * the logged type's EXTERNAL class up front and fail descriptively. */
+  private def validateProbe(table: String, colName: String,
+      dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = v == null || (dt match {
+      case ByteType => v.isInstanceOf[Byte]
+      case ShortType => v.isInstanceOf[Short]
+      case IntegerType => v.isInstanceOf[Int]
+      case LongType => v.isInstanceOf[Long]
+      case FloatType => v.isInstanceOf[Float]
+      case DoubleType => v.isInstanceOf[Double]
+      case StringType => v.isInstanceOf[String]
+      case BooleanType => v.isInstanceOf[Boolean]
+      case _: TimestampType => v.isInstanceOf[java.sql.Timestamp] ||
+        v.isInstanceOf[java.time.Instant]
+      case DateType => v.isInstanceOf[java.sql.Date] ||
+        v.isInstanceOf[java.time.LocalDate]
+      case _: DecimalType => v.isInstanceOf[java.math.BigDecimal] ||
+        v.isInstanceOf[scala.math.BigDecimal]
+      case BinaryType => v.isInstanceOf[Array[Byte]]
+      case _ => true // exotic types: let Literal.create decide
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"txlog point-lookup on $table.$colName: probe value " +
+        s"${v.getClass.getName}($v) does not match the logged type " +
+        s"${dt.simpleString} — pass the column's external Scala type " +
+        "(e.g. java.sql.Timestamp/Instant for timestamp, Long for bigint)")
+  }
+
   def filesForEquals(spark: SparkSession, table: String, colName: String,
       values: Seq[Any], asOf: Option[Long] = None): Seq[String] = {
     require(values.nonEmpty, "filesForEquals needs at least one probe value")
@@ -813,6 +913,7 @@ object TxLog {
       case _ => throw new IllegalArgumentException(
         s"txlog table $table has no logged column '$colName'")
     }
+    values.foreach(validateProbe(table, colName, dt, _))
     val nstats = commits(table).flatMap(_.stats).toMap
     val lstats = commits(table).flatMap(_.sstats).toMap
     val statsPass = activeFiles(table, asOf).filter { f =>
@@ -886,8 +987,23 @@ object TxLog {
     val add = writeData(df, table)
     commitLoop(table, add, removeAll = false, "append", batchId,
       fileStats(df.sparkSession, table, add, statsCols), Some(schema.toDDL),
-      streamId, fileBlooms(df.sparkSession, table, add, bloomCols))
+      streamId,
+      fileBlooms(df.sparkSession, table, add,
+        effectiveBloomCols(df, table, bloomCols)))
   }
+
+  /** The columns this write should bloom-index: the caller's explicit
+    * `bloomCols` PLUS whatever the table already indexes. Without a
+    * table-properties store (Delta keeps its bloom config there), a
+    * plain append to an indexed table would otherwise index nothing
+    * unless every caller re-passed bloomCols forever — pruning stays
+    * correct (filter-less files always pass) but point-lookup skipping
+    * silently degrades as the table grows. One metadata-sized sidecar
+    * read; free on unindexed tables (no active sidecars). */
+  private def effectiveBloomCols(df: DataFrame, table: String,
+      bloomCols: Seq[String]): Seq[String] =
+    (bloomCols ++ activeBloomCols(df.sparkSession, table, None))
+      .distinct.filter(df.columns.contains)
 
   /** Replace the table contents with `df`; returns the committed version.
     * Overwrite REPLACES the schema too (rewriting every row is the one
@@ -903,7 +1019,9 @@ object TxLog {
     val add = writeData(df, table)
     commitLoop(table, add, removeAll = true, "overwrite", batchId,
       fileStats(df.sparkSession, table, add, statsCols), Some(df.schema.toDDL),
-      streamId, fileBlooms(df.sparkSession, table, add, bloomCols))
+      streamId,
+      fileBlooms(df.sparkSession, table, add,
+        effectiveBloomCols(df, table, bloomCols)))
   }
 
   /** Active files whose recorded [min, max] for `colName` intersects
@@ -922,11 +1040,25 @@ object TxLog {
   def filesForRanges(table: String, ranges: Map[String, (Double, Double)],
       asOf: Option[Long] = None): Seq[String] = {
     val statsMap = commits(table).flatMap(_.stats).toMap
+    // Mixed-era-log guard: logs written before sstats existed recorded
+    // DOUBLE-CAST bounds for string columns — for numeric-looking strings
+    // those are inverted garbage ('100' < '9' as doubles), and pruning
+    // from them drops live files. Numeric stats are only trusted when the
+    // column's CURRENT logged type soundly casts to double
+    // ([[doubleCastable]]); unknown schema or unknown column → never
+    // prune, the safe direction. Tables written from r11 on no longer
+    // record numeric stats for string columns, but 100 TB tables carry
+    // their old log eras forever — the reader must not assume the era.
+    val schema = schemaAsOf(table, asOf)
+    def trusted(c: String): Boolean = schema match {
+      case Some(s) if s.fieldNames.contains(c) => doubleCastable(s(c).dataType)
+      case _ => false
+    }
     activeFiles(table, asOf).filter { f =>
       ranges.forall { case (colName, (lo, hi)) =>
         statsMap.get(f).flatMap(_.get(colName)) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None => true
+          case Some((mn, mx)) if trusted(colName) => mx >= lo && mn <= hi
+          case _ => true
         }
       }
     }
@@ -978,6 +1110,28 @@ object TxLog {
         else col(c)
       df.filter(cc >= lo && cc <= hi)
     }
+  }
+
+  /** Combined stats-pruned read for RELATION integration (the SQL data
+    * source derives per-column bounds from its pushed-down filters and
+    * calls this): scan only the files whose recorded numeric/timestamp
+    * stats intersect every `numRanges` bound AND whose sstats intersect
+    * every `strRanges` bound. Returns the files UNFILTERED at row level
+    * — the caller (Spark, re-evaluating residual predicates above the
+    * scan) owns exactness; this owns never dropping a file that could
+    * hold a matching row (stats-less files always pass, string columns
+    * never consult legacy numeric stats). */
+  def readPruned(spark: SparkSession, table: String,
+      numRanges: Map[String, (Double, Double)],
+      strRanges: Map[String, (String, String)],
+      asOf: Option[Long] = None): DataFrame = {
+    val keepN = filesForRanges(table, numRanges, asOf)
+    val keep = strRanges.foldLeft(keepN) { case (acc, (c, (lo, hi))) =>
+      val ok = filesForStringRange(table, c, lo, hi, asOf).toSet
+      acc.filter(ok)
+    }
+    if (keep.isEmpty) read(spark, table, asOf).limit(0)
+    else readFiles(spark, table, keep, asOf)
   }
 
   /** Stats-pruned STRING range read — the sstats twin of [[readRange]]:
@@ -1072,9 +1226,10 @@ object TxLog {
     * Int and a Long differ, and a type-crossed probe could false-negative
     * a file into wrongly surviving rows (the one failure mode bloom
     * pruning must never have). */
-  private def refineTouchedByBlooms(spark: SparkSession, table: String,
+  private def refineTouchedByBlooms(table: String,
       touched: Seq[String], probes: Map[String, Array[Long]],
-      updates: DataFrame, asOf: Option[Long]): Seq[String] = {
+      updates: DataFrame, asOf: Option[Long],
+      bi: BloomIndex): Seq[String] = {
     if (probes.isEmpty || touched.isEmpty) return touched
     val logged = schemaAsOf(table, asOf)
     val tests = probes.filter { case (c, _) =>
@@ -1082,7 +1237,7 @@ object TxLog {
         sc(c).dataType == updates.schema(c).dataType)
     }
     if (tests.isEmpty) touched
-    else bloomSurvivors(spark, table, touched, tests, asOf)
+    else bi.survivors(touched, tests)
   }
 
   /** Files a merge/applyChanges batch with `bounds` may contest:
@@ -1134,52 +1289,56 @@ object TxLog {
           case Some(b) => filesForKeyBounds(table, b, base)
           case None => allActive
         }
-      val touched =
-        refineTouchedByBlooms(spark, table, rangeTouched, keyProbes,
-          updates, base)
-      val untouched = allActive.filterNot(touched.toSet)
-      // latest-per-key applies to the incoming batch too: the first batch
-      // of a CDC stream can itself carry several versions of one key.
-      // When every file prunes away, the zero-row read still enforces the
-      // union's schema compatibility against the table.
-      val existing = base.map { _ =>
-        if (touched.nonEmpty) readFiles(spark, table, touched, base)
-        else read(spark, table, base).limit(0)
-      }
-      val all = existing match {
-        case None => updates.withColumn("_src", lit(1))
-        case Some(cur) => cur.withColumn("_src", lit(0))
-          .unionByName(updates.withColumn("_src", lit(1)))
-      }
-      val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(col(versionCol).desc, col("_src").desc)
-      val merged = all.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn", "_src")
-      val add = writeData(merged, table)
-      val v = base.getOrElse(0L) + 1
-      // DVs referencing only rewritten files retire (their deletes just
-      // materialized); a DV still covering a kept file stays active.
-      // Kept entries normalize through fileKey — DV refs are recorded in
-      // that form, and a shallow-clone's ABSOLUTE entry would otherwise
-      // never match, mis-retiring a live DV (rows would resurrect)
-      val dvRemove =
-        if (untouched.isEmpty) activeDvs(table, base)
-        else inertDvs(spark, table, activeDvs(table, base),
-          untouched.map(fileKey).toSet)
-      // the bloom index follows the rewrite: output files get filters
-      // for the columns the table already indexes, and sidecars whose
-      // every indexed file was rewritten retire with the commit
-      val blCols = activeBloomCols(spark, table, base)
-        .filter(merged.columns.contains)
-      val blAdd = fileBlooms(spark, table, add, blCols)
-      val blRemove =
-        if (untouched.isEmpty) activeBlooms(table, base)
-        else inertBlooms(spark, table, activeBlooms(table, base),
-          untouched.map(fileKey).toSet)
-      if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
-        schemaDdl = Some(merged.schema.toDDL),
-        dvRemove = dvRemove, streamId = streamId,
-        bloomAdd = blAdd, bloomRemove = blRemove))) return v
+      // ONE sidecar read per attempt serves all three bloom questions
+      // (survivors, indexed cols, inertness) — see [[BloomIndex]]
+      val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+      val won = try {
+        val touched =
+          refineTouchedByBlooms(table, rangeTouched, keyProbes,
+            updates, base, bi)
+        val untouched = allActive.filterNot(touched.toSet)
+        // latest-per-key applies to the incoming batch too: the first batch
+        // of a CDC stream can itself carry several versions of one key.
+        // When every file prunes away, the zero-row read still enforces the
+        // union's schema compatibility against the table.
+        val existing = base.map { _ =>
+          if (touched.nonEmpty) readFiles(spark, table, touched, base)
+          else read(spark, table, base).limit(0)
+        }
+        val all = existing match {
+          case None => updates.withColumn("_src", lit(1))
+          case Some(cur) => cur.withColumn("_src", lit(0))
+            .unionByName(updates.withColumn("_src", lit(1)))
+        }
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(versionCol).desc, col("_src").desc)
+        val merged = all.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", "_src")
+        val add = writeData(merged, table)
+        val v = base.getOrElse(0L) + 1
+        // DVs referencing only rewritten files retire (their deletes just
+        // materialized); a DV still covering a kept file stays active.
+        // Kept entries normalize through fileKey — DV refs are recorded in
+        // that form, and a shallow-clone's ABSOLUTE entry would otherwise
+        // never match, mis-retiring a live DV (rows would resurrect)
+        val dvRemove =
+          if (untouched.isEmpty) activeDvs(table, base)
+          else inertDvs(spark, table, activeDvs(table, base),
+            untouched.map(fileKey).toSet)
+        // the bloom index follows the rewrite: output files get filters
+        // for the columns the table already indexes, and sidecars whose
+        // every indexed file was rewritten retire with the commit
+        val blCols = bi.cols.filter(merged.columns.contains)
+        val blAdd = fileBlooms(spark, table, add, blCols)
+        val blRemove =
+          if (untouched.isEmpty) bi.sidecars
+          else bi.inert(untouched.map(fileKey).toSet)
+        if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
+          schemaDdl = Some(merged.schema.toDDL),
+          dvRemove = dvRemove, streamId = streamId,
+          bloomAdd = blAdd, bloomRemove = blRemove))) Some(v) else None
+      } finally bi.release()
+      if (won.nonEmpty) return won.get
       attempts += 1 // lost the race: new snapshot exists, re-merge against it
     }
     throw new IllegalStateException(
@@ -1239,53 +1398,56 @@ object TxLog {
           case Some(b) => filesForKeyBounds(table, b, base)
           case None => allActive
         }
-      val touched =
-        refineTouchedByBlooms(spark, table, rangeTouched, keyProbes,
-          changes, base)
-      val untouched = allActive.filterNot(touched.toSet)
-      val existing = base.map { _ =>
-        if (touched.nonEmpty) readFiles(spark, table, touched, base)
-        else read(spark, table, base).limit(0)
-      }
-      val incoming = changes.withColumn("_src", lit(1))
-      val all = existing match {
-        case None => incoming
-        case Some(cur) => cur
-          .withColumn(opCol, lit("upsert"))
-          .withColumn("_src", lit(0))
-          .unionByName(incoming)
-      }
-      // Final key: on a full (version, src) tie — two rows in the SAME
-      // batch with the same key and version, one delete and one upsert —
-      // the delete wins deterministically; without it row_number breaks
-      // the tie arbitrarily and the survivor can differ run-to-run.
-      val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(col(versionCol).desc, col("_src").desc,
-          (coalesce(col(opCol), lit("upsert")) === "delete").desc)
-      // NULL op reads as upsert (a feed that only marks deletes), not as
-      // a silent delete-by-three-valued-logic
-      val merged = all.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1 &&
-          coalesce(col(opCol), lit("upsert")) =!= "delete")
-        .drop("_rn", "_src", opCol)
-      validateConstraints(merged, constraints(table))
-      val add = writeData(merged, table)
-      val v = base.getOrElse(0L) + 1
-      val dvRemove =
-        if (untouched.isEmpty) activeDvs(table, base)
-        else inertDvs(spark, table, activeDvs(table, base),
-          untouched.map(fileKey).toSet)
-      val blCols = activeBloomCols(spark, table, base)
-        .filter(merged.columns.contains)
-      val blAdd = fileBlooms(spark, table, add, blCols)
-      val blRemove =
-        if (untouched.isEmpty) activeBlooms(table, base)
-        else inertBlooms(spark, table, activeBlooms(table, base),
-          untouched.map(fileKey).toSet)
-      if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
-        schemaDdl = Some(merged.schema.toDDL),
-        dvRemove = dvRemove, streamId = streamId,
-        bloomAdd = blAdd, bloomRemove = blRemove))) return v
+      // ONE sidecar read per attempt, as in [[merge]]
+      val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+      val won = try {
+        val touched =
+          refineTouchedByBlooms(table, rangeTouched, keyProbes,
+            changes, base, bi)
+        val untouched = allActive.filterNot(touched.toSet)
+        val existing = base.map { _ =>
+          if (touched.nonEmpty) readFiles(spark, table, touched, base)
+          else read(spark, table, base).limit(0)
+        }
+        val incoming = changes.withColumn("_src", lit(1))
+        val all = existing match {
+          case None => incoming
+          case Some(cur) => cur
+            .withColumn(opCol, lit("upsert"))
+            .withColumn("_src", lit(0))
+            .unionByName(incoming)
+        }
+        // Final key: on a full (version, src) tie — two rows in the SAME
+        // batch with the same key and version, one delete and one upsert —
+        // the delete wins deterministically; without it row_number breaks
+        // the tie arbitrarily and the survivor can differ run-to-run.
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(versionCol).desc, col("_src").desc,
+            (coalesce(col(opCol), lit("upsert")) === "delete").desc)
+        // NULL op reads as upsert (a feed that only marks deletes), not as
+        // a silent delete-by-three-valued-logic
+        val merged = all.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1 &&
+            coalesce(col(opCol), lit("upsert")) =!= "delete")
+          .drop("_rn", "_src", opCol)
+        validateConstraints(merged, constraints(table))
+        val add = writeData(merged, table)
+        val v = base.getOrElse(0L) + 1
+        val dvRemove =
+          if (untouched.isEmpty) activeDvs(table, base)
+          else inertDvs(spark, table, activeDvs(table, base),
+            untouched.map(fileKey).toSet)
+        val blCols = bi.cols.filter(merged.columns.contains)
+        val blAdd = fileBlooms(spark, table, add, blCols)
+        val blRemove =
+          if (untouched.isEmpty) bi.sidecars
+          else bi.inert(untouched.map(fileKey).toSet)
+        if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
+          schemaDdl = Some(merged.schema.toDDL),
+          dvRemove = dvRemove, streamId = streamId,
+          bloomAdd = blAdd, bloomRemove = blRemove))) Some(v) else None
+      } finally bi.release()
+      if (won.nonEmpty) return won.get
       attempts += 1 // lost the race: re-apply against the new snapshot
     }
     throw new IllegalStateException(
@@ -1674,9 +1836,24 @@ object TxLog {
       val statsMap = commits(src).flatMap(_.stats).toMap
       files.flatMap(f => statsMap.get(f).map(s => abs(f) -> s)).toMap
     }
+    // string stats and byte sizes ride the clone like numeric stats do —
+    // a clone that silently lost sstats would re-open every footer on
+    // string-range reads the source could prune
+    val sstatsByAbs = {
+      val sMap = commits(src).flatMap(_.sstats).toMap
+      files.flatMap(f => sMap.get(f).map(s => abs(f) -> s)).toMap
+    }
     val dvs = activeDvs(src, asOf).map(abs)
+    // the bloom index travels too (absolute sidecar paths, the activeDvs
+    // pattern): sidecars key data files by fileKey, which absolute clone
+    // entries normalize back to, so pruning on the clone just works — a
+    // shallow clone of an indexed table must not silently stop skipping.
+    // (Byte sizes need no carry: tryCommit stats the absolute add
+    // entries itself.)
+    val blooms = activeBlooms(src, asOf).map(abs)
     if (!tryCommit(dst, Commit(1L, absFiles, Seq.empty, "clone", -1L,
-      statsByAbs, schemaAsOf(src, asOf).map(_.toDDL), dvAdd = dvs)))
+      statsByAbs, schemaAsOf(src, asOf).map(_.toDDL), dvAdd = dvs,
+      sstats = sstatsByAbs, bloomAdd = blooms)))
       throw new IllegalStateException(
         s"clone destination $dst gained a commit mid-clone")
     // carry CHECK constraints AS-OF the cloned snapshot, metadata-only:
@@ -1820,10 +1997,20 @@ object TxLog {
     * selected files THROUGH their deletion vectors (deletes
     * materialize), and DVs whose every reference was rewritten retire
     * with the commit — DVs still covering an untouched large file stay
-    * active. Returns None when fewer than 2 small files exist. */
+    * active. Returns None when fewer than 2 small files exist.
+    *
+    * `targetBytes` sizes the OUTPUT in bytes instead of file count —
+    * the unit a 100 TB table is actually compacted in (Delta's
+    * maxFileSize): the selected small files bin-pack into
+    * ceil(their total bytes / targetBytes) output files, so a nightly
+    * compaction pass yields ~targetBytes files however much trickle
+    * accreted, with no per-table file-count tuning. Overrides
+    * `targetFiles` when set; sizes come from the commit log, no
+    * filesystem listing. */
   def optimizeSmall(spark: SparkSession, table: String,
       minFileSizeBytes: Long, targetFiles: Int = 1,
-      statsCols: Seq[String] = Seq.empty): Option[Long] = {
+      statsCols: Seq[String] = Seq.empty,
+      targetBytes: Option[Long] = None): Option[Long] = {
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
@@ -1832,8 +2019,13 @@ object TxLog {
       val active = activeFiles(table, base)
       val small = active.filter(f => sizes.getOrElse(f, 0L) < minFileSizeBytes)
       if (small.size < 2) return None // nothing to gain from a rewrite
+      val nOut = targetBytes.map { tb =>
+        require(tb > 0, s"optimizeSmall targetBytes must be positive: $tb")
+        val total = small.map(f => sizes.getOrElse(f, 0L)).sum
+        math.max(1L, (total + tb - 1) / tb).toInt
+      }.getOrElse(targetFiles)
       val cur = readFiles(spark, table, small, base)
-      val arranged = cur.coalesce(targetFiles)
+      val arranged = cur.coalesce(nOut)
       val add = writeData(arranged, table)
       val v = base.get + 1
       val keep = active.filterNot(small.toSet)
@@ -1844,15 +2036,18 @@ object TxLog {
       val dvRemove = inertDvs(spark, table, activeDvs(table, base),
         keep.map(fileKey).toSet)
       val (nstats, sstats) = fileStats(spark, table, add, statsCols)
-      val blCols = activeBloomCols(spark, table, base)
-        .filter(arranged.columns.contains)
-      if (tryCommit(table, Commit(v, add, small, "optimize", -1L,
+      // one sidecar read answers both the indexed-columns and the
+      // inertness questions — see [[BloomIndex]]
+      val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+      val won = try {
+        val blCols = bi.cols.filter(arranged.columns.contains)
+        tryCommit(table, Commit(v, add, small, "optimize", -1L,
           nstats, Some(arranged.schema.toDDL), dvRemove = dvRemove,
           sstats = sstats,
           bloomAdd = fileBlooms(spark, table, add, blCols),
-          bloomRemove = inertBlooms(spark, table, activeBlooms(table, base),
-            keep.map(fileKey).toSet))))
-        return Some(v)
+          bloomRemove = bi.inert(keep.map(fileKey).toSet)))
+      } finally bi.release()
+      if (won) return Some(v)
       attempts += 1 // lost the race: re-select against the new snapshot
     }
     throw new IllegalStateException(
@@ -1901,15 +2096,18 @@ object TxLog {
       // retire DV files whose every referenced data file leaves the set
       val dvRemove = inertDvs(spark, table, dvs,
         files.diff(touched).map(fileKey).toSet)
-      val blCols = activeBloomCols(spark, table, base)
-        .filter(rewritten.columns.contains)
       val v = base.get + 1
-      if (tryCommit(table, Commit(v, add, touched, "optimizeDvs", -1L,
-        schemaDdl = schemaAsOf(table, base).map(_.toDDL),
-        dvRemove = dvRemove,
-        bloomAdd = fileBlooms(spark, table, add, blCols),
-        bloomRemove = inertBlooms(spark, table, activeBlooms(table, base),
-          files.diff(touched).map(fileKey).toSet)))) return v
+      // one sidecar read for indexed-columns + inertness ([[BloomIndex]])
+      val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+      val won = try {
+        val blCols = bi.cols.filter(rewritten.columns.contains)
+        tryCommit(table, Commit(v, add, touched, "optimizeDvs", -1L,
+          schemaDdl = schemaAsOf(table, base).map(_.toDDL),
+          dvRemove = dvRemove,
+          bloomAdd = fileBlooms(spark, table, add, blCols),
+          bloomRemove = bi.inert(files.diff(touched).map(fileKey).toSet)))
+      } finally bi.release()
+      if (won) return v
       attempts += 1
     }
     throw new IllegalStateException(

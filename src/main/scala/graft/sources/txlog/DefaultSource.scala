@@ -303,15 +303,124 @@ case class TxLogRelation(sqlContext: SQLContext, path: String,
   /** Delegate to the parquet reader over the snapshot's files with the
     * pruning/filtering re-applied — Catalyst re-plans the delegate with
     * the same pushdown it proved for a direct parquet scan. `filters`
-    * here are advisory (Spark re-evaluates residuals above this scan). */
+    * here are advisory (Spark re-evaluates residuals above this scan).
+    *
+    * FILE-LEVEL DATA SKIPPING FROM THE PUSHED FILTERS (the Delta read
+    * path, surfaced to SQL): conjunctive range/equality predicates on
+    * columns with log-recorded stats — numeric and timestamp via
+    * `stats`, string via `sstats` — shrink the scanned file set through
+    * [[TxLog.readPruned]] before the parquet scan is planned. A
+    * `WHERE ts BETWEEN …` or `WHERE k = '…'` in plain SQL over a
+    * `CREATE TABLE … USING graft.sources.txlog` view now opens only the
+    * intersecting files, with no TxLog-API call site. Sound because a
+    * pruned file's recorded bounds cannot intersect the predicate, so
+    * it holds no satisfying row (NULL rows fail range predicates too,
+    * and IsNull is never used for pruning — stats ignore nulls). */
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
+    val (numB, strB) = statsBounds(filters)
+    val base =
+      if (numB.isEmpty && strB.isEmpty) snapshot
+      else TxLog.readPruned(sqlContext.sparkSession, path, numB, strB,
+        pinnedVersion)
     val pruned =
-      if (requiredColumns.isEmpty) snapshot
-      else snapshot.select(requiredColumns.head, requiredColumns.tail: _*)
+      if (requiredColumns.isEmpty) base
+      else base.select(requiredColumns.head, requiredColumns.tail: _*)
     filters.foldLeft(pruned) { (df, f) =>
       filterToColumn(f).map(df.filter).getOrElse(df)
     }.rdd
+  }
+
+  /** Per-column conjunctive bounds derivable from the pushed filters.
+    * Numeric columns bound in their own domain; TIMESTAMP columns bound
+    * as epoch SECONDS (the exact double cast [[TxLog]]'s fileStats
+    * recorded), widened ±1 s so double rounding can never tighten a
+    * bound past a real row; string columns bound lexicographically for
+    * the sstats path. Strict inequalities widen to inclusive — pruning
+    * may only ever keep EXTRA files. Top-level filters are implicitly
+    * conjunctive; Or/Not and every unknown shape contribute nothing. */
+  private def statsBounds(filters: Array[Filter]): (
+      Map[String, (Double, Double)], Map[String, (String, String)]) = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val NegInf = Double.NegativeInfinity
+    val PosInf = Double.PositiveInfinity
+    val num = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    val str = scala.collection.mutable.Map.empty[String, (String, String)]
+    def numVal(a: String, v: Any): Option[Double] =
+      schema.fields.find(_.name == a).map(_.dataType).flatMap {
+        case _: NumericType => v match {
+          case n: Number => Some(n.doubleValue())
+          case _ => None
+        }
+        case _: TimestampType => v match {
+          case t: java.sql.Timestamp => Some(t.getTime / 1000.0)
+          case i: java.time.Instant => Some(i.toEpochMilli / 1000.0)
+          case _ => None
+        }
+        case _ => None
+      }
+    def isTs(a: String): Boolean =
+      schema.fields.find(_.name == a).exists(_.dataType.isInstanceOf[TimestampType])
+    def pad(a: String): Double = if (isTs(a)) 1.0 else 0.0
+    def tightenNum(a: String, lo: Double, hi: Double): Unit = {
+      val (clo, chi) = num.getOrElse(a, (NegInf, PosInf))
+      num(a) = (math.max(clo, lo), math.min(chi, hi))
+    }
+    def strVal(a: String, v: Any): Option[String] =
+      schema.fields.find(_.name == a).map(_.dataType).flatMap {
+        case StringType => v match {
+          case s: String => Some(s)
+          case _ => None
+        }
+        case _ => None
+      }
+    // one-sided string predicates accumulate separately and only emit
+    // when BOTH sides are bounded (filesForStringRange tests a closed
+    // interval; "" is a sound lower sentinel, but NO string is a sound
+    // upper sentinel — data may sort above any literal we pick). An
+    // unbounded-above predicate therefore prunes nothing, which is the
+    // safe direction; EqualTo — the common point-lookup — is two-sided.
+    val strLo = scala.collection.mutable.Map.empty[String, String]
+    val strHi = scala.collection.mutable.Map.empty[String, String]
+    def tightenStr(a: String, lo: Option[String], hi: Option[String]): Unit = {
+      lo.foreach { l =>
+        strLo(a) = strLo.get(a) match {
+          case Some(c) if TxLog.utf8Cmp(c, l) >= 0 => c
+          case _ => l
+        }
+      }
+      hi.foreach { h =>
+        strHi(a) = strHi.get(a) match {
+          case Some(c) if TxLog.utf8Cmp(c, h) <= 0 => c
+          case _ => h
+        }
+      }
+    }
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(a, v) =>
+        numVal(a, v).foreach(d => tightenNum(a, d - pad(a), d + pad(a)))
+        strVal(a, v).foreach(s => tightenStr(a, Some(s), Some(s)))
+      case GreaterThan(a, v) =>
+        numVal(a, v).foreach(d => tightenNum(a, d - pad(a), PosInf))
+        strVal(a, v).foreach(s => tightenStr(a, Some(s), None))
+      case GreaterThanOrEqual(a, v) =>
+        numVal(a, v).foreach(d => tightenNum(a, d - pad(a), PosInf))
+        strVal(a, v).foreach(s => tightenStr(a, Some(s), None))
+      case LessThan(a, v) =>
+        numVal(a, v).foreach(d => tightenNum(a, NegInf, d + pad(a)))
+        strVal(a, v).foreach(s => tightenStr(a, None, Some(s)))
+      case LessThanOrEqual(a, v) =>
+        numVal(a, v).foreach(d => tightenNum(a, NegInf, d + pad(a)))
+        strVal(a, v).foreach(s => tightenStr(a, None, Some(s)))
+      case And(l, r) => walk(l); walk(r)
+      case _ => // Or/Not/In/IsNull/…: no sound conjunctive bound
+    }
+    filters.foreach(walk)
+    strLo.keySet.intersect(strHi.keySet).foreach { a =>
+      str(a) = (strLo(a), strHi(a))
+    }
+    (num.toMap, str.toMap)
   }
 
   private def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {

@@ -144,6 +144,76 @@ class TxLogBloomSpec extends SparkSpec {
     assert(TxLog.read(spark, t).count() === 1L)
   }
 
+  test("zero-row writes with bloomCols commit cleanly (nothing to index)") {
+    val t = table()
+    TxLog.append(Seq(("a", 1L)).toDF("k", "ver"), t, bloomCols = Seq("k"))
+    // empty append: Spark still stages a schema-only part file, so the
+    // staged set is non-empty but the grouped row count has no groups —
+    // this used to NPE on the null max(count)
+    TxLog.append(Seq.empty[(String, Long)].toDF("k", "ver"), t,
+      bloomCols = Seq("k"))
+    assert(TxLog.read(spark, t).count() === 1L)
+    // delete-all CDC batch on an indexed table: the merged output is empty
+    TxLog.applyChanges(spark, t,
+      Seq(("a", 2L, "delete")).toDF("k", "ver", "_op"),
+      Seq("k"), "ver", "_op")
+    assert(TxLog.read(spark, t).count() === 0L)
+  }
+
+  test("plain append to an indexed table keeps indexing new files") {
+    val t = table()
+    scattered(t, bloom = true)
+    // NO bloomCols passed: without a table-properties store the write
+    // derives the index config from the active sidecars, like OPTIMIZE
+    TxLog.append((900 until 1200 by 3)
+      .map(i => (f"user-$i%04d", i.toLong, s"v$i"))
+      .toDF("k", "ver", "v").coalesce(1), t)
+    assert(TxLog.commits(t).last.bloomAdd.nonEmpty,
+      "append dropped the table's bloom index")
+    // a key only the appended file holds: the three old files' filters
+    // miss it, so the probe prunes below the full file count
+    val pruned = TxLog.filesForEquals(spark, t, "k", Seq("user-1101"))
+    assert(pruned.size < TxLog.activeFiles(t).size)
+    assert(TxLog.readEquals(spark, t, "k", Seq("user-1101")).count() === 1L)
+  }
+
+  test("shallow clone carries the bloom index and string stats") {
+    val t = table()
+    scattered(t, bloom = true)
+    val dst = tmpDir("txbloom") + "/clone"
+    TxLog.cloneTable(spark, t, dst)
+    assert(TxLog.activeBlooms(dst).nonEmpty,
+      "clone silently dropped the bloom index")
+    assert(TxLog.commits(dst).head.sstats.nonEmpty,
+      "clone silently dropped string stats")
+    val pruned = TxLog.filesForEquals(spark, dst, "k", Seq("user-0500"))
+    assert(pruned.size < TxLog.activeFiles(dst).size,
+      s"cloned index pruned nothing: $pruned")
+    assert(TxLog.readEquals(spark, dst, "k", Seq("user-0500")).count() === 1L)
+  }
+
+  test("probe typing: wrong-class probes fail descriptively, not silently") {
+    val t = table()
+    TxLog.append(Seq(("a", 1L)).toDF("k", "ver"), t, bloomCols = Seq("ver"))
+    // Int probe on a bigint column: used to throw an opaque Literal error
+    val e = intercept[IllegalArgumentException] {
+      TxLog.filesForEquals(spark, t, "ver", Seq(1))
+    }
+    assert(e.getMessage.contains("bigint"), e.getMessage)
+    // epoch-millis Long on a timestamp column: used to hash the Long as
+    // the INTERNAL micros value and return silently-empty results
+    val t2 = table()
+    TxLog.append(Seq(Tuple1(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("ts"), t2, bloomCols = Seq("ts"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.filesForEquals(spark, t2, "ts", Seq(1704067200000L))
+    }
+    assert(e2.getMessage.contains("timestamp"), e2.getMessage)
+    // the correctly-typed probe still reads
+    assert(TxLog.readEquals(spark, t2, "ts",
+      Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).count() === 1L)
+  }
+
   test("DV'd rows stay dead through the bloom-pruned read path") {
     val t = table()
     scattered(t, bloom = true)

@@ -1049,6 +1049,92 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t).count() === 10000)
   }
 
+  test("optimizeSmall targetBytes bin-packs small files to a byte budget; large files stay") {
+    import org.apache.spark.sql.functions._
+    val t = table()
+    // one properly-sized file + a trickle of small single-row appends —
+    // the streaming-accretion shape byte-targeted compaction exists for
+    TxLog.overwrite(spark.range(0, 50000).toDF("k")
+      .withColumn("v", $"k" * 2).coalesce(1), t)
+    (0 until 6).foreach(i =>
+      TxLog.append(Seq((100000L + i, 0L)).toDF("k", "v").coalesce(1), t))
+    val sizes = TxLog.fileSizes(t)
+    val threshold = 8192L
+    val small = sizes.filter(_._2 < threshold).keys.toSet
+    val large = sizes.keys.toSet -- small
+    assert(small.size === 6 && large.size === 1,
+      s"fixture sizes unexpected: $sizes")
+    val smallBytes = small.toSeq.map(sizes).sum
+    // budget half the small bytes per output file → exactly 2 outputs
+    TxLog.optimizeSmall(spark, t, threshold,
+      targetBytes = Some((smallBytes + 1) / 2))
+    val last = TxLog.commits(t).last
+    assert(last.remove.toSet === small, "only sub-threshold files compact")
+    assert(last.add.size === 2,
+      s"byte budget should bin-pack to 2 files, got ${last.add.size}")
+    assert(TxLog.activeFiles(t).toSet.intersect(large) === large,
+      "the large file must stay byte-identical in place")
+    assert(TxLog.read(spark, t).count() === 50006L)
+  }
+
+  test("legacy numeric stats on a string column are ignored (mixed-era log soundness)") {
+    import org.apache.spark.sql.functions._
+    val t = table()
+    // a pre-sstats-era writer recorded string bounds CAST THROUGH DOUBLE:
+    // lexicographic min/max of {'100','9'} is ('100','9'), which casts to
+    // the INVERTED numeric interval (100.0, 9.0) — pruning from it drops
+    // the file even though it holds k='9', inside the queried range
+    val df = Seq(("100", 1L), ("9", 2L)).toDF("k", "ver").coalesce(1)
+    val add = TxLog.writeData(df, t)
+    assert(add.size === 1)
+    assert(TxLog.tryCommit(t, TxLog.Commit(1L, add, Seq.empty, "append", -1L,
+      stats = Map(add.head -> Map("k" -> (100.0, 9.0))),
+      schemaDdl = Some(df.schema.toDDL))))
+    // the range reader must not trust numeric bounds on a string column:
+    // the file survives pruning and the read equals the full-scan filter
+    assert(TxLog.filesForRange(t, "k", 5.0, 20.0).toSet === add.toSet)
+    assert(TxLog.readRange(spark, t, "k", 5.0, 20.0)
+      .select("k").as[String].collect().toSet === Set("9"))
+    // numeric stats on a genuinely numeric column still prune
+    TxLog.append(spark.range(1000, 1100).toDF("ver")
+      .withColumn("k", lit("x")).select("k", "ver"), t,
+      statsCols = Seq("ver"))
+    assert(TxLog.filesForRange(t, "ver", 0.0, 10.0).size === 1,
+      "numeric pruning must survive the string-column guard")
+  }
+
+  test("SQL WHERE over a txlog view prunes files through pushed-filter stats") {
+    import org.apache.spark.sql.functions._
+    val t = table()
+    // three key-disjoint files, numeric + string stats recorded
+    Seq(0, 1, 2).foreach(i => TxLog.append(
+      spark.range(i * 100, (i + 1) * 100).toDF("k")
+        .withColumn("s", format_string("s%04d", col("k")))
+        .coalesce(1), t, statsCols = Seq("k", "s")))
+    // the combined pruned read scans exactly the intersecting file
+    assert(TxLog.readPruned(spark, t,
+      Map("k" -> (120.0, 180.0)), Map.empty).inputFiles.length === 1)
+    assert(TxLog.readPruned(spark, t,
+      Map.empty, Map("s" -> ("s0120", "s0180"))).inputFiles.length === 1)
+    // SQL end-to-end: a plain WHERE over the view gives the same answer
+    // the full scan would (the relation prunes from the pushed filters)
+    val id = java.util.UUID.randomUUID.toString.take(8)
+    spark.sql(s"""CREATE TEMPORARY VIEW sqlskip_$id
+                 |USING graft.sources.txlog OPTIONS (path '$t')""".stripMargin)
+    def q(where: String): Set[Long] =
+      spark.sql(s"SELECT k FROM sqlskip_$id WHERE $where")
+        .as[Long].collect().toSet
+    assert(q("k BETWEEN 120 AND 180") === (120L to 180L).toSet)
+    assert(q("s >= 's0120' AND s <= 's0180'") === (120L to 180L).toSet)
+    // one-sided string predicate: prunes nothing (no sound upper
+    // sentinel exists) but the answer stays exact
+    assert(q("s >= 's0280'") === (280L to 299L).toSet)
+    // equality point-lookups bound both sides
+    assert(q("k = 150") === Set(150L))
+    assert(q("s = 's0042'") === Set(42L))
+    spark.catalog.dropTempView(s"sqlskip_$id")
+  }
+
   test("SQL DDL lifecycle: CREATE TABLE with schema on a fresh path, INSERT, shape mismatch refused") {
     val t = table()
     spark.sql(s"""CREATE TABLE txddl (k BIGINT, v STRING)
