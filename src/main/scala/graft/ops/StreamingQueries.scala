@@ -40,8 +40,27 @@ object StreamingQueries {
     * `ts` — the 100 TB posture is "normalize once at the bronze edge,
     * never branch downstream". coalesce(1) keeps the table a single
     * file so `maxFilesPerTrigger = 1` still means one micro-batch per
-    * staged file. */
-  private def stageEventsDir(s: SparkSession, dir: String): String = {
+    * staged file.
+    *
+    * MEMOIZED per source dir per JVM: the normalization is
+    * deterministic and every regular caller only READS the staged dir,
+    * so "normalize once at the bronze edge" is literal — one
+    * read→normalize→write regardless of how many streaming entries run
+    * (previously ~22 re-stagings per bench pass). `computeIfAbsent`
+    * also serializes concurrent first-stagers on the same key, so
+    * Bench's concurrent pass stages exactly once. Callers that MUTATE
+    * the landing dir (sentinel appends) must use
+    * [[stageEventsDirFresh]]. */
+  private val stagedEvents =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageEventsDir(s: SparkSession, dir: String): String =
+    stagedEvents.computeIfAbsent(dir, _ => stageEventsDirFresh(s, dir))
+
+  /** Non-memoized staging for callers that append their own files to
+    * the landing dir afterwards (sharing the memoized dir would leak
+    * their sentinel rows into every other entry's source). */
+  private def stageEventsDirFresh(s: SparkSession, dir: String): String = {
     val d = Files.createTempDirectory("graft_events_src")
     graft.Tables.loadEvents(s, s"$dir/events.parquet")
       .coalesce(1).write.mode("append").parquet(d.toString)
@@ -114,7 +133,7 @@ object StreamingQueries {
   private def outerStreamJoin(s0: SparkSession, dir: String,
       joinType: String, prefix: String): DataFrame = {
     val out = tmp(prefix)
-    val src = stageEventsDir(s0, dir)
+    val src = stageEventsDirFresh(s0, dir) // appends sentinels below — must not share the memoized dir
     val s = s0.newSession()
     graft.Graft.referenceSemantics(s)
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -295,6 +314,57 @@ object StreamingQueries {
         }
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
       s.read.parquet(s"$out/sink")
+    },
+
+    // The PRODUCTION form of the gold aggregate (the complete-mode st5
+    // reproduces the reference's M:162-183 notebook shape; this is the
+    // variant a deployed pipeline runs): watermarked event-time windows,
+    // APPEND output — only windows the watermark has CLOSED emit, state
+    // is evicted behind it, and the sink is append-only parquet a
+    // downstream reader can consume incrementally. Emission needs the
+    // watermark to pass each window's end: two sentinel micro-batches
+    // (the outerStreamJoin pattern) push it past every real day — batch
+    // N's watermark only takes effect while batch N+1 runs, so the
+    // first sentinel advances it and the second gives the agg a batch
+    // to flush under it. Sentinels sit days past the real tail in
+    // windows that never close, so they add no emitted rows.
+    QueryDef("st35_stream_window_append_gold",
+      "watermarked tumbling-window aggregate in APPEND mode: only closed windows emit, state evicts behind the watermark (production gold form)",
+      "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS cnt FROM events GROUP BY 1") { (s0, dir) =>
+      val out = tmp("graft_st35")
+      val src = stageEventsDirFresh(s0, dir) // sentinel appends below
+      val s = s0.newSession()
+      graft.Graft.referenceSemantics(s)
+      graft.streaming.SessionizeTws.configure(s)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval",
+        s0.conf.get("spark.sql.streaming.stateStore.maintenanceInterval"))
+      val maxTsUs = s.read.schema(eventsRaw).parquet(src)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      import s.implicits._
+      Seq(3L, 4L).foreach { d =>
+        Seq((-d, maxTsUs + d * 86400L * 1000000L, -1L, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", timestamp_micros(col("ts")))
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      // Sentinels must flow THROUGH the watermark-tracking node (a
+      // pre-agg filter gets predicate-pushed below it and the watermark
+      // never advances), so they are excluded POST-agg instead: their
+      // windows sit days past the real tail, so a day-bound on the
+      // window start drops exactly them. Deterministic — maxTsUs is the
+      // real data's tail, and only sentinel windows start after it.
+      eventsStream(s, src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").alias("w"))
+        .agg(count(lit(1)).alias("cnt"))
+        .select(col("w.start").cast(DateType).alias("day"), col("cnt"))
+        .filter(col("day") <= timestamp_micros(lit(maxTsUs)).cast(DateType))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s0.read.parquet(s"$out/sink")
     },
 
     QueryDef("st7_stream_dedup",
