@@ -59,7 +59,23 @@ object GraftFunctions {
     // stores exactly the longs it was given.
     ("bloom_agg", "bloom-filter build over pre-hashed longs (grouped sketch aggregate)",
       es => new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(es.head, es(1), es(2))))
+        .BloomFilterAggregate(es.head, es(1), es(2))),
+    // deletion-vector bitset codec (TxLog's scattered-delete encoding):
+    // build from the per-file RLE range list the DV writer already
+    // computes; probe via a LITERAL file->bitmap map evaluated once at
+    // plan time (the NearestCellsL2 constant pattern) so the read path
+    // stays join-free — see DvBitmap.scala
+    ("dv_bitmap_from_ranges", "serialize sorted (start,end) ranges into a roaring-style bitset",
+      es => DvBitmapFromRanges(es.head)),
+    ("dv_bitmap_probe", "deletion-bitset membership probe against a literal file->bitmap map",
+      es => {
+        val m = es(2).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val keys = m.keyArray(); val vals = m.valueArray()
+        val byFile = (0 until m.numElements()).map(i =>
+          keys.getUTF8String(i).toString -> vals.getBinary(i)).toMap
+        DvMapProbe(es.head, es(1), byFile)
+      }))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, _, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -500,7 +500,11 @@ object AnalyticsQueries {
         pmod(col("c_custkey"), lit(200)) === 0)    // v6: DV on small files
       val sizes = TxLog.fileSizes(table)
       val big = TxLog.activeFiles(table).maxBy(sizes)
-      TxLog.optimizeSmall(s, table, sizes(big)).get                       // v7
+      // byte-targeted bin-packing (how a 100 TB table compacts: toward a
+      // file-size goal, not a file count) — the trickle packs into
+      // ceil(small bytes / target) outputs, the large file stays put
+      TxLog.optimizeSmall(s, table, sizes(big),
+        targetBytes = Some(sizes(big))).get                               // v7
       require(TxLog.activeFiles(table).contains(big),
         "bin-packing must not rewrite the large file")
       TxLog.read(s, table).select("c_custkey", "c_name", "c_acctbal")
@@ -727,6 +731,31 @@ object AnalyticsQueries {
         .repartition(6), table)                                        // v1
       TxLog.deleteVectors(s, table, pmod(col("c_custkey"), lit(6)) === 0) // v2
       TxLog.deleteVectors(s, table, col("c_acctbal") < 0)               // v3
+      TxLog.read(s, table)
+    },
+
+    // Scattered row-level delete through the BITSET deletion-vector
+    // encoding (the 100 TB shape of src_txlog_dv's scatter case): a
+    // single file clustered by o_orderkey, every other key deleted — the
+    // RLE range list would persist one width-1 range per dead row, so
+    // the writer switches to the roaring-style bitset (DvBitmapCodec,
+    // ~8 KiB per dense 64 Ki-row block) and the read probes it join-free
+    // via a constant file→bitmap map. Oracle = the same parity filter
+    // over the staged input; byte-size/encoding proofs live in
+    // TxLogSpec/DvBitmapSpec.
+    QueryDef("src_txlog_dv_scatter",
+      "TxLog scattered delete via bitset DVs: every-other-row dvDelete on one file, snapshot oracled (bitset encoding + join-free probe)",
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM read_parquet('${QueryDef.StageSql}/txdvsc_in/*.parquet')
+         |WHERE o_orderkey % 2 = 1""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$stage/txdvsc_in")
+      val table = Files.createTempDirectory("graft_txdvsc").toString + "/t"
+      TxLog.overwrite(s.read.parquet(s"$stage/txdvsc_in")
+        .sort("o_orderkey").coalesce(1), table)                        // v1
+      TxLog.deleteVectors(s, table, pmod(col("o_orderkey"), lit(2)) === 0) // v2
       TxLog.read(s, table)
     },
 

@@ -116,17 +116,27 @@ object TxLog {
       sstats: Map[String, Map[String, (String, String)]] = Map.empty,
       streamId: Option[String] = None,
       bloomAdd: Seq[String] = Seq.empty,
-      bloomRemove: Seq[String] = Seq.empty)
+      bloomRemove: Seq[String] = Seq.empty,
+      // minimum reader protocol this commit REQUIRES beyond what its
+      // content implies (bitset-encoded DVs pass 3: their files parse as
+      // empty range sets under a v2 reader — silent resurrection).
+      // Parse round-trips the stamped protocolVersion through this field.
+      minReader: Int = 1)
 
   /** Highest protocol version this reader understands. A reader meeting a
     * HIGHER version fails loudly instead of silently misinterpreting
     * actions it doesn't know (Delta's protocol action plays the same
     * role: an old reader must refuse, not guess). Commits are stamped with
     * the MINIMUM version that can read them correctly (Delta's
-    * minReaderVersion): plain commits say 1, deletion-vector commits say 2
-    * — so a v1-era reader keeps working on tables that never used DVs and
-    * refuses exactly the tables it would misread. */
-  val ProtocolVersion = 2
+    * minReaderVersion): plain commits say 1, deletion-vector commits say 2,
+    * BITSET-encoded deletion vectors say 3 — so a v1-era reader keeps
+    * working on tables that never used DVs and refuses exactly the tables
+    * it would misread. The v3 stamp exists because a v2-era range reader
+    * would not ERROR on a bitmap DV: merge-schema normalization turns
+    * bitmap rows into NULL ranges that silently drop from both anti-join
+    * sides — deleted rows would RESURRECT, the exact silent misread the
+    * protocol stamp is for. */
+  val ProtocolVersion = 3
 
   /** Every op this reader knows how to fold. An op outside this set means
     * the log was written by a newer writer — [[commits]] refuses to read
@@ -209,7 +219,8 @@ object TxLog {
           Option(node.get("ts")).map(_.asLong()).getOrElse(-1L),
           optArr("dvAdd"), optArr("dvRemove"), sizes, sstats,
           Option(node.get("streamId")).map(_.asText()),
-          optArr("bloomAdd"), optArr("bloomRemove"))
+          optArr("bloomAdd"), optArr("bloomRemove"),
+          minReader = proto)
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -300,6 +311,15 @@ object TxLog {
       .parquet(dvs.map(resolve(table, _)): _*)
     if (withSource) df = df.withColumn("_dv", input_file_name())
     val cols = df.columns.toSet
+    // a bitmap-only DV set has NO range columns at all; and in a mixed
+    // set, bitmap rows surface as NULL-range rows after the merge-schema
+    // union — both must yield zero RANGE rows here (their deletes are
+    // served by readDvBitmaps), never an analysis error or a null range
+    if (!cols("start") && !cols("row_index"))
+      return df.select(Seq(col("file"), lit(null).cast("long").alias("start"),
+        lit(null).cast("long").alias("end")) ++
+        (if (withSource) Seq(col("_dv")) else Nil): _*)
+        .limit(0)
     def norm(c: String): org.apache.spark.sql.Column =
       if (cols(c) && cols("row_index")) coalesce(col(c), col("row_index"))
       else if (cols(c)) col(c)
@@ -307,6 +327,37 @@ object TxLog {
     df.select(Seq(col("file"), norm("start").alias("start"),
       norm("end").alias("end")) ++
       (if (withSource) Seq(col("_dv")) else Nil): _*)
+      .filter(col("start").isNotNull)
+  }
+
+  /** Serialized deletion BITSETS in a DV file set: (fileKey → bytes),
+    * collected to the driver — the same driver-bounded footprint the
+    * range broadcast always had, at the bitset's O(set bits) size
+    * instead of the scattered range list's O(deleted rows) rows. Files
+    * carrying several bitmap rows (two scatter-deletes before a
+    * compaction) OR together driver-side via a range-list round trip —
+    * rare (optimizeDvs collapses DVs) and metadata-bounded. */
+  private def readDvBitmaps(spark: SparkSession, table: String,
+      dvs: Seq[String]): Map[String, Array[Byte]] = {
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(dvs.map(resolve(table, _)): _*)
+    if (!df.columns.contains("bitmap")) return Map.empty
+    df.filter(col("bitmap").isNotNull).select("file", "bitmap").collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) =>
+        val bms = rows.map(_.getAs[Array[Byte]](1))
+        f -> (if (bms.length == 1) bms.head
+        else {
+          // union the rare multi-bitmap-per-file case (two scatter
+          // deletes before any compaction) via range decode + rebuild —
+          // O(set bits), driver-side, bounded like the collect itself
+          val merged = bms.toSeq
+            .flatMap(graft.functions.DvBitmapCodec.toRanges)
+            .flatMap { case (s, e) => s to e }.distinct.sorted
+            .map(b => (b, b))
+          graft.functions.DvBitmapCodec.fromRanges(merged)
+        })
+      }
   }
 
   /** DV files whose every referenced data file is absent from
@@ -318,7 +369,12 @@ object TxLog {
   private def inertDvs(spark: SparkSession, table: String, dvs: Seq[String],
       remainingKeys: Set[String]): Seq[String] = {
     if (dvs.isEmpty) return Seq.empty
-    val refs = readDvRanges(spark, table, dvs, withSource = true)
+    // refs come from the RAW rows, not the range normalization — a
+    // bitset-encoded DV has no range columns, and dropping its refs here
+    // would leave it unretirable forever (a leak, not a correctness bug)
+    val refs = spark.read.option("mergeSchema", "true")
+      .parquet(dvs.map(resolve(table, _)): _*)
+      .withColumn("_dv", input_file_name())
       .select("_dv", "file").distinct().collect()
       .map(r => (r.getString(0), r.getString(1)))
     dvs.filter { dv =>
@@ -378,13 +434,25 @@ object TxLog {
         val wide = ranges.filter(col("end") - col("start") >= 8)
           .select(col("file").alias("__dv_file"),
             col("start").alias("__dv_start"), col("end").alias("__dv_end"))
-        keyed
+        val afterRanges = keyed
           .join(broadcast(narrow), Seq("__dv_f", "__dv_ri"), "left_anti")
           .join(broadcast(wide),
             col("__dv_f") === col("__dv_file") &&
               col("__dv_ri") >= col("__dv_start") &&
               col("__dv_ri") <= col("__dv_end"),
             "left_anti")
+        // Bitset-encoded DVs (the scattered-delete form) probe JOIN-FREE:
+        // the (file → bitmap) map rides the plan as a constant and each
+        // row pays one parse-free bitset test — Delta's DV-in-scan shape.
+        // O(set bits) bytes where the equivalent range list is O(deleted
+        // rows) rows; files without a bitmap probe nothing.
+        val bms = readDvBitmaps(spark, table, dvs)
+        if (bms.isEmpty) afterRanges
+        else {
+          graft.functions.GraftFunctions.register(spark)
+          afterRanges.filter(!call_function("dv_bitmap_probe",
+            col("__dv_f"), col("__dv_ri"), typedlit(bms)))
+        }
       }
     if (keepRowKeys) filtered else filtered.drop("__dv_f", "__dv_ri")
   }
@@ -399,7 +467,8 @@ object TxLog {
     // (shallow-clone) file references demand a v2 reader
     val needsV2 = commit.dvAdd.nonEmpty || commit.dvRemove.nonEmpty ||
       (commit.add ++ commit.remove).exists(_.startsWith("/"))
-    node.put("protocolVersion", if (needsV2) 2 else 1)
+    node.put("protocolVersion",
+      math.max(if (needsV2) 2 else 1, commit.minReader))
     node.put("version", commit.version)
     node.put("op", commit.op)
     node.put("batchId", commit.batchId)
@@ -1715,8 +1784,31 @@ object TxLog {
         .groupBy(col("file"), col("_grp"))
         .agg(min("ri").alias("start"), max("ri").alias("end"))
         .drop("_grp")
+      // Encoding choice per batch: the range list is O(consecutive runs)
+      // — ideal for contiguous predicate deletes, degenerate for
+      // SCATTERED ones (a million dispersed rows = a million width-1
+      // range rows broadcast on every read). When the batch is large AND
+      // mostly width-1 runs, re-encode per file as a roaring-style
+      // bitset (DvBitmapCodec): ≤ 2 bytes/row sparse, 8 KiB/64 Ki-row
+      // block dense — O(set bits) however scattered. Readers handle both
+      // encodings side by side (readDvRanges / readDvBitmaps), so the
+      // threshold only tunes size, never correctness.
+      val enc = hits.agg(count(lit(1)).alias("nr"),
+        coalesce(sum(col("end") - col("start") + 1), lit(0L)).alias("rows"))
+        .head()
+      val (nRanges, nRows) = (enc.getLong(0), enc.getLong(1))
+      val scattered = nRanges > 2048 && nRows < 4 * nRanges
+      val staged =
+        if (!scattered) hits
+        else {
+          graft.functions.GraftFunctions.register(spark)
+          hits.groupBy("file").agg(
+            call_function("dv_bitmap_from_ranges",
+              sort_array(collect_list(struct(col("start"), col("end")))))
+              .alias("bitmap"))
+        }
       val sub = s"dv-${UUID.randomUUID().toString.take(8)}"
-      hits.coalesce(1).write.parquet(s"$table/$sub")
+      staged.coalesce(1).write.parquet(s"$table/$sub")
       val dvFiles = Files.list(Paths.get(table, sub)).iterator().asScala
         .toSeq.map(_.getFileName.toString)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
@@ -1729,7 +1821,8 @@ object TxLog {
       }
       val v = base.get + 1
       if (tryCommit(table, Commit(v, Seq.empty, Seq.empty, "dvDelete", -1L,
-        dvAdd = dvFiles))) return v
+        dvAdd = dvFiles,
+        minReader = if (scattered) 3 else 1))) return v
       attempts += 1 // lost the race: re-scan against the new snapshot
     }
     throw new IllegalStateException(
@@ -1899,8 +1992,13 @@ object TxLog {
       // commits a reader must fold — are what demand v2)
       val needsV2 = files.exists(_.startsWith("/")) ||
         commits(table).exists(c => c.dvAdd.nonEmpty || c.dvRemove.nonEmpty)
+      // a checkpointed log keeps its highest stamped requirement: a
+      // reader folding from this checkpoint still folds every commit,
+      // including any v3 (bitset-DV) ones
+      val needed = math.max(if (needsV2) 2 else 1,
+        commits(table).map(_.minReader).maxOption.getOrElse(1))
       val node = mapper.createObjectNode()
-      node.put("protocolVersion", if (needsV2) 2 else 1)
+      node.put("protocolVersion", needed)
       node.put("version", v)
       val arr = node.putArray("files")
       files.foreach(arr.add)
@@ -2076,10 +2174,16 @@ object TxLog {
       // dead-row count per file = total width of its ranges (DV files
       // never overlap ranges for live rows: a re-delete of an already-
       // dead row can't happen — readFiles filters it out of the scan)
-      val dead = readDvRanges(spark, table, dvs)
+      val deadRanges = readDvRanges(spark, table, dvs)
         .groupBy("file")
         .agg(sum(col("end") - col("start") + 1).alias("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // bitset-encoded DVs contribute their cardinality to the dead count
+      val deadBits = readDvBitmaps(spark, table, dvs)
+        .map { case (f, bm) =>
+          f -> graft.functions.DvBitmapCodec.cardinality(bm) }
+      val dead = (deadRanges.keySet ++ deadBits.keySet).map(f =>
+        f -> (deadRanges.getOrElse(f, 0L) + deadBits.getOrElse(f, 0L))).toMap
       // total rows per file (projection-free scan keyed like the DV)
       val totals = spark.read
         .parquet(files.map(resolve(table, _)): _*)

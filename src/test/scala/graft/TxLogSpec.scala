@@ -1103,6 +1103,47 @@ class TxLogSpec extends SparkSpec {
       "numeric pruning must survive the string-column guard")
   }
 
+  test("scattered deletes persist as bitsets: bounded bytes, exact reads, v3 stamp") {
+    import org.apache.spark.sql.functions._
+    val t = table()
+    // one 60k-row file; deleting every other row would cost 30k width-1
+    // range rows under the RLE encoding — the scatter pattern that
+    // triggers the roaring-style bitset (~8 KiB dense block instead)
+    TxLog.overwrite(spark.range(0, 60000).toDF("k")
+      .withColumn("v", col("k") * 2).coalesce(1), t)
+    TxLog.deleteVectors(spark, t, pmod(col("k"), lit(2)) === 0)
+    val dvs = TxLog.activeDvs(t)
+    assert(dvs.size === 1)
+    val dvDf = spark.read.parquet(s"$t/${dvs.head}")
+    assert(dvDf.columns.contains("bitmap"), "scatter delete should bitset-encode")
+    val bytes = dvDf.select("bitmap").head.getAs[Array[Byte]](0)
+    assert(bytes.length < 10000, s"bitset should be ~8 KiB, got ${bytes.length}")
+    assert(TxLog.read(spark, t).count() === 30000L)
+    // a v2-era range reader would silently drop bitmap rows (deleted rows
+    // resurrect) — the commit must demand a v3 reader
+    assert(TxLog.commits(t).last.minReader === 3)
+    // second scatter delete on the SAME file: two bitmaps union at read
+    TxLog.deleteVectors(spark, t,
+      pmod(col("k"), lit(4)) === 1 && col("k") < 60000)
+    assert(TxLog.read(spark, t).count() === 15000L)
+    // contiguous delete on a SECOND file stays range-encoded — both
+    // encodings serve one snapshot side by side
+    TxLog.append(spark.range(100000, 101000).toDF("k")
+      .withColumn("v", col("k") * 2).coalesce(1), t)
+    TxLog.deleteVectors(spark, t, col("k").between(100000, 100499))
+    val dvAll = TxLog.activeDvs(t)
+    val lastDv = spark.read.parquet(s"$t/${TxLog.commits(t).last.dvAdd.head}")
+    assert(!lastDv.columns.contains("bitmap"), "contiguous delete stays ranges")
+    assert(TxLog.read(spark, t).count() === 15500L)
+    assert(TxLog.read(spark, t).agg(min("k")).head.getLong(0) === 3L)
+    // cardinality feeds optimizeDvs: both heavily-deleted files rewrite,
+    // every DV (bitset and range alike) retires
+    TxLog.optimizeDvs(spark, t, maxDeletedFraction = 0.2)
+    assert(TxLog.activeDvs(t).isEmpty)
+    assert(TxLog.read(spark, t).count() === 15500L)
+    assert(dvAll.nonEmpty)
+  }
+
   test("SQL WHERE over a txlog view prunes files through pushed-filter stats") {
     import org.apache.spark.sql.functions._
     val t = table()
