@@ -87,11 +87,6 @@ object StreamingQueries {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  private val docsRaw = StructType(Seq(
-    StructField("doc_id", LongType), StructField("text", StringType),
-    StructField("lang", StringType), StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
   /** Staged documents landing dir + streaming read (the corpus-ingest
     * analog of [[stageEventsDir]]/[[eventsStream]]). */
   private def stageDocsDir(dir: String): String = {
@@ -112,7 +107,11 @@ object StreamingQueries {
 
   private def docsStream(s: SparkSession, stagedDir: String): DataFrame = {
     configureStreaming(s)
-    s.readStream.schema(docsRaw)
+    // schema from the staged file's OWN footer, not a hard-coded struct:
+    // the testdata regenerator has already changed physical types once
+    // (events.ts, the r10 regression class) — a streaming source must
+    // declare whatever the landing zone actually contains
+    s.readStream.schema(s.read.parquet(stagedDir).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stagedDir)
   }
