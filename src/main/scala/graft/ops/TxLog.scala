@@ -449,6 +449,16 @@ object TxLog {
         val bms = readDvBitmaps(spark, table, dvs)
         if (bms.isEmpty) afterRanges
         else {
+          // The constant map rides the serialized plan to every task; a
+          // set this large is pathological (run optimizeDvs — it rewrites
+          // heavily-deleted files and retires their DVs). Fail with the
+          // remedy in hand rather than shipping a multi-GB plan.
+          val totalBytes = bms.valuesIterator.map(_.length.toLong).sum
+          require(totalBytes <= 256L * 1024 * 1024,
+            s"txlog $table carries ${totalBytes >> 20} MiB of bitset " +
+              "deletion vectors — beyond the plan-constant ceiling. Run " +
+              "TxLog.optimizeDvs to materialize the deletes and retire " +
+              "the DVs, then retry the read.")
           graft.functions.GraftFunctions.register(spark)
           afterRanges.filter(!call_function("dv_bitmap_probe",
             col("__dv_f"), col("__dv_ri"), typedlit(bms)))

@@ -1144,6 +1144,28 @@ class TxLogSpec extends SparkSpec {
     assert(dvAll.nonEmpty)
   }
 
+  test("bitset DVs integrate: change feed classifies scatter-deletes; clones carry them") {
+    import org.apache.spark.sql.functions._
+    val t = table()
+    TxLog.overwrite(spark.range(0, 20000).toDF("k")
+      .withColumn("v", col("k")).coalesce(1), t)                    // v1
+    TxLog.deleteVectors(spark, t, pmod(col("k"), lit(2)) === 0)     // v2: bitset
+    assert(TxLog.commits(t).last.minReader === 3,
+      "10k scattered singles should bitset-encode")
+    // the change feed reads both snapshots THROUGH the bitset probe:
+    // v1→v2 is exactly the 10 000 scatter-deleted keys, as delete rows
+    val byType = TxLog.changes(spark, t, Seq("k"), 1L, 2L)
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("delete" -> 10000L))
+    // a shallow clone carries the bitset DV as an absolute ref; the
+    // probe's fileKey normalization makes the clone read identical
+    val dst = table()
+    TxLog.cloneTable(spark, t, dst)
+    assert(TxLog.read(spark, dst).count() === 10000L)
+    assert(TxLog.read(spark, dst).agg(min("k")).head.getLong(0) === 1L)
+  }
+
   test("SQL WHERE over a txlog view prunes files through pushed-filter stats") {
     import org.apache.spark.sql.functions._
     val t = table()
