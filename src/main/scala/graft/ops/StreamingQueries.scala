@@ -2,6 +2,8 @@ package graft.ops
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -55,15 +57,28 @@ object StreamingQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def stageEventsDir(s: SparkSession, dir: String): String =
-    stagedEvents.computeIfAbsent(dir, _ => stageEventsDirFresh(s, dir))
+    stagedEvents.computeIfAbsent(dir, _ => normalizeEventsDir(s, dir))
 
-  /** Non-memoized staging for callers that append their own files to
-    * the landing dir afterwards (sharing the memoized dir would leak
-    * their sentinel rows into every other entry's source). */
-  private def stageEventsDirFresh(s: SparkSession, dir: String): String = {
+  /** The one read→normalize→write pass behind the memo. */
+  private def normalizeEventsDir(s: SparkSession, dir: String): String = {
     val d = Files.createTempDirectory("graft_events_src")
     graft.Tables.loadEvents(s, s"$dir/events.parquet")
       .coalesce(1).write.mode("append").parquet(d.toString)
+    d.toString
+  }
+
+  /** Private staging for callers that append their own files to the
+    * landing dir afterwards (sharing the memoized dir would leak their
+    * sentinel rows into every other entry's source). The normalized
+    * bytes come from the memoized dir by FILE COPY — the read→normalize
+    * →write pass runs once per JVM either way; a private landing dir
+    * costs milliseconds, not a Spark job. */
+  private def stageEventsDirFresh(s: SparkSession, dir: String): String = {
+    val base = stageEventsDir(s, dir) // memoized — resolves BEFORE the copy
+    val d = Files.createTempDirectory("graft_events_src")
+    Files.list(java.nio.file.Paths.get(base)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => Files.copy(p, d.resolve(p.getFileName.toString)))
     d.toString
   }
 
