@@ -247,9 +247,19 @@ object StreamingQueries {
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id
         |FROM events p JOIN events c ON p.user_id = c.user_id
         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
-        |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin) { (s, dir) =>
+        |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin) { (s0, dir) =>
       val out = tmp("graft_st4")
-      val src = stageEventsDir(s, dir)
+      val src = stageEventsDir(s0, dir)
+      // derived session, 8 state partitions (the st24/st26 rationale: a
+      // stream-stream join's wall time at bench scale is per-partition
+      // RocksDB commit cost × 4 join state stores × batches — partition
+      // count is a throughput knob, not semantics)
+      val s = s0.newSession()
+      graft.Graft.referenceSemantics(s)
+      graft.streaming.SessionizeTws.configure(s)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval",
+        s0.conf.get("spark.sql.streaming.stateStore.maintenanceInterval"))
       val p = eventsStream(s, src).filter(col("event_type") === "purchase")
         .select(col("event_id").alias("purchase_id"), col("user_id"),
           col("ts").alias("p_ts"))
