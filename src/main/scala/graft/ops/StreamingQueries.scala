@@ -487,7 +487,10 @@ object StreamingQueries {
               val delta =
                 if (v == 1L) TxLog.read(s, table, Some(1L))
                   .withColumn("change_type", lit("insert"))
-                else TxLog.changes(s, table, Seq("c_custkey"), v - 1, v)
+                // commitChanges is O(files the commit touched), never
+                // O(snapshot); the full-diff changes() yields the same
+                // rows at per-version cost proportional to the table
+                else TxLog.commitChanges(s, table, v, Seq("c_custkey"))
               delta.withColumn("version", lit(v))
                 .write.mode("overwrite").parquet(s"$out/v=$v")
             }
@@ -542,7 +545,10 @@ object StreamingQueries {
               val delta =
                 if (v == 1L) TxLog.read(s, table, Some(1L))
                   .withColumn("change_type", lit("insert"))
-                else TxLog.changes(s, table, Seq("c_custkey"), v - 1, v)
+                // commitChanges is O(files the commit touched), never
+                // O(snapshot); the full-diff changes() yields the same
+                // rows at per-version cost proportional to the table
+                else TxLog.commitChanges(s, table, v, Seq("c_custkey"))
               delta.withColumn("version", lit(v))
                 .write.mode("overwrite").parquet(s"$out/v=$v")
             }
