@@ -413,6 +413,34 @@ object AnalyticsQueries {
         .select("version", "op", "n_added", "n_removed", "n_added_dvs")
     },
 
+    // Table properties (Delta TBLPROPERTIES): SET/UNSET as data-less
+    // commits folded last-write-wins, readable as-of any version. The
+    // engine consults `graft.bloom.columns` itself — a table declares
+    // its bloom index ONCE and every plain append indexes it (no
+    // sidecars to derive from on the first write, no caller plumbing).
+    // The staged op sequence is deterministic, so the oracle is the
+    // final folded map as a VALUES literal.
+    QueryDef("src_txlog_properties",
+      "table properties: SET/UNSET TBLPROPERTIES analogs, last-write-wins fold, declared bloom config indexes plain appends",
+      """SELECT * FROM (VALUES
+        |  ('graft.bloom.columns', 'c_custkey'),
+        |  ('retention.versions', '30')
+        |) AS t(key, value)""".stripMargin) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_txprops").toString + "/t"
+      val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+      TxLog.overwrite(cust.filter(pmod(col("c_custkey"), lit(2)) === 0), t) // v1
+      TxLog.setProperties(t, Map(
+        "graft.bloom.columns" -> "c_custkey", "owner" -> "ingest"))         // v2
+      TxLog.setProperties(t, Map("retention.versions" -> "30"))             // v3
+      TxLog.unsetProperties(t, Seq("owner"))                                // v4
+      // plain append — the DECLARED config indexes it
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 1), t)    // v5
+      require(TxLog.commits(t).last.bloomAdd.nonEmpty,
+        "declared bloom config must index the append")
+      import s.implicits._
+      TxLog.properties(t).toSeq.toDF("key", "value")
+    },
+
     // The SQL DDL+DML lifecycle end-to-end: CREATE TABLE with a declared
     // schema on a fresh path (empty schema-only commit), two INSERT INTO
     // … SELECT statements (one atomic commit each), read the final

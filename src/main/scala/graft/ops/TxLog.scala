@@ -121,7 +121,10 @@ object TxLog {
       // content implies (bitset-encoded DVs pass 3: their files parse as
       // empty range sets under a v2 reader — silent resurrection).
       // Parse round-trips the stamped protocolVersion through this field.
-      minReader: Int = 1)
+      minReader: Int = 1,
+      // table-property deltas (Delta TBLPROPERTIES): Some(v) sets,
+      // None unsets; folded last-write-wins by [[TxLog.properties]]
+      properties: Map[String, Option[String]] = Map.empty)
 
   /** Highest protocol version this reader understands. A reader meeting a
     * HIGHER version fails loudly instead of silently misinterpreting
@@ -143,7 +146,7 @@ object TxLog {
     * rather than fold actions with unknown semantics. */
   private val KnownOps = Set("append", "overwrite", "merge", "delete",
     "update", "optimize", "optimizeDvs", "addConstraint", "dvDelete",
-    "restore", "clone")
+    "restore", "clone", "setProperty")
 
   /** File entries are table-relative (`d-<uuid>/part-….parquet`) except
     * shallow-CLONE entries, which reference the SOURCE table absolutely. */
@@ -170,11 +173,41 @@ object TxLog {
       .sortBy(_.getFileName.toString)
   }
 
+  /** Incremental commit-parse cache. Every metadata question
+    * (activeFiles, latestVersion, schemaAsOf, stats folds, …) goes
+    * through [[commits]]; without a cache each question re-reads and
+    * re-parses the WHOLE JSON log — O(history) I/O per call, thousands
+    * of times per query on a long-lived table (the Delta snapshot-cache
+    * problem). Commit files are IMMUTABLE once published
+    * (put-if-absent hard link) and the log is append-only, so caching
+    * is a pure prefix property: per table we keep (sorted file names,
+    * parsed commits); on access we re-LIST the directory (cheap, and
+    * what keeps cross-process writers visible) and parse only the
+    * files beyond the cached prefix. Any listing that is NOT an
+    * extension of the cached one (out-of-band deletion — test fixtures
+    * do this) drops the entry and reparses from scratch. The one
+    * assumption is the write protocol's own invariant: a PUBLISHED
+    * commit file's bytes never change (rewriting one in place is log
+    * corruption with or without this cache). */
+  private val commitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Vector[String], Vector[Commit])]()
+
   /** All commits at `table`, ascending by version. */
-  def commits(table: String): Seq[Commit] =
-    listLog(table)
+  def commits(table: String): Seq[Commit] = {
+    val files = listLog(table)
       .filter(p => CommitName.matches(p.getFileName.toString))
-      .map { p =>
+    val names = files.map(_.getFileName.toString).toVector
+    val (reused, toParse) = commitCache.get(table) match {
+      case (cn, cc) if names.startsWith(cn) => (cc, files.drop(cn.size))
+      case _ => (Vector.empty[Commit], files) // miss, or non-extension listing
+    }
+    if (toParse.isEmpty) return reused
+    val parsed = reused ++ toParse.map(parseCommit)
+    commitCache.put(table, (names, parsed))
+    parsed
+  }
+
+  private def parseCommit(p: Path): Commit = {
         val node = mapper.readTree(Files.readAllBytes(p))
         // Fail loudly on logs from the future: a silently-skipped unknown
         // action would fold to a WRONG snapshot, not a degraded one.
@@ -211,6 +244,12 @@ object TxLog {
             }.toMap
           }.toMap
         }.getOrElse(Map.empty[String, Map[String, (String, String)]])
+        val props = Option(node.get("properties")).map { s =>
+          s.properties().asScala.map { e =>
+            e.getKey -> (if (e.getValue.isNull) None
+            else Some(e.getValue.asText()))
+          }.toMap
+        }.getOrElse(Map.empty[String, Option[String]])
         Commit(node.get("version").asLong(), arr("add"), arr("remove"),
           opName, node.get("batchId").asLong(), stats,
           Option(node.get("schemaDdl")).map(_.asText()),
@@ -220,7 +259,7 @@ object TxLog {
           optArr("dvAdd"), optArr("dvRemove"), sizes, sstats,
           Option(node.get("streamId")).map(_.asText()),
           optArr("bloomAdd"), optArr("bloomRemove"),
-          minReader = proto)
+          minReader = proto, properties = props)
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -526,6 +565,13 @@ object TxLog {
     if (commit.bloomRemove.nonEmpty) {
       val a = node.putArray("bloomRemove"); commit.bloomRemove.foreach(a.add)
     }
+    if (commit.properties.nonEmpty) {
+      val pNode = node.putObject("properties")
+      commit.properties.foreach {
+        case (k, Some(v)) => pNode.put(k, v)
+        case (k, None) => pNode.putNull(k) // JSON null = unset
+      }
+    }
     commit.streamId.foreach(node.put("streamId", _))
     commit.schemaDdl.foreach(node.put("schemaDdl", _))
     commit.constraint.foreach { case (n, e) =>
@@ -628,6 +674,45 @@ object TxLog {
   def constraints(table: String, asOf: Option[Long] = None): Map[String, String] =
     commits(table).filter(c => asOf.forall(c.version <= _))
       .flatMap(_.constraint).toMap
+
+  /** Table properties as of `asOf` (Delta TBLPROPERTIES): folded
+    * last-write-wins over every commit's property deltas; a None delta
+    * unsets. Metadata-only — one fold over the (cached) commit list. */
+  def properties(table: String, asOf: Option[Long] = None): Map[String, String] =
+    commits(table).filter(c => asOf.forall(c.version <= _))
+      .flatMap(_.properties)
+      .foldLeft(Map.empty[String, String]) {
+        case (acc, (k, Some(v))) => acc + (k -> v)
+        case (acc, (k, None)) => acc - k
+      }
+
+  /** ALTER TABLE SET TBLPROPERTIES analog: a data-less commit carrying
+    * the property deltas; every future writer on any driver sees them
+    * through the log. Configuration keys the engine itself consults:
+    *   - `graft.bloom.columns` (comma-separated): columns every write
+    *     bloom-indexes — the declared form of the sidecar-derived
+    *     default, so a table can be index-configured BEFORE its first
+    *     indexed write (no sidecars to derive from yet). */
+  def setProperties(table: String, props: Map[String, String]): Long =
+    commitProperties(table, props.map { case (k, v) => k -> Some(v) })
+
+  /** ALTER TABLE UNSET TBLPROPERTIES analog. */
+  def unsetProperties(table: String, keys: Seq[String]): Long =
+    commitProperties(table, keys.map(_ -> (None: Option[String])).toMap)
+
+  private def commitProperties(table: String,
+      deltas: Map[String, Option[String]]): Long = {
+    require(deltas.nonEmpty, "setProperties needs at least one property")
+    var attempts = 0
+    while (attempts < 10) {
+      val v = latestVersion(table).getOrElse(0L) + 1
+      if (tryCommit(table, Commit(v, Seq.empty, Seq.empty, "setProperty",
+        -1L, properties = deltas))) return v
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog setProperties on $table lost 10 straight races — giving up")
+  }
 
   /** ALTER TABLE ADD CONSTRAINT analog: a named CHECK every row of every
     * subsequent write must satisfy. Existing rows are validated first
@@ -1072,17 +1157,23 @@ object TxLog {
   }
 
   /** The columns this write should bloom-index: the caller's explicit
-    * `bloomCols` PLUS whatever the table already indexes. Without a
-    * table-properties store (Delta keeps its bloom config there), a
-    * plain append to an indexed table would otherwise index nothing
-    * unless every caller re-passed bloomCols forever — pruning stays
-    * correct (filter-less files always pass) but point-lookup skipping
-    * silently degrades as the table grows. One metadata-sized sidecar
-    * read; free on unindexed tables (no active sidecars). */
+    * `bloomCols`, PLUS the table's DECLARED index config (the
+    * `graft.bloom.columns` property — Delta keeps its bloom config in
+    * table properties the same way), PLUS whatever the active sidecars
+    * already index (the derived fallback for tables configured before
+    * the property existed). Without this, a plain append to an indexed
+    * table indexes nothing unless every caller re-passes bloomCols
+    * forever — pruning stays correct (filter-less files always pass)
+    * but point-lookup skipping silently degrades as the table grows.
+    * One metadata-sized sidecar read; free on unindexed tables. */
   private def effectiveBloomCols(df: DataFrame, table: String,
-      bloomCols: Seq[String]): Seq[String] =
-    (bloomCols ++ activeBloomCols(df.sparkSession, table, None))
+      bloomCols: Seq[String]): Seq[String] = {
+    val declared = properties(table).get("graft.bloom.columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    (bloomCols ++ declared ++ activeBloomCols(df.sparkSession, table, None))
       .distinct.filter(df.columns.contains)
+  }
 
   /** Replace the table contents with `df`; returns the committed version.
     * Overwrite REPLACES the schema too (rewriting every row is the one
@@ -1919,6 +2010,8 @@ object TxLog {
     // cloned satisfied these at `asOf`, so validation cannot fail.
     constraints(src, asOf).foreach { case (n, e) =>
       addConstraint(spark, dst, n, e) }
+    val props = properties(src, asOf)
+    if (props.nonEmpty) setProperties(dst, props)
     v
   }
 
@@ -1954,9 +2047,12 @@ object TxLog {
     // (Byte sizes need no carry: tryCommit stats the absolute add
     // entries itself.)
     val blooms = activeBlooms(src, asOf).map(abs)
+    // table properties travel with the clone (Delta clone semantics):
+    // the folded as-of map rides the clone commit as set-deltas
+    val props = properties(src, asOf).map { case (k, v) => k -> Some(v) }
     if (!tryCommit(dst, Commit(1L, absFiles, Seq.empty, "clone", -1L,
       statsByAbs, schemaAsOf(src, asOf).map(_.toDDL), dvAdd = dvs,
-      sstats = sstatsByAbs, bloomAdd = blooms)))
+      sstats = sstatsByAbs, bloomAdd = blooms, properties = props)))
       throw new IllegalStateException(
         s"clone destination $dst gained a commit mid-clone")
     // carry CHECK constraints AS-OF the cloned snapshot, metadata-only:

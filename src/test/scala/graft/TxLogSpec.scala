@@ -1144,6 +1144,54 @@ class TxLogSpec extends SparkSpec {
     assert(dvAll.nonEmpty)
   }
 
+  test("table properties: set/unset fold last-write-wins; declared bloom config; clones carry") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)               // v1
+    TxLog.setProperties(t,
+      Map("graft.bloom.columns" -> "k", "owner" -> "pipeline"))     // v2
+    assert(TxLog.properties(t) ===
+      Map("graft.bloom.columns" -> "k", "owner" -> "pipeline"))
+    // declared config: a plain append bloom-indexes k with NO sidecars
+    // to derive from and no caller-passed bloomCols
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)                  // v3
+    assert(TxLog.commits(t).last.bloomAdd.nonEmpty,
+      "declared graft.bloom.columns must index a plain append")
+    assert(TxLog.readEquals(spark, t, "k", Seq(2L)).count() === 1L)
+    // last-write-wins update + unset
+    TxLog.setProperties(t, Map("owner" -> "team2"))                 // v4
+    TxLog.unsetProperties(t, Seq("graft.bloom.columns"))            // v5
+    assert(TxLog.properties(t) === Map("owner" -> "team2"))
+    // as-of reads the historical map
+    assert(TxLog.properties(t, Some(2L)) ===
+      Map("graft.bloom.columns" -> "k", "owner" -> "pipeline"))
+    // a shallow clone at v2 carries exactly the as-of properties
+    val dst = table()
+    TxLog.cloneTable(spark, t, dst, asOf = Some(2L))
+    assert(TxLog.properties(dst) ===
+      Map("graft.bloom.columns" -> "k", "owner" -> "pipeline"))
+  }
+
+  test("commit cache follows the directory: extensions append, deletions reparse") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)               // v1
+    assert(TxLog.commits(t).map(_.version) === Seq(1L))             // cache primed
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)                  // v2 extends
+    assert(TxLog.commits(t).map(_.version) === Seq(1L, 2L))
+    // out-of-band deletion (not a protocol operation): the listing is no
+    // longer an extension of the cached prefix, so the next question
+    // reparses from the directory instead of serving the cached state
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, "_txlog").resolve(f"${2L}%020d.json"))
+    assert(TxLog.commits(t).map(_.version) === Seq(1L))
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "a")))
+    // and the table keeps working: a fresh v2 lands and reads
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+    assert(TxLog.commits(t).map(_.version) === Seq(1L, 2L))
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (3L, "c")))
+  }
+
   test("bitset DVs integrate: change feed classifies scatter-deletes; clones carry them") {
     import org.apache.spark.sql.functions._
     val t = table()
