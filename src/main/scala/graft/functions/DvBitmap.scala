@@ -226,21 +226,45 @@ case class DvBitmapFromRanges(child: Expression)
   * files and retires their DVs. */
 case class DvMapProbe(file: Expression, ri: Expression,
     bitmapsByFile: Map[String, Array[Byte]])
-    extends Expression with CodegenFallback {
+    extends Expression {
   override def children: Seq[Expression] = Seq(file, ri)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   // keyed by UTF8String so the per-row probe needs no String conversion
   @transient private lazy val keyed: Map[UTF8String, Array[Byte]] =
     bitmapsByFile.map { case (k, v) => UTF8String.fromString(k) -> v }
+  /** Per-row probe shared by eval and the generated code. */
+  def probe(f: UTF8String, r: Long): Boolean = keyed.get(f) match {
+    case Some(bytes) => DvBitmapCodec.contains(bytes, r)
+    case None => false
+  }
   override def eval(input: InternalRow): Any = {
     val f = file.eval(input)
     val r = ri.eval(input)
-    if (f == null || r == null) return false
-    keyed.get(f.asInstanceOf[UTF8String]) match {
-      case Some(bytes) => DvBitmapCodec.contains(bytes, r.asInstanceOf[Long])
-      case None => false
-    }
+    if (f == null || r == null) false
+    else probe(f.asInstanceOf[UTF8String], r.asInstanceOf[Long])
+  }
+  /** Real codegen (not CodegenFallback): this sits on the scan side of
+    * every bitmap-DV'd read, and an interpreted expression there would
+    * break the whole-stage-codegen span around the filter. The
+    * expression instance ships as a codegen reference object; generated
+    * code calls [[probe]] directly. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val refName = ctx.addReferenceObj("dvMapProbe", this)
+    val fGen = file.genCode(ctx)
+    val rGen = ri.genCode(ctx)
+    ev.copy(code = code"""
+      ${fGen.code}
+      ${rGen.code}
+      boolean ${ev.value} = false;
+      if (!${fGen.isNull} && !${rGen.isNull}) {
+        ${ev.value} = $refName.probe(${fGen.value}, ${rGen.value});
+      }""", isNull = FalseLiteral)
   }
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): DvMapProbe =

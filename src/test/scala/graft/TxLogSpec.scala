@@ -1144,6 +1144,20 @@ class TxLogSpec extends SparkSpec {
     assert(dvAll.nonEmpty)
   }
 
+  test("bitset probe participates in codegen (no silent interpreter fallback)") {
+    import org.apache.spark.sql.functions._
+    // fallback=false turns a janino compile failure of the generated
+    // probe into a hard error instead of a silent interpreted plan
+    val s = spark.newSession()
+    graft.Graft.referenceSemantics(s)
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    val t = table()
+    TxLog.overwrite(s.range(0, 60000).toDF("k").coalesce(1), t)
+    TxLog.deleteVectors(s, t, pmod(col("k"), lit(2)) === 0)
+    assert(TxLog.read(s, t).count() === 30000L)
+    assert(TxLog.readRange(s, t, "k", 100.0, 200.0).count() === 50L)
+  }
+
   test("table properties: set/unset fold last-write-wins; declared bloom config; clones carry") {
     val t = table()
     TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)               // v1
