@@ -714,6 +714,49 @@ object AnalyticsQueries {
       TxLog.changes(s, table, Seq("c_custkey"), 1L, 2L)
     },
 
+    // Delta readChangeFeed's update split: with preImages on, every
+    // update emits BOTH its old row (`update_preimage`) and its new row
+    // (`update_postimage`) — what a reversible-delta consumer or an
+    // old-value audit needs. Same staged snapshots as src_txlog_changes;
+    // the oracle recomputes the diff with updates unioned as two images.
+    QueryDef("src_txlog_changes_preimage",
+      "TxLog change feed with pre-images: updates emit update_preimage + update_postimage rows; insert/delete unchanged",
+      s"""WITH a AS (SELECT * FROM read_parquet('${QueryDef.StageSql}/txcdfpre_v1/*.parquet')),
+         |b AS (SELECT * FROM read_parquet('${QueryDef.StageSql}/txcdfpre_v2/*.parquet')),
+         |j AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |  a.c_name AS name_a, a.c_acctbal AS bal_a,
+         |  b.c_name AS name_b, b.c_acctbal AS bal_b
+         |  FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey),
+         |chg AS (SELECT * FROM j
+         |  WHERE ka IS NULL OR kb IS NULL
+         |     OR NOT (name_a IS NOT DISTINCT FROM name_b
+         |             AND bal_a IS NOT DISTINCT FROM bal_b))
+         |SELECT kb AS c_custkey, name_b AS c_name, bal_b AS c_acctbal,
+         |  'insert' AS change_type FROM chg WHERE ka IS NULL
+         |UNION ALL
+         |SELECT ka, name_a, bal_a, 'delete' FROM chg WHERE kb IS NULL
+         |UNION ALL
+         |SELECT ka, name_a, bal_a, 'update_preimage' FROM chg
+         |  WHERE ka IS NOT NULL AND kb IS NOT NULL
+         |UNION ALL
+         |SELECT kb, name_b, bal_b, 'update_postimage' FROM chg
+         |  WHERE ka IS NOT NULL AND kb IS NOT NULL""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      cust.write.mode("overwrite").parquet(s"$stage/txcdfpre_v1")
+      s.read.parquet(s"$stage/txcdfpre_v1")
+        .filter(pmod(col("c_custkey"), lit(9)) =!= 0)
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") - 250.0)
+            .otherwise(col("c_acctbal")))
+        .write.mode("overwrite").parquet(s"$stage/txcdfpre_v2")
+      val table = Files.createTempDirectory("graft_txcdfpre").toString + "/t"
+      TxLog.overwrite(s.read.parquet(s"$stage/txcdfpre_v1"), table) // v1
+      TxLog.overwrite(s.read.parquet(s"$stage/txcdfpre_v2"), table) // v2
+      TxLog.changes(s, table, Seq("c_custkey"), 1L, 2L, preImages = true)
+    },
+
     // DELETE + UPDATE DML, file-granular copy-on-write (how Delta runs
     // them): one scan finds the files containing matching rows, only
     // those are rewritten, untouched files keep their paths (pinned in

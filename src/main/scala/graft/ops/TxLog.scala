@@ -1644,8 +1644,50 @@ object TxLog {
     * by the two snapshots. Null-safe (`<=>`) column compares, so NULL→
     * value and value→NULL both classify as updates. Requires `keyCols`
     * to be unique per snapshot (the [[merge]] invariant). */
+  /** Shared classification tail of [[changes]]/[[commitChanges]]: the
+    * keyed full-outer diff of two aligned `_pre`/`_post` frames.
+    * `preImages = false` emits insert / delete / update (the update row
+    * is the NEW image); `preImages = true` splits each update into
+    * `update_preimage` + `update_postimage` rows (Delta CDF's
+    * readChangeFeed shape — a consumer reconstructing reversible deltas
+    * or auditing old values needs the pre-image). Unchanged keys emit
+    * nothing either way. One pass: the changed rows explode into their
+    * 1–2 image tags, no second join branch. */
+  private def keyedDiff(pre: DataFrame, post: DataFrame,
+      keyCols: Seq[String], dataCols: Seq[String],
+      preImages: Boolean): DataFrame = {
+    val keyEq = keyCols.map(k => col(s"_pre.$k") <=> col(s"_post.$k"))
+      .reduce(_ && _)
+    val sameData = dataCols.map(c => col(s"_pre.$c") <=> col(s"_post.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val preKey = col(s"_pre.${keyCols.head}")
+    val postKey = col(s"_post.${keyCols.head}")
+    val kind = when(preKey.isNull, lit("insert"))
+      .when(postKey.isNull, lit("delete"))
+      .when(!sameData, lit("update"))
+    // each image tag says which side's values it projects (p = pre side)
+    val oneImg = array(struct(col("_kind").alias("t"),
+      (col("_kind") === "delete").alias("p")))
+    val imgs =
+      if (!preImages) oneImg
+      else when(col("_kind") === "update",
+        array(
+          struct(lit("update_preimage").alias("t"), lit(true).alias("p")),
+          struct(lit("update_postimage").alias("t"), lit(false).alias("p"))))
+        .otherwise(oneImg)
+    pre.join(post, keyEq, "full_outer")
+      .withColumn("_kind", kind).filter(col("_kind").isNotNull)
+      .withColumn("_img", explode(imgs))
+      .select(
+        keyCols.map(k =>
+          coalesce(col(s"_post.$k"), col(s"_pre.$k")).alias(k)) ++
+          dataCols.map(c => when(col("_img.p"), col(s"_pre.$c"))
+            .otherwise(col(s"_post.$c")).alias(c)) :+
+          col("_img.t").alias("change_type"): _*)
+  }
+
   def changes(spark: SparkSession, table: String, keyCols: Seq[String],
-      fromV: Long, toV: Long): DataFrame = {
+      fromV: Long, toV: Long, preImages: Boolean = false): DataFrame = {
     // Bootstrap: version 0 is "before the table existed" — everything in
     // toV is an insert. This is how a NEW incremental consumer starts
     // (changesSince(lastSeen = 0)) without a special first-poll code path.
@@ -1669,23 +1711,7 @@ object TxLog {
     val pre = align(preRaw).alias("_pre")
     val post = align(postRaw).alias("_post")
     val dataCols = unionFields.map(_.name).filterNot(keyCols.contains).toSeq
-    val keyEq = keyCols.map(k => col(s"_pre.$k") <=> col(s"_post.$k"))
-      .reduce(_ && _)
-    val sameData = dataCols.map(c => col(s"_pre.$c") <=> col(s"_post.$c"))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    val preKey = col(s"_pre.${keyCols.head}")
-    val postKey = col(s"_post.${keyCols.head}")
-    pre.join(post, keyEq, "full_outer")
-      .withColumn("change_type",
-        when(preKey.isNull, lit("insert"))
-          .when(postKey.isNull, lit("delete"))
-          .when(!sameData, lit("update")))
-      .filter(col("change_type").isNotNull)
-      .select(
-        keyCols.map(k => coalesce(col(s"_post.$k"), col(s"_pre.$k")).alias(k)) ++
-          dataCols.map(c => when(postKey.isNull, col(s"_pre.$c"))
-            .otherwise(col(s"_post.$c")).alias(c)) :+
-          col("change_type"): _*)
+    keyedDiff(pre, post, keyCols, dataCols, preImages)
   }
 
   /** The change-feed row schema for `table` as of a version: key columns
@@ -1715,7 +1741,7 @@ object TxLog {
     * row), unchanged keys emit nothing. The table's first data commit —
     * and a [[cloneTable]] bootstrap — is all-insert with no diff. */
   def commitChanges(spark: SparkSession, table: String, version: Long,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], preImages: Boolean = false): DataFrame = {
     val c = commits(table).find(_.version == version).getOrElse(
       throw new IllegalArgumentException(
         s"txlog table $table has no commit at version $version"))
@@ -1773,24 +1799,7 @@ object TxLog {
         val pre = align(preRaw).alias("_pre")
         val post = align(postRaw).alias("_post")
         val dataCols = unionFields.map(_.name).filterNot(keyCols.contains).toSeq
-        val keyEq = keyCols.map(k => col(s"_pre.$k") <=> col(s"_post.$k"))
-          .reduce(_ && _)
-        val sameData = dataCols.map(c => col(s"_pre.$c") <=> col(s"_post.$c"))
-          .reduceOption(_ && _).getOrElse(lit(true))
-        val preKey = col(s"_pre.${keyCols.head}")
-        val postKey = col(s"_post.${keyCols.head}")
-        pre.join(post, keyEq, "full_outer")
-          .withColumn("change_type",
-            when(preKey.isNull, lit("insert"))
-              .when(postKey.isNull, lit("delete"))
-              .when(!sameData, lit("update")))
-          .filter(col("change_type").isNotNull)
-          .select(
-            keyCols.map(k =>
-              coalesce(col(s"_post.$k"), col(s"_pre.$k")).alias(k)) ++
-              dataCols.map(c => when(postKey.isNull, col(s"_pre.$c"))
-                .otherwise(col(s"_post.$c")).alias(c)) :+
-              col("change_type"): _*)
+        keyedDiff(pre, post, keyCols, dataCols, preImages)
     }
   }
 

@@ -154,6 +154,9 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
     val path = pathOf(parameters, "stream")
     new TxLogStreamSource(sqlContext, path,
       changeFeedKeys = cdfKeyCols(parameters),
+      // Delta readChangeFeed's update_preimage/update_postimage split
+      changeFeedPreImages =
+        parameters.get("cdfpreimages").exists(_.toBoolean),
       startingVersion = parameters.get("startingversion").map(_.toLong).getOrElse(0L),
       ignoreChanges = parameters.get("ignorechanges").exists(_.toBoolean),
       ignoreDeletes = parameters.get("ignoredeletes").exists(_.toBoolean),
@@ -535,7 +538,8 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
     maxVersionsPerTrigger: Option[Long], maxFilesPerTrigger: Option[Long],
     maxBytesPerTrigger: Option[Long],
     fixedSchema: Option[StructType],
-    changeFeedKeys: Option[Seq[String]] = None) extends Source
+    changeFeedKeys: Option[Seq[String]] = None,
+    changeFeedPreImages: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
@@ -660,7 +664,8 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
         .map { c =>
           if (c.add.nonEmpty) checkSchemaDrift(c)
           ensureOnDisk(c.version, c.add ++ c.remove)
-          TxLog.commitChanges(spark, path, c.version, keys)
+          TxLog.commitChanges(spark, path, c.version, keys,
+              preImages = changeFeedPreImages)
             .withColumn("_commit_version", lit(c.version))
         }
       val out = perCommit.reduceOption(_ unionByName _).getOrElse(

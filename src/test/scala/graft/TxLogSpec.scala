@@ -1144,6 +1144,25 @@ class TxLogSpec extends SparkSpec {
     assert(dvAll.nonEmpty)
   }
 
+  test("CDF pre-images: updates split into pre/post rows; insert/delete unchanged") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)  // v1
+    TxLog.overwrite(Seq((1L, "A"), (3L, "c")).toDF("k", "v"), t)  // v2
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, String)].collect().toSet
+    val withPre = rows(TxLog.changes(spark, t, Seq("k"), 1L, 2L,
+      preImages = true))
+    assert(withPre === Set(
+      (1L, "a", "update_preimage"), (1L, "A", "update_postimage"),
+      (2L, "b", "delete"), (3L, "c", "insert")))
+    // default keeps the single new-image update row
+    assert(rows(TxLog.changes(spark, t, Seq("k"), 1L, 2L)) === Set(
+      (1L, "A", "update"), (2L, "b", "delete"), (3L, "c", "insert")))
+    // the O(files-touched) per-commit diff agrees in both modes
+    assert(rows(TxLog.commitChanges(spark, t, 2L, Seq("k"),
+      preImages = true)) === withPre)
+  }
+
   test("bitset probe participates in codegen (no silent interpreter fallback)") {
     import org.apache.spark.sql.functions._
     // fallback=false turns a janino compile failure of the generated
