@@ -1150,7 +1150,8 @@ object TxLog {
     validateConstraints(df, constraints(table))
     val add = writeData(df, table)
     commitLoop(table, add, removeAll = false, "append", batchId,
-      fileStats(df.sparkSession, table, add, statsCols), Some(schema.toDDL),
+      fileStats(df.sparkSession, table, add,
+        effectiveStatsCols(df, table, statsCols)), Some(schema.toDDL),
       streamId,
       fileBlooms(df.sparkSession, table, add,
         effectiveBloomCols(df, table, bloomCols)))
@@ -1168,12 +1169,26 @@ object TxLog {
     * One metadata-sized sidecar read; free on unindexed tables. */
   private def effectiveBloomCols(df: DataFrame, table: String,
       bloomCols: Seq[String]): Seq[String] = {
-    val declared = properties(table).get("graft.bloom.columns")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+    val declared = declaredCols(table, "graft.bloom.columns")
     (bloomCols ++ declared ++ activeBloomCols(df.sparkSession, table, None))
       .distinct.filter(df.columns.contains)
   }
+
+  private def declaredCols(table: String, prop: String): Seq[String] =
+    properties(table).get(prop)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** The columns this write should record min/max skipping stats for:
+    * the caller's `statsCols` plus the table's declared
+    * `graft.stats.columns` property — a table configures its
+    * data-skipping layout once and every writer (batch, streaming sink,
+    * SQL INSERT) records the stats, instead of each call site
+    * re-passing the list or silently producing never-pruned files. */
+  private def effectiveStatsCols(df: DataFrame, table: String,
+      statsCols: Seq[String]): Seq[String] =
+    (statsCols ++ declaredCols(table, "graft.stats.columns"))
+      .distinct.filter(df.columns.contains)
 
   /** Replace the table contents with `df`; returns the committed version.
     * Overwrite REPLACES the schema too (rewriting every row is the one
@@ -1188,7 +1203,8 @@ object TxLog {
     validateConstraints(df, constraints(table))
     val add = writeData(df, table)
     commitLoop(table, add, removeAll = true, "overwrite", batchId,
-      fileStats(df.sparkSession, table, add, statsCols), Some(df.schema.toDDL),
+      fileStats(df.sparkSession, table, add,
+        effectiveStatsCols(df, table, statsCols)), Some(df.schema.toDDL),
       streamId,
       fileBlooms(df.sparkSession, table, add,
         effectiveBloomCols(df, table, bloomCols)))

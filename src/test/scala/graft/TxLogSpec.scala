@@ -1204,6 +1204,26 @@ class TxLogSpec extends SparkSpec {
       Map("graft.bloom.columns" -> "k", "owner" -> "pipeline"))
   }
 
+  test("declared graft.stats.columns records skipping stats on plain writes") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    TxLog.overwrite(spark.range(0, 100).toDF("k").coalesce(1), t)
+    TxLog.setProperties(t, Map("graft.stats.columns" -> "k"))
+    // three plain appends, NO statsCols passed — the declared property
+    // records per-file bounds, so the range read prunes
+    Seq(1, 2, 3).foreach(i =>
+      TxLog.append(spark.range(i * 1000, i * 1000 + 100).toDF("k")
+        .coalesce(1), t))
+    Seq(1, 2, 3).foreach(i =>
+      assert(TxLog.commits(t).toList(i + 1).stats.nonEmpty,
+        s"append $i recorded no stats despite the declared property"))
+    val pruned = TxLog.filesForRange(t, "k", 2000.0, 2099.0)
+    // the pre-property overwrite file has no stats (conservative read);
+    // of the three declared-stats appends only one intersects
+    assert(pruned.size === 2, s"expected base + one append, got $pruned")
+    assert(TxLog.readRange(spark, t, "k", 2000.0, 2099.0).count() === 100L)
+  }
+
   test("commit cache follows the directory: extensions append, deletions reparse") {
     val t = table()
     TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)               // v1
