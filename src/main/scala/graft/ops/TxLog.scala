@@ -2366,7 +2366,15 @@ object TxLog {
   def vacuum(table: String, retainVersions: Int = 2,
       minAgeMs: Long = 0L, dryRun: Boolean = false): Seq[String] = {
     val latest = latestVersion(table).getOrElse(return Seq.empty)
-    val horizon = math.max(1L, latest - retainVersions + 1)
+    // a declared retention FLOOR (`graft.vacuum.retainVersions`) caps
+    // how aggressively ANY caller may vacuum this table — the
+    // table-level guard rail for time-travel/streaming consumers that a
+    // per-call argument cannot provide (Delta's
+    // delta.deletedFileRetentionDuration plays the same role)
+    val declaredFloor = properties(table).get("graft.vacuum.retainVersions")
+      .map(_.toInt).getOrElse(0)
+    val effective = math.max(retainVersions, declaredFloor)
+    val horizon = math.max(1L, latest - effective + 1)
     val protect = (horizon to latest)
       .flatMap(v => activeFiles(table, Some(v)) ++
         activeDvs(table, Some(v)) ++ activeBlooms(table, Some(v))).toSet

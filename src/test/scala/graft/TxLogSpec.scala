@@ -1204,6 +1204,38 @@ class TxLogSpec extends SparkSpec {
       Map("graft.bloom.columns" -> "k", "owner" -> "pipeline"))
   }
 
+  test("declared retention floor caps how aggressively vacuum may run") {
+    val t = table()
+    Seq("a", "b", "c", "d").zipWithIndex.foreach { case (v, i) =>
+      TxLog.overwrite(Seq((i.toLong, v)).toDF("k", "v"), t) }     // v1-4
+    TxLog.setProperties(t, Map("graft.vacuum.retainVersions" -> "10"))
+    // an aggressive caller asks to keep 1 version; the declared floor
+    // protects them all — nothing sweeps
+    assert(TxLog.vacuum(t, retainVersions = 1).isEmpty)
+    assert(TxLog.read(spark, t, Some(1L)).count() === 1L) // time travel intact
+    // dropping the floor re-enables the aggressive vacuum
+    TxLog.unsetProperties(t, Seq("graft.vacuum.retainVersions"))
+    assert(TxLog.vacuum(t, retainVersions = 1).nonEmpty)
+  }
+
+  test("concurrent setProperties and merge both land (no lost commits)") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a", 1L)).toDF("k", "v", "ver"), t)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val f1 = Future(TxLog.setProperties(t, Map("owner" -> "raceA")))
+    val f2 = Future(TxLog.merge(spark, t,
+      Seq((2L, "b", 1L)).toDF("k", "v", "ver"), Seq("k"), "ver"))
+    val (v1, v2) = (Await.result(f1, 120.seconds), Await.result(f2, 120.seconds))
+    pool.shutdown()
+    assert(Set(v1, v2) === Set(2L, 3L), s"got versions $v1,$v2")
+    assert(TxLog.properties(t) === Map("owner" -> "raceA"))
+    assert(TxLog.read(spark, t).count() === 2L)
+  }
+
   test("declared graft.stats.columns records skipping stats on plain writes") {
     import org.apache.spark.sql.functions.col
     val t = table()
