@@ -1212,6 +1212,41 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink").drop("batch")
     },
 
+    // Streaming MULTIMODAL ingest — the Auto-Loader-for-media shape: an
+    // opaque-payload landing stream becomes the typed media table and
+    // runs the partition-wise decode pass per micro-batch (codec
+    // initialized once per partition, not per row — the mapPartitions
+    // contract survives incremental execution unchanged because the
+    // pass is stateless: each row's decode is a function of that row
+    // alone, so micro-batch boundaries cannot affect the output). The
+    // stub codec is deterministic arithmetic over payload length, so
+    // the whole streaming pass is oracle-checkable (ext_mm_decode's
+    // oracle, which this must equal by the statelessness argument).
+    QueryDef("st36_stream_media_ingest",
+      "streaming multimodal ingest: landing stream → typed media table → partition-wise stub-codec decode per micro-batch → append sink",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n FROM documents)
+        |SELECT media_id, kind,
+        |  CAST(256 + n % 1024 AS INT) AS width,
+        |  CAST(256 + (n // 7) % 1024 AS INT) AS height,
+        |  CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + n % 30 END AS INT) AS n_frames,
+        |  true AS ok
+        |FROM m""".stripMargin) { (s, dir) =>
+      implicit val sp = s
+      import s.implicits._
+      val out = tmp("graft_st36")
+      val media = graft.ext.Multimodal.mediaTable(
+          docsStream(s, stageDocsDir(dir)), "doc_id", "text", "source")
+        .as[graft.ext.Multimodal.MediaItem]
+      graft.ext.Multimodal.decodeAll(media).toDF()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/_cp").option("path", s"$out/sink")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink")
+    },
+
     QueryDef("st14_stream_ingest_clean",
       "streaming corpus ingest: quality gate + content-hash dedup in one pass (document bronze→silver)",
       """WITH t AS (SELECT text,
