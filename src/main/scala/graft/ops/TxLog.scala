@@ -1041,10 +1041,10 @@ object TxLog {
     * — an epoch-millis Long probe would hash garbage and return a
     * silently-empty result. Validate the probe's runtime class against
     * the logged type's EXTERNAL class up front and fail descriptively. */
-  private def validateProbe(table: String, colName: String,
-      dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
+  private[graft] def probeClassOk(
+      dt: org.apache.spark.sql.types.DataType, v: Any): Boolean = {
     import org.apache.spark.sql.types._
-    val ok = v == null || (dt match {
+    v == null || (dt match {
       case ByteType => v.isInstanceOf[Byte]
       case ShortType => v.isInstanceOf[Short]
       case IntegerType => v.isInstanceOf[Int]
@@ -1062,7 +1062,11 @@ object TxLog {
       case BinaryType => v.isInstanceOf[Array[Byte]]
       case _ => true // exotic types: let Literal.create decide
     })
-    if (!ok) throw new IllegalArgumentException(
+  }
+
+  private def validateProbe(table: String, colName: String,
+      dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
+    if (!probeClassOk(dt, v)) throw new IllegalArgumentException(
       s"txlog point-lookup on $table.$colName: probe value " +
         s"${v.getClass.getName}($v) does not match the logged type " +
         s"${dt.simpleString} — pass the column's external Scala type " +
@@ -1310,12 +1314,35 @@ object TxLog {
   def readPruned(spark: SparkSession, table: String,
       numRanges: Map[String, (Double, Double)],
       strRanges: Map[String, (String, String)],
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      eqProbes: Map[String, Seq[Any]] = Map.empty): DataFrame = {
     val keepN = filesForRanges(table, numRanges, asOf)
-    val keep = strRanges.foldLeft(keepN) { case (acc, (c, (lo, hi))) =>
+    val keepS = strRanges.foldLeft(keepN) { case (acc, (c, (lo, hi))) =>
       val ok = filesForStringRange(table, c, lo, hi, asOf).toSet
       acc.filter(ok)
     }
+    // equality probes additionally consult the bloom index: stats answer
+    // "could this file's RANGE hold the value", blooms answer "does this
+    // file plausibly hold THIS value" — the hash-scattered point-lookup
+    // case where ranges prune nothing. A probe whose runtime class
+    // mismatches the logged type contributes nothing here (an SQL
+    // comparison coerces rather than errors — pruning silently from a
+    // type-crossed hash would false-negative), so only class-exact
+    // probes hash.
+    val keep =
+      if (eqProbes.isEmpty || keepS.isEmpty) keepS
+      else {
+        val schema = schemaAsOf(table, asOf)
+        val tests = eqProbes.flatMap { case (c, vs) =>
+          schema.collect {
+            case sc if sc.fieldNames.contains(c) &&
+                vs.forall(v => v != null && probeClassOk(sc(c).dataType, v)) =>
+              c -> vs.map(xxh64(_, sc(c).dataType)).toArray
+          }
+        }
+        if (tests.isEmpty) keepS
+        else bloomSurvivors(spark, table, keepS, tests, asOf)
+      }
     if (keep.isEmpty) read(spark, table, asOf).limit(0)
     else readFiles(spark, table, keep, asOf)
   }

@@ -321,11 +321,11 @@ case class TxLogRelation(sqlContext: SQLContext, path: String,
     * and IsNull is never used for pruning — stats ignore nulls). */
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val (numB, strB) = statsBounds(filters)
+    val (numB, strB, eqP) = statsBounds(filters)
     val base =
-      if (numB.isEmpty && strB.isEmpty) snapshot
+      if (numB.isEmpty && strB.isEmpty && eqP.isEmpty) snapshot
       else TxLog.readPruned(sqlContext.sparkSession, path, numB, strB,
-        pinnedVersion)
+        pinnedVersion, eqP)
     val pruned =
       if (requiredColumns.isEmpty) base
       else base.select(requiredColumns.head, requiredColumns.tail: _*)
@@ -341,9 +341,16 @@ case class TxLogRelation(sqlContext: SQLContext, path: String,
     * bound past a real row; string columns bound lexicographically for
     * the sstats path. Strict inequalities widen to inclusive — pruning
     * may only ever keep EXTRA files. Top-level filters are implicitly
-    * conjunctive; Or/Not and every unknown shape contribute nothing. */
+    * conjunctive; Or/Not and every unknown shape contribute nothing.
+    *
+    * EqualTo and In additionally collect EQUALITY PROBES (third return):
+    * readPruned tests them against the bloom index, so a SQL point
+    * lookup on a hash-scattered indexed key prunes files its stats
+    * cannot. An In-list also bounds the range conjunctively — a file
+    * must intersect [min(values), max(values)] to hold any of them. */
   private def statsBounds(filters: Array[Filter]): (
-      Map[String, (Double, Double)], Map[String, (String, String)]) = {
+      Map[String, (Double, Double)], Map[String, (String, String)],
+      Map[String, Seq[Any]]) = {
     import org.apache.spark.sql.sources._
     import org.apache.spark.sql.types._
     val NegInf = Double.NegativeInfinity
@@ -400,10 +407,27 @@ case class TxLogRelation(sqlContext: SQLContext, path: String,
         }
       }
     }
+    val eqProbes = scala.collection.mutable.Map.empty[String, Seq[Any]]
     def walk(f: Filter): Unit = f match {
       case EqualTo(a, v) =>
         numVal(a, v).foreach(d => tightenNum(a, d - pad(a), d + pad(a)))
         strVal(a, v).foreach(s => tightenStr(a, Some(s), Some(s)))
+        if (v != null)
+          eqProbes(a) = eqProbes.getOrElse(a, Seq.empty) :+ v
+      case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+        // range: the file must intersect the values' span to hold any
+        val nums = vs.flatMap(numVal(a, _))
+        if (nums.length == vs.length)
+          tightenNum(a, nums.min - pad(a), nums.max + pad(a))
+        val strs = vs.flatMap(strVal(a, _))
+        if (strs.length == vs.length) {
+          val lo = strs.reduce((x, y) => if (TxLog.utf8Cmp(x, y) <= 0) x else y)
+          val hi = strs.reduce((x, y) => if (TxLog.utf8Cmp(x, y) >= 0) x else y)
+          tightenStr(a, Some(lo), Some(hi))
+        }
+        // bloom: the file must plausibly hold at least one value — an
+        // IN-list is a multi-value probe, exactly filesForEquals' shape
+        eqProbes(a) = eqProbes.getOrElse(a, Seq.empty) ++ vs.toSeq
       case GreaterThan(a, v) =>
         numVal(a, v).foreach(d => tightenNum(a, d - pad(a), PosInf))
         strVal(a, v).foreach(s => tightenStr(a, Some(s), None))
@@ -423,7 +447,7 @@ case class TxLogRelation(sqlContext: SQLContext, path: String,
     strLo.keySet.intersect(strHi.keySet).foreach { a =>
       str(a) = (strLo(a), strHi(a))
     }
-    (num.toMap, str.toMap)
+    (num.toMap, str.toMap, eqProbes.toMap)
   }
 
   private def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {

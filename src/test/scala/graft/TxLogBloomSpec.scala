@@ -214,6 +214,31 @@ class TxLogBloomSpec extends SparkSpec {
       Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).count() === 1L)
   }
 
+  test("SQL point lookups bloom-prune through the txlog view") {
+    val t = table()
+    scattered(t, bloom = true)
+    // every file's string RANGE spans the key domain, so only the bloom
+    // probe can prune — readPruned with equality probes must cut the set
+    val all = TxLog.activeFiles(t).size
+    val pruned = TxLog.readPruned(spark, t, Map.empty, Map.empty,
+      eqProbes = Map("k" -> Seq("user-0500"))).inputFiles.length
+    assert(pruned < all, s"bloom probes pruned nothing: $pruned of $all")
+    // end-to-end SQL: =, IN, absent key, and a non-indexed column —
+    // all exact, the indexed ones file-pruned inside the relation
+    val id = java.util.UUID.randomUUID.toString.take(8)
+    spark.sql(s"""CREATE TEMPORARY VIEW blsql_$id
+                 |USING graft.sources.txlog OPTIONS (path '$t')""".stripMargin)
+    def q(w: String): Set[(String, Long)] =
+      spark.sql(s"SELECT k, ver FROM blsql_$id WHERE $w")
+        .as[(String, Long)].collect().toSet
+    assert(q("k = 'user-0500'") === Set(("user-0500", 500L)))
+    assert(q("k IN ('user-0500', 'user-0501')") ===
+      Set(("user-0500", 500L), ("user-0501", 501L)))
+    assert(q("k = 'user-9999'") === Set.empty)
+    assert(q("ver = 500") === Set(("user-0500", 500L)))
+    spark.catalog.dropTempView(s"blsql_$id")
+  }
+
   test("DV'd rows stay dead through the bloom-pruned read path") {
     val t = table()
     scattered(t, bloom = true)
