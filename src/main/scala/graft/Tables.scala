@@ -28,7 +28,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, s"$dir/events.parquet")
+    else if (name == "embeddings") loadEmbeddings(spark, s"$dir/embeddings.parquet")
     else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Schema-adaptive embeddings reader (the events lesson applied before
+    * it bites): the vector tier's native expressions (vec_dot, minhash
+    * over planes, PQ/OPQ encode) assume `embedding: array<float>`. A
+    * testdata regeneration that ships array<double> — or a future lake
+    * writer that does — normalizes here, at the one read site, instead
+    * of each of the ~15 ANN/dedup entries branching or breaking. */
+  def loadEmbeddings(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(_: NumericType, _) =>
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case dt => throw new IllegalStateException(
+        s"embeddings.embedding read as unsupported type $dt from $path")
+    }
+  }
 
   /** Schema-adaptive events reader — see the class doc. Normalizes `ts`
     * to µs TimestampType whatever the file's physical encoding.

@@ -480,13 +480,15 @@ object ExtQueries {
         "embedding", nCells = 16)
       // ingest: stream the corpus, assign cells per micro-batch, append
       // postings to the index table
+      // stage through the NORMALIZED reader (array<float> whatever the
+      // lake shipped — the stageEventsDir principle applied to vectors):
+      // the stream's schema then always matches the trained model's
       val srcDir = java.nio.file.Files.createTempDirectory("graft_st31_src")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
-        srcDir.resolve("embeddings.parquet"))
+      graft.Tables.load(s, dir, "embeddings")
+        .coalesce(1).write.mode("append").parquet(srcDir.toString)
       val postingsT =
         java.nio.file.Files.createTempDirectory("graft_st31").toString + "/t"
-      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val schema = s.read.parquet(srcDir.toString).schema
       val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(srcDir.toString)
         .select(col("vec_id").alias("n_id"), col("embedding").alias("n_vec"))

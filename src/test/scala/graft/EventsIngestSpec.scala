@@ -63,4 +63,25 @@ class EventsIngestSpec extends SparkSpec {
     assert(df.schema("ts").dataType === TimestampType)
     assert(df.count() > 0)
   }
+
+  test("embeddings normalize to array<float> whatever element type shipped") {
+    import spark.implicits._
+    // a regeneration (or future lake writer) shipping array<double> must
+    // not break the vector tier's float-typed native expressions — the
+    // same regression class the events encodings pinned above
+    val d = tmpDir("embnorm")
+    Seq((1L, Seq(1.5, 2.5), 0), (2L, Seq(3.0, 4.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val out = Tables.load(spark, d, "embeddings")
+    assert(out.schema("embedding").dataType ===
+      ArrayType(FloatType, containsNull = true))
+    assert(out.orderBy("vec_id").select("embedding")
+      .as[Seq[Float]].collect().toSeq ===
+      Seq(Seq(1.5f, 2.5f), Seq(3.0f, 4.0f)))
+    // the live testdata reads float-typed too
+    assert(Tables.load(spark, SF, "embeddings")
+      .schema("embedding").dataType.asInstanceOf[ArrayType]
+      .elementType === FloatType)
+  }
 }
