@@ -816,6 +816,38 @@ object ExtQueries {
           col("pred.confidence").alias("confidence"))
     },
 
+    // The data card a dataset release ships: per (source, lang) document
+    // counts, token totals, and quality mass — one grouped rollup over
+    // the same token/quality operators the per-doc entries oracle, so a
+    // 100 TB corpus summarizes in a single partial-aggregable pass.
+    // quality_mass sums through DECIMAL(18,6): both engines round the
+    // identical per-doc double to 6 dp, and the decimal sum is
+    // order-independent — the catalog's standing double-aggregate rule.
+    QueryDef("ext_corpus_datacard",
+      "corpus data card: per (source, lang) doc count, token total, quality mass in one grouped pass",
+      """WITH t AS (SELECT source, lang,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) AS n_toks,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct
+        |FROM documents),
+        |q AS (SELECT source, lang, n_toks,
+        |  (CASE WHEN n_toks < 5 THEN n_toks / 5.0 WHEN n_toks > 10000 THEN 0.5 ELSE 1.0 END)
+        |  * (CASE WHEN punct > 0.3 THEN 0.3 ELSE 1.0 END) AS quality
+        |FROM t)
+        |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_toks AS BIGINT)) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS quality_mass
+        |FROM q GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).alias("n_toks"),
+          TextAnalysis.qualityScore(col("text")).alias("quality"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(col("n_toks").cast("long")).alias("n_tokens"),
+          sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").alias("quality_mass"))
+    },
+
     QueryDef("ext_text_quality_score",
       "composite quality score in [0,1] (length + punctuation heuristics)",
       """WITH t AS (SELECT doc_id,
