@@ -33,11 +33,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Kind selection at 4096 entries — the break-even point where
   * 2 bytes/entry crosses the fixed 8 KiB bitmap.
   *
-  * `contains` binary-searches the container directory, then binary-
-  * searches the sorted array or tests one bit — O(log containers) per
-  * probe, no per-probe allocation, operating directly on the serialized
-  * bytes (parse-free probing is what makes the constant-map probe
-  * expression cheap per row).
+  * Probing goes through [[DvBitmapCodec.Parsed]] — the container
+  * directory (keys + payload offsets) parses ONCE per bitmap, then each
+  * probe is a binary search over the key array plus one payload test
+  * (bit test dense, uint16 binary search sparse): O(log containers) per
+  * row, zero per-row allocation. The probe expression builds its Parsed
+  * map lazily at executor init.
   */
 object DvBitmapCodec {
 
@@ -85,44 +86,57 @@ object DvBitmapCodec {
     buf.array()
   }
 
-  /** Probe directly against the serialized form — no deserialization. */
-  def contains(bytes: Array[Byte], ri: Long): Boolean = {
-    if (ri < 0) return false
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt(0)
-    val key = ri >>> 16
-    val low = (ri & 0xFFFF).toInt
-    // walk the directory (containers are length-prefixed, so the walk is
-    // sequential; container counts are small — one per 65 536-row block)
-    var off = 4
-    var i = 0
-    while (i < n) {
-      val k = bb.getLong(off)
-      val kind = bb.get(off + 8)
-      val card = bb.getInt(off + 9)
-      val payload = if (kind == 1) BitmapBytes else 2 * card
-      if (k == key) {
-        if (kind == 1) {
-          val b = bytes(off + 13 + (low >>> 3))
-          return ((b >> (low & 7)) & 1) == 1
-        }
-        // binary search the sorted uint16 array
-        var lo = 0; var hi = card - 1
+  /** Parsed directory of a serialized bitset: container keys and byte
+    * offsets as parallel arrays, built ONCE per bitmap (the probe
+    * expression parses at executor init), so each row's probe is a
+    * binary search over keys + one payload test instead of a linear
+    * length-prefix walk per row. */
+  final class Parsed(val bytes: Array[Byte]) {
+    private val bb = java.nio.ByteBuffer.wrap(bytes)
+    private val n = bb.getInt(0)
+    val keys = new Array[Long](n)
+    private val offs = new Array[Int](n) // payload offset
+    private val kinds = new Array[Byte](n)
+    private val cards = new Array[Int](n)
+    locally {
+      var off = 4
+      var i = 0
+      while (i < n) {
+        keys(i) = bb.getLong(off)
+        kinds(i) = bb.get(off + 8)
+        cards(i) = bb.getInt(off + 9)
+        offs(i) = off + 13
+        off = offs(i) + (if (kinds(i) == 1) BitmapBytes else 2 * cards(i))
+        i += 1
+      }
+    }
+    def contains(ri: Long): Boolean = {
+      if (ri < 0) return false
+      val key = ri >>> 16
+      val low = (ri & 0xFFFF).toInt
+      val c = java.util.Arrays.binarySearch(keys, key)
+      if (c < 0) return false
+      if (kinds(c) == 1) {
+        val b = bytes(offs(c) + (low >>> 3))
+        ((b >> (low & 7)) & 1) == 1
+      } else {
+        var lo = 0; var hi = cards(c) - 1
         while (lo <= hi) {
           val mid = (lo + hi) >>> 1
-          val v = bb.getShort(off + 13 + 2 * mid) & 0xFFFF
+          val v = bb.getShort(offs(c) + 2 * mid) & 0xFFFF
           if (v == low) return true
           else if (v < low) lo = mid + 1
           else hi = mid - 1
         }
-        return false
+        false
       }
-      if (k > key) return false // directory is sorted
-      off += 13 + payload
-      i += 1
     }
-    false
   }
+
+  /** One-shot probe against the serialized form (spec/driver use; the
+    * per-row hot path goes through a cached [[Parsed]]). */
+  def contains(bytes: Array[Byte], ri: Long): Boolean =
+    new Parsed(bytes).contains(ri)
 
   /** Decode back to sorted RLE ranges — the inverse of [[fromRanges]];
     * used for driver-side unions of the rare multi-bitmap-per-file case
@@ -230,12 +244,14 @@ case class DvMapProbe(file: Expression, ri: Expression,
   override def children: Seq[Expression] = Seq(file, ri)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
-  // keyed by UTF8String so the per-row probe needs no String conversion
-  @transient private lazy val keyed: Map[UTF8String, Array[Byte]] =
-    bitmapsByFile.map { case (k, v) => UTF8String.fromString(k) -> v }
+  // keyed by UTF8String (no per-row String conversion) and PRE-PARSED
+  // (no per-row directory walk): built once per executor at first probe
+  @transient private lazy val keyed: Map[UTF8String, DvBitmapCodec.Parsed] =
+    bitmapsByFile.map { case (k, v) =>
+      UTF8String.fromString(k) -> new DvBitmapCodec.Parsed(v) }
   /** Per-row probe shared by eval and the generated code. */
   def probe(f: UTF8String, r: Long): Boolean = keyed.get(f) match {
-    case Some(bytes) => DvBitmapCodec.contains(bytes, r)
+    case Some(p) => p.contains(r)
     case None => false
   }
   override def eval(input: InternalRow): Any = {

@@ -388,12 +388,18 @@ object TxLog {
         f -> (if (bms.length == 1) bms.head
         else {
           // union the rare multi-bitmap-per-file case (two scatter
-          // deletes before any compaction) via range decode + rebuild —
-          // O(set bits), driver-side, bounded like the collect itself
-          val merged = bms.toSeq
+          // deletes before any compaction) via range decode + a sorted
+          // overlap-coalescing merge — O(runs), never expanding a run
+          // to its individual bits
+          val sorted = bms.toSeq
             .flatMap(graft.functions.DvBitmapCodec.toRanges)
-            .flatMap { case (s, e) => s to e }.distinct.sorted
-            .map(b => (b, b))
+            .sortBy(_._1)
+          val merged = sorted.tail.foldLeft(Vector(sorted.head)) {
+            case (acc, (s, e)) =>
+              val (ls, le) = acc.last
+              if (s <= le + 1) acc.init :+ (ls, math.max(le, e))
+              else acc :+ (s, e)
+          }
           graft.functions.DvBitmapCodec.fromRanges(merged)
         })
       }
