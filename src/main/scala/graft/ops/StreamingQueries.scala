@@ -1247,6 +1247,64 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink")
     },
 
+    // The CONTINUOUSLY-MAINTAINED data card: ext_corpus_datacard's
+    // rollup as an update-mode streaming aggregate MERGEd into a txlog
+    // table per micro-batch (mergeKeys = the group key, st33's sink
+    // machinery). Totals only change when documents arrive, so a
+    // group's last-emitted running totals ARE its final totals whatever
+    // the micro-batch order, and the end state equals the batch rollup
+    // — the quality mass sums through DECIMAL state, so even the double
+    // column is order-independent. This is how a 100 TB corpus keeps
+    // its release card current without ever re-scanning: per-batch cost
+    // follows the batch, the card table stays time-travelable.
+    QueryDef("st37_stream_datacard",
+      "continuously-maintained corpus data card: update-mode grouped rollup merged into a txlog table per micro-batch",
+      """WITH t AS (SELECT source, lang,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) AS n_toks,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct
+        |FROM documents),
+        |q AS (SELECT source, lang, n_toks,
+        |  (CASE WHEN n_toks < 5 THEN n_toks / 5.0 WHEN n_toks > 10000 THEN 0.5 ELSE 1.0 END)
+        |  * (CASE WHEN punct > 0.3 THEN 0.3 ELSE 1.0 END) AS quality
+        |FROM t)
+        |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_toks AS BIGINT)) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS quality_mass
+        |FROM q GROUP BY 1, 2""".stripMargin) { (s0, dir) =>
+      configureStreaming(s0)
+      val srcDir = tmp("graft_st37_src")
+      val docs = graft.Tables.load(s0, dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+      Seq(0, 1, 2).foreach(r =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(srcDir))
+      // derived session, 8 state partitions (the st33 rationale)
+      val s = s0.newSession()
+      graft.Graft.referenceSemantics(s)
+      graft.streaming.SessionizeTws.configure(s)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval",
+        s0.conf.get("spark.sql.streaming.stateStore.maintenanceInterval"))
+      val t = tmp("graft_st37") + "/t"
+      s.readStream.schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .select(col("source"), col("lang"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).alias("n_toks"),
+          graft.ext.TextAnalysis.qualityScore(col("text")).alias("quality"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(col("n_toks").cast("long")).alias("n_tokens"),
+          sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").alias("quality_mass"))
+        .writeStream.format("graft.sources.txlog")
+        .option("checkpointLocation", tmp("graft_st37_cp"))
+        .option("path", t).option("mergeKeys", "source,lang")
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      TxLog.read(s, t)
+        .select("source", "lang", "n_docs", "n_tokens", "quality_mass")
+    },
+
     QueryDef("st14_stream_ingest_clean",
       "streaming corpus ingest: quality gate + content-hash dedup in one pass (document bronze→silver)",
       """WITH t AS (SELECT text,

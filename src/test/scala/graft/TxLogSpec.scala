@@ -1328,6 +1328,13 @@ class TxLogSpec extends SparkSpec {
     // equality point-lookups bound both sides
     assert(q("k = 150") === Set(150L))
     assert(q("s = 's0042'") === Set(42L))
+    // conjunctive mix: numeric range + string bound + equality in one
+    // WHERE — each sound bound narrows independently, result exact
+    assert(q("k BETWEEN 100 AND 250 AND s >= 's0150' AND s <= 's0260' AND k IN (160, 170, 999)") ===
+      Set(160L, 170L))
+    assert(TxLog.readPruned(spark, t,
+      Map("k" -> (100.0, 250.0)), Map("s" -> ("s0150", "s0260")))
+      .inputFiles.length === 2) // files [100,200) and [200,300)
     spark.catalog.dropTempView(s"sqlskip_$id")
   }
 
