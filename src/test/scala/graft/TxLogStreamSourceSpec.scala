@@ -384,4 +384,24 @@ class TxLogStreamSourceSpec extends SparkSpec {
     drainCdf()
     assert(spark.read.parquet(sink).count() === 6)
   }
+
+  test("cdfPreImages=true streams update pre- AND post-image rows") {
+    val t = table()
+    TxLog.append(Seq((1L, "a", 1L), (2L, "b", 1L))
+      .toDF("k", "v", "ver"), t)                                   // v1
+    TxLog.merge(spark, t, Seq((2L, "B", 2L), (3L, "c", 2L))
+      .toDF("k", "v", "ver"), Seq("k"), "ver")                     // v2
+    val cp = tmpDir("txcdfpre_cp"); val sink = tmpDir("txcdfpre_sink")
+    drain(t, cp, sink, Map("changeFeed" -> "true", "keyCols" -> "k",
+      "cdfPreImages" -> "true"))
+    val got = spark.read.parquet(sink)
+      .select("k", "v", "ver", "change_type", "_commit_version")
+      .as[(Long, String, Long, String, Long)].collect().toSet
+    // the merged key streams BOTH its images; inserts are unchanged
+    assert(got === Set(
+      (1L, "a", 1L, "insert", 1L), (2L, "b", 1L, "insert", 1L),
+      (2L, "b", 1L, "update_preimage", 2L),
+      (2L, "B", 2L, "update_postimage", 2L),
+      (3L, "c", 2L, "insert", 2L)))
+  }
 }
