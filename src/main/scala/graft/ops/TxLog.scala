@@ -1547,12 +1547,21 @@ object TxLog {
         // the bloom index follows the rewrite: output files get filters
         // for the columns the table already indexes, and sidecars whose
         // every indexed file was rewritten retire with the commit
-        val blCols = bi.cols.filter(merged.columns.contains)
+        val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+          .distinct.filter(merged.columns.contains)
         val blAdd = fileBlooms(spark, table, add, blCols)
         val blRemove =
           if (untouched.isEmpty) bi.sidecars
           else bi.inert(untouched.map(fileKey).toSet)
+        // declared stats columns re-record on the rewrite — without
+        // this every merge strips its output files of skipping stats
+        // and the NEXT merge's key-bounds pruning must treat them as
+        // could-hold-anything (one-merge decay of the CDC fast path)
+        val stCols = declaredCols(table, "graft.stats.columns")
+          .filter(merged.columns.contains)
+        val (nst, sst) = fileStats(spark, table, add, stCols)
         if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
+          stats = nst, sstats = sst,
           schemaDdl = Some(merged.schema.toDDL),
           dvRemove = dvRemove, streamId = streamId,
           bloomAdd = blAdd, bloomRemove = blRemove))) Some(v) else None
@@ -1656,12 +1665,21 @@ object TxLog {
           if (untouched.isEmpty) activeDvs(table, base)
           else inertDvs(spark, table, activeDvs(table, base),
             untouched.map(fileKey).toSet)
-        val blCols = bi.cols.filter(merged.columns.contains)
+        val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+          .distinct.filter(merged.columns.contains)
         val blAdd = fileBlooms(spark, table, add, blCols)
         val blRemove =
           if (untouched.isEmpty) bi.sidecars
           else bi.inert(untouched.map(fileKey).toSet)
+        // declared stats columns re-record on the rewrite — without
+        // this every merge strips its output files of skipping stats
+        // and the NEXT merge's key-bounds pruning must treat them as
+        // could-hold-anything (one-merge decay of the CDC fast path)
+        val stCols = declaredCols(table, "graft.stats.columns")
+          .filter(merged.columns.contains)
+        val (nst, sst) = fileStats(spark, table, add, stCols)
         if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
+          stats = nst, sstats = sst,
           schemaDdl = Some(merged.schema.toDDL),
           dvRemove = dvRemove, streamId = streamId,
           bloomAdd = blAdd, bloomRemove = blRemove))) Some(v) else None

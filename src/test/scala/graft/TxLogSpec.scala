@@ -1256,6 +1256,29 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.readRange(spark, t, "k", 2000.0, 2099.0).count() === 100L)
   }
 
+  test("declared stats survive a MERGE: later merges still prune the rewrite") {
+    import org.apache.spark.sql.functions._
+    val t = table()
+    TxLog.setProperties(t, Map("graft.stats.columns" -> "k"))        // v1
+    Seq(0, 1, 2).foreach(i =>
+      TxLog.append(spark.range(i * 100, (i + 1) * 100).toDF("k")
+        .withColumn("ver", lit(1L)).coalesce(1), t))                 // v2-4
+    // merge into file 0's key range: only that file rewrites, and the
+    // rewrite RE-RECORDS stats from the declared property
+    TxLog.merge(spark, t, Seq((50L, 2L)).toDF("k", "ver"), Seq("k"), "ver")
+    assert(TxLog.commits(t).last.remove.size === 1)
+    assert(TxLog.commits(t).last.stats.nonEmpty,
+      "merge output lost its skipping stats")
+    // a merge into file 1's range now touches ONE file — without the
+    // re-record, the stats-less rewrite of file 0 would join every
+    // future merge's touched set (one-merge decay of the CDC fast path)
+    TxLog.merge(spark, t, Seq((150L, 2L)).toDF("k", "ver"), Seq("k"), "ver")
+    assert(TxLog.commits(t).last.remove.size === 1,
+      s"rewrite joined the touched set: ${TxLog.commits(t).last.remove}")
+    assert(TxLog.read(spark, t).count() === 300L)
+    assert(TxLog.readEquals(spark, t, "k", Seq(50L)).count() === 1L)
+  }
+
   test("commit cache follows the directory: extensions append, deletions reparse") {
     val t = table()
     TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)               // v1
