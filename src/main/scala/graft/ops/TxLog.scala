@@ -1916,8 +1916,23 @@ object TxLog {
       // here or they stay active (and vacuum-protected) forever
       val dvRemove = inertDvs(spark, table, activeDvs(table, base),
         files.diff(touched).map(fileKey).toSet)
-      if (tryCommit(table, Commit(v, add, touched, op, -1L,
-        schemaDdl = schema.map(_.toDDL), dvRemove = dvRemove))) return v
+      // same no-decay rule as merge: DECLARED stats/bloom columns
+      // re-record on the rewrite, or DML strips its output files of
+      // skipping metadata and every later pruned operation must read them
+      val stCols = declaredCols(table, "graft.stats.columns")
+        .filter(rewritten.columns.contains)
+      val (nst, sst) = fileStats(spark, table, add, stCols)
+      val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+      val won = try {
+        val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+          .distinct.filter(rewritten.columns.contains)
+        tryCommit(table, Commit(v, add, touched, op, -1L,
+          stats = nst, sstats = sst,
+          schemaDdl = schema.map(_.toDDL), dvRemove = dvRemove,
+          bloomAdd = fileBlooms(spark, table, add, blCols),
+          bloomRemove = bi.inert(files.diff(touched).map(fileKey).toSet)))
+      } finally bi.release()
+      if (won) return v
       attempts += 1 // lost the race: re-derive the touched set and retry
     }
     throw new IllegalStateException(
@@ -2255,7 +2270,9 @@ object TxLog {
       // commit, so readRange prunes to exactly the overlapping files
       // compaction materializes DV deletes into the rewritten files (the
       // rewrite read through readFiles), so the DVs retire with the commit
-      val (nstats, sstats) = fileStats(spark, table, add, statsCols)
+      val (nstats, sstats) = fileStats(spark, table, add,
+        (statsCols ++ declaredCols(table, "graft.stats.columns"))
+          .distinct.filter(arranged.columns.contains))
       if (tryCommit(table, Commit(v, add, remove, "optimize", -1L,
           nstats, Some(arranged.schema.toDDL),
           dvRemove = activeDvs(table, base), sstats = sstats,
@@ -2315,7 +2332,9 @@ object TxLog {
       // shallow-clone's absolute entry would otherwise never match)
       val dvRemove = inertDvs(spark, table, activeDvs(table, base),
         keep.map(fileKey).toSet)
-      val (nstats, sstats) = fileStats(spark, table, add, statsCols)
+      val (nstats, sstats) = fileStats(spark, table, add,
+        (statsCols ++ declaredCols(table, "graft.stats.columns"))
+          .distinct.filter(arranged.columns.contains))
       // one sidecar read answers both the indexed-columns and the
       // inertness questions — see [[BloomIndex]]
       val bi = new BloomIndex(spark, table, activeBlooms(table, base))
@@ -2385,9 +2404,14 @@ object TxLog {
       val v = base.get + 1
       // one sidecar read for indexed-columns + inertness ([[BloomIndex]])
       val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+      val stCols = declaredCols(table, "graft.stats.columns")
+        .filter(rewritten.columns.contains)
+      val (nst, sst) = fileStats(spark, table, add, stCols)
       val won = try {
-        val blCols = bi.cols.filter(rewritten.columns.contains)
+        val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+          .distinct.filter(rewritten.columns.contains)
         tryCommit(table, Commit(v, add, touched, "optimizeDvs", -1L,
+          stats = nst, sstats = sst,
           schemaDdl = schemaAsOf(table, base).map(_.toDDL),
           dvRemove = dvRemove,
           bloomAdd = fileBlooms(spark, table, add, blCols),

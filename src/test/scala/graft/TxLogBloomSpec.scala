@@ -239,6 +239,25 @@ class TxLogBloomSpec extends SparkSpec {
     spark.catalog.dropTempView(s"blsql_$id")
   }
 
+  test("copy-on-write DML keeps the declared index and stats alive") {
+    val t = table()
+    TxLog.setProperties(t,
+      Map("graft.bloom.columns" -> "k", "graft.stats.columns" -> "ver"))
+    scattered(t, bloom = false) // property-declared: appends index anyway
+    assert(TxLog.activeBlooms(t).nonEmpty)
+    // DELETE rewrites the touched file; the replacement must re-index
+    // and re-record stats, not silently degrade (the merge no-decay rule
+    // on the DML path)
+    TxLog.delete(spark, t, col("k") === "user-0300")
+    val last = TxLog.commits(t).last
+    assert(last.op === "delete")
+    assert(last.bloomAdd.nonEmpty, "DML rewrite lost the bloom index")
+    assert(last.stats.nonEmpty, "DML rewrite lost the declared stats")
+    assert(TxLog.readEquals(spark, t, "k", Seq("user-0300")).count() === 0L)
+    assert(TxLog.readEquals(spark, t, "k", Seq("user-0303")).count() === 1L)
+    assert(TxLog.read(spark, t).count() === 899L)
+  }
+
   test("DV'd rows stay dead through the bloom-pruned read path") {
     val t = table()
     scattered(t, bloom = true)
