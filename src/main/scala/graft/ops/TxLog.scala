@@ -188,9 +188,21 @@ object TxLog {
     * do this) drops the entry and reparses from scratch. The one
     * assumption is the write protocol's own invariant: a PUBLISHED
     * commit file's bytes never change (rewriting one in place is log
-    * corruption with or without this cache). */
-  private val commitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Vector[String], Vector[Commit])]()
+    * corruption with or without this cache).
+    *
+    * The cache is LRU-BOUNDED by table count (Delta's snapshot cache is
+    * LRU for the same reason): a long-lived driver — or a bench/test run
+    * creating hundreds of temp tables — would otherwise retain every
+    * table's full parsed commit vector (per-file stats maps included)
+    * forever. Eviction only costs a reparse on the next access. */
+  private val CommitCacheMaxTables = 64
+  private val commitCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Vector[String], Vector[Commit])](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Vector[String], Vector[Commit])]) =
+        size() > CommitCacheMaxTables
+    })
 
   /** All commits at `table`, ascending by version. */
   def commits(table: String): Seq[Commit] = {
@@ -394,11 +406,14 @@ object TxLog {
           val sorted = bms.toSeq
             .flatMap(graft.functions.DvBitmapCodec.toRanges)
             .sortBy(_._1)
-          val merged = sorted.tail.foldLeft(Vector(sorted.head)) {
-            case (acc, (s, e)) =>
-              val (ls, le) = acc.last
-              if (s <= le + 1) acc.init :+ (ls, math.max(le, e))
-              else acc :+ (s, e)
+          // headOption guard: a degenerate zero-container bitmap (never
+          // produced by this writer, but cheap to survive) unions to empty
+          val merged = sorted.foldLeft(Vector.empty[(Long, Long)]) {
+            case (acc, (s, e)) => acc.lastOption match {
+              case Some((ls, le)) if s <= le + 1 =>
+                acc.init :+ (ls, math.max(le, e))
+              case _ => acc :+ (s, e)
+            }
           }
           graft.functions.DvBitmapCodec.fromRanges(merged)
         })
@@ -2249,7 +2264,8 @@ object TxLog {
       // explicit bloomCols CREATES the index on an existing table (the
       // "build a bloom index" entry point); otherwise the rewrite carries
       // forward whatever columns the table already indexes
-      val blCols = (bloomCols ++ activeBloomCols(spark, table, base))
+      val blCols = (bloomCols ++ activeBloomCols(spark, table, base) ++
+        declaredCols(table, "graft.bloom.columns"))
         .distinct.filter(cur.columns.contains)
       // targetBytes sizes the output in the unit that matters at scale:
       // total active bytes / target file size, from the commit-carried
@@ -2339,7 +2355,8 @@ object TxLog {
       // inertness questions — see [[BloomIndex]]
       val bi = new BloomIndex(spark, table, activeBlooms(table, base))
       val won = try {
-        val blCols = bi.cols.filter(arranged.columns.contains)
+        val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+          .distinct.filter(arranged.columns.contains)
         tryCommit(table, Commit(v, add, small, "optimize", -1L,
           nstats, Some(arranged.schema.toDDL), dvRemove = dvRemove,
           sstats = sstats,
@@ -2447,7 +2464,15 @@ object TxLog {
     // per-call argument cannot provide (Delta's
     // delta.deletedFileRetentionDuration plays the same role)
     val declaredFloor = properties(table).get("graft.vacuum.retainVersions")
-      .map(_.toInt).getOrElse(0)
+      .map { v =>
+        try v.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"table property graft.vacuum.retainVersions on $table must " +
+              s"be an integer version count, got '$v' — unset or correct " +
+              "the property before vacuuming")
+        }
+      }.getOrElse(0)
     val effective = math.max(retainVersions, declaredFloor)
     val horizon = math.max(1L, latest - effective + 1)
     val protect = (horizon to latest)

@@ -441,7 +441,7 @@ case class TxLogRelation(sqlContext: SQLContext, path: String,
         numVal(a, v).foreach(d => tightenNum(a, NegInf, d + pad(a)))
         strVal(a, v).foreach(s => tightenStr(a, None, Some(s)))
       case And(l, r) => walk(l); walk(r)
-      case _ => // Or/Not/In/IsNull/…: no sound conjunctive bound
+      case _ => // Or/Not/IsNull/…: no sound conjunctive bound
     }
     filters.foreach(walk)
     strLo.keySet.intersect(strHi.keySet).foreach { a =>
