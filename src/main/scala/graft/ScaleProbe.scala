@@ -55,12 +55,15 @@ object ScaleProbe {
   private def writeSingle(df: DataFrame, dir: String, name: String): Unit = {
     val tmp = s"$dir/_build_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator()
+    val ls = Files.list(Paths.get(tmp)) // close: fd leak
     var src: java.nio.file.Path = null
-    while (part.hasNext) {
-      val p = part.next()
-      if (p.getFileName.toString.endsWith(".parquet")) src = p
-    }
+    try {
+      val part = ls.iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) src = p
+      }
+    } finally ls.close()
     Files.move(src, Paths.get(s"$dir/$name.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))

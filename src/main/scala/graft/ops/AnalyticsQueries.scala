@@ -672,6 +672,37 @@ object AnalyticsQueries {
                |  AND ts <= timestamp'2024-01-11 23:59:59'""".stripMargin)
     },
 
+    // TxLog partition columns (Delta's partitionValues, recorded in the
+    // Hive-style path): a table declares `graft.partition.columns` once
+    // and EVERY write path stages `d-<uuid>/o_year=1997/part-….parquet`;
+    // reads reconstruct the stripped column from the path; a plain SQL
+    // WHERE on the partition column prunes to exactly the matching
+    // partition's files BEFORE stats are even consulted — the plan-shape
+    // parity with the reference's partition-by-year gold reads
+    // (Amazon_books_review_medallion_architecture.py:194-207).
+    // File-count proof is spec-pinned (TxLogPartitionSpec "SQL WHERE on
+    // the partition column prunes through the relation"); this entry
+    // oracles the end-to-end SQL answer at catalog scale.
+    QueryDef("src_txlog_partitioned",
+      "TxLog partition columns: declared layout writes Hive-style files, SQL WHERE prunes on exact partition values before stats",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_year
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |        CAST(YEAR(o_orderdate) AS INT) AS o_year FROM orders)
+        |WHERE o_year = 1997""".stripMargin) { (s, dir) =>
+      val table = Files.createTempDirectory("graft_txpart").toString + "/t"
+      TxLog.setProperties(table, Map("graft.partition.columns" -> "o_year"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).alias("o_year"))
+      TxLog.append(ord, table)
+      val id = java.util.UUID.randomUUID.toString.take(8)
+      val view = s"txpart_$id"
+      s.sql(s"""CREATE TEMPORARY VIEW $view USING graft.sources.txlog
+               |OPTIONS (path '$table')""".stripMargin)
+      s.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice, o_year
+               |FROM $view WHERE o_year = 1997""".stripMargin)
+    },
+
     // Change data feed (Delta table_changes): v2 rewrites the table with
     // updates, deletes, and inserts; changes(v1→v2) must classify every
     // key — insert / delete / update via null-safe column compares —

@@ -76,9 +76,11 @@ object StreamingQueries {
   private def stageEventsDirFresh(s: SparkSession, dir: String): String = {
     val base = stageEventsDir(s, dir) // memoized — resolves BEFORE the copy
     val d = Files.createTempDirectory("graft_events_src")
-    Files.list(java.nio.file.Paths.get(base)).iterator().asScala
+    val ls = Files.list(java.nio.file.Paths.get(base)) // close: fd leak
+    try ls.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .foreach(p => Files.copy(p, d.resolve(p.getFileName.toString)))
+    finally ls.close()
     d.toString
   }
 
@@ -1517,6 +1519,45 @@ object StreamingQueries {
           (uid, sessions, sorted.length.toLong)
         }
         .toDF("user_id", "n_sessions", "n_events")
+    },
+
+    // S4's schema tracking, ORACLED end-to-end (the r12 verdict's item 6;
+    // previously spec-only in SchemaDriftSpec): generation-1 landing
+    // files carry (event_id, user_id), the stream drains them, then
+    // generation-2 files land WITH a new `channel` column. The restarted
+    // stream (same checkpoint — only unprocessed files are re-read)
+    // adopts the SchemaEvolution-tracked evolved schema; the merged sink
+    // backfills NULL channel for every pre-drift row. The oracle
+    // recomputes both generations from the events table.
+    QueryDef("st38_stream_schema_evolution",
+      "mid-stream schema drift: new column lands between runs; restart adopts the evolved schema, pre-drift rows backfill NULL (S4 addNewColumns analog)",
+      """SELECT event_id, user_id, CAST(NULL AS VARCHAR) AS channel
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, user_id, 'ch_' || CAST(user_id % 3 AS BIGINT) AS channel
+        |FROM events WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      val land = tmp("graft_st38_land")
+      val out = tmp("graft_st38")
+      val schemaLoc = s"$out/_schema"
+      val ev = graft.Tables.load(s, dir, "events")
+      // generation 1: clicks, no channel column
+      ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id")
+        .write.mode("append").parquet(land)
+      graft.medallion.Medallion
+        .bronzeStreamEvolving(s, land, schemaLoc, s"$out/sink", s"$out/_cp")
+        .awaitTermination()
+      // generation 2: purchases land WITH the new channel column
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          concat(lit("ch_"), pmod(col("user_id"), lit(3))).alias("channel"))
+        .write.mode("append").parquet(land)
+      // restart from the SAME checkpoint under the evolved tracked schema
+      graft.medallion.Medallion
+        .bronzeStreamEvolving(s, land, schemaLoc, s"$out/sink", s"$out/_cp")
+        .awaitTermination()
+      s.read.option("mergeSchema", "true").parquet(s"$out/sink")
+        .select("event_id", "user_id", "channel")
     }
   )
 }

@@ -138,8 +138,12 @@ object TxLog {
     * would not ERROR on a bitmap DV: merge-schema normalization turns
     * bitmap rows into NULL ranges that silently drop from both anti-join
     * sides — deleted rows would RESURRECT, the exact silent misread the
-    * protocol stamp is for. */
-  val ProtocolVersion = 3
+    * protocol stamp is for. PARTITIONED commits (add paths carrying
+    * Hive-style `col=value` segments — the Delta `partitionValues`
+    * analog, recorded in the path rather than a JSON field) say 4: a
+    * v3-era reader would read the partition-stripped data files under
+    * the full logged schema and silently NULL every partition column. */
+  val ProtocolVersion = 4
 
   /** Every op this reader knows how to fold. An op outside this set means
     * the log was written by a newer writer — [[commits]] refuses to read
@@ -149,9 +153,52 @@ object TxLog {
     "restore", "clone", "setProperty")
 
   /** File entries are table-relative (`d-<uuid>/part-….parquet`) except
-    * shallow-CLONE entries, which reference the SOURCE table absolutely. */
+    * shallow-CLONE entries, which reference the SOURCE table absolutely.
+    * Partitioned writes nest Hive-style value dirs under the staging dir
+    * (`d-<uuid>/year=2020/part-….parquet`). */
   private def resolve(table: String, f: String): String =
     if (f.startsWith("/")) f else s"$table/$f"
+
+  /** Partition values of a committed file, parsed from its path — the
+    * Delta `partitionValues` analog, with the PATH as the record (Hive
+    * layout; the values were escaped by Spark's partitioned writer and
+    * are unescaped here). Segments between the last `d-<uuid>` staging
+    * dir and the file name are `col=value` pairs; `None` is the null
+    * partition (`__HIVE_DEFAULT_PARTITION__`). Empty for unpartitioned
+    * files — they are simply never partition-pruned. */
+  private[graft] def partValuesOf(rel: String): Seq[(String, Option[String])] = {
+    val segs = rel.split('/')
+    val lastStage = segs.lastIndexWhere(_.startsWith("d-"))
+    if (lastStage < 0 || lastStage >= segs.length - 2) return Seq.empty
+    segs.slice(lastStage + 1, segs.length - 1).toSeq.flatMap { s =>
+      val eq = s.indexOf('=')
+      if (eq <= 0) None
+      else {
+        val v = unescapePathName(s.substring(eq + 1))
+        Some(s.substring(0, eq) ->
+          (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)))
+      }
+    }
+  }
+
+  /** Inverse of Hive/Spark's partition-path escaping (%XX hex for the
+    * chars the writer considers unsafe). NOT URL decoding: '+' is a
+    * literal plus in a partition path, never a space. */
+  private[graft] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        catch { case _: NumberFormatException => -1 }
+        if (hex >= 0) { sb.append(hex.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private val mapper = new ObjectMapper()
 
@@ -166,11 +213,26 @@ object TxLog {
   private val CommitName = """(\d{20})\.json""".r
   private val CheckpointName = """(\d{20})\.checkpoint\.json""".r
 
+  /** `Files.list`/`Files.walk` return STREAMS holding an open directory
+    * handle until closed — draining the iterator does not release it. The
+    * un-closed form leaks one fd per call, and a trickle-written table
+    * (thousands of commits, each triggering a handful of listings) walks
+    * a long-lived driver straight into EMFILE ("Too many open files" —
+    * reproduced at ~4k single-file appends in one JVM). Every listing in
+    * this file goes through these two. */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+  private def walkDir(dir: Path): Seq[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def listLog(table: String): Seq[Path] = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala.toSeq
-      .sortBy(_.getFileName.toString)
+    else listDir(dir).sortBy(_.getFileName.toString)
   }
 
   /** Incremental commit-parse cache. Every metadata question
@@ -306,7 +368,30 @@ object TxLog {
     commits(table)
       .filter(c => cp.forall(c.version > _._1) && asOf.forall(c.version <= _))
       .foreach { c => files --= c.remove; files ++= c.add }
+    guardMetadataPlane(table, files.size)
     files.toSeq
+  }
+
+  /** Loud ceiling on the DRIVER-side metadata plane (the DvMapProbe
+    * 256 MiB pattern applied to file count): every snapshot/DV/bloom
+    * fold collects O(active files) rows on the driver — the same class
+    * as Delta's driver-side log replay. Fine to ~10^5 files; a busy
+    * streaming trickle before compaction can reach 10^6+, at which point
+    * the right fix is fewer, bigger files — not a bigger driver. Reads
+    * past the ceiling fail HERE, naming the remedies, instead of
+    * degrading into driver GC pressure at an arbitrary later fold.
+    * `graft.txlog.maxActiveFiles` (system property) raises or lowers the
+    * ceiling; <= 0 disables. */
+  private[graft] val DefaultMaxActiveFiles = 200000
+  private def guardMetadataPlane(table: String, nFiles: Int): Unit = {
+    val ceiling = sys.props.get("graft.txlog.maxActiveFiles")
+      .map(_.trim.toInt).getOrElse(DefaultMaxActiveFiles)
+    if (ceiling > 0 && nFiles > ceiling) throw new IllegalStateException(
+      s"txlog table $table has $nFiles active files — past the " +
+        s"driver metadata-plane ceiling of $ceiling. Compact the trickle " +
+        "(TxLog.optimizeSmall bin-packs small files; TxLog.compact " +
+        "checkpoints the log), or raise -Dgraft.txlog.maxActiveFiles " +
+        "if the driver has heap for a larger file list")
   }
 
   /** Active deletion-vector files in the snapshot as of `asOf`. Folded
@@ -457,20 +542,70 @@ object TxLog {
   private def readFiles(spark: SparkSession, table: String,
       files: Seq[String], asOf: Option[Long],
       keepRowKeys: Boolean = false): DataFrame = {
-    val paths = files.map(resolve(table, _))
-    val base = schemaAsOf(table, asOf) match {
-      case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
-    }
+    val schema = schemaAsOf(table, asOf)
     val dvs = activeDvs(table, asOf)
-    // `_metadata` resolves only on the scan relation itself, so the row
-    // keys must be materialized HERE — a caller cannot re-derive them
-    // after the anti-join projection. DV-free reads skip the key columns
-    // entirely: the common path stays a bare scan.
-    if (dvs.isEmpty && !keepRowKeys) return base
-    val keyed = base
-      .withColumn("__dv_f", relFileKey)
-      .withColumn("__dv_ri", col("_metadata.row_index"))
+    val partsByFile = files.map(f => f -> partValuesOf(f)).toMap
+    val keyed: DataFrame = if (partsByFile.valuesIterator.forall(_.isEmpty)) {
+      val paths = files.map(resolve(table, _))
+      val base = schema match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+      // `_metadata` resolves only on the scan relation itself, so the row
+      // keys must be materialized HERE — a caller cannot re-derive them
+      // after the anti-join projection. DV-free reads skip the key columns
+      // entirely: the common path stays a bare scan.
+      if (dvs.isEmpty && !keepRowKeys) return base
+      base
+        .withColumn("__dv_f", relFileKey)
+        .withColumn("__dv_ri", col("_metadata.row_index"))
+    } else {
+      // Partitioned (or mixed-era) snapshot: data files are partition-
+      // stripped, so each scan group reads with the schema MINUS its
+      // partition columns and reconstructs them from the commit-recorded
+      // path values — a plan-constant fileKey→value map (metadata-plane-
+      // bounded, same class as the commit itself), element_at per row,
+      // cast to the logged type. One scan per distinct partition-column
+      // SET (practically: one for the partitioned era, one for any
+      // pre-partitioning files), not per partition value.
+      val groups = files.groupBy(f => partsByFile(f).map(_._1))
+        .toSeq.sortBy(_._1.mkString(","))
+      val scans = groups.map { case (pcols, fs) =>
+        val paths = fs.map(resolve(table, _))
+        val base = schema match {
+          case Some(s) =>
+            val dataSchema = org.apache.spark.sql.types.StructType(
+              s.filterNot(f => pcols.contains(f.name)))
+            spark.read.schema(dataSchema).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+        val withKeys = base
+          .withColumn("__dv_f", relFileKey)
+          .withColumn("__dv_ri", col("_metadata.row_index"))
+        val withParts = pcols.foldLeft(withKeys) { (df, c) =>
+          val m = fs.flatMap { f =>
+            partsByFile(f).collectFirst { case (`c`, Some(v)) =>
+              fileKey(f) -> v }
+          }.toMap
+          // null-partition files are simply absent from the map
+          val raw: org.apache.spark.sql.Column =
+            if (m.isEmpty) lit(null).cast("string")
+            else element_at(typedlit(m), col("__dv_f"))
+          val typed = schema.flatMap(_.fields.find(_.name == c))
+            .map(f => raw.cast(f.dataType)).getOrElse(raw)
+          df.withColumn(c, typed)
+        }
+        // restore the logged column order (the partitioned writer moved
+        // partition columns last); keys stay, dropped at the end as usual
+        schema match {
+          case Some(s) => withParts.select(
+            s.fieldNames.toSeq.map(col) ++
+              Seq(col("__dv_f"), col("__dv_ri")): _*)
+          case None => withParts
+        }
+      }
+      scans.reduce(_ unionByName _)
+    }
     val filtered =
       if (dvs.isEmpty) keyed
       else {
@@ -537,8 +672,12 @@ object TxLog {
     // (shallow-clone) file references demand a v2 reader
     val needsV2 = commit.dvAdd.nonEmpty || commit.dvRemove.nonEmpty ||
       (commit.add ++ commit.remove).exists(_.startsWith("/"))
+    // partitioned adds demand a v4 reader: older readers would plan the
+    // partition-stripped files under the full logged schema and silently
+    // NULL every partition column
+    val needsV4 = commit.add.exists(partValuesOf(_).nonEmpty)
     node.put("protocolVersion",
-      math.max(if (needsV2) 2 else 1, commit.minReader))
+      math.max(if (needsV4) 4 else if (needsV2) 2 else 1, commit.minReader))
     node.put("version", commit.version)
     node.put("op", commit.op)
     node.put("batchId", commit.batchId)
@@ -612,15 +751,40 @@ object TxLog {
 
   /** Stage `df` as parquet under a fresh uuid subdir; returns the relative
     * paths of the written part files. NOT visible to readers until a commit
-    * references them — this is the crash-safe half of every write. */
+    * references them — this is the crash-safe half of every write.
+    *
+    * A table with DECLARED partition columns (`graft.partition.columns`
+    * property, the Delta `partitionBy` analog) stages Hive-layout instead:
+    * `d-<uuid>/col=value/part-….parquet`. Because the layout is consulted
+    * HERE, every write path — append, overwrite, streaming sink, merge and
+    * OPTIMIZE rewrites — preserves the partitioning without each call
+    * site re-passing it (the no-decay rule applied to partitions). The
+    * partition tuple is recorded IN the path (parsed back by
+    * [[partValuesOf]]); partition columns are stripped from the data
+    * files and reconstructed at read time, so the layout is what a
+    * Hive/Delta-aware engine expects on disk. */
   def writeData(df: DataFrame, table: String): Seq[String] = {
     val sub = s"d-${UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(s"$table/$sub")
-    Files.list(Paths.get(table, sub)).iterator().asScala.toSeq
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .sorted
-      .map(n => s"$sub/$n")
+    val partCols = declaredCols(table, "graft.partition.columns")
+      .filter(df.columns.contains)
+    if (partCols.isEmpty) {
+      df.write.parquet(s"$table/$sub")
+      listDir(Paths.get(table, sub))
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .sorted
+        .map(n => s"$sub/$n")
+    } else {
+      df.write.partitionBy(partCols: _*).parquet(s"$table/$sub")
+      val root = Paths.get(table, sub)
+      walkDir(root)
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }
+        .map(p => s"$sub/${root.relativize(p)}")
+        .sorted
+    }
   }
 
   /** Table schema as of `asOf`: the newest schema-carrying commit at or
@@ -813,8 +977,12 @@ object TxLog {
       files: Seq[String], statsCols: Seq[String]): (Map[String, Map[String, (Double, Double)]], Map[String, Map[String, (String, String)]]) = {
     if (statsCols.isEmpty || files.isEmpty) return (Map.empty, Map.empty)
     val df = spark.read.parquet(files.map(f => s"$table/$f"): _*)
-    val numCols = statsCols.filter(c => doubleCastable(df.schema(c).dataType))
-    val strCols = statsCols.filter(c =>
+    // partition columns are stripped from staged data files — their value
+    // rides the path ([[partValuesOf]]), which prunes EXACTLY; min/max
+    // stats for them would be both unreadable here and redundant
+    val present = statsCols.filter(df.columns.contains)
+    val numCols = present.filter(c => doubleCastable(df.schema(c).dataType))
+    val strCols = present.filter(c =>
       df.schema(c).dataType == org.apache.spark.sql.types.StringType)
     val kept = numCols ++ strCols
     if (kept.isEmpty) return (Map.empty, Map.empty)
@@ -918,7 +1086,7 @@ object TxLog {
     import spark.implicits._
     out.toDF("file", "col", "bloom").coalesce(1)
       .write.parquet(s"$table/$sub")
-    Files.list(Paths.get(table, sub)).iterator().asScala.toSeq
+    listDir(Paths.get(table, sub))
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted
@@ -1266,11 +1434,23 @@ object TxLog {
       case _ => false
     }
     activeFiles(table, asOf).filter { f =>
+      // Partition values prune FIRST — exact, not a range: a file whose
+      // path records col=2019 cannot hold a 2020 row, whatever its stats
+      // say. Delta prunes partitionValues before stats the same way. A
+      // null-partition file (all rows null in the column) can never
+      // satisfy a range predicate either.
+      lazy val pvals = partValuesOf(f).toMap
       ranges.forall { case (colName, (lo, hi)) =>
-        statsMap.get(f).flatMap(_.get(colName)) match {
-          case Some((mn, mx)) if trusted(colName) => mx >= lo && mn <= hi
-          case _ => true
+        val partVerdict = pvals.get(colName).collect {
+          case Some(v) if trusted(colName) && v.toDoubleOption.isDefined =>
+            val d = v.toDouble; d >= lo && d <= hi
+          case None if trusted(colName) => false // all-null partition file
         }
+        partVerdict.getOrElse(
+          statsMap.get(f).flatMap(_.get(colName)) match {
+            case Some((mn, mx)) if trusted(colName) => mx >= lo && mn <= hi
+            case _ => true
+          })
       }
     }
   }
@@ -1283,9 +1463,16 @@ object TxLog {
       hi: String, asOf: Option[Long] = None): Seq[String] = {
     val statsMap = commits(table).flatMap(_.sstats).toMap
     activeFiles(table, asOf).filter { f =>
-      statsMap.get(f).flatMap(_.get(colName)) match {
-        case Some((mn, mx)) => utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0
-        case None => true
+      // exact partition value beats recorded bounds — see filesForRanges
+      partValuesOf(f).toMap.get(colName) match {
+        case Some(Some(v)) => utf8Cmp(v, lo) >= 0 && utf8Cmp(v, hi) <= 0
+        case Some(None) => false // all-null partition file
+        case None =>
+          statsMap.get(f).flatMap(_.get(colName)) match {
+            case Some((mn, mx)) =>
+              utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0
+            case None => true
+          }
       }
     }
   }
@@ -1338,10 +1525,31 @@ object TxLog {
       asOf: Option[Long] = None,
       eqProbes: Map[String, Seq[Any]] = Map.empty): DataFrame = {
     val keepN = filesForRanges(table, numRanges, asOf)
-    val keepS = strRanges.foldLeft(keepN) { case (acc, (c, (lo, hi))) =>
+    val keepS0 = strRanges.foldLeft(keepN) { case (acc, (c, (lo, hi))) =>
       val ok = filesForStringRange(table, c, lo, hi, asOf).toSet
       acc.filter(ok)
     }
+    // partition equality prunes before blooms: an In-list that spans a
+    // wide range still hits only its listed partitions (the range cut
+    // above keeps the whole span). Exact string match for string values,
+    // double-domain match for numeric — unknown types never prune.
+    val keepS =
+      if (eqProbes.isEmpty) keepS0
+      else keepS0.filter { f =>
+        lazy val pvals = partValuesOf(f).toMap
+        eqProbes.forall { case (c, vs) =>
+          pvals.get(c) match {
+            case Some(vOpt) => vs.exists(p => (vOpt, p) match {
+              case (Some(v), s: String) => v == s
+              case (Some(v), n: Number) =>
+                v.toDoubleOption.contains(n.doubleValue)
+              case (None, _) => false // null partition ≠ non-null probe
+              case _ => true // unpruneable probe type: keep the file
+            })
+            case None => true // unpartitioned on c: stats/bloom decide
+          }
+        }
+      }
     // equality probes additionally consult the bloom index: stats answer
     // "could this file's RANGE hold the value", blooms answer "does this
     // file plausibly hold THIS value" — the hash-scattered point-lookup
@@ -2016,8 +2224,7 @@ object TxLog {
         }
       val sub = s"dv-${UUID.randomUUID().toString.take(8)}"
       staged.coalesce(1).write.parquet(s"$table/$sub")
-      val dvFiles = Files.list(Paths.get(table, sub)).iterator().asScala
-        .toSeq.map(_.getFileName.toString)
+      val dvFiles = listDir(Paths.get(table, sub)).map(_.getFileName.toString)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .sorted.map(n => s"$sub/$n")
       // empty hit set: drop the staged dir, no new version
@@ -2480,13 +2687,15 @@ object TxLog {
         activeDvs(table, Some(v)) ++ activeBlooms(table, Some(v))).toSet
     val root = Paths.get(table)
     val now = System.currentTimeMillis()
-    val onDisk = Files.list(root).iterator().asScala.toSeq
+    val onDisk = listDir(root)
       .filter(p => Files.isDirectory(p) && {
         val n = p.getFileName.toString
         // data + deletion vectors + bloom-index sidecars
         n.startsWith("d-") || n.startsWith("dv-") || n.startsWith("bl-")
       })
-      .flatMap(d => Files.list(d).iterator().asScala.toSeq)
+      // walk recursively: partitioned staging dirs nest value dirs
+      // (d-<uuid>/col=value/part-….parquet)
+      .flatMap(walkDir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
     val doomed = onDisk.filter { p =>
       val rel = root.relativize(p).toString
@@ -2500,7 +2709,7 @@ object TxLog {
     // drop data dirs the sweep emptied of parquet (markers like _SUCCESS
     // go with them); raced/live dirs are left alone
     doomed.map(_.getParent).distinct.foreach { d =>
-      val left = Files.list(d).iterator().asScala.toSeq
+      val left = listDir(d)
       if (!left.exists(_.getFileName.toString.endsWith(".parquet"))) {
         left.foreach(f => try Files.delete(f)
           catch { case _: java.io.IOException => () })

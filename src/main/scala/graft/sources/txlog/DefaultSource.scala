@@ -732,10 +732,37 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
         delivered
         }
       }
-      .map(f => if (f.startsWith("/")) f else s"$path/$f")
-    // getBatch's contract wants an isStreaming-flagged plan — see the shim
-    org.apache.spark.sql.execution.streaming.GraftSourceShim
-      .streamingParquetBatch(sqlContext.sparkSession, schema, files)
+    def full(f: String): String = if (f.startsWith("/")) f else s"$path/$f"
+    val spark = sqlContext.sparkSession
+    val shim = org.apache.spark.sql.execution.streaming.GraftSourceShim
+    // Partitioned files are partition-stripped on disk (the value rides
+    // the path — TxLog's Hive layout): deliver them grouped by partition
+    // TUPLE, each group scanned under the schema minus its partition
+    // columns with the tuple re-attached as typed literals. A micro-batch
+    // touches few tuples (its admitted commits' writes), so the union is
+    // small; unpartitioned files keep the single-scan fast path.
+    val (partFs, plainFs) = files.partition(f =>
+      TxLog.partValuesOf(f).nonEmpty)
+    if (partFs.isEmpty)
+      return shim.streamingParquetBatch(spark, schema, plainFs.map(full))
+    import org.apache.spark.sql.functions.{col, lit}
+    val plainDf =
+      if (plainFs.isEmpty) Seq.empty[DataFrame]
+      else Seq(shim.streamingParquetBatch(spark, schema, plainFs.map(full)))
+    val partDfs = partFs.groupBy(TxLog.partValuesOf)
+      .toSeq.sortBy(_._1.toString)
+      .map { case (pvals, fs) =>
+        val pcols = pvals.map(_._1).toSet
+        val dataSchema = StructType(schema.filterNot(f => pcols(f.name)))
+        val base = shim.streamingParquetBatch(spark, dataSchema, fs.map(full))
+        val withParts = pvals.foldLeft(base) { case (df, (c, vOpt)) =>
+          val dt = schema(c).dataType
+          df.withColumn(c,
+            vOpt.map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
+        }
+        withParts.select(schema.fieldNames.toSeq.map(col): _*)
+      }
+    (plainDf ++ partDfs).reduce(_ unionByName _)
   }
 
   override def stop(): Unit = ()

@@ -68,17 +68,26 @@ class ExtSpec extends SparkSpec {
     assert(top1 === 1L)
   }
 
-  test("LSH ANN: deterministic and attains nonzero recall vs brute force") {
+  test("LSH ANN: deterministic, with a pinned recall floor vs brute force") {
     val emb = Tables.load(spark, SF, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5)
+    // recall floor at a bucket width sized for this corpus: 500 uniform-
+    // RANDOM vectors are LSH's worst case (no cluster structure, cosine
+    // margins ~1e-3), and 2^12 default buckets over 500 rows leaves
+    // nearly every point alone (measured recall@5 0.04). nPlanes=4 →
+    // 16 buckets measures 0.54 recall@5 on this fixed seed; the floor
+    // pins a margin below so a hashing/bucketing regression fails here,
+    // not in an application
+    val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        nPlanes = 4)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(ann).size.toDouble / exact.size
-    assert(recall > 0.0, s"recall was $recall")
+    assert(recall >= 0.35, s"recall@5 was $recall (floor 0.35)")
     // determinism: fixed-seed planes ⇒ identical resultsets across runs
-    val ann2 = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5)
+    val ann2 = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        nPlanes = 4)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ann === ann2)
   }
@@ -117,16 +126,27 @@ class ExtSpec extends SparkSpec {
     assert(ivf.toSeq === Seq((100L, 1L)))
   }
 
-  test("IVF ANN: sane shape and nonzero recall vs brute force") {
+  test("IVF ANN: pinned recall floor at half-probe; exhaustive probing IS brute force") {
     val emb = Tables.load(spark, SF, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = graft.ext.IvfIndex.topK(emb, queries, "vec_id", "embedding", 5)
+    // half the cells probed: measured recall@5 0.84 on this fixed seed
+    // (uniform-random worst case); floor with margin so a centroid-train
+    // or cell-routing regression fails the spec, not a user
+    val ivf = graft.ext.IvfIndex.topK(emb, queries, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 8)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty)
     val recall = exact.intersect(ivf).size.toDouble / exact.size
-    assert(recall > 0.0, s"recall was $recall")
+    assert(recall >= 0.7, s"recall@5 was $recall (floor 0.7)")
+    // the index's exactness invariant: probing EVERY cell must recover
+    // brute force identically — if this drifts, candidates are being
+    // dropped somewhere other than cell routing
+    val full = graft.ext.IvfIndex.topK(emb, queries, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 16)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "nProbe=nCells must equal brute force")
   }
 
   test("two-level IVF: candidates are a subset of flat probing's cells, recall holds") {
@@ -152,7 +172,9 @@ class ExtSpec extends SparkSpec {
       .select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(got).size.toDouble / exact.size
-    assert(recall > 0.0, s"recall was $recall")
+    // measured 0.76 recall@5 at these fixed-seed params (3/6 coarse ×
+    // 8/32 fine on uniform-random vectors); floor with margin
+    assert(recall >= 0.6, s"recall@5 was $recall (floor 0.6)")
     // probing 3 of 6 coarse groups × 8 fine cells bounds the candidate set
     // below a full scan: the point of the hierarchy
     assert(rows.length < queries.count() * emb.count(),

@@ -1,0 +1,153 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TxLog
+
+/** TxLog partition columns — the Delta `partitionValues` analog
+  * (Delta records a partition tuple per add-file in its log; here the
+  * Hive-style path IS the record): declared `graft.partition.columns`
+  * makes every write path stage Hive-layout files, reads reconstruct the
+  * stripped columns from the path, and planning prunes on partition
+  * equality BEFORE stats. */
+class TxLogPartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(): String = tmpDir("txlog_part") + "/t"
+
+  private def mkPartitioned(): String = {
+    val t = table()
+    // declare partitioning after a seed write (the property commit needs
+    // a version to land on); the seed file predates the declaration and
+    // stays unpartitioned — exactly the mixed-era shape a real table has
+    TxLog.append(Seq((1L, "a", 2019)).toDF("k", "v", "y"), t)
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    TxLog.append(Seq((2L, "b", 2020), (3L, "c", 2020)).toDF("k", "v", "y"), t)
+    TxLog.append(Seq((4L, "d", 2021)).toDF("k", "v", "y"), t)
+    t
+  }
+
+  test("declared partition columns stage Hive-layout files and reads reconstruct them") {
+    val t = mkPartitioned()
+    val partFiles = TxLog.activeFiles(t).filter(_.contains("y="))
+    assert(partFiles.nonEmpty, "partitioned appends must nest y=<value> dirs")
+    assert(partFiles.forall(
+      _.matches(""".*d-[0-9a-f]+/y=\d+/part-.*\.parquet""")), partFiles)
+    val got = TxLog.read(spark, t)
+    assert(got.columns.toSeq === Seq("k", "v", "y"))
+    assert(got.schema("y").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(got.as[(Long, String, Int)].collect().toSet ===
+      Set((1L, "a", 2019), (2L, "b", 2020), (3L, "c", 2020), (4L, "d", 2021)))
+  }
+
+  test("partition equality prunes files before stats") {
+    val t = mkPartitioned()
+    val all = TxLog.activeFiles(t)
+    val eq2021 = TxLog.filesForRanges(t, Map("y" -> (2021.0, 2021.0)))
+    // the 2021 partition survives; 2020 partitions are pruned by their
+    // exact path value; the pre-declaration seed file has no stats and
+    // must be kept (stats-less files always pass)
+    assert(eq2021.exists(_.contains("y=2021")))
+    assert(!eq2021.exists(_.contains("y=2020")), eq2021)
+    assert(eq2021.size < all.size)
+    val pruned = TxLog.readPruned(spark, t,
+        Map("y" -> (2020.0, 2020.0)), Map.empty)
+      .filter(col("y") === 2020)
+    assert(pruned.as[(Long, String, Int)].collect().toSet ===
+      Set((2L, "b", 2020), (3L, "c", 2020)))
+  }
+
+  test("SQL WHERE on the partition column prunes through the relation") {
+    val t = mkPartitioned()
+    val view = s"pt_${System.nanoTime()}"
+    spark.sql(
+      s"""CREATE OR REPLACE TEMP VIEW $view
+         |USING graft.sources.txlog OPTIONS (path '$t')""".stripMargin)
+    val out = spark.sql(s"SELECT k, v FROM $view WHERE y = 2021")
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((4L, "d")))
+    // plan-level evidence: the pruned read plans fewer files than the
+    // snapshot holds (the relation routes WHERE bounds into readPruned)
+    val planned = TxLog.readPruned(spark, t,
+      Map("y" -> (2020.0, 2021.0)), Map.empty,
+      eqProbes = Map("y" -> Seq(2021)))
+    assert(planned.inputFiles.length < TxLog.activeFiles(t).size,
+      s"expected fewer than ${TxLog.activeFiles(t).size} planned files")
+  }
+
+  test("merge and optimizeSmall rewrites preserve the partition layout") {
+    val t = mkPartitioned()
+    TxLog.merge(spark, t, Seq((2L, "B", 2020)).toDF("k", "v", "y"),
+      Seq("k"), "y") // same version → tie → incoming wins
+    val afterMerge = TxLog.read(spark, t).as[(Long, String, Int)]
+      .collect().toSet
+    assert(afterMerge.contains((2L, "B", 2020)))
+    // merge rewrote through writeData, which consults the declared
+    // layout: every rewritten file is Hive-partitioned
+    TxLog.optimizeSmall(spark, t, minFileSizeBytes = Long.MaxValue)
+    assert(TxLog.activeFiles(t).forall(_.contains("y=")),
+      TxLog.activeFiles(t))
+    assert(TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet ===
+      afterMerge)
+  }
+
+  test("deletion vectors compose with partitioned files") {
+    val t = mkPartitioned()
+    TxLog.deleteVectors(spark, t, col("k") === 3L)
+    assert(TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet ===
+      Set((1L, "a", 2019), (2L, "b", 2020), (4L, "d", 2021)))
+    // readPruned returns files row-unfiltered (callers own exactness):
+    // the DV'd row 3 must be gone, and the y=2020 partition is pruned to
+    // its file plus the stats-less seed file
+    val pruned = TxLog.readPruned(spark, t,
+        Map("y" -> (2020.0, 2020.0)), Map.empty)
+      .filter(col("y") === 2020)
+    assert(pruned.select("k").as[Long].collect().toSet === Set(2L))
+  }
+
+  test("partitioned commits stamp protocol v4 so a v3-era reader refuses") {
+    val t = mkPartitioned()
+    val logDir = java.nio.file.Paths.get(t, "_txlog")
+    val partCommits = java.nio.file.Files.list(logDir).iterator().asScala
+      .toSeq.sortBy(_.getFileName.toString)
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => new String(java.nio.file.Files.readAllBytes(p)))
+      .filter(_.contains("y="))
+    assert(partCommits.nonEmpty)
+    assert(partCommits.forall(_.contains("\"protocolVersion\":4")),
+      partCommits.map(_.take(160)))
+  }
+
+  test("null partition values round-trip and never satisfy a range predicate") {
+    val t = table()
+    TxLog.append(Seq((0L, "seed", Option(1))).toDF("k", "v", "y"), t)
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    TxLog.append(Seq((1L, "x", None: Option[Int]),
+      (2L, "w", Option(7))).toDF("k", "v", "y"), t)
+    assert(TxLog.read(spark, t).as[(Long, String, Option[Int])]
+      .collect().toSet ===
+      Set((0L, "seed", Some(1)), (1L, "x", None), (2L, "w", Some(7))))
+    val keep = TxLog.filesForRanges(t, Map("y" -> (7.0, 7.0)))
+    assert(!keep.exists(_.contains("__HIVE_DEFAULT_PARTITION__")), keep)
+    assert(keep.exists(_.contains("y=7")))
+  }
+
+  test("streaming file delivery reconstructs partition columns per delivered commit") {
+    val t = mkPartitioned()
+    val out = tmpDir("txlog_part_stream_out")
+    val cp = tmpDir("txlog_part_stream_cp")
+    val q = spark.readStream.format("graft.sources.txlog")
+      .option("path", t).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out).as[(Long, String, Int)].collect().toSet
+    assert(got === Set((1L, "a", 2019), (2L, "b", 2020), (3L, "c", 2020),
+      (4L, "d", 2021)))
+  }
+}

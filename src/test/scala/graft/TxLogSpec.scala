@@ -1741,4 +1741,68 @@ class TxLogSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.max("s")).head().getString(0)
     assert(mx === supp)
   }
+
+  test("metadata-plane ceiling: reads past maxActiveFiles fail loudly naming the remedies") {
+    val t = table()
+    // 5 single-file appends → 5 active files
+    (1 to 5).foreach(i => TxLog.append(
+      Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1), t))
+    assert(TxLog.activeFiles(t).size === 5)
+    val prop = "graft.txlog.maxActiveFiles"
+    try {
+      sys.props(prop) = "4"
+      val e = intercept[IllegalStateException](TxLog.read(spark, t).count())
+      assert(e.getMessage.contains("optimizeSmall"))
+      assert(e.getMessage.contains("compact"))
+      assert(e.getMessage.contains(prop))
+      // compacting the trickle is the named remedy — and it works: after
+      // optimizeSmall the table is under the ceiling and readable again
+      sys.props(prop) = "" + Int.MaxValue
+      TxLog.optimizeSmall(spark, t, minFileSizeBytes = Long.MaxValue)
+      sys.props(prop) = "4"
+      assert(TxLog.read(spark, t).count() === 5L)
+    } finally sys.props -= prop
+  }
+
+  test("malformed graft.vacuum.retainVersions fails vacuum with a diagnostic naming the property") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    TxLog.setProperties(t, Map("graft.vacuum.retainVersions" -> "30d"))
+    val e = intercept[IllegalArgumentException](TxLog.vacuum(t))
+    assert(e.getMessage.contains("graft.vacuum.retainVersions"))
+    assert(e.getMessage.contains("30d"))
+    // correcting the property un-bricks vacuum
+    TxLog.setProperties(t, Map("graft.vacuum.retainVersions" -> "1"))
+    TxLog.vacuum(t) // no throw
+  }
+
+  test("vacuum-vs-reader contract: in-floor versions survive, out-of-floor reads fail loudly") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)              // v1
+    TxLog.overwrite(Seq((2L, "b")).toDF("k", "v"), t)              // v2
+    TxLog.overwrite(Seq((3L, "c")).toDF("k", "v"), t)              // v3
+    TxLog.append(Seq((4L, "d")).toDF("k", "v"), t)                 // v4
+    // declared floor 3: even a caller asking for retainVersions=1 may
+    // not vacuum past versions {2,3,4} — the table-level guard rail
+    TxLog.setProperties(t, Map("graft.vacuum.retainVersions" -> "3")) // v5
+    TxLog.vacuum(t, retainVersions = 1)
+    // IN-FLOOR: v3 (= head-2, inside the declared floor of 3 versions)
+    // still reads — its files were protected by the horizon
+    assert(TxLog.read(spark, t, Some(3L)).as[(Long, String)]
+      .collect().toSet === Set((3L, "c")))
+    // OUT-OF-FLOOR: v1's only data file was overwritten at v2 and sits
+    // past the horizon — the contract is a LOUD failure at read time
+    // (the log still has the commit; the files are gone), never a
+    // silent partial result
+    val e = intercept[Throwable](
+      TxLog.read(spark, t, Some(1L)).collect())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.toLowerCase.contains("path does not exist") ||
+      msg.toLowerCase.contains("no such file") ||
+      msg.toLowerCase.contains("unable to infer") ||
+      msg.toLowerCase.contains("file not found") ||
+      e.isInstanceOf[java.io.FileNotFoundException],
+      s"expected a loud missing-file failure, got: $e")
+  }
 }
