@@ -703,6 +703,35 @@ object AnalyticsQueries {
                |FROM $view WHERE o_year = 1997""".stripMargin)
     },
 
+    // Dynamic partition overwrite (Spark partitionOverwriteMode=dynamic /
+    // Delta replaceWhere on the incoming partitions): the backfill shape —
+    // re-derive ONE partition of a partitioned table, replace exactly its
+    // files in one atomic commit, every other partition byte-identical in
+    // place. The oracle recomputes untouched years ∪ the re-derived 1997.
+    QueryDef("src_txlog_overwrite_partitions",
+      "dynamic partition overwrite: re-derived 1997 partition atomically replaces only its own files",
+      """SELECT o_orderkey, o_totalprice, o_year FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |         CAST(YEAR(o_orderdate) AS INT) AS o_year FROM orders)
+        |WHERE o_year <> 1997
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+        |       CAST(YEAR(o_orderdate) AS INT) AS o_year
+        |FROM orders WHERE CAST(YEAR(o_orderdate) AS INT) = 1997""".stripMargin) { (s, dir) =>
+      val table = Files.createTempDirectory("graft_txdynow").toString + "/t"
+      TxLog.setProperties(table, Map("graft.partition.columns" -> "o_year"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).alias("o_year"))
+      TxLog.append(ord, table)
+      // the backfill: 1997 re-derived with a corrected price
+      TxLog.overwritePartitions(
+        ord.filter(col("o_year") === 1997)
+          .withColumn("o_totalprice", col("o_totalprice") + 100.0),
+        table)
+      TxLog.read(s, table)
+    },
+
     // Change data feed (Delta table_changes): v2 rewrites the table with
     // updates, deletes, and inserts; changes(v1→v2) must classify every
     // key — insert / delete / update via null-safe column compares —

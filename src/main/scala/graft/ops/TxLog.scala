@@ -148,7 +148,8 @@ object TxLog {
   /** Every op this reader knows how to fold. An op outside this set means
     * the log was written by a newer writer — [[commits]] refuses to read
     * rather than fold actions with unknown semantics. */
-  private val KnownOps = Set("append", "overwrite", "merge", "delete",
+  private val KnownOps = Set("append", "overwrite", "overwritePartitions",
+    "merge", "delete",
     "update", "optimize", "optimizeDvs", "addConstraint", "dvDelete",
     "restore", "clone", "setProperty")
 
@@ -1403,6 +1404,90 @@ object TxLog {
         effectiveBloomCols(df, table, bloomCols)))
   }
 
+  /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
+    * dynamic`, Delta's `replaceWhere` on exactly the incoming
+    * partitions): atomically replace ONLY the partitions the batch
+    * writes rows into — every other partition's files stay byte-
+    * identical in place. THE lake-scale backfill shape: re-deriving one
+    * day of a year-partitioned 100 TB gold table removes that day's
+    * files and adds their replacements in one commit; a full
+    * [[overwrite]] would rewrite the table. The replaced set is derived
+    * from the STAGED files' own partition paths (no predicate to get
+    * wrong); the table schema is unchanged (a partial replace has no
+    * authority to evolve it — [[resolveSchema]] append semantics).
+    *
+    * Pre-declaration UNPARTITIONED active files may hold rows of any
+    * partition, so selective replacement over them is inexpressible —
+    * the write REFUSES loudly naming [[optimize]] (whose full rewrite
+    * lands in the declared layout, healing the era) rather than
+    * silently leaving stale rows beside the replacements. */
+  def overwritePartitions(df: DataFrame, table: String,
+      statsCols: Seq[String] = Seq.empty, batchId: Long = -1L,
+      streamId: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    val partCols = declaredCols(table, "graft.partition.columns")
+      .filter(df.columns.contains)
+    require(partCols.nonEmpty,
+      s"overwritePartitions on $table requires declared " +
+        "graft.partition.columns present in the batch — set the table " +
+        "property (and keep the columns in the frame) or use overwrite()")
+    val schema = resolveSchema(table, df, mergeSchema = false)
+    validateConstraints(df, constraints(table))
+    val add = writeData(df, table)
+    def tupleOf(f: String): Map[String, Option[String]] =
+      partValuesOf(f).toMap.view.filterKeys(partCols.contains).toMap
+    val touched = add.map(tupleOf).toSet
+    val (nstats, sstats) = fileStats(spark, table, add,
+      effectiveStatsCols(df, table, statsCols))
+    val bloomAdd = fileBlooms(spark, table, add,
+      effectiveBloomCols(df, table, Seq.empty))
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      val active = activeFiles(table, base)
+      val legacy = active.filter(partValuesOf(_).isEmpty)
+      require(legacy.isEmpty,
+        s"overwritePartitions on $table: ${legacy.size} active file(s) " +
+          "predate the declared partition layout (e.g. " +
+          s"${legacy.headOption.getOrElse("")}) and may hold rows of any " +
+          "partition — selective replacement cannot be expressed over " +
+          "them. Run TxLog.optimize to rewrite the table into the " +
+          "declared layout first")
+      val remove = active.filter(f => touched.contains(tupleOf(f)))
+      val keep = active.diff(remove).map(fileKey).toSet
+      val dvRemove = inertDvs(spark, table, activeDvs(table, base), keep)
+      val v = base.getOrElse(0L) + 1
+      val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+      val won = try {
+        tryCommit(table, Commit(v,
+          add, remove, "overwritePartitions", batchId,
+          nstats, Some(schema.toDDL), sstats = sstats,
+          dvRemove = dvRemove, streamId = streamId,
+          bloomAdd = bloomAdd, bloomRemove = bi.inert(keep)))
+      } finally bi.release()
+      if (won) return v
+      attempts += 1 // lost the race: re-derive the replaced set
+    }
+    throw new IllegalStateException(
+      s"txlog overwritePartitions on $table lost 10 straight races — giving up")
+  }
+
+  /** SHOW PARTITIONS analog: the snapshot's distinct partition tuples
+    * with their file counts and commit-recorded bytes — driver-side from
+    * the same metadata-plane fold every read plans from (no filesystem
+    * listing, no data scan). Unpartitioned files (pre-declaration era)
+    * report under the empty tuple. */
+  def partitions(table: String, asOf: Option[Long] = None)
+      : Seq[(Map[String, Option[String]], Int, Long)] = {
+    val sizes = fileSizes(table, asOf)
+    activeFiles(table, asOf)
+      .groupBy(f => partValuesOf(f).toMap)
+      .map { case (tuple, fs) =>
+        (tuple, fs.size, fs.map(f => sizes.getOrElse(f, 0L)).sum)
+      }
+      .toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+  }
+
   /** Active files whose recorded [min, max] for `colName` intersects
     * [lo, hi] — plus every file committed WITHOUT stats (those must be
     * read). Stats are folded from the full commit log (commits are never
@@ -1692,17 +1777,31 @@ object TxLog {
     val nstats = commits(table).flatMap(_.stats).toMap
     val lstats = commits(table).flatMap(_.sstats).toMap
     activeFiles(table, asOf).filter { f =>
+      // exact partition values beat recorded stats, same as
+      // [[filesForRanges]]: a merge whose keys include the partition
+      // column touches only matching partitions. mergeKeyBounds already
+      // withholds a column's bound when the batch has nulls in it, so an
+      // all-null partition file (value None) is only ever pruned against
+      // a null-free batch — sound.
+      lazy val pvals = partValuesOf(f).toMap
       bounds.num.forall { case (c, (lo, hi)) =>
-        nstats.get(f).flatMap(_.get(c)) match {
+        pvals.get(c).collect {
+          case Some(v) if v.toDoubleOption.isDefined =>
+            val d = v.toDouble; d >= lo && d <= hi
+          case None => false
+        }.getOrElse(nstats.get(f).flatMap(_.get(c)) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true
-        }
+        })
       } &&
       bounds.str.forall { case (c, (lo, hi)) =>
-        lstats.get(f).flatMap(_.get(c)) match {
+        pvals.get(c).map {
+          case Some(v) => utf8Cmp(v, lo) >= 0 && utf8Cmp(v, hi) <= 0
+          case None => false
+        }.getOrElse(lstats.get(f).flatMap(_.get(c)) match {
           case Some((mn, mx)) => utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0
           case None => true
-        }
+        })
       }
     }
   }

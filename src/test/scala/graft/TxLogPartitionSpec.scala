@@ -135,6 +135,87 @@ class TxLogPartitionSpec extends SparkSpec {
     assert(keep.exists(_.contains("y=7")))
   }
 
+  test("dynamic partition overwrite replaces exactly the incoming partitions") {
+    val t = table()
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    TxLog.append(Seq((1L, "a", 2019), (2L, "b", 2020)).toDF("k", "v", "y"), t)
+    TxLog.append(Seq((3L, "c", 2021)).toDF("k", "v", "y"), t)
+    val before2021 = TxLog.activeFiles(t).filter(_.contains("y=2021"))
+    val v = TxLog.overwritePartitions(
+      Seq((20L, "B2", 2020), (21L, "B3", 2020)).toDF("k", "v", "y"), t)
+    // 2020 fully replaced; 2019 and 2021 files BYTE-IDENTICAL in place
+    assert(TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet ===
+      Set((1L, "a", 2019), (20L, "B2", 2020), (21L, "B3", 2020),
+        (3L, "c", 2021)))
+    assert(TxLog.activeFiles(t).filter(_.contains("y=2021")) === before2021)
+    // time travel still sees the pre-replace 2020 partition
+    assert(TxLog.read(spark, t, Some(v - 1)).filter(col("y") === 2020)
+      .select("k").as[Long].collect().toSet === Set(2L))
+  }
+
+  test("dynamic partition overwrite refuses pre-declaration unpartitioned files, optimize heals") {
+    val t = mkPartitioned() // seed file predates the declaration
+    val e = intercept[IllegalArgumentException](TxLog.overwritePartitions(
+      Seq((9L, "z", 2020)).toDF("k", "v", "y"), t))
+    assert(e.getMessage.contains("optimize"))
+    // optimize's full rewrite lands in the declared layout — then it works
+    TxLog.optimize(spark, t)
+    assert(TxLog.activeFiles(t).forall(_.contains("y=")))
+    TxLog.overwritePartitions(Seq((9L, "z", 2020)).toDF("k", "v", "y"), t)
+    assert(TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet ===
+      Set((1L, "a", 2019), (9L, "z", 2020), (4L, "d", 2021)))
+  }
+
+  test("merge keyed on the partition column rewrites only matching partitions") {
+    val t = table()
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    TxLog.append(Seq((1L, "a", 2019), (2L, "b", 2020)).toDF("k", "v", "y"), t)
+    TxLog.append(Seq((3L, "c", 2021)).toDF("k", "v", "y"), t)
+    val before = TxLog.activeFiles(t).filterNot(_.contains("y=2020")).toSet
+    // merge key includes y: the incoming batch's y-bounds prune to the
+    // 2020 partition EXACTLY (partition value beats stats), so 2019/2021
+    // files are never rewritten
+    TxLog.merge(spark, t, Seq((2L, "B", 2020)).toDF("k", "v", "y"),
+      Seq("y", "k"), "y")
+    assert(TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet ===
+      Set((1L, "a", 2019), (2L, "B", 2020), (3L, "c", 2021)))
+    assert(TxLog.activeFiles(t).filterNot(_.contains("y=2020")).toSet ===
+      before, "non-2020 partitions must keep their exact files")
+  }
+
+  test("streaming txlog sink writes the declared partition layout") {
+    val t = table()
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    val cp = tmpDir("txlog_part_sink_cp")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Int)]
+    mem.addData((1L, "a", 2020), (2L, "b", 2021))
+    val q = mem.toDF().toDF("k", "v", "y")
+      .writeStream.format("graft.sources.txlog")
+      .option("checkpointLocation", cp).option("path", t)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(TxLog.activeFiles(t).forall(_.contains("y=")),
+      TxLog.activeFiles(t))
+    assert(TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet ===
+      Set((1L, "a", 2020), (2L, "b", 2021)))
+  }
+
+  test("partitions() lists tuples with file counts and bytes from the log alone") {
+    val t = mkPartitioned()
+    val parts = TxLog.partitions(t)
+    // empty tuple = the pre-declaration seed file; one tuple per year
+    val byTuple = parts.map { case (m, n, b) => m -> ((n, b)) }.toMap
+    assert(byTuple.keySet === Set(
+      Map.empty[String, Option[String]],
+      Map("y" -> Some("2020")), Map("y" -> Some("2021"))))
+    val p2020 = byTuple(Map("y" -> Some("2020")))
+    assert(p2020._1 >= 1 && p2020._2 > 0L, p2020)
+  }
+
   test("streaming file delivery reconstructs partition columns per delivered commit") {
     val t = mkPartitioned()
     val out = tmpDir("txlog_part_stream_out")
