@@ -2416,14 +2416,18 @@ object TxLog {
       statsCols: Seq[String] = Seq.empty): Long = {
     require(latestVersion(dst).isEmpty,
       s"clone destination $dst already has a txlog")
+    // properties land FIRST so the data write sees the declared layout —
+    // a partitioned source deep-clones into the same partition layout
+    // (property-after-write left the copy's files unpartitioned: reads
+    // stayed correct but partition pruning decayed on the clone)
+    val props = properties(src, asOf)
+    if (props.nonEmpty) setProperties(dst, props)
     val v = overwrite(read(spark, src, asOf), dst, statsCols)
     // constraints AS OF the cloned version: one added to src after the
     // snapshot is no part of the snapshot's contract. The rows being
     // cloned satisfied these at `asOf`, so validation cannot fail.
     constraints(src, asOf).foreach { case (n, e) =>
       addConstraint(spark, dst, n, e) }
-    val props = properties(src, asOf)
-    if (props.nonEmpty) setProperties(dst, props)
     v
   }
 

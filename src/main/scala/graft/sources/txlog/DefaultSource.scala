@@ -60,8 +60,10 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
       outputMode: OutputMode): Sink = {
     val path = pathOf(parameters, "sink")
     require(partitionColumns.isEmpty,
-      "txlog tables do not model directory partitions (see PERF.md r9): " +
-        "use statsCols + OPTIMIZE clusterBy for pruning")
+      "txlog sinks take no writeStream.partitionBy: declare the layout " +
+        "ONCE on the table (graft.partition.columns property) and every " +
+        "write — this sink included — lands it; stats/bloom columns " +
+        "prune the rest")
     val statsCols = parameters.get("statscols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
@@ -72,9 +74,18 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     val versionCol = parameters.get("versioncol")
-    require(!update || mergeKeys.nonEmpty,
+    // Update + partitionOverwrite=true: each micro-batch atomically
+    // replaces EXACTLY the partitions it writes into (the streaming form
+    // of [[TxLog.overwritePartitions]] — a rolling gold refresh that
+    // re-derives recent partitions per trigger, Delta's
+    // foreachBatch-replaceWhere pattern without the boilerplate).
+    val dynPartOverwrite =
+      parameters.get("partitionoverwrite").exists(_.toBoolean)
+    require(!update || mergeKeys.nonEmpty || dynPartOverwrite,
       "txlog sink in Update mode requires option 'mergeKeys' " +
-        "(comma-separated key columns to upsert on)")
+        "(comma-separated key columns to upsert on) or " +
+        "partitionOverwrite=true (replace the partitions each batch " +
+        "writes into)")
     // Stream identity for the replay guard: the checkpoint location is
     // stable across restarts of the SAME query and distinct for a second
     // query or a fresh checkpoint — keying the guard on batchId alone
@@ -90,7 +101,9 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
         // addBatch's frame is streaming-flagged; batch writers refuse it
         val batch = org.apache.spark.sql.execution.streaming
           .GraftSourceShim.asBatch(data)
-        if (update) versionCol match {
+        if (update && dynPartOverwrite)
+          TxLog.overwritePartitions(batch, path, statsCols, batchId, streamId)
+        else if (update) versionCol match {
           case Some(vc) =>
             TxLog.merge(batch.sparkSession, path, batch, mergeKeys, vc,
               batchId, streamId)

@@ -216,6 +216,66 @@ class TxLogPartitionSpec extends SparkSpec {
     assert(p2020._1 >= 1 && p2020._2 > 0L, p2020)
   }
 
+  test("clones keep partition semantics: shallow reconstructs, deep re-lands the layout") {
+    val t = mkPartitioned()
+    val expected = TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet
+    val shallow = tmpDir("txlog_part_shallow") + "/t"
+    TxLog.cloneTable(spark, t, shallow)
+    assert(TxLog.read(spark, shallow).as[(Long, String, Int)]
+      .collect().toSet === expected)
+    val deep = tmpDir("txlog_part_deep") + "/t"
+    TxLog.cloneTableDeep(spark, t, deep)
+    assert(TxLog.read(spark, deep).as[(Long, String, Int)]
+      .collect().toSet === expected)
+    // the deep copy's own files land in the DECLARED layout (property
+    // carried before the data write) — partition pruning works on the
+    // clone, not just the source
+    assert(TxLog.activeFiles(deep).forall(_.contains("y=")),
+      TxLog.activeFiles(deep))
+    val keep = TxLog.filesForRanges(deep, Map("y" -> (2021.0, 2021.0)))
+    assert(keep.size < TxLog.activeFiles(deep).size)
+  }
+
+  test("update-mode sink with partitionOverwrite replaces each batch's partitions") {
+    val t = table()
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    TxLog.append(Seq((1L, "a", 2019), (2L, "b", 2020)).toDF("k", "v", "y"), t)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Int)]
+    // the rolling gold refresh: this batch re-derives the 2020 partition
+    mem.addData((20L, "B", 2020), (21L, "C", 2020))
+    val q = mem.toDF().toDF("k", "v", "y")
+      .writeStream.format("graft.sources.txlog")
+      .option("checkpointLocation", tmpDir("txlog_dynow_cp"))
+      .option("path", t).option("partitionOverwrite", "true")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet ===
+      Set((1L, "a", 2019), (20L, "B", 2020), (21L, "C", 2020)))
+  }
+
+  test("partition re-declaration: eras coexist; new writes land the new layout") {
+    val t = table()
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    TxLog.append(Seq((1L, "a", 2019, "us")).toDF("k", "v", "y", "r"), t)
+    // evolve the layout: partition by (y, r) from here on
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y,r"))
+    TxLog.append(Seq((2L, "b", 2020, "eu")).toDF("k", "v", "y", "r"), t)
+    val files = TxLog.activeFiles(t)
+    assert(files.exists(f => f.contains("y=2019") && !f.contains("r=")))
+    assert(files.exists(f => f.contains("y=2020/r=eu")), files)
+    // the mixed snapshot reads whole, columns in logged order
+    assert(TxLog.read(spark, t).as[(Long, String, Int, String)]
+      .collect().toSet ===
+      Set((1L, "a", 2019, "us"), (2L, "b", 2020, "eu")))
+    // pruning on y works across both eras (exact value in each path)
+    val keep = TxLog.filesForRanges(t, Map("y" -> (2020.0, 2020.0)))
+    assert(keep.forall(_.contains("y=2020")), keep)
+  }
+
   test("streaming file delivery reconstructs partition columns per delivered commit") {
     val t = mkPartitioned()
     val out = tmpDir("txlog_part_stream_out")
