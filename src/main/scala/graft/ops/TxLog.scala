@@ -1608,8 +1608,22 @@ object TxLog {
       numRanges: Map[String, (Double, Double)],
       strRanges: Map[String, (String, String)],
       asOf: Option[Long] = None,
-      eqProbes: Map[String, Seq[Any]] = Map.empty): DataFrame = {
-    val keepN = filesForRanges(table, numRanges, asOf)
+      eqProbes: Map[String, Seq[Any]] = Map.empty,
+      isNullCols: Set[String] = Set.empty,
+      isNotNullCols: Set[String] = Set.empty): DataFrame = {
+    val keepN0 = filesForRanges(table, numRanges, asOf)
+    // NULL-ness prunes only via partition values — stats ignore nulls, so
+    // a partition value is the one per-file fact that decides it exactly:
+    // a col=2020 file holds NO null rows for col (partitionBy routes them
+    // to __HIVE_DEFAULT_PARTITION__), a null-partition file holds ONLY
+    // null rows. Unpartitioned files always pass.
+    val keepN =
+      if (isNullCols.isEmpty && isNotNullCols.isEmpty) keepN0
+      else keepN0.filter { f =>
+        lazy val pvals = partValuesOf(f).toMap
+        isNullCols.forall(c => pvals.get(c).forall(_.isEmpty)) &&
+          isNotNullCols.forall(c => pvals.get(c).forall(_.nonEmpty))
+      }
     val keepS0 = strRanges.foldLeft(keepN) { case (acc, (c, (lo, hi))) =>
       val ok = filesForStringRange(table, c, lo, hi, asOf).toSet
       acc.filter(ok)

@@ -330,15 +330,23 @@ case class TxLogRelation(sqlContext: SQLContext, path: String,
     * `CREATE TABLE … USING graft.sources.txlog` view now opens only the
     * intersecting files, with no TxLog-API call site. Sound because a
     * pruned file's recorded bounds cannot intersect the predicate, so
-    * it holds no satisfying row (NULL rows fail range predicates too,
-    * and IsNull is never used for pruning — stats ignore nulls). */
+    * it holds no satisfying row (NULL rows fail range predicates too;
+    * IsNull/IsNotNull prune only via exact partition values, never via
+    * stats — stats ignore nulls). */
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val (numB, strB, eqP) = statsBounds(filters)
+    // NULL-ness predicates prune via partition values only (a col=v
+    // path segment proves the file holds no nulls for col and vice
+    // versa); stats-based pruning never sees them. IsNotNull is
+    // Spark-injected next to nearly every comparison, so on partitioned
+    // tables this drops null-partition files for free.
+    val (nullC, notNullC) = nullness(filters)
     val base =
-      if (numB.isEmpty && strB.isEmpty && eqP.isEmpty) snapshot
+      if (numB.isEmpty && strB.isEmpty && eqP.isEmpty &&
+        nullC.isEmpty && notNullC.isEmpty) snapshot
       else TxLog.readPruned(sqlContext.sparkSession, path, numB, strB,
-        pinnedVersion, eqP)
+        pinnedVersion, eqP, nullC, notNullC)
     val pruned =
       if (requiredColumns.isEmpty) base
       else base.select(requiredColumns.head, requiredColumns.tail: _*)
@@ -461,6 +469,22 @@ case class TxLogRelation(sqlContext: SQLContext, path: String,
       str(a) = (strLo(a), strHi(a))
     }
     (num.toMap, str.toMap, eqProbes.toMap)
+  }
+
+  /** Top-level (conjunctive) IsNull / IsNotNull column sets. Or/Not
+    * shapes contribute nothing, the safe direction. */
+  private def nullness(filters: Array[Filter]): (Set[String], Set[String]) = {
+    import org.apache.spark.sql.sources._
+    val isNull = scala.collection.mutable.Set.empty[String]
+    val notNull = scala.collection.mutable.Set.empty[String]
+    def walk(f: Filter): Unit = f match {
+      case IsNull(a) => isNull += a
+      case IsNotNull(a) => notNull += a
+      case And(l, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    filters.foreach(walk)
+    (isNull.toSet, notNull.toSet)
   }
 
   private def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {

@@ -276,6 +276,46 @@ class TxLogPartitionSpec extends SparkSpec {
     assert(keep.forall(_.contains("y=2020")), keep)
   }
 
+  test("IsNull / IsNotNull prune via partition values, through API and SQL") {
+    val t = table()
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    TxLog.append(Seq((1L, "a", Option(2020))).toDF("k", "v", "y"), t)
+    TxLog.append(Seq((2L, "b", None: Option[Int])).toDF("k", "v", "y"), t)
+    // API: IsNull keeps only the null-partition file
+    val onlyNull = TxLog.readPruned(spark, t, Map.empty, Map.empty,
+      isNullCols = Set("y"))
+    assert(onlyNull.inputFiles.length === 1)
+    assert(onlyNull.select("k").as[Long].collect().toSet === Set(2L))
+    val onlyVal = TxLog.readPruned(spark, t, Map.empty, Map.empty,
+      isNotNullCols = Set("y"))
+    assert(onlyVal.inputFiles.length === 1)
+    assert(onlyVal.select("k").as[Long].collect().toSet === Set(1L))
+    // SQL: the pushed IsNull prunes the same way and answers correctly
+    val view = s"pn_${System.nanoTime()}"
+    spark.sql(s"""CREATE OR REPLACE TEMP VIEW $view
+                 |USING graft.sources.txlog OPTIONS (path '$t')""".stripMargin)
+    assert(spark.sql(s"SELECT k FROM $view WHERE y IS NULL")
+      .as[Long].collect().toSet === Set(2L))
+    assert(spark.sql(s"SELECT k FROM $view WHERE y IS NOT NULL")
+      .as[Long].collect().toSet === Set(1L))
+    // and the Spark-injected IsNotNull beside a comparison composes
+    assert(spark.sql(s"SELECT k FROM $view WHERE y = 2020")
+      .as[Long].collect().toSet === Set(1L))
+  }
+
+  test("compact of a partitioned table stamps the checkpoint protocol v4") {
+    val t = mkPartitioned()
+    TxLog.compact(t)
+    val cp = java.nio.file.Files.list(java.nio.file.Paths.get(t, "_txlog"))
+      .iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".checkpoint.json"))
+    assert(cp.nonEmpty)
+    val txt = new String(java.nio.file.Files.readAllBytes(cp.last))
+    assert(txt.contains("\"protocolVersion\":4"), txt.take(200))
+    // folding from the checkpoint still reads the full table
+    assert(TxLog.read(spark, t).count() === 4L)
+  }
+
   test("streaming file delivery reconstructs partition columns per delivered commit") {
     val t = mkPartitioned()
     val out = tmpDir("txlog_part_stream_out")
