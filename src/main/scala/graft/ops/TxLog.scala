@@ -2694,6 +2694,82 @@ object TxLog {
       s"txlog optimizeSmall on $table lost 10 straight races — giving up")
   }
 
+  /** Partition-scoped compaction — `OPTIMIZE table WHERE partition = v`
+    * (Delta's partition-predicate OPTIMIZE): rewrite ONLY the files of
+    * the partitions matching `partition` (a conjunctive tuple over
+    * partition columns; `null` matches the null partition), leaving
+    * every other partition byte-identical. THE compaction form for a
+    * partitioned 100 TB table: the nightly pass compacts yesterday's
+    * trickle partition; a snapshot-wide rewrite of 1000 partitions to
+    * fix one is the operation that cannot ship. DVs covering only the
+    * rewritten files materialize and retire, as in every rewrite.
+    * Returns None when the matching partitions hold fewer than 2 files.
+    * Values compare against the Hive path values via `String.valueOf`
+    * (the representation the partitioned writer produced). */
+  def optimizeWhere(spark: SparkSession, table: String,
+      partition: Map[String, Any], targetFiles: Int = 1,
+      targetBytes: Option[Long] = None): Option[Long] = {
+    require(partition.nonEmpty, "optimizeWhere needs a partition tuple")
+    val want: Map[String, Option[String]] = partition.map {
+      case (k, null) => k -> None
+      case (k, v) => k -> Some(String.valueOf(v))
+    }
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      require(base.nonEmpty, s"optimizeWhere on empty txlog table $table")
+      val active = activeFiles(table, base)
+      val sel = active.filter { f =>
+        val p = partValuesOf(f).toMap
+        p.nonEmpty && want.forall { case (c, v) => p.get(c).contains(v) }
+      }
+      if (sel.isEmpty) return None
+      // a single-file partition is a no-op UNLESS a deletion vector
+      // references it — then the rewrite has a job: materialize the
+      // deletes and retire the DV (one metadata-sized ref read decides)
+      if (sel.size < 2) {
+        val dvs = activeDvs(table, base)
+        val dvTouched = dvs.nonEmpty && {
+          val refs = spark.read.option("mergeSchema", "true")
+            .parquet(dvs.map(resolve(table, _)): _*)
+            .select("file").distinct().collect().map(_.getString(0)).toSet
+          sel.exists(f => refs.contains(fileKey(f)))
+        }
+        if (!dvTouched) return None
+      }
+      val sizes = fileSizes(table, base)
+      val nOut = targetBytes.map { tb =>
+        require(tb > 0, s"optimizeWhere targetBytes must be positive: $tb")
+        val total = sel.map(f => sizes.getOrElse(f, 0L)).sum
+        math.max(1L, (total + tb - 1) / tb).toInt
+      }.getOrElse(targetFiles)
+      val cur = readFiles(spark, table, sel, base)
+      val arranged = cur.coalesce(nOut)
+      val add = writeData(arranged, table)
+      val v = base.get + 1
+      val keep = active.filterNot(sel.toSet)
+      val dvRemove = inertDvs(spark, table, activeDvs(table, base),
+        keep.map(fileKey).toSet)
+      val (nstats, sstats) = fileStats(spark, table, add,
+        declaredCols(table, "graft.stats.columns")
+          .filter(arranged.columns.contains))
+      val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+      val won = try {
+        val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+          .distinct.filter(arranged.columns.contains)
+        tryCommit(table, Commit(v, add, sel, "optimize", -1L,
+          nstats, Some(arranged.schema.toDDL), dvRemove = dvRemove,
+          sstats = sstats,
+          bloomAdd = fileBlooms(spark, table, add, blCols),
+          bloomRemove = bi.inert(keep.map(fileKey).toSet)))
+      } finally bi.release()
+      if (won) return Some(v)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog optimizeWhere on $table lost 10 straight races — giving up")
+  }
+
   /** Deletion-vector maintenance (Delta's DV compaction threshold inside
     * OPTIMIZE): rewrite ONLY the data files whose DV'd-row fraction
     * exceeds `maxDeletedFraction` — those files pay the anti-join for

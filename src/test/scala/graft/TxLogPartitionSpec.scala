@@ -316,6 +316,35 @@ class TxLogPartitionSpec extends SparkSpec {
     assert(TxLog.read(spark, t).count() === 4L)
   }
 
+  test("optimizeWhere compacts one partition's trickle; others stay byte-identical") {
+    val t = table()
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    // trickle: 3 single-file commits into 2020, one into 2021
+    (1 to 3).foreach(i => TxLog.append(
+      Seq((i.toLong, s"v$i", 2020)).toDF("k", "v", "y"), t))
+    TxLog.append(Seq((9L, "z", 2021)).toDF("k", "v", "y"), t)
+    val others = TxLog.activeFiles(t).filterNot(_.contains("y=2020")).toSet
+    assert(TxLog.activeFiles(t).count(_.contains("y=2020")) === 3)
+    val v = TxLog.optimizeWhere(spark, t, Map("y" -> 2020))
+    assert(v.nonEmpty)
+    assert(TxLog.activeFiles(t).count(_.contains("y=2020")) === 1,
+      TxLog.activeFiles(t))
+    assert(TxLog.activeFiles(t).filterNot(_.contains("y=2020")).toSet ===
+      others, "non-matching partitions must keep their exact files")
+    assert(TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet ===
+      Set((1L, "v1", 2020), (2L, "v2", 2020), (3L, "v3", 2020),
+        (9L, "z", 2021)))
+    // DVs scoped to the rewritten partition materialize and retire
+    TxLog.deleteVectors(spark, t, col("k") === 2L)
+    assert(TxLog.activeDvs(t).nonEmpty)
+    TxLog.optimizeWhere(spark, t, Map("y" -> 2020))
+    assert(TxLog.activeDvs(t).isEmpty, "partition rewrite retires its DVs")
+    assert(TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet ===
+      Set((1L, "v1", 2020), (3L, "v3", 2020), (9L, "z", 2021)))
+    // a single-file partition is a no-op
+    assert(TxLog.optimizeWhere(spark, t, Map("y" -> 2021)).isEmpty)
+  }
+
   test("streaming file delivery reconstructs partition columns per delivered commit") {
     val t = mkPartitioned()
     val out = tmpDir("txlog_part_stream_out")
