@@ -1558,6 +1558,48 @@ object StreamingQueries {
         .awaitTermination()
       s.read.option("mergeSchema", "true").parquet(s"$out/sink")
         .select("event_id", "user_id", "channel")
+    },
+
+    // The rolling gold refresh over a PARTITIONED txlog table (Delta's
+    // foreachBatch + replaceWhere pattern as one sink option): the table
+    // seeds with correct old-day aggregates and STALE rows for recent
+    // days; the stream re-derives days >= cutoff and each update-mode
+    // micro-batch atomically replaces exactly the day-partitions it
+    // emits (`partitionOverwrite=true`). End state: every day correct —
+    // old partitions byte-untouched, recent partitions replaced. The
+    // oracle recomputes the plain daily aggregate.
+    QueryDef("st39_stream_partition_overwrite",
+      "update-mode stream into a partitioned txlog sink with partitionOverwrite: re-derived day partitions atomically replace their stale seeds",
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(user_id) AS BIGINT) AS u_sum
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      configureStreaming(s)
+      val t = tmp("graft_st39") + "/t"
+      TxLog.setProperties(t, Map("graft.partition.columns" -> "d"))
+      val daily = graft.Tables.load(s, dir, "events")
+        .groupBy(to_date(col("ts")).alias("d"))
+        .agg(count(lit(1)).alias("n_events"),
+          sum(col("user_id")).alias("u_sum"))
+      val cutoff = lit("2024-01-10").cast("date")
+      // seed: correct values for old days, stale (-1) for recent days
+      TxLog.append(daily
+        .withColumn("n_events",
+          when(col("d") >= cutoff, lit(-1L)).otherwise(col("n_events")))
+        .withColumn("u_sum",
+          when(col("d") >= cutoff, lit(-1L)).otherwise(col("u_sum"))), t)
+      eventsStream(s, stageEventsDir(s, dir))
+        .filter(to_date(col("ts")) >= cutoff)
+        .groupBy(to_date(col("ts")).alias("d"))
+        .agg(count(lit(1)).alias("n_events"),
+          sum(col("user_id")).alias("u_sum"))
+        .writeStream.format("graft.sources.txlog")
+        .option("checkpointLocation", tmp("graft_st39_cp"))
+        .option("path", t).option("partitionOverwrite", "true")
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      TxLog.read(s, t).select(col("d").cast("string").alias("d"),
+        col("n_events"), col("u_sum"))
     }
   )
 }
