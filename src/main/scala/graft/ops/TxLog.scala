@@ -124,7 +124,16 @@ object TxLog {
       minReader: Int = 1,
       // table-property deltas (Delta TBLPROPERTIES): Some(v) sets,
       // None unsets; folded last-write-wins by [[TxLog.properties]]
-      properties: Map[String, Option[String]] = Map.empty)
+      properties: Map[String, Option[String]] = Map.empty,
+      // per-add-file row counts and per-column null counts, read from the
+      // parquet FOOTERS at commit time by [[tryCommit]] (Delta's
+      // numRecords/nullCount stats): rows answer COUNT(*) from metadata,
+      // nulls prune IS NULL / IS NOT NULL and drop all-null files from
+      // range reads. Derived, never caller-supplied (like `sizes`);
+      // absent on pre-rows logs — every consumer treats absence as
+      // "don't know", the safe direction.
+      rows: Map[String, Long] = Map.empty,
+      nulls: Map[String, Map[String, Long]] = Map.empty)
 
   /** Highest protocol version this reader understands. A reader meeting a
     * HIGHER version fails loudly instead of silently misinterpreting
@@ -325,6 +334,16 @@ object TxLog {
             else Some(e.getValue.asText()))
           }.toMap
         }.getOrElse(Map.empty[String, Option[String]])
+        val rows = Option(node.get("rows")).map { s =>
+          s.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        }.getOrElse(Map.empty[String, Long])
+        val nulls = Option(node.get("nulls")).map { s =>
+          s.properties().asScala.map { e =>
+            e.getKey -> e.getValue.properties().asScala.map { c =>
+              c.getKey -> c.getValue.asLong()
+            }.toMap
+          }.toMap
+        }.getOrElse(Map.empty[String, Map[String, Long]])
         Commit(node.get("version").asLong(), arr("add"), arr("remove"),
           opName, node.get("batchId").asLong(), stats,
           Option(node.get("schemaDdl")).map(_.asText()),
@@ -334,7 +353,7 @@ object TxLog {
           optArr("dvAdd"), optArr("dvRemove"), sizes, sstats,
           Option(node.get("streamId")).map(_.asText()),
           optArr("bloomAdd"), optArr("bloomRemove"),
-          minReader = proto, properties = props)
+          minReader = proto, properties = props, rows = rows, nulls = nulls)
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -713,6 +732,27 @@ object TxLog {
         val p = Paths.get(resolve(table, f))
         if (Files.exists(p)) szNode.put(f, Files.size(p))
       }
+      // row + per-column null counts come from the parquet FOOTERS the
+      // write already produced (Delta's numRecords/nullCount): a
+      // driver-side metadata read per staged file, no Spark job — so
+      // EVERY write path (append, sink micro-batch, merge rewrite,
+      // OPTIMIZE) records them with zero plan cost. A file whose footer
+      // can't be read records nothing: consumers treat absence as
+      // "don't know" (COUNT falls back to a scan, null-pruning keeps
+      // the file), never a wrong answer.
+      val rowsNode = node.putObject("rows")
+      val nullsNode = node.putObject("nulls")
+      commit.add.foreach { f =>
+        footerCounts(resolve(table, f)).foreach { case (nRows, colNulls) =>
+          rowsNode.put(f, nRows)
+          if (colNulls.nonEmpty) {
+            val fn = nullsNode.putObject(f)
+            colNulls.foreach { case (c, n) => fn.put(c, n) }
+          }
+        }
+      }
+      if (nullsNode.isEmpty) node.remove("nulls")
+      if (rowsNode.isEmpty) node.remove("rows")
     }
     if (commit.dvAdd.nonEmpty) {
       val a = node.putArray("dvAdd"); commit.dvAdd.foreach(a.add)
@@ -1611,18 +1651,39 @@ object TxLog {
       eqProbes: Map[String, Seq[Any]] = Map.empty,
       isNullCols: Set[String] = Set.empty,
       isNotNullCols: Set[String] = Set.empty): DataFrame = {
-    val keepN0 = filesForRanges(table, numRanges, asOf)
-    // NULL-ness prunes only via partition values — stats ignore nulls, so
-    // a partition value is the one per-file fact that decides it exactly:
-    // a col=2020 file holds NO null rows for col (partitionBy routes them
-    // to __HIVE_DEFAULT_PARTITION__), a null-partition file holds ONLY
-    // null rows. Unpartitioned files always pass.
+    val keepN1 = filesForRanges(table, numRanges, asOf)
+    // NULL-ness prunes via partition values AND footer null counts.
+    // Partition values decide exactly: a col=2020 file holds NO null rows
+    // for col (partitionBy routes them to __HIVE_DEFAULT_PARTITION__), a
+    // null-partition file holds ONLY null rows. For data columns the
+    // commit-recorded footer counts decide: nulls==0 can't satisfy
+    // IS NULL, nulls==rows can't satisfy IS NOT NULL. Files without
+    // recorded counts always pass — min/max stats ignore nulls and never
+    // get a vote here.
+    lazy val nullCounts = fileNullCounts(table, asOf)
+    lazy val rowCounts = fileRowCounts(table, asOf)
+    def allNull(f: String, c: String): Boolean =
+      (nullCounts.get(f).flatMap(_.get(c)), rowCounts.get(f)) match {
+        case (Some(n), Some(r)) => r > 0 && n == r
+        case _ => false
+      }
+    def noNulls(f: String, c: String): Boolean =
+      nullCounts.get(f).flatMap(_.get(c)).contains(0L)
+    // a file that is ALL null for a compared column can never satisfy a
+    // range or equality predicate on it — the one pruning min/max stats
+    // can't make (an all-null file records no bounds at all)
+    val cmpCols = numRanges.keySet ++ strRanges.keySet ++ eqProbes.keySet
+    val keepN0 =
+      if (cmpCols.isEmpty) keepN1
+      else keepN1.filterNot(f => cmpCols.exists(allNull(f, _)))
     val keepN =
       if (isNullCols.isEmpty && isNotNullCols.isEmpty) keepN0
       else keepN0.filter { f =>
         lazy val pvals = partValuesOf(f).toMap
-        isNullCols.forall(c => pvals.get(c).forall(_.isEmpty)) &&
-          isNotNullCols.forall(c => pvals.get(c).forall(_.nonEmpty))
+        isNullCols.forall(c =>
+          pvals.get(c).forall(_.isEmpty) && !noNulls(f, c)) &&
+          isNotNullCols.forall(c =>
+            pvals.get(c).forall(_.nonEmpty) && !allNull(f, c))
       }
     val keepS0 = strRanges.foldLeft(keepN) { case (acc, (c, (lo, hi))) =>
       val ok = filesForStringRange(table, c, lo, hi, asOf).toSet
@@ -2573,6 +2634,71 @@ object TxLog {
         if (Files.exists(p)) Some(Files.size(p)) else None
       }.map(f -> _)
     }.toMap
+  }
+
+  /** (row count, per-top-level-column null count) from one parquet file's
+    * footer — the same numbers Delta records as numRecords/nullCount,
+    * taken from metadata the write already produced. Null counts only for
+    * top-level leaf columns whose statistics are present in EVERY row
+    * group (a partial sum would under-count and wrongly prune); any
+    * unreadable footer yields None, the "don't know" direction. */
+  private def footerCounts(path: String): Option[(Long, Map[String, Long])] =
+    scala.util.Try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        // per column-chunk Statistics carry numNulls; a column counts only
+        // if every block sets it (Statistics may be absent per chunk)
+        val perCol = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.size == 1)
+          .groupBy(_.getPath.toDotString)
+        val colNulls = perCol.flatMap { case (c, chunks) =>
+          val stats = chunks.map(ch => Option(ch.getStatistics))
+          if (stats.size == blocks.size &&
+              stats.forall(_.exists(_.isNumNullsSet)))
+            Some(c -> stats.map(_.get.getNumNulls).sum)
+          else None
+        }
+        (nRows, colNulls)
+      } finally r.close()
+    }.toOption
+
+  /** Commit-recorded row count per active file as of `asOf` — absent for
+    * files whose commit predates row recording (consumers must treat
+    * absence as unknown, never zero). */
+  def fileRowCounts(table: String, asOf: Option[Long] = None): Map[String, Long] = {
+    val recorded = commits(table)
+      .filter(c => asOf.forall(c.version <= _)).flatMap(_.rows).toMap
+    activeFiles(table, asOf).flatMap(f => recorded.get(f).map(f -> _)).toMap
+  }
+
+  /** Commit-recorded per-column null counts per active file as of `asOf`. */
+  def fileNullCounts(table: String,
+      asOf: Option[Long] = None): Map[String, Map[String, Long]] = {
+    val recorded = commits(table)
+      .filter(c => asOf.forall(c.version <= _)).flatMap(_.nulls).toMap
+    activeFiles(table, asOf).flatMap(f => recorded.get(f).map(f -> _)).toMap
+  }
+
+  /** COUNT(*) answered purely from commit metadata — no data file is
+    * opened (Delta answers the same query from numRecords). Some(n) iff
+    * every active file carries a recorded row count AND no deletion
+    * vector is active (a DV hides rows the footer counted; subtracting
+    * would need DV cardinality, which range- and bitset-encoded vectors
+    * don't record) — otherwise None and the caller scans. At 100 TB this
+    * is the difference between a millisecond metadata fold and a
+    * full-table scan for the most common dashboard query there is. */
+  def rowCount(table: String, asOf: Option[Long] = None): Option[Long] = {
+    if (activeDvs(table, asOf).nonEmpty) return None
+    val active = activeFiles(table, asOf)
+    val recorded = commits(table)
+      .filter(c => asOf.forall(c.version <= _)).flatMap(_.rows).toMap
+    val counts = active.flatMap(recorded.get)
+    if (counts.size == active.size) Some(counts.sum) else None
   }
 
   def optimize(spark: SparkSession, table: String, targetFiles: Int = 1,
