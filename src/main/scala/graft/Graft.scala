@@ -50,6 +50,10 @@ object Graft {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
+      // native functions + top-k strategy + txlog SQL DML parser — the
+      // full library surface on every session (a cluster deploy sets
+      // spark.sql.extensions=graft.functions.GraftExtensions instead)
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -55,15 +55,10 @@ object ScaleProbe {
   private def writeSingle(df: DataFrame, dir: String, name: String): Unit = {
     val tmp = s"$dir/_build_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val ls = Files.list(Paths.get(tmp)) // close: fd leak
     var src: java.nio.file.Path = null
-    try {
-      val part = ls.iterator()
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) src = p
-      }
-    } finally ls.close()
+    graft.ops.TxLog.listDir(Paths.get(tmp)).foreach { p => // fd-safe
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
     Files.move(src, Paths.get(s"$dir/$name.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))

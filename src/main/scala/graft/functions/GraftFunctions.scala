@@ -100,5 +100,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
+    // SQL DML/maintenance verbs for the txlog tier (MERGE INTO / UPDATE /
+    // DELETE / OPTIMIZE / VACUUM) — the DeltaSqlParser pattern
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }

@@ -953,6 +953,132 @@ object AnalyticsQueries {
       TxLog.read(s, src).withColumn("side", lit(1L))
         .unionByName(TxLog.read(s, dst).withColumn("side", lit(2L)))
         .select("side", "c_custkey", "c_name", "c_acctbal")
+    },
+
+    // SQL MERGE INTO (the GraftSqlParser DML surface — Delta's largest
+    // SQL verb, lowered onto TxLog.mergeInto): clause order matters
+    // (first matching WHEN wins per row), matched rows rewrite ONLY the
+    // files that held them, unmatched source rows insert. The oracle
+    // recomputes the three-clause merge declaratively: negative-balance
+    // matches delete, other matches get +1000, source-only keys insert.
+    QueryDef("src_txlog_sql_merge",
+      "SQL MERGE INTO a txlog table: WHEN MATCHED AND bal<0 DELETE / WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT *, post-merge snapshot oracled",
+      s"""WITH i AS (SELECT c_custkey, c_name, c_acctbal
+         |  FROM read_parquet('${QueryDef.StageSql}/txsqlmrg_in/*.parquet')),
+         |t AS (SELECT * FROM i WHERE c_custkey % 2 = 0),
+         |s AS (SELECT * FROM i WHERE c_custkey % 3 = 0)
+         |SELECT t.c_custkey, t.c_name,
+         |  CASE WHEN s.c_custkey IS NOT NULL THEN t.c_acctbal + 1000.0
+         |       ELSE t.c_acctbal END AS c_acctbal
+         |FROM t LEFT JOIN s ON t.c_custkey = s.c_custkey
+         |WHERE NOT (s.c_custkey IS NOT NULL AND t.c_acctbal < 0)
+         |UNION ALL
+         |SELECT s.c_custkey, s.c_name, s.c_acctbal
+         |FROM s LEFT JOIN t ON s.c_custkey = t.c_custkey
+         |WHERE t.c_custkey IS NULL""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txsqlmrg_in")
+      val in = s.read.parquet(s"$stage/txsqlmrg_in")
+      val table = Files.createTempDirectory("graft_txsqlmrg").toString + "/t"
+      TxLog.overwrite(in.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .repartition(4), table)                                       // v1
+      val id = java.util.UUID.randomUUID.toString.take(8)
+      val srcView = s"txsqlmrg_src_$id"
+      in.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .createOrReplaceTempView(srcView)
+      s.sql(
+        s"""MERGE INTO txlog.`$table` AS t USING $srcView AS src
+           |ON t.c_custkey = src.c_custkey
+           |WHEN MATCHED AND t.c_acctbal < 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + 1000.0
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)           // v2
+      TxLog.read(s, table)
+    },
+
+    // SQL UPDATE + DELETE (src_txlog_dml's verbs through the parser
+    // instead of the API — both lower onto the same copy-on-write, so
+    // the log shapes are identical; SqlDmlSpec pins that equivalence).
+    QueryDef("src_txlog_sql_update_delete",
+      "SQL DELETE WHERE then UPDATE SET WHERE on a txlog table via the parser extension; final snapshot oracled",
+      s"""SELECT c_custkey, c_name,
+         |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+         |       ELSE c_acctbal END AS c_acctbal
+         |FROM read_parquet('${QueryDef.StageSql}/txsqldml_in/*.parquet')
+         |WHERE c_custkey % 5 <> 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txsqldml_in")
+      val table = Files.createTempDirectory("graft_txsqldml").toString + "/t"
+      TxLog.overwrite(s.read.parquet(s"$stage/txsqldml_in")
+        .repartition(6), table)                                       // v1
+      s.sql(s"DELETE FROM txlog.`$table` WHERE c_custkey % 5 = 0")    // v2
+      s.sql(s"""UPDATE txlog.`$table` SET c_acctbal = c_acctbal + 100.0
+               |WHERE c_custkey % 7 = 0""".stripMargin)               // v3
+      TxLog.read(s, table)
+    },
+
+    // SQL OPTIMIZE … ZORDER BY: full-snapshot re-cluster along a Morton
+    // curve over (o_custkey, o_totalprice) — contents byte-identical
+    // (the oracle), but every output file now covers a tight min/max BOX
+    // in both dimensions, so the re-recorded stats prune range reads on
+    // EITHER column (pruned-file-count proof pinned in SqlDmlSpec /
+    // PERF.md; a lexicographic sort only prunes the leading column).
+    QueryDef("src_txlog_sql_optimize_zorder",
+      "SQL OPTIMIZE ZORDER BY (o_custkey, o_totalprice): clustered rewrite, contents invariant, stats re-recorded for 2-D skipping",
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM read_parquet('${QueryDef.StageSql}/txsqlzo_in/*.parquet')""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$stage/txsqlzo_in")
+      val table = Files.createTempDirectory("graft_txsqlzo").toString + "/t"
+      TxLog.setProperties(table,
+        Map("graft.stats.columns" -> "o_custkey,o_totalprice"))
+      TxLog.append(s.read.parquet(s"$stage/txsqlzo_in")
+        .repartition(8), table)                                       // v1
+      s.sql(s"""OPTIMIZE txlog.`$table`
+               |ZORDER BY (o_custkey, o_totalprice)""".stripMargin)   // v2
+      require(TxLog.commits(table).last.op == "optimize",
+        "SQL OPTIMIZE must land an optimize commit")
+      TxLog.read(s, table)
+    },
+
+    // SQL TIMESTAMP AS OF (the timestampAsOf view option — Delta's
+    // `TIMESTAMP AS OF` surfaced through CREATE TEMPORARY VIEW … USING):
+    // two views pin the commit timestamps of v1 and v2; each resolves to
+    // the newest commit at-or-before its stamp, so the same table yields
+    // two distinct row sets side by side. The writer waits out the
+    // millisecond clock between commits (the TxLog.scala clock-skew
+    // caveat: timestamps order commits only as well as the clock does).
+    QueryDef("src_txlog_sql_time_travel_ts",
+      "SQL time travel by timestamp: temp views pin timestampAsOf of v1 and v2; stamp 1 sees only v1 rows, stamp 2 sees both",
+      """SELECT CAST(1 AS BIGINT) AS stamp, c_custkey, c_name
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS stamp, c_custkey, c_name
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val t = Files.createTempDirectory("graft_txttts").toString + "/t"
+      val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 0), t) // v1
+      val ts1 = TxLog.commits(t).last.ts
+      // commit timestamps have millisecond resolution: v2 must land on a
+      // LATER millisecond or timestampAsOf(ts1) would resolve to it
+      while (System.currentTimeMillis() <= ts1) Thread.sleep(2)
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 1), t) // v2
+      val ts2 = TxLog.commits(t).last.ts
+      val id = java.util.UUID.randomUUID.toString.take(8)
+      val (v1, v2) = (s"txttts_v1_$id", s"txttts_v2_$id")
+      s.sql(s"""CREATE TEMPORARY VIEW $v1 USING graft.sources.txlog
+               |OPTIONS (path '$t', timestampAsOf '$ts1')""".stripMargin)
+      s.sql(s"""CREATE TEMPORARY VIEW $v2 USING graft.sources.txlog
+               |OPTIONS (path '$t', timestampAsOf '$ts2')""".stripMargin)
+      s.sql(s"""SELECT CAST(1 AS BIGINT) AS stamp, c_custkey, c_name FROM $v1
+               |UNION ALL
+               |SELECT CAST(2 AS BIGINT) AS stamp, c_custkey, c_name FROM $v2
+               |""".stripMargin)
     }
   )
 }

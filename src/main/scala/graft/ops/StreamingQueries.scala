@@ -76,11 +76,9 @@ object StreamingQueries {
   private def stageEventsDirFresh(s: SparkSession, dir: String): String = {
     val base = stageEventsDir(s, dir) // memoized — resolves BEFORE the copy
     val d = Files.createTempDirectory("graft_events_src")
-    val ls = Files.list(java.nio.file.Paths.get(base)) // close: fd leak
-    try ls.iterator().asScala
+    TxLog.listDir(java.nio.file.Paths.get(base)) // fd-safe listing
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .foreach(p => Files.copy(p, d.resolve(p.getFileName.toString)))
-    finally ls.close()
     d.toString
   }
 

@@ -230,11 +230,11 @@ object TxLog {
     * a long-lived driver straight into EMFILE ("Too many open files" —
     * reproduced at ~4k single-file appends in one JVM). Every listing in
     * this file goes through these two. */
-  private def listDir(dir: Path): Seq[Path] = {
+  private[graft] def listDir(dir: Path): Seq[Path] = {
     val s = Files.list(dir)
     try s.iterator().asScala.toSeq finally s.close()
   }
-  private def walkDir(dir: Path): Seq[Path] = {
+  private[graft] def walkDir(dir: Path): Seq[Path] = {
     val s = Files.walk(dir)
     try s.iterator().asScala.toSeq finally s.close()
   }
@@ -1413,6 +1413,11 @@ object TxLog {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
+  /** Declared partition columns of `table` (empty when unpartitioned) —
+    * the `graft.partition.columns` property, parsed. */
+  def declaredPartitionCols(table: String): Seq[String] =
+    declaredCols(table, "graft.partition.columns")
+
   /** The columns this write should record min/max skipping stats for:
     * the caller's `statsCols` plus the table's declared
     * `graft.stats.columns` property — a table configures its
@@ -1461,6 +1466,56 @@ object TxLog {
     * the write REFUSES loudly naming [[optimize]] (whose full rewrite
     * lands in the declared layout, healing the era) rather than
     * silently leaving stale rows beside the replacements. */
+  /** Raised under `graft.isolationLevel=serializable` when a concurrent
+    * commit touched the same partition tuple(s) this writer replaces
+    * (Delta's ConcurrentAppendException analog). */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Partition-disjoint conflict rule (Delta's replaceWhere conflict
+    * resolution): after a lost version race, decide whether the
+    * intervening commits COMMUTE with this partition overwrite.
+    *
+    * Under the default isolation (unset), a lost race always re-derives
+    * and retries — INSERT OVERWRITE semantics, last writer wins on a
+    * contended tuple. With the table property
+    * `graft.isolationLevel=serializable`, a commit that touched any of
+    * this writer's partition tuples REFUSES instead (the blind overwrite
+    * would silently erase the concurrent writer's rows); writers on
+    * DISJOINT partitions still both commit, each on its own version —
+    * the property that lets 1000 backfill jobs share one 100 TB table.
+    * Conservative directions: a commit carrying property deltas, DV adds
+    * (their row kills aren't attributable to partitions without reading
+    * them), or files outside the declared layout conflicts with
+    * everything. */
+  private[graft] def checkPartitionConflicts(table: String, base: Option[Long],
+      mine: Set[Map[String, Option[String]]], partCols: Seq[String]): Unit = {
+    if (!properties(table).get("graft.isolationLevel")
+      .contains("serializable")) return
+    val sinceV = base.getOrElse(0L)
+    commits(table).filter(_.version > sinceV).foreach { c =>
+      if (c.properties.nonEmpty || c.constraint.nonEmpty)
+        throw new ConcurrentWriteException(
+          s"concurrent metadata commit v${c.version} on $table conflicts " +
+            "with this partition overwrite under serializable isolation")
+      if (c.dvAdd.nonEmpty)
+        throw new ConcurrentWriteException(
+          s"concurrent deletion-vector commit v${c.version} on $table may " +
+            "touch any partition — serializable isolation refuses")
+      val theirs = (c.add ++ c.remove).map(f =>
+        partValuesOf(f).toMap.view.filterKeys(partCols.contains).toMap).toSet
+      val outside = theirs.exists(t => t.keySet != partCols.toSet)
+      val overlap = theirs.intersect(mine)
+      if (outside || overlap.nonEmpty)
+        throw new ConcurrentWriteException(
+          s"concurrent commit v${c.version} (${c.op}) on $table touched " +
+            s"partition(s) ${(if (outside) Set("<unpartitioned>") else
+              Set.empty[String]) ++ overlap.map(_.toString)} that this " +
+            "writer replaces — serializable isolation refuses the blind " +
+            "overwrite")
+    }
+  }
+
   def overwritePartitions(df: DataFrame, table: String,
       statsCols: Seq[String] = Seq.empty, batchId: Long = -1L,
       streamId: Option[String] = None): Long = {
@@ -1506,7 +1561,12 @@ object TxLog {
           bloomAdd = bloomAdd, bloomRemove = bi.inert(keep)))
       } finally bi.release()
       if (won) return v
-      attempts += 1 // lost the race: re-derive the replaced set
+      // lost the race: commits landed past `base`. Disjoint-partition
+      // writers re-derive (metadata-only — the data files are already
+      // staged) and commit on the next version; under serializable
+      // isolation a TRUE conflict on this writer's tuples refuses here.
+      checkPartitionConflicts(table, base, touched, partCols)
+      attempts += 1
     }
     throw new IllegalStateException(
       s"txlog overwritePartitions on $table lost 10 straight races — giving up")
@@ -2296,44 +2356,56 @@ object TxLog {
       val touched = files.filter(f =>
         touchedRel.contains(f) || touchedRel.exists(r => f.endsWith(s"/$r")))
       if (touched.isEmpty) return base.get // nothing matches: no new version
-      val schema = schemaAsOf(table, base)
       // DV-filtered like every other scan: rewriting a touched file must
       // not resurrect rows an active deletion vector already killed
       val touchedDf = readFiles(spark, table, touched, base)
       val rewritten = rewrite(touchedDf)
-      // DML honors the same CHECK constraints as append/overwrite/merge:
-      // an UPDATE … SET that lands a violating row must be refused, not
-      // committed (Delta enforces constraints on every write path). Cheap:
-      // only the touched files' rewrite is scanned.
-      validateConstraints(rewritten, constraints(table))
-      val add = writeData(rewritten, table)
-      val v = base.get + 1
-      // the rewrite materialized any DV'd deletes for the touched files;
-      // DVs that referenced ONLY touched files are now inert — retire them
-      // here or they stay active (and vacuum-protected) forever
-      val dvRemove = inertDvs(spark, table, activeDvs(table, base),
-        files.diff(touched).map(fileKey).toSet)
-      // same no-decay rule as merge: DECLARED stats/bloom columns
-      // re-record on the rewrite, or DML strips its output files of
-      // skipping metadata and every later pruned operation must read them
-      val stCols = declaredCols(table, "graft.stats.columns")
-        .filter(rewritten.columns.contains)
-      val (nst, sst) = fileStats(spark, table, add, stCols)
-      val bi = new BloomIndex(spark, table, activeBlooms(table, base))
-      val won = try {
-        val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
-          .distinct.filter(rewritten.columns.contains)
-        tryCommit(table, Commit(v, add, touched, op, -1L,
-          stats = nst, sstats = sst,
-          schemaDdl = schema.map(_.toDDL), dvRemove = dvRemove,
-          bloomAdd = fileBlooms(spark, table, add, blCols),
-          bloomRemove = bi.inert(files.diff(touched).map(fileKey).toSet)))
-      } finally bi.release()
-      if (won) return v
+      if (commitRewrite(spark, table, base, files, touched, rewritten, op))
+        return base.get + 1
       attempts += 1 // lost the race: re-derive the touched set and retry
     }
     throw new IllegalStateException(
       s"txlog $op on $table lost 10 straight races — giving up")
+  }
+
+  /** Shared commit tail for every row-level rewrite (UPDATE / DELETE /
+    * MERGE INTO): constraint-validate and write the rewritten rows,
+    * retire DVs and bloom sidecars that referenced only rewritten files,
+    * re-record declared stats/bloom metadata on the outputs, and attempt
+    * the commit. Returns false when the version race was lost (caller
+    * re-derives its touched set against the new snapshot and retries). */
+  private def commitRewrite(spark: SparkSession, table: String,
+      base: Option[Long], files: Seq[String], touched: Seq[String],
+      rewritten: DataFrame, op: String): Boolean = {
+    // DML honors the same CHECK constraints as append/overwrite/merge:
+    // an UPDATE … SET that lands a violating row must be refused, not
+    // committed (Delta enforces constraints on every write path). Cheap:
+    // only the touched files' rewrite is scanned.
+    validateConstraints(rewritten, constraints(table))
+    val add = writeData(rewritten, table)
+    val v = base.get + 1
+    // the rewrite materialized any DV'd deletes for the touched files;
+    // DVs that referenced ONLY touched files are now inert — retire them
+    // here or they stay active (and vacuum-protected) forever
+    val dvRemove = inertDvs(spark, table, activeDvs(table, base),
+      files.diff(touched).map(fileKey).toSet)
+    // same no-decay rule as merge: DECLARED stats/bloom columns
+    // re-record on the rewrite, or DML strips its output files of
+    // skipping metadata and every later pruned operation must read them
+    val stCols = declaredCols(table, "graft.stats.columns")
+      .filter(rewritten.columns.contains)
+    val (nst, sst) = fileStats(spark, table, add, stCols)
+    val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+    try {
+      val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+        .distinct.filter(rewritten.columns.contains)
+      tryCommit(table, Commit(v, add, touched, op, -1L,
+        stats = nst, sstats = sst,
+        schemaDdl = schemaAsOf(table, base).map(_.toDDL),
+        dvRemove = dvRemove,
+        bloomAdd = fileBlooms(spark, table, add, blCols),
+        bloomRemove = bi.inert(files.diff(touched).map(fileKey).toSet)))
+    } finally bi.release()
   }
 
   /** DELETE WHERE: drop matching rows, rewriting only the files that
@@ -2455,6 +2527,153 @@ object TxLog {
         d.withColumn(c, when(condition, e).otherwise(col(c)))
       }
     }
+
+  /** Clause vocabulary for [[mergeInto]] (Delta's WHEN MATCHED / WHEN NOT
+    * MATCHED actions). Clause conditions and value expressions reference
+    * the two sides through the aliases passed to [[mergeInto]]
+    * (`expr("t.qty + s.qty")` with aliases "t"/"s"). */
+  sealed trait MergeAction
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, … */
+  final case class MergeUpdate(condition: Option[org.apache.spark.sql.Column],
+      set: Map[String, org.apache.spark.sql.Column]) extends MergeAction
+  /** WHEN MATCHED [AND cond] THEN DELETE */
+  final case class MergeDelete(condition: Option[org.apache.spark.sql.Column])
+    extends MergeAction
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs); target
+    * columns absent from `values` land NULL (Delta's partial INSERT). */
+  final case class MergeInsert(condition: Option[org.apache.spark.sql.Column],
+      values: Map[String, org.apache.spark.sql.Column]) extends MergeAction
+
+  /** General `MERGE INTO` (Delta's multi-clause row-level merge — distinct
+    * from the CDC latest-per-key [[merge]]): join `source` to the target
+    * snapshot on `condition`, apply the first WHEN MATCHED clause whose
+    * condition holds to each matched target row (update or delete), the
+    * first WHEN NOT MATCHED insert clause to each source row with no
+    * match, and commit a rewrite of ONLY the files that held a matched
+    * row — per-merge cost follows the touched files, not the table, the
+    * property that lets a CDC merge run against 100 TB.
+    *
+    * Matching is found with a LEFT SEMI join (one row per touched file
+    * collected — metadata-sized), then the touched files FULL OUTER join
+    * the source: matched rows branch per clause, unmatched target rows
+    * pass through byte-equal, unmatched source rows insert. Like Delta,
+    * a target row matched by MORE THAN ONE source row is refused (the
+    * update would be nondeterministic) — detected distributedly on the
+    * `_metadata.row_index` row keys, never on driver data.
+    *
+    * Concurrency, constraints, DV/bloom/stats bookkeeping: identical to
+    * UPDATE/DELETE (shared [[commitRewrite]] tail; optimistic retry on
+    * version races). */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      targetAlias: String, sourceAlias: String,
+      condition: org.apache.spark.sql.Column,
+      matched: Seq[MergeAction] = Seq.empty,
+      notMatched: Seq[MergeInsert] = Seq.empty): Long = {
+    require(matched.forall(!_.isInstanceOf[MergeInsert]),
+      "WHEN MATCHED clauses must be MergeUpdate or MergeDelete")
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "MERGE INTO needs at least one WHEN clause")
+    val src = source.withColumn("__s_present", lit(true)).alias(sourceAlias)
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      require(base.nonEmpty, s"mergeInto on empty txlog table $table")
+      val files = activeFiles(table, base)
+      val tgtSchema = schemaAsOf(table, base)
+        .getOrElse(read(spark, table, base).schema)
+      // one semi-join scan finds the files holding any LIVE matched row
+      // (collect is one row per touched file — metadata-plane-sized)
+      val touchedRel = readFiles(spark, table, files, base,
+          keepRowKeys = true).alias(targetAlias)
+        .join(src, condition, "left_semi")
+        .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
+      val touched = files.filter(f =>
+        touchedRel.contains(f) || touchedRel.exists(r => f.endsWith(s"/$r")))
+      if (touched.isEmpty && notMatched.isEmpty)
+        return base.get // no matches and nothing to insert: no new version
+      // FULL OUTER of the touched rows against the source. Every target
+      // row matching ANY source row lives in a touched file by
+      // construction, so source rows unmatched here are unmatched against
+      // the whole table. An empty touched set skips the target side
+      // entirely (insert-only merge).
+      val joined =
+        if (touched.isEmpty) {
+          // no target rows to read — every source row is unmatched; a
+          // zero-row target side with the table schema keeps the column
+          // and alias shape identical to the join path
+          val empty = read(spark, table, base).limit(0)
+            .withColumn("__dv_f", lit(null).cast("string"))
+            .withColumn("__dv_ri", lit(null).cast("long"))
+            .withColumn("__t_present", lit(true))
+            .alias(targetAlias)
+          empty.join(src, condition, "full_outer")
+        } else {
+          readFiles(spark, table, touched, base, keepRowKeys = true)
+            .withColumn("__t_present", lit(true))
+            .alias(targetAlias)
+            .join(src, condition, "full_outer")
+        }
+      val tP = coalesce(col("__t_present"), lit(false))
+      val sP = coalesce(col("__s_present"), lit(false))
+      // Delta's cardinality rule: a target row matched by >1 source rows
+      // has no deterministic update — refuse. Grouped on the (file,
+      // row_index) row keys: fully distributed, bounded by matched rows.
+      if (touched.nonEmpty) {
+        val dup = joined.filter(tP && sP)
+          .groupBy(col("__dv_f"), col("__dv_ri")).count()
+          .filter(col("count") > 1).limit(1).count() > 0
+        if (dup) throw new IllegalStateException(
+          s"MERGE INTO $table: a target row matched multiple source rows " +
+            "— make the ON condition key-unique or pre-aggregate the source")
+      }
+      // one action id per row, first-matching-clause semantics via a
+      // reversed when-chain: matched rows pick a WHEN MATCHED clause
+      // (-1 = no clause applies: keep unchanged), source-only rows pick a
+      // WHEN NOT MATCHED clause (-2 = none applies: drop)
+      val matchedAction = matched.zipWithIndex.foldRight(lit(-1)) {
+        case ((a, i), els) =>
+          val c = a match {
+            case MergeUpdate(cond, _) => cond
+            case MergeDelete(cond) => cond
+            case _ => None
+          }
+          when(c.getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+      val insertAction = notMatched.zipWithIndex.foldRight(lit(-2)) {
+        case ((a, j), els) =>
+          when(a.condition.getOrElse(lit(true)), lit(100 + j)).otherwise(els)
+      }
+      val deleteIds = matched.zipWithIndex.collect {
+        case (MergeDelete(_), i) => i
+      }.toSet
+      val acted = joined.withColumn("__action",
+        when(tP && sP, matchedAction)
+          .when(!tP && sP, insertAction)
+          .otherwise(lit(-1)))
+      val kept = acted.filter(!col("__action")
+        .isin((deleteIds + (-2)).toSeq.map(_.asInstanceOf[Any]): _*))
+      val outCols = tgtSchema.fields.toSeq.map { f =>
+        val keepAsIs = col(s"$targetAlias.${f.name}")
+        val branches: Seq[(Int, org.apache.spark.sql.Column)] =
+          matched.zipWithIndex.collect {
+            case (MergeUpdate(_, set), i) if set.contains(f.name) =>
+              i -> set(f.name)
+          } ++ notMatched.zipWithIndex.map { case (ins, j) =>
+            (100 + j) -> ins.values.getOrElse(f.name,
+              lit(null).cast(f.dataType))
+          }
+        branches.foldRight(keepAsIs) { case ((id, v), els) =>
+          when(col("__action") === id, v).otherwise(els)
+        }.cast(f.dataType).as(f.name)
+      }
+      val rewritten = kept.select(outCols: _*)
+      if (commitRewrite(spark, table, base, files, touched, rewritten,
+        "merge")) return base.get + 1
+      attempts += 1 // lost the race: re-derive against the new snapshot
+    }
+    throw new IllegalStateException(
+      s"txlog mergeInto on $table lost 10 straight races — giving up")
+  }
 
   /** Incremental-consumer form of [[changes]]: everything after the
     * consumer's last-seen version, plus the version cursor to persist for
@@ -2770,10 +2989,26 @@ object TxLog {
     * accreted, with no per-table file-count tuning. Overrides
     * `targetFiles` when set; sizes come from the commit log, no
     * filesystem listing. */
+  /** Output arrangement for an OPTIMIZE rewrite: plain bin-packing
+    * (`coalesce`, no shuffle) when no clustering is requested; with
+    * `clusterBy` keys (a column, or a space-filling-curve key like
+    * [[graft.functions.ZOrder.interleave2]]), a range repartition +
+    * in-partition sort so every output file covers a tight min/max range
+    * of the clustered dimensions — the rewrite that makes the recorded
+    * file stats PRUNE (Delta's `OPTIMIZE … ZORDER BY`). The key
+    * expressions need not be table columns: they are evaluated for the
+    * shuffle/sort only and never appear in the output schema. */
+  private def arrange(cur: DataFrame, nOut: Int,
+      clusterBy: Seq[org.apache.spark.sql.Column]): DataFrame =
+    if (clusterBy.isEmpty) cur.coalesce(nOut)
+    else cur.repartitionByRange(nOut, clusterBy: _*)
+      .sortWithinPartitions(clusterBy: _*)
+
   def optimizeSmall(spark: SparkSession, table: String,
       minFileSizeBytes: Long, targetFiles: Int = 1,
       statsCols: Seq[String] = Seq.empty,
-      targetBytes: Option[Long] = None): Option[Long] = {
+      targetBytes: Option[Long] = None,
+      clusterBy: Seq[org.apache.spark.sql.Column] = Seq.empty): Option[Long] = {
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
@@ -2788,7 +3023,7 @@ object TxLog {
         math.max(1L, (total + tb - 1) / tb).toInt
       }.getOrElse(targetFiles)
       val cur = readFiles(spark, table, small, base)
-      val arranged = cur.coalesce(nOut)
+      val arranged = arrange(cur, nOut, clusterBy)
       val add = writeData(arranged, table)
       val v = base.get + 1
       val keep = active.filterNot(small.toSet)
@@ -2834,7 +3069,8 @@ object TxLog {
     * (the representation the partitioned writer produced). */
   def optimizeWhere(spark: SparkSession, table: String,
       partition: Map[String, Any], targetFiles: Int = 1,
-      targetBytes: Option[Long] = None): Option[Long] = {
+      targetBytes: Option[Long] = None,
+      clusterBy: Seq[org.apache.spark.sql.Column] = Seq.empty): Option[Long] = {
     require(partition.nonEmpty, "optimizeWhere needs a partition tuple")
     val want: Map[String, Option[String]] = partition.map {
       case (k, null) => k -> None
@@ -2870,7 +3106,7 @@ object TxLog {
         math.max(1L, (total + tb - 1) / tb).toInt
       }.getOrElse(targetFiles)
       val cur = readFiles(spark, table, sel, base)
-      val arranged = cur.coalesce(nOut)
+      val arranged = arrange(cur, nOut, clusterBy)
       val add = writeData(arranged, table)
       val v = base.get + 1
       val keep = active.filterNot(sel.toSet)

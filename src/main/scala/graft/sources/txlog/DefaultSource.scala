@@ -92,6 +92,26 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
     // would silently skip a different query's batches (they also count
     // from 0). Recorded in each commit; see TxLog.batchCommitted.
     val streamId = parameters.get("checkpointlocation")
+    // Small-file controls for a PARTITIONED streaming sink (the classic
+    // spiral: one file per partition per trigger, unbounded).
+    //   - binpack (default true): shuffle each micro-batch by the
+    //     declared partition columns before the write, so a trigger
+    //     lands ONE file per touched partition instead of one per input
+    //     task per partition. Micro-batches are small by construction —
+    //     the single-task-per-partition write is the right shape here
+    //     (a 100 TB BATCH load wants the opposite, which is why the
+    //     batch paths don't do this).
+    //   - autoCompactEvery=N (default 0 = off): after every Nth batch,
+    //     fold sub-threshold files back together with
+    //     [[TxLog.optimizeSmall]] (autoCompactMinBytes, default 8 MiB) —
+    //     Delta's auto-compaction cadence. Optimize commits deliver
+    //     nothing to downstream streaming readers (dataChange=false
+    //     analog), so compaction never disturbs a tailing stream.
+    val binpack = parameters.get("binpack").forall(_.toBoolean)
+    val autoCompactEvery = parameters.get("autocompactevery")
+      .map(_.toInt).getOrElse(0)
+    val autoCompactMinBytes = parameters.get("autocompactminbytes")
+      .map(_.toLong).getOrElse(8L * 1024 * 1024)
     new Sink {
       override def name(): String = s"TxLogSink[$path]"
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -99,8 +119,15 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
         // committed before the crash — skip, don't double-append
         if (TxLog.batchCommitted(path, streamId, batchId)) return
         // addBatch's frame is streaming-flagged; batch writers refuse it
-        val batch = org.apache.spark.sql.execution.streaming
+        val raw = org.apache.spark.sql.execution.streaming
           .GraftSourceShim.asBatch(data)
+        val sinkPartCols = TxLog.declaredPartitionCols(path)
+          .filter(raw.columns.contains)
+        val batch =
+          if (binpack && sinkPartCols.nonEmpty)
+            raw.repartition(sinkPartCols.map(
+              org.apache.spark.sql.functions.col): _*)
+          else raw
         if (update && dynPartOverwrite)
           TxLog.overwritePartitions(batch, path, statsCols, batchId, streamId)
         else if (update) versionCol match {
@@ -117,6 +144,14 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
           TxLog.overwrite(batch, path, statsCols, mergeSchema, batchId, streamId)
         else
           TxLog.append(batch, path, statsCols, mergeSchema, batchId, streamId)
+        // auto-compaction cadence: bounded files-per-partition however
+        // long the stream runs. A no-op (None) when fewer than 2 files
+        // are under the threshold; the optimize commit is invisible to
+        // streaming readers.
+        if (autoCompactEvery > 0 && batchId > 0 &&
+            batchId % autoCompactEvery == 0)
+          TxLog.optimizeSmall(batch.sparkSession, path, autoCompactMinBytes,
+            targetBytes = Some(128L * 1024 * 1024))
       }
       override def toString: String = name()
     }

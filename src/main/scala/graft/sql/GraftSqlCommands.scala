@@ -1,0 +1,234 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, LongType, NumericType, TimestampType}
+
+import graft.ops.TxLog
+
+/** Target of a graft SQL DML statement: either an explicit table path
+  * (`` txlog.`/path/to/t` `` — the Delta `delta.`path`` analog) or the
+  * name of a catalog table created with `USING graft.sources.txlog`.
+  * Resolution happens at RUN time (commands are built at parse time,
+  * before any session catalog is consultable). */
+final case class SqlTarget(path: Option[String], ident: Option[String]) {
+  def resolve(spark: SparkSession): String = path.getOrElse {
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(ident.get)
+    val meta = spark.sessionState.catalog.getTableMetadata(ti)
+    require(meta.provider.exists(_.equalsIgnoreCase("graft.sources.txlog")),
+      s"${ident.get} is not a graft.sources.txlog table " +
+        s"(provider=${meta.provider.getOrElse("none")})")
+    meta.storage.properties.get("path")
+      .orElse(meta.storage.locationUri
+        .map(u => java.nio.file.Paths.get(u).toString))
+      .getOrElse(throw new IllegalArgumentException(
+        s"txlog table ${ident.get} records no path"))
+  }
+  override def toString: String =
+    path.map(p => s"txlog.`$p`").getOrElse(ident.getOrElse("?"))
+}
+
+/** One WHEN clause of a SQL MERGE, carried as raw expression text (the
+  * command parses it against the live session at run time). `kind` is one
+  * of update / update_star / delete / insert / insert_star. */
+final case class SqlMergeClause(kind: String, cond: Option[String],
+    cols: Seq[String], vals: Seq[String])
+
+/** All graft DML commands report the committed txlog version. */
+trait TxLogVersionCommand extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+/** `DELETE FROM txlog.`path` [WHERE cond]` → [[TxLog.delete]]
+  * (copy-on-write of touched files) or, when the table declares
+  * `graft.deletionVectors.enabled=true`, [[TxLog.deleteVectors]]
+  * (data-less DV commit — Delta's `delta.enableDeletionVectors` split). */
+final case class DeleteFromTxLogCommand(target: SqlTarget,
+    where: Option[String]) extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val cond = where.map(expr).getOrElse(lit(true))
+    val useDvs = TxLog.properties(t)
+      .get("graft.deletionVectors.enabled").contains("true")
+    val v = if (useDvs) TxLog.deleteVectors(spark, t, cond)
+            else TxLog.delete(spark, t, cond)
+    Seq(Row(v))
+  }
+}
+
+/** `UPDATE txlog.`path` SET c = e, … [WHERE cond]` → [[TxLog.update]]. */
+final case class UpdateTxLogCommand(target: SqlTarget,
+    sets: Seq[(String, String)], where: Option[String])
+  extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val cond = where.map(expr).getOrElse(lit(true))
+    val v = TxLog.update(spark, t, cond,
+      sets.map { case (c, e) => c -> expr(e) }.toMap)
+    Seq(Row(v))
+  }
+}
+
+/** `MERGE INTO txlog.`path` [AS] t USING src [AS] s ON … WHEN …` →
+  * [[TxLog.mergeInto]]. `UPDATE SET *` / `INSERT *` expand by name over
+  * the target columns the source also carries (Delta's star expansion);
+  * aliases default to `t` (target) and the source table name. */
+final case class MergeIntoTxLogCommand(target: SqlTarget,
+    targetAlias: Option[String], sourceTable: Option[String],
+    sourceQuery: Option[String], sourceAlias: Option[String],
+    on: String, clauses: Seq[SqlMergeClause]) extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val src = sourceQuery.map(spark.sql).getOrElse(
+      spark.table(sourceTable.getOrElse(throw new IllegalArgumentException(
+        "MERGE INTO needs USING <table> or USING (<query>)"))))
+    val ta = targetAlias.getOrElse("t")
+    val sa = sourceAlias.orElse(sourceTable).getOrElse("s")
+    val tgtSchema = TxLog.schemaAsOf(t)
+      .getOrElse(TxLog.read(spark, t).schema)
+    val srcCols = src.columns.toSet
+    def starSet: Map[String, Column] = tgtSchema.fieldNames.toSeq
+      .filter(srcCols.contains).map(c => c -> col(s"$sa.$c")).toMap
+    val matched: Seq[TxLog.MergeAction] = clauses.collect {
+      case SqlMergeClause("update_star", c, _, _) =>
+        TxLog.MergeUpdate(c.map(expr), starSet)
+      case SqlMergeClause("update", c, cols, vals) =>
+        TxLog.MergeUpdate(c.map(expr), cols.zip(vals.map(expr)).toMap)
+      case SqlMergeClause("delete", c, _, _) =>
+        TxLog.MergeDelete(c.map(expr))
+    }
+    val notMatched: Seq[TxLog.MergeInsert] = clauses.collect {
+      case SqlMergeClause("insert_star", c, _, _) =>
+        TxLog.MergeInsert(c.map(expr), starSet)
+      case SqlMergeClause("insert", c, cols, vals) =>
+        TxLog.MergeInsert(c.map(expr), cols.zip(vals.map(expr)).toMap)
+    }
+    Seq(Row(TxLog.mergeInto(spark, t, src, ta, sa, expr(on),
+      matched, notMatched)))
+  }
+}
+
+/** `OPTIMIZE <t> [WHERE part = v [AND …]] [ZORDER BY (a[, b])]`.
+  *
+  * Without WHERE: bin-packing compaction of sub-threshold files
+  * ([[TxLog.optimizeSmall]]; threshold/target from
+  * `spark.graft.optimize.minFileBytes` / `.targetFileBytes`, defaults
+  * 128 MiB / 1 GiB) — or, with ZORDER, a full-snapshot re-cluster.
+  * With WHERE (a conjunction of partition-column equalities / IS NULL):
+  * partition-scoped [[TxLog.optimizeWhere]], the form that compacts
+  * yesterday's partition of a 100 TB table without touching the rest.
+  *
+  * ZORDER BY computes a Morton key over grid cells derived from each
+  * column's observed min/max (numeric / date / timestamp columns), range
+  * repartitions + sorts by it, so every output file covers a tight box in
+  * BOTH dimensions and the re-recorded stats prune range queries on
+  * either (the Delta `ZORDER BY` contract). One column degrades to a
+  * plain range cluster. */
+final case class OptimizeTxLogCommand(target: SqlTarget,
+    where: Option[String], zorder: Seq[String])
+  extends TxLogVersionCommand {
+
+  private def gridCell(c: Column, mn: Double, mx: Double,
+      bits: Int): Column = {
+    val cells = (1 << bits) - 1
+    if (!(mx > mn)) lit(0L)
+    else least(lit(cells.toLong), greatest(lit(0L),
+      (((c.cast("double") - lit(mn)) / lit(mx - mn)) * lit(cells))
+        .cast("long")))
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val conf = spark.conf
+    val minBytes = conf.getOption("spark.graft.optimize.minFileBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val targetBytes = conf.getOption("spark.graft.optimize.targetFileBytes")
+      .map(_.toLong).getOrElse(1024L * 1024 * 1024)
+    val cluster: Seq[Column] = zorder match {
+      case Seq() => Seq.empty
+      case cols =>
+        val schema = TxLog.schemaAsOf(t)
+          .getOrElse(TxLog.read(spark, t).schema)
+        val numeric = cols.map { c =>
+          val f = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"ZORDER BY column $c is not a column of $target"))
+          f.dataType match {
+            case _: NumericType => col(c).cast("double")
+            case DateType => unix_date(col(c)).cast("double")
+            case TimestampType => unix_micros(col(c)).cast("double")
+            case dt => throw new IllegalArgumentException(
+              s"ZORDER BY needs a numeric/date/timestamp column; $c is $dt")
+          }
+        }
+        if (cols.size == 1) numeric // single column: plain range cluster
+        else if (cols.size == 2) {
+          // one metadata-cheap pass for the grid bounds (min/max only)
+          val b = TxLog.read(spark, t).agg(
+            min(numeric.head), max(numeric.head),
+            min(numeric(1)), max(numeric(1))).head()
+          def d(i: Int) = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
+          Seq(graft.functions.ZOrder.interleave2(
+            gridCell(numeric.head, d(0), d(1), 16),
+            gridCell(numeric(1), d(2), d(3), 16)))
+        } else throw new IllegalArgumentException(
+          "ZORDER BY supports 1 or 2 columns (the Morton interleave is " +
+            "2-D; compose hilbert_key manually for more dimensions)")
+    }
+    val v = where match {
+      case Some(w) =>
+        TxLog.optimizeWhere(spark, t, PartitionPredicate.parse(spark, w),
+          targetBytes = Some(targetBytes), clusterBy = cluster)
+      case None =>
+        val threshold = if (zorder.nonEmpty) Long.MaxValue else minBytes
+        TxLog.optimizeSmall(spark, t, threshold,
+          targetBytes = Some(targetBytes), clusterBy = cluster)
+    }
+    Seq(Row(v.orElse(TxLog.latestVersion(t)).getOrElse(0L)))
+  }
+}
+
+/** WHERE clause of a partition-scoped OPTIMIZE: a conjunction of
+  * `col = literal` / `col IS NULL` over partition columns, parsed with
+  * the session's expression parser and folded to the partition tuple
+  * [[TxLog.optimizeWhere]] takes. */
+object PartitionPredicate {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, IsNull, Literal}
+
+  def parse(spark: SparkSession, text: String): Map[String, Any] =
+    fold(spark.sessionState.sqlParser.parseExpression(text))
+
+  private def fold(e: Expression): Map[String, Any] = e match {
+    case And(l, r) => fold(l) ++ fold(r)
+    case EqualTo(a: UnresolvedAttribute, Literal(v, _)) => Map(a.name -> un(v))
+    case EqualTo(Literal(v, _), a: UnresolvedAttribute) => Map(a.name -> un(v))
+    case IsNull(a: UnresolvedAttribute) => Map(a.name -> null)
+    case other => throw new IllegalArgumentException(
+      "OPTIMIZE … WHERE must be a conjunction of <partition col> = " +
+        s"<literal> / <partition col> IS NULL; got: ${other.sql}")
+  }
+
+  private def un(v: Any): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case x => x
+  }
+}
+
+/** `VACUUM <t> [RETAIN n VERSIONS] [DRY RUN]` → [[TxLog.vacuum]];
+  * reports the number of files removed (or that WOULD be removed under
+  * DRY RUN). The table's declared `graft.vacuum.retainVersions` floor
+  * still caps how aggressive a SQL caller can be. */
+final case class VacuumTxLogCommand(target: SqlTarget, retain: Option[Int],
+    dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("removed", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    Seq(Row(TxLog.vacuum(t, retain.getOrElse(2), dryRun = dryRun)
+      .size.toLong))
+  }
+}

@@ -1,0 +1,438 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL surface for the txlog DML tier (the `DeltaSqlParser` pattern): a
+  * delegating [[ParserInterface]] that recognizes the DML/maintenance
+  * statements Spark's own parser cannot route to a v1 path-based table —
+  *
+  *   - `DELETE FROM txlog.`/path` [WHERE …]`
+  *   - `UPDATE txlog.`/path` SET c = e, … [WHERE …]`
+  *   - `MERGE INTO txlog.`/path` [AS] t USING src|(query) [AS] s ON …
+  *      WHEN MATCHED [AND …] THEN UPDATE SET *|c = e, …
+  *      WHEN MATCHED [AND …] THEN DELETE
+  *      WHEN NOT MATCHED [AND …] THEN INSERT *|(c, …) VALUES (e, …)`
+  *   - `OPTIMIZE <t> [WHERE part = v …] [ZORDER BY (a[, b])]`
+  *   - `VACUUM <t> [RETAIN n VERSIONS] [DRY RUN]`
+  *
+  * — and lowers them onto the TxLog API commands
+  * ([[DeleteFromTxLogCommand]] &c.). Everything else passes through to
+  * the delegate verbatim. DELETE/UPDATE/MERGE are intercepted ONLY for
+  * the explicit `` txlog.`path` `` target form, so catalog-table DML for
+  * other providers keeps its stock behavior; OPTIMIZE/VACUUM (verbs the
+  * stock parser does not know at all) also accept a catalog table name
+  * created with `USING graft.sources.txlog`.
+  *
+  * Statement skeletons are recognized with a quote/paren/comment-aware
+  * scanner; every embedded EXPRESSION (conditions, SET values, INSERT
+  * values) is carried as raw text and parsed by the live session at run
+  * time — one expression grammar, Spark's own. Installed by
+  * [[graft.functions.GraftExtensions]] via `injectParser`. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlDml.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** Statement recognizer. Returns None for anything that is not a graft
+  * DML statement (the caller then delegates); throws with a pointed
+  * message for a statement that IS ours but malformed — falling through
+  * to the stock parser there would produce a misleading error. */
+object GraftSqlDml {
+
+  def parse(sqlText: String): Option[LogicalPlan] = {
+    val s = new Scan(sqlText)
+    if (s.kws("DELETE", "FROM")) parseDelete(s)
+    else if (s.kw("UPDATE")) parseUpdate(s)
+    else if (s.kws("MERGE", "INTO")) parseMerge(s)
+    else if (s.kw("OPTIMIZE")) parseOptimize(s)
+    else if (s.kw("VACUUM")) parseVacuum(s)
+    else None
+  }
+
+  /** `` txlog.`path` `` (always intercepted) or, when `allowIdent`, a
+    * bare [multipart] table identifier. */
+  private def target(s: Scan, allowIdent: Boolean): Option[SqlTarget] = {
+    val p0 = s.pos
+    s.word() match {
+      case Some(w) if w.equalsIgnoreCase("txlog") && s.punct('.') =>
+        s.backquoted() match {
+          case Some(path) => Some(SqlTarget(Some(path), None))
+          case None => { s.reset(p0); None }
+        }
+      case Some(w) if allowIdent =>
+        var parts = List(w)
+        while (s.punct('.'))
+          parts = parts :+ s.identPart().getOrElse(return None)
+        Some(SqlTarget(None, Some(parts.mkString("."))))
+      case _ => { s.reset(p0); None }
+    }
+  }
+
+  private def parseDelete(s: Scan): Option[LogicalPlan] =
+    target(s, allowIdent = false).map { t =>
+      val where = if (s.kw("WHERE")) Some(s.until()) else None
+      require(s.eof, s"unexpected trailing input in DELETE FROM $t")
+      DeleteFromTxLogCommand(t, where)
+    }
+
+  private def parseUpdate(s: Scan): Option[LogicalPlan] =
+    target(s, allowIdent = false).map { t =>
+      require(s.kw("SET"), s"UPDATE $t: expected SET")
+      val setText = s.until("WHERE")
+      val sets = Scan.splitTop(setText, ',').map { a =>
+        val (c, e) = Scan.splitAssign(a)
+        (Scan.unquoteIdent(c), e)
+      }
+      require(sets.nonEmpty, s"UPDATE $t: empty SET list")
+      val where = if (s.kw("WHERE")) Some(s.until()) else None
+      require(s.eof, s"unexpected trailing input in UPDATE $t")
+      UpdateTxLogCommand(t, sets, where)
+    }
+
+  private def parseMerge(s: Scan): Option[LogicalPlan] =
+    target(s, allowIdent = false).map { t =>
+      s.kw("AS")
+      val tAlias = if (s.peekKw("USING")) None else s.identPart()
+      require(s.kw("USING"), s"MERGE INTO $t: expected USING")
+      val (srcTable, srcQuery) =
+        if (s.punct('(')) (None, Some(s.parenBody()))
+        else (Some(s.identPart().getOrElse(
+          throw new IllegalArgumentException(
+            s"MERGE INTO $t: expected a source table or (query) after USING"))),
+          None)
+      s.kw("AS")
+      val sAlias = if (s.peekKw("ON")) None else s.identPart()
+      require(s.kw("ON"), s"MERGE INTO $t: expected ON <condition>")
+      val on = s.until("WHEN")
+      var clauses = Vector.empty[SqlMergeClause]
+      while (s.kw("WHEN")) {
+        if (s.kws("NOT", "MATCHED")) {
+          s.kws("BY", "TARGET") // optional Delta-ism, same meaning
+          val cond = if (s.kw("AND")) Some(s.until("THEN")) else None
+          require(s.kw("THEN"), s"MERGE INTO $t: expected THEN")
+          require(s.kw("INSERT"), s"MERGE INTO $t: WHEN NOT MATCHED " +
+            "supports INSERT only")
+          if (s.punct('*'))
+            clauses :+= SqlMergeClause("insert_star", cond, Nil, Nil)
+          else {
+            require(s.punct('('), s"MERGE INTO $t: expected (columns) " +
+              "or * after INSERT")
+            val cols = Scan.splitTop(s.parenBody(), ',')
+              .map(Scan.unquoteIdent)
+            require(s.kw("VALUES") && s.punct('('),
+              s"MERGE INTO $t: expected VALUES (…) after INSERT (…)")
+            val vals = Scan.splitTop(s.parenBody(), ',')
+            require(cols.size == vals.size, s"MERGE INTO $t: INSERT has " +
+              s"${cols.size} columns but ${vals.size} values")
+            clauses :+= SqlMergeClause("insert", cond, cols, vals)
+          }
+        } else if (s.kw("MATCHED")) {
+          val cond = if (s.kw("AND")) Some(s.until("THEN")) else None
+          require(s.kw("THEN"), s"MERGE INTO $t: expected THEN")
+          if (s.kw("DELETE"))
+            clauses :+= SqlMergeClause("delete", cond, Nil, Nil)
+          else if (s.kws("UPDATE", "SET")) {
+            if (s.punct('*'))
+              clauses :+= SqlMergeClause("update_star", cond, Nil, Nil)
+            else {
+              val sets = Scan.splitTop(s.until("WHEN"), ',').map { a =>
+                val (c, e) = Scan.splitAssign(a)
+                (Scan.unquoteIdent(c), e)
+              }
+              require(sets.nonEmpty, s"MERGE INTO $t: empty UPDATE SET")
+              clauses :+= SqlMergeClause("update", cond,
+                sets.map(_._1), sets.map(_._2))
+            }
+          } else throw new IllegalArgumentException(
+            s"MERGE INTO $t: WHEN MATCHED supports UPDATE SET or DELETE")
+        } else throw new IllegalArgumentException(
+          s"MERGE INTO $t: expected MATCHED or NOT MATCHED after WHEN")
+      }
+      require(clauses.nonEmpty, s"MERGE INTO $t: no WHEN clauses")
+      require(s.eof, s"unexpected trailing input in MERGE INTO $t")
+      MergeIntoTxLogCommand(t, tAlias, srcTable, srcQuery, sAlias, on,
+        clauses)
+    }
+
+  private def parseOptimize(s: Scan): Option[LogicalPlan] =
+    target(s, allowIdent = true).map { t =>
+      val where = if (s.kw("WHERE")) Some(s.until("ZORDER")) else None
+      val zorder =
+        if (s.kws("ZORDER", "BY")) {
+          require(s.punct('('), "OPTIMIZE: expected ZORDER BY (cols)")
+          Scan.splitTop(s.parenBody(), ',').map(Scan.unquoteIdent)
+        } else Seq.empty
+      require(s.eof, s"unexpected trailing input in OPTIMIZE $t")
+      OptimizeTxLogCommand(t, where, zorder)
+    }
+
+  private def parseVacuum(s: Scan): Option[LogicalPlan] =
+    target(s, allowIdent = true).map { t =>
+      val retain =
+        if (s.kw("RETAIN")) {
+          val n = s.word().map(_.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              s"VACUUM $t: expected RETAIN <n> VERSIONS"))
+          require(s.kw("VERSIONS"), s"VACUUM $t: expected VERSIONS")
+          Some(n)
+        } else None
+      val dry = s.kws("DRY", "RUN")
+      require(s.eof, s"unexpected trailing input in VACUUM $t")
+      VacuumTxLogCommand(t, retain, dry)
+    }
+}
+
+/** Minimal quote/paren/comment-aware scanner over one SQL statement. */
+private[sql] final class Scan(val sql: String) {
+  private var i = 0
+  def pos: Int = i
+  def reset(p: Int): Unit = i = p
+
+  private def isIdentChar(c: Char) =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  def skipWs(): Unit = {
+    var moved = true
+    while (moved) {
+      moved = false
+      while (i < sql.length && Character.isWhitespace(sql.charAt(i))) {
+        i += 1; moved = true
+      }
+      if (i + 1 < sql.length && sql.charAt(i) == '-' &&
+          sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        moved = true
+      } else if (i + 1 < sql.length && sql.charAt(i) == '/' &&
+          sql.charAt(i + 1) == '*') {
+        val e = sql.indexOf("*/", i + 2)
+        i = if (e < 0) sql.length else e + 2
+        moved = true
+      }
+    }
+  }
+
+  /** Case-insensitive keyword at a word boundary; consumes on match. */
+  def kw(word: String): Boolean = {
+    skipWs()
+    if (sql.regionMatches(true, i, word, 0, word.length)) {
+      val end = i + word.length
+      if (end >= sql.length || !isIdentChar(sql.charAt(end))) {
+        i = end; true
+      } else false
+    } else false
+  }
+
+  /** All keywords in sequence, atomically (no partial consumption). */
+  def kws(words: String*): Boolean = {
+    val p = i
+    if (words.forall(kw)) true else { i = p; false }
+  }
+
+  def peekKw(word: String): Boolean = {
+    val p = i
+    val r = kw(word)
+    i = p
+    r
+  }
+
+  def punct(c: Char): Boolean = {
+    skipWs()
+    if (i < sql.length && sql.charAt(i) == c) { i += 1; true } else false
+  }
+
+  def backquoted(): Option[String] = {
+    skipWs()
+    if (i < sql.length && sql.charAt(i) == '`') {
+      val sb = new StringBuilder; i += 1
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (c == '`') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '`') {
+            sb.append('`'); i += 2
+          } else { i += 1; return Some(sb.toString) }
+        } else { sb.append(c); i += 1 }
+      }
+      None // unterminated
+    } else None
+  }
+
+  def word(): Option[String] = {
+    skipWs()
+    val start = i
+    while (i < sql.length && isIdentChar(sql.charAt(i))) i += 1
+    if (i > start) Some(sql.substring(start, i)) else None
+  }
+
+  def identPart(): Option[String] = backquoted().orElse(word())
+
+  /** Raw text from here until one of `stops` appears as a top-level
+    * keyword (paren depth 0, outside quotes/backquotes/comments) or the
+    * statement ends. Leaves the scanner AT the stop keyword; trims and
+    * drops a trailing `;`. */
+  def until(stops: String*): String = {
+    skipWs()
+    val start = i
+    var depth = 0
+    var end = -1
+    while (i < sql.length && end < 0) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val q = c; i += 1
+        while (i < sql.length && sql.charAt(i) != q) {
+          if (sql.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        i += 1
+      } else if (c == '`') {
+        i += 1
+        while (i < sql.length && sql.charAt(i) != '`') i += 1
+        i += 1
+      } else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && isIdentChar(c) &&
+          (i == start || !isIdentChar(sql.charAt(i - 1)))) {
+        val hit = stops.exists(st =>
+          sql.regionMatches(true, i, st, 0, st.length) && {
+            val e = i + st.length
+            e >= sql.length || !isIdentChar(sql.charAt(e))
+          })
+        if (hit) end = i
+        else { while (i < sql.length && isIdentChar(sql.charAt(i))) i += 1 }
+      } else i += 1
+    }
+    val stop = if (end < 0) sql.length else end
+    if (end >= 0) i = end
+    sql.substring(start, stop).trim.stripSuffix(";").trim
+  }
+
+  /** Body of a parenthesized group whose `(` was ALREADY consumed; eats
+    * through the matching `)`. */
+  def parenBody(): String = {
+    skipWs()
+    val start = i
+    var depth = 1
+    while (i < sql.length && depth > 0) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val q = c; i += 1
+        while (i < sql.length && sql.charAt(i) != q) {
+          if (sql.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        i += 1
+      } else if (c == '`') {
+        i += 1
+        while (i < sql.length && sql.charAt(i) != '`') i += 1
+        i += 1
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        i += 1
+      }
+    }
+    require(depth == 0, "unbalanced parentheses")
+    sql.substring(start, i - 1).trim
+  }
+
+  def eof: Boolean = {
+    skipWs()
+    i >= sql.length || sql.substring(i).forall(c =>
+      c == ';' || Character.isWhitespace(c))
+  }
+}
+
+private[sql] object Scan {
+
+  /** Split on `sep` at paren depth 0, outside quotes/backquotes. */
+  def splitTop(text: String, sep: Char): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'' || c == '"') {
+        val q = c; i += 1
+        while (i < text.length && text.charAt(i) != q) {
+          if (text.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        i += 1
+      } else if (c == '`') {
+        i += 1
+        while (i < text.length && text.charAt(i) != '`') i += 1
+        i += 1
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == sep && depth == 0) {
+          out += text.substring(start, i).trim
+          start = i + 1
+        }
+        i += 1
+      }
+    }
+    val last = text.substring(start).trim
+    (out.result() :+ last).filter(_.nonEmpty)
+  }
+
+  /** `col = expr` → (col, expr); splits at the FIRST top-level `=` that
+    * is not part of `==` / `<=` / `>=` / `!=` / `<>`. */
+  def splitAssign(text: String): (String, String) = {
+    var depth = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'' || c == '"') {
+        val q = c; i += 1
+        while (i < text.length && text.charAt(i) != q) {
+          if (text.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        i += 1
+      } else if (c == '`') {
+        i += 1
+        while (i < text.length && text.charAt(i) != '`') i += 1
+        i += 1
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == '=' && depth == 0 &&
+            (i == 0 || !"<>!=".contains(text.charAt(i - 1))) &&
+            (i + 1 >= text.length || text.charAt(i + 1) != '=')) {
+          return (text.substring(0, i).trim, text.substring(i + 1).trim)
+        }
+        i += 1
+      }
+    }
+    throw new IllegalArgumentException(s"expected <column> = <expr>: $text")
+  }
+
+  /** Strip one level of backquotes from an identifier. */
+  def unquoteIdent(s: String): String =
+    if (s.length >= 2 && s.head == '`' && s.last == '`')
+      s.substring(1, s.length - 1).replace("``", "`")
+    else s
+}

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TxLog
+
+/** SQL DML surface for the txlog tier (GraftSqlParser → TxLog API): the
+  * Delta SQL verbs — MERGE INTO / UPDATE / DELETE / OPTIMIZE / VACUUM —
+  * against `` txlog.`path` `` targets, plus the invariant that the SQL
+  * path and the API path produce the SAME log (op vocabulary and final
+  * contents), since both lower onto one implementation. */
+class SqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed(): String = {
+    val t = tmpDir("sqldml") + "/t"
+    TxLog.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "v", "amt"), t)
+    t
+  }
+
+  test("DELETE FROM txlog.`p` WHERE removes rows and commits one version") {
+    val t = seed()
+    val out = spark.sql(s"DELETE FROM txlog.`$t` WHERE k >= 3").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(TxLog.read(spark, t).select("k").as[Long].collect().sorted
+      === Array(1L, 2L))
+    assert(TxLog.commits(t).last.op === "delete")
+  }
+
+  test("DELETE honors graft.deletionVectors.enabled: data-less DV commit") {
+    val t = seed()
+    TxLog.setProperties(t, Map("graft.deletionVectors.enabled" -> "true"))
+    spark.sql(s"DELETE FROM txlog.`$t` WHERE k = 2")
+    val last = TxLog.commits(t).last
+    assert(last.op === "dvDelete", "DV-enabled table must not rewrite data")
+    assert(last.add.isEmpty && last.dvAdd.nonEmpty)
+    assert(TxLog.read(spark, t).select("k").as[Long].collect().sorted
+      === Array(1L, 3L, 4L))
+  }
+
+  test("UPDATE … SET … WHERE rewrites only matching rows") {
+    val t = seed()
+    spark.sql(
+      s"UPDATE txlog.`$t` SET amt = amt * 2, v = upper(v) WHERE k <= 2")
+    val got = TxLog.read(spark, t).orderBy("k")
+      .select("v", "amt").as[(String, Double)].collect().toSeq
+    assert(got === Seq(("A", 20.0), ("B", 40.0), ("c", 30.0), ("d", 40.0)))
+    assert(TxLog.commits(t).last.op === "update")
+  }
+
+  test("SQL DML and API DML produce the same log ops and contents") {
+    val tSql = seed(); val tApi = seed()
+    spark.sql(s"UPDATE txlog.`$tSql` SET amt = 0 WHERE k = 1")
+    spark.sql(s"DELETE FROM txlog.`$tSql` WHERE k = 4")
+    TxLog.update(spark, tApi, col("k") === 1, Map("amt" -> lit(0)))
+    TxLog.delete(spark, tApi, col("k") === 4)
+    assert(TxLog.commits(tSql).map(_.op) === TxLog.commits(tApi).map(_.op))
+    val a = TxLog.read(spark, tSql).orderBy("k").collect().toSeq
+    val b = TxLog.read(spark, tApi).orderBy("k").collect().toSeq
+    assert(a === b)
+  }
+
+  test("MERGE INTO with UPDATE SET * / INSERT * upserts by key") {
+    val t = seed()
+    Seq((2L, "B!", 200.0), (9L, "i", 90.0)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("mrg_src")
+    val v = spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t USING mrg_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .collect().head.getLong(0)
+    assert(v === 2L)
+    val got = TxLog.read(spark, t).orderBy("k")
+      .select("k", "v", "amt").as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "a", 10.0), (2L, "B!", 200.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (9L, "i", 90.0)))
+    assert(TxLog.commits(t).last.op === "merge")
+  }
+
+  test("MERGE INTO: conditional update, matched delete, explicit insert") {
+    val t = seed()
+    Seq((1L, 5.0), (2L, -1.0), (7L, 70.0)).toDF("k", "delta")
+      .createOrReplaceTempView("mrg_cdc")
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t USING mrg_cdc AS s ON t.k = s.k
+         |WHEN MATCHED AND s.delta < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET amt = t.amt + s.delta
+         |WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, 'new', s.delta)
+         |""".stripMargin)
+    val got = TxLog.read(spark, t).orderBy("k")
+      .select("k", "v", "amt").as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "a", 15.0), (3L, "c", 30.0), (4L, "d", 40.0),
+      (7L, "new", 70.0)))
+  }
+
+  test("MERGE INTO USING (subquery) and untouched files stay in place") {
+    val t = seed()
+    TxLog.append(Seq((100L, "z", 1.0)).toDF("k", "v", "amt"), t) // file 2
+    val before = TxLog.activeFiles(t)
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t
+         |USING (SELECT 100 AS k, 'Z' AS v) AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val after = TxLog.activeFiles(t)
+    // only the second file (holding k=100) was rewritten
+    assert(before.filter(after.contains).size === before.size - 1)
+    assert(TxLog.read(spark, t).filter(col("k") === 100)
+      .select("v").as[String].head() === "Z")
+  }
+
+  test("mergeInto refuses a target row matched by multiple source rows") {
+    val t = seed()
+    val dup = Seq((2L, "x"), (2L, "y")).toDF("k", "nv")
+    val e = intercept[IllegalStateException] {
+      TxLog.mergeInto(spark, t, dup, "t", "s", expr("t.k = s.k"),
+        matched = Seq(TxLog.MergeUpdate(None, Map("v" -> col("s.nv")))))
+    }
+    assert(e.getMessage.contains("matched multiple source rows"))
+  }
+
+  test("insert-only MERGE into a table with no matches skips the join scan") {
+    val t = seed()
+    Seq((8L, "h", 80.0)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("mrg_ins")
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t USING mrg_ins AS s ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val last = TxLog.commits(t).last
+    assert(last.remove.isEmpty, "no file held a match — none may be removed")
+    assert(TxLog.read(spark, t).count() === 5)
+  }
+
+  test("OPTIMIZE compacts small files; WHERE scopes to a partition") {
+    val t = tmpDir("sqlopt") + "/t"
+    TxLog.append(Seq((1L, 2019)).toDF("k", "y"), t)
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    (2L to 5L).foreach(k =>
+      TxLog.append(Seq((k, 2020)).toDF("k", "y"), t))
+    val before = TxLog.activeFiles(t).count(_.contains("y=2020"))
+    assert(before === 4)
+    spark.sql(s"OPTIMIZE txlog.`$t` WHERE y = 2020")
+    val after = TxLog.activeFiles(t).count(_.contains("y=2020"))
+    assert(after === 1, "partition-scoped OPTIMIZE packs the partition")
+    assert(TxLog.read(spark, t).count() === 5)
+  }
+
+  test("OPTIMIZE ZORDER BY re-clusters and contents survive byte-equal") {
+    val t = tmpDir("sqlzorder") + "/t"
+    val df = spark.range(0, 4000).select(
+      (col("id") % 63).as("x"), (col("id") / 63).as("yv"),
+      col("id").as("payload")).repartition(8)
+    TxLog.append(df, t)
+    TxLog.setProperties(t, Map("graft.stats.columns" -> "x,yv"))
+    assert(TxLog.activeFiles(t).size === 8)
+    spark.sql(s"OPTIMIZE txlog.`$t` ZORDER BY (x, yv)")
+    assert(TxLog.commits(t).last.op === "optimize")
+    val got = TxLog.read(spark, t)
+    assert(got.count() === 4000)
+    assert(got.agg(sum("payload")).head.getLong(0)
+      === (0L until 4000L).sum)
+    // clustered rewrite recorded stats for both dimensions — every output
+    // file's x-range must now be narrower than the full domain
+    val st = TxLog.commits(t).last.stats
+    assert(st.nonEmpty && st.values.forall(_.contains("x")))
+  }
+
+  test("VACUUM RETAIN … VERSIONS DRY RUN reports without deleting") {
+    val t = seed()
+    spark.sql(s"DELETE FROM txlog.`$t` WHERE k = 1") // v2 rewrites file
+    val dry = spark.sql(s"VACUUM txlog.`$t` RETAIN 1 VERSIONS DRY RUN")
+      .collect().head.getLong(0)
+    assert(dry >= 1, "the v1 file is no longer referenced at the horizon")
+    // dry run removed nothing: time travel to v1 still reads
+    assert(TxLog.read(spark, t, asOf = Some(1L)).count() === 4)
+    val real = spark.sql(s"VACUUM txlog.`$t` RETAIN 1 VERSIONS")
+      .collect().head.getLong(0)
+    assert(real === dry)
+  }
+
+  test("non-txlog statements pass through to the stock parser") {
+    assert(spark.sql("SELECT 1 + 1 AS two").head.getInt(0) === 2)
+    // a DELETE on a non-txlog target is NOT intercepted (stock error)
+    intercept[Exception] {
+      spark.sql("DELETE FROM some_missing_table WHERE x = 1").collect()
+    }
+  }
+}
