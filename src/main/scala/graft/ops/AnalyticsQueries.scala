@@ -1079,6 +1079,31 @@ object AnalyticsQueries {
                |UNION ALL
                |SELECT CAST(2 AS BIGINT) AS stamp, c_custkey, c_name FROM $v2
                |""".stripMargin)
+    },
+
+    // CONVERT TO TXLOG (Delta's CONVERT TO DELTA): an existing plain
+    // parquet directory becomes a txlog table IN PLACE with zero bytes
+    // copied (hard-linked into canonical staging), then immediately has
+    // the full ACID surface — the SQL DELETE here lands a copy-on-write
+    // commit on the CONVERTED table while the original files keep
+    // serving legacy readers all 100% of rows. The oracle recomputes
+    // the post-delete snapshot from the staged (original) input.
+    QueryDef("src_txlog_sql_convert",
+      "CONVERT TO TXLOG: zero-copy in-place conversion of a parquet dir, then SQL DELETE on the converted table; snapshot oracled",
+      s"""SELECT c_custkey, c_name, c_acctbal
+         |FROM read_parquet('${QueryDef.StageSql}/txconv_in/*.parquet')
+         |WHERE c_custkey % 9 <> 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txconv_in")
+      val table = Files.createTempDirectory("graft_txconv").toString
+      // the pre-existing plain-parquet directory a team already has
+      s.read.parquet(s"$stage/txconv_in").repartition(4)
+        .write.mode("overwrite").parquet(table)
+      s.sql(s"CONVERT TO TXLOG parquet.`$table`")                     // v1
+      s.sql(s"DELETE FROM txlog.`$table` WHERE c_custkey % 9 = 0")    // v2
+      TxLog.read(s, table)
     }
   )
 }

@@ -160,7 +160,7 @@ object TxLog {
   private val KnownOps = Set("append", "overwrite", "overwritePartitions",
     "merge", "delete",
     "update", "optimize", "optimizeDvs", "addConstraint", "dvDelete",
-    "restore", "clone", "setProperty")
+    "restore", "clone", "setProperty", "convert")
 
   /** File entries are table-relative (`d-<uuid>/part-….parquet`) except
     * shallow-CLONE entries, which reference the SOURCE table absolutely.
@@ -2783,6 +2783,67 @@ object TxLog {
   /** DESCRIBE HISTORY analog: one row per commit — version, operation,
     * batch id (−1 for batch writes), files added/removed. The audit
     * surface Delta users query before a time-travel read. */
+  /** CONVERT TO TXLOG (Delta's `CONVERT TO DELTA parquet.`/dir``): turn
+    * an existing plain-parquet directory into a txlog table IN PLACE and
+    * with ZERO data copied — every parquet file is HARD-LINKED into a
+    * canonical `d-conv<uuid>/` staging dir (same inode, metadata-only
+    * cost at any table size; Hive `col=value` subpaths are preserved so
+    * partition values parse exactly like written partitions), then one
+    * commit publishes the links. The original files stay where they
+    * were — existing non-txlog readers keep working — but the TABLE's
+    * files are the links: vacuum/OPTIMIZE/DML operate on them with
+    * normal semantics. `partitionCols` declares the layout first (the
+    * property commit precedes the data commit, as a partitioned write
+    * requires); stats/bloom follow the declared table config.
+    * Refuses a directory that already has a txlog. */
+  def convertParquet(spark: SparkSession, dir: String,
+      partitionCols: Seq[String] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    require(latestVersion(dir).isEmpty,
+      s"convertParquet: $dir already has a txlog")
+    val root = Paths.get(dir)
+    require(Files.isDirectory(root), s"convertParquet: $dir is not a dir")
+    val parquets = walkDir(root).filter { p =>
+      val rel = root.relativize(p).toString
+      rel.endsWith(".parquet") && !rel.startsWith("_") &&
+        !rel.startsWith("d-") && !rel.startsWith("dv-") &&
+        !rel.startsWith("bl-")
+    }
+    require(parquets.nonEmpty, s"convertParquet: no parquet files in $dir")
+    // schema (with partition columns inferred from any col=value dirs)
+    // from the directory AS the original readers see it
+    val schema = spark.read.parquet(dir).schema
+    if (partitionCols.nonEmpty) {
+      val missing = partitionCols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"convertParquet: PARTITIONED BY column(s) ${missing.mkString(",")} " +
+          s"not found in $dir (inferred: ${schema.fieldNames.mkString(",")})")
+      setProperties(dir, Map(
+        "graft.partition.columns" -> partitionCols.mkString(",")))
+    }
+    val sub = s"d-conv${UUID.randomUUID().toString.take(8)}"
+    val entries = parquets.map { p =>
+      val rel = root.relativize(p)
+      val target = root.resolve(sub).resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.createLink(target, p)
+      s"$sub/$rel"
+    }.sorted
+    val stCols = (statsCols ++ declaredCols(dir, "graft.stats.columns"))
+      .distinct.filter(schema.fieldNames.contains)
+    val (nst, sst) = fileStats(spark, dir, entries, stCols)
+    var attempts = 0
+    while (attempts < 10) {
+      val v = latestVersion(dir).getOrElse(0L) + 1
+      if (tryCommit(dir, Commit(v, entries, Seq.empty, "convert", -1L,
+        stats = nst, sstats = sst, schemaDdl = Some(schema.toDDL))))
+        return v
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog convertParquet on $dir lost 10 straight races — giving up")
+  }
+
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     commits(table)

@@ -218,6 +218,91 @@ object PartitionPredicate {
   }
 }
 
+/** `DESCRIBE HISTORY <t>` → [[TxLog.history]]: one row per commit
+  * (version, op, batch id, add/remove/DV counts, bytes, timestamp). */
+final case class DescribeHistoryTxLogCommand(target: SqlTarget)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("batch_id", LongType, nullable = false)(),
+    AttributeReference("n_added", LongType, nullable = false)(),
+    AttributeReference("n_removed", LongType, nullable = false)(),
+    AttributeReference("n_added_dvs", LongType, nullable = false)(),
+    AttributeReference("added_bytes", LongType, nullable = false)(),
+    AttributeReference("ts", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxLog.history(spark, target.resolve(spark)).collect().toSeq
+}
+
+/** `SHOW PARTITIONS txlog.`p`` → [[TxLog.partitions]]: the snapshot's
+  * distinct partition tuples with file counts and bytes — metadata-plane
+  * only, like the Delta/Hive verb. */
+final case class ShowPartitionsTxLogCommand(target: SqlTarget)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxLog.partitions(target.resolve(spark)).map { case (tuple, n, bytes) =>
+      val s = tuple.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"$k=${v.getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+      }.mkString("/")
+      Row(if (s.isEmpty) "<unpartitioned>" else s, n.toLong, bytes)
+    }
+}
+
+/** `RESTORE [TABLE] <t> TO VERSION AS OF n` /
+  * `TO TIMESTAMP AS OF <millis|'yyyy-MM-dd HH:mm:ss'>` →
+  * [[TxLog.restore]] (one forward commit re-points the snapshot). */
+final case class RestoreTxLogCommand(target: SqlTarget,
+    version: Option[Long], timestamp: Option[String])
+  extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val toV = version.getOrElse {
+      val ts = timestamp.get
+      val millis =
+        if (ts.forall(c => c.isDigit || c == '-')) ts.toLong
+        else java.sql.Timestamp.valueOf(ts).getTime
+      TxLog.commits(t).filter(_.ts <= millis).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"RESTORE $target: no commit at or before timestamp $ts")).version
+    }
+    Seq(Row(TxLog.restore(spark, t, toV)))
+  }
+}
+
+/** `ALTER TABLE txlog.`p` SET TBLPROPERTIES (k=v, …)` /
+  * `UNSET TBLPROPERTIES (k, …)` / `ADD CONSTRAINT name CHECK (expr)` —
+  * the Delta table-configuration verbs over the txlog property/
+  * constraint commits. */
+final case class AlterTxLogTableCommand(target: SqlTarget,
+    set: Seq[(String, String)], unset: Seq[String],
+    constraint: Option[(String, String)]) extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val v = constraint match {
+      case Some((name, check)) => TxLog.addConstraint(spark, t, name, check)
+      case None if set.nonEmpty => TxLog.setProperties(t, set.toMap)
+      case None => TxLog.unsetProperties(t, unset)
+    }
+    Seq(Row(v))
+  }
+}
+
+/** `CONVERT TO TXLOG parquet.`/dir` [PARTITIONED BY (c, …)]` →
+  * [[TxLog.convertParquet]]: in-place, zero-copy (hard-linked)
+  * conversion of an existing parquet directory. */
+final case class ConvertToTxLogCommand(dir: String,
+    partitionCols: Seq[String]) extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.convertParquet(spark, dir, partitionCols)))
+}
+
 /** `VACUUM <t> [RETAIN n VERSIONS] [DRY RUN]` → [[TxLog.vacuum]];
   * reports the number of files removed (or that WOULD be removed under
   * DRY RUN). The table's declared `graft.vacuum.retainVersions` floor

@@ -68,7 +68,90 @@ object GraftSqlDml {
     else if (s.kws("MERGE", "INTO")) parseMerge(s)
     else if (s.kw("OPTIMIZE")) parseOptimize(s)
     else if (s.kw("VACUUM")) parseVacuum(s)
+    else if (s.kws("DESCRIBE", "HISTORY") || s.kws("DESC", "HISTORY"))
+      target(s, allowIdent = true).map { t =>
+        require(s.eof, s"unexpected trailing input in DESCRIBE HISTORY $t")
+        DescribeHistoryTxLogCommand(t)
+      }
+    else if (s.kws("SHOW", "PARTITIONS"))
+      // path form only: SHOW PARTITIONS <ident> is a stock verb
+      target(s, allowIdent = false).map { t =>
+        require(s.eof, s"unexpected trailing input in SHOW PARTITIONS $t")
+        ShowPartitionsTxLogCommand(t)
+      }
+    else if (s.kw("RESTORE")) { s.kw("TABLE"); parseRestore(s) }
+    else if (s.kws("ALTER", "TABLE")) parseAlter(s)
+    else if (s.kws("CONVERT", "TO", "TXLOG")) parseConvert(s)
     else None
+  }
+
+  private def parseRestore(s: Scan): Option[LogicalPlan] =
+    target(s, allowIdent = true).map { t =>
+      require(s.kw("TO"), s"RESTORE $t: expected TO VERSION/TIMESTAMP AS OF")
+      if (s.kws("VERSION", "AS", "OF")) {
+        val v = s.word().map(_.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"RESTORE $t: expected a version number"))
+        require(s.eof, s"unexpected trailing input in RESTORE $t")
+        RestoreTxLogCommand(t, Some(v), None)
+      } else if (s.kws("TIMESTAMP", "AS", "OF")) {
+        val ts = s.quoted().orElse(s.word()).getOrElse(
+          throw new IllegalArgumentException(
+            s"RESTORE $t: expected a timestamp (millis or 'yyyy-MM-dd HH:mm:ss')"))
+        require(s.eof, s"unexpected trailing input in RESTORE $t")
+        RestoreTxLogCommand(t, None, Some(ts))
+      } else throw new IllegalArgumentException(
+        s"RESTORE $t: expected VERSION AS OF or TIMESTAMP AS OF")
+    }
+
+  private def parseAlter(s: Scan): Option[LogicalPlan] =
+    // path form ONLY: ALTER TABLE <ident> is a stock verb for catalog
+    // tables and must keep its stock behavior
+    target(s, allowIdent = false).map { t =>
+      if (s.kws("SET", "TBLPROPERTIES")) {
+        require(s.punct('('), s"ALTER TABLE $t: expected (k=v, …)")
+        val set = Scan.splitTop(s.parenBody(), ',').map { a =>
+          val (k, v) = Scan.splitAssign(a)
+          (Scan.unquote(k), Scan.unquote(v))
+        }
+        require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+        AlterTxLogTableCommand(t, set, Nil, None)
+      } else if (s.kws("UNSET", "TBLPROPERTIES")) {
+        require(s.punct('('), s"ALTER TABLE $t: expected (k, …)")
+        val keys = Scan.splitTop(s.parenBody(), ',').map(Scan.unquote)
+        require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+        AlterTxLogTableCommand(t, Nil, keys, None)
+      } else if (s.kws("ADD", "CONSTRAINT")) {
+        val name = s.identPart().getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER TABLE $t: expected a constraint name"))
+        require(s.kw("CHECK") && s.punct('('),
+          s"ALTER TABLE $t: expected CHECK (expr)")
+        val check = s.parenBody()
+        require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+        AlterTxLogTableCommand(t, Nil, Nil, Some((name, check)))
+      } else throw new IllegalArgumentException(
+        s"ALTER TABLE $t supports SET/UNSET TBLPROPERTIES and " +
+          "ADD CONSTRAINT … CHECK (…)")
+    }
+
+  private def parseConvert(s: Scan): Option[LogicalPlan] = {
+    // CONVERT TO TXLOG parquet.`/dir` (or a bare `/dir`)
+    val p0 = s.pos
+    val dir = s.word() match {
+      case Some(w) if w.equalsIgnoreCase("parquet") && s.punct('.') =>
+        s.backquoted()
+      case _ => { s.reset(p0); s.backquoted() }
+    }
+    dir.map { d =>
+      val parts =
+        if (s.kws("PARTITIONED", "BY")) {
+          require(s.punct('('), "CONVERT TO TXLOG: expected (cols)")
+          Scan.splitTop(s.parenBody(), ',').map(Scan.unquote)
+        } else Seq.empty
+      require(s.eof, s"unexpected trailing input in CONVERT TO TXLOG `$d`")
+      ConvertToTxLogCommand(d, parts): LogicalPlan
+    }
   }
 
   /** `` txlog.`path` `` (always intercepted) or, when `allowIdent`, a
@@ -287,6 +370,19 @@ private[sql] final class Scan(val sql: String) {
 
   def identPart(): Option[String] = backquoted().orElse(word())
 
+  /** A single-quoted 'literal' (backslash escapes), unquoted. */
+  def quoted(): Option[String] = {
+    skipWs()
+    if (i < sql.length && sql.charAt(i) == '\'') {
+      val sb = new StringBuilder; i += 1
+      while (i < sql.length && sql.charAt(i) != '\'') {
+        if (sql.charAt(i) == '\\' && i + 1 < sql.length) i += 1
+        sb.append(sql.charAt(i)); i += 1
+      }
+      if (i < sql.length) { i += 1; Some(sb.toString) } else None
+    } else None
+  }
+
   /** Raw text from here until one of `stops` appears as a top-level
     * keyword (paren depth 0, outside quotes/backquotes/comments) or the
     * statement ends. Leaves the scanner AT the stop keyword; trims and
@@ -435,4 +531,12 @@ private[sql] object Scan {
     if (s.length >= 2 && s.head == '`' && s.last == '`')
       s.substring(1, s.length - 1).replace("``", "`")
     else s
+
+  /** Strip one level of backquotes OR single/double quotes (property
+    * keys/values in TBLPROPERTIES lists arrive either way). */
+  def unquote(s: String): String =
+    if (s.length >= 2 && ((s.head == '\'' && s.last == '\'') ||
+        (s.head == '"' && s.last == '"')))
+      s.substring(1, s.length - 1)
+    else unquoteIdent(s)
 }

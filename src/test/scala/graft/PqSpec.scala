@@ -93,9 +93,15 @@ class PqSpec extends SparkSpec {
     val pq = pairs(PqIndex.topK(emb, queries, "vec_id", "embedding",
       dim = 64, k = 5, corpusKey = SF))
     val recall = (exact & pq).size.toDouble / exact.size
-    // uniform-random embeddings are the worst case for coarse PQ cells
-    // (8 bytes for 64 dims); the 4k-deep exact rerank recovers most of
-    // the shortlist's error — same argument as Sq8Spec.
+    info(f"pq measured recall@5 = $recall%.2f")
+    // Measured 0.52 on this fixed seed (deterministic). Uniform-random
+    // embeddings CAP what 8-bytes-per-64-dim quantization can recall:
+    // with no cluster structure, ADC cell distances carry ~no neighbor
+    // signal beyond the subspace means, so the shortlist itself tops out
+    // near the measured value and the exact rerank can only recover what
+    // the shortlist retained (same cap measured for OPQ — rotation can't
+    // add structure that isn't there; real embedding corpora, which have
+    // it, sit far above this floor). 0.5 IS the measured-margin floor.
     assert(recall >= 0.5, s"recall@5 = $recall")
     assert(exact.size === 50)
   }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TxLog
+
+/** SQL utility verbs for the txlog tier (round 14, completing the Delta
+  * SQL surface next to SqlDmlSpec's DML): DESCRIBE HISTORY, SHOW
+  * PARTITIONS, RESTORE … AS OF, ALTER TABLE SET/UNSET TBLPROPERTIES /
+  * ADD CONSTRAINT, and zero-copy CONVERT TO TXLOG. */
+class SqlUtilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DESCRIBE HISTORY lists one row per commit with its op") {
+    val t = tmpDir("sqlhist") + "/t"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    TxLog.delete(spark, t, col("k") === 99L) // no-op: no commit
+    TxLog.update(spark, t, col("k") === 1L, Map("v" -> lit("b")))
+    val h = spark.sql(s"DESCRIBE HISTORY txlog.`$t`")
+      .select("version", "op").as[(Long, String)].collect().toSeq
+    assert(h === Seq((1L, "append"), (2L, "update")))
+  }
+
+  test("SHOW PARTITIONS reports tuples, file counts, and null partitions") {
+    val t = tmpDir("sqlparts") + "/t"
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    TxLog.append(Seq((1L, Some(2020)), (2L, Some(2021)), (3L, None))
+      .toDF("k", "y"), t)
+    val got = spark.sql(s"SHOW PARTITIONS txlog.`$t`")
+      .select("partition", "n_files").as[(String, Long)].collect().toMap
+    assert(got === Map("y=2020" -> 1L, "y=2021" -> 1L,
+      "y=__HIVE_DEFAULT_PARTITION__" -> 1L))
+  }
+
+  test("RESTORE TO VERSION AS OF re-points the snapshot via SQL") {
+    val t = tmpDir("sqlrestore") + "/t"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)           // v1
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)           // v2
+    val v = spark.sql(s"RESTORE TABLE txlog.`$t` TO VERSION AS OF 1")
+      .head.getLong(0)
+    assert(v === 3L)
+    assert(TxLog.read(spark, t).select("k").as[Long].collect().toSeq
+      === Seq(1L))
+    // the in-between version stays travelable
+    assert(TxLog.read(spark, t, asOf = Some(2L)).count() === 2)
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves the commit stamp") {
+    val t = tmpDir("sqlrestorets") + "/t"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    val ts1 = TxLog.commits(t).last.ts
+    while (System.currentTimeMillis() <= ts1) Thread.sleep(2)
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)
+    spark.sql(s"RESTORE txlog.`$t` TO TIMESTAMP AS OF $ts1")
+    assert(TxLog.read(spark, t).count() === 1)
+  }
+
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES lands property commits") {
+    val t = tmpDir("sqlalter") + "/t"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    spark.sql(s"""ALTER TABLE txlog.`$t` SET TBLPROPERTIES
+                 |(owner = 'etl', 'graft.stats.columns' = 'k')""".stripMargin)
+    assert(TxLog.properties(t) ===
+      Map("owner" -> "etl", "graft.stats.columns" -> "k"))
+    spark.sql(s"ALTER TABLE txlog.`$t` UNSET TBLPROPERTIES (owner)")
+    assert(TxLog.properties(t) === Map("graft.stats.columns" -> "k"))
+    // the declared stats column indexes the NEXT append
+    TxLog.append(Seq((5L, "e")).toDF("k", "v"), t)
+    assert(TxLog.commits(t).last.stats.values.exists(_.contains("k")))
+  }
+
+  test("ALTER TABLE ADD CONSTRAINT CHECK refuses violating writes") {
+    val t = tmpDir("sqlcheck") + "/t"
+    TxLog.append(Seq((1L, 10.0)).toDF("k", "amt"), t)
+    spark.sql(
+      s"ALTER TABLE txlog.`$t` ADD CONSTRAINT pos CHECK (amt >= 0)")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(Seq((2L, -5.0)).toDF("k", "amt"), t)
+    }
+    assert(e.getMessage.contains("pos"))
+    // SQL DML honors it too
+    intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE txlog.`$t` SET amt = -1 WHERE k = 1")
+    }
+  }
+
+  test("CONVERT TO TXLOG is zero-copy and the table gains full DML") {
+    val dir = tmpDir("sqlconvert")
+    spark.range(0, 100).select(col("id").as("k"),
+      (col("id") % 7).as("m")).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val origFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val v = spark.sql(s"CONVERT TO TXLOG parquet.`$dir`").head.getLong(0)
+    assert(v === 1L)
+    // hard links under d-conv…, originals untouched in place
+    assert(TxLog.activeFiles(dir).forall(_.startsWith("d-conv")))
+    assert(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      === origFiles)
+    assert(TxLog.read(spark, dir).count() === 100)
+    // converted table is a first-class txlog table: SQL DELETE works
+    spark.sql(s"DELETE FROM txlog.`$dir` WHERE m = 0")
+    assert(TxLog.read(spark, dir).count() === 85)
+    // and the ORIGINAL files still hold all 100 rows for legacy readers
+    assert(spark.read.parquet(origFiles.toSeq.map(f => s"$dir/$f"): _*)
+      .count() === 100)
+  }
+
+  test("CONVERT TO TXLOG PARTITIONED BY keeps Hive values pruning") {
+    val dir = tmpDir("sqlconvpart")
+    Seq((1L, 2020), (2L, 2020), (3L, 2021)).toDF("k", "y")
+      .write.partitionBy("y").mode("overwrite").parquet(dir)
+    spark.sql(s"CONVERT TO TXLOG parquet.`$dir` PARTITIONED BY (y)")
+    assert(TxLog.declaredPartitionCols(dir) === Seq("y"))
+    assert(TxLog.activeFiles(dir).forall(_.contains("y=")))
+    val got = TxLog.read(spark, dir).filter(col("y") === 2020)
+      .select("k").as[Long].collect().toSet
+    assert(got === Set(1L, 2L))
+    assert(spark.sql(s"SHOW PARTITIONS txlog.`$dir`").count() === 2)
+  }
+
+  test("stock DESCRIBE/ALTER statements still delegate") {
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("sqlutil_v")
+    assert(spark.sql("DESCRIBE sqlutil_v").count() >= 2)
+  }
+}
