@@ -2532,6 +2532,11 @@ object TxLog {
     * MATCHED actions). Clause conditions and value expressions reference
     * the two sides through the aliases passed to [[mergeInto]]
     * (`expr("t.qty + s.qty")` with aliases "t"/"s"). */
+  /** Last mergeInto candidate-set size (files the touched-file semi-join
+    * actually scanned) — spec probe for the onKeys pruning path. */
+  private[graft] val lastMergeCandidateCount =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   sealed trait MergeAction
   /** WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, … */
   final case class MergeUpdate(condition: Option[org.apache.spark.sql.Column],
@@ -2564,16 +2569,36 @@ object TxLog {
     * Concurrency, constraints, DV/bloom/stats bookkeeping: identical to
     * UPDATE/DELETE (shared [[commitRewrite]] tail; optimistic retry on
     * version races). */
+  /** `onKeys` (optional): target↔source column pairs that the ON
+    * condition equi-joins on (extracted from the conjuncts by the SQL
+    * layer; API callers may pass them directly). When present, the
+    * touched-file search runs over a STATS/BLOOM-PRUNED candidate set
+    * instead of the whole snapshot — the same key-bounds + bloom
+    * machinery the CDC [[merge]] uses, making a localized MERGE INTO
+    * scan O(touched files) instead of O(table). Sound because a target
+    * row can only match a source row whose equi-key it EQUALS, so every
+    * match's key lies within the source's per-column bounds; files with
+    * no recorded stats are always kept, and pruning only narrows the
+    * candidate scan — the semi-join still decides membership exactly. */
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
       targetAlias: String, sourceAlias: String,
       condition: org.apache.spark.sql.Column,
       matched: Seq[MergeAction] = Seq.empty,
-      notMatched: Seq[MergeInsert] = Seq.empty): Long = {
+      notMatched: Seq[MergeInsert] = Seq.empty,
+      onKeys: Seq[(String, String)] = Seq.empty): Long = {
     require(matched.forall(!_.isInstanceOf[MergeInsert]),
       "WHEN MATCHED clauses must be MergeUpdate or MergeDelete")
     require(matched.nonEmpty || notMatched.nonEmpty,
       "MERGE INTO needs at least one WHEN clause")
     val src = source.withColumn("__s_present", lit(true)).alias(sourceAlias)
+    // snapshot-independent source-side key digest (computed once): the
+    // source's per-key-column bounds and distinct hash probes, keyed by
+    // the TARGET column names they constrain
+    val keyedSrc = if (onKeys.isEmpty) None else Some(
+      source.select(onKeys.map { case (tc, sc) => col(sc).as(tc) }: _*))
+    val keyBounds = keyedSrc.flatMap(mergeKeyBounds(_, onKeys.map(_._1)))
+    val keyProbes = keyedSrc.map(mergeKeyProbes(_, onKeys.map(_._1)))
+      .getOrElse(Map.empty)
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
@@ -2581,13 +2606,29 @@ object TxLog {
       val files = activeFiles(table, base)
       val tgtSchema = schemaAsOf(table, base)
         .getOrElse(read(spark, table, base).schema)
-      // one semi-join scan finds the files holding any LIVE matched row
-      // (collect is one row per touched file — metadata-plane-sized)
-      val touchedRel = readFiles(spark, table, files, base,
-          keepRowKeys = true).alias(targetAlias)
-        .join(src, condition, "left_semi")
-        .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
-      val touched = files.filter(f =>
+      val ranged = keyBounds match {
+        case Some(b) => filesForKeyBounds(table, b, base)
+        case None => files
+      }
+      val candidates =
+        if (keyProbes.isEmpty || ranged.isEmpty) ranged
+        else {
+          val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+          try refineTouchedByBlooms(table, ranged, keyProbes,
+            keyedSrc.get, base, bi)
+          finally bi.release()
+        }
+      lastMergeCandidateCount.set(candidates.size) // spec probe
+      // one semi-join scan over the CANDIDATES finds the files holding
+      // any LIVE matched row (collect is one row per touched file —
+      // metadata-plane-sized)
+      val touchedRel =
+        if (candidates.isEmpty) Set.empty[String]
+        else readFiles(spark, table, candidates, base,
+            keepRowKeys = true).alias(targetAlias)
+          .join(src, condition, "left_semi")
+          .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
+      val touched = candidates.filter(f =>
         touchedRel.contains(f) || touchedRel.exists(r => f.endsWith(s"/$r")))
       if (touched.isEmpty && notMatched.isEmpty)
         return base.get // no matches and nothing to insert: no new version

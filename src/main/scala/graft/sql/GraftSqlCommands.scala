@@ -107,7 +107,33 @@ final case class MergeIntoTxLogCommand(target: SqlTarget,
         TxLog.MergeInsert(c.map(expr), cols.zip(vals.map(expr)).toMap)
     }
     Seq(Row(TxLog.mergeInto(spark, t, src, ta, sa, expr(on),
-      matched, notMatched)))
+      matched, notMatched, onKeys = equiKeys(spark, on, ta, sa))))
+  }
+
+  /** Target↔source equi-join pairs from the ON condition's conjuncts
+    * (`t.k = s.k AND …`) — the pruning hint that lets mergeInto search
+    * touched files through stats/bloom skipping instead of a full-table
+    * semi-join. Only alias-qualified attribute=attribute conjuncts
+    * qualify; anything else contributes nothing (sound: the hint only
+    * narrows candidates, the join still decides). */
+  private def equiKeys(spark: SparkSession, on: String,
+      ta: String, sa: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    def walk(e: Expression): Seq[(String, String)] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        (a.nameParts, b.nameParts) match {
+          case (Seq(qa, ca), Seq(qb, cb)) if qa.equalsIgnoreCase(ta) &&
+            qb.equalsIgnoreCase(sa) => Seq(ca -> cb)
+          case (Seq(qa, ca), Seq(qb, cb)) if qa.equalsIgnoreCase(sa) &&
+            qb.equalsIgnoreCase(ta) => Seq(cb -> ca)
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+    try walk(spark.sessionState.sqlParser.parseExpression(on))
+    catch { case _: Exception => Seq.empty }
   }
 }
 

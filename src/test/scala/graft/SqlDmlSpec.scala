@@ -178,6 +178,66 @@ class SqlDmlSpec extends SparkSpec {
     assert(real === dry)
   }
 
+  test("SQL MERGE prunes the touched-file search via ON equi-key stats") {
+    val t = tmpDir("sqlmrg_prune") + "/t"
+    // three key-clustered files with recorded stats: [0,99][100,199][200,299]
+    Seq(0L, 100L, 200L).foreach(lo =>
+      TxLog.append(spark.range(lo, lo + 100).toDF("k")
+        .withColumn("v", lit("old")).coalesce(1), t, statsCols = Seq("k")))
+    Seq((150L, "new")).toDF("k", "nv").createOrReplaceTempView("mrg_prune_src")
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t USING mrg_prune_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(TxLog.lastMergeCandidateCount.get() === 1,
+      "key-bounds pruning must narrow the semi-join to the one " +
+        s"intersecting file, scanned ${TxLog.lastMergeCandidateCount.get()}")
+    val rows = TxLog.read(spark, t).as[(Long, String)].collect().toMap
+    assert(rows(150L) === "new" && rows(100L) === "old" && rows.size === 300)
+  }
+
+  test("a non-equi ON disables pruning but stays correct (soundness)") {
+    val t = tmpDir("sqlmrg_or") + "/t"
+    Seq(0L, 100L).foreach(lo =>
+      TxLog.append(spark.range(lo, lo + 100).toDF("k")
+        .withColumn("v", lit("old")).coalesce(1), t, statsCols = Seq("k")))
+    Seq((150L, 5L)).toDF("ka", "kb").createOrReplaceTempView("mrg_or_src")
+    // OR of two equalities: no sound single-column bound exists — the
+    // extraction must yield NO keys (full candidate set), and both the
+    // k=150 and k=5 rows must still be found and updated
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t USING mrg_or_src AS s
+         |ON t.k = s.ka OR t.k = s.kb
+         |WHEN MATCHED THEN UPDATE SET v = 'hit'""".stripMargin)
+    assert(TxLog.lastMergeCandidateCount.get() === 2,
+      "non-equi ON must fall back to the full candidate set")
+    val rows = TxLog.read(spark, t).as[(Long, String)].collect().toMap
+    assert(rows(150L) === "hit" && rows(5L) === "hit" && rows(6L) === "old")
+  }
+
+  test("bloom index refines MERGE candidates when ranges cannot prune") {
+    val t = tmpDir("sqlmrg_bloom") + "/t"
+    TxLog.setProperties(t, Map("graft.bloom.columns" -> "k"))
+    // hash-scattered keys: every file's [min,max] spans the domain, so
+    // range bounds keep everything — only the per-file blooms can cut
+    Seq(0, 1, 2).foreach(r =>
+      TxLog.append(spark.range(0, 300).toDF("id")
+        .filter(pmod(col("id"), lit(3)) === r)
+        .select((col("id") * 37 % 1000).as("k"))
+        .withColumn("v", lit("old")).coalesce(1), t, statsCols = Seq("k")))
+    val probe = spark.range(0, 300).select((col("id") * 37 % 1000).as("k"))
+      .filter(pmod(col("id"), lit(3)) === 1).limit(1)
+      .as[Long].head()
+    Seq((probe, "new")).toDF("k", "nv")
+      .createOrReplaceTempView("mrg_bloom_src")
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t USING mrg_bloom_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(TxLog.lastMergeCandidateCount.get() <= 2,
+      s"blooms must cut the scattered-key candidates below all 3 files, " +
+        s"scanned ${TxLog.lastMergeCandidateCount.get()}")
+    assert(TxLog.read(spark, t).filter(col("v") === "new").count() === 1)
+  }
+
   test("non-txlog statements pass through to the stock parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").head.getInt(0) === 2)
     // a DELETE on a non-txlog target is NOT intercepted (stock error)
