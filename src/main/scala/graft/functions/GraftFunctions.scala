@@ -103,5 +103,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // SQL DML/maintenance verbs for the txlog tier (MERGE INTO / UPDATE /
     // DELETE / OPTIMIZE / VACUUM) — the DeltaSqlParser pattern
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    // catalog-name DELETE/UPDATE routed on the RESOLVED relation — the
+    // DeltaAnalysis pattern (txlog.`path` targets go through the parser)
+    ext.injectPostHocResolutionRule(session =>
+      graft.sql.GraftDmlResolution(session))
   }
 }

@@ -160,7 +160,7 @@ object TxLog {
   private val KnownOps = Set("append", "overwrite", "overwritePartitions",
     "merge", "delete",
     "update", "optimize", "optimizeDvs", "addConstraint", "dvDelete",
-    "restore", "clone", "setProperty", "convert")
+    "restore", "clone", "setProperty", "convert", "dropConstraint")
 
   /** File entries are table-relative (`d-<uuid>/part-….parquet`) except
     * shallow-CLONE entries, which reference the SOURCE table absolutely.
@@ -899,7 +899,31 @@ object TxLog {
     * contract. */
   def constraints(table: String, asOf: Option[Long] = None): Map[String, String] =
     commits(table).filter(c => asOf.forall(c.version <= _))
-      .flatMap(_.constraint).toMap
+      .foldLeft(Map.empty[String, String]) { (acc, c) =>
+        // a dropConstraint commit reuses the constraint field to name its
+        // victim; an old reader refuses the unknown op outright (KnownOps
+        // gate), so it can never silently keep enforcing a dropped check
+        if (c.op == "dropConstraint") acc -- c.constraint.map(_._1)
+        else acc ++ c.constraint
+      }
+
+  /** ALTER TABLE … DROP CONSTRAINT: a data-less commit that retires the
+    * named CHECK constraint from this version forward; history keeps it
+    * (a clone/travel AS OF an earlier version still carries it). */
+  def dropConstraint(table: String, name: String): Long = {
+    require(constraints(table).contains(name),
+      s"no CHECK constraint '$name' on $table " +
+        s"(active: ${constraints(table).keys.mkString(", ")})")
+    var attempts = 0
+    while (attempts < 10) {
+      val v = latestVersion(table).getOrElse(0L) + 1
+      if (tryCommit(table, Commit(v, Seq.empty, Seq.empty, "dropConstraint",
+        -1L, constraint = Some(name -> "")))) return v
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog dropConstraint on $table lost 10 straight races — giving up")
+  }
 
   /** Table properties as of `asOf` (Delta TBLPROPERTIES): folded
     * last-write-wins over every commit's property deltas; a None delta
@@ -2376,7 +2400,8 @@ object TxLog {
     * re-derives its touched set against the new snapshot and retries). */
   private def commitRewrite(spark: SparkSession, table: String,
       base: Option[Long], files: Seq[String], touched: Seq[String],
-      rewritten: DataFrame, op: String): Boolean = {
+      rewritten: DataFrame, op: String,
+      schemaDdlOverride: Option[String] = None): Boolean = {
     // DML honors the same CHECK constraints as append/overwrite/merge:
     // an UPDATE … SET that lands a violating row must be refused, not
     // committed (Delta enforces constraints on every write path). Cheap:
@@ -2401,7 +2426,8 @@ object TxLog {
         .distinct.filter(rewritten.columns.contains)
       tryCommit(table, Commit(v, add, touched, op, -1L,
         stats = nst, sstats = sst,
-        schemaDdl = schemaAsOf(table, base).map(_.toDDL),
+        schemaDdl = schemaDdlOverride
+          .orElse(schemaAsOf(table, base).map(_.toDDL)),
         dvRemove = dvRemove,
         bloomAdd = fileBlooms(spark, table, add, blCols),
         bloomRemove = bi.inert(files.diff(touched).map(fileKey).toSet)))
@@ -2585,7 +2611,8 @@ object TxLog {
       condition: org.apache.spark.sql.Column,
       matched: Seq[MergeAction] = Seq.empty,
       notMatched: Seq[MergeInsert] = Seq.empty,
-      onKeys: Seq[(String, String)] = Seq.empty): Long = {
+      onKeys: Seq[(String, String)] = Seq.empty,
+      mergeSchema: Boolean = false): Long = {
     require(matched.forall(!_.isInstanceOf[MergeInsert]),
       "WHEN MATCHED clauses must be MergeUpdate or MergeDelete")
     require(matched.nonEmpty || notMatched.nonEmpty,
@@ -2604,8 +2631,34 @@ object TxLog {
       val base = latestVersion(table)
       require(base.nonEmpty, s"mergeInto on empty txlog table $table")
       val files = activeFiles(table, base)
-      val tgtSchema = schemaAsOf(table, base)
+      val logSchema = schemaAsOf(table, base)
         .getOrElse(read(spark, table, base).schema)
+      // schema evolution (Delta's merge.schema.autoMerge / WITH SCHEMA
+      // EVOLUTION): clause-assigned columns absent from the target widen
+      // it, typed from the source; the rewrite commits the widened DDL
+      // and untouched files NULL-backfill through the log-carried schema
+      // on read. Without evolution, an unknown assigned column refuses.
+      val clauseCols = (matched.collect {
+        case MergeUpdate(_, set) => set.keys
+      }.flatten ++ notMatched.flatMap(_.values.keys)).toSet
+      val unknown = clauseCols.diff(logSchema.fieldNames.toSet)
+      val added =
+        if (unknown.isEmpty) Seq.empty
+        else if (!mergeSchema) throw new IllegalArgumentException(
+          s"MERGE INTO $table assigns column(s) ${unknown.mkString(", ")} " +
+            "not in the target — use WITH SCHEMA EVOLUTION " +
+            "(mergeSchema=true) to widen the table")
+        else unknown.toSeq.sorted.map { c =>
+          source.schema.fields.find(_.name == c)
+            .map(f => org.apache.spark.sql.types.StructField(
+              c, f.dataType, nullable = true))
+            .getOrElse(throw new IllegalArgumentException(
+              s"MERGE schema evolution: new column $c has no source " +
+                "column to take its type from"))
+        }
+      val tgtSchema = org.apache.spark.sql.types.StructType(
+        logSchema.fields ++ added)
+      val addedNames = added.map(_.name).toSet
       val ranged = keyBounds match {
         case Some(b) => filesForKeyBounds(table, b, base)
         case None => files
@@ -2694,7 +2747,12 @@ object TxLog {
       val kept = acted.filter(!col("__action")
         .isin((deleteIds + (-2)).toSeq.map(_.asInstanceOf[Any]): _*))
       val outCols = tgtSchema.fields.toSeq.map { f =>
-        val keepAsIs = col(s"$targetAlias.${f.name}")
+        // an evolution-added column has no target side to keep: rows the
+        // clauses don't reach carry NULL (the same backfill untouched
+        // files get on read)
+        val keepAsIs =
+          if (addedNames.contains(f.name)) lit(null).cast(f.dataType)
+          else col(s"$targetAlias.${f.name}")
         val branches: Seq[(Int, org.apache.spark.sql.Column)] =
           matched.zipWithIndex.collect {
             case (MergeUpdate(_, set), i) if set.contains(f.name) =>
@@ -2709,7 +2767,9 @@ object TxLog {
       }
       val rewritten = kept.select(outCols: _*)
       if (commitRewrite(spark, table, base, files, touched, rewritten,
-        "merge")) return base.get + 1
+        "merge", schemaDdlOverride =
+          if (added.nonEmpty) Some(tgtSchema.toDDL) else None))
+        return base.get + 1
       attempts += 1 // lost the race: re-derive against the new snapshot
     }
     throw new IllegalStateException(

@@ -79,7 +79,8 @@ final case class UpdateTxLogCommand(target: SqlTarget,
 final case class MergeIntoTxLogCommand(target: SqlTarget,
     targetAlias: Option[String], sourceTable: Option[String],
     sourceQuery: Option[String], sourceAlias: Option[String],
-    on: String, clauses: Seq[SqlMergeClause]) extends TxLogVersionCommand {
+    on: String, clauses: Seq[SqlMergeClause],
+    evolve: Boolean = false) extends TxLogVersionCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
     val src = sourceQuery.map(spark.sql).getOrElse(
@@ -90,8 +91,12 @@ final case class MergeIntoTxLogCommand(target: SqlTarget,
     val tgtSchema = TxLog.schemaAsOf(t)
       .getOrElse(TxLog.read(spark, t).schema)
     val srcCols = src.columns.toSet
-    def starSet: Map[String, Column] = tgtSchema.fieldNames.toSeq
-      .filter(srcCols.contains).map(c => c -> col(s"$sa.$c")).toMap
+    // star expansion: shared columns — or, under WITH SCHEMA EVOLUTION,
+    // EVERY source column (the new ones widen the table)
+    def starSet: Map[String, Column] =
+      (if (evolve) src.columns.toSeq
+       else tgtSchema.fieldNames.toSeq.filter(srcCols.contains))
+        .map(c => c -> col(s"$sa.$c")).toMap
     val matched: Seq[TxLog.MergeAction] = clauses.collect {
       case SqlMergeClause("update_star", c, _, _) =>
         TxLog.MergeUpdate(c.map(expr), starSet)
@@ -107,7 +112,8 @@ final case class MergeIntoTxLogCommand(target: SqlTarget,
         TxLog.MergeInsert(c.map(expr), cols.zip(vals.map(expr)).toMap)
     }
     Seq(Row(TxLog.mergeInto(spark, t, src, ta, sa, expr(on),
-      matched, notMatched, onKeys = equiKeys(spark, on, ta, sa))))
+      matched, notMatched, onKeys = equiKeys(spark, on, ta, sa),
+      mergeSchema = evolve)))
   }
 
   /** Target↔source equi-join pairs from the ON condition's conjuncts
@@ -308,13 +314,16 @@ final case class RestoreTxLogCommand(target: SqlTarget,
   * constraint commits. */
 final case class AlterTxLogTableCommand(target: SqlTarget,
     set: Seq[(String, String)], unset: Seq[String],
-    constraint: Option[(String, String)]) extends TxLogVersionCommand {
+    constraint: Option[(String, String)],
+    dropConstraint: Option[String] = None) extends TxLogVersionCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
-    val v = constraint match {
-      case Some((name, check)) => TxLog.addConstraint(spark, t, name, check)
-      case None if set.nonEmpty => TxLog.setProperties(t, set.toMap)
-      case None => TxLog.unsetProperties(t, unset)
+    val v = (constraint, dropConstraint) match {
+      case (Some((name, check)), _) =>
+        TxLog.addConstraint(spark, t, name, check)
+      case (None, Some(name)) => TxLog.dropConstraint(t, name)
+      case _ if set.nonEmpty => TxLog.setProperties(t, set.toMap)
+      case _ => TxLog.unsetProperties(t, unset)
     }
     Seq(Row(v))
   }

@@ -65,7 +65,9 @@ object GraftSqlDml {
     val s = new Scan(sqlText)
     if (s.kws("DELETE", "FROM")) parseDelete(s)
     else if (s.kw("UPDATE")) parseUpdate(s)
-    else if (s.kws("MERGE", "INTO")) parseMerge(s)
+    else if (s.kws("MERGE", "INTO")) parseMerge(s, evolve = false)
+    else if (s.kws("MERGE", "WITH", "SCHEMA", "EVOLUTION", "INTO"))
+      parseMerge(s, evolve = true)
     else if (s.kw("OPTIMIZE")) parseOptimize(s)
     else if (s.kw("VACUUM")) parseVacuum(s)
     else if (s.kws("DESCRIBE", "HISTORY") || s.kws("DESC", "HISTORY"))
@@ -130,9 +132,15 @@ object GraftSqlDml {
         val check = s.parenBody()
         require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
         AlterTxLogTableCommand(t, Nil, Nil, Some((name, check)))
+      } else if (s.kws("DROP", "CONSTRAINT")) {
+        val name = s.identPart().getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER TABLE $t: expected a constraint name"))
+        require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+        AlterTxLogTableCommand(t, Nil, Nil, None, Some(name))
       } else throw new IllegalArgumentException(
-        s"ALTER TABLE $t supports SET/UNSET TBLPROPERTIES and " +
-          "ADD CONSTRAINT … CHECK (…)")
+        s"ALTER TABLE $t supports SET/UNSET TBLPROPERTIES, " +
+          "ADD CONSTRAINT … CHECK (…), and DROP CONSTRAINT")
     }
 
   private def parseConvert(s: Scan): Option[LogicalPlan] = {
@@ -194,7 +202,7 @@ object GraftSqlDml {
       UpdateTxLogCommand(t, sets, where)
     }
 
-  private def parseMerge(s: Scan): Option[LogicalPlan] =
+  private def parseMerge(s: Scan, evolve: Boolean): Option[LogicalPlan] =
     target(s, allowIdent = false).map { t =>
       s.kw("AS")
       val tAlias = if (s.peekKw("USING")) None else s.identPart()
@@ -256,7 +264,7 @@ object GraftSqlDml {
       require(clauses.nonEmpty, s"MERGE INTO $t: no WHEN clauses")
       require(s.eof, s"unexpected trailing input in MERGE INTO $t")
       MergeIntoTxLogCommand(t, tAlias, srcTable, srcQuery, sAlias, on,
-        clauses)
+        clauses, evolve)
     }
 
   private def parseOptimize(s: Scan): Option[LogicalPlan] =

@@ -238,6 +238,37 @@ class SqlDmlSpec extends SparkSpec {
     assert(TxLog.read(spark, t).filter(col("v") === "new").count() === 1)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the table; old rows backfill NULL") {
+    val t = seed()
+    Seq((2L, "B2", 200.0, "eu"), (9L, "i", 90.0, "us"))
+      .toDF("k", "v", "amt", "region")
+      .createOrReplaceTempView("mrg_evo_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO txlog.`$t` AS t
+         |USING mrg_evo_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = TxLog.read(spark, t).orderBy("k")
+      .select("k", "region").as[(Long, Option[String])].collect().toSeq
+    assert(got === Seq((1L, None), (2L, Some("eu")), (3L, None),
+      (4L, None), (9L, Some("us"))))
+    // the widened schema is the log's schema now: a fresh reader plans
+    // with it and the untouched file's rows NULL-backfill
+    assert(TxLog.schemaAsOf(t).get.fieldNames.contains("region"))
+  }
+
+  test("without WITH SCHEMA EVOLUTION an unknown assigned column refuses") {
+    val t = seed()
+    Seq((2L, "eu")).toDF("k", "region")
+      .createOrReplaceTempView("mrg_noevo_src")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO txlog.`$t` AS t USING mrg_noevo_src AS s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET region = s.region""".stripMargin)
+    }
+    assert(e.getMessage.contains("WITH SCHEMA EVOLUTION"), e.getMessage)
+  }
+
   test("non-txlog statements pass through to the stock parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").head.getInt(0) === 2)
     // a DELETE on a non-txlog target is NOT intercepted (stock error)

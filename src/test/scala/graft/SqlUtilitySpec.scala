@@ -120,6 +120,60 @@ class SqlUtilitySpec extends SparkSpec {
     assert(spark.sql(s"SHOW PARTITIONS txlog.`$dir`").count() === 2)
   }
 
+  test("ALTER TABLE DROP CONSTRAINT retires the check going forward") {
+    val t = tmpDir("sqldropck") + "/t"
+    TxLog.append(Seq((1L, 10.0)).toDF("k", "amt"), t)
+    spark.sql(
+      s"ALTER TABLE txlog.`$t` ADD CONSTRAINT pos CHECK (amt >= 0)")
+    intercept[IllegalArgumentException] {
+      TxLog.append(Seq((2L, -5.0)).toDF("k", "amt"), t)
+    }
+    spark.sql(s"ALTER TABLE txlog.`$t` DROP CONSTRAINT pos")
+    TxLog.append(Seq((2L, -5.0)).toDF("k", "amt"), t) // now fine
+    assert(TxLog.read(spark, t).count() === 2)
+    // history keeps it: the constraint was ACTIVE as of its add version
+    val addV = TxLog.commits(t).find(_.op == "addConstraint").get.version
+    assert(TxLog.constraints(t, asOf = Some(addV)).contains("pos"))
+    assert(!TxLog.constraints(t).contains("pos"))
+    // dropping a constraint that does not exist refuses with the roster
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE txlog.`$t` DROP CONSTRAINT nope")
+    }
+  }
+
+  test("catalog-name DELETE/UPDATE route through the resolved relation") {
+    val t = tmpDir("sqlcatdml") + "/t"
+    TxLog.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    val id = java.util.UUID.randomUUID.toString.take(8)
+    val tbl = s"catdml_$id"
+    spark.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING)
+                 |USING graft.sources.txlog OPTIONS (path '$t')""".stripMargin)
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE k = 2")
+      spark.sql(s"UPDATE $tbl SET v = upper(v) WHERE k >= 3")
+      val got = TxLog.read(spark, t).orderBy("k")
+        .as[(Long, String)].collect().toSeq
+      assert(got === Seq((1L, "a"), (3L, "C")))
+      assert(TxLog.commits(t).map(_.op).takeRight(2)
+        === Seq("delete", "update"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("DML on a time-travel view refuses") {
+    val t = tmpDir("sqlttdml") + "/t"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)
+    val id = java.util.UUID.randomUUID.toString.take(8)
+    val view = s"ttdml_$id"
+    spark.sql(s"""CREATE TEMPORARY VIEW $view USING graft.sources.txlog
+                 |OPTIONS (path '$t', versionAsOf '1')""".stripMargin)
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $view WHERE k = 1")
+    }
+    assert(e.getMessage.contains("time-travel"), e.getMessage)
+    assert(TxLog.read(spark, t).count() === 2, "nothing deleted")
+  }
+
   test("stock DESCRIBE/ALTER statements still delegate") {
     Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("sqlutil_v")
     assert(spark.sql("DESCRIBE sqlutil_v").count() >= 2)
