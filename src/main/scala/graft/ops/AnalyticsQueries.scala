@@ -1104,6 +1104,43 @@ object AnalyticsQueries {
       s.sql(s"CONVERT TO TXLOG parquet.`$table`")                     // v1
       s.sql(s"DELETE FROM txlog.`$table` WHERE c_custkey % 9 = 0")    // v2
       TxLog.read(s, table)
+    },
+
+    // COLUMN MAPPING (Delta's columnMapping.mode=name): RENAME and DROP
+    // COLUMN as metadata-only commits over frozen PHYSICAL names — zero
+    // data files rewritten (asserted below), and the drop/re-add of
+    // c_acctbal pins the NO-RESURRECTION rule: the re-added logical name
+    // binds a FRESH physical name, so pre-drop balances read NULL (the
+    // oracle's CASE arm), while post-re-add appends and SQL UPDATEs land
+    // real values. The whole lifecycle runs through SQL.
+    QueryDef("src_txlog_column_mapping",
+      "column mapping lifecycle: enable, RENAME COLUMN, DROP + re-ADD (no resurrection), evolved append, UPDATE on the renamed shape",
+      s"""SELECT c_custkey, c_name AS cust_name,
+         |  CASE WHEN c_custkey % 10 = 0 THEN -1.0
+         |       WHEN c_custkey % 3 <> 0 THEN NULL
+         |       ELSE c_acctbal END AS c_acctbal
+         |FROM read_parquet('${QueryDef.StageSql}/txcolmap_in/*.parquet')""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txcolmap_in")
+      val table = Files.createTempDirectory("graft_txcolmap").toString + "/t"
+      val in = s.read.parquet(s"$stage/txcolmap_in")
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+        .repartition(4), table)                                       // v1
+      val filesBefore = TxLog.activeFiles(table)
+      s.sql(s"ALTER TABLE txlog.`$table` SET TBLPROPERTIES " +
+        "('graft.columnMapping.mode'='name')")                        // v2
+      s.sql(s"ALTER TABLE txlog.`$table` RENAME COLUMN c_name TO cust_name") // v3
+      s.sql(s"ALTER TABLE txlog.`$table` DROP COLUMN c_acctbal")      // v4
+      s.sql(s"ALTER TABLE txlog.`$table` ADD COLUMN c_acctbal DOUBLE") // v5
+      require(TxLog.activeFiles(table) == filesBefore,
+        "column-mapping DDL must not rewrite any data file")
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .withColumnRenamed("c_name", "cust_name"), table)             // v6
+      s.sql(s"""UPDATE txlog.`$table` SET c_acctbal = -1.0
+               |WHERE c_custkey % 10 = 0""".stripMargin)              // v7
+      TxLog.read(s, table)
     }
   )
 }

@@ -133,7 +133,23 @@ object TxLog {
       // absent on pre-rows logs — every consumer treats absence as
       // "don't know", the safe direction.
       rows: Map[String, Long] = Map.empty,
-      nulls: Map[String, Map[String, Long]] = Map.empty)
+      nulls: Map[String, Map[String, Long]] = Map.empty,
+      // logical→PHYSICAL column mapping (Delta's columnMapping feature,
+      // name mode): present from the enableColumnMapping commit on.
+      // Physical names are FROZEN at enable time (existing columns keep
+      // their then-current name; columns added later get fresh generated
+      // names), so RENAME/DROP COLUMN are metadata-only commits — no
+      // data file rewrites, ever — and a dropped-then-re-added logical
+      // name maps to a FRESH physical name, so old data cannot
+      // resurrect. Data files and their recorded stats/blooms/partition
+      // paths always speak physical; every read translates back. Newest
+      // colMap-carrying commit wins the fold ([[mappingAsOf]]); an
+      // EMPTY mapping is the explicit "unmapped" sentinel (RESTORE to a
+      // pre-enable version stamps it so the fold cannot resurrect a
+      // retired mapping). Demands a v5 reader: an older reader would
+      // plan physical files under logical names and NULL every renamed
+      // column.
+      colMap: Option[Seq[(String, String)]] = None)
 
   /** Highest protocol version this reader understands. A reader meeting a
     * HIGHER version fails loudly instead of silently misinterpreting
@@ -151,8 +167,11 @@ object TxLog {
     * Hive-style `col=value` segments — the Delta `partitionValues`
     * analog, recorded in the path rather than a JSON field) say 4: a
     * v3-era reader would read the partition-stripped data files under
-    * the full logged schema and silently NULL every partition column. */
-  val ProtocolVersion = 4
+    * the full logged schema and silently NULL every partition column.
+    * COLUMN-MAPPING commits (a `colMap` field) say 5: a v4-era reader
+    * would plan the physically-named data files under the logical
+    * schema and silently NULL every renamed column. */
+  val ProtocolVersion = 5
 
   /** Every op this reader knows how to fold. An op outside this set means
     * the log was written by a newer writer — [[commits]] refuses to read
@@ -160,7 +179,8 @@ object TxLog {
   private val KnownOps = Set("append", "overwrite", "overwritePartitions",
     "merge", "delete",
     "update", "optimize", "optimizeDvs", "addConstraint", "dvDelete",
-    "restore", "clone", "setProperty", "convert", "dropConstraint")
+    "restore", "clone", "setProperty", "convert", "dropConstraint",
+    "columnMapping", "renameColumn", "dropColumn", "addColumn")
 
   /** File entries are table-relative (`d-<uuid>/part-….parquet`) except
     * shallow-CLONE entries, which reference the SOURCE table absolutely.
@@ -344,6 +364,13 @@ object TxLog {
             }.toMap
           }.toMap
         }.getOrElse(Map.empty[String, Map[String, Long]])
+        // field order IS the logical column order's tiebreak-free record
+        // (Jackson preserves insertion order); an empty object is the
+        // explicit "mapping retired" sentinel, distinct from absent
+        val colMap = Option(node.get("colMap")).map { m =>
+          m.properties().asScala.map(e => e.getKey -> e.getValue.asText())
+            .toSeq
+        }
         Commit(node.get("version").asLong(), arr("add"), arr("remove"),
           opName, node.get("batchId").asLong(), stats,
           Option(node.get("schemaDdl")).map(_.asText()),
@@ -353,7 +380,8 @@ object TxLog {
           optArr("dvAdd"), optArr("dvRemove"), sizes, sstats,
           Option(node.get("streamId")).map(_.asText()),
           optArr("bloomAdd"), optArr("bloomRemove"),
-          minReader = proto, properties = props, rows = rows, nulls = nulls)
+          minReader = proto, properties = props, rows = rows, nulls = nulls,
+          colMap = colMap)
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -563,11 +591,30 @@ object TxLog {
       files: Seq[String], asOf: Option[Long],
       keepRowKeys: Boolean = false): DataFrame = {
     val schema = schemaAsOf(table, asOf)
+    val mapping = mappingAsOf(table, asOf)
+    // Column mapping: files speak PHYSICAL names (frozen at enable time,
+    // so every era of file — pre-enable, post-rename — carries the same
+    // physical name for a given column). The scan plans under the
+    // physical schema and renames back to logical immediately after —
+    // one projection, collapsed by Catalyst into the scan's output.
+    val physSchema = (schema, mapping) match {
+      case (Some(s), Some(m)) => Some(org.apache.spark.sql.types.StructType(
+        s.map(f => f.copy(name = m.getOrElse(f.name, f.name)))))
+      case _ => schema
+    }
+    def toLogical(df: DataFrame, extra: Seq[String]): DataFrame =
+      (schema, mapping) match {
+        case (Some(s), Some(m)) => df.select(
+          s.fields.toSeq.map(f =>
+            col(m.getOrElse(f.name, f.name)).as(f.name)) ++
+            extra.map(col): _*)
+        case _ => df
+      }
     val dvs = activeDvs(table, asOf)
     val partsByFile = files.map(f => f -> partValuesOf(f)).toMap
     val keyed: DataFrame = if (partsByFile.valuesIterator.forall(_.isEmpty)) {
       val paths = files.map(resolve(table, _))
-      val base = schema match {
+      val base = physSchema match {
         case Some(s) => spark.read.schema(s).parquet(paths: _*)
         case None => spark.read.parquet(paths: _*)
       }
@@ -575,11 +622,16 @@ object TxLog {
       // keys must be materialized HERE — a caller cannot re-derive them
       // after the anti-join projection. DV-free reads skip the key columns
       // entirely: the common path stays a bare scan.
-      if (dvs.isEmpty && !keepRowKeys) return base
-      base
+      if (dvs.isEmpty && !keepRowKeys) return toLogical(base, Seq.empty)
+      toLogical(base
         .withColumn("__dv_f", relFileKey)
-        .withColumn("__dv_ri", col("_metadata.row_index"))
+        .withColumn("__dv_ri", col("_metadata.row_index")),
+        Seq("__dv_f", "__dv_ri"))
     } else {
+      require(mapping.isEmpty,
+        s"txlog table $table mixes column mapping with partitioned " +
+          "files — unsupported (enableColumnMapping refuses partitioned " +
+          "tables; this log was hand-mixed)")
       // Partitioned (or mixed-era) snapshot: data files are partition-
       // stripped, so each scan group reads with the schema MINUS its
       // partition columns and reconstructs them from the commit-recorded
@@ -696,8 +748,14 @@ object TxLog {
     // partition-stripped files under the full logged schema and silently
     // NULL every partition column
     val needsV4 = commit.add.exists(partValuesOf(_).nonEmpty)
+    // a column-mapping commit demands a v5 reader: an older reader would
+    // plan the physically-named files under logical names and silently
+    // NULL every renamed column (the retired-mapping EMPTY sentinel is
+    // v5 too — an older reader can't know the fold rules around it)
+    val needsV5 = commit.colMap.isDefined
     node.put("protocolVersion",
-      math.max(if (needsV4) 4 else if (needsV2) 2 else 1, commit.minReader))
+      math.max(if (needsV5) 5 else if (needsV4) 4
+      else if (needsV2) 2 else 1, commit.minReader))
     node.put("version", commit.version)
     node.put("op", commit.op)
     node.put("batchId", commit.batchId)
@@ -766,6 +824,10 @@ object TxLog {
     if (commit.bloomRemove.nonEmpty) {
       val a = node.putArray("bloomRemove"); commit.bloomRemove.foreach(a.add)
     }
+    commit.colMap.foreach { m =>
+      val cm = node.putObject("colMap")
+      m.foreach { case (logical, physical) => cm.put(logical, physical) }
+    }
     if (commit.properties.nonEmpty) {
       val pNode = node.putObject("properties")
       commit.properties.foreach {
@@ -804,19 +866,32 @@ object TxLog {
     * [[partValuesOf]]); partition columns are stripped from the data
     * files and reconstructed at read time, so the layout is what a
     * Hive/Delta-aware engine expects on disk. */
-  def writeData(df: DataFrame, table: String): Seq[String] = {
+  def writeData(df: DataFrame, table: String,
+      mapping: Option[Map[String, String]] = null): Seq[String] = {
+    // Column mapping: stage under PHYSICAL names — the one choke point
+    // every write path (append, overwrite, merge/DML rewrites, OPTIMIZE,
+    // streaming sink) already funnels through. `mapping` defaults to the
+    // table's committed mapping; schema-evolving writes pass their
+    // extended not-yet-committed mapping explicitly. Unmapped `_`-helper
+    // columns pass through by name.
+    val m = Option(mapping).getOrElse(mappingAsOf(table))
+    val staged = m match {
+      case Some(mm) => df.select(df.columns.toSeq.map(c =>
+        col(c).as(mm.getOrElse(c, c))): _*)
+      case None => df
+    }
     val sub = s"d-${UUID.randomUUID().toString.take(8)}"
     val partCols = declaredCols(table, "graft.partition.columns")
-      .filter(df.columns.contains)
+      .filter(staged.columns.contains)
     if (partCols.isEmpty) {
-      df.write.parquet(s"$table/$sub")
+      staged.write.parquet(s"$table/$sub")
       listDir(Paths.get(table, sub))
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .sorted
         .map(n => s"$sub/$n")
     } else {
-      df.write.partitionBy(partCols: _*).parquet(s"$table/$sub")
+      staged.write.partitionBy(partCols: _*).parquet(s"$table/$sub")
       val root = Paths.get(table, sub)
       walkDir(root)
         .filter { p =>
@@ -836,6 +911,176 @@ object TxLog {
       .filter(c => asOf.forall(c.version <= _))
       .flatMap(_.schemaDdl).lastOption
       .map(org.apache.spark.sql.types.StructType.fromDDL)
+
+  /** Logical→physical column mapping as of `asOf` — the newest
+    * colMap-carrying commit at or before it. None when the table never
+    * enabled column mapping OR the newest record is the EMPTY retired
+    * sentinel (RESTORE to a pre-enable version): both read identity. */
+  def mappingAsOf(table: String,
+      asOf: Option[Long] = None): Option[Map[String, String]] =
+    commits(table).filter(c => asOf.forall(c.version <= _))
+      .flatMap(_.colMap).lastOption
+      .filter(_.nonEmpty).map(_.toMap)
+
+  /** Logical→physical name translation under `mapping`; identity for
+    * unmapped tables AND for names outside the mapping (internal `_`
+    * helper columns, caller typos — a missed stats/partition lookup only
+    * degrades pruning, never correctness). */
+  private def physOf(mapping: Option[Map[String, String]])(
+      c: String): String = mapping.flatMap(_.get(c)).getOrElse(c)
+
+  /** Physical→logical inverse of `mapping` (physical names are unique by
+    * construction — fresh names are collision-checked at assignment). */
+  private def logicalsOf(
+      mapping: Option[Map[String, String]]): Map[String, String] =
+    mapping.getOrElse(Map.empty).map(_.swap)
+
+  /** A fresh physical column name, collision-checked against every
+    * physical name the log has EVER used — a dropped column's physical
+    * stays resident in old data files, and colliding with it would
+    * resurrect that data under the new logical column. */
+  private def freshPhysName(table: String): String = {
+    val used: Set[String] =
+      commits(table).flatMap(_.colMap).flatten.map(_._2).toSet ++
+        schemaAsOf(table).map(_.fieldNames.toSet).getOrElse(Set.empty)
+    var cand = s"col_${UUID.randomUUID().toString.take(8)}"
+    while (used.contains(cand))
+      cand = s"col_${UUID.randomUUID().toString.take(8)}"
+    cand
+  }
+
+  /** Column names an active CHECK constraint's expression references —
+    * the RENAME/DROP refusal set (Delta refuses the same way: the
+    * constraint text would silently dangle). */
+  private def constraintRefs(table: String): Map[String, Set[String]] =
+    constraints(table).map { case (name, exprText) =>
+      name -> org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(exprText).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head
+        }.toSet
+    }
+
+  /** Enable column mapping (Delta's `columnMapping.mode = name`): one
+    * metadata commit freezing every current column's PHYSICAL name to
+    * its present logical name. From here on RENAME/DROP COLUMN are
+    * metadata-only and data files keep physical names forever; the
+    * commit stamps protocol v5, so pre-mapping readers refuse loudly
+    * instead of misplanning. Refused on partitioned tables (partition
+    * paths would need physical-name translation end-to-end; declare
+    * mapping FIRST, partitions never — or keep the table unmapped). */
+  def enableColumnMapping(table: String): Long = {
+    val schema = schemaAsOf(table).getOrElse(throw
+      new IllegalArgumentException(
+        s"txlog table $table has no logged schema — column mapping " +
+          "needs a schema-carrying log (write once first)"))
+    require(mappingAsOf(table).isEmpty,
+      s"txlog table $table already has column mapping enabled")
+    require(declaredPartitionCols(table).isEmpty,
+      s"txlog table $table is partitioned — column mapping on " +
+        "partitioned tables is not supported; unpartitioned tables only")
+    val idMap = schema.fieldNames.toSeq.map(n => n -> n)
+    metadataCommitLoop(table, "columnMapping",
+      schemaDdl = Some(schema.toDDL), colMap = Some(idMap))
+  }
+
+  /** ALTER TABLE … RENAME COLUMN: metadata-only under column mapping —
+    * the logical name changes, the frozen physical name (and therefore
+    * every data file, stat, bloom and partition path) stays. Refused
+    * when a CHECK constraint references the column (its text would
+    * dangle — Delta refuses identically). */
+  def renameColumn(table: String, from: String, to: String): Long = {
+    val mapping = mappingAsOf(table).getOrElse(throw
+      new IllegalArgumentException(
+        s"txlog table $table has no column mapping — run " +
+          s"TxLog.enableColumnMapping (or ALTER TABLE … SET TBLPROPERTIES" +
+          s" ('graft.columnMapping.mode'='name')) before RENAME COLUMN"))
+    val schema = schemaAsOf(table).get
+    require(schema.fieldNames.contains(from),
+      s"txlog table $table has no column '$from' " +
+        s"(columns: ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(to),
+      s"txlog table $table already has a column '$to'")
+    val offending = constraintRefs(table).collect {
+      case (n, refs) if refs.contains(from) => n }
+    require(offending.isEmpty,
+      s"cannot rename $table.$from: CHECK constraint(s) " +
+        s"${offending.mkString(", ")} reference it — drop them first")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.map(f => if (f.name == from) f.copy(name = to) else f))
+    val newMap = schema.fieldNames.toSeq.map { n =>
+      if (n == from) to -> mapping.getOrElse(from, from)
+      else n -> mapping.getOrElse(n, n) }
+    metadataCommitLoop(table, "renameColumn",
+      schemaDdl = Some(newSchema.toDDL), colMap = Some(newMap))
+  }
+
+  /** ALTER TABLE … DROP COLUMN: metadata-only under column mapping — the
+    * column leaves the schema and the mapping; its physical data stays
+    * in the files, unselected. A later ADD COLUMN of the same logical
+    * name gets a FRESH physical name, so the dropped data can never
+    * resurrect. */
+  def dropColumn(table: String, name: String): Long = {
+    val mapping = mappingAsOf(table).getOrElse(throw
+      new IllegalArgumentException(
+        s"txlog table $table has no column mapping — run " +
+          "TxLog.enableColumnMapping before DROP COLUMN"))
+    val schema = schemaAsOf(table).get
+    require(schema.fieldNames.contains(name),
+      s"txlog table $table has no column '$name' " +
+        s"(columns: ${schema.fieldNames.mkString(", ")})")
+    require(schema.length > 1,
+      s"cannot drop the only column of txlog table $table")
+    val offending = constraintRefs(table).collect {
+      case (n, refs) if refs.contains(name) => n }
+    require(offending.isEmpty,
+      s"cannot drop $table.$name: CHECK constraint(s) " +
+        s"${offending.mkString(", ")} reference it — drop them first")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.filterNot(_.name == name))
+    val newMap = newSchema.fieldNames.toSeq
+      .map(n => n -> mapping.getOrElse(n, n))
+    metadataCommitLoop(table, "dropColumn",
+      schemaDdl = Some(newSchema.toDDL), colMap = Some(newMap))
+  }
+
+  /** ALTER TABLE … ADD COLUMN: a schema-evolution metadata commit — old
+    * files backfill NULL on read (the mergeSchema read path, no rewrite).
+    * Under column mapping the new logical name binds to a FRESH physical
+    * name, never a recycled one. Works on unmapped tables too. */
+  def addColumn(table: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    val schema = schemaAsOf(table).getOrElse(throw
+      new IllegalArgumentException(
+        s"txlog table $table has no logged schema — nothing to evolve"))
+    require(!schema.fieldNames.contains(name),
+      s"txlog table $table already has a column '$name'")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema :+ org.apache.spark.sql.types.StructField(name, dataType,
+        nullable = true))
+    val newMap = mappingAsOf(table).map { m =>
+      schema.fieldNames.toSeq.map(n => n -> m.getOrElse(n, n)) :+
+        (name -> freshPhysName(table))
+    }
+    metadataCommitLoop(table, "addColumn",
+      schemaDdl = Some(newSchema.toDDL), colMap = newMap)
+  }
+
+  /** Data-less metadata commit with optimistic retry (the
+    * [[dropConstraint]] loop, shared by the column-mapping DDL). */
+  private def metadataCommitLoop(table: String, op: String,
+      schemaDdl: Option[String] = None,
+      colMap: Option[Seq[(String, String)]] = None): Long = {
+    var attempts = 0
+    while (attempts < 10) {
+      val v = latestVersion(table).getOrElse(0L) + 1
+      if (tryCommit(table, Commit(v, Seq.empty, Seq.empty, op, -1L,
+        schemaDdl = schemaDdl, colMap = colMap))) return v
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog $op on $table lost 10 straight races — giving up")
+  }
 
   /** Snapshot read at `asOf` (latest when None). When the log carries a
     * schema, the read plans with it directly — no footer listing/merging
@@ -943,8 +1188,23 @@ object TxLog {
     *     bloom-indexes — the declared form of the sidecar-derived
     *     default, so a table can be index-configured BEFORE its first
     *     indexed write (no sidecars to derive from yet). */
-  def setProperties(table: String, props: Map[String, String]): Long =
+  def setProperties(table: String, props: Map[String, String]): Long = {
+    // the Delta property idiom for enabling column mapping routes to the
+    // real DDL (its commit carries the frozen mapping + the v5 stamp —
+    // a bare property would silently do neither)
+    props.get("graft.columnMapping.mode").foreach { mode =>
+      require(mode == "name",
+        s"graft.columnMapping.mode supports only 'name', got '$mode'")
+      val rest = props - "graft.columnMapping.mode"
+      val v = enableColumnMapping(table)
+      return if (rest.isEmpty) v else setProperties(table, rest)
+    }
+    require(!props.contains("graft.partition.columns") ||
+      mappingAsOf(table).isEmpty,
+      s"txlog table $table has column mapping enabled — declaring " +
+        "partition columns on a mapped table is not supported")
     commitProperties(table, props.map { case (k, v) => k -> Some(v) })
+  }
 
   /** ALTER TABLE UNSET TBLPROPERTIES analog. */
   def unsetProperties(table: String, keys: Seq[String]): Long =
@@ -1039,13 +1299,18 @@ object TxLog {
     * type record nothing — the file is simply never pruned on them, the
     * safe direction. */
   private def fileStats(spark: SparkSession, table: String,
-      files: Seq[String], statsCols: Seq[String]): (Map[String, Map[String, (Double, Double)]], Map[String, Map[String, (String, String)]]) = {
+      files: Seq[String], statsCols: Seq[String],
+      mapping: Option[Map[String, String]] = null): (Map[String, Map[String, (Double, Double)]], Map[String, Map[String, (String, String)]]) = {
     if (statsCols.isEmpty || files.isEmpty) return (Map.empty, Map.empty)
     val df = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    // staged files carry PHYSICAL column names; callers pass LOGICAL
+    // stats columns — translate, and record the stats keyed physical
+    // (the same namespace partition paths and footer null counts use)
+    val phys = physOf(Option(mapping).getOrElse(mappingAsOf(table))) _
     // partition columns are stripped from staged data files — their value
     // rides the path ([[partValuesOf]]), which prunes EXACTLY; min/max
     // stats for them would be both unreadable here and redundant
-    val present = statsCols.filter(df.columns.contains)
+    val present = statsCols.map(phys).filter(df.columns.contains)
     val numCols = present.filter(c => doubleCastable(df.schema(c).dataType))
     val strCols = present.filter(c =>
       df.schema(c).dataType == org.apache.spark.sql.types.StringType)
@@ -1119,11 +1384,15 @@ object TxLog {
     * over-full filter degrades to more false positives (extra reads),
     * never to false negatives (missed rows). */
   private def fileBlooms(spark: SparkSession, table: String,
-      files: Seq[String], bloomCols: Seq[String]): Seq[String] = {
+      files: Seq[String], bloomCols: Seq[String],
+      mapping: Option[Map[String, String]] = null): Seq[String] = {
     if (bloomCols.isEmpty || files.isEmpty) return Seq.empty
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(files.map(f => s"$table/$f"): _*)
-    val cols = bloomCols.filter(df.columns.contains)
+    // staged files carry PHYSICAL names — translate like [[fileStats]];
+    // sidecar `col` entries are physical for the same reason
+    val phys = physOf(Option(mapping).getOrElse(mappingAsOf(table))) _
+    val cols = bloomCols.map(phys).filter(df.columns.contains)
     if (cols.isEmpty) return Seq.empty
     // zero-row staged write: Spark still emits a schema-only part file,
     // so `files` is non-empty but the grouped count has no groups and
@@ -1186,7 +1455,10 @@ object TxLog {
     val bls = activeBlooms(table, asOf)
     if (bls.isEmpty) return candidates
     val candKeys = candidates.map(fileKey).toSet
-    val testedCols = tests.keySet
+    // probe keys arrive LOGICAL; sidecar `col` entries are PHYSICAL
+    val physT = physOf(mappingAsOf(table, asOf)) _
+    val tests2 = tests.map { case (c, hs) => physT(c) -> hs }
+    val testedCols = tests2.keySet
     import spark.implicits._
     val misses = spark.read.parquet(bls.map(resolve(table, _)): _*)
       .select("file", "col", "bloom").as[(String, String, Array[Byte])]
@@ -1195,7 +1467,7 @@ object TxLog {
           candKeys.contains(f) && testedCols.contains(c) && {
             val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
               new java.io.ByteArrayInputStream(bytes))
-            !tests(c).exists(bf.mightContainLong)
+            !tests2(c).exists(bf.mightContainLong)
           }
         }.map(_._1)
       }.collect().toSet
@@ -1253,7 +1525,10 @@ object TxLog {
         tests: Map[String, Array[Long]]): Seq[String] = df match {
       case Some(d) if candidates.nonEmpty && tests.nonEmpty =>
         val candKeys = candidates.map(fileKey).toSet
-        val testedCols = tests.keySet
+        // probe keys LOGICAL, sidecar entries PHYSICAL — translate
+        val physT = physOf(mappingAsOf(table)) _
+        val tests2 = tests.map { case (c, hs) => physT(c) -> hs }
+        val testedCols = tests2.keySet
         import spark.implicits._
         val misses = d.select("file", "col", "bloom")
           .as[(String, String, Array[Byte])]
@@ -1262,7 +1537,7 @@ object TxLog {
               candKeys.contains(f) && testedCols.contains(c) && {
                 val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
                   new java.io.ByteArrayInputStream(bytes))
-                !tests(c).exists(bf.mightContainLong)
+                !tests2(c).exists(bf.mightContainLong)
               }
             }.map(_._1)
           }.collect().toSet
@@ -1338,15 +1613,16 @@ object TxLog {
     values.foreach(validateProbe(table, colName, dt, _))
     val nstats = commits(table).flatMap(_.stats).toMap
     val lstats = commits(table).flatMap(_.sstats).toMap
+    val phys = physOf(mappingAsOf(table, asOf)) _
     val statsPass = activeFiles(table, asOf).filter { f =>
       values.exists { v =>
-        val numOk = nstats.get(f).flatMap(_.get(colName)).forall {
+        val numOk = nstats.get(f).flatMap(_.get(phys(colName))).forall {
           case (mn, mx) => v match {
             case n: Number => n.doubleValue() >= mn && n.doubleValue() <= mx
             case _ => true
           }
         }
-        val strOk = lstats.get(f).flatMap(_.get(colName)).forall {
+        val strOk = lstats.get(f).flatMap(_.get(phys(colName))).forall {
           case (mn, mx) => v match {
             case s: String => utf8Cmp(s, mn) >= 0 && utf8Cmp(s, mx) <= 0
             case _ => true
@@ -1376,7 +1652,8 @@ object TxLog {
       stats: (Map[String, Map[String, (Double, Double)]], Map[String, Map[String, (String, String)]]) = (Map.empty, Map.empty),
       schemaDdl: Option[String] = None,
       streamId: Option[String] = None,
-      bloomAdd: Seq[String] = Seq.empty): Long = {
+      bloomAdd: Seq[String] = Seq.empty,
+      colMap: Option[Seq[(String, String)]] = None): Long = {
     var attempts = 0
     while (attempts < 10) {
       val v = latestVersion(table).getOrElse(0L) + 1
@@ -1387,7 +1664,8 @@ object TxLog {
       val blRem = if (removeAll) activeBlooms(table) else Seq.empty
       if (tryCommit(table, Commit(v, add, remove, op, batchId, stats._1,
           schemaDdl, dvRemove = dvRem, sstats = stats._2,
-          streamId = streamId, bloomAdd = bloomAdd, bloomRemove = blRem)))
+          streamId = streamId, bloomAdd = bloomAdd, bloomRemove = blRem,
+          colMap = colMap)))
         return v
       attempts += 1
     }
@@ -1406,13 +1684,25 @@ object TxLog {
       bloomCols: Seq[String] = Seq.empty): Long = {
     val schema = resolveSchema(table, df, mergeSchema)
     validateConstraints(df, constraints(table))
-    val add = writeData(df, table)
+    // a mergeSchema evolution on a MAPPED table binds each new logical
+    // column to a fresh physical name, and the extended mapping rides
+    // this commit (the not-yet-committed mapping is what the staged
+    // files were written under, so it must publish with them)
+    val mapping0 = mappingAsOf(table)
+    val mapping = mapping0.map { m =>
+      m ++ schema.fieldNames.filterNot(m.contains)
+        .map(n => n -> freshPhysName(table))
+    }
+    val colMap = mapping.filter(m => !mapping0.contains(m))
+      .map(m => schema.fieldNames.toSeq.map(n => n -> m(n)))
+    val add = writeData(df, table, mapping)
     commitLoop(table, add, removeAll = false, "append", batchId,
       fileStats(df.sparkSession, table, add,
-        effectiveStatsCols(df, table, statsCols)), Some(schema.toDDL),
-      streamId,
+        effectiveStatsCols(df, table, statsCols), mapping),
+      Some(schema.toDDL), streamId,
       fileBlooms(df.sparkSession, table, add,
-        effectiveBloomCols(df, table, bloomCols)))
+        effectiveBloomCols(df, table, bloomCols), mapping),
+      colMap = colMap)
   }
 
   /** The columns this write should bloom-index: the caller's explicit
@@ -1428,7 +1718,14 @@ object TxLog {
   private def effectiveBloomCols(df: DataFrame, table: String,
       bloomCols: Seq[String]): Seq[String] = {
     val declared = declaredCols(table, "graft.bloom.columns")
-    (bloomCols ++ declared ++ activeBloomCols(df.sparkSession, table, None))
+    // declared properties and sidecar entries may be recorded in either
+    // era's namespace — normalize everything to LOGICAL for the df
+    // filter (fileBlooms maps back to physical); a name in neither
+    // namespace drops at the filter, the safe direction
+    val inv = logicalsOf(mappingAsOf(table))
+    (bloomCols ++
+      (declared ++ activeBloomCols(df.sparkSession, table, None))
+        .map(c => inv.getOrElse(c, c)))
       .distinct.filter(df.columns.contains)
   }
 
@@ -1449,9 +1746,13 @@ object TxLog {
     * SQL INSERT) records the stats, instead of each call site
     * re-passing the list or silently producing never-pruned files. */
   private def effectiveStatsCols(df: DataFrame, table: String,
-      statsCols: Seq[String]): Seq[String] =
-    (statsCols ++ declaredCols(table, "graft.stats.columns"))
+      statsCols: Seq[String]): Seq[String] = {
+    // declared names normalize to LOGICAL like [[effectiveBloomCols]]
+    val inv = logicalsOf(mappingAsOf(table))
+    (statsCols ++ declaredCols(table, "graft.stats.columns")
+      .map(c => inv.getOrElse(c, c)))
       .distinct.filter(df.columns.contains)
+  }
 
   /** Replace the table contents with `df`; returns the committed version.
     * Overwrite REPLACES the schema too (rewriting every row is the one
@@ -1464,13 +1765,26 @@ object TxLog {
       bloomCols: Seq[String] = Seq.empty): Long = {
     if (!mergeSchema) resolveSchema(table, df, mergeSchema = true) // type check only
     validateConstraints(df, constraints(table))
-    val add = writeData(df, table)
+    // overwrite REPLACES the schema, so the mapping follows suit: kept
+    // columns keep their frozen physical names, brand-new ones bind
+    // fresh, and entries for columns the new schema dropped leave the
+    // mapping (their physical data leaves the active set with the
+    // overwrite anyway)
+    val mapping0 = mappingAsOf(table)
+    val mapping = mapping0.map { m =>
+      df.schema.fieldNames.toSeq.map { n =>
+        n -> m.getOrElse(n, freshPhysName(table)) }.toMap
+    }
+    val colMap = mapping.filter(m => !mapping0.contains(m))
+      .map(m => df.schema.fieldNames.toSeq.map(n => n -> m(n)))
+    val add = writeData(df, table, mapping)
     commitLoop(table, add, removeAll = true, "overwrite", batchId,
       fileStats(df.sparkSession, table, add,
-        effectiveStatsCols(df, table, statsCols)), Some(df.schema.toDDL),
-      streamId,
+        effectiveStatsCols(df, table, statsCols), mapping),
+      Some(df.schema.toDDL), streamId,
       fileBlooms(df.sparkSession, table, add,
-        effectiveBloomCols(df, table, bloomCols)))
+        effectiveBloomCols(df, table, bloomCols), mapping),
+      colMap = colMap)
   }
 
   /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
@@ -1642,6 +1956,10 @@ object TxLog {
       case Some(s) if s.fieldNames.contains(c) => doubleCastable(s(c).dataType)
       case _ => false
     }
+    // predicates arrive LOGICAL (trusted() checks the logical schema);
+    // stats and partition paths are recorded PHYSICAL — translate at
+    // the lookup only
+    val phys = physOf(mappingAsOf(table, asOf)) _
     activeFiles(table, asOf).filter { f =>
       // Partition values prune FIRST — exact, not a range: a file whose
       // path records col=2019 cannot hold a 2020 row, whatever its stats
@@ -1650,13 +1968,13 @@ object TxLog {
       // satisfy a range predicate either.
       lazy val pvals = partValuesOf(f).toMap
       ranges.forall { case (colName, (lo, hi)) =>
-        val partVerdict = pvals.get(colName).collect {
+        val partVerdict = pvals.get(phys(colName)).collect {
           case Some(v) if trusted(colName) && v.toDoubleOption.isDefined =>
             val d = v.toDouble; d >= lo && d <= hi
           case None if trusted(colName) => false // all-null partition file
         }
         partVerdict.getOrElse(
-          statsMap.get(f).flatMap(_.get(colName)) match {
+          statsMap.get(f).flatMap(_.get(phys(colName))) match {
             case Some((mn, mx)) if trusted(colName) => mx >= lo && mn <= hi
             case _ => true
           })
@@ -1671,13 +1989,14 @@ object TxLog {
   def filesForStringRange(table: String, colName: String, lo: String,
       hi: String, asOf: Option[Long] = None): Seq[String] = {
     val statsMap = commits(table).flatMap(_.sstats).toMap
+    val phys = physOf(mappingAsOf(table, asOf)) _
     activeFiles(table, asOf).filter { f =>
       // exact partition value beats recorded bounds — see filesForRanges
-      partValuesOf(f).toMap.get(colName) match {
+      partValuesOf(f).toMap.get(phys(colName)) match {
         case Some(Some(v)) => utf8Cmp(v, lo) >= 0 && utf8Cmp(v, hi) <= 0
         case Some(None) => false // all-null partition file
         case None =>
-          statsMap.get(f).flatMap(_.get(colName)) match {
+          statsMap.get(f).flatMap(_.get(phys(colName))) match {
             case Some((mn, mx)) =>
               utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0
             case None => true
@@ -1746,13 +2065,16 @@ object TxLog {
     // get a vote here.
     lazy val nullCounts = fileNullCounts(table, asOf)
     lazy val rowCounts = fileRowCounts(table, asOf)
+    // predicate columns arrive LOGICAL; footer counts and partition
+    // paths are recorded PHYSICAL — translate at every lookup
+    val phys = physOf(mappingAsOf(table, asOf)) _
     def allNull(f: String, c: String): Boolean =
-      (nullCounts.get(f).flatMap(_.get(c)), rowCounts.get(f)) match {
+      (nullCounts.get(f).flatMap(_.get(phys(c))), rowCounts.get(f)) match {
         case (Some(n), Some(r)) => r > 0 && n == r
         case _ => false
       }
     def noNulls(f: String, c: String): Boolean =
-      nullCounts.get(f).flatMap(_.get(c)).contains(0L)
+      nullCounts.get(f).flatMap(_.get(phys(c))).contains(0L)
     // a file that is ALL null for a compared column can never satisfy a
     // range or equality predicate on it — the one pruning min/max stats
     // can't make (an all-null file records no bounds at all)
@@ -1765,9 +2087,9 @@ object TxLog {
       else keepN0.filter { f =>
         lazy val pvals = partValuesOf(f).toMap
         isNullCols.forall(c =>
-          pvals.get(c).forall(_.isEmpty) && !noNulls(f, c)) &&
+          pvals.get(phys(c)).forall(_.isEmpty) && !noNulls(f, c)) &&
           isNotNullCols.forall(c =>
-            pvals.get(c).forall(_.nonEmpty) && !allNull(f, c))
+            pvals.get(phys(c)).forall(_.nonEmpty) && !allNull(f, c))
       }
     val keepS0 = strRanges.foldLeft(keepN) { case (acc, (c, (lo, hi))) =>
       val ok = filesForStringRange(table, c, lo, hi, asOf).toSet
@@ -1782,7 +2104,7 @@ object TxLog {
       else keepS0.filter { f =>
         lazy val pvals = partValuesOf(f).toMap
         eqProbes.forall { case (c, vs) =>
-          pvals.get(c) match {
+          pvals.get(phys(c)) match {
             case Some(vOpt) => vs.exists(p => (vOpt, p) match {
               case (Some(v), s: String) => v == s
               case (Some(v), n: Number) =>
@@ -1935,6 +2257,9 @@ object TxLog {
       bounds: KeyBounds, asOf: Option[Long]): Seq[String] = {
     val nstats = commits(table).flatMap(_.stats).toMap
     val lstats = commits(table).flatMap(_.sstats).toMap
+    // bounds arrive in LOGICAL names; stats and partition paths are
+    // recorded PHYSICAL — translate at the lookup
+    val phys = physOf(mappingAsOf(table, asOf)) _
     activeFiles(table, asOf).filter { f =>
       // exact partition values beat recorded stats, same as
       // [[filesForRanges]]: a merge whose keys include the partition
@@ -1944,20 +2269,20 @@ object TxLog {
       // a null-free batch — sound.
       lazy val pvals = partValuesOf(f).toMap
       bounds.num.forall { case (c, (lo, hi)) =>
-        pvals.get(c).collect {
+        pvals.get(phys(c)).collect {
           case Some(v) if v.toDoubleOption.isDefined =>
             val d = v.toDouble; d >= lo && d <= hi
           case None => false
-        }.getOrElse(nstats.get(f).flatMap(_.get(c)) match {
+        }.getOrElse(nstats.get(f).flatMap(_.get(phys(c))) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true
         })
       } &&
       bounds.str.forall { case (c, (lo, hi)) =>
-        pvals.get(c).map {
+        pvals.get(phys(c)).map {
           case Some(v) => utf8Cmp(v, lo) >= 0 && utf8Cmp(v, hi) <= 0
           case None => false
-        }.getOrElse(lstats.get(f).flatMap(_.get(c)) match {
+        }.getOrElse(lstats.get(f).flatMap(_.get(phys(c))) match {
           case Some((mn, mx)) => utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0
           case None => true
         })
@@ -2028,7 +2353,9 @@ object TxLog {
         // the bloom index follows the rewrite: output files get filters
         // for the columns the table already indexes, and sidecars whose
         // every indexed file was rewritten retire with the commit
+        val minv = logicalsOf(mappingAsOf(table, base))
         val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+          .map(c => minv.getOrElse(c, c))
           .distinct.filter(merged.columns.contains)
         val blAdd = fileBlooms(spark, table, add, blCols)
         val blRemove =
@@ -2039,6 +2366,7 @@ object TxLog {
         // and the NEXT merge's key-bounds pruning must treat them as
         // could-hold-anything (one-merge decay of the CDC fast path)
         val stCols = declaredCols(table, "graft.stats.columns")
+          .map(c => minv.getOrElse(c, c))
           .filter(merged.columns.contains)
         val (nst, sst) = fileStats(spark, table, add, stCols)
         if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
@@ -2146,7 +2474,9 @@ object TxLog {
           if (untouched.isEmpty) activeDvs(table, base)
           else inertDvs(spark, table, activeDvs(table, base),
             untouched.map(fileKey).toSet)
+        val minv = logicalsOf(mappingAsOf(table, base))
         val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+          .map(c => minv.getOrElse(c, c))
           .distinct.filter(merged.columns.contains)
         val blAdd = fileBlooms(spark, table, add, blCols)
         val blRemove =
@@ -2157,6 +2487,7 @@ object TxLog {
         // and the NEXT merge's key-bounds pruning must treat them as
         // could-hold-anything (one-merge decay of the CDC fast path)
         val stCols = declaredCols(table, "graft.stats.columns")
+          .map(c => minv.getOrElse(c, c))
           .filter(merged.columns.contains)
         val (nst, sst) = fileStats(spark, table, add, stCols)
         if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
@@ -2401,13 +2732,21 @@ object TxLog {
   private def commitRewrite(spark: SparkSession, table: String,
       base: Option[Long], files: Seq[String], touched: Seq[String],
       rewritten: DataFrame, op: String,
-      schemaDdlOverride: Option[String] = None): Boolean = {
+      schemaDdlOverride: Option[String] = None,
+      mappingOverride: Option[Map[String, String]] = null,
+      colMapStamp: Option[Seq[(String, String)]] = None): Boolean = {
     // DML honors the same CHECK constraints as append/overwrite/merge:
     // an UPDATE … SET that lands a violating row must be refused, not
     // committed (Delta enforces constraints on every write path). Cheap:
     // only the touched files' rewrite is scanned.
     validateConstraints(rewritten, constraints(table))
-    val add = writeData(rewritten, table)
+    // schema-evolving MERGE on a mapped table passes its extended
+    // mapping; everything else stages under the committed one
+    val mapping =
+      if (mappingOverride == null) mappingAsOf(table, base)
+      else mappingOverride
+    val inv = logicalsOf(mapping)
+    val add = writeData(rewritten, table, mapping)
     val v = base.get + 1
     // the rewrite materialized any DV'd deletes for the touched files;
     // DVs that referenced ONLY touched files are now inert — retire them
@@ -2416,21 +2755,26 @@ object TxLog {
       files.diff(touched).map(fileKey).toSet)
     // same no-decay rule as merge: DECLARED stats/bloom columns
     // re-record on the rewrite, or DML strips its output files of
-    // skipping metadata and every later pruned operation must read them
+    // skipping metadata and every later pruned operation must read them.
+    // Declared/sidecar names normalize physical→logical for the
+    // rewritten-frame filter; fileStats/fileBlooms map back.
     val stCols = declaredCols(table, "graft.stats.columns")
+      .map(c => inv.getOrElse(c, c))
       .filter(rewritten.columns.contains)
-    val (nst, sst) = fileStats(spark, table, add, stCols)
+    val (nst, sst) = fileStats(spark, table, add, stCols, mapping)
     val bi = new BloomIndex(spark, table, activeBlooms(table, base))
     try {
       val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+        .map(c => inv.getOrElse(c, c))
         .distinct.filter(rewritten.columns.contains)
       tryCommit(table, Commit(v, add, touched, op, -1L,
         stats = nst, sstats = sst,
         schemaDdl = schemaDdlOverride
           .orElse(schemaAsOf(table, base).map(_.toDDL)),
         dvRemove = dvRemove,
-        bloomAdd = fileBlooms(spark, table, add, blCols),
-        bloomRemove = bi.inert(files.diff(touched).map(fileKey).toSet)))
+        bloomAdd = fileBlooms(spark, table, add, blCols, mapping),
+        bloomRemove = bi.inert(files.diff(touched).map(fileKey).toSet),
+        colMap = colMapStamp))
     } finally bi.release()
   }
 
@@ -2533,9 +2877,22 @@ object TxLog {
       val targetDvs = activeDvs(table, Some(toV))
       val curDvs = activeDvs(table, base)
       val v = base.get + 1
+      // the restored snapshot reads under ITS era's column mapping — a
+      // restore past the enable (or past renames) must stamp the target
+      // mapping, or the newest-wins fold would keep applying the current
+      // one to files the target era named differently. Restoring to a
+      // PRE-mapping version on a mapped table stamps the explicit EMPTY
+      // sentinel (absent ≠ retired in a newest-wins fold).
+      val cmStamp =
+        if (mappingAsOf(table, base) == mappingAsOf(table, Some(toV))) None
+        else Some(mappingAsOf(table, Some(toV)).map { m =>
+          schemaAsOf(table, Some(toV)).get.fieldNames.toSeq
+            .map(n => n -> m.getOrElse(n, n))
+        }.getOrElse(Seq.empty))
       if (tryCommit(table, Commit(v, target.diff(cur), cur.diff(target),
         "restore", -1L, schemaDdl = schemaAsOf(table, Some(toV)).map(_.toDDL),
-        dvAdd = targetDvs.diff(curDvs), dvRemove = curDvs.diff(targetDvs))))
+        dvAdd = targetDvs.diff(curDvs), dvRemove = curDvs.diff(targetDvs),
+        colMap = cmStamp)))
         return v
       attempts += 1
     }
@@ -2861,9 +3218,16 @@ object TxLog {
     // table properties travel with the clone (Delta clone semantics):
     // the folded as-of map rides the clone commit as set-deltas
     val props = properties(src, asOf).map { case (k, v) => k -> Some(v) }
+    // the column mapping travels with the clone: the referenced files
+    // speak the source's PHYSICAL names, so a clone of a mapped table
+    // without its mapping would misplan every renamed column
+    val srcSchema = schemaAsOf(src, asOf)
+    val srcColMap = mappingAsOf(src, asOf).flatMap { m =>
+      srcSchema.map(_.fieldNames.toSeq.map(n => n -> m.getOrElse(n, n))) }
     if (!tryCommit(dst, Commit(1L, absFiles, Seq.empty, "clone", -1L,
-      statsByAbs, schemaAsOf(src, asOf).map(_.toDDL), dvAdd = dvs,
-      sstats = sstatsByAbs, bloomAdd = blooms, properties = props)))
+      statsByAbs, srcSchema.map(_.toDDL), dvAdd = dvs,
+      sstats = sstatsByAbs, bloomAdd = blooms, properties = props,
+      colMap = srcColMap)))
       throw new IllegalStateException(
         s"clone destination $dst gained a commit mid-clone")
     // carry CHECK constraints AS-OF the cloned snapshot, metadata-only:

@@ -716,8 +716,24 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
   private def checkSchemaDrift(c: TxLog.Commit): Unit =
     for {
       ddl <- c.schemaDdl
-      committed = StructType.fromDDL(ddl)
-      if graft.streaming.SchemaEvolution.drifted(schema, committed)
+      // compare in PHYSICAL terms under column mapping: a rename changes
+      // only logical names, and since physical names are frozen across
+      // eras, a pre-rename commit's files deliver byte-identically under
+      // the current mapping — not drift. Each side translates through
+      // its own era's mapping; real evolution (new physical columns)
+      // still refuses.
+      committed0 = StructType.fromDDL(ddl)
+      committed = TxLog.mappingAsOf(path, Some(c.version)) match {
+        case Some(m) => StructType(committed0.map(f =>
+          f.copy(name = m.getOrElse(f.name, f.name))))
+        case None => committed0
+      }
+      current = TxLog.mappingAsOf(path) match {
+        case Some(m) => StructType(schema.map(f =>
+          f.copy(name = m.getOrElse(f.name, f.name))))
+        case None => schema
+      }
+      if graft.streaming.SchemaEvolution.drifted(current, committed)
     } throw new IllegalStateException(
       s"txlog stream on $path: commit version ${c.version} evolved the " +
         s"table schema (new columns: ${committed.fieldNames
@@ -807,6 +823,22 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
     def full(f: String): String = if (f.startsWith("/")) f else s"$path/$f"
     val spark = sqlContext.sparkSession
     val shim = org.apache.spark.sql.execution.streaming.GraftSourceShim
+    // Column mapping: data files speak PHYSICAL names (frozen at enable,
+    // identical across eras), the stream's analyzed schema is LOGICAL —
+    // scan physical, rename back. Current mapping is the right era for
+    // every delivered file: a rename lands as a schemaDdl change that
+    // [[checkSchemaDrift]] refuses on the next data commit anyway.
+    val mapping = TxLog.mappingAsOf(path)
+    def scanBatch(fs: Seq[String]): DataFrame = mapping match {
+      case Some(m) =>
+        val physSchema = StructType(schema.map(f =>
+          f.copy(name = m.getOrElse(f.name, f.name))))
+        shim.streamingParquetBatch(spark, physSchema, fs)
+          .select(schema.fields.toSeq.map { f =>
+            org.apache.spark.sql.functions
+              .col(m.getOrElse(f.name, f.name)).as(f.name) }: _*)
+      case None => shim.streamingParquetBatch(spark, schema, fs)
+    }
     // Partitioned files are partition-stripped on disk (the value rides
     // the path — TxLog's Hive layout): deliver them grouped by partition
     // TUPLE, each group scanned under the schema minus its partition
@@ -816,11 +848,11 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
     val (partFs, plainFs) = files.partition(f =>
       TxLog.partValuesOf(f).nonEmpty)
     if (partFs.isEmpty)
-      return shim.streamingParquetBatch(spark, schema, plainFs.map(full))
+      return scanBatch(plainFs.map(full))
     import org.apache.spark.sql.functions.{col, lit}
     val plainDf =
       if (plainFs.isEmpty) Seq.empty[DataFrame]
-      else Seq(shim.streamingParquetBatch(spark, schema, plainFs.map(full)))
+      else Seq(scanBatch(plainFs.map(full)))
     val partDfs = partFs.groupBy(TxLog.partValuesOf)
       .toSeq.sortBy(_._1.toString)
       .map { case (pvals, fs) =>

@@ -329,6 +329,39 @@ final case class AlterTxLogTableCommand(target: SqlTarget,
   }
 }
 
+/** Column-level ALTER TABLE verbs. RENAME/DROP COLUMN are metadata-only
+  * and require column mapping (enable with
+  * `ALTER TABLE t SET TBLPROPERTIES ('graft.columnMapping.mode'='name')`
+  * — [[TxLog.enableColumnMapping]]); ADD COLUMN(S) is the plain
+  * schema-evolution commit and works on any txlog table. The column
+  * type text is parsed by the LIVE session's parser at run time — one
+  * type grammar, Spark's own (the expression-carry pattern every graft
+  * DML command uses). */
+sealed trait ColumnAction
+final case class RenameColumnAction(from: String, to: String)
+    extends ColumnAction
+final case class DropColumnAction(name: String) extends ColumnAction
+final case class AddColumnsAction(cols: Seq[(String, String)])
+    extends ColumnAction
+
+final case class AlterColumnTxLogCommand(target: SqlTarget,
+    action: ColumnAction) extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val v = action match {
+      case RenameColumnAction(from, to) => TxLog.renameColumn(t, from, to)
+      case DropColumnAction(name) => TxLog.dropColumn(t, name)
+      case AddColumnsAction(cols) => cols.map { case (n, ty) =>
+        TxLog.addColumn(t, n, spark.sessionState.sqlParser.parseDataType(ty))
+      }.last
+    }
+    // cached relations pin their schema at resolution — a rename/drop
+    // must not keep serving the old shape to later queries
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Seq(Row(v))
+  }
+}
+
 /** `CONVERT TO TXLOG parquet.`/dir` [PARTITIONED BY (c, …)]` →
   * [[TxLog.convertParquet]]: in-place, zero-copy (hard-linked)
   * conversion of an existing parquet directory. */

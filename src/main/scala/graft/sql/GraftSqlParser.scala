@@ -138,9 +138,43 @@ object GraftSqlDml {
             s"ALTER TABLE $t: expected a constraint name"))
         require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
         AlterTxLogTableCommand(t, Nil, Nil, None, Some(name))
+      } else if (s.kws("RENAME", "COLUMN")) {
+        val from = s.identPart().getOrElse(throw new IllegalArgumentException(
+          s"ALTER TABLE $t: expected a column name after RENAME COLUMN"))
+        require(s.kw("TO"), s"ALTER TABLE $t: expected TO <new name>")
+        val to = s.identPart().getOrElse(throw new IllegalArgumentException(
+          s"ALTER TABLE $t: expected a new column name after TO"))
+        require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+        AlterColumnTxLogCommand(t, RenameColumnAction(from, to))
+      } else if (s.kws("DROP", "COLUMN")) {
+        val name = s.identPart().getOrElse(throw new IllegalArgumentException(
+          s"ALTER TABLE $t: expected a column name after DROP COLUMN"))
+        require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+        AlterColumnTxLogCommand(t, DropColumnAction(name))
+      } else if (s.kws("ADD", "COLUMNS")) {
+        require(s.punct('('), s"ALTER TABLE $t: expected (name type, …)")
+        val cols = Scan.splitTop(s.parenBody(), ',').map { part =>
+          val ps = new Scan(part)
+          val n = ps.identPart().getOrElse(throw new IllegalArgumentException(
+            s"ALTER TABLE $t: expected `name type` in ADD COLUMNS, got '$part'"))
+          val ty = ps.until().trim
+          require(ty.nonEmpty,
+            s"ALTER TABLE $t: column $n in ADD COLUMNS is missing a type")
+          (n, ty)
+        }
+        require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+        AlterColumnTxLogCommand(t, AddColumnsAction(cols))
+      } else if (s.kws("ADD", "COLUMN")) {
+        val name = s.identPart().getOrElse(throw new IllegalArgumentException(
+          s"ALTER TABLE $t: expected a column name after ADD COLUMN"))
+        val ty = s.until().trim
+        require(ty.nonEmpty,
+          s"ALTER TABLE $t: ADD COLUMN $name is missing a type")
+        AlterColumnTxLogCommand(t, AddColumnsAction(Seq(name -> ty)))
       } else throw new IllegalArgumentException(
         s"ALTER TABLE $t supports SET/UNSET TBLPROPERTIES, " +
-          "ADD CONSTRAINT … CHECK (…), and DROP CONSTRAINT")
+          "ADD CONSTRAINT … CHECK (…), DROP CONSTRAINT, RENAME COLUMN " +
+          "… TO …, DROP COLUMN, and ADD COLUMN(S)")
     }
 
   private def parseConvert(s: Scan): Option[LogicalPlan] = {
