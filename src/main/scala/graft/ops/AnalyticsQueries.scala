@@ -1141,6 +1141,79 @@ object AnalyticsQueries {
       s.sql(s"""UPDATE txlog.`$table` SET c_acctbal = -1.0
                |WHERE c_custkey % 10 = 0""".stripMargin)              // v7
       TxLog.read(s, table)
+    },
+
+    // SQL INSERT lifecycle (the last missing Delta DML verb): create by
+    // first INSERT, append by SELECT and by (cols) VALUES with NULL
+    // backfill, then REPLACE WHERE — Delta's targeted overwrite — swaps
+    // the 1..200 key slice for a re-derived frame in ONE atomic commit
+    // (touched files only; the oracle's CASE arm recomputes it).
+    QueryDef("src_txlog_sql_insert",
+      "SQL INSERT INTO: create-on-first-insert, SELECT/VALUES appends, column-list NULL backfill, REPLACE WHERE atomic slice swap",
+      s"""SELECT c_custkey, c_name,
+         |  CASE WHEN c_custkey BETWEEN 1 AND 200 THEN 7.0
+         |       ELSE c_acctbal END AS c_acctbal
+         |FROM read_parquet('${QueryDef.StageSql}/txins_in/*.parquet')
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), 0.5
+         |UNION ALL
+         |SELECT CAST(-2 AS BIGINT), CAST(NULL AS VARCHAR), 1.5""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txins_in")
+      val table = Files.createTempDirectory("graft_txins").toString + "/t"
+      val id = java.util.UUID.randomUUID.toString.take(8)
+      val view = s"txins_$id"
+      s.read.parquet(s"$stage/txins_in").createOrReplaceTempView(view)
+      s.sql(s"""INSERT INTO txlog.`$table`
+               |SELECT c_custkey, c_name, c_acctbal FROM $view
+               |WHERE c_custkey % 4 <> 0""".stripMargin)              // v1
+      s.sql(s"""INSERT INTO txlog.`$table`
+               |SELECT c_custkey, c_name, c_acctbal FROM $view
+               |WHERE c_custkey % 4 = 0""".stripMargin)               // v2
+      s.sql(s"INSERT INTO txlog.`$table` (c_custkey, c_acctbal) " +
+        "VALUES (-1, 0.5), (-2, 1.5)")                                // v3
+      s.sql(s"""INSERT INTO txlog.`$table` REPLACE WHERE
+               |c_custkey BETWEEN 1 AND 200
+               |SELECT c_custkey, c_name, 7.0 FROM $view
+               |WHERE c_custkey BETWEEN 1 AND 200""".stripMargin)     // v4
+      TxLog.read(s, table)
+    },
+
+    // SQL INSERT OVERWRITE PARTITION, static and dynamic: the backfill
+    // verbs over a Hive-laid-out partitioned table — a static constant
+    // partition replaces exactly its own files, a dynamic overwrite
+    // replaces exactly the tuples present in the query output, every
+    // other year byte-identical in place. Oracle recomputes per-year.
+    QueryDef("src_txlog_sql_insert_overwrite",
+      "SQL INSERT OVERWRITE PARTITION: static constant (1996) and dynamic (1997) partition backfills, other years untouched",
+      """SELECT o_orderkey, o_totalprice, o_year FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |         CAST(YEAR(o_orderdate) AS INT) AS o_year FROM orders)
+        |WHERE o_year NOT IN (1996, 1997)
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 50.0, 1996 FROM orders
+        |WHERE CAST(YEAR(o_orderdate) AS INT) = 1996
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 100.0, 1997 FROM orders
+        |WHERE CAST(YEAR(o_orderdate) AS INT) = 1997""".stripMargin) { (s, dir) =>
+      val table = Files.createTempDirectory("graft_txinsow").toString + "/t"
+      TxLog.setProperties(table, Map("graft.partition.columns" -> "o_year"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).alias("o_year"))
+      TxLog.append(ord, table)
+      val id = java.util.UUID.randomUUID.toString.take(8)
+      val view = s"txinsow_$id"
+      ord.createOrReplaceTempView(view)
+      s.sql(s"""INSERT OVERWRITE txlog.`$table` PARTITION (o_year = 1996)
+               |SELECT o_orderkey, o_totalprice + 50.0 FROM $view
+               |WHERE o_year = 1996""".stripMargin)
+      s.sql(s"""INSERT OVERWRITE txlog.`$table` PARTITION (o_year)
+               |SELECT o_orderkey, o_totalprice + 100.0, o_year FROM $view
+               |WHERE o_year = 1997""".stripMargin)
+      TxLog.read(s, table)
     }
   )
 }

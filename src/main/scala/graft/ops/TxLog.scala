@@ -180,7 +180,8 @@ object TxLog {
     "merge", "delete",
     "update", "optimize", "optimizeDvs", "addConstraint", "dvDelete",
     "restore", "clone", "setProperty", "convert", "dropConstraint",
-    "columnMapping", "renameColumn", "dropColumn", "addColumn")
+    "columnMapping", "renameColumn", "dropColumn", "addColumn",
+    "replaceWhere")
 
   /** File entries are table-relative (`d-<uuid>/part-….parquet`) except
     * shallow-CLONE entries, which reference the SOURCE table absolutely.
@@ -2779,10 +2780,65 @@ object TxLog {
   }
 
   /** DELETE WHERE: drop matching rows, rewriting only the files that
-    * contain them. */
+    * contain them. SQL three-valued semantics: only rows where the
+    * condition is TRUE are deleted — a NULL-valued condition keeps the
+    * row (bare `!condition` would null out and drop it; [[deleteVectors]]
+    * already gets this right because it selects the MATCHING rows). */
   def delete(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column): Long =
-    copyOnWrite(spark, table, condition, "delete")(_.filter(!condition))
+    copyOnWrite(spark, table, condition, "delete")(
+      _.filter(!coalesce(condition, lit(false))))
+
+  /** `INSERT INTO … REPLACE WHERE` (Delta's `replaceWhere`): atomically
+    * delete every live row matching `condition` AND insert `df`, in ONE
+    * commit — the targeted-overwrite shape (backfill a date range,
+    * re-derive a slice) that plain overwrite() can't express without
+    * rewriting the whole table. Cost follows the files that actually
+    * hold matching rows (same touched-file search as DELETE), plus the
+    * new data; untouched files stay byte-identical in place.
+    *
+    * Like Delta's `replaceWhere` constraint check, every incoming row
+    * must itself satisfy the predicate — otherwise the "replace" would
+    * silently widen into an append and a re-run would duplicate rows.
+    * `df` must already carry the table's logical schema (the SQL layer
+    * aligns names/types before calling). Concurrency, constraints, and
+    * DV/bloom/stats bookkeeping ride the shared [[commitRewrite]] tail. */
+  def replaceWhere(spark: SparkSession, table: String, df: DataFrame,
+      condition: org.apache.spark.sql.Column): Long = {
+    val offending = df.filter(!coalesce(condition, lit(false))).limit(1)
+    require(offending.isEmpty,
+      s"replaceWhere on $table: incoming rows must satisfy the REPLACE " +
+        "WHERE predicate (Delta's replaceWhere constraint) — got e.g. " +
+        offending.collect().mkString(", "))
+    if (latestVersion(table).isEmpty) return append(df, table)
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      val files = activeFiles(table, base)
+      // same touched-file search as copyOnWrite: one metadata-sized
+      // collect of the files holding any LIVE matching row
+      val touchedRel = readFiles(spark, table, files, base,
+          keepRowKeys = true)
+        .filter(condition)
+        .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
+      val touched = files.filter(f =>
+        touchedRel.contains(f) || touchedRel.exists(r => f.endsWith(s"/$r")))
+      // survivors of the touched files (NULL-cond rows survive, same
+      // three-valued rule as delete) + the incoming rows, committed as
+      // one rewrite
+      val rewritten =
+        if (touched.isEmpty) df
+        else readFiles(spark, table, touched, base)
+          .filter(!coalesce(condition, lit(false)))
+          .unionByName(df)
+      if (commitRewrite(spark, table, base, files, touched, rewritten,
+          "replaceWhere"))
+        return base.get + 1
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog replaceWhere on $table lost 10 straight races — giving up")
+  }
 
   /** DELETE WHERE via deletion vectors (protocol v2; Delta's DV feature):
     * NO data file is rewritten — one scan finds every live matching row,

@@ -72,6 +72,78 @@ final case class UpdateTxLogCommand(target: SqlTarget,
   }
 }
 
+/** `INSERT INTO/OVERWRITE txlog.`path`` → [[TxLog.append]] /
+  * [[TxLog.overwrite]] / [[TxLog.overwritePartitions]] /
+  * [[TxLog.replaceWhere]]. The query text is parsed by the live session
+  * (`spark.sql`), then aligned to the table's schema: an explicit column
+  * list maps the query's output positionally onto the NAMED columns
+  * (remaining target columns land NULL — Spark/Delta's by-name INSERT);
+  * without one the query must match the full target arity (minus static
+  * partition constants) and maps positionally. Every column is cast to
+  * the target field type, so an INSERT can never commit a file whose
+  * parquet types diverge from the table schema. A static `PARTITION
+  * (c = v)` adds the constant; a dynamic mention `PARTITION (c)` just
+  * asserts the column is declared — both route to the dynamic
+  * partition-overwrite commit (with constants, dynamic ≡ static). */
+final case class InsertIntoTxLogCommand(target: SqlTarget,
+    overwrite: Boolean, partition: Seq[(String, Option[String])],
+    cols: Seq[String], replaceWhere: Option[String], queryText: String)
+  extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    // the parser carries `(SELECT …)` verbatim; Spark's statement
+    // grammar wants the bare query
+    val q0 = queryText.trim
+    val q = if (q0.startsWith("(") && q0.endsWith(")"))
+      q0.substring(1, q0.length - 1) else q0
+    val src = spark.sql(q)
+    val tgtSchema = TxLog.schemaAsOf(t)
+    if (tgtSchema.isEmpty) { // first write creates the table
+      require(cols.isEmpty && replaceWhere.isEmpty,
+        s"INSERT into empty/nonexistent txlog table $t supports only " +
+          "the plain positional form (no column list / REPLACE WHERE — " +
+          "there is no schema to align against yet)")
+      val withStatics = partition.collect { case (c, Some(v)) => (c, v) }
+        .foldLeft(src) { case (d, (c, v)) => d.withColumn(c, expr(v)) }
+      return Seq(Row(TxLog.append(withStatics, t)))
+    }
+    val schema = tgtSchema.get
+    def field(name: String) = schema.fields
+      .find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"INSERT into $t: column $name is not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    val statics = partition.collect { case (c, Some(v)) => field(c).name -> v }
+    partition.foreach { case (c, _) => field(c) } // dynamic mentions exist
+    // positional→named alignment
+    val named: Seq[String] =
+      if (cols.nonEmpty) cols.map(c => field(c).name)
+      else schema.fieldNames.toSeq.filterNot(statics.map(_._1).contains)
+    require(src.columns.length == named.length,
+      s"INSERT into $t: query produces ${src.columns.length} columns " +
+        s"but the insert expects ${named.length} " +
+        s"(${named.mkString(", ")})")
+    val bound = src.toDF(named: _*)
+    val withStatics = statics.foldLeft(bound) { case (d, (c, v)) =>
+      d.withColumn(c, expr(v))
+    }
+    val provided = withStatics.columns.map(_.toLowerCase).toSet
+    // target order, target types; unnamed columns NULL-backfill
+    val aligned = withStatics.select(schema.fields.toSeq.map { f =>
+      (if (provided.contains(f.name.toLowerCase)) col(f.name)
+       else lit(null)).cast(f.dataType).alias(f.name)
+    }: _*)
+    val v = replaceWhere match {
+      case Some(cond) => TxLog.replaceWhere(spark, t, aligned, expr(cond))
+      case None if overwrite && partition.nonEmpty =>
+        TxLog.overwritePartitions(aligned, t)
+      case None if overwrite => TxLog.overwrite(aligned, t)
+      case None => TxLog.append(aligned, t)
+    }
+    Seq(Row(v))
+  }
+}
+
 /** `MERGE INTO txlog.`path` [AS] t USING src [AS] s ON … WHEN …` →
   * [[TxLog.mergeInto]]. `UPDATE SET *` / `INSERT *` expand by name over
   * the target columns the source also carries (Delta's star expansion);

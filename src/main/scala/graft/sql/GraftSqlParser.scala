@@ -81,6 +81,7 @@ object GraftSqlDml {
         require(s.eof, s"unexpected trailing input in SHOW PARTITIONS $t")
         ShowPartitionsTxLogCommand(t)
       }
+    else if (s.kw("INSERT")) parseInsert(s)
     else if (s.kw("RESTORE")) { s.kw("TABLE"); parseRestore(s) }
     else if (s.kws("ALTER", "TABLE")) parseAlter(s)
     else if (s.kws("CONVERT", "TO", "TXLOG")) parseConvert(s)
@@ -235,6 +236,54 @@ object GraftSqlDml {
       require(s.eof, s"unexpected trailing input in UPDATE $t")
       UpdateTxLogCommand(t, sets, where)
     }
+
+  /** `INSERT INTO txlog.`p` [(c,…)] [REPLACE WHERE cond] <query>` and
+    * `INSERT OVERWRITE [TABLE] txlog.`p` [PARTITION (c=v|c, …)] [(c,…)]
+    * <query>` — path form ONLY: stock `INSERT INTO <ident>` keeps its
+    * stock route (TxLogRelation is an InsertableRelation, so catalog
+    * tables already insert through Spark itself). The query tail
+    * (SELECT … / VALUES … / WITH …) is carried verbatim and parsed by
+    * the live session at run time — one query grammar, Spark's own. */
+  private def parseInsert(s: Scan): Option[LogicalPlan] = {
+    val overwrite =
+      if (s.kw("INTO")) false
+      else if (s.kw("OVERWRITE")) true
+      else return None
+    s.kw("TABLE")
+    target(s, allowIdent = false).map { t =>
+      val parts: Seq[(String, Option[String])] =
+        if (overwrite && s.kw("PARTITION")) {
+          require(s.punct('('),
+            s"INSERT OVERWRITE $t: expected PARTITION (c = v, …)")
+          Scan.splitTop(s.parenBody(), ',').map { p =>
+            if (p.contains('=')) {
+              val (c, v) = Scan.splitAssign(p)
+              (Scan.unquoteIdent(c), Some(v))
+            } else (Scan.unquoteIdent(p.trim), None) // dynamic mention
+          }
+        } else Seq.empty
+      // `(c1, c2, …)` is a column list; `(SELECT …)` is the query —
+      // disambiguate on the first keyword inside the parens
+      val p0 = s.pos
+      val cols: Seq[String] =
+        if (s.punct('(') &&
+            !s.peekKw("SELECT") && !s.peekKw("WITH") &&
+            !s.peekKw("VALUES") && !s.peekKw("FROM") && !s.peekKw("TABLE")) {
+          Scan.splitTop(s.parenBody(), ',').map(c =>
+            Scan.unquoteIdent(c.trim))
+        } else { s.reset(p0); Seq.empty }
+      val replace =
+        if (!overwrite && s.kws("REPLACE", "WHERE"))
+          Some(s.until("SELECT", "VALUES", "WITH", "FROM", "TABLE"))
+        else None
+      val query = s.until()
+      require(query.nonEmpty, s"INSERT into $t: expected a query " +
+        "(SELECT …, VALUES …, WITH …) after the target")
+      replace.foreach(r => require(r.nonEmpty,
+        s"INSERT INTO $t: empty REPLACE WHERE condition"))
+      InsertIntoTxLogCommand(t, overwrite, parts, cols, replace, query)
+    }
+  }
 
   private def parseMerge(s: Scan, evolve: Boolean): Option[LogicalPlan] =
     target(s, allowIdent = false).map { t =>
