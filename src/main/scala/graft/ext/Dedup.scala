@@ -436,4 +436,81 @@ object Dedup {
       .select(col("id").alias("_loser_id"))
     df.join(losers, df(idCol) === col("_loser_id"), "left_anti")
   }
+
+  // ---------------------------------------------------------------------
+  // Substring-level (duplicate-span) dedup — the EXACT-substring shape of
+  // Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  // Better" (arXiv:2107.06499): whole-document near-dup misses the long
+  // verbatim passages (licenses, boilerplate, quoted news wire) that
+  // repeat across otherwise-distinct documents. Their suffix-array build
+  // is single-machine; the distributed re-expression here is the standard
+  // rolling-window one: every k-token window hashes to 8 bytes scan-side,
+  // a window seen at >1 position corpus-wide marks its positions
+  // duplicated, and per-document overlapping windows merge into maximal
+  // spans with one lag() window function. Cost: one shuffle of
+  // (id, pos, h) on h (O(corpus tokens), partial-aggregated) + a per-doc
+  // sort — no suffix array, no driver state, holds at 100 TB.
+  // ---------------------------------------------------------------------
+
+  /** One row per k-token window: (id, pos, h) with `h` the order-sensitive
+    * rolling hash of tokens[pos..pos+k). Computed scan-side from the
+    * codegen'd [[shingleHashes]] expression — no shingle strings are ever
+    * materialized. Requires [[GraftFunctions.register]]. */
+  def windowHashes(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).alias("id"),
+        shingleHashes(col(textCol), k).alias("_hs"))
+      .select(col("id"), posexplode(col("_hs")).as(Seq("pos", "h")))
+
+  /** Per-document duplicated-span metrics from a (id, pos, h) window
+    * frame: `dup_windows` (positions whose window repeats ANYWHERE in the
+    * corpus, including within-document), `dup_spans` (maximal merged
+    * runs), `dup_tokens` (tokens covered by the union of duplicated
+    * windows — overlaps counted once: a window starting within k of its
+    * predecessor contributes only the gap). Documents with no duplicated
+    * window are absent (join LEFT and coalesce to 0 downstream).
+    *
+    * The union-of-intervals size needs no interval tree: windows all have
+    * length k, so sorted by start, each contributes min(gap, k) — one
+    * lag() over (id, pos), fully distributed. */
+  def duplicateSpans(windows: DataFrame, k: Int): DataFrame = {
+    val dup = windows.groupBy("h")
+      .agg(count(lit(1)).alias("_n")).filter(col("_n") > 1).select("h")
+    val marked = windows.join(dup, Seq("h")).select("id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val starts = marked.withColumn("_gap", col("pos") - lag("pos", 1).over(w))
+    starts.groupBy("id").agg(
+      count(lit(1)).alias("dup_windows"),
+      sum(when(col("_gap").isNull || col("_gap") >= k, 1L).otherwise(0L))
+        .alias("dup_spans"),
+      sum(when(col("_gap").isNull || col("_gap") >= k, k.toLong)
+        .otherwise(col("_gap"))).alias("dup_tokens"))
+  }
+
+  /** Remove every duplicated span's tokens from the text (the Lee et al.
+    * scrub): a token at index t is covered iff some duplicated window
+    * starts in (t-k, t]. The per-document duplicated start positions ride
+    * as ONE sorted array column (document-sized — bounded by definition),
+    * so the filter is a codegen'd HOF over the token array: no per-token
+    * join, no second shuffle beyond the span detection itself. Documents
+    * with nothing duplicated pass through verbatim. */
+  def scrubDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val windows = windowHashes(df, idCol, textCol, k)
+    val dup = windows.groupBy("h")
+      .agg(count(lit(1)).alias("_n")).filter(col("_n") > 1).select("h")
+    val dupStarts = windows.join(dup, Seq("h"))
+      .groupBy("id").agg(sort_array(collect_list("pos")).alias("_starts"))
+    df.join(dupStarts, df(idCol) === dupStarts("id"), "left")
+      .drop("id")
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn(textCol,
+        when(col("_starts").isNull, col(textCol)).otherwise(
+          array_join(
+            filter(col("_toks"), (t, i) =>
+              !exists(col("_starts"),
+                s => s > i - k && s <= i)), " ")))
+      .drop("_starts", "_toks")
+  }
 }

@@ -300,6 +300,52 @@ object ExtQueries {
         "doc_id", "text", "lang", "n_chars", lenTol = 5, threshold = 0.5)
     },
 
+    // Substring-level dedup (Lee et al. 2022, arXiv:2107.06499): the
+    // duplicated-SPAN metrics whole-document near-dup can't see — verbatim
+    // k-token windows repeated anywhere in the corpus, merged per document
+    // into maximal spans. Window hashes staged; DuckDB recomputes the
+    // corpus-wide duplicate set, the lag()-based interval union, and the
+    // per-document rollup over the identical staged rows.
+    QueryDef("ext_dedup_substring_spans",
+      "duplicate-span (exact substring) dedup metrics: corpus-wide repeated 8-token windows merged into per-doc spans (rollup oracled over staged window hashes)",
+      s"""WITH w AS (SELECT id, pos, h FROM read_parquet('$StageSql/sspan_windows/*.parquet')),
+         |docs AS (SELECT id, n_tokens FROM read_parquet('$StageSql/sspan_docs/*.parquet')),
+         |d AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1),
+         |m AS (SELECT w.id, w.pos FROM w JOIN d USING (h)),
+         |g AS (SELECT id, pos, pos - LAG(pos) OVER (PARTITION BY id ORDER BY pos) AS gap FROM m),
+         |cov AS (SELECT id,
+         |  CAST(COUNT(*) AS BIGINT) AS dup_windows,
+         |  CAST(SUM(CASE WHEN gap IS NULL OR gap >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+         |  CAST(SUM(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END) AS BIGINT) AS dup_tokens
+         |  FROM g GROUP BY id)
+         |SELECT docs.id AS doc_id, docs.n_tokens,
+         |  COALESCE(cov.dup_windows, 0) AS dup_windows,
+         |  COALESCE(cov.dup_spans, 0) AS dup_spans,
+         |  COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+         |  CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / docs.n_tokens AS dup_fraction
+         |FROM docs LEFT JOIN cov USING (id)
+         |WHERE docs.n_tokens > 0""".stripMargin) { (s, dir) =>
+      GraftFunctions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      val windows = Dedup.windowHashes(docs, "doc_id", "text", k = 8)
+      val counts = docs.select(col("doc_id").alias("id"),
+        size(Dedup.tokens(col("text"))).cast("long").alias("n_tokens"))
+      val stage = stageDir(dir)
+      windows.write.mode("overwrite").parquet(s"$stage/sspan_windows")
+      counts.write.mode("overwrite").parquet(s"$stage/sspan_docs")
+      val cov = Dedup.duplicateSpans(
+        s.read.parquet(s"$stage/sspan_windows"), k = 8)
+      s.read.parquet(s"$stage/sspan_docs")
+        .join(cov, Seq("id"), "left")
+        .filter(col("n_tokens") > 0)
+        .select(col("id").alias("doc_id"), col("n_tokens"),
+          coalesce(col("dup_windows"), lit(0L)).alias("dup_windows"),
+          coalesce(col("dup_spans"), lit(0L)).alias("dup_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).alias("dup_tokens"),
+          (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens")).alias("dup_fraction"))
+    },
+
     // Bucket assignments staged; DuckDB recomputes the bucket cap, the
     // within-bucket self-join, and the bit-stable f64 cosine verify.
     QueryDef("ext_dedup_embedding_neardup",

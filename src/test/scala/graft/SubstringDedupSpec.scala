@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+import graft.functions.GraftFunctions
+
+/** Substring-level (duplicate-span) dedup — the Lee et al. 2022 exact-
+  * substring shape: corpus-wide repeated k-token windows, merged per
+  * document into maximal spans, plus the scrub that removes them. */
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  // d1/d2 share the run "one two three four" (two overlapping 3-windows);
+  // d3 is unique; d4 repeats its own 4-token phrase internally
+  private def corpus = Seq(
+    (1L, "one two three four five"),
+    (2L, "zzz one two three four qqq"),
+    (3L, "totally unique words here"),
+    (4L, "p q r s p q r s")).toDF("doc_id", "text")
+
+  test("duplicateSpans merges overlapping windows and counts covered tokens") {
+    val cov = Dedup.duplicateSpans(
+      Dedup.windowHashes(corpus, "doc_id", "text", k = 3), k = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // d1: dup windows at pos 0,1 → one span, 4 tokens covered
+    assert(cov(1L) === ((2L, 1L, 4L)))
+    // d2: dup windows at pos 1,2 → one span, 4 tokens
+    assert(cov(2L) === ((2L, 1L, 4L)))
+    // d3: clean — absent from the frame
+    assert(!cov.contains(3L))
+    // d4: "p q r" and "q r s" each occur twice WITHIN the doc → dup
+    // positions 0,1,4,5 → two spans, all 8 tokens covered
+    assert(cov(4L) === ((4L, 2L, 8L)))
+  }
+
+  test("scrubDuplicateSpans removes exactly the covered tokens") {
+    val out = Dedup.scrubDuplicateSpans(corpus, "doc_id", "text", k = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "five")
+    assert(out(2L) === "zzz qqq")
+    assert(out(3L) === "totally unique words here") // untouched, verbatim
+    assert(out(4L) === "")                          // fully duplicated
+  }
+
+  test("span detection is an equi-join + window — no cartesian product") {
+    val cov = Dedup.duplicateSpans(
+      Dedup.windowHashes(corpus, "doc_id", "text", k = 3), k = 3)
+    val plan = cov.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
