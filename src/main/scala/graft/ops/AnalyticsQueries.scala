@@ -1214,6 +1214,43 @@ object AnalyticsQueries {
                |SELECT o_orderkey, o_totalprice + 100.0, o_year FROM $view
                |WHERE o_year = 1997""".stripMargin)
       TxLog.read(s, table)
+    },
+
+    // COPY INTO (Delta's idempotent bulk ingestion verb): batch b1 loads,
+    // the re-run is a NO-OP (version pinned by require below — the
+    // idempotence ledger skips already-loaded files by path|size|mtime
+    // identity), then batch b2 lands and only ITS files load. The oracle
+    // reads the staged source dirs directly: exactly-once ingestion means
+    // table ≡ source, despite COPY running three times.
+    QueryDef("src_txlog_sql_copy_into",
+      "SQL COPY INTO: idempotent bulk file ingestion — re-run no-op, incremental batch pickup, exactly-once contents",
+      s"""SELECT c_custkey, c_name, c_acctbal
+         |FROM read_parquet('${QueryDef.StageSql}/copyinto_src/*/*.parquet')""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val src = s"$stage/copyinto_src"
+      // clean slate: a prior run's b2 must not leak into this run's b1-only
+      // first COPY (stageDir is shared per sf); children sort after their
+      // parent lexicographically, so reverse order deletes leaves first
+      locally {
+        val p = java.nio.file.Paths.get(src)
+        if (java.nio.file.Files.exists(p))
+          TxLog.walkDir(p).sortBy(_.toString).reverse
+            .foreach(java.nio.file.Files.delete)
+      }
+      cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .write.mode("overwrite").parquet(s"$src/b1")
+      val table = Files.createTempDirectory("graft_txcopy").toString + "/t"
+      s.sql(s"COPY INTO txlog.`$table` FROM '$src'")                  // v1
+      val rerun = s.sql(s"COPY INTO txlog.`$table` FROM '$src'")
+        .collect().head
+      require(rerun.getLong(1) == 0L,
+        "COPY INTO re-run must load 0 files (idempotence ledger)")
+      cust.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .write.mode("overwrite").parquet(s"$src/b2")
+      s.sql(s"COPY INTO txlog.`$table` FROM '$src'")                  // v2
+      TxLog.read(s, table)
     }
   )
 }

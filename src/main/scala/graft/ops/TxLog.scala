@@ -149,7 +149,14 @@ object TxLog {
       // retired mapping). Demands a v5 reader: an older reader would
       // plan physical files under logical names and NULL every renamed
       // column.
-      colMap: Option[Seq[(String, String)]] = None)
+      colMap: Option[Seq[(String, String)]] = None,
+      // COPY INTO provenance: identity stamps (absolute path|size|mtime)
+      // of the SOURCE files this commit ingested — the idempotence
+      // ledger. A re-run of the same COPY INTO folds these and skips
+      // already-loaded sources; an overwritten source file (new
+      // size/mtime) re-ingests. Metadata-plane like everything else in
+      // the log: one short string per ingested file, never data.
+      copySources: Seq[String] = Seq.empty)
 
   /** Highest protocol version this reader understands. A reader meeting a
     * HIGHER version fails loudly instead of silently misinterpreting
@@ -181,7 +188,7 @@ object TxLog {
     "update", "optimize", "optimizeDvs", "addConstraint", "dvDelete",
     "restore", "clone", "setProperty", "convert", "dropConstraint",
     "columnMapping", "renameColumn", "dropColumn", "addColumn",
-    "replaceWhere")
+    "replaceWhere", "copyInto")
 
   /** File entries are table-relative (`d-<uuid>/part-….parquet`) except
     * shallow-CLONE entries, which reference the SOURCE table absolutely.
@@ -382,7 +389,7 @@ object TxLog {
           Option(node.get("streamId")).map(_.asText()),
           optArr("bloomAdd"), optArr("bloomRemove"),
           minReader = proto, properties = props, rows = rows, nulls = nulls,
-          colMap = colMap)
+          colMap = colMap, copySources = optArr("copySources"))
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -836,6 +843,9 @@ object TxLog {
         case (k, None) => pNode.putNull(k) // JSON null = unset
       }
     }
+    if (commit.copySources.nonEmpty) {
+      val a = node.putArray("copySources"); commit.copySources.foreach(a.add)
+    }
     commit.streamId.foreach(node.put("streamId", _))
     commit.schemaDdl.foreach(node.put("schemaDdl", _))
     commit.constraint.foreach { case (n, e) =>
@@ -1071,7 +1081,8 @@ object TxLog {
     * [[dropConstraint]] loop, shared by the column-mapping DDL). */
   private def metadataCommitLoop(table: String, op: String,
       schemaDdl: Option[String] = None,
-      colMap: Option[Seq[(String, String)]] = None): Long = {
+      colMap: Option[Seq[(String, String)]] = None,
+      copySources: Seq[String] = Seq.empty): Long = {
     var attempts = 0
     while (attempts < 10) {
       val v = latestVersion(table).getOrElse(0L) + 1
@@ -1654,7 +1665,8 @@ object TxLog {
       schemaDdl: Option[String] = None,
       streamId: Option[String] = None,
       bloomAdd: Seq[String] = Seq.empty,
-      colMap: Option[Seq[(String, String)]] = None): Long = {
+      colMap: Option[Seq[(String, String)]] = None,
+      copySources: Seq[String] = Seq.empty): Long = {
     var attempts = 0
     while (attempts < 10) {
       val v = latestVersion(table).getOrElse(0L) + 1
@@ -1666,7 +1678,7 @@ object TxLog {
       if (tryCommit(table, Commit(v, add, remove, op, batchId, stats._1,
           schemaDdl, dvRemove = dvRem, sstats = stats._2,
           streamId = streamId, bloomAdd = bloomAdd, bloomRemove = blRem,
-          colMap = colMap)))
+          colMap = colMap, copySources = copySources)))
         return v
       attempts += 1
     }
@@ -3363,6 +3375,79 @@ object TxLog {
     }
     throw new IllegalStateException(
       s"txlog convertParquet on $dir lost 10 straight races — giving up")
+  }
+
+  /** `COPY INTO` (Delta's idempotent bulk file ingestion): load the data
+    * files under `source` into the table EXACTLY ONCE. Each ingested
+    * source is remembered in the commit's `copySources` ledger by
+    * identity (absolute path|size|mtime), so a re-run of the same COPY
+    * INTO is a safe no-op — the retry-the-whole-job shape bulk backfills
+    * need — while an overwritten source file (new size/mtime) re-ingests.
+    * `force = true` reloads everything regardless of the ledger.
+    *
+    * Columns match the table schema BY NAME and cast to its types (the
+    * Delta rule); the first COPY INTO of an empty table defines the
+    * schema from the files. Listing is metadata-plane (same posture as
+    * the log itself); the data read/stage is fully distributed Spark.
+    * Returns (version, filesLoaded); nothing fresh → no commit.
+    *
+    * Ref: Amazon_books_review_data_cleaning.py:21-24 loads raw CSV drops
+    * batch-wise; COPY INTO is that ingestion made idempotent. */
+  def copyInto(spark: SparkSession, table: String, source: String,
+      format: String = "parquet", options: Map[String, String] = Map.empty,
+      force: Boolean = false): (Long, Long) = {
+    val root = Paths.get(source)
+    require(Files.isDirectory(root), s"COPY INTO: $source is not a directory")
+    val candidates = walkDir(root).filter(Files.isRegularFile(_)).filter { p =>
+      val n = p.getFileName.toString
+      !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.toString)
+    def stamp(p: Path): String =
+      s"${p.toAbsolutePath}|${Files.size(p)}|" +
+        s"${Files.getLastModifiedTime(p).toMillis}"
+    // the idempotence ledger must be re-derived after a lost commit race:
+    // two racing COPY INTOs of the same source would otherwise BOTH pass
+    // the staleness check they took before either committed, and the
+    // loser's retry would double-ingest every file the winner loaded
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      val loaded = commits(table).flatMap(_.copySources).toSet
+      val fresh =
+        if (force) candidates
+        else candidates.filterNot(p => loaded.contains(stamp(p)))
+      if (fresh.isEmpty) return (base.getOrElse(0L), 0L)
+      val raw = spark.read.format(format).options(options)
+        .load(fresh.map(_.toString): _*)
+      val df = schemaAsOf(table) match {
+        case Some(sch) => // by-name match + cast, Delta's COPY INTO rule
+          val have = raw.columns.map(_.toLowerCase).toSet
+          val missing = sch.fieldNames.filterNot(f =>
+            have.contains(f.toLowerCase))
+          require(missing.isEmpty, s"COPY INTO $table: source files lack " +
+            s"table columns ${missing.mkString(", ")}")
+          raw.select(sch.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).alias(f.name)): _*)
+        case None => raw
+      }
+      val schema = resolveSchema(table, df, mergeSchema = false)
+      validateConstraints(df, constraints(table))
+      val mapping = mappingAsOf(table)
+      val add = writeData(df, table, mapping)
+      val (nst, sst) = fileStats(spark, table, add,
+        effectiveStatsCols(df, table, Seq.empty), mapping)
+      if (tryCommit(table, Commit(base.getOrElse(0L) + 1, add, Seq.empty,
+          "copyInto", -1L,
+          stats = nst, sstats = sst,
+          schemaDdl = Some(schema.toDDL),
+          bloomAdd = fileBlooms(spark, table, add,
+            effectiveBloomCols(df, table, Seq.empty), mapping),
+          copySources = fresh.map(stamp))))
+        return (base.getOrElse(0L) + 1, fresh.size.toLong)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog copyInto on $table lost 10 straight races — giving up")
   }
 
   def history(spark: SparkSession, table: String): DataFrame = {

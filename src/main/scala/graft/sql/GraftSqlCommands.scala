@@ -144,6 +144,23 @@ final case class InsertIntoTxLogCommand(target: SqlTarget,
   }
 }
 
+/** `COPY INTO <t> FROM '<dir>' …` → [[TxLog.copyInto]]: idempotent bulk
+  * file ingestion. Reports the committed version and how many source
+  * files this run actually loaded (0 on an idempotent re-run). */
+final case class CopyIntoTxLogCommand(target: SqlTarget, source: String,
+    format: String, options: Map[String, String], force: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_loaded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val (v, n) = TxLog.copyInto(spark, t, source, format, options, force)
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Seq(Row(v, n))
+  }
+}
+
 /** `MERGE INTO txlog.`path` [AS] t USING src [AS] s ON … WHEN …` →
   * [[TxLog.mergeInto]]. `UPDATE SET *` / `INSERT *` expand by name over
   * the target columns the source also carries (Delta's star expansion);

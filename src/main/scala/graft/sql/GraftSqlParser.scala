@@ -82,6 +82,7 @@ object GraftSqlDml {
         ShowPartitionsTxLogCommand(t)
       }
     else if (s.kw("INSERT")) parseInsert(s)
+    else if (s.kws("COPY", "INTO")) parseCopyInto(s)
     else if (s.kw("RESTORE")) { s.kw("TABLE"); parseRestore(s) }
     else if (s.kws("ALTER", "TABLE")) parseAlter(s)
     else if (s.kws("CONVERT", "TO", "TXLOG")) parseConvert(s)
@@ -284,6 +285,40 @@ object GraftSqlDml {
       InsertIntoTxLogCommand(t, overwrite, parts, cols, replace, query)
     }
   }
+
+  /** `COPY INTO <t> FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
+    * [FORMAT_OPTIONS ('k' = 'v', …)] [FORCE = true]` — Delta's
+    * idempotent bulk ingestion verb (a verb the stock parser does not
+    * know at all, so like OPTIMIZE/VACUUM it accepts both the path form
+    * and a catalog table name). */
+  private def parseCopyInto(s: Scan): Option[LogicalPlan] =
+    target(s, allowIdent = true).map { t =>
+      require(s.kw("FROM"), s"COPY INTO $t: expected FROM '<path>'")
+      val src = s.quoted().getOrElse(throw new IllegalArgumentException(
+        s"COPY INTO $t: expected a quoted source path after FROM"))
+      var fmt = "parquet"
+      var opts = Seq.empty[(String, String)]
+      var force = false
+      if (s.kw("FILEFORMAT")) {
+        require(s.punct('='), s"COPY INTO $t: expected FILEFORMAT = <fmt>")
+        fmt = s.word().getOrElse(throw new IllegalArgumentException(
+          s"COPY INTO $t: expected a format name after FILEFORMAT =")
+        ).toLowerCase
+      }
+      if (s.kw("FORMAT_OPTIONS")) {
+        require(s.punct('('), s"COPY INTO $t: expected ('k' = 'v', …)")
+        opts = Scan.splitTop(s.parenBody(), ',').map { a =>
+          val (k, v) = Scan.splitAssign(a)
+          (Scan.unquote(k), Scan.unquote(v))
+        }
+      }
+      if (s.kw("FORCE")) {
+        require(s.punct('='), s"COPY INTO $t: expected FORCE = true|false")
+        force = s.word().exists(_.equalsIgnoreCase("true"))
+      }
+      require(s.eof, s"unexpected trailing input in COPY INTO $t")
+      CopyIntoTxLogCommand(t, src, fmt, opts.toMap, force)
+    }
 
   private def parseMerge(s: Scan, evolve: Boolean): Option[LogicalPlan] =
     target(s, allowIdent = false).map { t =>
