@@ -1251,6 +1251,38 @@ object AnalyticsQueries {
         .write.mode("overwrite").parquet(s"$src/b2")
       s.sql(s"COPY INTO txlog.`$table` FROM '$src'")                  // v2
       TxLog.read(s, table)
+    },
+
+    // Generated columns (Delta's GENERATED ALWAYS AS): o_year is declared
+    // generated from o_orderdate AND is the partition column — neither
+    // the API append nor the positional SQL INSERT supplies it (INSERT's
+    // positional arity excludes generated columns), the write path
+    // computes it, and the files land Hive-laid-out under the computed
+    // value. The oracle recomputes YEAR over the base table: if any
+    // write path ever computed or aligned the column wrong, the hash
+    // diverges.
+    QueryDef("src_txlog_generated_col",
+      "generated partition column (GENERATED ALWAYS AS year(o_orderdate)): computed on API append and SQL INSERT, Hive layout under the computed value",
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(YEAR(o_orderdate) AS INT) AS o_year
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val table = Files.createTempDirectory("graft_txgen").toString + "/t"
+      TxLog.setProperties(table, Map("graft.partition.columns" -> "o_year"))
+      TxLog.declareGeneratedColumn(s, table, "o_year",
+        "CAST(year(o_orderdate) AS INT)")
+      val ord = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+      TxLog.append(ord.filter(pmod(col("o_orderkey"), lit(2)) === 0), table)
+      val id = java.util.UUID.randomUUID.toString.take(8)
+      val view = s"txgen_$id"
+      ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .createOrReplaceTempView(view)
+      s.sql(s"""INSERT INTO txlog.`$table`
+               |SELECT o_orderkey, o_totalprice, o_orderdate
+               |FROM $view""".stripMargin)
+      require(TxLog.activeFiles(table).forall(_.contains("o_year=")),
+        "generated partition column must drive the Hive layout")
+      TxLog.read(s, table).select("o_orderkey", "o_totalprice", "o_year")
     }
   )
 }

@@ -1269,6 +1269,67 @@ object TxLog {
           s"txlog CHECK constraint '$name' ($sql) violated by the write")
     }
 
+  /** Generated columns declared on the table (Delta's `GENERATED ALWAYS
+    * AS (expr)`): table properties `graft.generated.<col> = <expr>`,
+    * folded like every other property. */
+  def generatedCols(table: String,
+      asOf: Option[Long] = None): Map[String, String] =
+    properties(table, asOf).collect {
+      case (k, v) if k.startsWith("graft.generated.") =>
+        k.stripPrefix("graft.generated.") -> v
+    }
+
+  /** Enforce generated columns on an incoming batch: a declared column
+    * ABSENT from the frame is computed from its expression (the Delta
+    * convenience — writers supply base columns only); a declared column
+    * PRESENT must null-safely EQUAL its expression on every row, or the
+    * write refuses (Delta's generated-column check — a caller supplying
+    * its own values for a GENERATED ALWAYS column must supply the right
+    * ones, or downstream pruning/joins on the column silently lie). One
+    * predicated scan per declared column, same posture as CHECK
+    * constraints. */
+  private def applyGenerated(df: DataFrame, table: String): DataFrame =
+    generatedCols(table).foldLeft(df) { case (d, (c, e)) =>
+      if (!d.columns.exists(_.equalsIgnoreCase(c))) d.withColumn(c, expr(e))
+      else {
+        if (!d.filter(!(col(c) <=> expr(e))).isEmpty)
+          throw new IllegalArgumentException(
+            s"txlog generated column '$c' ($e) on $table: the write " +
+              "supplies values that differ from the generation expression " +
+              "— omit the column (it is computed) or supply exact values")
+        d
+      }
+    }
+
+  /** Declare `col GENERATED ALWAYS AS (exprText)`: validates the
+    * expression parses against the CURRENT table contents and — when the
+    * table has data and already carries the column — that every existing
+    * row satisfies it (declare-time backfill is refused, not silent;
+    * Delta likewise only allows generation expressions at table
+    * creation). Then records the `graft.generated.<col>` property; every
+    * subsequent write path (append / overwrite / partition overwrite /
+    * COPY INTO / DML rewrites / streaming sinks) enforces it. */
+  def declareGeneratedColumn(spark: SparkSession, table: String,
+      colName: String, exprText: String): Long = {
+    // metadata-only commits (setProperties, partition declaration) bump
+    // the version without data — validate only when files exist to scan
+    if (activeFiles(table).nonEmpty) {
+      val cur = read(spark, table)
+      if (cur.columns.exists(_.equalsIgnoreCase(colName))) {
+        if (!cur.filter(!(col(colName) <=> expr(exprText))).isEmpty)
+          throw new IllegalArgumentException(
+            s"declareGeneratedColumn $colName on $table: existing rows " +
+              "violate the generation expression — fix the data first " +
+              "(no silent backfill)")
+      } else if (!cur.isEmpty)
+        throw new IllegalArgumentException(
+          s"declareGeneratedColumn $colName on $table: table has data " +
+            s"but no '$colName' column — existing files would read NULL, " +
+            "not the generated value; backfill via overwrite first")
+    }
+    setProperties(table, Map(s"graft.generated.$colName" -> exprText))
+  }
+
   /** Schema-on-write contract (Delta's enforcement + `mergeSchema`
     * evolution): same-name/different-type always throws; columns NEW in
     * `df` require `mergeSchema = true` and widen the table schema;
@@ -1690,11 +1751,12 @@ object TxLog {
     * `statsCols`, per-file min/max of those columns ride the commit for
     * [[readRange]] file skipping. Schema-on-write enforced; columns new
     * in `df` require `mergeSchema = true` (see [[resolveSchema]]). */
-  def append(df: DataFrame, table: String,
+  def append(df0: DataFrame, table: String,
       statsCols: Seq[String] = Seq.empty,
       mergeSchema: Boolean = false, batchId: Long = -1L,
       streamId: Option[String] = None,
       bloomCols: Seq[String] = Seq.empty): Long = {
+    val df = applyGenerated(df0, table)
     val schema = resolveSchema(table, df, mergeSchema)
     validateConstraints(df, constraints(table))
     // a mergeSchema evolution on a MAPPED table binds each new logical
@@ -1771,11 +1833,12 @@ object TxLog {
     * Overwrite REPLACES the schema too (rewriting every row is the one
     * write where a narrowing rewrite is well-defined), except that
     * same-name type changes still throw without `mergeSchema`. */
-  def overwrite(df: DataFrame, table: String,
+  def overwrite(df0: DataFrame, table: String,
       statsCols: Seq[String] = Seq.empty,
       mergeSchema: Boolean = false, batchId: Long = -1L,
       streamId: Option[String] = None,
       bloomCols: Seq[String] = Seq.empty): Long = {
+    val df = applyGenerated(df0, table)
     if (!mergeSchema) resolveSchema(table, df, mergeSchema = true) // type check only
     validateConstraints(df, constraints(table))
     // overwrite REPLACES the schema, so the mapping follows suit: kept
@@ -1867,9 +1930,10 @@ object TxLog {
     }
   }
 
-  def overwritePartitions(df: DataFrame, table: String,
+  def overwritePartitions(df0: DataFrame, table: String,
       statsCols: Seq[String] = Seq.empty, batchId: Long = -1L,
       streamId: Option[String] = None): Long = {
+    val df = applyGenerated(df0, table)
     val spark = df.sparkSession
     val partCols = declaredCols(table, "graft.partition.columns")
       .filter(df.columns.contains)
@@ -2744,14 +2808,18 @@ object TxLog {
     * re-derives its touched set against the new snapshot and retries). */
   private def commitRewrite(spark: SparkSession, table: String,
       base: Option[Long], files: Seq[String], touched: Seq[String],
-      rewritten: DataFrame, op: String,
+      rewritten0: DataFrame, op: String,
       schemaDdlOverride: Option[String] = None,
       mappingOverride: Option[Map[String, String]] = null,
       colMapStamp: Option[Seq[(String, String)]] = None): Boolean = {
     // DML honors the same CHECK constraints as append/overwrite/merge:
     // an UPDATE … SET that lands a violating row must be refused, not
     // committed (Delta enforces constraints on every write path). Cheap:
-    // only the touched files' rewrite is scanned.
+    // only the touched files' rewrite is scanned. GENERATED ALWAYS
+    // columns are enforced the same way: an UPDATE that changes a base
+    // column without recomputing the generated one refuses rather than
+    // committing a row where the column silently lies.
+    val rewritten = applyGenerated(rewritten0, table)
     validateConstraints(rewritten, constraints(table))
     // schema-evolving MERGE on a mapped table passes its extended
     // mapping; everything else stages under the committed one
@@ -2970,13 +3038,21 @@ object TxLog {
 
   /** UPDATE … SET … WHERE: apply `set` (column → new expression) to
     * matching rows, rewriting only the files that contain them. */
+  /** UPDATE … SET: every SET expression AND the condition evaluate
+    * against the OLD row (standard SQL): one select applies them all at
+    * once — a sequential withColumn fold would let a later assignment
+    * (or the condition) observe an earlier one's result, so
+    * `SET a = b, b = a` would not swap and `SET k = 10 WHERE k = 1`
+    * would corrupt any later assignment conditioned on k. */
   def update(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Long =
     copyOnWrite(spark, table, condition, "update") { df =>
-      set.foldLeft(df) { case (d, (c, e)) =>
-        d.withColumn(c, when(condition, e).otherwise(col(c)))
-      }
+      df.select(df.columns.toSeq.map { c =>
+        set.collectFirst { case (sc, e) if sc.equalsIgnoreCase(c) =>
+          when(condition, e).otherwise(col(c)).alias(c)
+        }.getOrElse(col(c))
+      }: _*)
     }
 
   /** Clause vocabulary for [[mergeInto]] (Delta's WHEN MATCHED / WHEN NOT
@@ -3419,17 +3495,19 @@ object TxLog {
       if (fresh.isEmpty) return (base.getOrElse(0L), 0L)
       val raw = spark.read.format(format).options(options)
         .load(fresh.map(_.toString): _*)
-      val df = schemaAsOf(table) match {
+      val df = applyGenerated(schemaAsOf(table) match {
         case Some(sch) => // by-name match + cast, Delta's COPY INTO rule
+          val gen = generatedCols(table).keySet.map(_.toLowerCase)
           val have = raw.columns.map(_.toLowerCase).toSet
           val missing = sch.fieldNames.filterNot(f =>
-            have.contains(f.toLowerCase))
+            have.contains(f.toLowerCase) || gen.contains(f.toLowerCase))
           require(missing.isEmpty, s"COPY INTO $table: source files lack " +
             s"table columns ${missing.mkString(", ")}")
-          raw.select(sch.fields.toSeq.map(f =>
-            col(f.name).cast(f.dataType).alias(f.name)): _*)
+          raw.select(sch.fields.toSeq
+            .filter(f => have.contains(f.name.toLowerCase))
+            .map(f => col(f.name).cast(f.dataType).alias(f.name)): _*)
         case None => raw
-      }
+      }, table)
       val schema = resolveSchema(table, df, mergeSchema = false)
       validateConstraints(df, constraints(table))
       val mapping = mappingAsOf(table)

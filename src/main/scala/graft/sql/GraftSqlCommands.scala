@@ -115,10 +115,14 @@ final case class InsertIntoTxLogCommand(target: SqlTarget,
           s"(${schema.fieldNames.mkString(", ")})"))
     val statics = partition.collect { case (c, Some(v)) => field(c).name -> v }
     partition.foreach { case (c, _) => field(c) } // dynamic mentions exist
-    // positional→named alignment
+    // positional→named alignment; GENERATED ALWAYS columns are not part
+    // of the positional arity (the write path computes them) — supply
+    // them explicitly via a column list to override
+    val gen0 = TxLog.generatedCols(t).keySet.map(_.toLowerCase)
     val named: Seq[String] =
       if (cols.nonEmpty) cols.map(c => field(c).name)
       else schema.fieldNames.toSeq.filterNot(statics.map(_._1).contains)
+        .filterNot(f => gen0.contains(f.toLowerCase))
     require(src.columns.length == named.length,
       s"INSERT into $t: query produces ${src.columns.length} columns " +
         s"but the insert expects ${named.length} " +
@@ -128,11 +132,17 @@ final case class InsertIntoTxLogCommand(target: SqlTarget,
       d.withColumn(c, expr(v))
     }
     val provided = withStatics.columns.map(_.toLowerCase).toSet
-    // target order, target types; unnamed columns NULL-backfill
-    val aligned = withStatics.select(schema.fields.toSeq.map { f =>
-      (if (provided.contains(f.name.toLowerCase)) col(f.name)
-       else lit(null)).cast(f.dataType).alias(f.name)
-    }: _*)
+    // target order, target types; unnamed columns NULL-backfill — except
+    // GENERATED ALWAYS columns, which stay absent so the write path
+    // computes them (a NULL backfill would fail their equality check)
+    val generated = TxLog.generatedCols(t).keySet.map(_.toLowerCase)
+    val aligned = withStatics.select(schema.fields.toSeq
+      .filter(f => provided.contains(f.name.toLowerCase) ||
+        !generated.contains(f.name.toLowerCase))
+      .map { f =>
+        (if (provided.contains(f.name.toLowerCase)) col(f.name)
+         else lit(null)).cast(f.dataType).alias(f.name)
+      }: _*)
     val v = replaceWhere match {
       case Some(cond) => TxLog.replaceWhere(spark, t, aligned, expr(cond))
       case None if overwrite && partition.nonEmpty =>

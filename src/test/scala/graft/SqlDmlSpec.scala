@@ -49,6 +49,21 @@ class SqlDmlSpec extends SparkSpec {
     assert(TxLog.commits(t).last.op === "update")
   }
 
+  test("UPDATE SET evaluates every expression against the OLD row") {
+    val t = tmpDir("sqldml") + "/t"
+    TxLog.append(Seq((1L, 100L, 200L), (2L, 7L, 8L)).toDF("k", "a", "b"), t)
+    // the classic swap: both assignments must read pre-update values —
+    // a sequential fold would yield a = b = 200
+    spark.sql(s"UPDATE txlog.`$t` SET a = b, b = a WHERE k = 1")
+    assert(TxLog.read(spark, t).as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 200L, 100L), (2L, 7L, 8L)))
+    // and the condition itself reads the OLD row even when a SET
+    // rewrites the conditioned column
+    spark.sql(s"UPDATE txlog.`$t` SET k = 10, a = a + 1 WHERE k = 1")
+    assert(TxLog.read(spark, t).as[(Long, Long, Long)].collect().toSet ===
+      Set((10L, 201L, 100L), (2L, 7L, 8L)))
+  }
+
   test("SQL DML and API DML produce the same log ops and contents") {
     val tSql = seed(); val tApi = seed()
     spark.sql(s"UPDATE txlog.`$tSql` SET amt = 0 WHERE k = 1")
