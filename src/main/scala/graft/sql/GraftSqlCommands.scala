@@ -386,6 +386,20 @@ final case class ShowPartitionsTxLogCommand(target: SqlTarget)
     }
 }
 
+/** `SHOW TBLPROPERTIES txlog.`path`` → the folded table-property map
+  * (path form only: the stock verb serves catalog tables). */
+final case class ShowTxLogPropertiesCommand(target: SqlTarget)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("value", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxLog.properties(target.resolve(spark)).toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
+}
+
 /** `RESTORE [TABLE] <t> TO VERSION AS OF n` /
   * `TO TIMESTAMP AS OF <millis|'yyyy-MM-dd HH:mm:ss'>` →
   * [[TxLog.restore]] (one forward commit re-points the snapshot). */

@@ -16,8 +16,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *      WHEN MATCHED [AND …] THEN UPDATE SET *|c = e, …
   *      WHEN MATCHED [AND …] THEN DELETE
   *      WHEN NOT MATCHED [AND …] THEN INSERT *|(c, …) VALUES (e, …)`
+  *   - `INSERT INTO txlog.`/path` [(c,…)] [REPLACE WHERE …] <query>` /
+  *     `INSERT OVERWRITE [TABLE] txlog.`/path` [PARTITION (…)] <query>`
+  *   - `COPY INTO <t> FROM '<dir>' [FILEFORMAT = …] [FORMAT_OPTIONS (…)]
+  *     [FORCE = true]`
   *   - `OPTIMIZE <t> [WHERE part = v …] [ZORDER BY (a[, b])]`
   *   - `VACUUM <t> [RETAIN n VERSIONS] [DRY RUN]`
+  *   - `SHOW TBLPROPERTIES txlog.`/path``
   *
   * — and lowers them onto the TxLog API commands
   * ([[DeleteFromTxLogCommand]] &c.). Everything else passes through to
@@ -80,6 +85,12 @@ object GraftSqlDml {
       target(s, allowIdent = false).map { t =>
         require(s.eof, s"unexpected trailing input in SHOW PARTITIONS $t")
         ShowPartitionsTxLogCommand(t)
+      }
+    else if (s.kws("SHOW", "TBLPROPERTIES"))
+      // path form only: SHOW TBLPROPERTIES <ident> is a stock verb
+      target(s, allowIdent = false).map { t =>
+        require(s.eof, s"unexpected trailing input in SHOW TBLPROPERTIES $t")
+        ShowTxLogPropertiesCommand(t)
       }
     else if (s.kw("INSERT")) parseInsert(s)
     else if (s.kws("COPY", "INTO")) parseCopyInto(s)

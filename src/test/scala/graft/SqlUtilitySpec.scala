@@ -178,4 +178,19 @@ class SqlUtilitySpec extends SparkSpec {
     Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("sqlutil_v")
     assert(spark.sql("DESCRIBE sqlutil_v").count() >= 2)
   }
+
+  test("SHOW TBLPROPERTIES lists the folded property map for a path target") {
+    import spark.implicits._
+    val t = tmpDir("sqlutil") + "/t"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    spark.sql(s"ALTER TABLE txlog.`$t` SET TBLPROPERTIES " +
+      "('graft.stats.columns' = 'k', 'owner' = 'graft')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES txlog.`$t`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props === Map("graft.stats.columns" -> "k", "owner" -> "graft"))
+    // an UNSET disappears from the listing
+    spark.sql(s"ALTER TABLE txlog.`$t` UNSET TBLPROPERTIES ('owner')")
+    assert(spark.sql(s"SHOW TBLPROPERTIES txlog.`$t`")
+      .collect().map(_.getString(0)).toSeq === Seq("graft.stats.columns"))
+  }
 }
