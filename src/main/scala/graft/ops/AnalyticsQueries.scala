@@ -1283,6 +1283,38 @@ object AnalyticsQueries {
       require(TxLog.activeFiles(table).forall(_.contains("o_year=")),
         "generated partition column must drive the Hive layout")
       TxLog.read(s, table).select("o_orderkey", "o_totalprice", "o_year")
+    },
+
+    // Row tracking (Delta's row IDs): the PRE-DML id snapshot is staged,
+    // then an UPDATE rewrites the %5 slice and a DELETE drops the %9
+    // slice — and the final read's _row_id column must STILL hash-match
+    // the staged snapshot joined against the recomputed values. Any id
+    // lost, reassigned, or duplicated through either rewrite diverges
+    // the hash. (Ids themselves are synthetic; the oracle never assumes
+    // their values, only their stability.)
+    QueryDef("src_txlog_row_tracking",
+      "row tracking: stable _row_id through UPDATE (rewrite materializes) and DELETE — final ids hash-match the pre-DML staged snapshot",
+      s"""SELECT i.c_custkey,
+         |  CASE WHEN i.c_custkey % 5 = 0 THEN -1.0
+         |       ELSE c.c_acctbal END AS c_acctbal,
+         |  i._row_id
+         |FROM read_parquet('${QueryDef.StageSql}/rowtrack_ids/*.parquet') i
+         |JOIN read_parquet('${QueryDef.StageSql}/rowtrack_in/*.parquet') c
+         |  USING (c_custkey)
+         |WHERE i.c_custkey % 9 <> 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer").select("c_custkey", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/rowtrack_in")
+      val table = Files.createTempDirectory("graft_txrow").toString + "/t"
+      TxLog.enableRowTracking(table)
+      TxLog.append(s.read.parquet(s"$stage/rowtrack_in"), table)
+      TxLog.readWithRowIds(s, table).select("c_custkey", "_row_id")
+        .write.mode("overwrite").parquet(s"$stage/rowtrack_ids")
+      s.sql(s"UPDATE txlog.`$table` SET c_acctbal = -1.0 " +
+        "WHERE c_custkey % 5 = 0")
+      s.sql(s"DELETE FROM txlog.`$table` WHERE c_custkey % 9 = 0")
+      TxLog.readWithRowIds(s, table)
+        .select("c_custkey", "c_acctbal", "_row_id")
     }
   )
 }

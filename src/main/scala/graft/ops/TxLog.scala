@@ -156,7 +156,16 @@ object TxLog {
       // already-loaded sources; an overwritten source file (new
       // size/mtime) re-ingests. Metadata-plane like everything else in
       // the log: one short string per ingested file, never data.
-      copySources: Seq[String] = Seq.empty)
+      copySources: Seq[String] = Seq.empty,
+      // Row tracking (Delta's row-ID feature): per-add-file BASE row id,
+      // allocated at commit time from the table's high-water mark when
+      // `graft.rowTracking.enabled`. A fresh file's stable row id is
+      // base + parquet row_index; a REWRITE (UPDATE/DELETE/MERGE/
+      // OPTIMIZE) materializes surviving rows' old ids into a physical
+      // `_graft_row_id` column, so reads coalesce(materialized,
+      // base + row_index) and ids survive any number of rewrites.
+      // Allocated by [[tryCommit]] itself, never caller-supplied.
+      baseRowIds: Map[String, Long] = Map.empty)
 
   /** Highest protocol version this reader understands. A reader meeting a
     * HIGHER version fails loudly instead of silently misinterpreting
@@ -389,7 +398,11 @@ object TxLog {
           Option(node.get("streamId")).map(_.asText()),
           optArr("bloomAdd"), optArr("bloomRemove"),
           minReader = proto, properties = props, rows = rows, nulls = nulls,
-          colMap = colMap, copySources = optArr("copySources"))
+          colMap = colMap, copySources = optArr("copySources"),
+          baseRowIds = Option(node.get("baseRowIds")).map { s =>
+            s.properties().asScala.map(e =>
+              e.getKey -> e.getValue.asLong()).toMap
+          }.getOrElse(Map.empty))
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -597,7 +610,8 @@ object TxLog {
     * rewritten files. */
   private def readFiles(spark: SparkSession, table: String,
       files: Seq[String], asOf: Option[Long],
-      keepRowKeys: Boolean = false): DataFrame = {
+      keepRowKeys: Boolean = false,
+      withRowIds: Boolean = false): DataFrame = {
     val schema = schemaAsOf(table, asOf)
     val mapping = mappingAsOf(table, asOf)
     // Column mapping: files speak PHYSICAL names (frozen at enable time,
@@ -605,11 +619,20 @@ object TxLog {
     // physical name for a given column). The scan plans under the
     // physical schema and renames back to logical immediately after —
     // one projection, collapsed by Catalyst into the scan's output.
-    val physSchema = (schema, mapping) match {
+    val physSchema0 = (schema, mapping) match {
       case (Some(s), Some(m)) => Some(org.apache.spark.sql.types.StructType(
         s.map(f => f.copy(name = m.getOrElse(f.name, f.name)))))
       case _ => schema
     }
+    // Row tracking: ask the scan for the hidden materialized-id column
+    // too (files without it — fresh writes — return NULL and fall back
+    // to base + row_index below)
+    val physSchema =
+      if (!withRowIds) physSchema0
+      else physSchema0.map(s => org.apache.spark.sql.types.StructType(
+        s.fields.filterNot(_.name == RowIdCol) :+
+          org.apache.spark.sql.types.StructField(RowIdCol,
+            org.apache.spark.sql.types.LongType, nullable = true)))
     def toLogical(df: DataFrame, extra: Seq[String]): DataFrame =
       (schema, mapping) match {
         case (Some(s), Some(m)) => df.select(
@@ -630,12 +653,34 @@ object TxLog {
       // keys must be materialized HERE — a caller cannot re-derive them
       // after the anti-join projection. DV-free reads skip the key columns
       // entirely: the common path stays a bare scan.
-      if (dvs.isEmpty && !keepRowKeys) return toLogical(base, Seq.empty)
-      toLogical(base
+      if (dvs.isEmpty && !keepRowKeys && !withRowIds)
+        return toLogical(base, Seq.empty)
+      val withKeys = base
         .withColumn("__dv_f", relFileKey)
-        .withColumn("__dv_ri", col("_metadata.row_index")),
-        Seq("__dv_f", "__dv_ri"))
+        .withColumn("__dv_ri", col("_metadata.row_index"))
+      val withIds =
+        if (!withRowIds) withKeys
+        else {
+          // stable id = materialized (rewritten files) else base +
+          // row_index (fresh files); NULL when neither (pre-enable era)
+          val baseMap = baseRowIdsAsOf(table, asOf)
+          val fromBase: org.apache.spark.sql.Column =
+            if (baseMap.isEmpty) lit(null).cast("long")
+            else element_at(typedlit(baseMap), col("__dv_f")) +
+              col("__dv_ri")
+          val id =
+            if (withKeys.columns.contains(RowIdCol))
+              coalesce(col(RowIdCol), fromBase)
+            else fromBase
+          withKeys.withColumn(RowIdCol, id)
+        }
+      toLogical(withIds,
+        Seq("__dv_f", "__dv_ri") ++ (if (withRowIds) Seq(RowIdCol) else Nil))
     } else {
+      require(!withRowIds,
+        s"txlog $table: row tracking does not support partitioned " +
+          "snapshots (enableRowTracking refuses them; this log was " +
+          "hand-mixed)")
       require(mapping.isEmpty,
         s"txlog table $table mixes column mapping with partitioned " +
           "files — unsupported (enableColumnMapping refuses partitioned " +
@@ -808,9 +853,11 @@ object TxLog {
       // the file), never a wrong answer.
       val rowsNode = node.putObject("rows")
       val nullsNode = node.putObject("nulls")
+      var rowCounts = Map.empty[String, Long]
       commit.add.foreach { f =>
         footerCounts(resolve(table, f)).foreach { case (nRows, colNulls) =>
           rowsNode.put(f, nRows)
+          rowCounts += f -> nRows
           if (colNulls.nonEmpty) {
             val fn = nullsNode.putObject(f)
             colNulls.foreach { case (c, n) => fn.put(c, n) }
@@ -819,6 +866,31 @@ object TxLog {
       }
       if (nullsNode.isEmpty) node.remove("nulls")
       if (rowsNode.isEmpty) node.remove("rows")
+      // Row tracking: allocate each add file's BASE row id from the
+      // high-water mark, in add order, width = footer row count. Fresh
+      // ranges never overlap earlier ones, so base + row_index is
+      // globally unique — including merge-inserted rows in a rewrite,
+      // whose materialized `_graft_row_id` is NULL and who therefore
+      // fall through to this commit's fresh range on read. If ANY add
+      // file's footer is unreadable, allocation is skipped for the whole
+      // commit (an unknown width would collide the next base) — those
+      // files' rows read NULL ids, the safe direction. A CALLER-supplied
+      // map (shallow clone carrying the source's bases — a fresh
+      // allocation there would collide with ids already materialized in
+      // rewritten source files) passes through verbatim, even though the
+      // enabling property may itself ride this very commit.
+      if (commit.baseRowIds.nonEmpty) {
+        val bNode = node.putObject("baseRowIds")
+        commit.baseRowIds.foreach { case (f, b) => bNode.put(f, b) }
+      } else if (rowTrackingEnabled(table) &&
+          commit.add.forall(rowCounts.contains)) {
+        var hw = rowIdHighWater(table)
+        val bNode = node.putObject("baseRowIds")
+        commit.add.foreach { f =>
+          bNode.put(f, hw)
+          hw += rowCounts(f)
+        }
+      }
     }
     if (commit.dvAdd.nonEmpty) {
       val a = node.putArray("dvAdd"); commit.dvAdd.foreach(a.add)
@@ -1330,6 +1402,87 @@ object TxLog {
     setProperties(table, Map(s"graft.generated.$colName" -> exprText))
   }
 
+  // -----------------------------------------------------------------------
+  // Row tracking (Delta's row IDs): a STABLE per-row identity that
+  // survives file rewrites. Fresh files get a commit-allocated base id
+  // (id = base + parquet row_index — zero storage cost); every rewrite
+  // path (UPDATE / DELETE / MERGE INTO / REPLACE WHERE / OPTIMIZE)
+  // materializes surviving rows' ids into a physical `_graft_row_id`
+  // column in the rewritten files, so reads resolve
+  // coalesce(materialized, base + row_index). The hidden column never
+  // enters the logical schema (commitRewrite/OPTIMIZE record the logical
+  // DDL), so plain reads are unchanged; [[readWithRowIds]] exposes
+  // `_row_id`. The feature is what makes a 100 TB table's rows
+  // addressable across compactions — incremental feature pipelines and
+  // CDC consumers key on it instead of fragile (file, offset) pairs.
+  // -----------------------------------------------------------------------
+
+  /** Hidden physical column carrying materialized row ids in rewritten
+    * files. Reserved: user tables must not write it themselves. */
+  private[graft] val RowIdCol = "_graft_row_id"
+
+  /** Ingest paths refuse the reserved hidden column: a caller-supplied
+    * value would be read back as a MATERIALIZED row id and could collide
+    * with allocated ranges. (Rewrite paths legitimately carry it — they
+    * do not pass through this check.) */
+  private def refuseReservedCols(df: DataFrame): Unit =
+    require(!df.columns.exists(_.equalsIgnoreCase(RowIdCol)),
+      s"column $RowIdCol is reserved for row tracking — remove it from " +
+        "the write (readWithRowIds exposes ids as _row_id, which is " +
+        "droppable before a write-back)")
+
+  /** Commit-recorded DDL for a rewrite frame: the LOGICAL schema —
+    * the hidden row-id column stays out of it (it is physical plumbing,
+    * like partition paths and DV sidecars). */
+  private def logicalDdl(df: DataFrame): String =
+    org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(_.name == RowIdCol)).toDDL
+
+  def rowTrackingEnabled(table: String, asOf: Option[Long] = None): Boolean =
+    properties(table, asOf).get("graft.rowTracking.enabled").contains("true")
+
+  /** Enable row tracking. Only rows written AFTER enable get ids —
+    * pre-enable files have no base recorded and read NULL (Delta's
+    * backfill is likewise a separate rewrite; run [[optimizeSmall]] with
+    * a huge threshold to force one here). Partitioned tables refuse:
+    * the partition-grouped scan does not reconstruct ids (v1 scope —
+    * same posture as enableColumnMapping). */
+  def enableRowTracking(table: String): Long = {
+    require(declaredCols(table, "graft.partition.columns").isEmpty,
+      s"enableRowTracking($table): row tracking does not support " +
+        "partitioned tables (v1) — the partition-grouped scan does not " +
+        "reconstruct row ids")
+    require(schemaAsOf(table).forall(!_.fieldNames.contains(RowIdCol)),
+      s"enableRowTracking($table): the table already has a $RowIdCol " +
+        "column — reserved for row tracking")
+    setProperties(table, Map("graft.rowTracking.enabled" -> "true"))
+  }
+
+  /** First unallocated row id: max(base + width) over every allocation
+    * ever committed (REMOVED files keep their slot — ids are never
+    * reused, so a resurrected id can't collide). */
+  private def rowIdHighWater(table: String): Long =
+    commits(table).flatMap(c =>
+      c.baseRowIds.map { case (f, b) => b + c.rows.getOrElse(f, 0L) })
+      .maxOption.getOrElse(0L)
+
+  /** fileKey → base row id for every allocation at or before `asOf`. */
+  private def baseRowIdsAsOf(table: String,
+      asOf: Option[Long]): Map[String, Long] =
+    commits(table).filter(c => asOf.forall(c.version <= _))
+      .flatMap(_.baseRowIds.map { case (f, b) => fileKey(f) -> b })
+      .toMap
+
+  /** The snapshot with its stable `_row_id` column (NULL for rows whose
+    * file predates enable, or whose commit couldn't allocate). */
+  def readWithRowIds(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val files = activeFiles(table, asOf)
+    require(files.nonEmpty, s"txlog table $table has no committed files")
+    readFiles(spark, table, files, asOf, withRowIds = true)
+      .withColumnRenamed(RowIdCol, "_row_id")
+  }
+
   /** Schema-on-write contract (Delta's enforcement + `mergeSchema`
     * evolution): same-name/different-type always throws; columns NEW in
     * `df` require `mergeSchema = true` and widen the table schema;
@@ -1756,6 +1909,7 @@ object TxLog {
       mergeSchema: Boolean = false, batchId: Long = -1L,
       streamId: Option[String] = None,
       bloomCols: Seq[String] = Seq.empty): Long = {
+    refuseReservedCols(df0)
     val df = applyGenerated(df0, table)
     val schema = resolveSchema(table, df, mergeSchema)
     validateConstraints(df, constraints(table))
@@ -1838,6 +1992,7 @@ object TxLog {
       mergeSchema: Boolean = false, batchId: Long = -1L,
       streamId: Option[String] = None,
       bloomCols: Seq[String] = Seq.empty): Long = {
+    refuseReservedCols(df0)
     val df = applyGenerated(df0, table)
     if (!mergeSchema) resolveSchema(table, df, mergeSchema = true) // type check only
     validateConstraints(df, constraints(table))
@@ -1933,6 +2088,7 @@ object TxLog {
   def overwritePartitions(df0: DataFrame, table: String,
       statsCols: Seq[String] = Seq.empty, batchId: Long = -1L,
       streamId: Option[String] = None): Long = {
+    refuseReservedCols(df0)
     val df = applyGenerated(df0, table)
     val spark = df.sparkSession
     val partCols = declaredCols(table, "graft.partition.columns")
@@ -2403,18 +2559,30 @@ object TxLog {
         // of a CDC stream can itself carry several versions of one key.
         // When every file prunes away, the zero-row read still enforces the
         // union's schema compatibility against the table.
+        val tracking = rowTrackingEnabled(table, base)
         val existing = base.map { _ =>
-          if (touched.nonEmpty) readFiles(spark, table, touched, base)
+          if (touched.nonEmpty) readFiles(spark, table, touched, base,
+            withRowIds = tracking)
           else read(spark, table, base).limit(0)
         }
         val all = existing match {
           case None => updates.withColumn("_src", lit(1))
           case Some(cur) => cur.withColumn("_src", lit(0))
-            .unionByName(updates.withColumn("_src", lit(1)))
+            .unionByName(updates.withColumn("_src", lit(1)),
+              allowMissingColumns = tracking)
         }
         val w = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col(versionCol).desc, col("_src").desc)
-        val merged = all.withColumn("_rn", row_number().over(w))
+        // Row tracking: the id follows the KEY — a CDC update that wins
+        // over an existing row inherits that row's id (max over the key
+        // group: incoming rows carry NULL, so any existing id wins;
+        // brand-new keys stay NULL and take the commit's fresh range)
+        val all2 =
+          if (tracking && all.columns.contains(RowIdCol))
+            all.withColumn(RowIdCol, max(col(RowIdCol))
+              .over(Window.partitionBy(keyCols.map(col): _*)))
+          else all
+        val merged = all2.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn", "_src")
         val add = writeData(merged, table)
         val v = base.getOrElse(0L) + 1
@@ -2448,7 +2616,7 @@ object TxLog {
         val (nst, sst) = fileStats(spark, table, add, stCols)
         if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
           stats = nst, sstats = sst,
-          schemaDdl = Some(merged.schema.toDDL),
+          schemaDdl = Some(logicalDdl(merged)),
           dvRemove = dvRemove, streamId = streamId,
           bloomAdd = blAdd, bloomRemove = blRemove))) Some(v) else None
       } finally bi.release()
@@ -2519,18 +2687,26 @@ object TxLog {
           refineTouchedByBlooms(table, rangeTouched, keyProbes,
             changes, base, bi)
         val untouched = allActive.filterNot(touched.toSet)
+        val tracking = rowTrackingEnabled(table, base)
         val existing = base.map { _ =>
-          if (touched.nonEmpty) readFiles(spark, table, touched, base)
+          if (touched.nonEmpty) readFiles(spark, table, touched, base,
+            withRowIds = tracking)
           else read(spark, table, base).limit(0)
         }
         val incoming = changes.withColumn("_src", lit(1))
-        val all = existing match {
+        val all0 = existing match {
           case None => incoming
           case Some(cur) => cur
             .withColumn(opCol, lit("upsert"))
             .withColumn("_src", lit(0))
-            .unionByName(incoming)
+            .unionByName(incoming, allowMissingColumns = tracking)
         }
+        // Row tracking: the id follows the KEY (see [[merge]])
+        val all =
+          if (tracking && all0.columns.contains(RowIdCol))
+            all0.withColumn(RowIdCol, max(col(RowIdCol))
+              .over(Window.partitionBy(keyCols.map(col): _*)))
+          else all0
         // Final key: on a full (version, src) tie — two rows in the SAME
         // batch with the same key and version, one delete and one upsert —
         // the delete wins deterministically; without it row_number breaks
@@ -2569,7 +2745,7 @@ object TxLog {
         val (nst, sst) = fileStats(spark, table, add, stCols)
         if (tryCommit(table, Commit(v, add, touched, "merge", batchId,
           stats = nst, sstats = sst,
-          schemaDdl = Some(merged.schema.toDDL),
+          schemaDdl = Some(logicalDdl(merged)),
           dvRemove = dvRemove, streamId = streamId,
           bloomAdd = blAdd, bloomRemove = blRemove))) Some(v) else None
       } finally bi.release()
@@ -2789,8 +2965,11 @@ object TxLog {
         touchedRel.contains(f) || touchedRel.exists(r => f.endsWith(s"/$r")))
       if (touched.isEmpty) return base.get // nothing matches: no new version
       // DV-filtered like every other scan: rewriting a touched file must
-      // not resurrect rows an active deletion vector already killed
-      val touchedDf = readFiles(spark, table, touched, base)
+      // not resurrect rows an active deletion vector already killed.
+      // Row tracking: surviving rows carry their ids into the rewrite
+      // (materialized into the new files by writeData).
+      val touchedDf = readFiles(spark, table, touched, base,
+        withRowIds = rowTrackingEnabled(table, base))
       val rewritten = rewrite(touchedDf)
       if (commitRewrite(spark, table, base, files, touched, rewritten, op))
         return base.get + 1
@@ -2905,12 +3084,15 @@ object TxLog {
         touchedRel.contains(f) || touchedRel.exists(r => f.endsWith(s"/$r")))
       // survivors of the touched files (NULL-cond rows survive, same
       // three-valued rule as delete) + the incoming rows, committed as
-      // one rewrite
+      // one rewrite. Row tracking: survivors keep their ids; incoming
+      // rows union without the column (NULL → they take this commit's
+      // fresh base range on read).
+      val tracking = rowTrackingEnabled(table, base)
       val rewritten =
         if (touched.isEmpty) df
-        else readFiles(spark, table, touched, base)
+        else readFiles(spark, table, touched, base, withRowIds = tracking)
           .filter(!coalesce(condition, lit(false)))
-          .unionByName(df)
+          .unionByName(df, allowMissingColumns = tracking)
       if (commitRewrite(spark, table, base, files, touched, rewritten,
           "replaceWhere"))
         return base.get + 1
@@ -3127,6 +3309,7 @@ object TxLog {
     val keyBounds = keyedSrc.flatMap(mergeKeyBounds(_, onKeys.map(_._1)))
     val keyProbes = keyedSrc.map(mergeKeyProbes(_, onKeys.map(_._1)))
       .getOrElse(Map.empty)
+    val tracking = rowTrackingEnabled(table)
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
@@ -3196,14 +3379,17 @@ object TxLog {
           // no target rows to read — every source row is unmatched; a
           // zero-row target side with the table schema keeps the column
           // and alias shape identical to the join path
-          val empty = read(spark, table, base).limit(0)
+          val empty0 = read(spark, table, base).limit(0)
             .withColumn("__dv_f", lit(null).cast("string"))
             .withColumn("__dv_ri", lit(null).cast("long"))
             .withColumn("__t_present", lit(true))
-            .alias(targetAlias)
+          val empty = (if (tracking)
+            empty0.withColumn(RowIdCol, lit(null).cast("long"))
+          else empty0).alias(targetAlias)
           empty.join(src, condition, "full_outer")
         } else {
-          readFiles(spark, table, touched, base, keepRowKeys = true)
+          readFiles(spark, table, touched, base, keepRowKeys = true,
+              withRowIds = tracking)
             .withColumn("__t_present", lit(true))
             .alias(targetAlias)
             .join(src, condition, "full_outer")
@@ -3266,7 +3452,13 @@ object TxLog {
           when(col("__action") === id, v).otherwise(els)
         }.cast(f.dataType).as(f.name)
       }
-      val rewritten = kept.select(outCols: _*)
+      // Row tracking: surviving target rows carry their ids through the
+      // rewrite; merge-INSERTED rows have a NULL target side, so their
+      // materialized id is NULL and they take this commit's fresh base
+      // range on read — stable and globally unique either way.
+      val outColsAll = outCols ++ (if (tracking)
+        Seq(col(s"$targetAlias.$RowIdCol").as(RowIdCol)) else Nil)
+      val rewritten = kept.select(outColsAll: _*)
       if (commitRewrite(spark, table, base, files, touched, rewritten,
         "merge", schemaDdlOverride =
           if (added.nonEmpty) Some(tgtSchema.toDDL) else None))
@@ -3368,10 +3560,18 @@ object TxLog {
     val srcSchema = schemaAsOf(src, asOf)
     val srcColMap = mappingAsOf(src, asOf).flatMap { m =>
       srcSchema.map(_.fieldNames.toSeq.map(n => n -> m.getOrElse(n, n))) }
+    // row tracking: the referenced files' BASE row ids travel with the
+    // clone, keyed by the absolute entries like stats do — a fresh
+    // allocation here would start at the clone's zero high-water mark and
+    // collide with ids already MATERIALIZED inside rewritten source files
+    val baseByAbs = {
+      val bMap = commits(src).flatMap(_.baseRowIds).toMap
+      files.flatMap(f => bMap.get(f).map(b => abs(f) -> b)).toMap
+    }
     if (!tryCommit(dst, Commit(1L, absFiles, Seq.empty, "clone", -1L,
       statsByAbs, srcSchema.map(_.toDDL), dvAdd = dvs,
       sstats = sstatsByAbs, bloomAdd = blooms, properties = props,
-      colMap = srcColMap)))
+      colMap = srcColMap, baseRowIds = baseByAbs)))
       throw new IllegalStateException(
         s"clone destination $dst gained a commit mid-clone")
     // carry CHECK constraints AS-OF the cloned snapshot, metadata-only:
@@ -3674,7 +3874,8 @@ object TxLog {
     while (attempts < 10) {
       val base = latestVersion(table)
       require(base.nonEmpty, s"optimize on empty txlog table $table")
-      val cur = read(spark, table, base)
+      val cur = readFiles(spark, table, activeFiles(table, base), base,
+        withRowIds = rowTrackingEnabled(table, base))
       // explicit bloomCols CREATES the index on an existing table (the
       // "build a bloom index" entry point); otherwise the rewrite carries
       // forward whatever columns the table already indexes
@@ -3704,7 +3905,7 @@ object TxLog {
         (statsCols ++ declaredCols(table, "graft.stats.columns"))
           .distinct.filter(arranged.columns.contains))
       if (tryCommit(table, Commit(v, add, remove, "optimize", -1L,
-          nstats, Some(arranged.schema.toDDL),
+          nstats, Some(logicalDdl(arranged)),
           dvRemove = activeDvs(table, base), sstats = sstats,
           bloomAdd = fileBlooms(spark, table, add, blCols),
           bloomRemove = activeBlooms(table, base)))) return v
@@ -3767,7 +3968,8 @@ object TxLog {
         val total = small.map(f => sizes.getOrElse(f, 0L)).sum
         math.max(1L, (total + tb - 1) / tb).toInt
       }.getOrElse(targetFiles)
-      val cur = readFiles(spark, table, small, base)
+      val cur = readFiles(spark, table, small, base,
+        withRowIds = rowTrackingEnabled(table, base))
       val arranged = arrange(cur, nOut, clusterBy)
       val add = writeData(arranged, table)
       val v = base.get + 1
@@ -3788,7 +3990,7 @@ object TxLog {
         val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
           .distinct.filter(arranged.columns.contains)
         tryCommit(table, Commit(v, add, small, "optimize", -1L,
-          nstats, Some(arranged.schema.toDDL), dvRemove = dvRemove,
+          nstats, Some(logicalDdl(arranged)), dvRemove = dvRemove,
           sstats = sstats,
           bloomAdd = fileBlooms(spark, table, add, blCols),
           bloomRemove = bi.inert(keep.map(fileKey).toSet)))
@@ -3850,7 +4052,8 @@ object TxLog {
         val total = sel.map(f => sizes.getOrElse(f, 0L)).sum
         math.max(1L, (total + tb - 1) / tb).toInt
       }.getOrElse(targetFiles)
-      val cur = readFiles(spark, table, sel, base)
+      val cur = readFiles(spark, table, sel, base,
+        withRowIds = rowTrackingEnabled(table, base))
       val arranged = arrange(cur, nOut, clusterBy)
       val add = writeData(arranged, table)
       val v = base.get + 1
@@ -3865,7 +4068,7 @@ object TxLog {
         val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
           .distinct.filter(arranged.columns.contains)
         tryCommit(table, Commit(v, add, sel, "optimize", -1L,
-          nstats, Some(arranged.schema.toDDL), dvRemove = dvRemove,
+          nstats, Some(logicalDdl(arranged)), dvRemove = dvRemove,
           sstats = sstats,
           bloomAdd = fileBlooms(spark, table, add, blCols),
           bloomRemove = bi.inert(keep.map(fileKey).toSet)))
@@ -3920,7 +4123,8 @@ object TxLog {
           d.toDouble / math.max(totals.getOrElse(k, d), 1L) > maxDeletedFraction)
       }
       if (touched.isEmpty) return base.get
-      val rewritten = readFiles(spark, table, touched, base) // DVs applied
+      val rewritten = readFiles(spark, table, touched, base, // DVs applied
+        withRowIds = rowTrackingEnabled(table, base))
       val add = writeData(rewritten, table)
       // retire DV files whose every referenced data file leaves the set
       val dvRemove = inertDvs(spark, table, dvs,

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TxLog
+
+/** Row tracking (Delta's row IDs): a stable per-row identity — fresh
+  * files read base + row_index (zero storage), rewrites materialize
+  * surviving ids into a hidden physical column, so the id survives
+  * UPDATE / DELETE / MERGE / CDC merge / OPTIMIZE. */
+class RowTrackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed(): String = {
+    val t = tmpDir("rowtrack") + "/t"
+    TxLog.enableRowTracking(t)
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    TxLog.append(Seq((3L, "c"), (4L, "d")).toDF("k", "v").coalesce(1), t)
+    t
+  }
+
+  private def ids(t: String): Map[Long, Long] =
+    TxLog.readWithRowIds(spark, t).select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+
+  test("fresh appends get globally unique ids; plain reads never see them") {
+    val t = seed()
+    val m = ids(t)
+    assert(m.keySet === Set(1L, 2L, 3L, 4L))
+    assert(m.values.toSeq.distinct.size === 4, s"ids must be unique: $m")
+    // the logical surface is untouched: no hidden column anywhere
+    assert(TxLog.read(spark, t).columns.toSeq === Seq("k", "v"))
+    assert(TxLog.schemaAsOf(t).get.fieldNames.toSeq === Seq("k", "v"))
+  }
+
+  test("UPDATE preserves ids (rewrite materializes them into new files)") {
+    val t = seed()
+    val before = ids(t)
+    spark.sql(s"UPDATE txlog.`$t` SET v = 'X' WHERE k <= 2")
+    assert(ids(t) === before, "every id must survive the rewrite")
+    // and the schema still has no hidden column
+    assert(TxLog.read(spark, t).columns.toSeq === Seq("k", "v"))
+  }
+
+  test("DELETE keeps survivors' ids; deleted ids are never reused") {
+    val t = seed()
+    val before = ids(t)
+    spark.sql(s"DELETE FROM txlog.`$t` WHERE k = 1")
+    assert(ids(t) === before - 1L)
+    // a new append allocates ABOVE the high-water mark — the deleted
+    // row's id cannot resurrect on an unrelated row
+    TxLog.append(Seq((9L, "z")).toDF("k", "v").coalesce(1), t)
+    val after = ids(t)
+    assert(after(9L) > before.values.max)
+    assert(!after.values.toSet.contains(before(1L)),
+      "a deleted row's id must never reappear on another row")
+    assert(after.values.toSeq.distinct.size === after.size)
+  }
+
+  test("OPTIMIZE compaction preserves every id") {
+    val t = seed()
+    val before = ids(t)
+    assert(TxLog.optimizeSmall(spark, t,
+      minFileSizeBytes = Long.MaxValue / 2, targetFiles = 1).nonEmpty)
+    assert(ids(t) === before)
+  }
+
+  test("MERGE INTO: matched rows keep ids, inserted rows get fresh ones") {
+    val t = seed()
+    val before = ids(t)
+    val src = Seq((2L, "B2"), (99L, "new")).toDF("k", "nv")
+    TxLog.mergeInto(spark, t, src, "t", "s", expr("t.k = s.k"),
+      matched = Seq(TxLog.MergeUpdate(None, Map("v" -> col("s.nv")))),
+      notMatched = Seq(TxLog.MergeInsert(None,
+        Map("k" -> col("s.k"), "v" -> col("s.nv")))))
+    val after = ids(t)
+    assert(after.view.filterKeys(before.contains).toMap === before,
+      "matched + untouched rows keep their ids")
+    assert(after(99L) > before.values.max, "inserted row takes a fresh id")
+    assert(after.values.toSeq.distinct.size === after.size)
+  }
+
+  test("CDC merge: the id follows the key through an upsert") {
+    val t = tmpDir("rowtrack") + "/t"
+    TxLog.enableRowTracking(t)
+    TxLog.append(Seq((1L, "a", 1L), (2L, "b", 1L))
+      .toDF("k", "v", "ver").coalesce(1), t)
+    val before = ids3(t)
+    TxLog.merge(spark, t, Seq((2L, "b2", 2L), (5L, "e", 2L))
+      .toDF("k", "v", "ver"), Seq("k"), "ver")
+    val after = ids3(t)
+    assert(after(1L) === before(1L))
+    assert(after(2L) === before(2L), "upserted key keeps its id")
+    assert(after(5L) > before.values.max, "new key takes a fresh id")
+  }
+
+  private def ids3(t: String): Map[Long, Long] =
+    TxLog.readWithRowIds(spark, t).select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+
+  test("pre-enable files read NULL ids; enable refuses partitioned tables") {
+    val t = tmpDir("rowtrack") + "/t"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t) // before enable
+    TxLog.enableRowTracking(t)
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t) // after
+    val m = TxLog.readWithRowIds(spark, t).select("k", "_row_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(m(1L).isEmpty, "pre-enable rows have no id")
+    assert(m(2L).nonEmpty)
+    val tp = tmpDir("rowtrack") + "/t"
+    TxLog.setProperties(tp, Map("graft.partition.columns" -> "y"))
+    val e = intercept[IllegalArgumentException](TxLog.enableRowTracking(tp))
+    assert(e.getMessage.contains("partitioned"))
+  }
+
+  test("a write supplying the reserved column refuses") {
+    val t = tmpDir("rowtrack") + "/t"
+    TxLog.enableRowTracking(t)
+    val e = intercept[IllegalArgumentException](
+      TxLog.append(Seq((1L, 5L)).toDF("k", "_graft_row_id"), t))
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("shallow clone carries ids; post-clone appends allocate above them") {
+    val t = seed()
+    spark.sql(s"UPDATE txlog.`$t` SET v = 'X' WHERE k = 1") // materialize
+    val before = ids(t)
+    val dst = tmpDir("rowtrack") + "/c"
+    TxLog.cloneTable(spark, t, dst)
+    assert(ids(dst) === before, "clone must see the source's ids")
+    // a fresh allocation in the clone must start ABOVE the carried
+    // ranges, not at zero (zero would collide with materialized ids)
+    TxLog.append(Seq((7L, "g")).toDF("k", "v").coalesce(1), dst)
+    val after = ids(dst)
+    assert(after(7L) > before.values.max)
+    assert(after.values.toSeq.distinct.size === after.size)
+  }
+
+  test("time travel reads the ids as of that version") {
+    val t = seed()
+    spark.sql(s"DELETE FROM txlog.`$t` WHERE k = 2")
+    // seed: v1 = enable (setProperty), v2/v3 = the two appends
+    val historic = TxLog.readWithRowIds(spark, t, Some(3L))
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(historic.keySet === Set(1L, 2L, 3L, 4L))
+    assert(historic === historic) // ids resolvable at the old snapshot
+  }
+}
