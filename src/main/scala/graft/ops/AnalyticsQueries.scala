@@ -1315,6 +1315,52 @@ object AnalyticsQueries {
       s.sql(s"DELETE FROM txlog.`$table` WHERE c_custkey % 9 = 0")
       TxLog.readWithRowIds(s, table)
         .select("c_custkey", "c_acctbal", "_row_id")
+    },
+
+    // SCD Type 2 apply-changes (DLT's APPLY CHANGES … STORED AS SCD
+    // TYPE 2): three INCREMENTAL batches fold into the history table —
+    // initial load (seq 1), a %3 price correction (seq 2), a %7
+    // retirement (seq 3) — and the result must hash-match DuckDB's
+    // GLOBAL lead()-chain recompute over the union of all events. Any
+    // row the incremental path fails to close, double-opens, or closes
+    // at the wrong sequence diverges the hash.
+    QueryDef("src_txlog_scd2",
+      "SCD Type 2 apply-changes: three incremental CDC batches ≡ the global lead()-chain recompute (open/close/delete history rows)",
+      s"""WITH ev AS (
+         |  SELECT c_custkey, c_name, c_acctbal, 1 AS ver, 'upsert' AS op
+         |  FROM read_parquet('${QueryDef.StageSql}/scd2_in/*.parquet')
+         |  UNION ALL
+         |  SELECT c_custkey, c_name, c_acctbal + 100.0, 2, 'upsert'
+         |  FROM read_parquet('${QueryDef.StageSql}/scd2_in/*.parquet')
+         |  WHERE c_custkey % 3 = 0
+         |  UNION ALL
+         |  SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         |         3, 'delete'
+         |  FROM read_parquet('${QueryDef.StageSql}/scd2_in/*.parquet')
+         |  WHERE c_custkey % 7 = 0),
+         |o AS (SELECT *, LEAD(ver) OVER (PARTITION BY c_custkey
+         |        ORDER BY ver ASC, op DESC) AS nxt FROM ev)
+         |SELECT c_custkey, c_name, c_acctbal,
+         |  CAST(ver AS BIGINT) AS __start_at, CAST(nxt AS BIGINT) AS __end_at
+         |FROM o WHERE op = 'upsert'""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      cust.write.mode("overwrite").parquet(s"$stage/scd2_in")
+      val in = s.read.parquet(s"$stage/scd2_in")
+      val table = Files.createTempDirectory("graft_txscd2").toString + "/t"
+      def apply(b: org.apache.spark.sql.DataFrame): Unit =
+        TxLog.applyChangesScd2(s, table, b, Seq("c_custkey"), "ver", "op")
+      apply(in.withColumn("ver", lit(1L))
+        .withColumn("op", lit("upsert")))                             // v1
+      apply(in.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("ver", lit(2L)).withColumn("op", lit("upsert")))  // v2
+      apply(in.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .withColumn("c_name", lit(null).cast("string"))
+        .withColumn("c_acctbal", lit(null).cast("double"))
+        .withColumn("ver", lit(3L)).withColumn("op", lit("delete")))  // v3
+      TxLog.read(s, table)
     }
   )
 }

@@ -197,7 +197,7 @@ object TxLog {
     "update", "optimize", "optimizeDvs", "addConstraint", "dvDelete",
     "restore", "clone", "setProperty", "convert", "dropConstraint",
     "columnMapping", "renameColumn", "dropColumn", "addColumn",
-    "replaceWhere", "copyInto")
+    "replaceWhere", "copyInto", "scd2")
 
   /** File entries are table-relative (`d-<uuid>/part-….parquet`) except
     * shallow-CLONE entries, which reference the SOURCE table absolutely.
@@ -2766,6 +2766,126 @@ object TxLog {
       opCol, batchId, streamId)
   }
 
+  /** SCD TYPE 2 apply-changes (Databricks DLT's `APPLY CHANGES INTO …
+    * STORED AS SCD TYPE 2`): maintain a full-history dimension table
+    * from a CDC feed. Every upsert OPENS a history row
+    * (`__start_at` = its sequence value, `__end_at` = NULL while
+    * current); the next change to the same key CLOSES it (sets
+    * `__end_at` to that change's sequence); a delete closes without
+    * opening. The table therefore answers both "current state"
+    * (`__end_at IS NULL`) and "state as of sequence v"
+    * (`__start_at <= v AND (v < __end_at OR __end_at IS NULL)`).
+    *
+    * Incremental cost follows the BATCH, not the table: candidate files
+    * prune through the same key-bounds + bloom machinery as [[merge]],
+    * an exact semi-join of OPEN rows against the batch's keys finds the
+    * touched files, and only those rewrite — closed history rows and
+    * untouched keys stay byte-identical in place. The incremental fold
+    * is equivalent to the global recompute (each key's history is the
+    * lead()-chain of its events) as long as each key's sequence values
+    * arrive non-decreasing across batches — an out-of-order batch that
+    * would close a row BEFORE it opened refuses loudly.
+    *
+    * Within a batch, several changes to one key chain through a lead()
+    * window (ordered by sequence, upserts before a same-sequence
+    * delete). The history columns ride the feed's sequence domain, not
+    * commit versions — deterministic and replayable. */
+  def applyChangesScd2(spark: SparkSession, table: String,
+      changes: DataFrame, keyCols: Seq[String], versionCol: String,
+      opCol: String, batchId: Long = -1L,
+      streamId: Option[String] = None): Long = {
+    val busCols = changes.columns.toSeq
+      .filterNot(c => c == opCol || c == versionCol)
+    require(keyCols.forall(busCols.contains),
+      s"applyChangesScd2: key columns ${keyCols.mkString(",")} must be " +
+        "carried by the changes frame")
+    val wSeq = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).asc, col(opCol).desc)
+    val chained = changes.withColumn("__scd_nxt",
+      lead(col(versionCol), 1).over(wSeq))
+    val newRows = chained
+      .filter(coalesce(col(opCol), lit("upsert")) =!= "delete")
+      .select(busCols.map(col) ++ Seq(
+        col(versionCol).cast("long").alias("__start_at"),
+        col("__scd_nxt").cast("long").alias("__end_at")): _*)
+    // per-key FIRST sequence value in the batch: the existing open row
+    // (if any) closes at it
+    val firstVer = changes.groupBy(keyCols.map(col): _*)
+      .agg(min(col(versionCol)).cast("long").alias("__scd_first"))
+    val keyBounds = mergeKeyBounds(changes, keyCols)
+    val keyProbes = mergeKeyProbes(changes, keyCols)
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      if (base.isEmpty || activeFiles(table, base).isEmpty)
+        return append(newRows, table, batchId = batchId,
+          streamId = streamId)
+      val allActive = activeFiles(table, base)
+      val ranged = keyBounds match {
+        case Some(b) => filesForKeyBounds(table, b, base)
+        case None => allActive
+      }
+      val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+      val won = try {
+        val candidates = refineTouchedByBlooms(table, ranged, keyProbes,
+          changes, base, bi)
+        // exact: files holding an OPEN row for a batch key
+        val touchedRel =
+          if (candidates.isEmpty) Set.empty[String]
+          else readFiles(spark, table, candidates, base,
+              keepRowKeys = true)
+            .filter(col("__end_at").isNull)
+            .join(firstVer, keyCols, "left_semi")
+            .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
+        val touched = candidates.filter(f =>
+          touchedRel.contains(f) || touchedRel.exists(r =>
+            f.endsWith(s"/$r")))
+        val tracking = rowTrackingEnabled(table, base)
+        val rewritten =
+          if (touched.isEmpty) newRows
+          else {
+            val cur = readFiles(spark, table, touched, base,
+              withRowIds = tracking)
+            // the per-key digest is batch-sized: broadcast it
+            val closed = cur.join(broadcast(firstVer), keyCols, "left")
+              .withColumn("__end_at",
+                when(col("__end_at").isNull && col("__scd_first").isNotNull,
+                  col("__scd_first")).otherwise(col("__end_at")))
+            // out-of-order guard: a close BEFORE the open is a feed that
+            // violated the per-key monotone-sequence contract
+            val bad = closed
+              .filter(col("__end_at") < col("__start_at")).limit(1)
+            if (!bad.isEmpty) throw new IllegalArgumentException(
+              s"applyChangesScd2 on $table: batch sequence values " +
+                "precede an open row's __start_at — per-key sequences " +
+                "must be non-decreasing across batches (offending row: " +
+                bad.collect().mkString(", ") + ")")
+            closed.drop("__scd_first")
+              .unionByName(newRows, allowMissingColumns = tracking)
+          }
+        if (commitRewrite(spark, table, base, allActive, touched,
+            rewritten, "scd2", batchId = batchId, streamId = streamId)) true
+        else false
+      } finally bi.release()
+      if (won) return base.get + 1
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog applyChangesScd2 on $table lost 10 straight races — giving up")
+  }
+
+  /** foreachBatch adapter for [[applyChangesScd2]] — (streamId, batchId)
+    * replay-guarded like [[cdcSink]], so checkpoint recovery's
+    * re-delivered batch cannot double-close or double-open history
+    * rows. */
+  def scd2Sink(table: String, keyCols: Seq[String], versionCol: String,
+      opCol: String, streamId: Option[String] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batchCommitted(table, streamId, batchId)) return
+    applyChangesScd2(batch.sparkSession, table, batch, keyCols, versionCol,
+      opCol, batchId, streamId)
+  }
+
   /** Change-data-feed between two committed versions (Delta's
     * `table_changes`): keyed full-outer diff of the snapshots →
     * `insert` (key only in `toV`), `delete` (key only in `fromV`),
@@ -2990,7 +3110,9 @@ object TxLog {
       rewritten0: DataFrame, op: String,
       schemaDdlOverride: Option[String] = None,
       mappingOverride: Option[Map[String, String]] = null,
-      colMapStamp: Option[Seq[(String, String)]] = None): Boolean = {
+      colMapStamp: Option[Seq[(String, String)]] = None,
+      batchId: Long = -1L,
+      streamId: Option[String] = None): Boolean = {
     // DML honors the same CHECK constraints as append/overwrite/merge:
     // an UPDATE … SET that lands a violating row must be refused, not
     // committed (Delta enforces constraints on every write path). Cheap:
@@ -3027,7 +3149,8 @@ object TxLog {
       val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
         .map(c => inv.getOrElse(c, c))
         .distinct.filter(rewritten.columns.contains)
-      tryCommit(table, Commit(v, add, touched, op, -1L,
+      tryCommit(table, Commit(v, add, touched, op, batchId,
+        streamId = streamId,
         stats = nst, sstats = sst,
         schemaDdl = schemaDdlOverride
           .orElse(schemaAsOf(table, base).map(_.toDDL)),

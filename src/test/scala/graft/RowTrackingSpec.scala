@@ -113,6 +113,24 @@ class RowTrackingSpec extends SparkSpec {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("OPTIMIZE backfills ids for pre-enable rows (the documented remedy)") {
+    val t = tmpDir("rowtrack") + "/t"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)
+    TxLog.append(Seq((2L, "b")).toDF("k", "v").coalesce(1), t)
+    TxLog.enableRowTracking(t)
+    assert(TxLog.readWithRowIds(spark, t).filter(col("_row_id").isNull)
+      .count() === 2, "pre-enable rows start with NULL ids")
+    // the forced rewrite reads NULL materialized ids, so the rewritten
+    // file's fresh base range covers the rows — ids appear, stay unique
+    TxLog.optimizeSmall(spark, t, minFileSizeBytes = Long.MaxValue / 2)
+    val m = ids(t)
+    assert(m.keySet === Set(1L, 2L))
+    assert(m.values.toSeq.distinct.size === 2)
+    // and they are STABLE from here on: a later delete preserves them
+    spark.sql(s"DELETE FROM txlog.`$t` WHERE k = 1")
+    assert(ids(t) === m - 1L)
+  }
+
   test("a write supplying the reserved column refuses") {
     val t = tmpDir("rowtrack") + "/t"
     TxLog.enableRowTracking(t)
