@@ -1598,6 +1598,76 @@ object StreamingQueries {
         .start().awaitTermination()
       TxLog.read(s, t).select(col("d").cast("string").alias("d"),
         col("n_events"), col("u_sum"))
+    },
+
+    // Streaming SCD Type 2 (DLT's APPLY CHANGES … STORED AS SCD TYPE 2
+    // as a stream): three CDC batches land as files with ascending
+    // mtimes, the file source delivers them in sequence order
+    // (maxFilesPerTrigger=1), and each micro-batch folds into the
+    // history table through the (streamId, batchId) replay-guarded
+    // scd2Sink — upserts open rows, the next change per key closes
+    // them, deletes close without opening. The oracle recomputes the
+    // GLOBAL lead()-chain over the union of all events: any batch the
+    // incremental stream fold closes at the wrong sequence (or a replay
+    // double-applies) diverges the hash.
+    QueryDef("st40_stream_scd2",
+      "streaming SCD Type 2: ordered CDC micro-batches fold into the full-history table via the replay-guarded scd2 sink; oracle is the global lead()-chain",
+      s"""WITH ev AS (
+         |  SELECT c_custkey, c_name, c_acctbal, 1 AS ver, 'upsert' AS op
+         |  FROM read_parquet('$StageSql/scd2s_in/*.parquet')
+         |  UNION ALL
+         |  SELECT c_custkey, c_name, c_acctbal + 100.0, 2, 'upsert'
+         |  FROM read_parquet('$StageSql/scd2s_in/*.parquet')
+         |  WHERE c_custkey % 3 = 0
+         |  UNION ALL
+         |  SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         |         3, 'delete'
+         |  FROM read_parquet('$StageSql/scd2s_in/*.parquet')
+         |  WHERE c_custkey % 7 = 0),
+         |o AS (SELECT *, LEAD(ver) OVER (PARTITION BY c_custkey
+         |        ORDER BY ver ASC, op DESC) AS nxt FROM ev)
+         |SELECT c_custkey, c_name, c_acctbal,
+         |  CAST(ver AS BIGINT) AS __start_at, CAST(nxt AS BIGINT) AS __end_at
+         |FROM o WHERE op = 'upsert'""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      graft.Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/scd2s_in")
+      val in = s.read.parquet(s"$stage/scd2s_in")
+      val landing = tmp("graft_st40_src")
+      def stageBatch(df: DataFrame, n: Int): Unit = {
+        val d = tmp("graft_st40_b")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        val part = TxLog.listDir(java.nio.file.Paths.get(d))
+          .filter(_.getFileName.toString.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(landing, f"b$n%04d.parquet")
+        Files.copy(part, dst)
+        // mtime IS the delivery order for the file source: sequence
+        // batches must arrive per-key non-decreasing (the scd2 contract)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+          .fromMillis(1600000000000L + n * 60000L))
+      }
+      stageBatch(in.withColumn("ver", lit(1L))
+        .withColumn("op", lit("upsert")), 1)
+      stageBatch(in.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("ver", lit(2L)).withColumn("op", lit("upsert")), 2)
+      stageBatch(in.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .withColumn("c_name", lit(null).cast("string"))
+        .withColumn("c_acctbal", lit(null).cast("double"))
+        .withColumn("ver", lit(3L)).withColumn("op", lit("delete")), 3)
+      val target = tmp("graft_st40") + "/t"
+      val cp = tmp("graft_st40_cp")
+      configureStreaming(s)
+      s.readStream.schema(s.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .foreachBatch(TxLog.scd2Sink(target, Seq("c_custkey"), "ver",
+          "op", Some(cp)) _)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      TxLog.read(s, target)
     }
   )
 }
