@@ -2966,6 +2966,44 @@ object TxLog {
     keyedDiff(pre, post, keyCols, dataCols, preImages)
   }
 
+  /** [[changes]] with the stable `_row_id` riding every change row
+    * (row tracking must be enabled): updates carry the row's UNCHANGED
+    * id (preservation makes the id a join key across feed epochs),
+    * deletes carry the retired id, inserts the fresh one. This is what
+    * lets a downstream incremental consumer key its state on row
+    * identity instead of the business key — e.g. a feature store
+    * updating exactly the vectors whose source rows changed. The id
+    * participates in the diff as a data column: under preservation that
+    * is free (ids never change on their own), and any preservation BUG
+    * would surface as a spurious update here rather than hide. */
+  def changesWithRowIds(spark: SparkSession, table: String,
+      keyCols: Seq[String], fromV: Long, toV: Long,
+      preImages: Boolean = false): DataFrame = {
+    require(rowTrackingEnabled(table, Some(toV)),
+      s"changesWithRowIds: row tracking is not enabled on $table")
+    if (fromV <= 0L) {
+      val snap = readWithRowIds(spark, table, Some(toV))
+      val dataCols = snap.columns.filterNot(keyCols.contains).toSeq
+      return snap.select(
+        (keyCols ++ dataCols).map(col) :+ lit("insert").alias("change_type"): _*)
+    }
+    val preRaw = readWithRowIds(spark, table, Some(fromV))
+    val postRaw = readWithRowIds(spark, table, Some(toV))
+    // same union-schema alignment as [[changes]]: a mergeSchema
+    // evolution between the versions diffs as updates, not a resolution
+    // failure
+    val unionFields = postRaw.schema.fields ++
+      preRaw.schema.fields.filterNot(f => postRaw.columns.contains(f.name))
+    def align(df: DataFrame): DataFrame = df.select(unionFields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).alias(f.name)
+    }: _*)
+    val pre = align(preRaw).alias("_pre")
+    val post = align(postRaw).alias("_post")
+    val dataCols = unionFields.map(_.name).filterNot(keyCols.contains).toSeq
+    keyedDiff(pre, post, keyCols, dataCols, preImages)
+  }
+
   /** The change-feed row schema for `table` as of a version: key columns
     * first, remaining table columns, then `change_type` — the column
     * order [[changes]] and [[commitChanges]] emit. */

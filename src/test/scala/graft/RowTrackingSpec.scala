@@ -154,6 +154,25 @@ class RowTrackingSpec extends SparkSpec {
     assert(after.values.toSeq.distinct.size === after.size)
   }
 
+  test("changesWithRowIds: updates keep the id, deletes carry the retired one") {
+    val t = seed() // v1 enable, v2+v3 appends
+    val before = ids(t)
+    spark.sql(s"UPDATE txlog.`$t` SET v = 'X' WHERE k = 1")   // v4
+    spark.sql(s"DELETE FROM txlog.`$t` WHERE k = 4")          // v5
+    TxLog.append(Seq((8L, "h")).toDF("k", "v").coalesce(1), t) // v6
+    val cdf = TxLog.changesWithRowIds(spark, t, Seq("k"), 3L, 6L)
+      .select("k", "v", "_row_id", "change_type")
+      .as[(Long, String, Long, String)].collect().toSet
+    val byKey = cdf.map(r => r._1 -> r).toMap
+    assert(byKey(1L) === ((1L, "X", before(1L), "update")),
+      "the update rides the row's UNCHANGED id")
+    assert(byKey(4L)._3 === before(4L), "the delete carries the retired id")
+    assert(byKey(4L)._4 === "delete")
+    assert(byKey(8L)._4 === "insert")
+    assert(byKey(8L)._3 > before.values.max, "the insert has a fresh id")
+    assert(cdf.size === 3, "untouched keys emit nothing")
+  }
+
   test("time travel reads the ids as of that version") {
     val t = seed()
     spark.sql(s"DELETE FROM txlog.`$t` WHERE k = 2")
