@@ -677,10 +677,6 @@ object TxLog {
       toLogical(withIds,
         Seq("__dv_f", "__dv_ri") ++ (if (withRowIds) Seq(RowIdCol) else Nil))
     } else {
-      require(!withRowIds,
-        s"txlog $table: row tracking does not support partitioned " +
-          "snapshots (enableRowTracking refuses them; this log was " +
-          "hand-mixed)")
       require(mapping.isEmpty,
         s"txlog table $table mixes column mapping with partitioned " +
           "files — unsupported (enableColumnMapping refuses partitioned " +
@@ -695,12 +691,19 @@ object TxLog {
       // pre-partitioning files), not per partition value.
       val groups = files.groupBy(f => partsByFile(f).map(_._1))
         .toSeq.sortBy(_._1.mkString(","))
+      val baseMap = if (withRowIds) baseRowIdsAsOf(table, asOf)
+        else Map.empty[String, Long]
       val scans = groups.map { case (pcols, fs) =>
         val paths = fs.map(resolve(table, _))
         val base = schema match {
           case Some(s) =>
+            val dataFields = s.fields
+              .filterNot(f => pcols.contains(f.name) || f.name == RowIdCol)
             val dataSchema = org.apache.spark.sql.types.StructType(
-              s.filterNot(f => pcols.contains(f.name)))
+              if (withRowIds) dataFields :+
+                org.apache.spark.sql.types.StructField(RowIdCol,
+                  org.apache.spark.sql.types.LongType, nullable = true)
+              else dataFields)
             spark.read.schema(dataSchema).parquet(paths: _*)
           case None => spark.read.parquet(paths: _*)
         }
@@ -720,13 +723,29 @@ object TxLog {
             .map(f => raw.cast(f.dataType)).getOrElse(raw)
           df.withColumn(c, typed)
         }
+        // row tracking: same resolution as the unpartitioned branch —
+        // materialized id (rewritten files) else base + row_index
+        val withIds =
+          if (!withRowIds) withParts
+          else {
+            val fromBase: org.apache.spark.sql.Column =
+              if (baseMap.isEmpty) lit(null).cast("long")
+              else element_at(typedlit(baseMap), col("__dv_f")) +
+                col("__dv_ri")
+            val id =
+              if (withParts.columns.contains(RowIdCol))
+                coalesce(col(RowIdCol), fromBase)
+              else fromBase
+            withParts.withColumn(RowIdCol, id)
+          }
         // restore the logged column order (the partitioned writer moved
         // partition columns last); keys stay, dropped at the end as usual
         schema match {
-          case Some(s) => withParts.select(
-            s.fieldNames.toSeq.map(col) ++
-              Seq(col("__dv_f"), col("__dv_ri")): _*)
-          case None => withParts
+          case Some(s) => withIds.select(
+            s.fieldNames.toSeq.filterNot(_ == RowIdCol).map(col) ++
+              Seq(col("__dv_f"), col("__dv_ri")) ++
+              (if (withRowIds) Seq(col(RowIdCol)) else Nil): _*)
+          case None => withIds
         }
       }
       scans.reduce(_ unionByName _)
@@ -1444,14 +1463,11 @@ object TxLog {
   /** Enable row tracking. Only rows written AFTER enable get ids —
     * pre-enable files have no base recorded and read NULL (Delta's
     * backfill is likewise a separate rewrite; run [[optimizeSmall]] with
-    * a huge threshold to force one here). Partitioned tables refuse:
-    * the partition-grouped scan does not reconstruct ids (v1 scope —
-    * same posture as enableColumnMapping). */
+    * a huge threshold to force one here). Partitioned tables work: the
+    * partition-grouped scan resolves ids per group, and a dynamic
+    * partition OVERWRITE'd partition's rows are NEW rows (fresh ids) —
+    * replacement is not a rewrite of the same rows. */
   def enableRowTracking(table: String): Long = {
-    require(declaredCols(table, "graft.partition.columns").isEmpty,
-      s"enableRowTracking($table): row tracking does not support " +
-        "partitioned tables (v1) — the partition-grouped scan does not " +
-        "reconstruct row ids")
     require(schemaAsOf(table).forall(!_.fieldNames.contains(RowIdCol)),
       s"enableRowTracking($table): the table already has a $RowIdCol " +
         "column — reserved for row tracking")

@@ -98,7 +98,7 @@ class RowTrackingSpec extends SparkSpec {
     TxLog.readWithRowIds(spark, t).select("k", "_row_id")
       .as[(Long, Long)].collect().toMap
 
-  test("pre-enable files read NULL ids; enable refuses partitioned tables") {
+  test("pre-enable files read NULL ids") {
     val t = tmpDir("rowtrack") + "/t"
     TxLog.append(Seq((1L, "a")).toDF("k", "v"), t) // before enable
     TxLog.enableRowTracking(t)
@@ -107,10 +107,30 @@ class RowTrackingSpec extends SparkSpec {
       .as[(Long, Option[Long])].collect().toMap
     assert(m(1L).isEmpty, "pre-enable rows have no id")
     assert(m(2L).nonEmpty)
-    val tp = tmpDir("rowtrack") + "/t"
-    TxLog.setProperties(tp, Map("graft.partition.columns" -> "y"))
-    val e = intercept[IllegalArgumentException](TxLog.enableRowTracking(tp))
-    assert(e.getMessage.contains("partitioned"))
+  }
+
+  test("partitioned tables: ids resolve per group, survive UPDATE, refresh on overwrite") {
+    val t = tmpDir("rowtrack") + "/t"
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    TxLog.enableRowTracking(t)
+    TxLog.append(Seq((1L, "a", 1995), (2L, "b", 1995), (3L, "c", 1996))
+      .toDF("k", "v", "y"), t)
+    val before = ids(t)
+    assert(before.keySet === Set(1L, 2L, 3L))
+    assert(before.values.toSeq.distinct.size === 3)
+    // copy-on-write UPDATE inside a partition preserves ids
+    spark.sql(s"UPDATE txlog.`$t` SET v = 'A' WHERE k = 1")
+    assert(ids(t) === before)
+    // a dynamic partition OVERWRITE replaces rows — replacement rows are
+    // NEW rows and take fresh ids (this is not a rewrite of old rows)
+    TxLog.overwritePartitions(
+      Seq((9L, "z", 1996)).toDF("k", "v", "y"), t)
+    val after = ids(t)
+    assert(after.view.filterKeys(Set(1L, 2L)).toMap ===
+      before.view.filterKeys(Set(1L, 2L)).toMap,
+      "untouched partition keeps its ids")
+    assert(after(9L) > before.values.max)
+    assert(after.values.toSeq.distinct.size === after.size)
   }
 
   test("OPTIMIZE backfills ids for pre-enable rows (the documented remedy)") {
