@@ -2890,6 +2890,103 @@ object TxLog {
       s"txlog applyChangesScd2 on $table lost 10 straight races — giving up")
   }
 
+  /** Retro-fix for LATE events ([[applyChangesScd2]] refuses them):
+    * splice out-of-order changes into the affected keys' history. The
+    * key's existing history rows are RECONSTRUCTED into their event
+    * sequence (each row is an upsert at `__start_at`; a close with no
+    * successor opening at the same sequence was a delete), the late
+    * events union in, and the lead()-chain recomputes — exactly the
+    * global fold, applied to ONLY the contested keys' files (untouched
+    * keys in those files pass through byte-equal; other files stay in
+    * place). This is DLT's out-of-order SCD2 handling as an explicit
+    * repair verb rather than a silent per-batch path: the common case
+    * stays cheap and append-shaped, the rare late feed pays the splice.
+    *
+    * Reconstruction is exact because a history table built by
+    * applyChangesScd2/repairScd2 satisfies: per key, row starts are
+    * distinct, and every close either matches a successor's start
+    * (upsert) or ends the chain (delete). */
+  def repairScd2(spark: SparkSession, table: String,
+      lateChanges: DataFrame, keyCols: Seq[String], versionCol: String,
+      opCol: String): Long = {
+    val busCols = lateChanges.columns.toSeq
+      .filterNot(c => c == opCol || c == versionCol)
+    val lateEv = lateChanges.select(busCols.map(col) ++ Seq(
+      col(versionCol).cast("long").alias("__scd_ver"),
+      coalesce(col(opCol), lit("upsert")).alias("__scd_op")): _*)
+    val lateKeys = lateChanges.select(keyCols.map(col): _*).distinct()
+    val keyBounds = mergeKeyBounds(lateChanges, keyCols)
+    val keyProbes = mergeKeyProbes(lateChanges, keyCols)
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      require(base.nonEmpty && activeFiles(table, base).nonEmpty,
+        s"repairScd2 on empty txlog table $table — use applyChangesScd2")
+      val allActive = activeFiles(table, base)
+      val ranged = keyBounds match {
+        case Some(b) => filesForKeyBounds(table, b, base)
+        case None => allActive
+      }
+      val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+      val won = try {
+        val candidates = refineTouchedByBlooms(table, ranged, keyProbes,
+          lateChanges, base, bi)
+        // ANY row of an affected key touches (history rewrites whole
+        // chains, not just open rows)
+        val touchedRel =
+          if (candidates.isEmpty) Set.empty[String]
+          else readFiles(spark, table, candidates, base,
+              keepRowKeys = true)
+            .join(lateKeys, keyCols, "left_semi")
+            .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
+        val touched = candidates.filter(f =>
+          touchedRel.contains(f) || touchedRel.exists(r =>
+            f.endsWith(s"/$r")))
+        val tracking = rowTrackingEnabled(table, base)
+        // row tracking: untouched keys in rewritten files KEEP their ids;
+        // the repaired chains are re-derived rows and take fresh ones
+        val cur =
+          if (touched.isEmpty) read(spark, table, base).limit(0)
+          else readFiles(spark, table, touched, base,
+            withRowIds = tracking)
+        val affected = cur.join(lateKeys, keyCols, "left_semi")
+        val untouched = cur.join(lateKeys, keyCols, "left_anti")
+        // reconstruct the affected keys' event sequences
+        val upserts = affected.select(busCols.map(col) ++ Seq(
+          col("__start_at").alias("__scd_ver"),
+          lit("upsert").alias("__scd_op")): _*)
+        val wk = Window.partitionBy(keyCols.map(col): _*)
+        val deletes = affected
+          .withColumn("__scd_starts",
+            collect_set(col("__start_at")).over(wk))
+          .filter(col("__end_at").isNotNull &&
+            !array_contains(col("__scd_starts"), col("__end_at")))
+          .select(busCols.map(c =>
+            (if (keyCols.contains(c)) col(c)
+             else lit(null).cast(affected.schema(c).dataType)).alias(c)) ++
+            Seq(col("__end_at").alias("__scd_ver"),
+              lit("delete").alias("__scd_op")): _*)
+        val events = upserts.unionByName(deletes).unionByName(lateEv)
+        val wSeq = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__scd_ver").asc, col("__scd_op").desc)
+        val rebuilt = events
+          .withColumn("__scd_nxt", lead(col("__scd_ver"), 1).over(wSeq))
+          .filter(col("__scd_op") =!= "delete")
+          .select(busCols.map(col) ++ Seq(
+            col("__scd_ver").alias("__start_at"),
+            col("__scd_nxt").alias("__end_at")): _*)
+        val rewritten = untouched
+          .unionByName(rebuilt, allowMissingColumns = tracking)
+        commitRewrite(spark, table, base, allActive, touched, rewritten,
+          "scd2")
+      } finally bi.release()
+      if (won) return base.get + 1
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog repairScd2 on $table lost 10 straight races — giving up")
+  }
+
   /** foreachBatch adapter for [[applyChangesScd2]] — (streamId, batchId)
     * replay-guarded like [[cdcSink]], so checkpoint recovery's
     * re-delivered batch cannot double-close or double-open history

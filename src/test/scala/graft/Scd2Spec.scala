@@ -113,6 +113,43 @@ class Scd2Spec extends SparkSpec {
     assert(hist(t) === expect)
   }
 
+  test("repairScd2 splices a late event into the key's chain") {
+    val t = tmpDir("scd2") + "/t"
+    def b(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("k", "v", "ver", "op")
+    TxLog.applyChangesScd2(spark, t,
+      b(Seq((1L, "a", 1L, "upsert"), (2L, "b", 1L, "upsert"))),
+      Seq("k"), "ver", "op")
+    TxLog.applyChangesScd2(spark, t,
+      b(Seq((1L, "c", 5L, "upsert"))), Seq("k"), "ver", "op")
+    // the late event refuses on the normal path…
+    intercept[IllegalArgumentException](TxLog.applyChangesScd2(spark, t,
+      b(Seq((1L, "mid", 3L, "upsert"))), Seq("k"), "ver", "op"))
+    // …and splices through the repair verb
+    TxLog.repairScd2(spark, t,
+      b(Seq((1L, "mid", 3L, "upsert"))), Seq("k"), "ver", "op")
+    assert(hist(t) === Set(
+      (1L, "a", 1L, Some(3L)), (1L, "mid", 3L, Some(5L)),
+      (1L, "c", 5L, None),
+      (2L, "b", 1L, None)), "key 2's history is untouched")
+  }
+
+  test("repairScd2 reconstructs deletes: a late event before a delete") {
+    val t = tmpDir("scd2") + "/t"
+    def b(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("k", "v", "ver", "op")
+    TxLog.applyChangesScd2(spark, t,
+      b(Seq((1L, "a", 1L, "upsert"))), Seq("k"), "ver", "op")
+    TxLog.applyChangesScd2(spark, t,
+      b(Seq((1L, null.asInstanceOf[String], 9L, "delete"))),
+      Seq("k"), "ver", "op")
+    TxLog.repairScd2(spark, t,
+      b(Seq((1L, "mid", 4L, "upsert"))), Seq("k"), "ver", "op")
+    // the reconstructed delete@9 still ends the chain
+    assert(hist(t) === Set(
+      (1L, "a", 1L, Some(4L)), (1L, "mid", 4L, Some(9L))))
+  }
+
   test("scd2Sink replays idempotently on a re-delivered batch") {
     val t = tmpDir("scd2") + "/t"
     val sink = TxLog.scd2Sink(t, Seq("k"), "ver", "op",
