@@ -174,6 +174,32 @@ class RowTrackingSpec extends SparkSpec {
     assert(after.values.toSeq.distinct.size === after.size)
   }
 
+  test("composes with column mapping: rename + UPDATE keep ids") {
+    val t = tmpDir("rowtrack") + "/t"
+    TxLog.enableRowTracking(t)
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    TxLog.enableColumnMapping(t)
+    TxLog.renameColumn(t, "v", "val") // metadata-only: no files touched
+    val before = TxLog.readWithRowIds(spark, t).select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    assert(before.values.toSeq.distinct.size === 2)
+    spark.sql(s"UPDATE txlog.`$t` SET val = 'X' WHERE k = 1")
+    val after = TxLog.readWithRowIds(spark, t)
+    assert(after.columns.toSeq === Seq("k", "val", "_row_id"))
+    assert(after.select("k", "_row_id").as[(Long, Long)].collect().toMap
+      === before, "ids survive a rewrite under the mapping")
+  }
+
+  test("DV deletes keep survivors' ids without any rewrite") {
+    val t = seed()
+    TxLog.setProperties(t, Map("graft.deletionVectors.enabled" -> "true"))
+    val before = ids(t)
+    val filesBefore = TxLog.activeFiles(t).toSet
+    spark.sql(s"DELETE FROM txlog.`$t` WHERE k = 2") // data-less DV commit
+    assert(TxLog.activeFiles(t).toSet === filesBefore, "no rewrite")
+    assert(ids(t) === before - 2L)
+  }
+
   test("changesWithRowIds: updates keep the id, deletes carry the retired one") {
     val t = seed() // v1 enable, v2+v3 appends
     val before = ids(t)
