@@ -3945,12 +3945,18 @@ object TxLog {
     * batch-wise; COPY INTO is that ingestion made idempotent. */
   def copyInto(spark: SparkSession, table: String, source: String,
       format: String = "parquet", options: Map[String, String] = Map.empty,
-      force: Boolean = false): (Long, Long) = {
+      force: Boolean = false, pattern: Option[String] = None): (Long, Long) = {
     val root = Paths.get(source)
     require(Files.isDirectory(root), s"COPY INTO: $source is not a directory")
+    // PATTERN globs against the path RELATIVE to the source root
+    // (Delta's COPY INTO PATTERN semantics): 'daily/*.parquet',
+    // '**/part-*.csv', …
+    val matcher = pattern.map(g =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$g"))
     val candidates = walkDir(root).filter(Files.isRegularFile(_)).filter { p =>
       val n = p.getFileName.toString
-      !n.startsWith("_") && !n.startsWith(".")
+      !n.startsWith("_") && !n.startsWith(".") &&
+        matcher.forall(_.matches(root.relativize(p)))
     }.sortBy(_.toString)
     def stamp(p: Path): String =
       s"${p.toAbsolutePath}|${Files.size(p)}|" +

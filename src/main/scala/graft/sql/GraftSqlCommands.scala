@@ -158,14 +158,16 @@ final case class InsertIntoTxLogCommand(target: SqlTarget,
   * file ingestion. Reports the committed version and how many source
   * files this run actually loaded (0 on an idempotent re-run). */
 final case class CopyIntoTxLogCommand(target: SqlTarget, source: String,
-    format: String, options: Map[String, String], force: Boolean)
+    format: String, options: Map[String, String], force: Boolean,
+    pattern: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("files_loaded", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
-    val (v, n) = TxLog.copyInto(spark, t, source, format, options, force)
+    val (v, n) = TxLog.copyInto(spark, t, source, format, options, force,
+      pattern)
     spark.sessionState.catalog.invalidateAllCachedTables()
     Seq(Row(v, n))
   }

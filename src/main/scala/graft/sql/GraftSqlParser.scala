@@ -310,25 +310,32 @@ object GraftSqlDml {
       var fmt = "parquet"
       var opts = Seq.empty[(String, String)]
       var force = false
-      if (s.kw("FILEFORMAT")) {
-        require(s.punct('='), s"COPY INTO $t: expected FILEFORMAT = <fmt>")
-        fmt = s.word().getOrElse(throw new IllegalArgumentException(
-          s"COPY INTO $t: expected a format name after FILEFORMAT =")
-        ).toLowerCase
-      }
-      if (s.kw("FORMAT_OPTIONS")) {
-        require(s.punct('('), s"COPY INTO $t: expected ('k' = 'v', …)")
-        opts = Scan.splitTop(s.parenBody(), ',').map { a =>
-          val (k, v) = Scan.splitAssign(a)
-          (Scan.unquote(k), Scan.unquote(v))
-        }
-      }
-      if (s.kw("FORCE")) {
-        require(s.punct('='), s"COPY INTO $t: expected FORCE = true|false")
-        force = s.word().exists(_.equalsIgnoreCase("true"))
+      var pattern: Option[String] = None
+      var more = true
+      while (more) { // clauses accepted in any order, like Delta
+        if (s.kw("FILEFORMAT")) {
+          require(s.punct('='), s"COPY INTO $t: expected FILEFORMAT = <fmt>")
+          fmt = s.word().getOrElse(throw new IllegalArgumentException(
+            s"COPY INTO $t: expected a format name after FILEFORMAT =")
+          ).toLowerCase
+        } else if (s.kw("FORMAT_OPTIONS")) {
+          require(s.punct('('), s"COPY INTO $t: expected ('k' = 'v', …)")
+          opts = Scan.splitTop(s.parenBody(), ',').map { a =>
+            val (k, v) = Scan.splitAssign(a)
+            (Scan.unquote(k), Scan.unquote(v))
+          }
+        } else if (s.kw("PATTERN")) {
+          require(s.punct('='), s"COPY INTO $t: expected PATTERN = '<glob>'")
+          pattern = Some(s.quoted().getOrElse(
+            throw new IllegalArgumentException(
+              s"COPY INTO $t: expected a quoted glob after PATTERN =")))
+        } else if (s.kw("FORCE")) {
+          require(s.punct('='), s"COPY INTO $t: expected FORCE = true|false")
+          force = s.word().exists(_.equalsIgnoreCase("true"))
+        } else more = false
       }
       require(s.eof, s"unexpected trailing input in COPY INTO $t")
-      CopyIntoTxLogCommand(t, src, fmt, opts.toMap, force)
+      CopyIntoTxLogCommand(t, src, fmt, opts.toMap, force, pattern)
     }
 
   private def parseMerge(s: Scan, evolve: Boolean): Option[LogicalPlan] =

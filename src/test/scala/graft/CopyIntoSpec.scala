@@ -94,6 +94,21 @@ class CopyIntoSpec extends SparkSpec {
     assert(again.getLong(1) === 0L)
   }
 
+  test("PATTERN globs against the source-relative path") {
+    val src = tmpDir("copysrc")
+    val t = tmpDir("copytbl") + "/t"
+    writeSrc(src, "daily", Seq((1L, "a")))
+    writeSrc(src, "hourly", Seq((2L, "b")))
+    spark.sql(s"COPY INTO txlog.`$t` FROM '$src' PATTERN = 'daily/*.parquet'")
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "a")), "only the daily/ file matches")
+    // widening the pattern later picks up ONLY the not-yet-loaded file
+    val out = spark.sql(s"COPY INTO txlog.`$t` FROM '$src' " +
+      "PATTERN = '**/*.parquet'").collect().head
+    assert(out.getLong(1) === 1L)
+    assert(TxLog.read(spark, t).count() === 2)
+  }
+
   test("SQL verb accepts a catalog table name") {
     val src = tmpDir("copysrc")
     val t = tmpDir("copytbl") + "/t"
