@@ -197,7 +197,7 @@ object TxLog {
     "update", "optimize", "optimizeDvs", "addConstraint", "dvDelete",
     "restore", "clone", "setProperty", "convert", "dropConstraint",
     "columnMapping", "renameColumn", "dropColumn", "addColumn",
-    "replaceWhere", "copyInto", "scd2")
+    "replaceWhere", "copyInto", "scd2", "fsck")
 
   /** File entries are table-relative (`d-<uuid>/part-….parquet`) except
     * shallow-CLONE entries, which reference the SOURCE table absolutely.
@@ -1490,12 +1490,26 @@ object TxLog {
       .toMap
 
   /** The snapshot with its stable `_row_id` column (NULL for rows whose
-    * file predates enable, or whose commit couldn't allocate). */
+    * file predates enable, or whose commit couldn't allocate) and
+    * `_row_version` — the commit version that last physically WROTE the
+    * row's file (Delta's default row commit version): bumps when the
+    * row's file rewrites (UPDATE/OPTIMIZE), even if the row's own
+    * values didn't change. Identity questions use `_row_id`; freshness
+    * questions use `_row_version`. */
   def readWithRowIds(spark: SparkSession, table: String,
       asOf: Option[Long] = None): DataFrame = {
     val files = activeFiles(table, asOf)
     require(files.nonEmpty, s"txlog table $table has no committed files")
-    readFiles(spark, table, files, asOf, withRowIds = true)
+    // fileKey → the version of the commit that ADDED it (last add wins —
+    // identical keys cannot coexist in an active set)
+    val verByKey = commits(table)
+      .filter(c => asOf.forall(c.version <= _))
+      .flatMap(c => c.add.map(f => fileKey(f) -> c.version)).toMap
+    readFiles(spark, table, files, asOf, keepRowKeys = true,
+        withRowIds = true)
+      .withColumn("_row_version",
+        element_at(typedlit(verByKey), col("__dv_f")))
+      .drop("__dv_f", "__dv_ri")
       .withColumnRenamed(RowIdCol, "_row_id")
   }
 
@@ -3094,14 +3108,20 @@ object TxLog {
       preImages: Boolean = false): DataFrame = {
     require(rowTrackingEnabled(table, Some(toV)),
       s"changesWithRowIds: row tracking is not enabled on $table")
+    // _row_version stays OUT of the diff: a rewrite bumps it for
+    // co-located rows whose values never changed, which would read as
+    // spurious updates here
     if (fromV <= 0L) {
       val snap = readWithRowIds(spark, table, Some(toV))
+        .drop("_row_version")
       val dataCols = snap.columns.filterNot(keyCols.contains).toSeq
       return snap.select(
         (keyCols ++ dataCols).map(col) :+ lit("insert").alias("change_type"): _*)
     }
     val preRaw = readWithRowIds(spark, table, Some(fromV))
+      .drop("_row_version")
     val postRaw = readWithRowIds(spark, table, Some(toV))
+      .drop("_row_version")
     // same union-schema alignment as [[changes]]: a mergeSchema
     // evolution between the versions diffs as updates, not a resolution
     // failure
@@ -4006,6 +4026,60 @@ object TxLog {
     }
     throw new IllegalStateException(
       s"txlog copyInto on $table lost 10 straight races — giving up")
+  }
+
+  /** One-row table summary (Delta's DESCRIBE DETAIL): snapshot version,
+    * active file count and bytes, partition columns, property count,
+    * reader protocol, last commit timestamp. Metadata-plane only. */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val v = latestVersion(table)
+    val files = activeFiles(table)
+    val sizes = fileSizes(table, v)
+    val cs = commits(table)
+    Seq((
+      "txlog", table, v.getOrElse(-1L), files.size.toLong,
+      files.map(f => sizes.getOrElse(f, 0L)).sum,
+      declaredCols(table, "graft.partition.columns").mkString(","),
+      properties(table).size.toLong,
+      cs.map(_.minReader).maxOption.getOrElse(1).toLong,
+      cs.lastOption.map(_.ts).getOrElse(-1L)))
+      .toDF("format", "location", "version", "num_files", "size_bytes",
+        "partition_columns", "n_properties", "protocol", "last_commit_ts")
+  }
+
+  /** `FSCK REPAIR TABLE` (Delta's fsck): drop active-set references to
+    * data files that no longer exist on disk (out-of-band deletion, the
+    * failure a 100 TB lake eventually meets) so reads stop failing on
+    * them. Returns the missing entries; `dryRun` reports without
+    * committing. DV/bloom sidecars that referenced ONLY dropped files
+    * retire with the repair (they index nothing live). Rows in dropped
+    * files are LOST — fsck repairs readability, not data; restore from
+    * an older version or a clone for recovery. */
+  def fsck(spark: SparkSession, table: String,
+      dryRun: Boolean = false): Seq[String] = {
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      require(base.nonEmpty, s"fsck on empty txlog table $table")
+      val files = activeFiles(table, base)
+      val missing = files.filterNot(f =>
+        Files.exists(Paths.get(resolve(table, f))))
+      if (missing.isEmpty || dryRun) return missing
+      val keep = files.filterNot(missing.toSet)
+      val dvRemove = inertDvs(spark, table, activeDvs(table, base),
+        keep.map(fileKey).toSet)
+      val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+      val won = try {
+        tryCommit(table, Commit(base.get + 1, Seq.empty, missing, "fsck",
+          -1L, dvRemove = dvRemove,
+          bloomRemove = bi.inert(keep.map(fileKey).toSet)))
+      } finally bi.release()
+      if (won) return missing
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog fsck on $table lost 10 straight races — giving up")
   }
 
   def history(spark: SparkSession, table: String): DataFrame = {

@@ -402,6 +402,43 @@ final case class ShowTxLogPropertiesCommand(target: SqlTarget)
       .map { case (k, v) => Row(k, v) }
 }
 
+/** `DESCRIBE DETAIL <t>` → [[TxLog.detail]]: one summary row. */
+final case class DescribeDetailTxLogCommand(target: SqlTarget)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = {
+    val S = org.apache.spark.sql.types.StringType
+    Seq(AttributeReference("format", S, nullable = false)(),
+      AttributeReference("location", S, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("num_files", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("partition_columns", S, nullable = false)(),
+      AttributeReference("n_properties", LongType, nullable = false)(),
+      AttributeReference("protocol", LongType, nullable = false)(),
+      AttributeReference("last_commit_ts", LongType, nullable = false)())
+  }
+  override def run(spark: SparkSession): Seq[Row] =
+    TxLog.detail(spark, target.resolve(spark)).collect().toSeq
+}
+
+/** `FSCK REPAIR TABLE <t> [DRY RUN]` → [[TxLog.fsck]]: one row per
+  * missing data file; without DRY RUN the references are dropped in one
+  * repair commit. */
+final case class FsckTxLogCommand(target: SqlTarget, dryRun: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("missing_file",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("repaired",
+      org.apache.spark.sql.types.BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val missing = TxLog.fsck(spark, t, dryRun)
+    if (!dryRun) spark.sessionState.catalog.invalidateAllCachedTables()
+    missing.map(f => Row(f, !dryRun))
+  }
+}
+
 /** `RESTORE [TABLE] <t> TO VERSION AS OF n` /
   * `TO TIMESTAMP AS OF <millis|'yyyy-MM-dd HH:mm:ss'>` →
   * [[TxLog.restore]] (one forward commit re-points the snapshot). */

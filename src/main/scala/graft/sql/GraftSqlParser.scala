@@ -80,6 +80,17 @@ object GraftSqlDml {
         require(s.eof, s"unexpected trailing input in DESCRIBE HISTORY $t")
         DescribeHistoryTxLogCommand(t)
       }
+    else if (s.kws("DESCRIBE", "DETAIL") || s.kws("DESC", "DETAIL"))
+      target(s, allowIdent = true).map { t =>
+        require(s.eof, s"unexpected trailing input in DESCRIBE DETAIL $t")
+        DescribeDetailTxLogCommand(t)
+      }
+    else if (s.kws("FSCK", "REPAIR", "TABLE"))
+      target(s, allowIdent = true).map { t =>
+        val dry = s.kws("DRY", "RUN")
+        require(s.eof, s"unexpected trailing input in FSCK REPAIR TABLE $t")
+        FsckTxLogCommand(t, dry)
+      }
     else if (s.kws("SHOW", "PARTITIONS"))
       // path form only: SHOW PARTITIONS <ident> is a stock verb
       target(s, allowIdent = false).map { t =>

@@ -174,6 +174,18 @@ class RowTrackingSpec extends SparkSpec {
     assert(after.values.toSeq.distinct.size === after.size)
   }
 
+  test("_row_version is the commit that last physically wrote the file") {
+    val t = seed() // v1 enable, v2 append {1,2}, v3 append {3,4}
+    def vers(): Map[Long, Long] =
+      TxLog.readWithRowIds(spark, t).select("k", "_row_version")
+        .as[(Long, Long)].collect().toMap
+    assert(vers() === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+    // the rewrite bumps the version for BOTH rows of the touched file —
+    // identity (_row_id) is stable, freshness (_row_version) is not
+    spark.sql(s"UPDATE txlog.`$t` SET v = 'X' WHERE k = 1") // v4
+    assert(vers() === Map(1L -> 4L, 2L -> 4L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("composes with column mapping: rename + UPDATE keep ids") {
     val t = tmpDir("rowtrack") + "/t"
     TxLog.enableRowTracking(t)
@@ -185,7 +197,8 @@ class RowTrackingSpec extends SparkSpec {
     assert(before.values.toSeq.distinct.size === 2)
     spark.sql(s"UPDATE txlog.`$t` SET val = 'X' WHERE k = 1")
     val after = TxLog.readWithRowIds(spark, t)
-    assert(after.columns.toSeq === Seq("k", "val", "_row_id"))
+    assert(after.columns.toSeq ===
+      Seq("k", "val", "_row_id", "_row_version"))
     assert(after.select("k", "_row_id").as[(Long, Long)].collect().toMap
       === before, "ids survive a rewrite under the mapping")
   }

@@ -179,6 +179,41 @@ class SqlUtilitySpec extends SparkSpec {
     assert(spark.sql("DESCRIBE sqlutil_v").count() >= 2)
   }
 
+  test("DESCRIBE DETAIL returns the one-row table summary") {
+    import spark.implicits._
+    val t = tmpDir("sqlutil") + "/t"
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    TxLog.append(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "y"), t)
+    val d = spark.sql(s"DESCRIBE DETAIL txlog.`$t`").collect().head
+    assert(d.getString(0) === "txlog")
+    assert(d.getString(1) === t)
+    assert(d.getLong(2) === 2L)            // version
+    assert(d.getLong(3) === TxLog.activeFiles(t).size.toLong)
+    assert(d.getLong(4) > 0L)              // bytes
+    assert(d.getString(5) === "y")         // partition columns
+  }
+
+  test("FSCK REPAIR TABLE drops references to missing files") {
+    import spark.implicits._
+    val t = tmpDir("sqlutil") + "/t"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)
+    TxLog.append(Seq((2L, "b")).toDF("k", "v").coalesce(1), t)
+    val victim = TxLog.activeFiles(t).last
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$t/$victim"))
+    // a read now fails; DRY RUN reports without repairing
+    val dry = spark.sql(s"FSCK REPAIR TABLE txlog.`$t` DRY RUN").collect()
+    assert(dry.map(_.getString(0)).toSeq === Seq(victim))
+    assert(!dry.head.getBoolean(1))
+    val fixed = spark.sql(s"FSCK REPAIR TABLE txlog.`$t`").collect()
+    assert(fixed.head.getBoolean(1))
+    // the table reads again, minus the lost file's rows
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "a")))
+    assert(TxLog.commits(t).last.op === "fsck")
+    // idempotent: nothing left to repair
+    assert(spark.sql(s"FSCK REPAIR TABLE txlog.`$t`").collect().isEmpty)
+  }
+
   test("SHOW TBLPROPERTIES lists the folded property map for a path target") {
     import spark.implicits._
     val t = tmpDir("sqlutil") + "/t"
