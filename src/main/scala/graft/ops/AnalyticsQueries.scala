@@ -1361,6 +1361,27 @@ object AnalyticsQueries {
         .withColumn("c_acctbal", lit(null).cast("double"))
         .withColumn("ver", lit(3L)).withColumn("op", lit("delete")))  // v3
       TxLog.read(s, table)
+    },
+
+    // Declared clustered writes (graft.cluster.columns): the shuffled
+    // append range-clusters itself on o_orderkey, so the range read
+    // prunes files from the FIRST write (asserted in-entry) — no
+    // OPTIMIZE ZORDER pass. The oracle recomputes the range over the
+    // base table: pruning must never change results, only the files
+    // read.
+    QueryDef("src_txlog_clustered_write",
+      "declared cluster columns: writes range-cluster themselves, range reads prune from the first commit, results unchanged",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin) { (s, dir) =>
+      val table = Files.createTempDirectory("graft_txclw").toString + "/t"
+      TxLog.setProperties(table, Map("graft.cluster.columns" -> "o_orderkey"))
+      TxLog.append(Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartition(8), table) // round-robin input: unclustered arrival
+      val pruned = TxLog.readRange(s, table, "o_orderkey", 1000.0, 2000.0)
+      require(pruned.inputFiles.length < TxLog.activeFiles(table).size,
+        "clustered write must let the range read prune files")
+      pruned.filter(col("o_orderkey").between(1000, 2000))
     }
   )
 }

@@ -977,14 +977,31 @@ object TxLog {
     // extended not-yet-committed mapping explicitly. Unmapped `_`-helper
     // columns pass through by name.
     val m = Option(mapping).getOrElse(mappingAsOf(table))
-    val staged = m match {
+    val staged0 = m match {
       case Some(mm) => df.select(df.columns.toSeq.map(c =>
         col(c).as(mm.getOrElse(c, c))): _*)
       case None => df
     }
     val sub = s"d-${UUID.randomUUID().toString.take(8)}"
     val partCols = declaredCols(table, "graft.partition.columns")
-      .filter(staged.columns.contains)
+      .filter(staged0.columns.contains)
+    // Declared clustered writes (liquid-clustering-lite, opt-in via
+    // `graft.cluster.columns`): range-repartition + sort EVERY write by
+    // the declared columns, so each output file owns a tight key range
+    // and the recorded stats prune from day one — no OPTIMIZE ZORDER
+    // pass needed before skipping works. Costs one shuffle per write;
+    // that is the price of clustering, which is why it is a declared
+    // property and not a default. Unpartitioned tables only (a
+    // partitioned sink already repartitions by its partition columns).
+    val clusterCols = declaredCols(table, "graft.cluster.columns")
+      .filter(staged0.columns.contains)
+    val staged =
+      if (clusterCols.isEmpty || partCols.nonEmpty) staged0
+      else {
+        val n = math.max(1, staged0.rdd.getNumPartitions)
+        staged0.repartitionByRange(n, clusterCols.map(col): _*)
+          .sortWithinPartitions(clusterCols.map(col): _*)
+      }
     if (partCols.isEmpty) {
       staged.write.parquet(s"$table/$sub")
       listDir(Paths.get(table, sub))
@@ -2006,9 +2023,14 @@ object TxLog {
     * re-passing the list or silently producing never-pruned files. */
   private def effectiveStatsCols(df: DataFrame, table: String,
       statsCols: Seq[String]): Seq[String] = {
-    // declared names normalize to LOGICAL like [[effectiveBloomCols]]
+    // declared names normalize to LOGICAL like [[effectiveBloomCols]].
+    // Declared CLUSTER columns stats-record implicitly: clustering
+    // exists to make their per-file ranges tight — recording them is
+    // the whole point, and forgetting the stats property would silently
+    // waste the per-write shuffle.
     val inv = logicalsOf(mappingAsOf(table))
-    (statsCols ++ declaredCols(table, "graft.stats.columns")
+    (statsCols ++ (declaredCols(table, "graft.stats.columns") ++
+      declaredCols(table, "graft.cluster.columns"))
       .map(c => inv.getOrElse(c, c)))
       .distinct.filter(df.columns.contains)
   }

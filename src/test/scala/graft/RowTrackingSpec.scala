@@ -232,6 +232,17 @@ class RowTrackingSpec extends SparkSpec {
     assert(cdf.size === 3, "untouched keys emit nothing")
   }
 
+  test("ids survive a log checkpoint (compact folds from the full log)") {
+    val t = seed()
+    val before = ids(t)
+    assert(TxLog.compact(t).nonEmpty)
+    assert(ids(t) === before)
+    TxLog.append(Seq((9L, "z")).toDF("k", "v").coalesce(1), t)
+    val after = ids(t)
+    assert(after(9L) > before.values.max,
+      "post-checkpoint allocation still sees the full high-water fold")
+  }
+
   test("time travel reads the ids as of that version") {
     val t = seed()
     spark.sql(s"DELETE FROM txlog.`$t` WHERE k = 2")
