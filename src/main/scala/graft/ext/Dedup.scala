@@ -500,10 +500,13 @@ object Dedup {
     val windows = windowHashes(df, idCol, textCol, k)
     val dup = windows.groupBy("h")
       .agg(count(lit(1)).alias("_n")).filter(col("_n") > 1).select("h")
+    // reserved-name join key: the caller's idCol may itself be "id",
+    // and drop("id") would take BOTH columns with it
     val dupStarts = windows.join(dup, Seq("h"))
       .groupBy("id").agg(sort_array(collect_list("pos")).alias("_starts"))
-    df.join(dupStarts, df(idCol) === dupStarts("id"), "left")
-      .drop("id")
+      .withColumnRenamed("id", "__sspan_id")
+    df.join(dupStarts, df(idCol) === dupStarts("__sspan_id"), "left")
+      .drop("__sspan_id")
       .withColumn("_toks", tokens(col(textCol)))
       .withColumn(textCol,
         when(col("_starts").isNull, col(textCol)).otherwise(

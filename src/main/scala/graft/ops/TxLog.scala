@@ -1093,8 +1093,10 @@ object TxLog {
       new IllegalArgumentException(
         s"txlog table $table has no logged schema — column mapping " +
           "needs a schema-carrying log (write once first)"))
-    require(mappingAsOf(table).isEmpty,
-      s"txlog table $table already has column mapping enabled")
+    // idempotent: an already-mapped table no-ops (Delta treats
+    // re-setting the same mode the same way) — a re-run setup script
+    // must not fail here and strand its other statements
+    if (mappingAsOf(table).nonEmpty) return latestVersion(table).get
     require(declaredPartitionCols(table).isEmpty,
       s"txlog table $table is partitioned — column mapping on " +
         "partitioned tables is not supported; unpartitioned tables only")
@@ -2575,9 +2577,10 @@ object TxLog {
     }
   }
 
-  def merge(spark: SparkSession, table: String, updates: DataFrame,
+  def merge(spark: SparkSession, table: String, updates0: DataFrame,
       keyCols: Seq[String], versionCol: String, batchId: Long = -1L,
       streamId: Option[String] = None): Long = {
+    val updates = applyGenerated(updates0, table)
     validateConstraints(updates, constraints(table))
     val keyBounds = mergeKeyBounds(updates, keyCols) // snapshot-independent
     val keyProbes = mergeKeyProbes(updates, keyCols) // snapshot-independent
@@ -2617,11 +2620,18 @@ object TxLog {
             withRowIds = tracking)
           else read(spark, table, base).limit(0)
         }
+        // explicit null id on the incoming side (only when the existing
+        // side carries the id column, i.e. a with-ids touched read) —
+        // the union stays strict so a batch missing a business column
+        // fails loudly
+        val updatesIn =
+          if (tracking && touched.nonEmpty)
+            updates.withColumn(RowIdCol, lit(null).cast("long"))
+          else updates
         val all = existing match {
-          case None => updates.withColumn("_src", lit(1))
+          case None => updatesIn.withColumn("_src", lit(1))
           case Some(cur) => cur.withColumn("_src", lit(0))
-            .unionByName(updates.withColumn("_src", lit(1)),
-              allowMissingColumns = tracking)
+            .unionByName(updatesIn.withColumn("_src", lit(1)))
         }
         val w = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col(versionCol).desc, col("_src").desc)
@@ -2714,9 +2724,12 @@ object TxLog {
     * shape as [[merge]]: one key-partitioned window over current ∪ batch.
     * Out-of-order CDC is handled by the version ordering — a stale delete
     * arriving after a newer upsert does NOT kill the key. */
-  def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
+  def applyChanges(spark: SparkSession, table: String, changes0: DataFrame,
       keyCols: Seq[String], versionCol: String, opCol: String,
       batchId: Long = -1L, streamId: Option[String] = None): Long = {
+    // generated columns compute on the feed (delete rows' null bases
+    // generate null — fine, those rows drop); the union below is strict
+    val changes = applyGenerated(changes0, table)
     // same stats pruning as [[merge]]: upserts AND deletes only contest
     // keys inside the batch's bounds, so files whose recorded key range
     // misses those bounds hold no challengeable rows and stay in place
@@ -2745,13 +2758,19 @@ object TxLog {
             withRowIds = tracking)
           else read(spark, table, base).limit(0)
         }
-        val incoming = changes.withColumn("_src", lit(1))
+        // explicit null id on the incoming side; strict union (a feed
+        // missing a business column must fail loudly, not NULL-fill)
+        val incoming0 = changes.withColumn("_src", lit(1))
+        val incoming =
+          if (tracking && touched.nonEmpty)
+            incoming0.withColumn(RowIdCol, lit(null).cast("long"))
+          else incoming0
         val all0 = existing match {
           case None => incoming
           case Some(cur) => cur
             .withColumn(opCol, lit("upsert"))
             .withColumn("_src", lit(0))
-            .unionByName(incoming, allowMissingColumns = tracking)
+            .unionByName(incoming)
         }
         // Row tracking: the id follows the KEY (see [[merge]])
         val all =
@@ -2855,11 +2874,13 @@ object TxLog {
       .orderBy(col(versionCol).asc, col(opCol).desc)
     val chained = changes.withColumn("__scd_nxt",
       lead(col(versionCol), 1).over(wSeq))
-    val newRows = chained
+    // generated columns compute on the feed's business columns before
+    // the strict union against existing history rows
+    val newRows = applyGenerated(chained
       .filter(coalesce(col(opCol), lit("upsert")) =!= "delete")
       .select(busCols.map(col) ++ Seq(
         col(versionCol).cast("long").alias("__start_at"),
-        col("__scd_nxt").cast("long").alias("__end_at")): _*)
+        col("__scd_nxt").cast("long").alias("__end_at")): _*), table)
     // per-key FIRST sequence value in the batch: the existing open row
     // (if any) closes at it
     val firstVer = changes.groupBy(keyCols.map(col): _*)
@@ -2881,12 +2902,14 @@ object TxLog {
       val won = try {
         val candidates = refineTouchedByBlooms(table, ranged, keyProbes,
           changes, base, bi)
-        // exact: files holding an OPEN row for a batch key
+        // exact: files holding ANY row for a batch key. Not just open
+        // rows — a key whose chain is fully CLOSED must still be found,
+        // or a late event for it would silently append an overlapping
+        // "current" row instead of hitting the sequence guard below.
         val touchedRel =
           if (candidates.isEmpty) Set.empty[String]
           else readFiles(spark, table, candidates, base,
               keepRowKeys = true)
-            .filter(col("__end_at").isNull)
             .join(firstVer, keyCols, "left_semi")
             .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
         val touched = candidates.filter(f =>
@@ -2903,17 +2926,26 @@ object TxLog {
               .withColumn("__end_at",
                 when(col("__end_at").isNull && col("__scd_first").isNotNull,
                   col("__scd_first")).otherwise(col("__end_at")))
-            // out-of-order guard: a close BEFORE the open is a feed that
-            // violated the per-key monotone-sequence contract
+            // out-of-order guard: the batch's first sequence per key
+            // must be at or after EVERY sequence the key has seen —
+            // open-row starts AND closed-chain ends (a late event for a
+            // fully-closed key would otherwise silently append an
+            // overlapping "current" row). repairScd2 is the remedy.
             val bad = closed
-              .filter(col("__end_at") < col("__start_at")).limit(1)
+              .filter(col("__scd_first") <
+                greatest(col("__start_at"),
+                  coalesce(col("__end_at"), col("__start_at")))).limit(1)
             if (!bad.isEmpty) throw new IllegalArgumentException(
               s"applyChangesScd2 on $table: batch sequence values " +
-                "precede an open row's __start_at — per-key sequences " +
-                "must be non-decreasing across batches (offending row: " +
+                "precede sequences this key's history already carries — " +
+                "per-key sequences must be non-decreasing across batches; " +
+                "use repairScd2 to splice late events (offending row: " +
                 bad.collect().mkString(", ") + ")")
-            closed.drop("__scd_first")
-              .unionByName(newRows, allowMissingColumns = tracking)
+            val newIn =
+              if (tracking)
+                newRows.withColumn(RowIdCol, lit(null).cast("long"))
+              else newRows
+            closed.drop("__scd_first").unionByName(newIn)
           }
         if (commitRewrite(spark, table, base, allActive, touched,
             rewritten, "scd2", batchId = batchId, streamId = streamId)) true
@@ -3005,14 +3037,20 @@ object TxLog {
         val events = upserts.unionByName(deletes).unionByName(lateEv)
         val wSeq = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("__scd_ver").asc, col("__scd_op").desc)
-        val rebuilt = events
+        val rebuilt = applyGenerated(events
           .withColumn("__scd_nxt", lead(col("__scd_ver"), 1).over(wSeq))
           .filter(col("__scd_op") =!= "delete")
           .select(busCols.map(col) ++ Seq(
             col("__scd_ver").alias("__start_at"),
-            col("__scd_nxt").alias("__end_at")): _*)
-        val rewritten = untouched
-          .unionByName(rebuilt, allowMissingColumns = tracking)
+            col("__scd_nxt").alias("__end_at")): _*), table)
+        // repaired chains are re-derived rows: explicit null id (fresh
+        // range), strict union — a lateChanges frame missing a business
+        // column the table carries fails loudly instead of NULL-filling
+        val rebuiltIn =
+          if (tracking)
+            rebuilt.withColumn(RowIdCol, lit(null).cast("long"))
+          else rebuilt
+        val rewritten = untouched.unionByName(rebuiltIn)
         commitRewrite(spark, table, base, allActive, touched, rewritten,
           "scd2")
       } finally bi.release()
@@ -3378,8 +3416,12 @@ object TxLog {
     * `df` must already carry the table's logical schema (the SQL layer
     * aligns names/types before calling). Concurrency, constraints, and
     * DV/bloom/stats bookkeeping ride the shared [[commitRewrite]] tail. */
-  def replaceWhere(spark: SparkSession, table: String, df: DataFrame,
+  def replaceWhere(spark: SparkSession, table: String, df0: DataFrame,
       condition: org.apache.spark.sql.Column): Long = {
+    // generated columns compute BEFORE the survivors union — the SQL
+    // layer deliberately omits them from the aligned frame, and a
+    // mismatched union here would fail instead of computing them
+    val df = applyGenerated(df0, table)
     val offending = df.filter(!coalesce(condition, lit(false))).limit(1)
     require(offending.isEmpty,
       s"replaceWhere on $table: incoming rows must satisfy the REPLACE " +
@@ -3401,14 +3443,18 @@ object TxLog {
       // survivors of the touched files (NULL-cond rows survive, same
       // three-valued rule as delete) + the incoming rows, committed as
       // one rewrite. Row tracking: survivors keep their ids; incoming
-      // rows union without the column (NULL → they take this commit's
-      // fresh base range on read).
+      // rows carry an EXPLICIT null id (fresh base range on read) — the
+      // union stays strict, so a batch missing a business column still
+      // fails loudly instead of NULL-filling.
       val tracking = rowTrackingEnabled(table, base)
+      val incoming =
+        if (tracking) df.withColumn(RowIdCol, lit(null).cast("long"))
+        else df
       val rewritten =
         if (touched.isEmpty) df
         else readFiles(spark, table, touched, base, withRowIds = tracking)
           .filter(!coalesce(condition, lit(false)))
-          .unionByName(df, allowMissingColumns = tracking)
+          .unionByName(incoming)
       if (commitRewrite(spark, table, base, files, touched, rewritten,
           "replaceWhere"))
         return base.get + 1
@@ -3544,7 +3590,18 @@ object TxLog {
     * would corrupt any later assignment conditioned on k. */
   def update(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column]): Long =
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    // unknown SET columns refuse up front: the rewrite would otherwise
+    // be an identity select that still commits a new version — the
+    // caller believes the update applied (Delta/Spark reject these too)
+    val known = schemaAsOf(table).map(_.fieldNames.toSeq)
+    known.foreach { cols =>
+      val unknown = set.keys.filterNot(k =>
+        cols.exists(_.equalsIgnoreCase(k)))
+      require(unknown.isEmpty, s"UPDATE on $table: SET column(s) " +
+        s"${unknown.mkString(", ")} not in the table schema " +
+        s"(${cols.mkString(", ")})")
+    }
     copyOnWrite(spark, table, condition, "update") { df =>
       df.select(df.columns.toSeq.map { c =>
         set.collectFirst { case (sc, e) if sc.equalsIgnoreCase(c) =>
@@ -3552,6 +3609,7 @@ object TxLog {
         }.getOrElse(col(c))
       }: _*)
     }
+  }
 
   /** Clause vocabulary for [[mergeInto]] (Delta's WHEN MATCHED / WHEN NOT
     * MATCHED actions). Clause conditions and value expressions reference
@@ -3633,14 +3691,28 @@ object TxLog {
       val files = activeFiles(table, base)
       val logSchema = schemaAsOf(table, base)
         .getOrElse(read(spark, table, base).schema)
+      // clause-assigned names resolve CASE-INSENSITIVELY against the
+      // target (like UPDATE and every other SQL path) — without this,
+      // `SET C_ACCTBAL = …` against c_acctbal reads as an unknown
+      // column, and WITH SCHEMA EVOLUTION would add a duplicate
+      def canon(name: String): String =
+        logSchema.fieldNames.find(_.equalsIgnoreCase(name)).getOrElse(name)
+      val matchedC = matched.map {
+        case MergeUpdate(c, set) =>
+          MergeUpdate(c, set.map { case (k, v) => canon(k) -> v })
+        case d => d
+      }
+      val notMatchedC = notMatched.map(i =>
+        MergeInsert(i.condition,
+          i.values.map { case (k, v) => canon(k) -> v }))
       // schema evolution (Delta's merge.schema.autoMerge / WITH SCHEMA
       // EVOLUTION): clause-assigned columns absent from the target widen
       // it, typed from the source; the rewrite commits the widened DDL
       // and untouched files NULL-backfill through the log-carried schema
       // on read. Without evolution, an unknown assigned column refuses.
-      val clauseCols = (matched.collect {
+      val clauseCols = (matchedC.collect {
         case MergeUpdate(_, set) => set.keys
-      }.flatten ++ notMatched.flatMap(_.values.keys)).toSet
+      }.flatten ++ notMatchedC.flatMap(_.values.keys)).toSet
       val unknown = clauseCols.diff(logSchema.fieldNames.toSet)
       val added =
         if (unknown.isEmpty) Seq.empty
@@ -3727,7 +3799,7 @@ object TxLog {
       // reversed when-chain: matched rows pick a WHEN MATCHED clause
       // (-1 = no clause applies: keep unchanged), source-only rows pick a
       // WHEN NOT MATCHED clause (-2 = none applies: drop)
-      val matchedAction = matched.zipWithIndex.foldRight(lit(-1)) {
+      val matchedAction = matchedC.zipWithIndex.foldRight(lit(-1)) {
         case ((a, i), els) =>
           val c = a match {
             case MergeUpdate(cond, _) => cond
@@ -3736,11 +3808,11 @@ object TxLog {
           }
           when(c.getOrElse(lit(true)), lit(i)).otherwise(els)
       }
-      val insertAction = notMatched.zipWithIndex.foldRight(lit(-2)) {
+      val insertAction = notMatchedC.zipWithIndex.foldRight(lit(-2)) {
         case ((a, j), els) =>
           when(a.condition.getOrElse(lit(true)), lit(100 + j)).otherwise(els)
       }
-      val deleteIds = matched.zipWithIndex.collect {
+      val deleteIds = matchedC.zipWithIndex.collect {
         case (MergeDelete(_), i) => i
       }.toSet
       val acted = joined.withColumn("__action",
@@ -3757,10 +3829,10 @@ object TxLog {
           if (addedNames.contains(f.name)) lit(null).cast(f.dataType)
           else col(s"$targetAlias.${f.name}")
         val branches: Seq[(Int, org.apache.spark.sql.Column)] =
-          matched.zipWithIndex.collect {
+          matchedC.zipWithIndex.collect {
             case (MergeUpdate(_, set), i) if set.contains(f.name) =>
               i -> set(f.name)
-          } ++ notMatched.zipWithIndex.map { case (ins, j) =>
+          } ++ notMatchedC.zipWithIndex.map { case (ins, j) =>
             (100 + j) -> ins.values.getOrElse(f.name,
               lit(null).cast(f.dataType))
           }
@@ -4255,8 +4327,10 @@ object TxLog {
       // explicit bloomCols CREATES the index on an existing table (the
       // "build a bloom index" entry point); otherwise the rewrite carries
       // forward whatever columns the table already indexes
+      val invA = logicalsOf(mappingAsOf(table, base))
       val blCols = (bloomCols ++ activeBloomCols(spark, table, base) ++
         declaredCols(table, "graft.bloom.columns"))
+        .map(c => invA.getOrElse(c, c)) // physical→logical on mapped tables
         .distinct.filter(cur.columns.contains)
       // targetBytes sizes the output in the unit that matters at scale:
       // total active bytes / target file size, from the commit-carried
@@ -4279,6 +4353,7 @@ object TxLog {
       // rewrite read through readFiles), so the DVs retire with the commit
       val (nstats, sstats) = fileStats(spark, table, add,
         (statsCols ++ declaredCols(table, "graft.stats.columns"))
+          .map(c => invA.getOrElse(c, c))
           .distinct.filter(arranged.columns.contains))
       if (tryCommit(table, Commit(v, add, remove, "optimize", -1L,
           nstats, Some(logicalDdl(arranged)),
@@ -4356,14 +4431,17 @@ object TxLog {
       // shallow-clone's absolute entry would otherwise never match)
       val dvRemove = inertDvs(spark, table, activeDvs(table, base),
         keep.map(fileKey).toSet)
+      val invB = logicalsOf(mappingAsOf(table, base))
       val (nstats, sstats) = fileStats(spark, table, add,
         (statsCols ++ declaredCols(table, "graft.stats.columns"))
+          .map(c => invB.getOrElse(c, c))
           .distinct.filter(arranged.columns.contains))
       // one sidecar read answers both the indexed-columns and the
       // inertness questions — see [[BloomIndex]]
       val bi = new BloomIndex(spark, table, activeBlooms(table, base))
       val won = try {
         val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+          .map(c => invB.getOrElse(c, c))
           .distinct.filter(arranged.columns.contains)
         tryCommit(table, Commit(v, add, small, "optimize", -1L,
           nstats, Some(logicalDdl(arranged)), dvRemove = dvRemove,
@@ -4436,12 +4514,15 @@ object TxLog {
       val keep = active.filterNot(sel.toSet)
       val dvRemove = inertDvs(spark, table, activeDvs(table, base),
         keep.map(fileKey).toSet)
+      val invC = logicalsOf(mappingAsOf(table, base))
       val (nstats, sstats) = fileStats(spark, table, add,
         declaredCols(table, "graft.stats.columns")
+          .map(c => invC.getOrElse(c, c))
           .filter(arranged.columns.contains))
       val bi = new BloomIndex(spark, table, activeBlooms(table, base))
       val won = try {
         val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+          .map(c => invC.getOrElse(c, c))
           .distinct.filter(arranged.columns.contains)
         tryCommit(table, Commit(v, add, sel, "optimize", -1L,
           nstats, Some(logicalDdl(arranged)), dvRemove = dvRemove,
@@ -4508,11 +4589,14 @@ object TxLog {
       val v = base.get + 1
       // one sidecar read for indexed-columns + inertness ([[BloomIndex]])
       val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+      val invD = logicalsOf(mappingAsOf(table, base))
       val stCols = declaredCols(table, "graft.stats.columns")
+        .map(c => invD.getOrElse(c, c))
         .filter(rewritten.columns.contains)
       val (nst, sst) = fileStats(spark, table, add, stCols)
       val won = try {
         val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+          .map(c => invD.getOrElse(c, c))
           .distinct.filter(rewritten.columns.contains)
         tryCommit(table, Commit(v, add, touched, "optimizeDvs", -1L,
           stats = nst, sstats = sst,

@@ -449,8 +449,14 @@ final case class RestoreTxLogCommand(target: SqlTarget,
     val t = target.resolve(spark)
     val toV = version.getOrElse {
       val ts = timestamp.get
+      // epoch millis, 'yyyy-MM-dd HH:mm:ss', or a date-only
+      // 'yyyy-MM-dd' (midnight) — a bare ISO date is all digits and
+      // dashes, so a naive digits-check would toLong-crash on it
       val millis =
-        if (ts.forall(c => c.isDigit || c == '-')) ts.toLong
+        if (ts.forall(_.isDigit) || (ts.startsWith("-") &&
+            ts.drop(1).forall(_.isDigit))) ts.toLong
+        else if (ts.matches("""\d{4}-\d{2}-\d{2}"""))
+          java.sql.Timestamp.valueOf(ts + " 00:00:00").getTime
         else java.sql.Timestamp.valueOf(ts).getTime
       TxLog.commits(t).filter(_.ts <= millis).lastOption.getOrElse(
         throw new IllegalArgumentException(

@@ -349,6 +349,36 @@ object GraftSqlDml {
       CopyIntoTxLogCommand(t, src, fmt, opts.toMap, force, pattern)
     }
 
+  /** Expression text up to the next top-level `stop` keyword that is
+    * FOLLOWED by one of `next` — a CASE expression's own WHEN/THEN
+    * never is, so MERGE conditions and SET lists may contain
+    * `CASE WHEN … THEN … END` freely (a bare until(stop) would truncate
+    * at the CASE's first WHEN/THEN). */
+  private def untilClause(s: Scan, stop: String, next: String*): String = {
+    val sb = new StringBuilder
+    var done = false
+    while (!done) {
+      val part = s.until(stop)
+      if (sb.nonEmpty) sb.append(" ").append(stop).append(" ")
+      sb.append(part)
+      if (s.eof) done = true
+      else {
+        val atStop = s.pos
+        s.kw(stop) // consume tentatively to peek past it
+        val boundary = next.exists { n =>
+          val q = s.pos
+          val hit = n.split(" ").forall(s.kw)
+          s.reset(q)
+          hit
+        }
+        if (boundary) { s.reset(atStop); done = true }
+        // else: interior (CASE) keyword — keep scanning past it; the
+        // consumed text re-appends on the next pass
+      }
+    }
+    sb.toString.trim
+  }
+
   private def parseMerge(s: Scan, evolve: Boolean): Option[LogicalPlan] =
     target(s, allowIdent = false).map { t =>
       s.kw("AS")
@@ -363,12 +393,13 @@ object GraftSqlDml {
       s.kw("AS")
       val sAlias = if (s.peekKw("ON")) None else s.identPart()
       require(s.kw("ON"), s"MERGE INTO $t: expected ON <condition>")
-      val on = s.until("WHEN")
+      val on = untilClause(s, "WHEN", "MATCHED", "NOT MATCHED")
       var clauses = Vector.empty[SqlMergeClause]
       while (s.kw("WHEN")) {
         if (s.kws("NOT", "MATCHED")) {
           s.kws("BY", "TARGET") // optional Delta-ism, same meaning
-          val cond = if (s.kw("AND")) Some(s.until("THEN")) else None
+          val cond = if (s.kw("AND"))
+            Some(untilClause(s, "THEN", "INSERT")) else None
           require(s.kw("THEN"), s"MERGE INTO $t: expected THEN")
           require(s.kw("INSERT"), s"MERGE INTO $t: WHEN NOT MATCHED " +
             "supports INSERT only")
@@ -387,7 +418,8 @@ object GraftSqlDml {
             clauses :+= SqlMergeClause("insert", cond, cols, vals)
           }
         } else if (s.kw("MATCHED")) {
-          val cond = if (s.kw("AND")) Some(s.until("THEN")) else None
+          val cond = if (s.kw("AND"))
+            Some(untilClause(s, "THEN", "UPDATE", "DELETE")) else None
           require(s.kw("THEN"), s"MERGE INTO $t: expected THEN")
           if (s.kw("DELETE"))
             clauses :+= SqlMergeClause("delete", cond, Nil, Nil)
@@ -395,7 +427,8 @@ object GraftSqlDml {
             if (s.punct('*'))
               clauses :+= SqlMergeClause("update_star", cond, Nil, Nil)
             else {
-              val sets = Scan.splitTop(s.until("WHEN"), ',').map { a =>
+              val sets = Scan.splitTop(
+                untilClause(s, "WHEN", "MATCHED", "NOT MATCHED"), ',').map { a =>
                 val (c, e) = Scan.splitAssign(a)
                 (Scan.unquoteIdent(c), e)
               }

@@ -28,6 +28,15 @@ class ColumnMappingSpec extends SparkSpec {
     assert(raw.columns.toSeq === Seq("k", "v"))
   }
 
+  test("re-enabling column mapping is an idempotent no-op") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    TxLog.enableColumnMapping(t)
+    val v = TxLog.latestVersion(t).get
+    assert(TxLog.enableColumnMapping(t) === v, "re-enable must not commit")
+    assert(TxLog.latestVersion(t).get === v)
+  }
+
   test("rename/drop refuse without column mapping; enable names the remedy") {
     val t = table()
     TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)

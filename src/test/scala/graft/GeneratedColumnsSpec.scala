@@ -78,6 +78,18 @@ class GeneratedColumnsSpec extends SparkSpec {
       "WHERE on the generated partition column must prune files")
   }
 
+  test("REPLACE WHERE computes generated columns before the survivors union") {
+    val t = tmpDir("gencol") + "/t"
+    TxLog.declareGeneratedColumn(spark, t, "k2", "k * 2")
+    TxLog.append(Seq((1L, "a"), (2L, "b"), (10L, "z")).toDF("k", "v"), t)
+    // SQL INSERT's aligned frame omits k2; the union against surviving
+    // rows (which carry k2) must compute it, not fail to resolve
+    spark.sql(s"INSERT INTO txlog.`$t` REPLACE WHERE k <= 2 " +
+      "VALUES (1, 'A'), (2, 'B')")
+    assert(TxLog.read(spark, t).as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "A", 2L), (2L, "B", 4L), (10L, "z", 20L)))
+  }
+
   test("COPY INTO computes the generated column for raw source files") {
     val t = tmpDir("gencol") + "/t"
     val src = tmpDir("gencolsrc")

@@ -232,6 +232,17 @@ class RowTrackingSpec extends SparkSpec {
     assert(cdf.size === 3, "untouched keys emit nothing")
   }
 
+  test("a tracked table's CDC merge still refuses a batch missing a column") {
+    val t = tmpDir("rowtrack") + "/t"
+    TxLog.enableRowTracking(t)
+    TxLog.append(Seq((1L, "a", 1L)).toDF("k", "v", "ver").coalesce(1), t)
+    // the batch lacks 'v': enabling row tracking must NOT soften the
+    // strict union into silent NULL-filling
+    intercept[Exception](TxLog.merge(spark, t,
+      Seq((1L, 2L)).toDF("k", "ver"), Seq("k"), "ver"))
+    assert(TxLog.read(spark, t).count() === 1, "nothing committed")
+  }
+
   test("ids survive a log checkpoint (compact folds from the full log)") {
     val t = seed()
     val before = ids(t)

@@ -76,6 +76,26 @@ class Scd2Spec extends SparkSpec {
     assert(f1.intersect(f3).isEmpty, "key 1's file was rewritten")
   }
 
+  test("a late event for a fully-CLOSED chain refuses (no silent resurrect)") {
+    val t = tmpDir("scd2") + "/t"
+    def b(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("k", "v", "ver", "op")
+    TxLog.applyChangesScd2(spark, t,
+      b(Seq((1L, "a", 1L, "upsert"))), Seq("k"), "ver", "op")
+    TxLog.applyChangesScd2(spark, t,
+      b(Seq((1L, null.asInstanceOf[String], 5L, "delete"))),
+      Seq("k"), "ver", "op")
+    // late upsert@3 would overlap the closed [1,5) interval — refuse
+    val e = intercept[IllegalArgumentException](
+      TxLog.applyChangesScd2(spark, t,
+        b(Seq((1L, "late", 3L, "upsert"))), Seq("k"), "ver", "op"))
+    assert(e.getMessage.contains("repairScd2"))
+    // a FORWARD re-insert after the delete is legitimate: new chain
+    TxLog.applyChangesScd2(spark, t,
+      b(Seq((1L, "back", 7L, "upsert"))), Seq("k"), "ver", "op")
+    assert(hist(t) === Set((1L, "a", 1L, Some(5L)), (1L, "back", 7L, None)))
+  }
+
   test("an out-of-order batch refuses instead of corrupting history") {
     val t = tmpDir("scd2") + "/t"
     TxLog.applyChangesScd2(spark, t,

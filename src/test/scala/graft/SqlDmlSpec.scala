@@ -49,6 +49,44 @@ class SqlDmlSpec extends SparkSpec {
     assert(TxLog.commits(t).last.op === "update")
   }
 
+  test("UPDATE refuses a SET column that is not in the table") {
+    val t = seed()
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"UPDATE txlog.`$t` SET amount = 0 WHERE k = 1"))
+    assert(e.getMessage.contains("not in the table schema"))
+    assert(TxLog.commits(t).last.op === "append", "no empty update commit")
+  }
+
+  test("MERGE clauses may contain CASE WHEN … THEN … END expressions") {
+    val t = seed()
+    Seq((2L, 5.0), (9L, 1.0)).toDF("k", "delta")
+      .createOrReplaceTempView("mrg_case_src")
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t USING mrg_case_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET
+         |  amt = CASE WHEN s.delta > 2 THEN t.amt + s.delta ELSE t.amt END
+         |WHEN NOT MATCHED THEN INSERT (k, v, amt)
+         |  VALUES (s.k, 'new', CASE WHEN s.delta > 0 THEN s.delta ELSE 0 END)
+         |""".stripMargin)
+    val got = TxLog.read(spark, t).select("k", "amt")
+      .as[(Long, Double)].collect().toMap
+    assert(got(2L) === 25.0)  // 20 + 5 via the CASE arm
+    assert(got(9L) === 1.0)   // inserted through the CASE value
+  }
+
+  test("MERGE SET column names resolve case-insensitively") {
+    val t = seed()
+    Seq((1L, 111.0)).toDF("k", "namt")
+      .createOrReplaceTempView("mrg_ci_src")
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t USING mrg_ci_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET AMT = s.namt""".stripMargin)
+    assert(TxLog.read(spark, t).filter(col("k") === 1)
+      .select("amt").as[Double].head() === 111.0)
+    assert(TxLog.read(spark, t).columns.count(_.equalsIgnoreCase("amt"))
+      === 1, "no duplicate column may appear")
+  }
+
   test("UPDATE SET evaluates every expression against the OLD row") {
     val t = tmpDir("sqldml") + "/t"
     TxLog.append(Seq((1L, 100L, 200L), (2L, 7L, 8L)).toDF("k", "a", "b"), t)

@@ -214,6 +214,19 @@ class SqlUtilitySpec extends SparkSpec {
     assert(spark.sql(s"FSCK REPAIR TABLE txlog.`$t`").collect().isEmpty)
   }
 
+  test("RESTORE TIMESTAMP AS OF accepts a date-only string") {
+    import spark.implicits._
+    val t = tmpDir("sqlutil") + "/t"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)
+    // all commits happened today, so restoring to tomorrow's midnight
+    // resolves the latest version — the point is the date-only string
+    // parses instead of NumberFormatException-ing on toLong
+    val tomorrow = java.time.LocalDate.now().plusDays(1).toString
+    spark.sql(s"RESTORE TABLE txlog.`$t` TO TIMESTAMP AS OF '$tomorrow'")
+    assert(TxLog.read(spark, t).count() === 2)
+  }
+
   test("SHOW TBLPROPERTIES lists the folded property map for a path target") {
     import spark.implicits._
     val t = tmpDir("sqlutil") + "/t"

@@ -46,6 +46,14 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out(4L) === "")                          // fully duplicated
   }
 
+  test("scrub keeps the caller's id column even when it is named 'id'") {
+    val renamed = corpus.withColumnRenamed("doc_id", "id")
+    val out = Dedup.scrubDuplicateSpans(renamed, "id", "text", k = 3)
+    assert(out.columns.toSeq === Seq("id", "text"))
+    assert(out.filter(col("id") === 1L).select("text")
+      .as[String].head() === "five")
+  }
+
   test("span detection is an equi-join + window — no cartesian product") {
     val cov = Dedup.duplicateSpans(
       Dedup.windowHashes(corpus, "doc_id", "text", k = 3), k = 3)
