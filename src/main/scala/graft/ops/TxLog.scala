@@ -2727,9 +2727,26 @@ object TxLog {
   def applyChanges(spark: SparkSession, table: String, changes0: DataFrame,
       keyCols: Seq[String], versionCol: String, opCol: String,
       batchId: Long = -1L, streamId: Option[String] = None): Long = {
-    // generated columns compute on the feed (delete rows' null bases
-    // generate null — fine, those rows drop); the union below is strict
-    val changes = applyGenerated(changes0, table)
+    // generated columns: compute when absent (delete rows' null bases
+    // generate null — fine, those rows drop), but VALIDATE supplied
+    // values only on non-delete rows — a delete marker legitimately
+    // carries nulls in business columns, including a generated one
+    val changes = {
+      val gen = generatedCols(table)
+      val computed = gen.foldLeft(changes0) { case (d, (c, e)) =>
+        if (!d.columns.exists(_.equalsIgnoreCase(c))) d.withColumn(c, expr(e))
+        else d
+      }
+      gen.foreach { case (c, e) =>
+        if (changes0.columns.exists(_.equalsIgnoreCase(c)) &&
+            !computed.filter(coalesce(col(opCol), lit("upsert")) =!= "delete")
+              .filter(!(col(c) <=> expr(e))).isEmpty)
+          throw new IllegalArgumentException(
+            s"txlog generated column '$c' ($e) on $table: the CDC feed " +
+              "supplies values that differ from the generation expression")
+      }
+      computed
+    }
     // same stats pruning as [[merge]]: upserts AND deletes only contest
     // keys inside the batch's bounds, so files whose recorded key range
     // misses those bounds hold no challengeable rows and stay in place

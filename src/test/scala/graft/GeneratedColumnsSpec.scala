@@ -90,6 +90,26 @@ class GeneratedColumnsSpec extends SparkSpec {
       Set((1L, "A", 2L), (2L, "B", 4L), (10L, "z", 20L)))
   }
 
+  test("CDC applyChanges: delete markers' null generated values pass") {
+    val t = tmpDir("gencol") + "/t"
+    TxLog.declareGeneratedColumn(spark, t, "k2", "k * 2")
+    TxLog.append(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver"), t)
+    // full-schema feed: upsert with correct k2, delete with NULL k2
+    TxLog.applyChanges(spark, t,
+      Seq((1L, Some("a2"), Some(2L), 2L, "upsert"),
+        (2L, None, None, 2L, "delete"))
+        .toDF("k", "v", "k2", "ver", "op"),
+      Seq("k"), "ver", "op")
+    assert(TxLog.read(spark, t).select("k", "v", "k2")
+      .as[(Long, String, Long)].collect().toSet === Set((1L, "a2", 2L)))
+    // a wrong generated value on an UPSERT still refuses
+    val e = intercept[IllegalArgumentException](
+      TxLog.applyChanges(spark, t,
+        Seq((1L, Some("x"), Some(99L), 3L, "upsert"))
+          .toDF("k", "v", "k2", "ver", "op"), Seq("k"), "ver", "op"))
+    assert(e.getMessage.contains("generated column"))
+  }
+
   test("COPY INTO computes the generated column for raw source files") {
     val t = tmpDir("gencol") + "/t"
     val src = tmpDir("gencolsrc")
