@@ -499,8 +499,8 @@ sealed trait ColumnAction
 final case class RenameColumnAction(from: String, to: String)
     extends ColumnAction
 final case class DropColumnAction(name: String) extends ColumnAction
-final case class AddColumnsAction(cols: Seq[(String, String)])
-    extends ColumnAction
+final case class AddColumnsAction(cols: Seq[(String, String)],
+    generated: Option[(String, String)] = None) extends ColumnAction
 
 final case class AlterColumnTxLogCommand(target: SqlTarget,
     action: ColumnAction) extends TxLogVersionCommand {
@@ -509,9 +509,14 @@ final case class AlterColumnTxLogCommand(target: SqlTarget,
     val v = action match {
       case RenameColumnAction(from, to) => TxLog.renameColumn(t, from, to)
       case DropColumnAction(name) => TxLog.dropColumn(t, name)
-      case AddColumnsAction(cols) => cols.map { case (n, ty) =>
-        TxLog.addColumn(t, n, spark.sessionState.sqlParser.parseDataType(ty))
-      }.last
+      case AddColumnsAction(cols, generated) =>
+        val added = cols.map { case (n, ty) =>
+          TxLog.addColumn(t, n,
+            spark.sessionState.sqlParser.parseDataType(ty))
+        }.last
+        generated.map { case (n, e) =>
+          TxLog.declareGeneratedColumn(spark, t, n, e)
+        }.getOrElse(added)
     }
     // cached relations pin their schema at resolution — a rename/drop
     // must not keep serving the old shape to later queries

@@ -191,10 +191,21 @@ object GraftSqlDml {
       } else if (s.kws("ADD", "COLUMN")) {
         val name = s.identPart().getOrElse(throw new IllegalArgumentException(
           s"ALTER TABLE $t: expected a column name after ADD COLUMN"))
-        val ty = s.until().trim
+        val ty = s.until("GENERATED").trim
         require(ty.nonEmpty,
           s"ALTER TABLE $t: ADD COLUMN $name is missing a type")
-        AlterColumnTxLogCommand(t, AddColumnsAction(Seq(name -> ty)))
+        // Delta's `ADD COLUMN g TYPE GENERATED ALWAYS AS (expr)`: the
+        // column lands as a schema-evolution commit AND declares its
+        // generation expression, enforced on every later write
+        val genExpr =
+          if (s.kws("GENERATED", "ALWAYS", "AS")) {
+            require(s.punct('('),
+              s"ALTER TABLE $t: expected GENERATED ALWAYS AS (expr)")
+            Some(s.parenBody())
+          } else None
+        require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+        AlterColumnTxLogCommand(t,
+          AddColumnsAction(Seq(name -> ty), genExpr.map(name -> _)))
       } else throw new IllegalArgumentException(
         s"ALTER TABLE $t supports SET/UNSET TBLPROPERTIES, " +
           "ADD CONSTRAINT … CHECK (…), DROP CONSTRAINT, RENAME COLUMN " +

@@ -90,6 +90,27 @@ class GeneratedColumnsSpec extends SparkSpec {
       Set((1L, "A", 2L), (2L, "B", 4L), (10L, "z", 20L)))
   }
 
+  test("SQL: ADD COLUMN … GENERATED ALWAYS AS declares and enforces") {
+    val t = tmpDir("gencol") + "/t"
+    spark.sql(s"""CREATE TABLE gencol_ddl (k BIGINT, v STRING)
+                 |USING graft.sources.txlog OPTIONS (path '$t')""".stripMargin)
+    try {
+      spark.sql(s"ALTER TABLE txlog.`$t` ADD COLUMN k2 BIGINT " +
+        "GENERATED ALWAYS AS (k * 2)")
+      spark.sql(s"INSERT INTO txlog.`$t` VALUES (3, 'c')")
+      assert(TxLog.read(spark, t).as[(Long, String, Long)].collect().toSet
+        === Set((3L, "c", 6L)))
+      // declaring over NON-matching existing data refuses (no backfill)
+      val t2 = tmpDir("gencol") + "/t"
+      TxLog.append(Seq((1L, "a")).toDF("k", "v"), t2)
+      val e = intercept[IllegalArgumentException](
+        spark.sql(s"ALTER TABLE txlog.`$t2` ADD COLUMN k2 BIGINT " +
+          "GENERATED ALWAYS AS (k * 2)"))
+      assert(e.getMessage.contains("backfill") ||
+        e.getMessage.contains("violate"))
+    } finally spark.sql("DROP TABLE IF EXISTS gencol_ddl")
+  }
+
   test("CDC applyChanges: delete markers' null generated values pass") {
     val t = tmpDir("gencol") + "/t"
     TxLog.declareGeneratedColumn(spark, t, "k2", "k * 2")
