@@ -1382,6 +1382,83 @@ object AnalyticsQueries {
       require(pruned.inputFiles.length < TxLog.activeFiles(table).size,
         "clustered write must let the range read prune files")
       pruned.filter(col("o_orderkey").between(1000, 2000))
+    },
+
+    // SQL CTAS on a path table (the last Delta DDL sliver): CREATE
+    // TABLE … AS SELECT defines schema+contents in one statement,
+    // IF NOT EXISTS is a no-op against the existing table, and CREATE
+    // OR REPLACE swaps contents/schema/properties while keeping the
+    // pre-replace versions time-travelable. The oracle recomputes the
+    // FINAL (post-replace) snapshot.
+    QueryDef("src_txlog_sql_ctas",
+      "SQL CTAS: CREATE TABLE txlog.`p` AS SELECT; IF NOT EXISTS no-op; CREATE OR REPLACE resets contents — final snapshot oracled",
+      s"""SELECT c_custkey, c_name, c_acctbal
+         |FROM read_parquet('${QueryDef.StageSql}/txctas_in/*.parquet')
+         |WHERE c_custkey % 3 = 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txctas_in")
+      val t = Files.createTempDirectory("graft_txctas").toString + "/t"
+      val id = java.util.UUID.randomUUID.toString.take(8)
+      val view = s"txctas_src_$id"
+      s.read.parquet(s"$stage/txctas_in").createOrReplaceTempView(view)
+      try {
+        s.sql(s"""CREATE TABLE txlog.`$t` TBLPROPERTIES ('owner' = 'ctas')
+                 |AS SELECT c_custkey, c_name, c_acctbal FROM $view
+                 |WHERE c_custkey % 2 = 0""".stripMargin)
+        require(TxLog.properties(t).get("owner").contains("ctas"),
+          "CTAS must commit the declared TBLPROPERTIES")
+        // IF NOT EXISTS against an existing table: silent no-op
+        val before = TxLog.latestVersion(t)
+        s.sql(s"CREATE TABLE IF NOT EXISTS txlog.`$t` AS SELECT 1 AS x")
+        require(TxLog.latestVersion(t) == before,
+          "CREATE TABLE IF NOT EXISTS must not commit on an existing table")
+        s.sql(s"""CREATE OR REPLACE TABLE txlog.`$t`
+                 |AS SELECT c_custkey, c_name, c_acctbal FROM $view
+                 |WHERE c_custkey % 3 = 0""".stripMargin)
+        require(TxLog.properties(t).get("owner").isEmpty,
+          "OR REPLACE must reset undeclared properties")
+        TxLog.read(s, t).select("c_custkey", "c_name", "c_acctbal")
+      } finally s.catalog.dropTempView(view)
+    },
+
+    // SQL CLONE verbs: SHALLOW CLONE VERSION AS OF pins a zero-copy
+    // snapshot reference; CREATE OR REPLACE … DEEP CLONE atomically
+    // replaces an EXISTING table (different schema and all) with an
+    // independent copy. A post-clone append to the source proves both
+    // clones are isolated from it. Oracle: side 1 = the v1 snapshot the
+    // shallow clone pinned, side 2 = the full pre-append source the
+    // deep clone copied.
+    QueryDef("src_txlog_sql_clone",
+      "SQL CLONE: SHALLOW CLONE VERSION AS OF pins the snapshot; CREATE OR REPLACE DEEP CLONE swaps an existing table; both isolated from source appends",
+      s"""WITH b AS (SELECT c_custkey, c_name, c_acctbal
+         |  FROM read_parquet('${QueryDef.StageSql}/txsqlcln_in/*.parquet'))
+         |SELECT CAST(1 AS BIGINT) AS side, c_custkey, c_name, c_acctbal
+         |FROM b WHERE c_custkey % 2 = 0
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS side, c_custkey, c_name, c_acctbal
+         |FROM b""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txsqlcln_in")
+      val in = s.read.parquet(s"$stage/txsqlcln_in")
+      val root = Files.createTempDirectory("graft_txsqlcln").toString
+      val (src, sh, dp) = (s"$root/src", s"$root/sh", s"$root/dp")
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(2)) === 0), src) // v1
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(2)) === 1), src) // v2
+      s.sql(s"CREATE TABLE txlog.`$sh` SHALLOW CLONE txlog.`$src` " +
+        "VERSION AS OF 1")
+      // the deep clone REPLACES a live table with an unrelated schema
+      s.sql(s"CREATE TABLE txlog.`$dp` AS SELECT 1 AS junk")
+      s.sql(s"CREATE OR REPLACE TABLE txlog.`$dp` DEEP CLONE txlog.`$src`")
+      // divergence after the clones: neither may see this append
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .withColumn("c_custkey", col("c_custkey") + 9000000L), src)      // v3
+      TxLog.read(s, sh).withColumn("side", lit(1L))
+        .unionByName(TxLog.read(s, dp).withColumn("side", lit(2L)))
+        .select("side", "c_custkey", "c_name", "c_acctbal")
     }
   )
 }

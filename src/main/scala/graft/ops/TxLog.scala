@@ -56,10 +56,13 @@ object TxLog {
   /** `constraint`: a named CHECK constraint added by this commit (no data
     * files; folded into the active constraint set writers validate
     * against). */
-  /** `ts`: wall-clock commit time (epoch millis, stamped at publish) —
-    * the TIMESTAMP AS OF index. Subject to writer clock skew like any
-    * log-clock scheme (Delta shares the caveat); −1 on logs written
-    * before timestamping. */
+  /** `ts`: commit time (epoch millis, stamped at publish) — the
+    * TIMESTAMP AS OF index. STRICTLY MONOTONE across versions: the
+    * stamp is `max(parent.ts + 1, wallClock)` (Delta's
+    * in-commit-timestamps), so a writer with a skewed clock can never
+    * publish a commit that time-sorts before its parent and the
+    * timestamp index always agrees with the version order. −1 on logs
+    * written before timestamping. */
   /** `dvAdd`/`dvRemove`: deletion-vector files (relative paths, parquet of
     * RLE ranges (file STRING, start BIGINT, end BIGINT) — one row per
     * consecutive run of deleted row indexes; pre-r9 DVs stored one row per
@@ -942,8 +945,21 @@ object TxLog {
     commit.constraint.foreach { case (n, e) =>
       node.put("constraintName", n); node.put("constraintExpr", e)
     }
-    node.put("ts",
-      if (commit.ts >= 0) commit.ts else System.currentTimeMillis())
+    // In-commit timestamps (Delta's inCommitTimestamps rule): stamp
+    // max(parent.ts + 1, wallClock) so the timestamp index is strictly
+    // monotone in version order even under writer clock skew — a
+    // regressed clock inherits parent.ts + 1, never rewinds the index.
+    // (commits() is the same cached fold every writer just consulted
+    // for its base version, so this adds no extra log I/O.)
+    val parentTs =
+      if (commit.version <= 1L) -1L
+      else commits(table).find(_.version == commit.version - 1)
+        .map(_.ts).getOrElse(-1L)
+    // An explicit commit.ts is treated as that writer's clock READING,
+    // not a trusted stamp — it clamps like the real clock does, so even
+    // a deliberately regressed writer cannot rewind the index.
+    node.put("ts", math.max(parentTs + 1,
+      if (commit.ts >= 0) commit.ts else System.currentTimeMillis()))
     val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, mapper.writeValueAsBytes(node))
     try {
@@ -1191,8 +1207,7 @@ object TxLog {
     * [[dropConstraint]] loop, shared by the column-mapping DDL). */
   private def metadataCommitLoop(table: String, op: String,
       schemaDdl: Option[String] = None,
-      colMap: Option[Seq[(String, String)]] = None,
-      copySources: Seq[String] = Seq.empty): Long = {
+      colMap: Option[Seq[(String, String)]] = None): Long = {
     var attempts = 0
     while (attempts < 10) {
       val v = latestVersion(table).getOrElse(0L) + 1
@@ -1922,6 +1937,23 @@ object TxLog {
       .filter(col(colName).isin(values: _*))
   }
 
+  /** Snapshot of the metadata a writer derives its commit from: logical
+    * schema DDL + column mapping. Compared across retry attempts. */
+  private[graft] def metaFingerprint(table: String)
+      : (Option[String], Option[Map[String, String]]) =
+    (schemaAsOf(table).map(_.toDDL), mappingAsOf(table))
+
+  /** Refuse the retry when the table's schema/mapping no longer matches
+    * the snapshot this writer staged under (Delta's
+    * ConcurrentMetadataChange rule — see [[commitLoop]]). */
+  private[graft] def refuseIfMetaChanged(table: String, op: String,
+      meta0: (Option[String], Option[Map[String, String]])): Unit =
+    if (metaFingerprint(table) != meta0)
+      throw new ConcurrentWriteException(
+        s"txlog $op on $table: a concurrent commit changed the table " +
+          "schema or column mapping during this write — re-read the " +
+          "table and retry the operation (concurrent metadata change)")
+
   private def commitLoop(table: String, add: Seq[String],
       removeAll: Boolean, op: String, batchId: Long,
       stats: (Map[String, Map[String, (Double, Double)]], Map[String, Map[String, (String, String)]]) = (Map.empty, Map.empty),
@@ -1930,8 +1962,17 @@ object TxLog {
       bloomAdd: Seq[String] = Seq.empty,
       colMap: Option[Seq[(String, String)]] = None,
       copySources: Seq[String] = Seq.empty): Long = {
+    // Metadata fingerprint at entry: the caller derived its schemaDdl /
+    // colMap / staged files from THIS snapshot. If a retry after a lost
+    // race sees a different schema or column mapping, a concurrent
+    // RENAME/DROP/ADD COLUMN (or evolving writer) landed in between —
+    // blindly re-committing the stale schemaDdl/colMap at a higher
+    // version would silently REVERT that metadata change (newest wins
+    // the fold). Refuse instead, like Delta's ConcurrentMetadataChange.
+    val meta0 = metaFingerprint(table)
     var attempts = 0
     while (attempts < 10) {
+      if (attempts > 0) refuseIfMetaChanged(table, op, meta0)
       val v = latestVersion(table).getOrElse(0L) + 1
       val remove = if (removeAll) activeFiles(table) else Seq.empty
       // a full rewrite retires every active DV with the files it covered,
@@ -3906,16 +3947,29 @@ object TxLog {
     * Stats re-record for the new files via `statsCols`. */
   def cloneTableDeep(spark: SparkSession, src: String, dst: String,
       asOf: Option[Long] = None,
-      statsCols: Seq[String] = Seq.empty): Long = {
-    require(latestVersion(dst).isEmpty,
-      s"clone destination $dst already has a txlog")
+      statsCols: Seq[String] = Seq.empty,
+      replace: Boolean = false): Long = {
+    val exists = latestVersion(dst).nonEmpty
+    require(!exists || replace,
+      s"clone destination $dst already has a txlog — use CREATE OR " +
+        "REPLACE TABLE … DEEP CLONE to replace it")
     // properties land FIRST so the data write sees the declared layout —
     // a partitioned source deep-clones into the same partition layout
     // (property-after-write left the copy's files unpartitioned: reads
     // stayed correct but partition pruning decayed on the clone)
     val props = properties(src, asOf)
+    if (exists) {
+      // OR REPLACE resets the destination's metadata to the source's:
+      // dst-only properties unset, dst-only constraints drop (the
+      // incoming snapshot never promised to satisfy them)
+      val staleProps = properties(dst).keySet -- props.keySet
+      if (staleProps.nonEmpty) unsetProperties(dst, staleProps.toSeq)
+      (constraints(dst).keySet -- constraints(src, asOf).keySet)
+        .foreach(dropConstraint(dst, _))
+    }
     if (props.nonEmpty) setProperties(dst, props)
-    val v = overwrite(read(spark, src, asOf), dst, statsCols)
+    val v = overwrite(read(spark, src, asOf), dst, statsCols,
+      mergeSchema = exists)
     // constraints AS OF the cloned version: one added to src after the
     // snapshot is no part of the snapshot's contract. The rows being
     // cloned satisfied these at `asOf`, so validation cannot fail.
@@ -3925,9 +3979,19 @@ object TxLog {
   }
 
   def cloneTable(spark: SparkSession, src: String, dst: String,
-      asOf: Option[Long] = None): Long = {
-    require(latestVersion(dst).isEmpty,
-      s"clone destination $dst already has a txlog")
+      asOf: Option[Long] = None, replace: Boolean = false): Long = {
+    val base = latestVersion(dst)
+    require(base.isEmpty || replace,
+      s"clone destination $dst already has a txlog — use CREATE OR " +
+        "REPLACE TABLE … SHALLOW CLONE to replace it")
+    // replacing a MAPPED destination with an UNMAPPED source cannot be
+    // expressed as one commit (the mapping fold keeps the newest colMap,
+    // and "no mapping" has no delta form) — refuse rather than misread
+    // the clone's physical names through the stale mapping
+    require(base.isEmpty || mappingAsOf(src, asOf).nonEmpty ||
+      mappingAsOf(dst).isEmpty,
+      s"cannot REPLACE mapped table $dst with a shallow clone of " +
+        s"unmapped $src — deep-clone into a fresh path instead")
     val srcAbs = Paths.get(src).toAbsolutePath.normalize.toString
     val files = activeFiles(src, asOf)
     require(files.nonEmpty, s"clone source $src has no committed files")
@@ -3957,8 +4021,15 @@ object TxLog {
     // entries itself.)
     val blooms = activeBlooms(src, asOf).map(abs)
     // table properties travel with the clone (Delta clone semantics):
-    // the folded as-of map rides the clone commit as set-deltas
-    val props = properties(src, asOf).map { case (k, v) => k -> Some(v) }
+    // the folded as-of map rides the clone commit as set-deltas; under
+    // OR REPLACE, destination-only properties ride as UNSETs so the
+    // replaced table's config is exactly the source's
+    val srcProps = properties(src, asOf)
+    val props: Map[String, Option[String]] =
+      srcProps.map { case (k, v) => k -> Some(v) } ++
+        (if (base.isEmpty) Map.empty
+         else (properties(dst).keySet -- srcProps.keySet)
+           .map(_ -> (None: Option[String])).toMap)
     // the column mapping travels with the clone: the referenced files
     // speak the source's PHYSICAL names, so a clone of a mapped table
     // without its mapping would misplan every renamed column
@@ -3973,17 +4044,38 @@ object TxLog {
       val bMap = commits(src).flatMap(_.baseRowIds).toMap
       files.flatMap(f => bMap.get(f).map(b => abs(f) -> b)).toMap
     }
-    if (!tryCommit(dst, Commit(1L, absFiles, Seq.empty, "clone", -1L,
+    // OR REPLACE: one commit atomically swaps the destination's active
+    // set for the source references (old files/DVs/blooms retire; time
+    // travel to the pre-replace versions still works); a fresh clone is
+    // the same commit at version 1 with nothing to retire
+    val v1 = base.getOrElse(0L) + 1
+    if (!tryCommit(dst, Commit(v1, absFiles,
+      if (base.isEmpty) Seq.empty else activeFiles(dst),
+      "clone", -1L,
       statsByAbs, srcSchema.map(_.toDDL), dvAdd = dvs,
-      sstats = sstatsByAbs, bloomAdd = blooms, properties = props,
+      dvRemove = if (base.isEmpty) Seq.empty else activeDvs(dst),
+      sstats = sstatsByAbs, bloomAdd = blooms,
+      bloomRemove = if (base.isEmpty) Seq.empty else activeBlooms(dst),
+      properties = props,
       colMap = srcColMap, baseRowIds = baseByAbs)))
       throw new IllegalStateException(
         s"clone destination $dst gained a commit mid-clone")
     // carry CHECK constraints AS-OF the cloned snapshot, metadata-only:
     // the referenced rows satisfied them on src at `asOf`, so the
     // validation scan addConstraint would run is pure waste against the
-    // zero-copy promise — commit the constraint actions directly
-    var v = 1L
+    // zero-copy promise — commit the constraint actions directly.
+    // Under OR REPLACE, destination-only constraints drop first (the
+    // cloned rows never promised to satisfy them).
+    var v = v1
+    (if (base.isEmpty) Set.empty[String]
+     else constraints(dst).keySet -- constraints(src, asOf).keySet)
+      .foreach { n =>
+        v += 1
+        if (!tryCommit(dst, Commit(v, Seq.empty, Seq.empty,
+          "dropConstraint", -1L, constraint = Some(n -> ""))))
+          throw new IllegalStateException(
+            s"clone destination $dst gained a commit mid-clone")
+      }
     constraints(src, asOf).foreach { case (n, e) =>
       v += 1
       if (!tryCommit(dst, Commit(v, Seq.empty, Seq.empty, "addConstraint",
@@ -4076,7 +4168,8 @@ object TxLog {
     * batch-wise; COPY INTO is that ingestion made idempotent. */
   def copyInto(spark: SparkSession, table: String, source: String,
       format: String = "parquet", options: Map[String, String] = Map.empty,
-      force: Boolean = false, pattern: Option[String] = None): (Long, Long) = {
+      force: Boolean = false, pattern: Option[String] = None,
+      mergeSchema: Boolean = false): (Long, Long) = {
     val root = Paths.get(source)
     require(Files.isDirectory(root), s"COPY INTO: $source is not a directory")
     // PATTERN globs against the path RELATIVE to the source root
@@ -4106,6 +4199,10 @@ object TxLog {
       if (fresh.isEmpty) return (base.getOrElse(0L), 0L)
       val raw = spark.read.format(format).options(options)
         .load(fresh.map(_.toString): _*)
+      // the reserved row-id column is refused here like every other
+      // ingest path: a source file carrying it would read back as
+      // MATERIALIZED row ids colliding with commit-allocated ranges
+      refuseReservedCols(raw)
       val df = applyGenerated(schemaAsOf(table) match {
         case Some(sch) => // by-name match + cast, Delta's COPY INTO rule
           val gen = generatedCols(table).keySet.map(_.toLowerCase)
@@ -4114,14 +4211,33 @@ object TxLog {
             have.contains(f.toLowerCase) || gen.contains(f.toLowerCase))
           require(missing.isEmpty, s"COPY INTO $table: source files lack " +
             s"table columns ${missing.mkString(", ")}")
+          // extra source columns REFUSE without mergeSchema (a typo'd
+          // column would otherwise vanish silently — Delta's rule);
+          // with mergeSchema they ride along and evolve the schema
+          val known = (sch.fieldNames.map(_.toLowerCase) ++ gen).toSet
+          val extras = raw.columns.filterNot(c => known.contains(c.toLowerCase))
+          require(mergeSchema || extras.isEmpty,
+            s"COPY INTO $table: source files carry column(s) " +
+              s"${extras.mkString(", ")} not in the table schema — " +
+              "drop them or set COPY_OPTIONS ('mergeSchema' = 'true')")
           raw.select(sch.fields.toSeq
             .filter(f => have.contains(f.name.toLowerCase))
-            .map(f => col(f.name).cast(f.dataType).alias(f.name)): _*)
+            .map(f => col(f.name).cast(f.dataType).alias(f.name)) ++
+            extras.toSeq.map(col): _*)
         case None => raw
       }, table)
-      val schema = resolveSchema(table, df, mergeSchema = false)
+      val schema = resolveSchema(table, df, mergeSchema)
       validateConstraints(df, constraints(table))
-      val mapping = mappingAsOf(table)
+      // a mergeSchema evolution on a MAPPED table binds fresh physical
+      // names for the new columns and publishes the extended mapping
+      // with this commit (same rule as [[append]])
+      val mapping0 = mappingAsOf(table)
+      val mapping = mapping0.map { m =>
+        m ++ schema.fieldNames.filterNot(m.contains)
+          .map(n => n -> freshPhysName(table))
+      }
+      val colMap = mapping.filter(m => !mapping0.contains(m))
+        .map(m => schema.fieldNames.toSeq.map(n => n -> m(n)))
       val add = writeData(df, table, mapping)
       val (nst, sst) = fileStats(spark, table, add,
         effectiveStatsCols(df, table, Seq.empty), mapping)
@@ -4131,6 +4247,7 @@ object TxLog {
           schemaDdl = Some(schema.toDDL),
           bloomAdd = fileBlooms(spark, table, add,
             effectiveBloomCols(df, table, Seq.empty), mapping),
+          colMap = colMap,
           copySources = fresh.map(stamp))))
         return (base.getOrElse(0L) + 1, fresh.size.toLong)
       attempts += 1

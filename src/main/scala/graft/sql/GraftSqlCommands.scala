@@ -145,6 +145,17 @@ final case class InsertIntoTxLogCommand(target: SqlTarget,
       }: _*)
     val v = replaceWhere match {
       case Some(cond) => TxLog.replaceWhere(spark, t, aligned, expr(cond))
+      case None if overwrite && partition.nonEmpty &&
+          partition.forall(_._2.isDefined) =>
+        // FULLY-static spec = Hive/Delta static-partition overwrite: the
+        // named partition clears UNCONDITIONALLY (a zero-row source
+        // empties it). overwritePartitions would instead keep existing
+        // files when the source produces no tuple for the partition —
+        // dynamic semantics, wrong here. replaceWhere on the static
+        // constants expresses the unconditional clear in one commit.
+        TxLog.replaceWhere(spark, t, aligned,
+          statics.map { case (c, ve) => col(c) === expr(ve) }
+            .reduce(_ && _))
       case None if overwrite && partition.nonEmpty =>
         TxLog.overwritePartitions(aligned, t)
       case None if overwrite => TxLog.overwrite(aligned, t)
@@ -159,7 +170,7 @@ final case class InsertIntoTxLogCommand(target: SqlTarget,
   * files this run actually loaded (0 on an idempotent re-run). */
 final case class CopyIntoTxLogCommand(target: SqlTarget, source: String,
     format: String, options: Map[String, String], force: Boolean,
-    pattern: Option[String] = None)
+    pattern: Option[String] = None, mergeSchema: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -167,7 +178,7 @@ final case class CopyIntoTxLogCommand(target: SqlTarget, source: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
     val (v, n) = TxLog.copyInto(spark, t, source, format, options, force,
-      pattern)
+      pattern, mergeSchema)
     spark.sessionState.catalog.invalidateAllCachedTables()
     Seq(Row(v, n))
   }
@@ -439,6 +450,25 @@ final case class FsckTxLogCommand(target: SqlTarget, dryRun: Boolean)
   }
 }
 
+/** Shared timestamp-literal handling for the `TIMESTAMP AS OF` verbs:
+  * epoch millis, 'yyyy-MM-dd HH:mm:ss', or a date-only 'yyyy-MM-dd'
+  * (midnight) — a bare ISO date is all digits and dashes, so a naive
+  * digits-check would toLong-crash on it. */
+private[sql] object SqlTimestamps {
+  def toMillis(ts: String): Long =
+    if (ts.forall(_.isDigit) || (ts.startsWith("-") &&
+        ts.drop(1).forall(_.isDigit))) ts.toLong
+    else if (ts.matches("""\d{4}-\d{2}-\d{2}"""))
+      java.sql.Timestamp.valueOf(ts + " 00:00:00").getTime
+    else java.sql.Timestamp.valueOf(ts).getTime
+
+  /** Latest version of `table` committed at or before `ts`. */
+  def versionAt(table: String, ts: String, what: String): Long =
+    TxLog.commits(table).filter(_.ts <= toMillis(ts)).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"$what: no commit at or before timestamp $ts")).version
+}
+
 /** `RESTORE [TABLE] <t> TO VERSION AS OF n` /
   * `TO TIMESTAMP AS OF <millis|'yyyy-MM-dd HH:mm:ss'>` →
   * [[TxLog.restore]] (one forward commit re-points the snapshot). */
@@ -447,22 +477,72 @@ final case class RestoreTxLogCommand(target: SqlTarget,
   extends TxLogVersionCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
-    val toV = version.getOrElse {
-      val ts = timestamp.get
-      // epoch millis, 'yyyy-MM-dd HH:mm:ss', or a date-only
-      // 'yyyy-MM-dd' (midnight) — a bare ISO date is all digits and
-      // dashes, so a naive digits-check would toLong-crash on it
-      val millis =
-        if (ts.forall(_.isDigit) || (ts.startsWith("-") &&
-            ts.drop(1).forall(_.isDigit))) ts.toLong
-        else if (ts.matches("""\d{4}-\d{2}-\d{2}"""))
-          java.sql.Timestamp.valueOf(ts + " 00:00:00").getTime
-        else java.sql.Timestamp.valueOf(ts).getTime
-      TxLog.commits(t).filter(_.ts <= millis).lastOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"RESTORE $target: no commit at or before timestamp $ts")).version
-    }
+    val toV = version.getOrElse(
+      SqlTimestamps.versionAt(t, timestamp.get, s"RESTORE $target"))
     Seq(Row(TxLog.restore(spark, t, toV)))
+  }
+}
+
+/** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] txlog.`p`
+  * [PARTITIONED BY (c, …)] [TBLPROPERTIES ('k' = 'v', …)] AS <query>`
+  * — CTAS for path tables: declared layout/properties commit first (so
+  * the data write sees them), then the query result lands via
+  * [[TxLog.append]] (fresh table) or [[TxLog.overwrite]] (OR REPLACE —
+  * schema, layout and properties all reset to the declared ones; prior
+  * versions stay time-travelable). */
+final case class CtasTxLogCommand(target: SqlTarget, queryText: String,
+    orReplace: Boolean, ifNotExists: Boolean,
+    partitionCols: Seq[String], props: Map[String, String])
+  extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val existing = TxLog.latestVersion(t)
+    if (existing.nonEmpty && ifNotExists) return Seq(Row(existing.get))
+    require(existing.isEmpty || orReplace,
+      s"txlog table $t already exists — use CREATE OR REPLACE TABLE " +
+        "to replace it")
+    val q0 = queryText.trim
+    val q = if (q0.startsWith("(") && q0.endsWith(")"))
+      q0.substring(1, q0.length - 1) else q0
+    val df = spark.sql(q)
+    val declared = (if (partitionCols.nonEmpty)
+      Map("graft.partition.columns" -> partitionCols.mkString(","))
+    else Map.empty[String, String]) ++ props
+    if (existing.nonEmpty) {
+      // REPLACE resets the table's configuration to the declared set
+      val stale = TxLog.properties(t).keySet -- declared.keySet
+      if (stale.nonEmpty) TxLog.unsetProperties(t, stale.toSeq)
+    }
+    if (declared.nonEmpty) TxLog.setProperties(t, declared)
+    val v = if (existing.nonEmpty) TxLog.overwrite(df, t, mergeSchema = true)
+            else TxLog.append(df, t)
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Seq(Row(v))
+  }
+}
+
+/** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] txlog.`dst`
+  * [SHALLOW|DEEP] CLONE <src> [VERSION|TIMESTAMP AS OF …]` →
+  * [[TxLog.cloneTable]] (shallow: metadata-only file references) /
+  * [[TxLog.cloneTableDeep]] (independent copy). Bare CLONE = DEEP,
+  * the Databricks default. */
+final case class CloneTxLogCommand(target: SqlTarget, source: SqlTarget,
+    deep: Boolean, orReplace: Boolean, ifNotExists: Boolean,
+    version: Option[Long], timestamp: Option[String])
+  extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dst = target.resolve(spark)
+    val src = source.resolve(spark)
+    val existing = TxLog.latestVersion(dst)
+    if (existing.nonEmpty && ifNotExists) return Seq(Row(existing.get))
+    val asOf = version.orElse(timestamp.map(
+      SqlTimestamps.versionAt(src, _, s"CLONE $source")))
+    val v =
+      if (deep) TxLog.cloneTableDeep(spark, src, dst, asOf,
+        replace = orReplace)
+      else TxLog.cloneTable(spark, src, dst, asOf, replace = orReplace)
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Seq(Row(v))
   }
 }
 

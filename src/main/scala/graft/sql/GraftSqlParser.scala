@@ -104,6 +104,7 @@ object GraftSqlDml {
         ShowTxLogPropertiesCommand(t)
       }
     else if (s.kw("INSERT")) parseInsert(s)
+    else if (s.kw("CREATE")) parseCreate(s)
     else if (s.kws("COPY", "INTO")) parseCopyInto(s)
     else if (s.kw("RESTORE")) { s.kw("TABLE"); parseRestore(s) }
     else if (s.kws("ALTER", "TABLE")) parseAlter(s)
@@ -319,6 +320,91 @@ object GraftSqlDml {
     }
   }
 
+  /** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] txlog.`p` …` — the two
+    * graft DDL forms, PATH target only (`CREATE TABLE <ident>` keeps
+    * its stock catalog route):
+    *   - `… [SHALLOW|DEEP] CLONE <src> [VERSION AS OF n |
+    *     TIMESTAMP AS OF ts]` (bare CLONE = DEEP, Databricks' default)
+    *   - `… [USING <provider>] [PARTITIONED BY (c, …)]
+    *     [TBLPROPERTIES ('k' = 'v', …)] AS <query>` */
+  private def parseCreate(s: Scan): Option[LogicalPlan] = {
+    val orReplace = s.kws("OR", "REPLACE")
+    if (!s.kw("TABLE")) return None
+    val ifNotExists = s.kws("IF", "NOT", "EXISTS")
+    target(s, allowIdent = false).map { t =>
+      require(!(orReplace && ifNotExists),
+        s"CREATE TABLE $t: OR REPLACE and IF NOT EXISTS are mutually " +
+          "exclusive")
+      val deep =
+        if (s.kws("SHALLOW", "CLONE")) Some(false)
+        else if (s.kws("DEEP", "CLONE")) Some(true)
+        else if (s.kw("CLONE")) Some(true)
+        else None
+      deep match {
+        case Some(d) =>
+          val src = target(s, allowIdent = true).getOrElse(
+            throw new IllegalArgumentException(
+              s"CREATE TABLE $t CLONE: expected a source table " +
+                "(txlog.`path` or a catalog txlog table)"))
+          val (ver, ts) =
+            if (s.kws("VERSION", "AS", "OF"))
+              (Some(s.word().map(_.toLong).getOrElse(
+                throw new IllegalArgumentException(
+                  s"CREATE TABLE $t CLONE: expected a version number"))),
+                None)
+            else if (s.kws("TIMESTAMP", "AS", "OF"))
+              (None, Some(s.quoted().orElse(s.word()).getOrElse(
+                throw new IllegalArgumentException(
+                  s"CREATE TABLE $t CLONE: expected a timestamp " +
+                    "(millis or 'yyyy-MM-dd HH:mm:ss')"))))
+            else (None, None)
+          require(s.eof,
+            s"unexpected trailing input in CREATE TABLE $t CLONE")
+          CloneTxLogCommand(t, src, d, orReplace, ifNotExists, ver, ts)
+            : LogicalPlan
+        case None =>
+          var partCols = Seq.empty[String]
+          var props = Seq.empty[(String, String)]
+          var more = true
+          while (more) { // clauses in any order, like the stock grammar
+            if (s.kw("USING")) {
+              // `USING txlog` / `USING graft.sources.txlog` accepted
+              // (and implied); any other provider is not ours
+              val prov = new StringBuilder(s.word().getOrElse(
+                throw new IllegalArgumentException(
+                  s"CREATE TABLE $t: expected a provider after USING")))
+              while (s.punct('.')) prov.append('.')
+                .append(s.word().getOrElse(""))
+              require(prov.toString.equalsIgnoreCase("txlog") ||
+                prov.toString.equalsIgnoreCase("graft.sources.txlog"),
+                s"CREATE TABLE $t: path-form CREATE supports only the " +
+                  s"txlog provider, got USING $prov")
+            } else if (s.kws("PARTITIONED", "BY")) {
+              require(s.punct('('),
+                s"CREATE TABLE $t: expected PARTITIONED BY (c, …)")
+              partCols = Scan.splitTop(s.parenBody(), ',')
+                .map(Scan.unquoteIdent)
+            } else if (s.kw("TBLPROPERTIES")) {
+              require(s.punct('('),
+                s"CREATE TABLE $t: expected ('k' = 'v', …)")
+              props = Scan.splitTop(s.parenBody(), ',').map { a =>
+                val (k, v) = Scan.splitAssign(a)
+                (Scan.unquote(k), Scan.unquote(v))
+              }
+            } else more = false
+          }
+          require(s.kw("AS"),
+            s"CREATE TABLE $t: expected AS <query> — graft path tables " +
+              "define their schema from the query (or first write; a " +
+              "column-list CREATE belongs to the stock catalog form)")
+          val q = s.until()
+          require(q.nonEmpty, s"CREATE TABLE $t AS: empty query")
+          CtasTxLogCommand(t, q, orReplace, ifNotExists, partCols,
+            props.toMap): LogicalPlan
+      }
+    }
+  }
+
   /** `COPY INTO <t> FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
     * [FORMAT_OPTIONS ('k' = 'v', …)] [FORCE = true]` — Delta's
     * idempotent bulk ingestion verb (a verb the stock parser does not
@@ -332,6 +418,7 @@ object GraftSqlDml {
       var fmt = "parquet"
       var opts = Seq.empty[(String, String)]
       var force = false
+      var merge = false
       var pattern: Option[String] = None
       var more = true
       while (more) { // clauses accepted in any order, like Delta
@@ -351,13 +438,26 @@ object GraftSqlDml {
           pattern = Some(s.quoted().getOrElse(
             throw new IllegalArgumentException(
               s"COPY INTO $t: expected a quoted glob after PATTERN =")))
+        } else if (s.kw("COPY_OPTIONS")) {
+          // Delta's COPY_OPTIONS namespace: 'force' and 'mergeSchema'
+          require(s.punct('('), s"COPY INTO $t: expected ('k' = 'v', …)")
+          Scan.splitTop(s.parenBody(), ',').foreach { a =>
+            val (k, v) = Scan.splitAssign(a)
+            (Scan.unquote(k).toLowerCase, Scan.unquote(v)) match {
+              case ("force", x) => force = x.equalsIgnoreCase("true")
+              case ("mergeschema", x) => merge = x.equalsIgnoreCase("true")
+              case (other, _) => throw new IllegalArgumentException(
+                s"COPY INTO $t: unknown COPY_OPTIONS key '$other' " +
+                  "(supported: 'force', 'mergeSchema')")
+            }
+          }
         } else if (s.kw("FORCE")) {
           require(s.punct('='), s"COPY INTO $t: expected FORCE = true|false")
           force = s.word().exists(_.equalsIgnoreCase("true"))
         } else more = false
       }
       require(s.eof, s"unexpected trailing input in COPY INTO $t")
-      CopyIntoTxLogCommand(t, src, fmt, opts.toMap, force, pattern)
+      CopyIntoTxLogCommand(t, src, fmt, opts.toMap, force, pattern, merge)
     }
 
   /** Expression text up to the next top-level `stop` keyword that is

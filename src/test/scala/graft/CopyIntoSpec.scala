@@ -109,6 +109,40 @@ class CopyIntoSpec extends SparkSpec {
     assert(TxLog.read(spark, t).count() === 2)
   }
 
+  test("reserved row-id column in source files refuses") {
+    val src = tmpDir("copysrc")
+    val t = tmpDir("copytbl") + "/t"
+    Seq((1L, "a", 7L)).toDF("k", "v", "_graft_row_id")
+      .coalesce(1).write.parquet(s"$src/b1")
+    val e = intercept[IllegalArgumentException](TxLog.copyInto(spark, t, src))
+    assert(e.getMessage.contains("reserved"))
+    // also refused against an existing row-tracking table
+    val t2 = tmpDir("copytbl2") + "/t"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t2)
+    TxLog.setProperties(t2, Map("graft.rowTracking.enabled" -> "true"))
+    val e2 = intercept[IllegalArgumentException](TxLog.copyInto(spark, t2, src))
+    assert(e2.getMessage.contains("reserved"))
+  }
+
+  test("extra source columns refuse without mergeSchema, evolve with it") {
+    val src = tmpDir("copysrc")
+    val t = tmpDir("copytbl") + "/t"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    Seq((2L, "b", 3.5)).toDF("k", "v", "extra")
+      .coalesce(1).write.parquet(s"$src/b1")
+    val e = intercept[IllegalArgumentException](TxLog.copyInto(spark, t, src))
+    assert(e.getMessage.contains("extra") &&
+      e.getMessage.contains("mergeSchema"))
+    assert(TxLog.read(spark, t).count() === 1, "refusal must not commit")
+    // SQL COPY_OPTIONS mergeSchema: extras evolve the schema
+    spark.sql(s"COPY INTO txlog.`$t` FROM '$src' " +
+      "COPY_OPTIONS ('mergeSchema' = 'true')")
+    val rows = TxLog.read(spark, t)
+    assert(rows.columns.toSeq === Seq("k", "v", "extra"))
+    assert(rows.as[(Long, String, Option[Double])].collect().toSet ===
+      Set((1L, "a", None), (2L, "b", Some(3.5))))
+  }
+
   test("SQL verb accepts a catalog table name") {
     val src = tmpDir("copysrc")
     val t = tmpDir("copytbl") + "/t"

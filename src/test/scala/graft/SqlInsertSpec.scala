@@ -122,9 +122,25 @@ class SqlInsertSpec extends SparkSpec {
     // static: the query supplies the DATA columns, the constant rides
     spark.sql(s"INSERT OVERWRITE txlog.`$t` PARTITION (y = 1996) " +
       "VALUES (7, 70.0)")
-    assert(TxLog.commits(t).last.op === "overwritePartitions")
+    // fully-static spec routes through replaceWhere (unconditional
+    // clear of the named partition), not dynamic overwritePartitions
+    assert(TxLog.commits(t).last.op === "replaceWhere")
     val rows = TxLog.read(spark, t).as[(Long, Double, Int)].collect().toSet
     assert(rows === Set((1L, 10.0, 1995), (7L, 70.0, 1996)))
+  }
+
+  test("static PARTITION overwrite with a zero-row source clears the partition") {
+    val t = tmpDir("sqlins") + "/t"
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "y"))
+    TxLog.append(Seq((1L, 10.0, 1995), (2L, 20.0, 1996))
+      .toDF("k", "amt", "y"), t)
+    // Hive/Delta static semantics: the named partition empties even
+    // when the query produces no rows (dynamic semantics would leave
+    // its files untouched)
+    spark.sql(s"INSERT OVERWRITE txlog.`$t` PARTITION (y = 1996) " +
+      "SELECT k, amt FROM (SELECT 0L AS k, 0.0 AS amt) WHERE k > 0")
+    val rows = TxLog.read(spark, t).as[(Long, Double, Int)].collect().toSet
+    assert(rows === Set((1L, 10.0, 1995)))
   }
 
   test("INSERT OVERWRITE PARTITION (col) is dynamic: only present tuples replaced") {

@@ -78,6 +78,27 @@ class TxLogConflictSpec extends SparkSpec {
     }
   }
 
+  test("retry after a concurrent RENAME/DROP refuses (metadata change)") {
+    val t = tmpDir("txconflict") + "/m"
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    TxLog.enableColumnMapping(t)
+    // snapshot the metadata a writer would stage under, then land a
+    // concurrent rename — the writer's retry must REFUSE rather than
+    // re-commit its stale schemaDdl/colMap (which would silently revert
+    // the rename, since the newest entry wins the schema fold)
+    val meta0 = TxLog.metaFingerprint(t)
+    TxLog.refuseIfMetaChanged(t, "append", meta0) // unchanged: passes
+    TxLog.renameColumn(t, "k", "kk")
+    val e = intercept[TxLog.ConcurrentWriteException] {
+      TxLog.refuseIfMetaChanged(t, "append", meta0)
+    }
+    assert(e.getMessage.contains("concurrent metadata change"))
+    // a plain data commit does NOT trip the guard (schema unchanged)
+    val meta1 = TxLog.metaFingerprint(t)
+    TxLog.append(Seq((8L, "c")).toDF("kk", "v"), t)
+    TxLog.refuseIfMetaChanged(t, "append", meta1)
+  }
+
   test("default isolation keeps INSERT OVERWRITE semantics (no refusal)") {
     val t = mk() // graft.isolationLevel unset
     val base = TxLog.latestVersion(t)
