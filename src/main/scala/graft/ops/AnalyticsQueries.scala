@@ -1143,6 +1143,47 @@ object AnalyticsQueries {
       TxLog.read(s, table)
     },
 
+    // COLUMN MAPPING × PARTITIONED TABLES: partition directories carry
+    // the frozen PHYSICAL name, so a RENAME of the partition column is
+    // metadata-only (zero files rewritten — asserted), the declared
+    // `graft.partition.columns` property follows the logical name in
+    // the SAME commit, and partition-path pruning plus dynamic
+    // partition overwrite keep keying on the unchanged physical paths.
+    // The oracle recomputes untouched years ∪ the re-derived 1997.
+    QueryDef("src_txlog_colmap_partitioned",
+      "column mapping on a partitioned table: RENAME of the partition column is metadata-only; dynamic partition overwrite on the renamed shape",
+      """SELECT o_orderkey, o_totalprice, o_yr FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |         CAST(YEAR(o_orderdate) AS INT) AS o_yr FROM orders)
+        |WHERE o_yr <> 1997
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 50.0 AS o_totalprice,
+        |       CAST(YEAR(o_orderdate) AS INT) AS o_yr
+        |FROM orders WHERE CAST(YEAR(o_orderdate) AS INT) = 1997""".stripMargin) { (s, dir) =>
+      val table = Files.createTempDirectory("graft_txcmpart").toString + "/t"
+      TxLog.setProperties(table, Map("graft.partition.columns" -> "o_year"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).alias("o_year"))
+      TxLog.append(ord, table)                                        // v2
+      val filesBefore = TxLog.activeFiles(table)
+      s.sql(s"ALTER TABLE txlog.`$table` SET TBLPROPERTIES " +
+        "('graft.columnMapping.mode'='name')")                        // v3
+      s.sql(s"ALTER TABLE txlog.`$table` RENAME COLUMN o_year TO o_yr") // v4
+      require(TxLog.activeFiles(table) == filesBefore,
+        "partition-column rename must not rewrite any data file")
+      require(TxLog.declaredPartitionCols(table) == Seq("o_yr"),
+        "declared partition property must follow the rename")
+      // the 1997 backfill on the RENAMED shape: tuple matching keys on
+      // the frozen physical `o_year=` path segments
+      TxLog.overwritePartitions(
+        ord.filter(col("o_year") === 1997)
+          .withColumnRenamed("o_year", "o_yr")
+          .withColumn("o_totalprice", col("o_totalprice") + 50.0),
+        table)                                                        // v5
+      TxLog.read(s, table)
+    },
+
     // SQL INSERT lifecycle (the last missing Delta DML verb): create by
     // first INSERT, append by SELECT and by (cols) VALUES with NULL
     // backfill, then REPLACE WHERE — Delta's targeted overwrite — swaps

@@ -168,7 +168,15 @@ object TxLog {
       // `_graft_row_id` column, so reads coalesce(materialized,
       // base + row_index) and ids survive any number of rewrites.
       // Allocated by [[tryCommit]] itself, never caller-supplied.
-      baseRowIds: Map[String, Long] = Map.empty)
+      baseRowIds: Map[String, Long] = Map.empty,
+      // DATA files (fileKey form) whose rows this commit's dvAdd
+      // deletion vectors cover — the attribution that lets file-disjoint
+      // DML commute under serializable isolation ([[checkFileConflicts]]
+      // / [[checkPartitionConflicts]]): a DV commit with recorded
+      // targets conflicts only with writers touching THOSE files, not
+      // with everything. Absent on older logs → conservative (conflicts
+      // with all), never wrong.
+      dvTargets: Seq[String] = Seq.empty)
 
   /** Highest protocol version this reader understands. A reader meeting a
     * HIGHER version fails loudly instead of silently misinterpreting
@@ -405,7 +413,8 @@ object TxLog {
           baseRowIds = Option(node.get("baseRowIds")).map { s =>
             s.properties().asScala.map(e =>
               e.getKey -> e.getValue.asLong()).toMap
-          }.getOrElse(Map.empty))
+          }.getOrElse(Map.empty),
+          dvTargets = optArr("dvTargets"))
       }
 
   def latestVersion(table: String): Option[Long] =
@@ -680,10 +689,6 @@ object TxLog {
       toLogical(withIds,
         Seq("__dv_f", "__dv_ri") ++ (if (withRowIds) Seq(RowIdCol) else Nil))
     } else {
-      require(mapping.isEmpty,
-        s"txlog table $table mixes column mapping with partitioned " +
-          "files — unsupported (enableColumnMapping refuses partitioned " +
-          "tables; this log was hand-mixed)")
       // Partitioned (or mixed-era) snapshot: data files are partition-
       // stripped, so each scan group reads with the schema MINUS its
       // partition columns and reconstructs them from the commit-recorded
@@ -691,14 +696,18 @@ object TxLog {
       // bounded, same class as the commit itself), element_at per row,
       // cast to the logged type. One scan per distinct partition-column
       // SET (practically: one for the partitioned era, one for any
-      // pre-partitioning files), not per partition value.
+      // pre-partitioning files), not per partition value. Under column
+      // mapping the whole branch speaks PHYSICAL names — partition path
+      // segments carry the frozen physical name, so reconstruction lands
+      // physical columns and ONE [[toLogical]] projection at the end
+      // renames the union, exactly like the unpartitioned branch.
       val groups = files.groupBy(f => partsByFile(f).map(_._1))
         .toSeq.sortBy(_._1.mkString(","))
       val baseMap = if (withRowIds) baseRowIdsAsOf(table, asOf)
         else Map.empty[String, Long]
       val scans = groups.map { case (pcols, fs) =>
         val paths = fs.map(resolve(table, _))
-        val base = schema match {
+        val base = physSchema0 match {
           case Some(s) =>
             val dataFields = s.fields
               .filterNot(f => pcols.contains(f.name) || f.name == RowIdCol)
@@ -722,7 +731,7 @@ object TxLog {
           val raw: org.apache.spark.sql.Column =
             if (m.isEmpty) lit(null).cast("string")
             else element_at(typedlit(m), col("__dv_f"))
-          val typed = schema.flatMap(_.fields.find(_.name == c))
+          val typed = physSchema0.flatMap(_.fields.find(_.name == c))
             .map(f => raw.cast(f.dataType)).getOrElse(raw)
           df.withColumn(c, typed)
         }
@@ -743,7 +752,7 @@ object TxLog {
           }
         // restore the logged column order (the partitioned writer moved
         // partition columns last); keys stay, dropped at the end as usual
-        schema match {
+        physSchema0 match {
           case Some(s) => withIds.select(
             s.fieldNames.toSeq.filterNot(_ == RowIdCol).map(col) ++
               Seq(col("__dv_f"), col("__dv_ri")) ++
@@ -751,7 +760,8 @@ object TxLog {
           case None => withIds
         }
       }
-      scans.reduce(_ unionByName _)
+      toLogical(scans.reduce(_ unionByName _),
+        Seq("__dv_f", "__dv_ri") ++ (if (withRowIds) Seq(RowIdCol) else Nil))
     }
     val filtered =
       if (dvs.isEmpty) keyed
@@ -920,6 +930,9 @@ object TxLog {
     if (commit.dvRemove.nonEmpty) {
       val a = node.putArray("dvRemove"); commit.dvRemove.foreach(a.add)
     }
+    if (commit.dvTargets.nonEmpty) {
+      val a = node.putArray("dvTargets"); commit.dvTargets.foreach(a.add)
+    }
     if (commit.bloomAdd.nonEmpty) {
       val a = node.putArray("bloomAdd"); commit.bloomAdd.foreach(a.add)
     }
@@ -999,8 +1012,13 @@ object TxLog {
       case None => df
     }
     val sub = s"d-${UUID.randomUUID().toString.take(8)}"
+    // declared layout properties speak LOGICAL names; the staged frame
+    // is already physical — translate here so partition directories
+    // carry the frozen PHYSICAL name (what makes RENAME of a partition
+    // column metadata-only: the paths never change)
+    val physName = physOf(m) _
     val partCols = declaredCols(table, "graft.partition.columns")
-      .filter(staged0.columns.contains)
+      .map(physName).filter(staged0.columns.contains)
     // Declared clustered writes (liquid-clustering-lite, opt-in via
     // `graft.cluster.columns`): range-repartition + sort EVERY write by
     // the declared columns, so each output file owns a tight key range
@@ -1010,7 +1028,7 @@ object TxLog {
     // property and not a default. Unpartitioned tables only (a
     // partitioned sink already repartitions by its partition columns).
     val clusterCols = declaredCols(table, "graft.cluster.columns")
-      .filter(staged0.columns.contains)
+      .map(physName).filter(staged0.columns.contains)
     val staged =
       if (clusterCols.isEmpty || partCols.nonEmpty) staged0
       else {
@@ -1101,9 +1119,15 @@ object TxLog {
     * its present logical name. From here on RENAME/DROP COLUMN are
     * metadata-only and data files keep physical names forever; the
     * commit stamps protocol v5, so pre-mapping readers refuse loudly
-    * instead of misplanning. Refused on partitioned tables (partition
-    * paths would need physical-name translation end-to-end; declare
-    * mapping FIRST, partitions never — or keep the table unmapped). */
+    * instead of misplanning.
+    *
+    * Partitioned tables work: enable freezes physical = current logical,
+    * so every existing `col=value` partition directory ALREADY carries
+    * the frozen physical name — no path rewrite, and a later RENAME of
+    * the partition column stays metadata-only (new writes keep staging
+    * under the physical name; [[declaredPartitionCols]] names stay
+    * logical in the property and translate at the write/conflict
+    * boundaries). */
   def enableColumnMapping(table: String): Long = {
     val schema = schemaAsOf(table).getOrElse(throw
       new IllegalArgumentException(
@@ -1113,9 +1137,6 @@ object TxLog {
     // re-setting the same mode the same way) — a re-run setup script
     // must not fail here and strand its other statements
     if (mappingAsOf(table).nonEmpty) return latestVersion(table).get
-    require(declaredPartitionCols(table).isEmpty,
-      s"txlog table $table is partitioned — column mapping on " +
-        "partitioned tables is not supported; unpartitioned tables only")
     val idMap = schema.fieldNames.toSeq.map(n => n -> n)
     metadataCommitLoop(table, "columnMapping",
       schemaDdl = Some(schema.toDDL), colMap = Some(idMap))
@@ -1143,13 +1164,20 @@ object TxLog {
     require(offending.isEmpty,
       s"cannot rename $table.$from: CHECK constraint(s) " +
         s"${offending.mkString(", ")} reference it — drop them first")
+    val genOffending = generatedRefs(table).collect {
+      case (c, refs) if refs.contains(from) => c }
+    require(genOffending.isEmpty,
+      s"cannot rename $table.$from: generated column(s) " +
+        s"${genOffending.mkString(", ")} reference it in their " +
+        "generation expression — drop the declaration(s) first")
     val newSchema = org.apache.spark.sql.types.StructType(
       schema.map(f => if (f.name == from) f.copy(name = to) else f))
     val newMap = schema.fieldNames.toSeq.map { n =>
       if (n == from) to -> mapping.getOrElse(from, from)
       else n -> mapping.getOrElse(n, n) }
     metadataCommitLoop(table, "renameColumn",
-      schemaDdl = Some(newSchema.toDDL), colMap = Some(newMap))
+      schemaDdl = Some(newSchema.toDDL), colMap = Some(newMap),
+      properties = renamePropDeltas(table, from, to))
   }
 
   /** ALTER TABLE … DROP COLUMN: metadata-only under column mapping — the
@@ -1173,12 +1201,23 @@ object TxLog {
     require(offending.isEmpty,
       s"cannot drop $table.$name: CHECK constraint(s) " +
         s"${offending.mkString(", ")} reference it — drop them first")
+    require(!declaredPartitionCols(table).contains(name),
+      s"cannot drop $table.$name: it is a declared partition column " +
+        "(graft.partition.columns) — the layout-defining column of " +
+        "every partitioned file; Delta refuses the same")
+    val genOffending = generatedRefs(table).collect {
+      case (c, refs) if refs.contains(name) && c != name => c }
+    require(genOffending.isEmpty,
+      s"cannot drop $table.$name: generated column(s) " +
+        s"${genOffending.mkString(", ")} reference it in their " +
+        "generation expression — drop the declaration(s) first")
     val newSchema = org.apache.spark.sql.types.StructType(
       schema.filterNot(_.name == name))
     val newMap = newSchema.fieldNames.toSeq
       .map(n => n -> mapping.getOrElse(n, n))
     metadataCommitLoop(table, "dropColumn",
-      schemaDdl = Some(newSchema.toDDL), colMap = Some(newMap))
+      schemaDdl = Some(newSchema.toDDL), colMap = Some(newMap),
+      properties = dropPropDeltas(table, name))
   }
 
   /** ALTER TABLE … ADD COLUMN: a schema-evolution metadata commit — old
@@ -1204,19 +1243,87 @@ object TxLog {
   }
 
   /** Data-less metadata commit with optimistic retry (the
-    * [[dropConstraint]] loop, shared by the column-mapping DDL). */
+    * [[dropConstraint]] loop, shared by the column-mapping DDL).
+    * `properties` rides the same commit so a RENAME/DROP can carry its
+    * declared-column-list rewrites atomically with the schema change. */
   private def metadataCommitLoop(table: String, op: String,
       schemaDdl: Option[String] = None,
-      colMap: Option[Seq[(String, String)]] = None): Long = {
+      colMap: Option[Seq[(String, String)]] = None,
+      properties: Map[String, Option[String]] = Map.empty): Long = {
     var attempts = 0
     while (attempts < 10) {
       val v = latestVersion(table).getOrElse(0L) + 1
       if (tryCommit(table, Commit(v, Seq.empty, Seq.empty, op, -1L,
-        schemaDdl = schemaDdl, colMap = colMap))) return v
+        schemaDdl = schemaDdl, colMap = colMap,
+        properties = properties))) return v
       attempts += 1
     }
     throw new IllegalStateException(
       s"txlog $op on $table lost 10 straight races — giving up")
+  }
+
+  private val ColListProps = Seq("graft.partition.columns",
+    "graft.cluster.columns", "graft.stats.columns", "graft.bloom.columns")
+
+  /** Column names each generation expression references (by generated
+    * column) — RENAME/DROP of a referenced base column refuses the same
+    * way constraint references do: the recorded expression text would
+    * silently dangle. */
+  private def generatedRefs(table: String): Map[String, Set[String]] =
+    generatedCols(table).map { case (c, exprText) =>
+      c -> org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(exprText).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head
+        }.toSet
+    }
+
+  /** Property deltas carrying a column RENAME through every declared
+    * column-list property plus the `graft.generated.<col>` key — the
+    * declarations live in the LOGICAL namespace, so they must follow the
+    * logical name or the layout silently decays (a partition list naming
+    * the old logical would stop matching any write's columns). */
+  private def renamePropDeltas(table: String, from: String,
+      to: String): Map[String, Option[String]] = {
+    val props = properties(table)
+    val lists = ColListProps.flatMap { p =>
+      props.get(p).flatMap { v =>
+        val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+        if (cols.contains(from))
+          Some(p -> (Some(cols.map(c => if (c == from) to else c)
+            .mkString(",")): Option[String]))
+        else None
+      }
+    }.toMap
+    props.get(s"graft.generated.$from") match {
+      case Some(e) => lists +
+        (s"graft.generated.$from" -> (None: Option[String])) +
+        (s"graft.generated.$to" -> (Some(e): Option[String]))
+      case None => lists
+    }
+  }
+
+  /** Property deltas for a column DROP: the name leaves the declared
+    * cluster/stats/bloom lists (an empty list unsets) and its generated
+    * declaration unsets with it. Partition columns never reach here —
+    * [[dropColumn]] refuses them outright. */
+  private def dropPropDeltas(table: String,
+      name: String): Map[String, Option[String]] = {
+    val props = properties(table)
+    val lists = ColListProps.filterNot(_ == "graft.partition.columns")
+      .flatMap { p =>
+        props.get(p).flatMap { v =>
+          val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+          if (cols.contains(name)) {
+            val rest = cols.filterNot(_ == name)
+            Some(p -> (if (rest.isEmpty) None: Option[String]
+              else Some(rest.mkString(","))))
+          } else None
+        }
+      }.toMap
+    if (props.contains(s"graft.generated.$name"))
+      lists + (s"graft.generated.$name" -> (None: Option[String]))
+    else lists
   }
 
   /** Snapshot read at `asOf` (latest when None). When the log carries a
@@ -1336,10 +1443,6 @@ object TxLog {
       val v = enableColumnMapping(table)
       return if (rest.isEmpty) v else setProperties(table, rest)
     }
-    require(!props.contains("graft.partition.columns") ||
-      mappingAsOf(table).isEmpty,
-      s"txlog table $table has column mapping enabled — declaring " +
-        "partition columns on a mapped table is not supported")
     commitProperties(table, props.map { case (k, v) => k -> Some(v) })
   }
 
@@ -2162,11 +2265,16 @@ object TxLog {
         throw new ConcurrentWriteException(
           s"concurrent metadata commit v${c.version} on $table conflicts " +
             "with this partition overwrite under serializable isolation")
-      if (c.dvAdd.nonEmpty)
+      if (c.dvAdd.nonEmpty && c.dvTargets.isEmpty)
         throw new ConcurrentWriteException(
-          s"concurrent deletion-vector commit v${c.version} on $table may " +
-            "touch any partition — serializable isolation refuses")
-      val theirs = (c.add ++ c.remove).map(f =>
+          s"concurrent deletion-vector commit v${c.version} on $table " +
+            "records no target attribution — serializable isolation " +
+            "refuses (may touch any partition)")
+      // DV commits WITH recorded targets conflict only through the data
+      // files their row kills actually live in — the same partition
+      // algebra as adds/removes (dvTargets are fileKeys, which keep the
+      // col=value segment on partitioned layouts)
+      val theirs = (c.add ++ c.remove ++ c.dvTargets).map(f =>
         partValuesOf(f).toMap.view.filterKeys(partCols.contains).toMap).toSet
       val outside = theirs.exists(t => t.keySet != partCols.toSet)
       val overlap = theirs.intersect(mine)
@@ -2177,6 +2285,51 @@ object TxLog {
               Set.empty[String]) ++ overlap.map(_.toString)} that this " +
             "writer replaces — serializable isolation refuses the blind " +
             "overwrite")
+    }
+  }
+
+  /** Row-level analog of [[checkPartitionConflicts]] (the file-disjoint
+    * DML rule): after a lost version race, decide whether the commits
+    * that landed since `base` COMMUTE with a DML write whose read/write
+    * set is `mine` (fileKey form). Under the default isolation this is
+    * a no-op — the caller re-derives against the new snapshot and
+    * retries (predicate semantics, last writer wins a contended row).
+    * Under `graft.isolationLevel=serializable`:
+    *   - metadata commits (properties/constraints) conflict with
+    *     everything, as in the partition rule;
+    *   - data commits and attributed DV commits commute iff the files
+    *     they added/removed/covered are DISJOINT from `mine` — two
+    *     DELETEs on different files both commit, each on its own
+    *     version (what lets many selective DML jobs share one 100 TB
+    *     table), while overlapping writers refuse instead of silently
+    *     re-deriving over each other's rows;
+    *   - a DV commit with no recorded targets (older writer) conflicts
+    *     with everything — conservative, never wrong.
+    * Pure appends commute (new files are by construction disjoint) —
+    * Delta's WriteSerializable posture, matching the partition rule. */
+  private[graft] def checkFileConflicts(table: String, base: Option[Long],
+      mine: Set[String], op: String): Unit = {
+    if (!properties(table).get("graft.isolationLevel")
+      .contains("serializable")) return
+    val sinceV = base.getOrElse(0L)
+    commits(table).filter(_.version > sinceV).foreach { c =>
+      if (c.properties.nonEmpty || c.constraint.nonEmpty)
+        throw new ConcurrentWriteException(
+          s"concurrent metadata commit v${c.version} on $table conflicts " +
+            s"with this $op under serializable isolation")
+      if (c.dvAdd.nonEmpty && c.dvTargets.isEmpty)
+        throw new ConcurrentWriteException(
+          s"concurrent deletion-vector commit v${c.version} on $table " +
+            "records no target attribution — serializable isolation " +
+            s"refuses the $op")
+      val theirs = (c.add ++ c.remove ++ c.dvTargets).map(fileKey).toSet
+      val overlap = theirs.intersect(mine)
+      if (overlap.nonEmpty)
+        throw new ConcurrentWriteException(
+          s"concurrent commit v${c.version} (${c.op}) on $table touched " +
+            s"file(s) ${overlap.take(3).mkString(", ")}${
+              if (overlap.size > 3) ", …" else ""} that this $op " +
+            "reads/rewrites — serializable isolation refuses")
     }
   }
 
@@ -2195,8 +2348,12 @@ object TxLog {
     val schema = resolveSchema(table, df, mergeSchema = false)
     validateConstraints(df, constraints(table))
     val add = writeData(df, table)
+    // partition paths record the frozen PHYSICAL name under column
+    // mapping — tuple matching (and the conflict rule) key physically,
+    // the same namespace the staged files were just written in
+    val physPartCols = partCols.map(physOf(mappingAsOf(table)))
     def tupleOf(f: String): Map[String, Option[String]] =
-      partValuesOf(f).toMap.view.filterKeys(partCols.contains).toMap
+      partValuesOf(f).toMap.view.filterKeys(physPartCols.contains).toMap
     val touched = add.map(tupleOf).toSet
     val (nstats, sstats) = fileStats(spark, table, add,
       effectiveStatsCols(df, table, statsCols))
@@ -2231,7 +2388,7 @@ object TxLog {
       // writers re-derive (metadata-only — the data files are already
       // staged) and commit on the next version; under serializable
       // isolation a TRUE conflict on this writer's tuples refuses here.
-      checkPartitionConflicts(table, base, touched, partCols)
+      checkPartitionConflicts(table, base, touched, physPartCols)
       attempts += 1
     }
     throw new IllegalStateException(
@@ -2246,8 +2403,11 @@ object TxLog {
   def partitions(table: String, asOf: Option[Long] = None)
       : Seq[(Map[String, Option[String]], Int, Long)] = {
     val sizes = fileSizes(table, asOf)
+    // paths record physical names under column mapping — report logical
+    val inv = logicalsOf(mappingAsOf(table, asOf))
     activeFiles(table, asOf)
-      .groupBy(f => partValuesOf(f).toMap)
+      .groupBy(f => partValuesOf(f).toMap.map { case (k, v) =>
+        inv.getOrElse(k, k) -> v })
       .map { case (tuple, fs) =>
         (tuple, fs.size, fs.map(f => sizes.getOrElse(f, 0L)).sum)
       }
@@ -2971,8 +3131,7 @@ object TxLog {
             .join(firstVer, keyCols, "left_semi")
             .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
         val touched = candidates.filter(f =>
-          touchedRel.contains(f) || touchedRel.exists(r =>
-            f.endsWith(s"/$r")))
+          touchedRel.contains(fileKey(f)))
         val tracking = rowTrackingEnabled(table, base)
         val rewritten =
           if (touched.isEmpty) newRows
@@ -3066,8 +3225,7 @@ object TxLog {
             .join(lateKeys, keyCols, "left_semi")
             .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
         val touched = candidates.filter(f =>
-          touchedRel.contains(f) || touchedRel.exists(r =>
-            f.endsWith(s"/$r")))
+          touchedRel.contains(fileKey(f)))
         val tracking = rowTrackingEnabled(table, base)
         // row tracking: untouched keys in rewritten files KEEP their ids;
         // the repaired chains are re-derived rows and take fresh ones
@@ -3368,10 +3526,10 @@ object TxLog {
           keepRowKeys = true)
         .filter(condition)
         .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
-      // __dv_f is the last-two-segments key: equals a relative entry
-      // outright, and suffixes an absolute (shallow-clone) entry
-      val touched = files.filter(f =>
-        touchedRel.contains(f) || touchedRel.exists(r => f.endsWith(s"/$r")))
+      // __dv_f is the last-two-segments fileKey: a canonical SET lookup
+      // resolves both relative entries and absolute (shallow-clone)
+      // entries — no linear suffix scan over the active set
+      val touched = files.filter(f => touchedRel.contains(fileKey(f)))
       if (touched.isEmpty) return base.get // nothing matches: no new version
       // DV-filtered like every other scan: rewriting a touched file must
       // not resurrect rows an active deletion vector already killed.
@@ -3382,7 +3540,11 @@ object TxLog {
       val rewritten = rewrite(touchedDf)
       if (commitRewrite(spark, table, base, files, touched, rewritten, op))
         return base.get + 1
-      attempts += 1 // lost the race: re-derive the touched set and retry
+      // lost the race: serializable writers refuse when the winner
+      // touched the same files; disjoint (or default-isolation) writers
+      // re-derive the touched set against the new snapshot and retry
+      checkFileConflicts(table, base, touched.map(fileKey).toSet, op)
+      attempts += 1
     }
     throw new IllegalStateException(
       s"txlog $op on $table lost 10 straight races — giving up")
@@ -3496,8 +3658,7 @@ object TxLog {
           keepRowKeys = true)
         .filter(condition)
         .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
-      val touched = files.filter(f =>
-        touchedRel.contains(f) || touchedRel.exists(r => f.endsWith(s"/$r")))
+      val touched = files.filter(f => touchedRel.contains(fileKey(f)))
       // survivors of the touched files (NULL-cond rows survive, same
       // three-valued rule as delete) + the incoming rows, committed as
       // one rewrite. Row tracking: survivors keep their ids; incoming
@@ -3516,6 +3677,8 @@ object TxLog {
       if (commitRewrite(spark, table, base, files, touched, rewritten,
           "replaceWhere"))
         return base.get + 1
+      checkFileConflicts(table, base, touched.map(fileKey).toSet,
+        "replaceWhere")
       attempts += 1
     }
     throw new IllegalStateException(
@@ -3581,8 +3744,13 @@ object TxLog {
       val dvFiles = listDir(Paths.get(table, sub)).map(_.getFileName.toString)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .sorted.map(n => s"$sub/$n")
+      // the data files this DV covers, read back from the (tiny,
+      // metadata-sized) staged sidecar — doubles as the empty check and
+      // becomes the commit's dvTargets attribution
+      val covered = spark.read.parquet(s"$table/$sub")
+        .select("file").distinct().collect().map(_.getString(0)).sorted
       // empty hit set: drop the staged dir, no new version
-      if (spark.read.parquet(s"$table/$sub").isEmpty) {
+      if (covered.isEmpty) {
         org.apache.commons.io.FileUtils.deleteDirectory(
           new java.io.File(s"$table/$sub"))
         return base.get
@@ -3590,8 +3758,13 @@ object TxLog {
       val v = base.get + 1
       if (tryCommit(table, Commit(v, Seq.empty, Seq.empty, "dvDelete", -1L,
         dvAdd = dvFiles,
+        dvTargets = covered.toSeq.map(fileKey),
         minReader = if (scattered) 3 else 1))) return v
-      attempts += 1 // lost the race: re-scan against the new snapshot
+      // lost the race: under serializable, refuse if the winner touched
+      // my covered files (re-deriving would silently delete over its
+      // write); disjoint writers re-derive and both commit
+      checkFileConflicts(table, base, covered.map(fileKey).toSet, "dvDelete")
+      attempts += 1 // re-scan against the new snapshot
     }
     throw new IllegalStateException(
       s"txlog dvDelete on $table lost 10 straight races — giving up")
@@ -3812,7 +3985,7 @@ object TxLog {
           .join(src, condition, "left_semi")
           .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
       val touched = candidates.filter(f =>
-        touchedRel.contains(f) || touchedRel.exists(r => f.endsWith(s"/$r")))
+        touchedRel.contains(fileKey(f)))
       if (touched.isEmpty && notMatched.isEmpty)
         return base.get // no matches and nothing to insert: no new version
       // FULL OUTER of the touched rows against the source. Every target
@@ -4607,9 +4780,12 @@ object TxLog {
       targetBytes: Option[Long] = None,
       clusterBy: Seq[org.apache.spark.sql.Column] = Seq.empty): Option[Long] = {
     require(partition.nonEmpty, "optimizeWhere needs a partition tuple")
+    // the caller's tuple names columns LOGICALLY; paths record the
+    // frozen physical name under column mapping — translate at the key
+    val physName = physOf(mappingAsOf(table)) _
     val want: Map[String, Option[String]] = partition.map {
-      case (k, null) => k -> None
-      case (k, v) => k -> Some(String.valueOf(v))
+      case (k, null) => physName(k) -> None
+      case (k, v) => physName(k) -> Some(String.valueOf(v))
     }
     var attempts = 0
     while (attempts < 10) {
@@ -4761,7 +4937,8 @@ object TxLog {
     * version breaks the clone. Use [[cloneTableDeep]] when the copy must
     * outlive the source's retention. */
   def vacuum(table: String, retainVersions: Int = 2,
-      minAgeMs: Long = 0L, dryRun: Boolean = false): Seq[String] = {
+      minAgeMs: Long = 0L, dryRun: Boolean = false,
+      retainHours: Option[Double] = None): Seq[String] = {
     val latest = latestVersion(table).getOrElse(return Seq.empty)
     // a declared retention FLOOR (`graft.vacuum.retainVersions`) caps
     // how aggressively ANY caller may vacuum this table — the
@@ -4779,7 +4956,42 @@ object TxLog {
         }
       }.getOrElse(0)
     val effective = math.max(retainVersions, declaredFloor)
-    val horizon = math.max(1L, latest - effective + 1)
+    val versionHorizon = math.max(1L, latest - effective + 1)
+    // Time-based retention (`VACUUM … RETAIN n HOURS`, Delta's shape):
+    // every version committed INSIDE the window survives, plus the
+    // snapshot that was current AT the window edge — so time travel to
+    // any instant within the retention window stays exact. Built on the
+    // in-commit timestamp index, which is strictly monotone (see the
+    // Commit.ts doc), so the window↔version translation is
+    // deterministic regardless of writer clock skew. Composes with
+    // version retention by keeping the MOST — retention floors never
+    // shrink each other.
+    val horizon = retainHours match {
+      case None => versionHorizon
+      case Some(h) =>
+        require(h >= 0, s"VACUUM RETAIN hours on $table must be >= 0, got $h")
+        val cutoff = System.currentTimeMillis() - (h * 3600000.0).toLong
+        // a commit with no stamp (pre-timestamping log) cannot prove it
+        // is outside the window — everything from version 1 is retained
+        val atCutoff = commits(table)
+          .filter(c => c.ts >= 0 && c.ts <= cutoff)
+          .lastOption.map(_.version).getOrElse(1L)
+        val hz = math.min(versionHorizon, atCutoff)
+        // the newest log checkpoint is the fold anchor readers start
+        // from; a time-window sweep that vacuums past it would break
+        // time travel TO the checkpoint itself — refuse and name the
+        // remedies (the explicit RETAIN n VERSIONS form is the
+        // documented override for operators who accept the loss)
+        checkpoints(table).lastOption.foreach { case (cv, _) =>
+          require(cv >= hz,
+            s"VACUUM RETAIN $h HOURS on $table would sweep past the " +
+              s"latest log checkpoint (version $cv < horizon $hz) and " +
+              "break time travel to it — run compact() to advance the " +
+              "checkpoint first, or use RETAIN n VERSIONS to override " +
+              "explicitly")
+        }
+        hz
+    }
     val protect = (horizon to latest)
       .flatMap(v => activeFiles(table, Some(v)) ++
         activeDvs(table, Some(v)) ++ activeBlooms(table, Some(v))).toSet

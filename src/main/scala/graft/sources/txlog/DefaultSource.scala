@@ -829,16 +829,23 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
     // every delivered file: a rename lands as a schemaDdl change that
     // [[checkSchemaDrift]] refuses on the next data commit anyway.
     val mapping = TxLog.mappingAsOf(path)
-    def scanBatch(fs: Seq[String]): DataFrame = mapping match {
-      case Some(m) =>
-        val physSchema = StructType(schema.map(f =>
-          f.copy(name = m.getOrElse(f.name, f.name))))
-        shim.streamingParquetBatch(spark, physSchema, fs)
-          .select(schema.fields.toSeq.map { f =>
-            org.apache.spark.sql.functions
-              .col(m.getOrElse(f.name, f.name)).as(f.name) }: _*)
-      case None => shim.streamingParquetBatch(spark, schema, fs)
+    // physical twin of the analyzed (logical) schema — identity when the
+    // table never enabled mapping; partition path segments ALSO carry
+    // physical names, so the whole scan works physical and one rename
+    // projection at the end delivers logical columns
+    val physSchema = mapping match {
+      case Some(m) => StructType(schema.map(f =>
+        f.copy(name = m.getOrElse(f.name, f.name))))
+      case None => schema
     }
+    def toLogical(df: DataFrame): DataFrame = mapping match {
+      case Some(m) => df.select(schema.fields.toSeq.map { f =>
+        org.apache.spark.sql.functions
+          .col(m.getOrElse(f.name, f.name)).as(f.name) }: _*)
+      case None => df
+    }
+    def scanBatch(fs: Seq[String]): DataFrame =
+      toLogical(shim.streamingParquetBatch(spark, physSchema, fs))
     // Partitioned files are partition-stripped on disk (the value rides
     // the path — TxLog's Hive layout): deliver them grouped by partition
     // TUPLE, each group scanned under the schema minus its partition
@@ -857,14 +864,14 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
       .toSeq.sortBy(_._1.toString)
       .map { case (pvals, fs) =>
         val pcols = pvals.map(_._1).toSet
-        val dataSchema = StructType(schema.filterNot(f => pcols(f.name)))
+        val dataSchema = StructType(physSchema.filterNot(f => pcols(f.name)))
         val base = shim.streamingParquetBatch(spark, dataSchema, fs.map(full))
         val withParts = pvals.foldLeft(base) { case (df, (c, vOpt)) =>
-          val dt = schema(c).dataType
+          val dt = physSchema(c).dataType
           df.withColumn(c,
             vOpt.map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
         }
-        withParts.select(schema.fieldNames.toSeq.map(col): _*)
+        toLogical(withParts.select(physSchema.fieldNames.toSeq.map(col): _*))
       }
     (plainDf ++ partDfs).reduce(_ unionByName _)
   }

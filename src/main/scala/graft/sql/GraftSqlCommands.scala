@@ -614,17 +614,20 @@ final case class ConvertToTxLogCommand(dir: String,
     Seq(Row(TxLog.convertParquet(spark, dir, partitionCols)))
 }
 
-/** `VACUUM <t> [RETAIN n VERSIONS] [DRY RUN]` → [[TxLog.vacuum]];
-  * reports the number of files removed (or that WOULD be removed under
-  * DRY RUN). The table's declared `graft.vacuum.retainVersions` floor
-  * still caps how aggressive a SQL caller can be. */
+/** `VACUUM <t> [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]` →
+  * [[TxLog.vacuum]]; reports the number of files removed (or that WOULD
+  * be removed under DRY RUN). The table's declared
+  * `graft.vacuum.retainVersions` floor still caps how aggressive a SQL
+  * caller can be; the HOURS form additionally keeps every version
+  * inside the time window (commit-timestamp index). */
 final case class VacuumTxLogCommand(target: SqlTarget, retain: Option[Int],
-    dryRun: Boolean) extends LeafRunnableCommand {
+    dryRun: Boolean, retainHours: Option[Double] = None)
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("removed", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
-    Seq(Row(TxLog.vacuum(t, retain.getOrElse(2), dryRun = dryRun)
-      .size.toLong))
+    Seq(Row(TxLog.vacuum(t, retain.getOrElse(2), dryRun = dryRun,
+      retainHours = retainHours).size.toLong))
   }
 }

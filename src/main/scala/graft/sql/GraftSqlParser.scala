@@ -570,20 +570,27 @@ object GraftSqlDml {
       OptimizeTxLogCommand(t, where, zorder)
     }
 
-  private def parseVacuum(s: Scan): Option[LogicalPlan] =
+  /** `VACUUM <t> [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]` —
+    * HOURS is Delta's time-window retention (lowered onto the commit
+    * timestamp index); VERSIONS is the count form. */
+  private def parseVacuum(s: Scan): Option[LogicalPlan] = {
     target(s, allowIdent = true).map { t =>
-      val retain =
-        if (s.kw("RETAIN")) {
-          val n = s.word().map(_.toInt).getOrElse(
-            throw new IllegalArgumentException(
-              s"VACUUM $t: expected RETAIN <n> VERSIONS"))
-          require(s.kw("VERSIONS"), s"VACUUM $t: expected VERSIONS")
-          Some(n)
-        } else None
+      var retain: Option[Int] = None
+      var hours: Option[Double] = None
+      if (s.kw("RETAIN")) {
+        val n = s.word().getOrElse(
+          throw new IllegalArgumentException(
+            s"VACUUM $t: expected RETAIN <n> VERSIONS|HOURS"))
+        if (s.kw("VERSIONS")) retain = Some(n.toInt)
+        else if (s.kw("HOURS")) hours = Some(n.toDouble)
+        else throw new IllegalArgumentException(
+          s"VACUUM $t: expected VERSIONS or HOURS after RETAIN $n")
+      }
       val dry = s.kws("DRY", "RUN")
       require(s.eof, s"unexpected trailing input in VACUUM $t")
-      VacuumTxLogCommand(t, retain, dry)
+      VacuumTxLogCommand(t, retain, dry, hours)
     }
+  }
 }
 
 /** Minimal quote/paren/comment-aware scanner over one SQL statement. */

@@ -137,7 +137,7 @@ class ColumnMappingSpec extends SparkSpec {
       .collect().toSet === Set((1L, "a", None), (2L, "b", Some(7.0))))
   }
 
-  test("mapping commits stamp protocol v5; enable refuses partitioned tables") {
+  test("mapping commits stamp protocol v5") {
     val t = table()
     TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
     TxLog.enableColumnMapping(t)
@@ -148,15 +148,86 @@ class ColumnMappingSpec extends SparkSpec {
       .filter(n => n.get("colMap") != null)
       .map(_.get("protocolVersion").asInt()).max
     assert(vMax === 5)
-    val tp = table()
-    TxLog.setProperties(tp, Map("graft.partition.columns" -> "p"))
-    TxLog.overwrite(Seq((1L, "x")).toDF("k", "p"), tp)
+  }
+
+  test("partitioned table: RENAME of the partition column is metadata-only") {
+    val t = table()
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "p"))
+    TxLog.overwrite(Seq((1L, 2019L), (2L, 2020L)).toDF("k", "p"), t)
+    val filesBefore = TxLog.activeFiles(t)
+    assert(filesBefore.forall(_.contains("p=")), "Hive layout expected")
+    TxLog.enableColumnMapping(t)
+    TxLog.renameColumn(t, "p", "year") // zero rewrite: paths keep `p=`
+    assert(TxLog.activeFiles(t) === filesBefore)
+    // the declared property followed the logical rename in the same commit
+    assert(TxLog.declaredPartitionCols(t) === Seq("year"))
+    val df = TxLog.read(spark, t)
+    assert(df.columns.toSeq === Seq("k", "year"))
+    assert(df.as[(Long, Long)].collect().toSet === Set((1L, 2019L), (2L, 2020L)))
+    // partition pruning keys on the NEW logical name, exact as before
+    assert(TxLog.filesForRange(t, "year", 2020.0, 2020.0).size === 1)
+    assert(TxLog.readRange(spark, t, "year", 2020.0, 2020.0)
+      .select("k").as[Long].collect().toSet === Set(2L))
+    // new writes keep staging under the frozen PHYSICAL path segment
+    TxLog.append(Seq((3L, 2021L)).toDF("k", "year"), t)
+    val newFiles = TxLog.activeFiles(t).diff(filesBefore)
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("p=2021")),
+      s"post-rename writes must stage physical-name dirs: $newFiles")
+    assert(TxLog.read(spark, t).as[(Long, Long)].collect().toSet ===
+      Set((1L, 2019L), (2L, 2020L), (3L, 2021L)))
+    // SHOW PARTITIONS reports the LOGICAL name
+    val parts = TxLog.partitions(t).map(_._1)
+    assert(parts.forall(_.keySet === Set("year")), s"got $parts")
+  }
+
+  test("declaring partition columns on an already-mapped table works") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, "x", 1L)).toDF("k", "v", "d"), t)
+    TxLog.enableColumnMapping(t)
+    TxLog.renameColumn(t, "d", "day")
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "day"))
+    // optimize rewrites pre-declaration files into the declared layout
+    TxLog.optimize(spark, t)
+    TxLog.append(Seq((2L, "y", 2L)).toDF("k", "v", "day"), t)
+    assert(TxLog.activeFiles(t).forall(_.contains("d=")),
+      "layout must use the frozen physical name")
+    assert(TxLog.read(spark, t).as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "x", 1L), (2L, "y", 2L)))
+    // dynamic partition overwrite matches tuples in the physical namespace
+    TxLog.overwritePartitions(Seq((9L, "z", 2L)).toDF("k", "v", "day"), t)
+    assert(TxLog.read(spark, t).as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "x", 1L), (9L, "z", 2L)))
+  }
+
+  test("DML on a mapped partitioned table; DROP of a partition column refuses") {
+    val t = table()
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "p"))
+    TxLog.overwrite(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "v", "p"), t)
+    TxLog.enableColumnMapping(t)
+    TxLog.renameColumn(t, "p", "bucket")
+    TxLog.renameColumn(t, "v", "val")
+    TxLog.update(spark, t, org.apache.spark.sql.functions.col("k") === 1L,
+      Map("val" -> org.apache.spark.sql.functions.lit("A")))
+    TxLog.delete(spark, t, org.apache.spark.sql.functions.col("k") === 2L)
+    assert(TxLog.read(spark, t).as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "A", 1L)))
+    val e = intercept[IllegalArgumentException](TxLog.dropColumn(t, "bucket"))
+    assert(e.getMessage.contains("partition column"))
+  }
+
+  test("rename refuses when a generation expression references the column") {
+    val t = table()
+    TxLog.overwrite(Seq((1L, 10L, 20L)).toDF("k", "base", "twice"), t)
+    TxLog.enableColumnMapping(t)
+    TxLog.declareGeneratedColumn(spark, t, "twice", "base * 2")
     assert(intercept[IllegalArgumentException](
-      TxLog.enableColumnMapping(tp)).getMessage.contains("partitioned"))
-    // and the converse: declaring partitions on a mapped table refuses
-    assert(intercept[IllegalArgumentException](
-      TxLog.setProperties(t, Map("graft.partition.columns" -> "k")))
-      .getMessage.contains("column mapping"))
+      TxLog.renameColumn(t, "base", "b")).getMessage.contains("twice"))
+    // renaming the GENERATED column itself carries its declaration
+    TxLog.renameColumn(t, "twice", "doubled")
+    assert(TxLog.generatedCols(t) === Map("doubled" -> "base * 2"))
+    TxLog.append(Seq((2L, 20L)).toDF("k", "base"), t) // computes doubled
+    assert(TxLog.read(spark, t).select("k", "doubled").as[(Long, Long)]
+      .collect().toSet === Set((1L, 20L), (2L, 40L)))
   }
 
   test("RESTORE to a pre-mapping version retires the mapping explicitly") {
@@ -201,6 +272,32 @@ class ColumnMappingSpec extends SparkSpec {
     spark.sql(s"UPDATE txlog.`$t` SET score = 9.5 WHERE label = 'a'")
     assert(spark.read.format("graft.sources.txlog").option("path", t).load()
       .where("score = 9.5").count() === 1L)
+  }
+
+  test("streaming source on a mapped PARTITIONED table delivers logical columns") {
+    val t = table()
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "p"))
+    TxLog.append(Seq((1L, "a", 7L)).toDF("k", "v", "p"), t)
+    TxLog.enableColumnMapping(t)
+    TxLog.renameColumn(t, "p", "part")
+    TxLog.append(Seq((2L, "b", 8L)).toDF("k", "v", "part"), t)
+    val ck = tmpDir("colmappartck")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graft.sources.txlog")
+      .option("path", t).load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(df.columns.toSeq === Seq("k", "v", "part"))
+        df.collect().foreach(r =>
+          out.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    import scala.jdk.CollectionConverters._
+    assert(out.iterator().asScala.toSet ===
+      Set((1L, "a", 7L), (2L, "b", 8L)))
   }
 
   test("streaming source on a mapped table delivers logical columns") {

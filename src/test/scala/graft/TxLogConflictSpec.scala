@@ -99,6 +99,58 @@ class TxLogConflictSpec extends SparkSpec {
     TxLog.refuseIfMetaChanged(t, "append", meta1)
   }
 
+  test("dvDelete records its covered files; file-disjoint DML commutes") {
+    val t = tmpDir("txconflict") + "/f"
+    TxLog.append((1L to 10L).map((_, "a")).toDF("k", "v").coalesce(1), t)
+    TxLog.append((11L to 20L).map((_, "b")).toDF("k", "v").coalesce(1), t)
+    TxLog.setProperties(t, Map("graft.isolationLevel" -> "serializable"))
+    val fileA = TxLog.commits(t).head.add.head
+    val fileB = TxLog.commits(t).find(_.version == 2L).get.add.head
+    val base = TxLog.latestVersion(t)
+    // a DV delete lands, covering ONLY file A (k=1 lives there)
+    TxLog.deleteVectors(spark, t, col("k") === 1L)
+    val cmt = TxLog.commits(t).last
+    assert(cmt.op === "dvDelete")
+    assert(cmt.dvTargets === Seq(fileA.split('/').takeRight(2).mkString("/")),
+      "the DV commit must attribute its row kills to their data files")
+    // a racing writer that read/rewrites only file B commutes …
+    TxLog.checkFileConflicts(t, base, Set(fileB), "delete")
+    // … one touching file A refuses
+    val e = intercept[TxLog.ConcurrentWriteException] {
+      TxLog.checkFileConflicts(t, base, Set(fileA), "delete")
+    }
+    assert(e.getMessage.contains("serializable isolation refuses"))
+    // data commits conflict the same way: an append (new file C) then a
+    // delete rewriting file B — only writers overlapping B refuse
+    val base2 = TxLog.latestVersion(t)
+    TxLog.delete(spark, t, col("k") === 15L) // rewrites file B
+    TxLog.checkFileConflicts(t, base2, Set(fileA), "update")
+    intercept[TxLog.ConcurrentWriteException] {
+      TxLog.checkFileConflicts(t, base2, Set(fileB), "update")
+    }
+  }
+
+  test("racing dvDeletes on DISJOINT files both commit under serializable") {
+    val t = tmpDir("txconflict") + "/r"
+    TxLog.append((1L to 10L).map((_, "a")).toDF("k", "v").coalesce(1), t)
+    TxLog.append((11L to 20L).map((_, "b")).toDF("k", "v").coalesce(1), t)
+    TxLog.setProperties(t, Map("graft.isolationLevel" -> "serializable"))
+    val start = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val threads = Seq(1L, 11L).map { k =>
+      val th = new Thread(() => {
+        start.await()
+        results.put(k, TxLog.deleteVectors(spark, t, col("k") === k))
+      }, s"dv-$k")
+      th.start(); th
+    }
+    start.countDown()
+    threads.foreach(_.join(120000))
+    assert(results.size === 2, "both disjoint-file DV deletes must commit")
+    assert(TxLog.read(spark, t).select("k").as[Long].collect().toSet ===
+      ((2L to 10L) ++ (12L to 20L)).toSet)
+  }
+
   test("default isolation keeps INSERT OVERWRITE semantics (no refusal)") {
     val t = mk() // graft.isolationLevel unset
     val base = TxLog.latestVersion(t)
