@@ -492,9 +492,12 @@ object Dedup {
     * scrub): a token at index t is covered iff some duplicated window
     * starts in (t-k, t]. The per-document duplicated start positions ride
     * as ONE sorted array column (document-sized — bounded by definition),
-    * so the filter is a codegen'd HOF over the token array: no per-token
-    * join, no second shuffle beyond the span detection itself. Documents
-    * with nothing duplicated pass through verbatim. */
+    * and the native [[graft.functions.ScrubCoveredTokens]] merge-walk
+    * keeps the uncovered tokens in O(tokens + starts) — no per-token
+    * join, no per-token rescan of the starts array (the HOF `exists`
+    * form was O(tokens × starts) on an adversarially all-duplicated
+    * document), no second shuffle beyond the span detection itself.
+    * Documents with nothing duplicated pass through verbatim. */
   def scrubDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val windows = windowHashes(df, idCol, textCol, k)
@@ -507,13 +510,10 @@ object Dedup {
       .withColumnRenamed("id", "__sspan_id")
     df.join(dupStarts, df(idCol) === dupStarts("__sspan_id"), "left")
       .drop("__sspan_id")
-      .withColumn("_toks", tokens(col(textCol)))
       .withColumn(textCol,
         when(col("_starts").isNull, col(textCol)).otherwise(
-          array_join(
-            filter(col("_toks"), (t, i) =>
-              !exists(col("_starts"),
-                s => s > i - k && s <= i)), " ")))
-      .drop("_starts", "_toks")
+          array_join(call_function("scrub_covered_tokens",
+            tokens(col(textCol)), col("_starts"), lit(k)), " ")))
+      .drop("_starts")
   }
 }

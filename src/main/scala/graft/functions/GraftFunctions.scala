@@ -30,6 +30,8 @@ object GraftFunctions {
       es => ByteVecDot(es.head, es(1))),
     ("sorted_intersect_size", "set-intersection size of two sorted long arrays (merge-walk, zero allocation)",
       es => SortedIntersectSize(es.head, es(1))),
+    ("scrub_covered_tokens", "tokens not covered by any fixed-width duplicated span (one merge walk over sorted starts)",
+      es => ScrubCoveredTokens(es.head, es(1), es(2))),
     ("hilbert_key", "Hilbert curve index of a 2-D grid cell (layout key)",
       es => HilbertKey(es.head, es(1),
         es(2).eval(null).asInstanceOf[Number].intValue())),

@@ -54,6 +54,39 @@ class SubstringDedupSpec extends SparkSpec {
       .as[String].head() === "five")
   }
 
+  test("adversarial all-duplicated document: linear merge walk, exact result") {
+    // 2000 tokens of a repeated 10-token phrase — every window duplicated,
+    // so the starts array is ~2000 entries; the old HOF form rescanned it
+    // per token (O(tokens × starts)), the native walk is one pass. A
+    // trailing unique sentinel must survive: the last duplicated window
+    // starts at pos 1990 (covers 1990..1999), so tokens 2000.. are kept.
+    val phrase = (0 until 10).map(i => s"w$i").mkString(" ")
+    val big = Seq.fill(200)(phrase).mkString(" ") + " unique1 unique2 unique3"
+    val df = Seq((1L, big), (2L, phrase)).toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateSpans(df, "doc_id", "text", k = 10)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "unique1 unique2 unique3")
+    // d2 holds ONE occurrence of the phrase but its single window matches
+    // d1's corpus-wide — scrubbed empty
+    assert(out(2L) === "")
+  }
+
+  test("scrub_covered_tokens boundary semantics: covered iff a start in (i-k, i]") {
+    GraftFunctions.register(spark)
+    // starts = [2], k = 2 → covered tokens are 2 and 3 only
+    val r = spark.sql(
+      "SELECT scrub_covered_tokens(array('a','b','c','d','e'), array(2), 2)")
+      .as[Seq[String]].head()
+    assert(r === Seq("a", "b", "e"))
+    // empty starts: everything kept; null starts array: NULL out
+    assert(spark.sql(
+      "SELECT scrub_covered_tokens(array('a'), CAST(array() AS ARRAY<INT>), 3)")
+      .as[Seq[String]].head() === Seq("a"))
+    assert(spark.sql(
+      "SELECT scrub_covered_tokens(array('a'), CAST(NULL AS ARRAY<INT>), 3)")
+      .as[Option[Seq[String]]].head().isEmpty)
+  }
+
   test("span detection is an equi-join + window — no cartesian product") {
     val cov = Dedup.duplicateSpans(
       Dedup.windowHashes(corpus, "doc_id", "text", k = 3), k = 3)
