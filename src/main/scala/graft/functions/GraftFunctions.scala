@@ -102,6 +102,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
+    // Delta's CDF table-valued function over the txlog change feed
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft.sql", "table_changes",
+        "table_changes(table, keyCols, startVersion[, endVersion]) — " +
+          "the txlog change feed as a table"),
+      es => graft.sql.TableChangesTvf.plan(es)))
     // SQL DML/maintenance verbs for the txlog tier (MERGE INTO / UPDATE /
     // DELETE / OPTIMIZE / VACUUM) — the DeltaSqlParser pattern
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))

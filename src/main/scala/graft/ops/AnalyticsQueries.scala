@@ -1184,6 +1184,153 @@ object AnalyticsQueries {
       TxLog.read(s, table)
     },
 
+    // IDENTITY COLUMNS (Delta's GENERATED ALWAYS AS IDENTITY) on the
+    // row-tracking substrate: the value READS as start + step * row_id
+    // (commit-allocated, stable, never reused) — fresh appends store
+    // NOTHING for the column, dense per-commit allocation, and the SQL
+    // UPDATE proves stability (identities don't move under a rewrite).
+    // Deterministic because each append is one sorted file: identities
+    // equal row_number() in custkey order per slice — which is exactly
+    // what the oracle recomputes.
+    QueryDef("src_txlog_identity",
+      "identity column: commit-allocated dense values via row ids, stable under UPDATE, GENERATED ALWAYS outside INSERT arity",
+      """WITH a AS (SELECT c_custkey, c_name,
+        |    ROW_NUMBER() OVER (ORDER BY c_custkey) AS rid
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |b AS (SELECT c_custkey, c_name,
+        |    (SELECT COUNT(*) FROM a) + ROW_NUMBER() OVER (ORDER BY c_custkey) AS rid
+        |  FROM customer WHERE c_custkey % 2 = 1)
+        |SELECT c_custkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN 'X' ELSE c_name END AS c_name,
+        |  CAST(rid AS BIGINT) AS row_id
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)""".stripMargin) { (s, dir) =>
+      val table = Files.createTempDirectory("graft_txident").toString + "/t"
+      TxLog.createTable(table,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "c_custkey BIGINT, c_name STRING"))                         // v1
+      s.sql(s"ALTER TABLE txlog.`$table` ADD COLUMN row_id BIGINT " +
+        "GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1)")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").alias("c_custkey"),
+          col("c_name"))
+      // one sorted file per slice: identity = row_number in custkey order
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .coalesce(1).sortWithinPartitions("c_custkey"), table)
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .coalesce(1).sortWithinPartitions("c_custkey"), table)
+      s.sql(s"UPDATE txlog.`$table` SET c_name = 'X' " +
+        "WHERE c_custkey % 10 = 0") // copy-on-write: identities must hold
+      TxLog.read(s, table)
+    },
+
+    // REORG TABLE APPLY (PURGE): DV deletes materialize into rewritten
+    // files and DROPped-column bytes physically leave disk — the
+    // logical contents are unchanged (which is exactly what the oracle
+    // pins); ReorgPurgeSpec asserts the physical effects.
+    QueryDef("src_txlog_sql_reorg",
+      "REORG TABLE APPLY (PURGE): DV-deleted rows and dropped-column bytes purged, logical contents unchanged",
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 <> 0") {
+      (s, dir) =>
+      val table = Files.createTempDirectory("graft_txreorg").toString + "/t"
+      TxLog.setProperties(table,
+        Map("graft.deletionVectors.enabled" -> "true"))
+      TxLog.append(Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal"), table)
+      s.sql(s"DELETE FROM txlog.`$table` WHERE c_custkey % 7 = 0") // DVs
+      TxLog.enableColumnMapping(table)
+      s.sql(s"ALTER TABLE txlog.`$table` DROP COLUMN c_acctbal")
+      s.sql(s"REORG TABLE txlog.`$table` APPLY (PURGE)")
+      TxLog.read(s, table)
+    },
+
+    // table_changes TVF (Delta's SQL CDF surface): per-commit keyed
+    // diffs over an UPDATE then DELETE, stamped _change_type and
+    // _commit_version — updates deliver post-images, deletes
+    // pre-images, co-located unchanged rows in the rewritten files are
+    // filtered by the diff (never spurious updates).
+    QueryDef("src_txlog_sql_table_changes",
+      "table_changes('t','keys',from,to) TVF: per-commit keyed CDF — update post-images at v2, delete pre-images at v3",
+      """SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+        |  'update' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+        |       ELSE c_acctbal END,
+        |  'delete', CAST(3 AS BIGINT)
+        |FROM customer WHERE c_custkey % 7 = 0""".stripMargin) { (s, dir) =>
+      val table = Files.createTempDirectory("graft_txtvf").toString + "/t"
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      TxLog.append(cust, table)                                       // v1
+      s.sql(s"UPDATE txlog.`$table` SET c_acctbal = c_acctbal + 100.0 " +
+        "WHERE c_custkey % 10 = 0")                                   // v2
+      s.sql(s"DELETE FROM txlog.`$table` WHERE c_custkey % 7 = 0")    // v3
+      s.sql("SELECT c_custkey, c_name, c_acctbal, _change_type, " +
+        s"_commit_version FROM table_changes('$table', 'c_custkey', 2, 3)")
+    },
+
+    // TYPE WIDENING (Delta's ALTER COLUMN TYPE): a metadata-only commit
+    // — pre-widen int32 files up-convert at scan under the widened
+    // BIGINT schema (no rewrite; the file set is unchanged), post-widen
+    // writes exceed the int range to prove the width is real, and a
+    // copy-on-write UPDATE mixes rewritten-wide files with original
+    // narrow ones in the same snapshot.
+    QueryDef("src_txlog_type_widening",
+      "ALTER COLUMN TYPE int→bigint: narrow files up-convert at scan, post-widen rows exceed int range, DML rewrites coexist",
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  CASE WHEN c_custkey % 10 = 0 THEN 'X' ELSE c_name END AS c_name
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey + 9000000000 AS k, c_name
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin) { (s, dir) =>
+      val table = Files.createTempDirectory("graft_txwiden").toString + "/t"
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").alias("k"), col("c_name"))
+      TxLog.append(cust.filter(pmod(col("k"), lit(2)) === 0)
+        .withColumn("k", col("k").cast("int")), table)
+      s.sql(s"ALTER TABLE txlog.`$table` ALTER COLUMN k TYPE BIGINT")
+      TxLog.append(cust.filter(pmod(col("k"), lit(2)) === 1)
+        .withColumn("k", col("k") + lit(9000000000L)), table)
+      s.sql(s"UPDATE txlog.`$table` SET c_name = 'X' WHERE k % 10 = 0")
+      TxLog.read(s, table)
+    },
+
+    // COLUMN-LIST CREATE TABLE + SHOW CREATE TABLE round-trip: the full
+    // Delta DDL form (NOT NULL, GENERATED ALWAYS AS (expr), IDENTITY,
+    // CHECK constraint, PARTITIONED BY) lands in one statement; the
+    // SHOW CREATE output re-creates an equivalent table at a second
+    // path, and BOTH tables ingest the same rows — the result reads the
+    // round-tripped table, so the oracle checks definition fidelity
+    // through actual data.
+    QueryDef("src_txlog_sql_create_table",
+      "column-list CREATE TABLE with NOT NULL/GENERATED/IDENTITY/CHECK, SHOW CREATE TABLE round-trip re-creates it",
+      """SELECT c_custkey AS k, c_name AS v, c_custkey * 2 AS k2,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) * 10 AS id,
+        |  CAST(c_custkey % 5 AS STRING) AS region
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val t1 = Files.createTempDirectory("graft_txcreate").toString + "/t1"
+      val t2 = Files.createTempDirectory("graft_txcreate").toString + "/t2"
+      s.sql(s"""CREATE TABLE txlog.`$t1` (
+        |  k BIGINT NOT NULL,
+        |  v STRING,
+        |  k2 BIGINT GENERATED ALWAYS AS (k * 2),
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 10),
+        |  region STRING,
+        |  CONSTRAINT k_nonneg CHECK (k >= 0)
+        |) USING txlog""".stripMargin)
+      val ddl = s.sql(s"SHOW CREATE TABLE txlog.`$t1`")
+        .collect().head.getString(0)
+      s.sql(ddl.replace(s"txlog.`$t1`", s"txlog.`$t2`"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").alias("k"), col("c_name").alias("v"),
+          pmod(col("c_custkey"), lit(5)).cast("string").alias("region"))
+        // one sorted file: identity = 10 * row_number in custkey order
+        .coalesce(1).sortWithinPartitions("k")
+      TxLog.append(cust, t2)
+      TxLog.read(s, t2)
+    },
+
     // SQL INSERT lifecycle (the last missing Delta DML verb): create by
     // first INSERT, append by SELECT and by (cols) VALUES with NULL
     // backfill, then REPLACE WHERE — Delta's targeted overwrite — swaps

@@ -1668,6 +1668,49 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start().awaitTermination()
       TxLog.read(s, target)
+    },
+
+    // Streaming an IDENTITY table: the stream source derives the
+    // identity values the same way the batch reader does — materialized
+    // `_graft_row_id` (rewrites) else commit-allocated base + parquet
+    // row_index (fresh appends) — restricted to each micro-batch's
+    // delivered files, so catch-up work stays bounded by the admitted
+    // commits. Two drains over one checkpoint prove identities continue
+    // across incremental delivery exactly as the log allocated them.
+    QueryDef("st41_stream_identity",
+      "streaming a txlog identity table: derived identity values (base + row_index) delivered incrementally across drains",
+      """WITH a AS (SELECT c_custkey,
+        |    ROW_NUMBER() OVER (ORDER BY c_custkey) AS rid
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |b AS (SELECT c_custkey,
+        |    (SELECT COUNT(*) FROM a) +
+        |      ROW_NUMBER() OVER (ORDER BY c_custkey) AS rid
+        |  FROM customer WHERE c_custkey % 2 = 1)
+        |SELECT c_custkey, CAST(100 + 10 * (rid - 1) AS BIGINT) AS id
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)""".stripMargin) {
+      (s, dir) =>
+      configureStreaming(s)
+      val t = tmp("graft_st41") + "/t"
+      TxLog.createTable(t, StructType.fromDDL("c_custkey BIGINT"))
+      TxLog.declareIdentityColumn(t, "id", 100L, 10L)
+      val cust = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").alias("c_custkey"))
+      // one sorted file per slice: identity = row_number in custkey order
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .coalesce(1).sortWithinPartitions("c_custkey"), t)
+      val out = tmp("graft_st41_out")
+      def drain(): Unit =
+        s.readStream.format("graft.sources.txlog").option("path", t).load()
+          .writeStream.format("parquet")
+          .option("checkpointLocation", s"$out/_cp")
+          .option("path", s"$out/sink")
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      drain()
+      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .coalesce(1).sortWithinPartitions("c_custkey"), t)
+      drain()
+      s.read.parquet(s"$out/sink")
     }
   )
 }

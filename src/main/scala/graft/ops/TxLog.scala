@@ -208,7 +208,8 @@ object TxLog {
     "update", "optimize", "optimizeDvs", "addConstraint", "dvDelete",
     "restore", "clone", "setProperty", "convert", "dropConstraint",
     "columnMapping", "renameColumn", "dropColumn", "addColumn",
-    "replaceWhere", "copyInto", "scd2", "fsck")
+    "replaceWhere", "copyInto", "scd2", "fsck", "identityColumn",
+    "widenColumn", "reorg")
 
   /** File entries are table-relative (`d-<uuid>/part-….parquet`) except
     * shallow-CLONE entries, which reference the SOURCE table absolutely.
@@ -626,6 +627,12 @@ object TxLog {
       withRowIds: Boolean = false): DataFrame = {
     val schema = schemaAsOf(table, asOf)
     val mapping = mappingAsOf(table, asOf)
+    // Identity columns derive from row ids AT READ (start + step * id —
+    // never from storage), so a scan of a table that declares them runs
+    // the row-id machinery even when the caller did not ask for _row_id
+    val idents = identityCols(table, asOf).filter { case (c, _) =>
+      schema.exists(_.fieldNames.contains(c)) }
+    val needIds = withRowIds || idents.nonEmpty
     // Column mapping: files speak PHYSICAL names (frozen at enable time,
     // so every era of file — pre-enable, post-rename — carries the same
     // physical name for a given column). The scan plans under the
@@ -640,7 +647,7 @@ object TxLog {
     // too (files without it — fresh writes — return NULL and fall back
     // to base + row_index below)
     val physSchema =
-      if (!withRowIds) physSchema0
+      if (!needIds) physSchema0
       else physSchema0.map(s => org.apache.spark.sql.types.StructType(
         s.fields.filterNot(_.name == RowIdCol) :+
           org.apache.spark.sql.types.StructField(RowIdCol,
@@ -665,13 +672,13 @@ object TxLog {
       // keys must be materialized HERE — a caller cannot re-derive them
       // after the anti-join projection. DV-free reads skip the key columns
       // entirely: the common path stays a bare scan.
-      if (dvs.isEmpty && !keepRowKeys && !withRowIds)
+      if (dvs.isEmpty && !keepRowKeys && !needIds)
         return toLogical(base, Seq.empty)
       val withKeys = base
         .withColumn("__dv_f", relFileKey)
         .withColumn("__dv_ri", col("_metadata.row_index"))
       val withIds =
-        if (!withRowIds) withKeys
+        if (!needIds) withKeys
         else {
           // stable id = materialized (rewritten files) else base +
           // row_index (fresh files); NULL when neither (pre-enable era)
@@ -687,7 +694,7 @@ object TxLog {
           withKeys.withColumn(RowIdCol, id)
         }
       toLogical(withIds,
-        Seq("__dv_f", "__dv_ri") ++ (if (withRowIds) Seq(RowIdCol) else Nil))
+        Seq("__dv_f", "__dv_ri") ++ (if (needIds) Seq(RowIdCol) else Nil))
     } else {
       // Partitioned (or mixed-era) snapshot: data files are partition-
       // stripped, so each scan group reads with the schema MINUS its
@@ -703,7 +710,7 @@ object TxLog {
       // renames the union, exactly like the unpartitioned branch.
       val groups = files.groupBy(f => partsByFile(f).map(_._1))
         .toSeq.sortBy(_._1.mkString(","))
-      val baseMap = if (withRowIds) baseRowIdsAsOf(table, asOf)
+      val baseMap = if (needIds) baseRowIdsAsOf(table, asOf)
         else Map.empty[String, Long]
       val scans = groups.map { case (pcols, fs) =>
         val paths = fs.map(resolve(table, _))
@@ -712,7 +719,7 @@ object TxLog {
             val dataFields = s.fields
               .filterNot(f => pcols.contains(f.name) || f.name == RowIdCol)
             val dataSchema = org.apache.spark.sql.types.StructType(
-              if (withRowIds) dataFields :+
+              if (needIds) dataFields :+
                 org.apache.spark.sql.types.StructField(RowIdCol,
                   org.apache.spark.sql.types.LongType, nullable = true)
               else dataFields)
@@ -738,7 +745,7 @@ object TxLog {
         // row tracking: same resolution as the unpartitioned branch —
         // materialized id (rewritten files) else base + row_index
         val withIds =
-          if (!withRowIds) withParts
+          if (!needIds) withParts
           else {
             val fromBase: org.apache.spark.sql.Column =
               if (baseMap.isEmpty) lit(null).cast("long")
@@ -756,12 +763,12 @@ object TxLog {
           case Some(s) => withIds.select(
             s.fieldNames.toSeq.filterNot(_ == RowIdCol).map(col) ++
               Seq(col("__dv_f"), col("__dv_ri")) ++
-              (if (withRowIds) Seq(col(RowIdCol)) else Nil): _*)
+              (if (needIds) Seq(col(RowIdCol)) else Nil): _*)
           case None => withIds
         }
       }
       toLogical(scans.reduce(_ unionByName _),
-        Seq("__dv_f", "__dv_ri") ++ (if (withRowIds) Seq(RowIdCol) else Nil))
+        Seq("__dv_f", "__dv_ri") ++ (if (needIds) Seq(RowIdCol) else Nil))
     }
     val filtered =
       if (dvs.isEmpty) keyed
@@ -816,7 +823,14 @@ object TxLog {
             col("__dv_f"), col("__dv_ri"), typedlit(bms)))
         }
       }
-    if (keepRowKeys) filtered else filtered.drop("__dv_f", "__dv_ri")
+    // Identity overlay: replace the column's stored bytes (NULL in fresh
+    // files, a stale-impossible copy in rewritten ones) with the derived
+    // value — same position in the schema, one projection, codegen'd
+    val withIdent = idents.foldLeft(filtered) { case (d, (c, (st, sp))) =>
+      d.withColumn(c, lit(st) + lit(sp) * col(RowIdCol)) }
+    val scoped =
+      if (needIds && !withRowIds) withIdent.drop(RowIdCol) else withIdent
+    if (keepRowKeys) scoped else scoped.drop("__dv_f", "__dv_ri")
   }
 
   /** Atomically publish `commit` — false if that version already exists
@@ -1242,6 +1256,92 @@ object TxLog {
       schemaDdl = Some(newSchema.toDDL), colMap = newMap)
   }
 
+  /** ALTER TABLE … ALTER COLUMN c TYPE <wider> (Delta's type widening):
+    * a metadata-only schema commit — old files keep their narrow
+    * physical type and the parquet reader up-converts at scan (verified
+    * for every pair [[isWidening]] admits), new writes land wide. No
+    * rewrite, ever. Bloom sidecars indexing the column are RETIRED in
+    * the same commit: xxhash64 of the same value hashes differently at
+    * int vs long width, so a pre-widen filter would false-negative and
+    * silently prune files that DO hold the probed value (rebuilt by the
+    * next OPTIMIZE / indexed write). Range stats survive: both eras'
+    * values compare through the recorded doubles losslessly. */
+  def widenColumnType(spark: SparkSession, table: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    val schema = schemaAsOf(table).getOrElse(throw
+      new IllegalArgumentException(
+        s"txlog table $table has no logged schema — nothing to widen"))
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog table $table has no column '$name' " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})"))
+    require(isWidening(field.dataType, newType),
+      s"ALTER COLUMN ${field.name} TYPE: ${field.dataType.simpleString} → " +
+        s"${newType.simpleString} is not a supported widening (supported: " +
+        "byte/short/int → wider integral or double, integral → decimal " +
+        "with enough digits, decimal → wider decimal, float → double, " +
+        "date → timestamp_ntz)")
+    require(!identityCols(table).keys.exists(_.equalsIgnoreCase(field.name)),
+      s"cannot widen $table.${field.name}: identity columns are BIGINT " +
+        "by construction")
+    require(!generatedCols(table).keys.exists(_.equalsIgnoreCase(field.name)),
+      s"cannot widen $table.${field.name}: it is a generated column — " +
+        "its type is the generation expression's")
+    val genOffending = generatedRefs(table).collect {
+      case (c, refs) if refs.contains(field.name) => c }
+    require(genOffending.isEmpty,
+      s"cannot widen $table.${field.name}: generated column(s) " +
+        s"${genOffending.mkString(", ")} reference it in their generation " +
+        "expression — recorded values would diverge under the new type")
+    val phys = mappingAsOf(table).fold(field.name)(
+      _.getOrElse(field.name, field.name))
+    val blRem = if (activeBloomCols(spark, table, None).contains(phys))
+      activeBlooms(table) else Seq.empty
+    val newSchema = org.apache.spark.sql.types.StructType(schema.map(f =>
+      if (f.name == field.name) f.copy(dataType = newType) else f))
+    val meta0 = metaFingerprint(table)
+    var attempts = 0
+    while (attempts < 10) {
+      if (attempts > 0) refuseIfMetaChanged(table, "widenColumn", meta0)
+      val v = latestVersion(table).getOrElse(0L) + 1
+      if (tryCommit(table, Commit(v, Seq.empty, Seq.empty, "widenColumn",
+        -1L, schemaDdl = Some(newSchema.toDDL), bloomRemove = blRem)))
+        return v
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog widenColumn on $table lost 10 straight races — giving up")
+  }
+
+  /** The widening matrix the parquet reader up-converts natively
+    * (Delta's type-widening set; each pair probe-verified on this
+    * Spark): byte → short/int/long/double/decimal, short → int/long/
+    * double/decimal, int → long/double/decimal, long → decimal,
+    * float → double, date → timestamp_ntz, decimal → decimal with ≥
+    * integral digits and ≥ scale. Integral → decimal needs digits for
+    * the full source range (3/5/10/20). long → double is NOT widening
+    * (loses precision past 2^53 — the reader refuses it too). */
+  private[graft] def isWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def digits(i: Int)(d: DecimalType): Boolean = d.precision - d.scale >= i
+    (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (ByteType, d: DecimalType) => digits(3)(d)
+      case (ShortType, d: DecimalType) => digits(5)(d)
+      case (IntegerType, d: DecimalType) => digits(10)(d)
+      case (LongType, d: DecimalType) => digits(20)(d)
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
+      case _ => false
+    }
+  }
+
   /** Data-less metadata commit with optimistic retry (the
     * [[dropConstraint]] loop, shared by the column-mapping DDL).
     * `properties` rides the same commit so a RENAME/DROP can carry its
@@ -1351,7 +1451,8 @@ object TxLog {
     * (silently adopting a different schema is how two writers corrupt
     * each other). Returns the created version, None if pre-existing. */
   def createTable(table: String,
-      schema: org.apache.spark.sql.types.StructType): Option[Long] = {
+      schema: org.apache.spark.sql.types.StructType,
+      properties: Map[String, String] = Map.empty): Option[Long] = {
     schemaAsOf(table) match {
       case Some(existing) =>
         val shape = (s: org.apache.spark.sql.types.StructType) =>
@@ -1363,10 +1464,12 @@ object TxLog {
       case None =>
         val v = latestVersion(table).getOrElse(0L) + 1
         if (tryCommit(table, Commit(v, Seq.empty, Seq.empty,
-            "overwrite", -1L, schemaDdl = Some(schema.toDDL)))) Some(v)
+            "overwrite", -1L, schemaDdl = Some(schema.toDDL),
+            properties = properties.map { case (k, pv) => k -> Some(pv) })))
+          Some(v)
         // lost the race to a concurrent writer: re-validate against what
         // it committed instead of failing a semantically-fine CREATE
-        else createTable(table, schema)
+        else createTable(table, schema, properties)
     }
   }
 
@@ -1558,6 +1661,94 @@ object TxLog {
     setProperties(table, Map(s"graft.generated.$colName" -> exprText))
   }
 
+  /** Identity columns declared on the table (Delta's `GENERATED ALWAYS
+    * AS IDENTITY`): `graft.identity.<col> = "<start>,<step>"` properties,
+    * folded like every other property. */
+  def identityCols(table: String,
+      asOf: Option[Long] = None): Map[String, (Long, Long)] =
+    properties(table, asOf).collect {
+      case (k, v) if k.startsWith("graft.identity.") =>
+        val Array(st, sp) = v.split(",", 2)
+        k.stripPrefix("graft.identity.") -> (st.trim.toLong, sp.trim.toLong)
+    }
+
+  /** Declare `col BIGINT GENERATED ALWAYS AS IDENTITY (START WITH start
+    * INCREMENT BY step)` — built on the row-tracking substrate instead
+    * of a stored counter: the value READS as `start + step * row_id`
+    * (row ids are commit-allocated, stable across every rewrite, never
+    * reused), so fresh appends store NOTHING for the column, identities
+    * survive UPDATE/MERGE/OPTIMIZE by construction, a DELETE retires its
+    * identities forever, and concurrent writers can never mint the same
+    * value twice (the id base is allocated by the winning commit).
+    * Values are dense and monotone WITHIN a commit, gap-free across
+    * commits — stronger than Delta's allocation, which reserves ranges.
+    *
+    * Declared before the first write (Delta likewise allows identity
+    * columns only at table creation): every row the table will ever hold
+    * then has a row id, so the derived column is total. Row tracking is
+    * enabled as part of the declaration; under column mapping the new
+    * logical name binds a fresh physical name like any ADD COLUMN. */
+  def declareIdentityColumn(table: String, colName: String,
+      start: Long = 1L, step: Long = 1L): Long = {
+    require(step != 0, s"declareIdentityColumn $colName on $table: " +
+      "INCREMENT BY must be non-zero")
+    require(activeFiles(table).isEmpty,
+      s"declareIdentityColumn $colName on $table: the table already has " +
+        "data files — identity columns must be declared before the first " +
+        "write (rows written without row ids would read NULL identity)")
+    val schema = schemaAsOf(table).getOrElse(throw
+      new IllegalArgumentException(
+        s"txlog table $table has no logged schema — CREATE the table " +
+          "(TxLog.createTable) before declaring an identity column"))
+    if (!properties(table).get("graft.rowTracking.enabled").contains("true"))
+      enableRowTracking(table)
+    schema.fields.find(_.name.equalsIgnoreCase(colName)) match {
+      case Some(f) =>
+        // CREATE TABLE (… id BIGINT GENERATED ALWAYS AS IDENTITY …):
+        // the column is already in the created schema — declaring is a
+        // property-only commit (the table is empty, required above)
+        require(f.dataType == org.apache.spark.sql.types.LongType,
+          s"identity column ${f.name} on $table must be BIGINT, " +
+            s"got ${f.dataType.simpleString}")
+        metadataCommitLoop(table, "identityColumn",
+          properties =
+            Map(s"graft.identity.${f.name}" -> Some(s"$start,$step")))
+      case None =>
+        val newSchema = org.apache.spark.sql.types.StructType(
+          schema :+ org.apache.spark.sql.types.StructField(colName,
+            org.apache.spark.sql.types.LongType, nullable = true))
+        val newMap = mappingAsOf(table).map { m =>
+          schema.fieldNames.toSeq.map(n => n -> m.getOrElse(n, n)) :+
+            (colName -> freshPhysName(table))
+        }
+        metadataCommitLoop(table, "identityColumn",
+          schemaDdl = Some(newSchema.toDDL), colMap = newMap,
+          properties =
+            Map(s"graft.identity.$colName" -> Some(s"$start,$step")))
+    }
+  }
+
+  /** GENERATED ALWAYS enforcement for identity columns at the ingest
+    * entrances: a present-but-all-NULL identity column is DROPPED (the
+    * SQL INSERT column-list backfill shape — the writer simply did not
+    * supply it), any non-null value REFUSES (identity values are
+    * allocated by the commit, never caller-supplied). Rewrite paths
+    * never come through here — the derived values they carry are
+    * recomputed from the stable row ids at read anyway. */
+  private def stripOrRefuseIdentity(df: DataFrame, table: String): DataFrame =
+    identityCols(table).keys.foldLeft(df) { (d, c) =>
+      d.columns.find(_.equalsIgnoreCase(c)) match {
+        case None => d
+        case Some(actual) =>
+          if (!d.filter(col(actual).isNotNull).isEmpty)
+            throw new IllegalArgumentException(
+              s"txlog identity column '$c' on $table is GENERATED ALWAYS " +
+                "— its values are allocated by the commit; omit the " +
+                "column from the write")
+          d.drop(actual)
+      }
+    }
+
   // -----------------------------------------------------------------------
   // Row tracking (Delta's row IDs): a STABLE per-row identity that
   // survives file rewrites. Fresh files get a commit-allocated base id
@@ -1618,6 +1809,13 @@ object TxLog {
     commits(table).flatMap(c =>
       c.baseRowIds.map { case (f, b) => b + c.rows.getOrElse(f, 0L) })
       .maxOption.getOrElse(0L)
+
+  /** fileKey → base row id for EVERY allocation ever committed —
+    * removed files included, which is what a catching-up stream needs:
+    * a delivered file may have been rewritten away since its commit.
+    * Metadata-sized (one entry per file ever added under tracking). */
+  private[graft] def allRowIdBases(table: String): Map[String, Long] =
+    baseRowIdsAsOf(table, None)
 
   /** fileKey → base row id for every allocation at or before `asOf`. */
   private def baseRowIdsAsOf(table: String,
@@ -1717,9 +1915,13 @@ object TxLog {
     val rows = df.groupBy(input_file_name().alias("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    // canonical fileKey set lookup (last two path segments match between
+    // the staged rel entries and input_file_name URIs) — no linear
+    // suffix scan over the staged set
+    val relByKey = files.map(f => fileKey(f) -> f).toMap
     def perFile[T](cols: Seq[String], offset: Int, get: (Row, Int) => T): Map[String, Map[String, (T, T)]] =
       rows.flatMap { r =>
-        files.find(f => r.getString(0).endsWith(f)).map { rel =>
+        relByKey.get(fileKey(r.getString(0))).map { rel =>
           // all-NULL within one file → NULL min/max → record no stats
           rel -> cols.zipWithIndex.flatMap { case (c, i) =>
             val (a, b) = (offset + 2 * i, offset + 2 * i + 1)
@@ -1800,8 +2002,9 @@ object TxLog {
       xxhash64(col(c)), lit(est), lit(bits)).alias(s"__bf_$c"))
     val rows = df.groupBy(input_file_name().alias("_f"))
       .agg(aggs.head, aggs.tail: _*).collect()
+    val relByKey = files.map(f => fileKey(f) -> f).toMap
     val out = rows.flatMap { r =>
-      files.find(f => r.getString(0).endsWith(f)).toSeq.flatMap { rel =>
+      relByKey.get(fileKey(r.getString(0))).toSeq.flatMap { rel =>
         cols.zipWithIndex.flatMap { case (c, i) =>
           if (r.isNullAt(i + 1)) None
           else Some((rel, c, r.getAs[Array[Byte]](i + 1)))
@@ -2103,7 +2306,7 @@ object TxLog {
       streamId: Option[String] = None,
       bloomCols: Seq[String] = Seq.empty): Long = {
     refuseReservedCols(df0)
-    val df = applyGenerated(df0, table)
+    val df = applyGenerated(stripOrRefuseIdentity(df0, table), table)
     val schema = resolveSchema(table, df, mergeSchema)
     validateConstraints(df, constraints(table))
     // a mergeSchema evolution on a MAPPED table binds each new logical
@@ -2191,7 +2394,7 @@ object TxLog {
       streamId: Option[String] = None,
       bloomCols: Seq[String] = Seq.empty): Long = {
     refuseReservedCols(df0)
-    val df = applyGenerated(df0, table)
+    val df = applyGenerated(stripOrRefuseIdentity(df0, table), table)
     if (!mergeSchema) resolveSchema(table, df, mergeSchema = true) // type check only
     validateConstraints(df, constraints(table))
     // overwrite REPLACES the schema, so the mapping follows suit: kept
@@ -2337,7 +2540,7 @@ object TxLog {
       statsCols: Seq[String] = Seq.empty, batchId: Long = -1L,
       streamId: Option[String] = None): Long = {
     refuseReservedCols(df0)
-    val df = applyGenerated(df0, table)
+    val df = applyGenerated(stripOrRefuseIdentity(df0, table), table)
     val spark = df.sparkSession
     val partCols = declaredCols(table, "graft.partition.columns")
       .filter(df.columns.contains)
@@ -3454,7 +3657,7 @@ object TxLog {
     }
     if (c.add.isEmpty && c.remove.isEmpty && c.dvAdd.isEmpty) return empty()
     c.op match {
-      case "optimize" | "optimizeDvs" | "addConstraint" =>
+      case "optimize" | "optimizeDvs" | "addConstraint" | "reorg" =>
         empty() // layout/metadata only: no logical row changed
       case _ =>
         val bootstrap = c.op == "clone" ||
@@ -3833,6 +4036,11 @@ object TxLog {
         s"${unknown.mkString(", ")} not in the table schema " +
         s"(${cols.mkString(", ")})")
     }
+    val identHit = identityCols(table).keys.filter(c =>
+      set.keys.exists(_.equalsIgnoreCase(c)))
+    require(identHit.isEmpty, s"UPDATE on $table: column(s) " +
+      s"${identHit.mkString(", ")} are GENERATED ALWAYS AS IDENTITY — " +
+      "their values are allocated by the commit and cannot be SET")
     copyOnWrite(spark, table, condition, "update") { df =>
       df.select(df.columns.toSeq.map { c =>
         set.collectFirst { case (sc, e) if sc.equalsIgnoreCase(c) =>
@@ -4376,10 +4584,14 @@ object TxLog {
       // ingest path: a source file carrying it would read back as
       // MATERIALIZED row ids colliding with commit-allocated ranges
       refuseReservedCols(raw)
+      val raw1 = stripOrRefuseIdentity(raw, table)
       val df = applyGenerated(schemaAsOf(table) match {
         case Some(sch) => // by-name match + cast, Delta's COPY INTO rule
-          val gen = generatedCols(table).keySet.map(_.toLowerCase)
-          val have = raw.columns.map(_.toLowerCase).toSet
+          // generated AND identity columns are derived, never sourced —
+          // exempt from the missing-column rule
+          val gen = (generatedCols(table).keySet ++
+            identityCols(table).keySet).map(_.toLowerCase)
+          val have = raw1.columns.map(_.toLowerCase).toSet
           val missing = sch.fieldNames.filterNot(f =>
             have.contains(f.toLowerCase) || gen.contains(f.toLowerCase))
           require(missing.isEmpty, s"COPY INTO $table: source files lack " +
@@ -4388,16 +4600,16 @@ object TxLog {
           // column would otherwise vanish silently — Delta's rule);
           // with mergeSchema they ride along and evolve the schema
           val known = (sch.fieldNames.map(_.toLowerCase) ++ gen).toSet
-          val extras = raw.columns.filterNot(c => known.contains(c.toLowerCase))
+          val extras = raw1.columns.filterNot(c => known.contains(c.toLowerCase))
           require(mergeSchema || extras.isEmpty,
             s"COPY INTO $table: source files carry column(s) " +
               s"${extras.mkString(", ")} not in the table schema — " +
               "drop them or set COPY_OPTIONS ('mergeSchema' = 'true')")
-          raw.select(sch.fields.toSeq
+          raw1.select(sch.fields.toSeq
             .filter(f => have.contains(f.name.toLowerCase))
             .map(f => col(f.name).cast(f.dataType).alias(f.name)) ++
             extras.toSeq.map(col): _*)
-        case None => raw
+        case None => raw1
       }, table)
       val schema = resolveSchema(table, df, mergeSchema)
       validateConstraints(df, constraints(table))
@@ -4920,6 +5132,81 @@ object TxLog {
     }
     throw new IllegalStateException(
       s"txlog optimizeDvs on $table lost 10 straight races — giving up")
+  }
+
+  /** `REORG TABLE … APPLY (PURGE)` (Delta's reorg verb): physically
+    * rewrite exactly the files still carrying soft-deleted state —
+    * rows covered by active deletion vectors, and the frozen bytes of
+    * DROPped (mapped) columns — so disk no longer holds data the table
+    * has logically retired (the GDPR / right-to-erasure path; DV DELETE
+    * and DROP COLUMN alone are metadata-fast but leave the bytes).
+    * Untouched files keep their paths; ONE commit swaps the affected
+    * set and retires the now-inert DV sidecars; row ids survive (the
+    * rewrite materializes them like every DML path). Returns None when
+    * nothing needs purging. Footer checks run only over files added
+    * before the last DROP COLUMN commit — the only possible carriers —
+    * so a never-dropped table pays zero footer reads. */
+  def reorgPurge(spark: SparkSession, table: String): Option[Long] = {
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      require(base.nonEmpty, s"reorgPurge on empty txlog table $table")
+      val files = activeFiles(table, base)
+      val dvs = activeDvs(table, base)
+      val dvd: Set[String] =
+        if (dvs.isEmpty) Set.empty
+        else spark.read.option("mergeSchema", "true")
+          .parquet(dvs.map(resolve(table, _)): _*)
+          .select("file").distinct().collect().map(_.getString(0)).toSet
+      val lastDrop = commits(table)
+        .filter(c => c.op == "dropColumn" && base.forall(c.version <= _))
+        .map(_.version).maxOption
+      val stale: Seq[String] = lastDrop match {
+        case None => Seq.empty
+        case Some(dropV) =>
+          val addedAt = commits(table)
+            .filter(c => base.forall(c.version <= _))
+            .flatMap(c => c.add.map(f => fileKey(f) -> c.version)).toMap
+          val phys = physOf(mappingAsOf(table, base)) _
+          val allowed = schemaAsOf(table, base).get.fieldNames
+            .map(phys).toSet + RowIdCol
+          files.filter { f =>
+            addedAt.get(fileKey(f)).forall(_ < dropV) &&
+              spark.read.parquet(resolve(table, f)).schema.fieldNames
+                .exists(n => !allowed.contains(n))
+          }
+      }
+      val touched = (files.filter(f => dvd.contains(fileKey(f))) ++ stale)
+        .distinct
+      if (touched.isEmpty) return None
+      val rewritten = readFiles(spark, table, touched, base,
+        withRowIds = rowTrackingEnabled(table, base))
+      val add = writeData(rewritten, table)
+      val dvRemove = inertDvs(spark, table, dvs,
+        files.diff(touched).map(fileKey).toSet)
+      val v = base.get + 1
+      val bi = new BloomIndex(spark, table, activeBlooms(table, base))
+      val invD = logicalsOf(mappingAsOf(table, base))
+      val stCols = declaredCols(table, "graft.stats.columns")
+        .map(c => invD.getOrElse(c, c))
+        .filter(rewritten.columns.contains)
+      val (nst, sst) = fileStats(spark, table, add, stCols)
+      val won = try {
+        val blCols = (bi.cols ++ declaredCols(table, "graft.bloom.columns"))
+          .map(c => invD.getOrElse(c, c))
+          .distinct.filter(rewritten.columns.contains)
+        tryCommit(table, Commit(v, add, touched, "reorg", -1L,
+          stats = nst, sstats = sst,
+          schemaDdl = schemaAsOf(table, base).map(_.toDDL),
+          dvRemove = dvRemove,
+          bloomAdd = fileBlooms(spark, table, add, blCols),
+          bloomRemove = bi.inert(files.diff(touched).map(fileKey).toSet)))
+      } finally bi.release()
+      if (won) return Some(v)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog reorgPurge on $table lost 10 straight races — giving up")
   }
 
   /** Delete data files no snapshot in the last `retainVersions` versions

@@ -733,14 +733,28 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
           f.copy(name = m.getOrElse(f.name, f.name))))
         case None => schema
       }
-      if graft.streaming.SchemaEvolution.drifted(current, committed)
+      // type drift (ALTER COLUMN TYPE widening): files committed WIDER
+      // than this stream's fixed schema cannot be read under it — the
+      // scan would fail mid-batch with a parquet conversion error;
+      // refuse with the same restart contract instead. The opposite
+      // direction is fine: a wide-fixed stream catching up over
+      // pre-widen commits up-converts their narrow files at scan,
+      // exactly like the batch reader.
+      widened = committed.fields.filter(f =>
+        current.fields.find(_.name == f.name).exists(cf =>
+          cf.dataType != f.dataType &&
+            !TxLog.isWidening(f.dataType, cf.dataType)))
+      if graft.streaming.SchemaEvolution.drifted(current, committed) ||
+        widened.nonEmpty
     } throw new IllegalStateException(
       s"txlog stream on $path: commit version ${c.version} evolved the " +
         s"table schema (new columns: ${committed.fieldNames
-          .filterNot(schema.fieldNames.contains).mkString(", ")}) — this " +
+          .filterNot(schema.fieldNames.contains).mkString(", ")}; " +
+        s"changed types: ${widened.map(_.name).mkString(", ")}) — this " +
         "stream reads with the schema fixed at start and would silently " +
-        "drop the new columns. Restart the stream: the checkpoint resumes " +
-        "from this version under the evolved schema")
+        "drop the new columns (or fail on the changed types). Restart " +
+        "the stream: the checkpoint resumes from this version under the " +
+        "evolved schema")
 
   /** The vacuum × startingVersion guard: a stream positioned below the
     * vacuum horizon must FAIL LOUDLY, never silently skip — delivering a
@@ -799,7 +813,8 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
         if (c.add.nonEmpty) checkSchemaDrift(c)
         val delivered = c.op match {
           case "append" | "clone" => c.add
-          case "optimize" | "optimizeDvs" | "addConstraint" => Seq.empty
+          case "optimize" | "optimizeDvs" | "addConstraint" | "reorg" =>
+            Seq.empty
           case "dvDelete" =>
             if (!ignoreDeletes && !ignoreChanges) throw new IllegalStateException(
               s"txlog stream on $path hit a row-deleting commit " +
@@ -823,6 +838,8 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
     def full(f: String): String = if (f.startsWith("/")) f else s"$path/$f"
     val spark = sqlContext.sparkSession
     val shim = org.apache.spark.sql.execution.streaming.GraftSourceShim
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws,
+      element_at, lit, split, typedlit}
     // Column mapping: data files speak PHYSICAL names (frozen at enable,
     // identical across eras), the stream's analyzed schema is LOGICAL —
     // scan physical, rename back. Current mapping is the right era for
@@ -838,14 +855,56 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
         f.copy(name = m.getOrElse(f.name, f.name))))
       case None => schema
     }
+    // Identity columns derive from stable row ids at read, never from
+    // storage: materialized `_graft_row_id` (files rewritten under
+    // ignoreChanges) else commit-allocated base + parquet row_index
+    // (fresh appends, the append-stream common case) — the same
+    // resolution as [[TxLog.readFiles]], restricted to this batch's
+    // delivered files. The base lookup is metadata-sized (one entry
+    // per delivered file) and rides the plan as a literal map, so the
+    // scan stays one distributed pass.
+    val idents = TxLog.identityCols(path).filter { case (c, _) =>
+      schema.fieldNames.contains(c) }
+    val identExtras =
+      if (idents.isEmpty) Seq.empty[String]
+      else Seq("__ri", "__key", TxLog.RowIdCol)
+    lazy val bases: Map[String, Long] = {
+      val wanted = files.map(_.split('/').takeRight(2).mkString("/")).toSet
+      TxLog.allRowIdBases(path).filter { case (k, _) => wanted(k) }
+    }
+    def keyedForIdentity(df: DataFrame): DataFrame =
+      if (idents.isEmpty) df
+      else {
+        val parts = split(col("_metadata.file_path"), "/")
+        df.withColumn("__ri", col("_metadata.row_index"))
+          .withColumn("__key", concat_ws("/",
+            element_at(parts, -2), element_at(parts, -1)))
+      }
+    def withIdentity(df: DataFrame): DataFrame =
+      if (idents.isEmpty) df
+      else {
+        val rid = coalesce(col(TxLog.RowIdCol),
+          element_at(typedlit(bases), col("__key")) + col("__ri"))
+        idents.foldLeft(df.withColumn("__rid", rid)) {
+          case (d, (c, (st, sp))) =>
+            d.withColumn(c, lit(st) + lit(sp) * col("__rid"))
+        }.drop("__rid" +: identExtras: _*)
+      }
+    def withRowIdField(s: StructType): StructType =
+      if (idents.isEmpty) s
+      else StructType(s.fields.filterNot(_.name == TxLog.RowIdCol) :+
+        org.apache.spark.sql.types.StructField(TxLog.RowIdCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
     def toLogical(df: DataFrame): DataFrame = mapping match {
       case Some(m) => df.select(schema.fields.toSeq.map { f =>
         org.apache.spark.sql.functions
-          .col(m.getOrElse(f.name, f.name)).as(f.name) }: _*)
+          .col(m.getOrElse(f.name, f.name)).as(f.name) } ++
+        identExtras.filter(df.columns.contains).map(col): _*)
       case None => df
     }
     def scanBatch(fs: Seq[String]): DataFrame =
-      toLogical(shim.streamingParquetBatch(spark, physSchema, fs))
+      withIdentity(toLogical(keyedForIdentity(
+        shim.streamingParquetBatch(spark, withRowIdField(physSchema), fs))))
     // Partitioned files are partition-stripped on disk (the value rides
     // the path — TxLog's Hive layout): deliver them grouped by partition
     // TUPLE, each group scanned under the schema minus its partition
@@ -864,14 +923,17 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
       .toSeq.sortBy(_._1.toString)
       .map { case (pvals, fs) =>
         val pcols = pvals.map(_._1).toSet
-        val dataSchema = StructType(physSchema.filterNot(f => pcols(f.name)))
-        val base = shim.streamingParquetBatch(spark, dataSchema, fs.map(full))
+        val dataSchema = withRowIdField(
+          StructType(physSchema.filterNot(f => pcols(f.name))))
+        val base = keyedForIdentity(
+          shim.streamingParquetBatch(spark, dataSchema, fs.map(full)))
         val withParts = pvals.foldLeft(base) { case (df, (c, vOpt)) =>
           val dt = physSchema(c).dataType
           df.withColumn(c,
             vOpt.map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
         }
-        toLogical(withParts.select(physSchema.fieldNames.toSeq.map(col): _*))
+        withIdentity(toLogical(withParts.select(
+          (physSchema.fieldNames.toSeq ++ identExtras).map(col): _*)))
       }
     (plainDf ++ partDfs).reduce(_ unionByName _)
   }

@@ -115,10 +115,12 @@ final case class InsertIntoTxLogCommand(target: SqlTarget,
           s"(${schema.fieldNames.mkString(", ")})"))
     val statics = partition.collect { case (c, Some(v)) => field(c).name -> v }
     partition.foreach { case (c, _) => field(c) } // dynamic mentions exist
-    // positional→named alignment; GENERATED ALWAYS columns are not part
-    // of the positional arity (the write path computes them) — supply
-    // them explicitly via a column list to override
-    val gen0 = TxLog.generatedCols(t).keySet.map(_.toLowerCase)
+    // positional→named alignment; GENERATED ALWAYS columns (expression
+    // AND identity forms) are not part of the positional arity (the
+    // write path computes/allocates them) — expression columns may be
+    // supplied explicitly via a column list to override; identity never
+    val gen0 = (TxLog.generatedCols(t).keySet ++
+      TxLog.identityCols(t).keySet).map(_.toLowerCase)
     val named: Seq[String] =
       if (cols.nonEmpty) cols.map(c => field(c).name)
       else schema.fieldNames.toSeq.filterNot(statics.map(_._1).contains)
@@ -133,9 +135,11 @@ final case class InsertIntoTxLogCommand(target: SqlTarget,
     }
     val provided = withStatics.columns.map(_.toLowerCase).toSet
     // target order, target types; unnamed columns NULL-backfill — except
-    // GENERATED ALWAYS columns, which stay absent so the write path
-    // computes them (a NULL backfill would fail their equality check)
-    val generated = TxLog.generatedCols(t).keySet.map(_.toLowerCase)
+    // GENERATED ALWAYS columns (expression and identity), which stay
+    // absent so the write path computes/allocates them (a NULL backfill
+    // would fail the expression equality check)
+    val generated = (TxLog.generatedCols(t).keySet ++
+      TxLog.identityCols(t).keySet).map(_.toLowerCase)
     val aligned = withStatics.select(schema.fields.toSeq
       .filter(f => provided.contains(f.name.toLowerCase) ||
         !generated.contains(f.name.toLowerCase))
@@ -203,11 +207,23 @@ final case class MergeIntoTxLogCommand(target: SqlTarget,
     val tgtSchema = TxLog.schemaAsOf(t)
       .getOrElse(TxLog.read(spark, t).schema)
     val srcCols = src.columns.toSet
+    // GENERATED ALWAYS AS IDENTITY: never writable — explicit SET/INSERT
+    // mentions refuse, and star expansion silently skips the column
+    // (Delta's rule); inserted rows read fresh commit-allocated values,
+    // updated rows keep theirs (materialized row ids)
+    val idents = TxLog.identityCols(t).keys.map(_.toLowerCase).toSet
+    val explicitIdent = clauses.flatMap(_.cols)
+      .filter(c => idents.contains(c.toLowerCase))
+    require(explicitIdent.isEmpty,
+      s"MERGE INTO $t: column(s) ${explicitIdent.mkString(", ")} are " +
+        "GENERATED ALWAYS AS IDENTITY — their values are allocated by " +
+        "the commit; remove them from the UPDATE SET / INSERT lists")
     // star expansion: shared columns — or, under WITH SCHEMA EVOLUTION,
     // EVERY source column (the new ones widen the table)
     def starSet: Map[String, Column] =
       (if (evolve) src.columns.toSeq
        else tgtSchema.fieldNames.toSeq.filter(srcCols.contains))
+        .filterNot(c => idents.contains(c.toLowerCase))
         .map(c => c -> col(s"$sa.$c")).toMap
     val matched: Seq[TxLog.MergeAction] = clauses.collect {
       case SqlMergeClause("update_star", c, _, _) =>
@@ -413,6 +429,73 @@ final case class ShowTxLogPropertiesCommand(target: SqlTarget)
       .map { case (k, v) => Row(k, v) }
 }
 
+/** `REORG TABLE <t> APPLY (PURGE)` → [[TxLog.reorgPurge]]: rewrite the
+  * files still carrying DV-deleted rows or dropped-column bytes. No-op
+  * (current version) when nothing needs purging. */
+final case class ReorgTxLogCommand(target: SqlTarget)
+  extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val v = TxLog.reorgPurge(spark, t)
+      .getOrElse(TxLog.latestVersion(t).getOrElse(0L))
+    Seq(Row(v))
+  }
+}
+
+/** `SHOW CREATE TABLE txlog.`p``: reconstructs the column-list CREATE
+  * DDL from the log — schema, NOT NULL (the `<col>_not_null` CHECK
+  * sugar renders back inline), GENERATED / IDENTITY declarations,
+  * CHECK constraints, PARTITIONED BY, TBLPROPERTIES. Round-trips: the
+  * emitted statement re-creates an equivalent table definition at a new
+  * path. */
+final case class ShowCreateTableTxLogCommand(target: SqlTarget)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val schema = TxLog.schemaAsOf(t).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog table $t has no logged schema"))
+    val gen = TxLog.generatedCols(t)
+    val idents = TxLog.identityCols(t)
+    val checks = TxLog.constraints(t)
+    val partCols = TxLog.declaredPartitionCols(t)
+    // NOT NULL sugar: a `<col>_not_null` CHECK of exactly `c IS NOT
+    // NULL` renders back inline on its column, not as a CONSTRAINT line
+    val notNullOf = schema.fieldNames.filter(c =>
+      checks.get(s"${c}_not_null")
+        .exists(_.equalsIgnoreCase(s"$c IS NOT NULL"))).toSet
+    val colLines = schema.fields.map { f =>
+      val nn = if (notNullOf(f.name)) " NOT NULL" else ""
+      val ident = idents.get(f.name).map { case (st, sp) =>
+        s" GENERATED ALWAYS AS IDENTITY (START WITH $st INCREMENT BY $sp)"
+      }.getOrElse("")
+      val genc = gen.get(f.name)
+        .map(e => s" GENERATED ALWAYS AS ($e)").getOrElse("")
+      s"  `${f.name}` ${f.dataType.sql}$nn$ident$genc"
+    }
+    val checkLines = checks.toSeq.sortBy(_._1).collect {
+      case (n, e) if !notNullOf.exists(c => n == s"${c}_not_null") =>
+        s"  CONSTRAINT $n CHECK ($e)"
+    }
+    val shownProps = (TxLog.properties(t) - "graft.partition.columns")
+      .filterNot { case (k, _) => k.startsWith("graft.generated.") ||
+        k.startsWith("graft.identity.") }
+    val sb = new StringBuilder
+    sb.append(s"CREATE TABLE txlog.`$t` (\n")
+    sb.append((colLines ++ checkLines).mkString(",\n"))
+    sb.append("\n) USING txlog")
+    if (partCols.nonEmpty)
+      sb.append(s"\nPARTITIONED BY (${partCols.mkString(", ")})")
+    if (shownProps.nonEmpty)
+      sb.append("\nTBLPROPERTIES (" + shownProps.toSeq.sorted
+        .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
+    Seq(Row(sb.toString))
+  }
+}
+
 /** `DESCRIBE DETAIL <t>` → [[TxLog.detail]]: one summary row. */
 final case class DescribeDetailTxLogCommand(target: SqlTarget)
   extends LeafRunnableCommand {
@@ -490,6 +573,71 @@ final case class RestoreTxLogCommand(target: SqlTarget,
   * [[TxLog.append]] (fresh table) or [[TxLog.overwrite]] (OR REPLACE —
   * schema, layout and properties all reset to the declared ones; prior
   * versions stay time-travelable). */
+/** Column-list `CREATE TABLE txlog.`p` (…)` — Delta's full-schema DDL
+  * form, the natural home of identity columns. `NOT NULL` lands as an
+  * enforced CHECK constraint (`<col>_not_null`, validated by every write
+  * path — the same machinery as user CHECKs); GENERATED / IDENTITY
+  * declarations and PARTITIONED BY ride the create commit's properties,
+  * so the whole definition (minus constraints, which are one commit
+  * each) is ONE atomic commit. REPLACE resets properties AND
+  * constraints to the declared set; identity high-water marks survive a
+  * REPLACE by design (ids are never reused, so re-created rows cannot
+  * mint values an earlier incarnation handed out). */
+final case class CreateTableTxLogCommand(target: SqlTarget,
+    cols: Seq[(String, String)], notNull: Seq[String],
+    generated: Seq[(String, String)],
+    identities: Seq[(String, Long, Long)], checks: Seq[(String, String)],
+    partitionCols: Seq[String], props: Map[String, String],
+    orReplace: Boolean, ifNotExists: Boolean) extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    val t = target.resolve(spark)
+    val existing = TxLog.latestVersion(t)
+    if (existing.nonEmpty && ifNotExists) return Seq(Row(existing.get))
+    require(existing.isEmpty || orReplace,
+      s"txlog table $t already exists — use CREATE OR REPLACE TABLE " +
+        "to replace it")
+    identities.foreach { case (n, _, step) =>
+      require(step != 0,
+        s"CREATE TABLE $t: identity column $n: INCREMENT BY must be " +
+          "non-zero") }
+    val schema = StructType(cols.map { case (n, ty) =>
+      StructField(n, DataType.fromDDL(ty), nullable = true) })
+    val colNames = schema.fieldNames.map(_.toLowerCase).toSet
+    partitionCols.foreach(c => require(colNames.contains(c.toLowerCase),
+      s"CREATE TABLE $t: PARTITIONED BY column '$c' is not in the " +
+        "column list"))
+    val declared = props ++
+      (if (partitionCols.nonEmpty)
+        Map("graft.partition.columns" -> partitionCols.mkString(","))
+      else Map.empty[String, String]) ++
+      generated.map { case (n, e) => s"graft.generated.$n" -> e }.toMap ++
+      identities.map { case (n, st, sp) =>
+        s"graft.identity.$n" -> s"$st,$sp" }.toMap ++
+      (if (identities.nonEmpty) Map("graft.rowTracking.enabled" -> "true")
+      else Map.empty[String, String])
+    if (existing.nonEmpty) {
+      // REPLACE: retire the WHOLE outgoing definition (properties and
+      // constraints) before the data-clearing overwrite — an old
+      // generated/identity declaration left active would inject or
+      // strip columns from the empty write — then declare the new set
+      val old = TxLog.properties(t).keySet
+      if (old.nonEmpty) TxLog.unsetProperties(t, old.toSeq)
+      TxLog.constraints(t).keys.foreach(TxLog.dropConstraint(t, _))
+      TxLog.overwrite(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema), t, mergeSchema = true)
+      if (declared.nonEmpty) TxLog.setProperties(t, declared)
+    } else {
+      TxLog.createTable(t, schema, declared)
+    }
+    val allChecks = checks ++
+      notNull.map(c => s"${c}_not_null" -> s"$c IS NOT NULL")
+    allChecks.foreach { case (n, e) => TxLog.addConstraint(spark, t, n, e) }
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Seq(Row(TxLog.latestVersion(t).get))
+  }
+}
+
 final case class CtasTxLogCommand(target: SqlTarget, queryText: String,
     orReplace: Boolean, ifNotExists: Boolean,
     partitionCols: Seq[String], props: Map[String, String])
@@ -581,6 +729,10 @@ final case class RenameColumnAction(from: String, to: String)
 final case class DropColumnAction(name: String) extends ColumnAction
 final case class AddColumnsAction(cols: Seq[(String, String)],
     generated: Option[(String, String)] = None) extends ColumnAction
+final case class IdentityColumnAction(name: String, start: Long,
+    step: Long) extends ColumnAction
+final case class WidenColumnAction(name: String,
+    typeDdl: String) extends ColumnAction
 
 final case class AlterColumnTxLogCommand(target: SqlTarget,
     action: ColumnAction) extends TxLogVersionCommand {
@@ -597,6 +749,11 @@ final case class AlterColumnTxLogCommand(target: SqlTarget,
         generated.map { case (n, e) =>
           TxLog.declareGeneratedColumn(spark, t, n, e)
         }.getOrElse(added)
+      case IdentityColumnAction(n, start, step) =>
+        TxLog.declareIdentityColumn(t, n, start, step)
+      case WidenColumnAction(n, ty) =>
+        TxLog.widenColumnType(spark, t, n,
+          org.apache.spark.sql.types.DataType.fromDDL(ty))
     }
     // cached relations pin their schema at resolution — a rename/drop
     // must not keep serving the old shape to later queries

@@ -97,6 +97,12 @@ object GraftSqlDml {
         require(s.eof, s"unexpected trailing input in SHOW PARTITIONS $t")
         ShowPartitionsTxLogCommand(t)
       }
+    else if (s.kws("SHOW", "CREATE", "TABLE"))
+      // path form only: SHOW CREATE TABLE <ident> is a stock verb
+      target(s, allowIdent = false).map { t =>
+        require(s.eof, s"unexpected trailing input in SHOW CREATE TABLE $t")
+        ShowCreateTableTxLogCommand(t)
+      }
     else if (s.kws("SHOW", "TBLPROPERTIES"))
       // path form only: SHOW TBLPROPERTIES <ident> is a stock verb
       target(s, allowIdent = false).map { t =>
@@ -107,6 +113,18 @@ object GraftSqlDml {
     else if (s.kw("CREATE")) parseCreate(s)
     else if (s.kws("COPY", "INTO")) parseCopyInto(s)
     else if (s.kw("RESTORE")) { s.kw("TABLE"); parseRestore(s) }
+    else if (s.kws("REORG", "TABLE"))
+      // Delta's `REORG TABLE t APPLY (PURGE)`: materialize DV deletes
+      // and drop retired-column bytes by rewriting exactly the carriers
+      target(s, allowIdent = true).map { t =>
+        require(s.kw("APPLY") && s.punct('('),
+          s"REORG TABLE $t: expected APPLY (PURGE)")
+        val body = s.parenBody().trim
+        require(body.equalsIgnoreCase("PURGE"),
+          s"REORG TABLE $t: only APPLY (PURGE) is supported, got ($body)")
+        require(s.eof, s"unexpected trailing input in REORG TABLE $t")
+        ReorgTxLogCommand(t)
+      }
     else if (s.kws("ALTER", "TABLE")) parseAlter(s)
     else if (s.kws("CONVERT", "TO", "TXLOG")) parseConvert(s)
     else None
@@ -176,6 +194,18 @@ object GraftSqlDml {
           s"ALTER TABLE $t: expected a column name after DROP COLUMN"))
         require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
         AlterColumnTxLogCommand(t, DropColumnAction(name))
+      } else if (s.kws("ALTER", "COLUMN") || s.kws("CHANGE", "COLUMN")) {
+        // Delta's type widening: `ALTER COLUMN c TYPE <wider>` — a
+        // metadata-only schema commit; old files up-convert at scan
+        val name = s.identPart().getOrElse(throw new IllegalArgumentException(
+          s"ALTER TABLE $t: expected a column name after ALTER COLUMN"))
+        require(s.kw("TYPE"),
+          s"ALTER TABLE $t: expected TYPE <data type> after " +
+            s"ALTER COLUMN $name (only type widening is supported)")
+        val ty = s.until().trim
+        require(ty.nonEmpty,
+          s"ALTER TABLE $t: ALTER COLUMN $name TYPE is missing a type")
+        AlterColumnTxLogCommand(t, WidenColumnAction(name, ty))
       } else if (s.kws("ADD", "COLUMNS")) {
         require(s.punct('('), s"ALTER TABLE $t: expected (name type, …)")
         val cols = Scan.splitTop(s.parenBody(), ',').map { part =>
@@ -195,20 +225,37 @@ object GraftSqlDml {
         val ty = s.until("GENERATED").trim
         require(ty.nonEmpty,
           s"ALTER TABLE $t: ADD COLUMN $name is missing a type")
-        // Delta's `ADD COLUMN g TYPE GENERATED ALWAYS AS (expr)`: the
-        // column lands as a schema-evolution commit AND declares its
-        // generation expression, enforced on every later write
-        val genExpr =
-          if (s.kws("GENERATED", "ALWAYS", "AS")) {
+        // Delta's `ADD COLUMN g TYPE GENERATED ALWAYS AS (expr)` and
+        // `… GENERATED ALWAYS AS IDENTITY [(START WITH s [INCREMENT BY
+        // i])]`: the expression form lands a schema-evolution commit AND
+        // declares the generation expression; the IDENTITY form routes
+        // to the row-tracking-backed identity declaration (one commit)
+        if (s.kws("GENERATED", "ALWAYS", "AS")) {
+          if (s.kw("IDENTITY")) {
+            val (start, step) = identitySpec(s, s"ALTER TABLE $t")
+            require(ty.equalsIgnoreCase("BIGINT") ||
+              ty.equalsIgnoreCase("LONG"),
+              s"ALTER TABLE $t: identity column $name must be BIGINT, " +
+                s"got $ty")
+            require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+            AlterColumnTxLogCommand(t,
+              IdentityColumnAction(name, start, step))
+          } else {
             require(s.punct('('),
-              s"ALTER TABLE $t: expected GENERATED ALWAYS AS (expr)")
-            Some(s.parenBody())
-          } else None
-        require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
-        AlterColumnTxLogCommand(t,
-          AddColumnsAction(Seq(name -> ty), genExpr.map(name -> _)))
+              s"ALTER TABLE $t: expected GENERATED ALWAYS AS (expr) " +
+                "or GENERATED ALWAYS AS IDENTITY")
+            val e = s.parenBody()
+            require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+            AlterColumnTxLogCommand(t,
+              AddColumnsAction(Seq(name -> ty), Some(name -> e)))
+          }
+        } else {
+          require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+          AlterColumnTxLogCommand(t, AddColumnsAction(Seq(name -> ty)))
+        }
       } else throw new IllegalArgumentException(
         s"ALTER TABLE $t supports SET/UNSET TBLPROPERTIES, " +
+          "ALTER COLUMN … TYPE …, " +
           "ADD CONSTRAINT … CHECK (…), DROP CONSTRAINT, RENAME COLUMN " +
           "… TO …, DROP COLUMN, and ADD COLUMN(S)")
     }
@@ -327,6 +374,119 @@ object GraftSqlDml {
     *     TIMESTAMP AS OF ts]` (bare CLONE = DEEP, Databricks' default)
     *   - `… [USING <provider>] [PARTITIONED BY (c, …)]
     *     [TBLPROPERTIES ('k' = 'v', …)] AS <query>` */
+  /** Optional `(START WITH n [INCREMENT BY n])` after IDENTITY. */
+  private def identitySpec(s: Scan, ctx: String): (Long, Long) = {
+    var start = 1L
+    var step = 1L
+    if (s.punct('(')) {
+      val ps = new Scan(s.parenBody())
+      def signed(what: String): Long = {
+        val neg = ps.punct('-')
+        val n = ps.word().map(_.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"$ctx: expected a number after $what"))
+        if (neg) -n else n
+      }
+      if (ps.kws("START", "WITH")) start = signed("START WITH")
+      if (ps.kws("INCREMENT", "BY")) step = signed("INCREMENT BY")
+      require(ps.eof,
+        s"$ctx: unexpected input in IDENTITY (…) — " +
+          "expected [START WITH n] [INCREMENT BY n]")
+    }
+    (start, step)
+  }
+
+  /** The CREATE TABLE tail clauses, any order: `USING <provider>`
+    * (txlog only, and implied), `PARTITIONED BY (c, …)`,
+    * `TBLPROPERTIES ('k' = 'v', …)`. */
+  private def tableClauses(s: Scan,
+      t: SqlTarget): (Seq[String], Seq[(String, String)]) = {
+    var partCols = Seq.empty[String]
+    var props = Seq.empty[(String, String)]
+    var more = true
+    while (more) { // clauses in any order, like the stock grammar
+      if (s.kw("USING")) {
+        // `USING txlog` / `USING graft.sources.txlog` accepted
+        // (and implied); any other provider is not ours
+        val prov = new StringBuilder(s.word().getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE TABLE $t: expected a provider after USING")))
+        while (s.punct('.')) prov.append('.')
+          .append(s.word().getOrElse(""))
+        require(prov.toString.equalsIgnoreCase("txlog") ||
+          prov.toString.equalsIgnoreCase("graft.sources.txlog"),
+          s"CREATE TABLE $t: path-form CREATE supports only the " +
+            s"txlog provider, got USING $prov")
+      } else if (s.kws("PARTITIONED", "BY")) {
+        require(s.punct('('),
+          s"CREATE TABLE $t: expected PARTITIONED BY (c, …)")
+        partCols = Scan.splitTop(s.parenBody(), ',')
+          .map(Scan.unquoteIdent)
+      } else if (s.kw("TBLPROPERTIES")) {
+        require(s.punct('('),
+          s"CREATE TABLE $t: expected ('k' = 'v', …)")
+        props = Scan.splitTop(s.parenBody(), ',').map { a =>
+          val (k, v) = Scan.splitAssign(a)
+          (Scan.unquote(k), Scan.unquote(v))
+        }
+      } else more = false
+    }
+    (partCols, props)
+  }
+
+  /** One `name type [NOT NULL] [GENERATED ALWAYS AS (expr) |
+    * GENERATED ALWAYS AS IDENTITY [(START WITH n INCREMENT BY n)]]`
+    * or `CONSTRAINT name CHECK (expr)` item of a column-list CREATE. */
+  private def parseColumnItem(t: SqlTarget, item: String,
+      out: CreateColumnsBuilder): Unit = {
+    val ps = new Scan(item)
+    if (ps.kw("CONSTRAINT")) {
+      val n = ps.identPart().getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $t: expected a constraint name after CONSTRAINT"))
+      require(ps.kw("CHECK") && ps.punct('('),
+        s"CREATE TABLE $t: expected CONSTRAINT $n CHECK (expr)")
+      out.checks :+= (n -> ps.parenBody())
+      require(ps.eof,
+        s"CREATE TABLE $t: unexpected trailing input after CONSTRAINT $n")
+      return
+    }
+    val n = ps.identPart().getOrElse(throw new IllegalArgumentException(
+      s"CREATE TABLE $t: expected `name type` in the column list, " +
+        s"got '$item'"))
+    val ty = ps.until("NOT", "GENERATED").trim
+    require(ty.nonEmpty, s"CREATE TABLE $t: column $n is missing a type")
+    var more = true
+    while (more) {
+      if (ps.kws("NOT", "NULL")) out.notNull :+= n
+      else if (ps.kws("GENERATED", "ALWAYS", "AS")) {
+        if (ps.kw("IDENTITY")) {
+          require(ty.equalsIgnoreCase("BIGINT") ||
+            ty.equalsIgnoreCase("LONG"),
+            s"CREATE TABLE $t: identity column $n must be BIGINT, got $ty")
+          val (st, sp) = identitySpec(ps, s"CREATE TABLE $t")
+          out.identities :+= ((n, st, sp))
+        } else {
+          require(ps.punct('('),
+            s"CREATE TABLE $t: expected GENERATED ALWAYS AS (expr) or " +
+              s"… AS IDENTITY for column $n")
+          out.generated :+= (n -> ps.parenBody())
+        }
+      } else more = false
+    }
+    require(ps.eof,
+      s"CREATE TABLE $t: unexpected trailing input in column " +
+        s"definition '$item'")
+    out.cols :+= (n -> ty)
+  }
+
+  private final class CreateColumnsBuilder {
+    var cols = Seq.empty[(String, String)]
+    var notNull = Seq.empty[String]
+    var generated = Seq.empty[(String, String)]
+    var identities = Seq.empty[(String, Long, Long)]
+    var checks = Seq.empty[(String, String)]
+  }
+
   private def parseCreate(s: Scan): Option[LogicalPlan] = {
     val orReplace = s.kws("OR", "REPLACE")
     if (!s.kw("TABLE")) return None
@@ -335,6 +495,23 @@ object GraftSqlDml {
       require(!(orReplace && ifNotExists),
         s"CREATE TABLE $t: OR REPLACE and IF NOT EXISTS are mutually " +
           "exclusive")
+      if (s.punct('(')) {
+        // Delta's column-list CREATE: full schema DDL with NOT NULL /
+        // GENERATED ALWAYS AS (expr) / GENERATED ALWAYS AS IDENTITY /
+        // CONSTRAINT … CHECK (…) — the natural home for identity
+        // columns (Delta likewise allows them only at creation)
+        val out = new CreateColumnsBuilder
+        Scan.splitTop(s.parenBody(), ',').foreach(parseColumnItem(t, _, out))
+        require(out.cols.nonEmpty, s"CREATE TABLE $t: empty column list")
+        val (partCols, props) = tableClauses(s, t)
+        require(s.eof,
+          s"unexpected trailing input in CREATE TABLE $t — the " +
+            "column-list form does not take AS <query> (use CTAS " +
+            "without a column list)")
+        return Some(CreateTableTxLogCommand(t, out.cols, out.notNull,
+          out.generated, out.identities, out.checks, partCols,
+          props.toMap, orReplace, ifNotExists))
+      }
       val deep =
         if (s.kws("SHALLOW", "CLONE")) Some(false)
         else if (s.kws("DEEP", "CLONE")) Some(true)
@@ -363,36 +540,7 @@ object GraftSqlDml {
           CloneTxLogCommand(t, src, d, orReplace, ifNotExists, ver, ts)
             : LogicalPlan
         case None =>
-          var partCols = Seq.empty[String]
-          var props = Seq.empty[(String, String)]
-          var more = true
-          while (more) { // clauses in any order, like the stock grammar
-            if (s.kw("USING")) {
-              // `USING txlog` / `USING graft.sources.txlog` accepted
-              // (and implied); any other provider is not ours
-              val prov = new StringBuilder(s.word().getOrElse(
-                throw new IllegalArgumentException(
-                  s"CREATE TABLE $t: expected a provider after USING")))
-              while (s.punct('.')) prov.append('.')
-                .append(s.word().getOrElse(""))
-              require(prov.toString.equalsIgnoreCase("txlog") ||
-                prov.toString.equalsIgnoreCase("graft.sources.txlog"),
-                s"CREATE TABLE $t: path-form CREATE supports only the " +
-                  s"txlog provider, got USING $prov")
-            } else if (s.kws("PARTITIONED", "BY")) {
-              require(s.punct('('),
-                s"CREATE TABLE $t: expected PARTITIONED BY (c, …)")
-              partCols = Scan.splitTop(s.parenBody(), ',')
-                .map(Scan.unquoteIdent)
-            } else if (s.kw("TBLPROPERTIES")) {
-              require(s.punct('('),
-                s"CREATE TABLE $t: expected ('k' = 'v', …)")
-              props = Scan.splitTop(s.parenBody(), ',').map { a =>
-                val (k, v) = Scan.splitAssign(a)
-                (Scan.unquote(k), Scan.unquote(v))
-              }
-            } else more = false
-          }
+          val (partCols, props) = tableClauses(s, t)
           require(s.kw("AS"),
             s"CREATE TABLE $t: expected AS <query> — graft path tables " +
               "define their schema from the query (or first write; a " +

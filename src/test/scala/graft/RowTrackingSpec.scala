@@ -203,6 +203,33 @@ class RowTrackingSpec extends SparkSpec {
       === before, "ids survive a rewrite under the mapping")
   }
 
+  test("composes with column mapping on a PARTITIONED table") {
+    val t = tmpDir("rowtrack") + "/t2"
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "p"))
+    TxLog.enableRowTracking(t)
+    TxLog.append(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "v", "p").coalesce(1), t)
+    TxLog.enableColumnMapping(t)
+    TxLog.renameColumn(t, "p", "part") // partition column, metadata-only
+    TxLog.renameColumn(t, "v", "val")
+    val before = TxLog.readWithRowIds(spark, t).select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    assert(before.values.toSeq.distinct.size === 2)
+    // copy-on-write UPDATE inside one partition keeps both keys' ids
+    spark.sql(s"UPDATE txlog.`$t` SET val = 'X' WHERE k = 1")
+    val after = TxLog.readWithRowIds(spark, t)
+    assert(after.columns.toSeq ===
+      Seq("k", "val", "part", "_row_id", "_row_version"))
+    assert(after.select("k", "_row_id").as[(Long, Long)].collect().toMap
+      === before, "ids survive a partitioned rewrite under the mapping")
+    // fresh appends to the renamed shape allocate new ids
+    TxLog.append(Seq((3L, "c", 30L)).toDF("k", "val", "part"), t)
+    val all = TxLog.readWithRowIds(spark, t).select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    assert(all.keySet === Set(1L, 2L, 3L))
+    assert(all.values.toSeq.distinct.size === 3)
+  }
+
   test("DV deletes keep survivors' ids without any rewrite") {
     val t = seed()
     TxLog.setProperties(t, Map("graft.deletionVectors.enabled" -> "true"))

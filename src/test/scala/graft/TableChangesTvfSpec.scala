@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.TxLog
+
+/** `table_changes` TVF: the txlog change feed as a SQL table. */
+class TableChangesTvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-commit keyed diffs with _change_type/_commit_version/_commit_timestamp") {
+    val t = tmpDir("tvf") + "/t"
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)        // v1
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)                   // v2
+    spark.sql(s"UPDATE txlog.`$t` SET v = 'B' WHERE k = 2")          // v3
+    spark.sql(s"DELETE FROM txlog.`$t` WHERE k = 1")                 // v4
+    val all = spark.sql(
+      s"SELECT k, v, _change_type, _commit_version " +
+        s"FROM table_changes('$t', 'k', 1)")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(all === Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 2L),
+      (2L, "B", "update", 3L),
+      (1L, "a", "delete", 4L)))
+    // explicit end bounds the range
+    val mid = spark.sql(
+      s"SELECT k, _change_type FROM table_changes('$t', 'k', 2, 3)")
+      .as[(Long, String)].collect().toSet
+    assert(mid === Set((3L, "insert"), (2L, "update")))
+    // timestamps are monotone non-decreasing across versions
+    val ts = spark.sql(
+      s"SELECT _commit_version, _commit_timestamp " +
+        s"FROM table_changes('$t', 'k', 1)")
+      .distinct().collect().map(r => r.getLong(0) -> r.getTimestamp(1))
+      .sortBy(_._1).map(_._2)
+    assert(ts.zip(ts.tail).forall { case (a, b) => !a.after(b) })
+  }
+
+  test("refusals: bad range, non-literal args, empty keys") {
+    val t = tmpDir("tvf") + "/r"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad(s"SELECT * FROM table_changes('$t', 'k', 5)", "version range")
+    bad(s"SELECT * FROM table_changes('$t', 'k', 0)", "version range")
+    bad(s"SELECT * FROM table_changes('$t', '', 1)", "at least one")
+    bad(s"SELECT * FROM table_changes('$t', 'k', 1, 2, 3)", "expects")
+  }
+}
