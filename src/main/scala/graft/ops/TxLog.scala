@@ -989,12 +989,27 @@ object TxLog {
       if (commit.ts >= 0) commit.ts else System.currentTimeMillis()))
     val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, mapper.writeValueAsBytes(node))
-    try {
-      Files.createLink(commitPath(table, commit.version), tmp) // put-if-absent
-      true
-    } catch {
-      case _: FileAlreadyExistsException => false
-    } finally Files.deleteIfExists(tmp)
+    val won =
+      try {
+        Files.createLink(commitPath(table, commit.version), tmp) // put-if-absent
+        true
+      } catch {
+        case _: FileAlreadyExistsException => false
+      } finally Files.deleteIfExists(tmp)
+    // Auto-checkpoint (Delta's checkpointInterval, default 10): every
+    // Nth commit snapshots the active file list so readers replay a
+    // bounded log tail instead of the whole history — the log-replay
+    // cost cap a long-lived 100 TB table needs without an operator
+    // remembering to run compact(). Best-effort: a failed checkpoint
+    // write must never fail the commit it trails (the next multiple
+    // writes one). `graft.checkpoint.interval` ≤ 0 disables.
+    if (won)
+      try {
+        val interval = properties(table).get("graft.checkpoint.interval")
+          .flatMap(_.trim.toIntOption).getOrElse(10)
+        if (interval > 0 && commit.version % interval == 0) compact(table)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    won
   }
 
   /** Stage `df` as parquet under a fresh uuid subdir; returns the relative

@@ -195,17 +195,31 @@ object GraftSqlDml {
         require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
         AlterColumnTxLogCommand(t, DropColumnAction(name))
       } else if (s.kws("ALTER", "COLUMN") || s.kws("CHANGE", "COLUMN")) {
-        // Delta's type widening: `ALTER COLUMN c TYPE <wider>` — a
-        // metadata-only schema commit; old files up-convert at scan
         val name = s.identPart().getOrElse(throw new IllegalArgumentException(
           s"ALTER TABLE $t: expected a column name after ALTER COLUMN"))
-        require(s.kw("TYPE"),
-          s"ALTER TABLE $t: expected TYPE <data type> after " +
-            s"ALTER COLUMN $name (only type widening is supported)")
-        val ty = s.until().trim
-        require(ty.nonEmpty,
-          s"ALTER TABLE $t: ALTER COLUMN $name TYPE is missing a type")
-        AlterColumnTxLogCommand(t, WidenColumnAction(name, ty))
+        if (s.kw("TYPE")) {
+          // Delta's type widening: `ALTER COLUMN c TYPE <wider>` — a
+          // metadata-only schema commit; old files up-convert at scan
+          val ty = s.until().trim
+          require(ty.nonEmpty,
+            s"ALTER TABLE $t: ALTER COLUMN $name TYPE is missing a type")
+          AlterColumnTxLogCommand(t, WidenColumnAction(name, ty))
+        } else if (s.kws("SET", "NOT", "NULL")) {
+          // sugar over the CHECK tier — the same `<col>_not_null`
+          // constraint the column-list CREATE form declares, so SHOW
+          // CREATE TABLE renders it back inline; addConstraint
+          // validates existing rows first (a NULL-holding column
+          // refuses, like Delta)
+          require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+          AlterTxLogTableCommand(t, Nil, Nil,
+            Some((s"${name}_not_null", s"$name IS NOT NULL")))
+        } else if (s.kws("DROP", "NOT", "NULL")) {
+          require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+          AlterTxLogTableCommand(t, Nil, Nil, None,
+            Some(s"${name}_not_null"))
+        } else throw new IllegalArgumentException(
+          s"ALTER TABLE $t: expected TYPE <data type>, SET NOT NULL, " +
+            s"or DROP NOT NULL after ALTER COLUMN $name")
       } else if (s.kws("ADD", "COLUMNS")) {
         require(s.punct('('), s"ALTER TABLE $t: expected (name type, …)")
         val cols = Scan.splitTop(s.parenBody(), ',').map { part =>

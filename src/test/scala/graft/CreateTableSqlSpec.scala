@@ -76,6 +76,26 @@ class CreateTableSqlSpec extends SparkSpec {
     assert(TxLog.read(spark, t, Some(vData)).count() === 1)
   }
 
+  test("ALTER COLUMN SET/DROP NOT NULL: validates existing rows, enforces on writes") {
+    val t = tmpDir("ctable") + "/nn"
+    spark.sql(s"CREATE TABLE txlog.`$t` (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO txlog.`$t` VALUES (1, 'a'), (2, NULL)")
+    // a NULL-holding column refuses SET NOT NULL
+    assert(intercept[IllegalArgumentException](spark.sql(
+      s"ALTER TABLE txlog.`$t` ALTER COLUMN v SET NOT NULL"))
+      .getMessage.contains("v_not_null"))
+    spark.sql(s"ALTER TABLE txlog.`$t` ALTER COLUMN k SET NOT NULL")
+    assert(intercept[IllegalArgumentException](spark.sql(
+      s"INSERT INTO txlog.`$t` (v) VALUES ('c')"))
+      .getMessage.contains("k_not_null"))
+    // renders back inline in SHOW CREATE TABLE
+    assert(spark.sql(s"SHOW CREATE TABLE txlog.`$t`").collect().head
+      .getString(0).contains("`k` BIGINT NOT NULL"))
+    spark.sql(s"ALTER TABLE txlog.`$t` ALTER COLUMN k DROP NOT NULL")
+    spark.sql(s"INSERT INTO txlog.`$t` (v) VALUES ('c')")
+    assert(TxLog.read(spark, t).count() === 3)
+  }
+
   test("SHOW CREATE TABLE round-trips the whole definition") {
     val t = tmpDir("ctable") + "/s"
     spark.sql(s"""CREATE TABLE txlog.`$t` (
