@@ -53,6 +53,28 @@ class ReorgPurgeSpec extends SparkSpec {
     assert(TxLog.reorgPurge(spark, t).isEmpty, "second run is a no-op")
   }
 
+  test("partitioned table: only the DV'd partition's file rewrites, layout survives") {
+    val t = tmpDir("reorg") + "/part"
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "p",
+      "graft.deletionVectors.enabled" -> "true"))
+    TxLog.append(Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"))
+      .toDF("k", "v", "p").coalesce(1), t)
+    TxLog.deleteVectors(spark, t, col("k") === 1L)
+    val f0 = TxLog.activeFiles(t)
+    assert(TxLog.reorgPurge(spark, t).nonEmpty)
+    val f1 = TxLog.activeFiles(t)
+    assert(f0.toSet.intersect(f1.toSet) === f0.filter(_.contains("p=y")).toSet,
+      "the clean partition's file keeps its path")
+    assert(f1.forall(f => f.contains("p=x") || f.contains("p=y")),
+      "rewritten files keep the Hive partition layout")
+    assert(TxLog.read(spark, t).select("k", "v", "p")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((2L, "b", "x"), (3L, "c", "y")))
+    assert(TxLog.activeDvs(t).isEmpty)
+    // partition pruning still exact post-reorg
+    assert(TxLog.read(spark, t).filter(col("p") === "x").count() === 1)
+  }
+
   test("row ids and identity values survive a purge") {
     val t = tmpDir("reorg") + "/ident"
     TxLog.createTable(t, org.apache.spark.sql.types.StructType.fromDDL(

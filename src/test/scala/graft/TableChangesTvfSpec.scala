@@ -35,6 +35,24 @@ class TableChangesTvfSpec extends SparkSpec {
     assert(ts.zip(ts.tail).forall { case (a, b) => !a.after(b) })
   }
 
+  test("diffs across a type-widening boundary coerce, the widen commit itself is silent") {
+    val t = tmpDir("tvf") + "/w"
+    TxLog.append(Seq((1, "a")).toDF("k", "v"), t)                    // v1
+    TxLog.widenColumnType(spark, t, "k",
+      org.apache.spark.sql.types.LongType)                           // v2
+    TxLog.append(Seq((9000000000L, "b")).toDF("k", "v"), t)          // v3
+    spark.sql(s"UPDATE txlog.`$t` SET v = 'A' WHERE k = 1")          // v4
+    val got = spark.sql(
+      s"SELECT k, v, _change_type, _commit_version " +
+        s"FROM table_changes('$t', 'k', 2)")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got === Set(
+      (9000000000L, "b", "insert", 3L),
+      (1L, "A", "update", 4L)),
+      "the metadata-only widen contributes nothing; diffs spanning " +
+        "narrow and wide eras coerce")
+  }
+
   test("refusals: bad range, non-literal args, empty keys") {
     val t = tmpDir("tvf") + "/r"
     TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
