@@ -200,12 +200,29 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val path = pathOf(parameters, "stream")
+    val startingTs = parameters.get("startingtimestamp").map(_.toLong)
+    require(startingTs.isEmpty || !parameters.contains("startingversion"),
+      "txlog stream: pass startingVersion OR startingTimestamp, not both")
+    // Delta's startingTimestamp (millis): deliver every commit stamped AT
+    // OR AFTER the timestamp — the offset starts just below the first
+    // such commit; a timestamp beyond the last commit starts at the tip
+    // (future commits only). Sound as an ORDER because in-commit
+    // timestamps are strictly monotone (max(parent.ts + 1, clock)), so
+    // "first commit with ts >= T" is a single cut point, never a band.
+    val startVer = startingTs match {
+      case Some(ts) =>
+        val cs = TxLog.commits(path)
+        cs.find(_.ts >= ts).map(_.version - 1)
+          .getOrElse(cs.lastOption.map(_.version).getOrElse(0L))
+      case None =>
+        parameters.get("startingversion").map(_.toLong).getOrElse(0L)
+    }
     new TxLogStreamSource(sqlContext, path,
       changeFeedKeys = cdfKeyCols(parameters),
       // Delta readChangeFeed's update_preimage/update_postimage split
       changeFeedPreImages =
         parameters.get("cdfpreimages").exists(_.toBoolean),
-      startingVersion = parameters.get("startingversion").map(_.toLong).getOrElse(0L),
+      startingVersion = startVer,
       ignoreChanges = parameters.get("ignorechanges").exists(_.toBoolean),
       ignoreDeletes = parameters.get("ignoredeletes").exists(_.toBoolean),
       maxVersionsPerTrigger = parameters.get("maxversionspertrigger").map { v =>
@@ -350,6 +367,18 @@ case class TxLogRelation(sqlContext: SQLContext, path: String,
     TxLog.read(sqlContext.sparkSession, path, pinnedVersion)
 
   override val schema: StructType = snapshot.schema
+
+  /** Metadata-derived snapshot size: the pinned snapshot's file sizes
+    * summed from the commit log (one cached fold — no filesystem listing
+    * of the data). Without this override the relation reports
+    * `defaultSizeInBytes` (effectively ∞), so a SQL join against a SMALL
+    * txlog dimension table could never plan an auto-broadcast — at scale
+    * the difference between a broadcast hash join and shuffling the fact
+    * side. DV'd tables report an upper bound (dead rows still count):
+    * over-estimating only forgoes a broadcast, never plans one that
+    * doesn't fit. */
+  override lazy val sizeInBytes: Long =
+    TxLog.fileSizes(path, pinnedVersion).values.sum
 
   /** Delegate to the parquet reader over the snapshot's files with the
     * pruning/filtering re-applied — Catalyst re-plans the delegate with

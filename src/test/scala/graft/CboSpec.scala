@@ -50,4 +50,34 @@ class CboSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS cbo_nation")
     }
   }
+
+  test("txlog relation reports log-derived sizeInBytes; small dim broadcasts") {
+    val t = tmpDir("cbo-txlog") + "/t"
+    graft.ops.TxLog.append(Tables.load(spark, SF, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey"), t)
+    val dim = spark.read.format("graft.sources.txlog").load(t)
+    val rel = dim.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }.get
+    val expected = graft.ops.TxLog.fileSizes(t).values.sum
+    assert(expected > 0)
+    assert(rel.sizeInBytes === expected,
+      "relation must report the snapshot's logged bytes, not defaultSizeInBytes")
+    // strategy surface: with a threshold only the txlog side fits under,
+    // the join broadcasts the txlog dim — impossible at the default
+    // (∞) relation size, where this would degrade to a sort-merge join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (expected.max(1024L) * 4).toString)
+      val joined = Tables.load(spark, SF, "customer")
+        .join(spark.read.format("graft.sources.txlog").load(t),
+          col("n_nationkey") === col("c_nationkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }

@@ -61,6 +61,34 @@ class TxLogStreamSourceSpec extends SparkSpec {
       Set((2L, "new")))
   }
 
+  test("startingTimestamp delivers commits stamped at or after it") {
+    val t = table()
+    TxLog.append(Seq((1L, "old")).toDF("k", "v"), t)               // v1
+    val cut = TxLog.commits(t).last.ts + 1
+    TxLog.append(Seq((2L, "new")).toDF("k", "v"), t)               // v2
+    TxLog.append(Seq((3L, "newer")).toDF("k", "v"), t)             // v3
+    val sink = tmpDir("txstream_st_sink")
+    drain(t, tmpDir("txstream_st_cp"), sink,
+      Map("startingTimestamp" -> cut.toString))
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet ===
+      Set((2L, "new"), (3L, "newer")),
+      "v1 predates the cut; v2/v3 are stamped at or after it")
+    // a timestamp beyond the last commit starts at the tip: only future
+    // commits deliver
+    val late = TxLog.commits(t).last.ts + 1000
+    val sink2 = tmpDir("txstream_st_sink2")
+    drain(t, tmpDir("txstream_st_cp2"), sink2,
+      Map("startingTimestamp" -> late.toString))
+    val rows2 = scala.util.Try(spark.read.parquet(sink2).count()).getOrElse(0L)
+    assert(rows2 === 0L, s"tip start must deliver nothing, got $rows2 rows")
+    // and passing both starting options refuses
+    val e = intercept[Exception] {
+      drain(t, tmpDir("txstream_st_cp3"), tmpDir("txstream_st_sink3"),
+        Map("startingTimestamp" -> cut.toString, "startingVersion" -> "0"))
+    }
+    assert(e.getMessage.contains("not both"), e.getMessage)
+  }
+
   test("data-changing commits refuse without ignoreChanges, re-deliver with it") {
     val t = table()
     TxLog.append(spark.range(0, 10).toDF("k").coalesce(1), t)      // v1
