@@ -997,6 +997,113 @@ object AnalyticsQueries {
       TxLog.read(s, table)
     },
 
+    // MERGE … WHEN NOT MATCHED BY SOURCE (Delta's full-sync tier): the
+    // one merge family whose clause membership can't be bounded by the
+    // source's keys (it fires on ABSENCE of a match), so it pays one
+    // column-pruned full-snapshot anti-join scan — the rewrite is still
+    // bounded to files a clause fires on. Four clauses: matched rows
+    // take the source balance, source-only keys insert, unmatched
+    // negative-balance rows delete, other unmatched rows get flagged.
+    QueryDef("src_txlog_sql_merge_nmbs",
+      "SQL MERGE with WHEN NOT MATCHED BY SOURCE DELETE + UPDATE: full table↔source sync in one commit, post-merge snapshot oracled",
+      s"""WITH i AS (SELECT c_custkey, c_name, c_acctbal
+         |  FROM read_parquet('${QueryDef.StageSql}/txnmbs_in/*.parquet')),
+         |t AS (SELECT * FROM i WHERE c_custkey % 2 = 0),
+         |s AS (SELECT * FROM i WHERE c_custkey % 3 = 0)
+         |SELECT t.c_custkey, t.c_name, s.c_acctbal + 1.0 AS c_acctbal
+         |FROM t JOIN s ON t.c_custkey = s.c_custkey
+         |UNION ALL
+         |SELECT t.c_custkey, 'unsynced' AS c_name, t.c_acctbal
+         |FROM t LEFT JOIN s ON t.c_custkey = s.c_custkey
+         |WHERE s.c_custkey IS NULL AND t.c_acctbal >= 0
+         |UNION ALL
+         |SELECT s.c_custkey, s.c_name, s.c_acctbal
+         |FROM s LEFT JOIN t ON s.c_custkey = t.c_custkey
+         |WHERE t.c_custkey IS NULL""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$stage/txnmbs_in")
+      val in = s.read.parquet(s"$stage/txnmbs_in")
+      val table = Files.createTempDirectory("graft_txnmbs").toString + "/t"
+      TxLog.overwrite(in.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .repartition(4), table)                                       // v1
+      val id = java.util.UUID.randomUUID.toString.take(8)
+      val srcView = s"txnmbs_src_$id"
+      in.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .createOrReplaceTempView(srcView)
+      s.sql(
+        s"""MERGE INTO txlog.`$table` AS t USING $srcView AS src
+           |ON t.c_custkey = src.c_custkey
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = src.c_acctbal + 1.0
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_name = 'unsynced'
+           |""".stripMargin)                                          // v2
+      TxLog.read(s, table)
+    },
+
+    // PARTITION SPEC EVOLUTION (Iceberg's table feature, absent from
+    // Delta): repartition a live table with ONE metadata commit and zero
+    // data rewritten — at 100 TB the difference between an ALTER and a
+    // full rewrite. The entry takes a flat orders table, declares
+    // year-partitioning mid-life, appends a second era in Hive layout,
+    // and reads the mixed-era union back; the oracle recomputes both
+    // eras declaratively.
+    QueryDef("src_txlog_partition_evolution",
+      "ALTER TABLE SET PARTITIONED BY on a live table: metadata-only layout change, mixed-era read, per-era pruning",
+      s"""WITH i AS (SELECT o_orderkey, o_year, o_totalprice
+         |  FROM read_parquet('${QueryDef.StageSql}/txpse_in/*.parquet'))
+         |SELECT o_orderkey, o_year, o_totalprice FROM i
+         |WHERE o_orderkey % 2 = 0
+         |UNION ALL
+         |SELECT o_orderkey + 100000000, o_year, o_totalprice FROM i
+         |WHERE o_orderkey % 2 = 1""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$stage/txpse_in")
+      val in = s.read.parquet(s"$stage/txpse_in")
+      val table = Files.createTempDirectory("graft_txpse").toString + "/t"
+      TxLog.overwrite(in.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .repartition(4), table)                                  // v1 flat
+      s.sql(s"ALTER TABLE txlog.`$table` SET PARTITIONED BY (o_year)") // v2
+      require(TxLog.commits(table).last.add.isEmpty,
+        "partition evolution must rewrite nothing")
+      TxLog.append(in.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L), table)
+      require(TxLog.activeFiles(table).exists(_.contains("o_year=")) &&
+        TxLog.activeFiles(table).exists(!_.contains("o_year=")),
+        "both layout eras must be live")
+      TxLog.read(s, table)
+    },
+
+    // TRUNCATE TABLE: empties the table in ONE commit (the unconditional
+    // row delete — no data written, every file retired), schema and
+    // history intact: the build re-reads the pre-truncate version to
+    // prove time travel still serves it, then refills.
+    QueryDef("src_txlog_sql_truncate",
+      "SQL TRUNCATE TABLE then refill: one emptying commit, schema kept, pre-truncate version still time-travelable",
+      s"""SELECT c_custkey, c_name
+         |FROM read_parquet('${QueryDef.StageSql}/txtrunc_in/*.parquet')
+         |WHERE c_custkey % 4 = 1""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+        .write.mode("overwrite").parquet(s"$stage/txtrunc_in")
+      val in = s.read.parquet(s"$stage/txtrunc_in")
+      val table = Files.createTempDirectory("graft_txtrunc").toString + "/t"
+      TxLog.overwrite(in.repartition(4), table)                       // v1
+      val rows = in.count()
+      val v = s.sql(s"TRUNCATE TABLE txlog.`$table`").head.getLong(0) // v2
+      require(TxLog.read(s, table).count() == 0, "truncate must empty")
+      require(TxLog.read(s, table, Some(v - 1)).count() == rows,
+        "pre-truncate version must stay time-travelable")
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(4)) === 1), table)
+      TxLog.read(s, table)
+    },
+
     // SQL UPDATE + DELETE (src_txlog_dml's verbs through the parser
     // instead of the API — both lower onto the same copy-on-write, so
     // the log shapes are identical; SqlDmlSpec pins that equivalence).

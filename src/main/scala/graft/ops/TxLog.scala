@@ -1561,12 +1561,56 @@ object TxLog {
       val v = enableColumnMapping(table)
       return if (rest.isEmpty) v else setProperties(table, rest)
     }
+    // the partition layout property routes through the evolution path so
+    // a typo'd column refuses instead of silently breaking future writes
+    props.get("graft.partition.columns").foreach { cols =>
+      val rest = props - "graft.partition.columns"
+      val v = alterPartitioning(table,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      return if (rest.isEmpty) v else setProperties(table, rest)
+    }
     commitProperties(table, props.map { case (k, v) => k -> Some(v) })
   }
 
   /** ALTER TABLE UNSET TBLPROPERTIES analog. */
   def unsetProperties(table: String, keys: Seq[String]): Long =
     commitProperties(table, keys.map(_ -> (None: Option[String])).toMap)
+
+  /** PARTITION SPEC EVOLUTION (Iceberg's headline table feature — Delta
+    * refuses this; at 100 TB it is the difference between repartitioning
+    * a table and rewriting it): change `graft.partition.columns` on a
+    * LIVE table with one metadata commit and ZERO data rewritten. Files
+    * written before the change keep their old layout (old-era partition
+    * values stay in their paths, columns the old layout didn't strip
+    * stay in their data); files written after land in the new layout.
+    * The read path already speaks mixed eras natively — it scans one
+    * group per distinct path-carried partition-column SET and
+    * reconstructs each group's partition columns from its own paths —
+    * so reads, pruning (path-exact for the era that carries the
+    * predicate column, stats-based otherwise), DML, and streaming all
+    * keep working across the transition. Selective partition REPLACEMENT
+    * (`overwritePartitions` / dynamic INSERT OVERWRITE) refuses while
+    * mixed-era files hold rows it cannot attribute to tuples — OPTIMIZE
+    * migrates old-era files into the current layout, after which it
+    * works again (the refusal names this).
+    *
+    * Pass an empty list to UNPARTITION the table (new writes land flat;
+    * old partitioned files still read correctly). */
+  def alterPartitioning(table: String, cols: Seq[String]): Long = {
+    val canon = schemaAsOf(table) match {
+      case Some(s) =>
+        val missing = cols.filterNot(c =>
+          s.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"alterPartitioning($table): column(s) ${missing.mkString(", ")} " +
+            s"not in the table schema (${s.fieldNames.mkString(", ")})")
+        cols.map(c => s.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c))
+      case None => cols
+    }
+    if (canon.isEmpty) unsetProperties(table, Seq("graft.partition.columns"))
+    else commitProperties(table,
+      Map("graft.partition.columns" -> Some(canon.mkString(","))))
+  }
 
   private def commitProperties(table: String,
       deltas: Map[String, Option[String]]): Long = {
@@ -2581,10 +2625,17 @@ object TxLog {
     while (attempts < 10) {
       val base = latestVersion(table)
       val active = activeFiles(table, base)
-      val legacy = active.filter(partValuesOf(_).isEmpty)
+      // a file whose path lacks ANY current declared partition column —
+      // pre-partitioning files AND files from an EVOLVED-AWAY layout
+      // (alterPartitioning) — may hold rows of any tuple: selective
+      // replacement cannot be expressed over it
+      val legacy = active.filter { f =>
+        val carried = partValuesOf(f).map(_._1).toSet
+        !physPartCols.forall(carried.contains)
+      }
       require(legacy.isEmpty,
         s"overwritePartitions on $table: ${legacy.size} active file(s) " +
-          "predate the declared partition layout (e.g. " +
+          "do not carry the declared partition layout (e.g. " +
           s"${legacy.headOption.getOrElse("")}) and may hold rows of any " +
           "partition — selective replacement cannot be expressed over " +
           "them. Run TxLog.optimize to rewrite the table into the " +
@@ -4075,10 +4126,12 @@ object TxLog {
     new java.util.concurrent.atomic.AtomicInteger(-1)
 
   sealed trait MergeAction
-  /** WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, … */
+  /** WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN UPDATE SET col = expr…
+    * (the clause family — matched vs not-matched-by-source — is decided
+    * by which [[mergeInto]] parameter carries the action) */
   final case class MergeUpdate(condition: Option[org.apache.spark.sql.Column],
       set: Map[String, org.apache.spark.sql.Column]) extends MergeAction
-  /** WHEN MATCHED [AND cond] THEN DELETE */
+  /** WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN DELETE */
   final case class MergeDelete(condition: Option[org.apache.spark.sql.Column])
     extends MergeAction
   /** WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs); target
@@ -4091,9 +4144,15 @@ object TxLog {
     * snapshot on `condition`, apply the first WHEN MATCHED clause whose
     * condition holds to each matched target row (update or delete), the
     * first WHEN NOT MATCHED insert clause to each source row with no
-    * match, and commit a rewrite of ONLY the files that held a matched
-    * row — per-merge cost follows the touched files, not the table, the
-    * property that lets a CDC merge run against 100 TB.
+    * match, the first WHEN NOT MATCHED BY SOURCE clause (Delta's
+    * full-sync tier: update or delete) to each target row NO source row
+    * matches, and commit a rewrite of ONLY the files that held a row
+    * some clause fired on — per-merge cost follows the touched files,
+    * not the table, the property that lets a CDC merge run against
+    * 100 TB. (NOT MATCHED BY SOURCE is the exception that must LOOK at
+    * every target row — absence of a match can't be bounded by the
+    * source's keys — so those merges pay one column-pruned full-snapshot
+    * anti-join scan, like Delta; the rewrite is still touched-files.)
     *
     * Matching is found with a LEFT SEMI join (one row per touched file
     * collected — metadata-sized), then the touched files FULL OUTER join
@@ -4123,10 +4182,14 @@ object TxLog {
       matched: Seq[MergeAction] = Seq.empty,
       notMatched: Seq[MergeInsert] = Seq.empty,
       onKeys: Seq[(String, String)] = Seq.empty,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      notMatchedBySource: Seq[MergeAction] = Seq.empty): Long = {
     require(matched.forall(!_.isInstanceOf[MergeInsert]),
       "WHEN MATCHED clauses must be MergeUpdate or MergeDelete")
-    require(matched.nonEmpty || notMatched.nonEmpty,
+    require(notMatchedBySource.forall(!_.isInstanceOf[MergeInsert]),
+      "WHEN NOT MATCHED BY SOURCE clauses must be MergeUpdate or MergeDelete")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty,
       "MERGE INTO needs at least one WHEN clause")
     val src = source.withColumn("__s_present", lit(true)).alias(sourceAlias)
     // snapshot-independent source-side key digest (computed once): the
@@ -4159,12 +4222,17 @@ object TxLog {
       val notMatchedC = notMatched.map(i =>
         MergeInsert(i.condition,
           i.values.map { case (k, v) => canon(k) -> v }))
+      val nmbsC = notMatchedBySource.map {
+        case MergeUpdate(c, set) =>
+          MergeUpdate(c, set.map { case (k, v) => canon(k) -> v })
+        case d => d
+      }
       // schema evolution (Delta's merge.schema.autoMerge / WITH SCHEMA
       // EVOLUTION): clause-assigned columns absent from the target widen
       // it, typed from the source; the rewrite commits the widened DDL
       // and untouched files NULL-backfill through the log-carried schema
       // on read. Without evolution, an unknown assigned column refuses.
-      val clauseCols = (matchedC.collect {
+      val clauseCols = ((matchedC ++ nmbsC).collect {
         case MergeUpdate(_, set) => set.keys
       }.flatten ++ notMatchedC.flatMap(_.values.keys)).toSet
       val unknown = clauseCols.diff(logSchema.fieldNames.toSet)
@@ -4207,17 +4275,44 @@ object TxLog {
             keepRowKeys = true).alias(targetAlias)
           .join(src, condition, "left_semi")
           .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
-      val touched = candidates.filter(f =>
-        touchedRel.contains(fileKey(f)))
+      // WHEN NOT MATCHED BY SOURCE reaches target rows with NO source
+      // match — membership can't be bounded by the source's key bounds,
+      // so the search is one full-snapshot LEFT ANTI scan (column-pruned
+      // to the ON keys + clause-condition columns; Delta pays the same
+      // full scan for these clauses). The REWRITE stays bounded: only
+      // files holding a row some clause actually fires on are rewritten.
+      val nmbsCondAny = nmbsC.map {
+        case MergeUpdate(c, _) => c.getOrElse(lit(true))
+        case MergeDelete(c) => c.getOrElse(lit(true))
+        case _ => lit(false)
+      }.reduceOption(_ || _)
+      val nmbsTouched =
+        if (nmbsC.isEmpty || files.isEmpty) Set.empty[String]
+        else readFiles(spark, table, files, base, keepRowKeys = true)
+          .alias(targetAlias)
+          .join(src, condition, "left_anti")
+          .filter(coalesce(nmbsCondAny.get, lit(false)))
+          .select("__dv_f").distinct().collect().map(_.getString(0)).toSet
+      // files to JOIN (match detection) vs files to REWRITE: a merge
+      // with no WHEN MATCHED clause (insert-only / NMBS-only) still
+      // reads matched files — the inserts' anti-semantics need to see
+      // every match — but must NOT rewrite them (their rows can't
+      // change); NMBS-fired files always rewrite
+      val joinKeys = touchedRel ++ nmbsTouched
+      val joinFiles = files.filter(f => joinKeys.contains(fileKey(f)))
+      val rewriteKeys =
+        (if (matchedC.nonEmpty) touchedRel else Set.empty[String]) ++
+          nmbsTouched
+      val touched = files.filter(f => rewriteKeys.contains(fileKey(f)))
       if (touched.isEmpty && notMatched.isEmpty)
-        return base.get // no matches and nothing to insert: no new version
-      // FULL OUTER of the touched rows against the source. Every target
-      // row matching ANY source row lives in a touched file by
+        return base.get // nothing fires and nothing to insert: no new version
+      // FULL OUTER of the join-file rows against the source. Every target
+      // row matching ANY source row lives in a join file by
       // construction, so source rows unmatched here are unmatched against
-      // the whole table. An empty touched set skips the target side
-      // entirely (insert-only merge).
+      // the whole table. An empty join set skips the target side
+      // entirely (insert-only merge with no matches).
       val joined =
-        if (touched.isEmpty) {
+        if (joinFiles.isEmpty) {
           // no target rows to read — every source row is unmatched; a
           // zero-row target side with the table schema keeps the column
           // and alias shape identical to the join path
@@ -4230,7 +4325,7 @@ object TxLog {
           else empty0).alias(targetAlias)
           empty.join(src, condition, "full_outer")
         } else {
-          readFiles(spark, table, touched, base, keepRowKeys = true,
+          readFiles(spark, table, joinFiles, base, keepRowKeys = true,
               withRowIds = tracking)
             .withColumn("__t_present", lit(true))
             .alias(targetAlias)
@@ -4239,9 +4334,11 @@ object TxLog {
       val tP = coalesce(col("__t_present"), lit(false))
       val sP = coalesce(col("__s_present"), lit(false))
       // Delta's cardinality rule: a target row matched by >1 source rows
-      // has no deterministic update — refuse. Grouped on the (file,
-      // row_index) row keys: fully distributed, bounded by matched rows.
-      if (touched.nonEmpty) {
+      // has no deterministic update — refuse (only when a WHEN MATCHED
+      // clause exists: with none, nothing updates twice — Delta's rule).
+      // Grouped on the (file, row_index) row keys: fully distributed,
+      // bounded by matched rows.
+      if (joinFiles.nonEmpty && matchedC.nonEmpty) {
         val dup = joined.filter(tP && sP)
           .groupBy(col("__dv_f"), col("__dv_ri")).count()
           .filter(col("count") > 1).limit(1).count() > 0
@@ -4266,15 +4363,36 @@ object TxLog {
         case ((a, j), els) =>
           when(a.condition.getOrElse(lit(true)), lit(100 + j)).otherwise(els)
       }
+      // target-only rows (tP && !sP) pick a WHEN NOT MATCHED BY SOURCE
+      // clause (200+i; -1 = none applies: keep unchanged)
+      val nmbsAction = nmbsC.zipWithIndex.foldRight(lit(-1)) {
+        case ((a, i), els) =>
+          val c = a match {
+            case MergeUpdate(cond, _) => cond
+            case MergeDelete(cond) => cond
+            case _ => None
+          }
+          when(c.getOrElse(lit(true)), lit(200 + i)).otherwise(els)
+      }
       val deleteIds = matchedC.zipWithIndex.collect {
         case (MergeDelete(_), i) => i
-      }.toSet
+      }.toSet ++ nmbsC.zipWithIndex.collect {
+        case (MergeDelete(_), i) => 200 + i
+      }
       val acted = joined.withColumn("__action",
         when(tP && sP, matchedAction)
           .when(!tP && sP, insertAction)
+          .when(tP && !sP, nmbsAction)
           .otherwise(lit(-1)))
-      val kept = acted.filter(!col("__action")
+      val kept0 = acted.filter(!col("__action")
         .isin((deleteIds + (-2)).toSeq.map(_.asInstanceOf[Any]): _*))
+      // target rows read for match detection but living in a NON-rewrite
+      // file stay where they are — only insert rows (no target side) and
+      // rewrite-file rows flow into the rewritten output
+      val kept =
+        if (joinKeys == rewriteKeys) kept0
+        else kept0.filter(!tP ||
+          col("__dv_f").isin(rewriteKeys.toSeq.map(_.asInstanceOf[Any]): _*))
       val outCols = tgtSchema.fields.toSeq.map { f =>
         // an evolution-added column has no target side to keep: rows the
         // clauses don't reach carry NULL (the same backfill untouched
@@ -4289,6 +4407,9 @@ object TxLog {
           } ++ notMatchedC.zipWithIndex.map { case (ins, j) =>
             (100 + j) -> ins.values.getOrElse(f.name,
               lit(null).cast(f.dataType))
+          } ++ nmbsC.zipWithIndex.collect {
+            case (MergeUpdate(_, set), i) if set.contains(f.name) =>
+              (200 + i) -> set(f.name)
           }
         branches.foldRight(keepAsIs) { case ((id, v), els) =>
           when(col("__action") === id, v).otherwise(els)

@@ -239,9 +239,15 @@ final case class MergeIntoTxLogCommand(target: SqlTarget,
       case SqlMergeClause("insert", c, cols, vals) =>
         TxLog.MergeInsert(c.map(expr), cols.zip(vals.map(expr)).toMap)
     }
+    val notMatchedBySource: Seq[TxLog.MergeAction] = clauses.collect {
+      case SqlMergeClause("update_nmbs", c, cols, vals) =>
+        TxLog.MergeUpdate(c.map(expr), cols.zip(vals.map(expr)).toMap)
+      case SqlMergeClause("delete_nmbs", c, _, _) =>
+        TxLog.MergeDelete(c.map(expr))
+    }
     Seq(Row(TxLog.mergeInto(spark, t, src, ta, sa, expr(on),
       matched, notMatched, onKeys = equiKeys(spark, on, ta, sa),
-      mergeSchema = evolve)))
+      mergeSchema = evolve, notMatchedBySource = notMatchedBySource)))
   }
 
   /** Target↔source equi-join pairs from the ON condition's conjuncts
@@ -713,6 +719,15 @@ final case class AlterTxLogTableCommand(target: SqlTarget,
     }
     Seq(Row(v))
   }
+}
+
+/** `ALTER TABLE txlog.`p` SET PARTITIONED BY (col, …)` — partition spec
+  * evolution ([[TxLog.alterPartitioning]]): one metadata commit, zero
+  * data rewritten; `()` unpartitions. */
+final case class AlterPartitioningTxLogCommand(target: SqlTarget,
+    cols: Seq[String]) extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.alterPartitioning(target.resolve(spark), cols)))
 }
 
 /** Column-level ALTER TABLE verbs. RENAME/DROP COLUMN are metadata-only

@@ -15,13 +15,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - `MERGE INTO txlog.`/path` [AS] t USING src|(query) [AS] s ON …
   *      WHEN MATCHED [AND …] THEN UPDATE SET *|c = e, …
   *      WHEN MATCHED [AND …] THEN DELETE
-  *      WHEN NOT MATCHED [AND …] THEN INSERT *|(c, …) VALUES (e, …)`
+  *      WHEN NOT MATCHED [BY TARGET] [AND …] THEN INSERT *|(c, …) VALUES …
+  *      WHEN NOT MATCHED BY SOURCE [AND …] THEN UPDATE SET c = e, …|DELETE`
   *   - `INSERT INTO txlog.`/path` [(c,…)] [REPLACE WHERE …] <query>` /
   *     `INSERT OVERWRITE [TABLE] txlog.`/path` [PARTITION (…)] <query>`
   *   - `COPY INTO <t> FROM '<dir>' [FILEFORMAT = …] [FORMAT_OPTIONS (…)]
   *     [FORCE = true]`
   *   - `OPTIMIZE <t> [WHERE part = v …] [ZORDER BY (a[, b])]`
   *   - `VACUUM <t> [RETAIN n VERSIONS] [DRY RUN]`
+  *   - `TRUNCATE TABLE <t>`
+  *   - `ALTER TABLE txlog.`/path` SET PARTITIONED BY (c, …)` (partition
+  *     spec evolution; `()` unpartitions)
   *   - `SHOW TBLPROPERTIES txlog.`/path``
   *
   * — and lowers them onto the TxLog API commands
@@ -109,6 +113,14 @@ object GraftSqlDml {
         require(s.eof, s"unexpected trailing input in SHOW TBLPROPERTIES $t")
         ShowTxLogPropertiesCommand(t)
       }
+    else if (s.kws("TRUNCATE", "TABLE"))
+      // lowers onto the unconditional row DELETE: one copy-on-write (or
+      // DV) commit emptying the table; the schema, properties, and every
+      // prior version stay — time travel still reads the old rows
+      target(s, allowIdent = true).map { t =>
+        require(s.eof, s"unexpected trailing input in TRUNCATE TABLE $t")
+        DeleteFromTxLogCommand(t, None)
+      }
     else if (s.kw("INSERT")) parseInsert(s)
     else if (s.kw("CREATE")) parseCreate(s)
     else if (s.kws("COPY", "INTO")) parseCopyInto(s)
@@ -153,7 +165,15 @@ object GraftSqlDml {
     // path form ONLY: ALTER TABLE <ident> is a stock verb for catalog
     // tables and must keep its stock behavior
     target(s, allowIdent = false).map { t =>
-      if (s.kws("SET", "TBLPROPERTIES")) {
+      if (s.kws("SET", "PARTITIONED", "BY")) {
+        // partition spec evolution (Iceberg-style): metadata-only layout
+        // change; () unpartitions. Lowers onto TxLog.alterPartitioning.
+        require(s.punct('('), s"ALTER TABLE $t: expected (col, …) or ()")
+        val cols = Scan.splitTop(s.parenBody(), ',')
+          .map(Scan.unquoteIdent).filter(_.nonEmpty)
+        require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+        AlterPartitioningTxLogCommand(t, cols)
+      } else if (s.kws("SET", "TBLPROPERTIES")) {
         require(s.punct('('), s"ALTER TABLE $t: expected (k=v, …)")
         val set = Scan.splitTop(s.parenBody(), ',').map { a =>
           val (k, v) = Scan.splitAssign(a)
@@ -669,7 +689,26 @@ object GraftSqlDml {
       val on = untilClause(s, "WHEN", "MATCHED", "NOT MATCHED")
       var clauses = Vector.empty[SqlMergeClause]
       while (s.kw("WHEN")) {
-        if (s.kws("NOT", "MATCHED")) {
+        if (s.kws("NOT", "MATCHED", "BY", "SOURCE")) {
+          // Delta's full-sync tier: target rows NO source row matches
+          val cond = if (s.kw("AND"))
+            Some(untilClause(s, "THEN", "UPDATE", "DELETE")) else None
+          require(s.kw("THEN"), s"MERGE INTO $t: expected THEN")
+          if (s.kw("DELETE"))
+            clauses :+= SqlMergeClause("delete_nmbs", cond, Nil, Nil)
+          else if (s.kws("UPDATE", "SET")) {
+            val sets = Scan.splitTop(
+              untilClause(s, "WHEN", "MATCHED", "NOT MATCHED"), ',').map { a =>
+              val (c, e) = Scan.splitAssign(a)
+              (Scan.unquoteIdent(c), e)
+            }
+            require(sets.nonEmpty, s"MERGE INTO $t: empty UPDATE SET")
+            clauses :+= SqlMergeClause("update_nmbs", cond,
+              sets.map(_._1), sets.map(_._2))
+          } else throw new IllegalArgumentException(
+            s"MERGE INTO $t: WHEN NOT MATCHED BY SOURCE supports " +
+              "UPDATE SET or DELETE")
+        } else if (s.kws("NOT", "MATCHED")) {
           s.kws("BY", "TARGET") // optional Delta-ism, same meaning
           val cond = if (s.kw("AND"))
             Some(untilClause(s, "THEN", "INSERT")) else None

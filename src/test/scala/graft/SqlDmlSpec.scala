@@ -329,4 +329,97 @@ class SqlDmlSpec extends SparkSpec {
       spark.sql("DELETE FROM some_missing_table WHERE x = 1").collect()
     }
   }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE is a full sync") {
+    val t = seed()
+    Seq((2L, "B2", 22.0), (9L, "i", 9.0)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("mrg_sync_src")
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t USING mrg_sync_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    // the table now EQUALS the source — updated, inserted, rest deleted
+    val got = TxLog.read(spark, t).orderBy("k")
+      .select("k", "v", "amt").as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((2L, "B2", 22.0), (9L, "i", 9.0)))
+    assert(TxLog.commits(t).last.op === "merge")
+  }
+
+  test("NOT MATCHED BY SOURCE UPDATE with AND condition is selective") {
+    val t = seed()
+    Seq(2L).toDF("k").createOrReplaceTempView("mrg_nmbs_src")
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t USING mrg_nmbs_src AS s ON t.k = s.k
+         |WHEN NOT MATCHED BY SOURCE AND t.k >= 4 THEN
+         |  UPDATE SET v = 'stale', amt = 0.0""".stripMargin)
+    val got = TxLog.read(spark, t).orderBy("k")
+      .select("k", "v", "amt").as[(Long, String, Double)].collect().toSeq
+    // k=2 matched (kept as-is: no WHEN MATCHED clause); k=1,3 unmatched
+    // but fail the AND; k=4 unmatched and flagged
+    assert(got === Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "stale", 0.0)))
+  }
+
+  test("NMBS rewrite stays bounded to files a clause actually fires on") {
+    val dir = tmpDir("sqldml-nmbs") + "/t"
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    TxLog.append(Seq((10L, "x"), (11L, "y")).toDF("k", "v"), dir)
+    Seq(1L).toDF("k").createOrReplaceTempView("mrg_nmbs_bound_src")
+    spark.sql(
+      s"""MERGE INTO txlog.`$dir` AS t USING mrg_nmbs_bound_src AS s
+         |ON t.k = s.k
+         |WHEN NOT MATCHED BY SOURCE AND t.k = 2 THEN DELETE""".stripMargin)
+    val last = TxLog.commits(dir).last
+    assert(last.op === "merge")
+    // file 2 (k=10,11): rows are unmatched but fail the AND — the file
+    // must survive untouched (the full-snapshot scan is read-only; only
+    // fired-on files rewrite)
+    val file2 = TxLog.commits(dir)(1).add
+    assert(file2.forall(f => !last.remove.contains(f)),
+      s"untouched file rewritten: ${last.remove}")
+    assert(TxLog.read(spark, dir).select("k").as[Long].collect().sorted
+      === Array(1L, 10L, 11L))
+  }
+
+  test("NMBS-only merge with nothing fired commits no new version") {
+    val t = seed()
+    Seq(1L, 2L, 3L, 4L).toDF("k").createOrReplaceTempView("mrg_nmbs_all")
+    val before = TxLog.latestVersion(t).get
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t USING mrg_nmbs_all AS s ON t.k = s.k
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(TxLog.latestVersion(t).get === before,
+      "every row matched: no NMBS row, no commit")
+  }
+
+  test("row ids survive a NOT MATCHED BY SOURCE update") {
+    val t = tmpDir("sqldml-nmbs-rt") + "/t"
+    TxLog.enableRowTracking(t)
+    TxLog.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    val before = TxLog.readWithRowIds(spark, t)
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    Seq(2L).toDF("k").createOrReplaceTempView("mrg_nmbs_rt_src")
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t USING mrg_nmbs_rt_src AS s ON t.k = s.k
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'z'""".stripMargin)
+    val after = TxLog.readWithRowIds(spark, t)
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(after === before, "NMBS update must not reassign row ids")
+    assert(TxLog.read(spark, t).orderBy("k").select("v").as[String]
+      .collect().toSeq === Seq("z", "b", "z"))
+  }
+
+  test("TRUNCATE TABLE empties the table, keeps schema and time travel") {
+    val t = seed()
+    val v = spark.sql(s"TRUNCATE TABLE txlog.`$t`").head.getLong(0)
+    assert(TxLog.read(spark, t).count() === 0)
+    assert(TxLog.read(spark, t).columns.toSeq === Seq("k", "v", "amt"))
+    assert(TxLog.read(spark, t, Some(v - 1)).count() === 4,
+      "pre-truncate versions must stay time-travelable")
+    // refilling after truncate works and sees only the new rows
+    TxLog.append(Seq((7L, "z", 1.0)).toDF("k", "v", "amt"), t)
+    assert(TxLog.read(spark, t).select("k").as[Long].collect().toSeq
+      === Seq(7L))
+  }
 }
