@@ -1043,6 +1043,43 @@ object AnalyticsQueries {
       TxLog.read(s, table)
     },
 
+    // LOG COMPACTION: a trickle-written table (one commit per
+    // micro-batch — the 100 TB streaming-table steady state) accumulates
+    // unbounded loose commit JSONs; with the threshold property set, the
+    // cold range auto-consolidates into container files, bounding the
+    // log's FILE count while every fold (schema, history, time travel)
+    // answers exactly as before. The entry trickles 30 two-row appends
+    // beside a bulk base, asserts the container exists and the loose
+    // count is bounded, and oracles the full contents.
+    QueryDef("src_txlog_log_compaction",
+      "Auto log compaction on a trickle-written table: cold commits consolidate, reads unchanged, loose file count bounded",
+      s"""SELECT c_custkey, c_name
+         |FROM read_parquet('${QueryDef.StageSql}/txlogc_in/*.parquet')
+         |WHERE c_custkey <= 60 OR c_custkey % 11 = 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+        .write.mode("overwrite").parquet(s"$stage/txlogc_in")
+      val in = s.read.parquet(s"$stage/txlogc_in")
+      val table = Files.createTempDirectory("graft_txlogc").toString + "/t"
+      TxLog.setProperties(table,
+        Map("graft.logCompaction.threshold" -> "25"))
+      TxLog.overwrite(in.filter(col("c_custkey") % 11 === 0)
+        .filter(col("c_custkey") > 60).repartition(2), table)
+      val trickle = in.filter(col("c_custkey") <= 60).orderBy("c_custkey")
+        .collect()
+      trickle.grouped(2).foreach { rows =>
+        TxLog.append(s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), in.schema).coalesce(1), table)
+      }
+      val logDir = java.nio.file.Paths.get(table, "_txlog")
+      val names = TxLog.walkDir(logDir).map(_.getFileName.toString)
+      require(names.exists(_.endsWith(".compactedlog.json")),
+        "trickle past the threshold must have auto-compacted the log")
+      require(names.count(_.matches("""\d{20}\.json""")) <= 30,
+        "loose commit count must stay bounded")
+      TxLog.read(s, table)
+    },
+
     // PARTITION SPEC EVOLUTION (Iceberg's table feature, absent from
     // Delta): repartition a live table with ONE metadata commit and zero
     // data rewritten — at 100 TB the difference between an ALTER and a

@@ -197,8 +197,12 @@ object TxLog {
     * the full logged schema and silently NULL every partition column.
     * COLUMN-MAPPING commits (a `colMap` field) say 5: a v4-era reader
     * would plan the physically-named data files under the logical
-    * schema and silently NULL every renamed column. */
-  val ProtocolVersion = 5
+    * schema and silently NULL every renamed column. Commits on a table
+    * whose log has been COMPACTED ([[compactLog]]) say 6: a v5-era
+    * reader lists only loose `<v>.json` files, so it would fold a log
+    * missing every consolidated commit — wrong schema/property/DV
+    * state, not a degraded one. */
+  val ProtocolVersion = 6
 
   /** Every op this reader knows how to fold. An op outside this set means
     * the log was written by a newer writer — [[commits]] refuses to read
@@ -271,6 +275,10 @@ object TxLog {
 
   private val CommitName = """(\d{20})\.json""".r
   private val CheckpointName = """(\d{20})\.checkpoint\.json""".r
+  private val CompactedName = """(\d{20})-(\d{20})\.compactedlog\.json""".r
+
+  private def compactedPath(table: String, from: Long, to: Long): Path =
+    logDir(table).resolve(f"$from%020d-$to%020d.compactedlog.json")
 
   /** `Files.list`/`Files.walk` return STREAMS holding an open directory
     * handle until closed — draining the iterator does not release it. The
@@ -325,33 +333,76 @@ object TxLog {
         size() > CommitCacheMaxTables
     })
 
-  /** All commits at `table`, ascending by version. */
+  /** All commits at `table`, ascending by version. Loose `<v>.json`
+    * files plus consolidated `<from>-<to>.compactedlog.json` containers
+    * ([[compactLog]]); both sort by their leading version so the
+    * filename order IS version order. A compaction racing this listing
+    * can briefly show a commit twice (container published before the
+    * loose file is unlinked) — [[dedupCommits]] resolves by version
+    * (the contents are identical: published commits are immutable). */
   def commits(table: String): Seq[Commit] = {
-    val files = listLog(table)
-      .filter(p => CommitName.matches(p.getFileName.toString))
+    val files = listLog(table).filter { p =>
+      val n = p.getFileName.toString
+      CommitName.matches(n) || CompactedName.matches(n)
+    }
     val names = files.map(_.getFileName.toString).toVector
     val (reused, toParse) = commitCache.get(table) match {
       case (cn, cc) if names.startsWith(cn) => (cc, files.drop(cn.size))
       case _ => (Vector.empty[Commit], files) // miss, or non-extension listing
     }
-    if (toParse.isEmpty) return reused
-    val parsed = reused ++ toParse.map(parseCommit)
+    if (toParse.isEmpty) return dedupCommits(reused)
+    val parsed = reused ++ toParse.flatMap(parseLogFile)
     commitCache.put(table, (names, parsed))
-    parsed
+    dedupCommits(parsed)
   }
 
-  private def parseCommit(p: Path): Commit = {
+  /** Strictly-increasing fast path (the steady state) costs one long
+    * comparison per commit; only a mid-compaction race listing pays the
+    * sort + dedup. */
+  private def dedupCommits(cs: Vector[Commit]): Vector[Commit] = {
+    var last = Long.MinValue
+    var monotone = true
+    cs.foreach { c =>
+      if (c.version <= last) monotone = false
+      last = c.version
+    }
+    if (monotone) cs
+    else cs.sortBy(_.version)
+      .foldLeft(Vector.empty[Commit]) { (acc, c) =>
+        if (acc.lastOption.exists(_.version == c.version)) acc else acc :+ c
+      }
+  }
+
+  private def parseLogFile(p: Path): Seq[Commit] =
+    p.getFileName.toString match {
+      case CompactedName(_, _) =>
         val node = mapper.readTree(Files.readAllBytes(p))
+        val proto = Option(node.get("protocolVersion"))
+          .map(_.asInt()).getOrElse(6)
+        if (proto > ProtocolVersion) throw new IllegalStateException(
+          s"txlog compacted log ${p.getFileName} requires protocol " +
+            s"version $proto but this reader supports <= $ProtocolVersion")
+        node.get("commits").elements().asScala
+          .map(parseCommitNode(_, p.getFileName.toString)).toSeq
+      case _ => Seq(parseCommit(p))
+    }
+
+  private def parseCommit(p: Path): Commit =
+    parseCommitNode(mapper.readTree(Files.readAllBytes(p)),
+      p.getFileName.toString)
+
+  private def parseCommitNode(node: com.fasterxml.jackson.databind.JsonNode,
+      name: String): Commit = {
         // Fail loudly on logs from the future: a silently-skipped unknown
         // action would fold to a WRONG snapshot, not a degraded one.
         val proto = Option(node.get("protocolVersion"))
           .map(_.asInt()).getOrElse(1) // pre-versioning logs are v1
         if (proto > ProtocolVersion) throw new IllegalStateException(
-          s"txlog commit ${p.getFileName} requires protocol version $proto " +
+          s"txlog commit $name requires protocol version $proto " +
             s"but this reader supports <= $ProtocolVersion — upgrade the reader")
         val opName = node.get("op").asText()
         if (!KnownOps.contains(opName)) throw new IllegalStateException(
-          s"txlog commit ${p.getFileName} carries unknown op '$opName' — " +
+          s"txlog commit $name carries unknown op '$opName' — " +
             "written by a newer writer; refusing to fold a log I can't interpret")
         def arr(field: String): Seq[String] =
           node.get(field).elements().asScala.map(_.asText()).toSeq
@@ -852,8 +903,12 @@ object TxLog {
     // NULL every renamed column (the retired-mapping EMPTY sentinel is
     // v5 too — an older reader can't know the fold rules around it)
     val needsV5 = commit.colMap.isDefined
+    // any commit on a log-compacted table demands a v6 reader: a v5-era
+    // reader lists only loose <v>.json files and would fold a log with
+    // every consolidated commit missing
+    val needsV6 = hasCompactedLog(table)
     node.put("protocolVersion",
-      math.max(if (needsV5) 5 else if (needsV4) 4
+      math.max(if (needsV6) 6 else if (needsV5) 5 else if (needsV4) 4
       else if (needsV2) 2 else 1, commit.minReader))
     node.put("version", commit.version)
     node.put("op", commit.op)
@@ -1008,6 +1063,21 @@ object TxLog {
         val interval = properties(table).get("graft.checkpoint.interval")
           .flatMap(_.trim.toIntOption).getOrElse(10)
         if (interval > 0 && commit.version % interval == 0) compact(table)
+        // Auto log compaction (Delta's log cleanup, lossless form): once
+        // the LOOSE commit-file count passes the threshold, consolidate
+        // the cold range — bounds the log's file count for trickle
+        // writers without an operator. Opt-in by property: compaction
+        // stamps the reader floor to v6, which the table owner should
+        // choose, not a background write. Best-effort like the
+        // checkpoint. `graft.logCompaction.threshold` ≤ 0 disables.
+        val lcThreshold = properties(table)
+          .get("graft.logCompaction.threshold")
+          .flatMap(_.trim.toIntOption).getOrElse(0)
+        if (lcThreshold > 0) {
+          val looseCount = listLog(table).count(p =>
+            CommitName.matches(p.getFileName.toString))
+          if (looseCount > lcThreshold) compactLog(table)
+        }
       } catch { case scala.util.control.NonFatal(_) => () }
     won
   }
@@ -4859,8 +4929,9 @@ object TxLog {
       // a checkpointed log keeps its highest stamped requirement: a
       // reader folding from this checkpoint still folds every commit,
       // including any v3 (bitset-DV) ones
-      val needed = math.max(if (needsV2) 2 else 1,
-        commits(table).map(_.minReader).maxOption.getOrElse(1))
+      val needed = Seq(if (needsV2) 2 else 1,
+        commits(table).map(_.minReader).maxOption.getOrElse(1),
+        if (hasCompactedLog(table)) 6 else 1).max
       val node = mapper.createObjectNode()
       node.put("protocolVersion", needed)
       node.put("version", v)
@@ -4873,6 +4944,82 @@ object TxLog {
       finally Files.deleteIfExists(tmp)
       v
     }
+
+  private def hasCompactedLog(table: String): Boolean = {
+    val dir = logDir(table)
+    Files.isDirectory(dir) && listDir(dir).exists(p =>
+      CompactedName.matches(p.getFileName.toString))
+  }
+
+  /** LOG COMPACTION (Delta 3.x's minor log compaction, applied to the
+    * whole cold range): consolidate every loose commit file except the
+    * newest `keepTail` into ONE `<from>-<to>.compactedlog.json`
+    * container, then unlink the loose files. NOTHING is forgotten — the
+    * container carries the raw commit records verbatim, so every fold
+    * (schema, properties, DVs, blooms, sizes, row-id bases, COPY INTO
+    * ledger, replay guards, time travel to ANY version) answers exactly
+    * as before. What changes is the FILE count: a long-lived table
+    * writing a commit a minute accumulates half a million tiny JSONs a
+    * year, and the per-read directory listing + open() cost grows with
+    * file count, not bytes — this caps it at O(containers + tail).
+    *
+    * Crash-safe and race-safe in the same put-if-absent style as
+    * [[tryCommit]]: the container hard-links into place FIRST (a reader
+    * listing mid-compaction sees a commit twice and [[dedupCommits]]
+    * drops the duplicate), loose files unlink after; a crash between the
+    * two leaves a benign overlap the next compaction ignores (it starts
+    * after the last container's `to`). Compacting stamps the table's
+    * reader floor to protocol v6 — see [[ProtocolVersion]].
+    *
+    * Returns the consolidated (from, to) range, or None when fewer than
+    * `minFiles` loose commits would be consolidated. */
+  def compactLog(table: String, keepTail: Int = 20,
+      minFiles: Int = 10): Option[(Long, Long)] = {
+    require(keepTail >= 1, "compactLog: keepTail must be >= 1")
+    // crash remnants: a loose commit a published container already
+    // covers is a duplicate (identical bytes) — unlink it now
+    val ranges = listLog(table).flatMap(p =>
+      p.getFileName.toString match {
+        case CompactedName(from, to) => Some((from.toLong, to.toLong))
+        case _ => None
+      })
+    listLog(table).foreach { p =>
+      p.getFileName.toString match {
+        case CommitName(v) if ranges.exists(r =>
+          v.toLong >= r._1 && v.toLong <= r._2) => Files.deleteIfExists(p)
+        case _ => ()
+      }
+    }
+    val loose = listLog(table)
+      .filter(p => CommitName.matches(p.getFileName.toString))
+    val lastCompacted = ranges.map(_._2).maxOption.getOrElse(0L)
+    def versionOf(p: Path): Long = p.getFileName.toString match {
+      case CommitName(v) => v.toLong
+      case n => throw new IllegalStateException(s"not a commit file: $n")
+    }
+    val candidates = loose.dropRight(keepTail)
+      .filter(versionOf(_) > lastCompacted)
+    if (candidates.size < minFiles) return None
+    val versions = candidates.map(versionOf)
+    val node = mapper.createObjectNode()
+    node.put("protocolVersion", 6)
+    val arr = node.putArray("commits")
+    candidates.foreach(p => arr.add(mapper.readTree(Files.readAllBytes(p))))
+    val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, mapper.writeValueAsBytes(node))
+    val placed =
+      try {
+        Files.createLink(compactedPath(table, versions.head, versions.last),
+          tmp)
+        true
+      } catch {
+        // same range already consolidated by a racer — identical content
+        // (commits are immutable), so unlinking our loose copies is safe
+        case _: FileAlreadyExistsException => true
+      } finally Files.deleteIfExists(tmp)
+    if (placed) candidates.foreach(Files.deleteIfExists)
+    Some((versions.head, versions.last))
+  }
 
   /** OPTIMIZE analog: rewrite the CURRENT snapshot into `targetFiles`
     * larger files — the small-file compaction every streaming/merge table
