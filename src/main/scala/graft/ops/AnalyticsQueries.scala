@@ -1043,6 +1043,41 @@ object AnalyticsQueries {
       TxLog.read(s, table)
     },
 
+    // GENERATED-COLUMN PARTITION PRUNING (Delta's rule): the table is
+    // partitioned by y GENERATED AS year(ts); the query bounds only ts,
+    // and the scan still opens only the matching year directories — the
+    // pushed base-column bound derives a partition bound. The build
+    // pins the pruning (derived candidate set strictly smaller) and the
+    // oracle pins the rows.
+    QueryDef("src_txlog_generated_partition_prune",
+      "WHERE on a base timestamp prunes a year(ts)-generated partition layout; derived-bound file set pinned, rows oracled",
+      s"""SELECT o_orderkey, o_totalprice
+         |FROM read_parquet('${QueryDef.StageSql}/txgpp_in/*.parquet')
+         |WHERE ts >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND ts < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("ts"),
+          col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$stage/txgpp_in")
+      val table = Files.createTempDirectory("graft_txgpp").toString + "/t"
+      TxLog.setProperties(table, Map(
+        "graft.generated.y" -> "year(ts)",
+        "graft.partition.columns" -> "y"))
+      TxLog.append(s.read.parquet(s"$stage/txgpp_in").repartition(4), table)
+      val (numB, strB) = TxLog.deriveGeneratedPartitionBounds(table, None,
+        Map("ts" -> (820454400.0, 852076800.0)), Map.empty) // 1996 bounds
+      require(numB.contains("y"), "derivation must bound the partition col")
+      val pruned = TxLog.readPruned(s, table, numB, strB)
+      require(pruned.inputFiles.length < TxLog.activeFiles(table).size,
+        "non-1996 year directories must be pruned")
+      TxLog.read(s, table)
+        .filter(col("ts") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("ts") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_totalprice")
+    },
+
     // LOG COMPACTION: a trickle-written table (one commit per
     // micro-batch — the 100 TB streaming-table steady state) accumulates
     // unbounded loose commit JSONs; with the threshold property set, the

@@ -2874,6 +2874,115 @@ object TxLog {
     * scan) owns exactness; this owns never dropping a file that could
     * hold a matching row (stats-less files always pass, string columns
     * never consult legacy numeric stats). */
+  private sealed trait GenShape
+  private final case class GenYear(base: String) extends GenShape
+  private final case class GenDate(base: String) extends GenShape
+  private final case class GenFormat(base: String, fmt: String)
+    extends GenShape
+  private final case class GenPrefix(base: String, n: Int) extends GenShape
+
+  /** Timestamp formats whose output ORDER equals input order (calendar
+    * units in strictly decreasing significance) — the ones a derived
+    * lexicographic range is sound for. */
+  private val MonotoneFormats = Set("yyyy", "yyyy-MM", "yyyy-MM-dd",
+    "yyyy-MM-dd HH", "yyyy-MM-dd HH:mm", "yyyy-MM-dd HH:mm:ss")
+
+  private def genShape(exprText: String): Option[GenShape] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    def attr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+        Some(a.nameParts.head)
+      case _ => None
+    }
+    scala.util.Try(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(exprText)).toOption.flatMap {
+      case f: UnresolvedFunction =>
+        (f.nameParts.map(_.toLowerCase).mkString("."), f.arguments) match {
+          case ("year", Seq(a)) => attr(a).map(GenYear)
+          case ("to_date" | "date", Seq(a)) => attr(a).map(GenDate)
+          case ("date_format", Seq(a, Literal(fmt, _)))
+            if fmt != null && MonotoneFormats.contains(fmt.toString) =>
+            attr(a).map(GenFormat(_, fmt.toString))
+          case ("substring" | "substr", Seq(a, Literal(s, _), Literal(n, _)))
+            if s != null && s.toString == "1" &&
+              n != null && n.toString.forall(_.isDigit) =>
+            attr(a).map(GenPrefix(_, n.toString.toInt))
+          case _ => None
+        }
+      case c: Cast if c.dataType ==
+        org.apache.spark.sql.types.DateType => attr(c.child).map(GenDate)
+      case _ => None
+    }
+  }
+
+  /** GENERATED-COLUMN PARTITION PRUNING (Delta's optimization): when a
+    * partition column is GENERATED from a base column by a
+    * monotone-enough expression, a pushed bound on the BASE column
+    * implies a bound on the partition column — `WHERE ts BETWEEN …`
+    * prunes a `date(ts)`-partitioned 100 TB table's directories even
+    * though the query never names the partition column. Derivations:
+    *   - `year(b)` (timestamp b) → numeric year range
+    *   - `to_date(b)` / `date(b)` / `cast(b AS date)` → ISO date-string
+    *     range (lexicographic = chronological)
+    *   - `date_format(b, f)`, f prefix-monotone (yyyy[-MM[-dd …]]) →
+    *     formatted-string range
+    *   - `substring(b, 1, n)` (string b) → prefix range
+    * Calendar derivations pad the epoch bound by ±14 h before
+    * truncating, so they stay sound under ANY session timezone; a
+    * derived bound only ever NARROWS the candidate file set the exact
+    * row-level filter then reads, so a missed derivation costs pruning,
+    * never correctness. Derivation is skipped when the query already
+    * constrains the generated column itself. */
+  def deriveGeneratedPartitionBounds(table: String, asOf: Option[Long],
+      num: Map[String, (Double, Double)],
+      str: Map[String, (String, String)]):
+      (Map[String, (Double, Double)], Map[String, (String, String)]) = {
+    val gens = generatedCols(table, asOf)
+    if (gens.isEmpty) return (num, str)
+    val schema = schemaAsOf(table, asOf)
+    def isTs(c: String): Boolean = schema.exists(_.fields.exists(f =>
+      f.name == c &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType]))
+    val TzPad = 50400L // ±14 h: the widest UTC offset in use
+    val utc = java.time.ZoneOffset.UTC
+    def zdt(sec: Double, shift: Long) =
+      java.time.Instant.ofEpochSecond(sec.toLong + shift).atZone(utc)
+    var num2 = num
+    var str2 = str
+    gens.foreach { case (g, exprText) =>
+      if (!num.contains(g) && !str.contains(g)) genShape(exprText).foreach {
+        case GenYear(b) if isTs(b) => num.get(b).foreach { case (lo, hi) =>
+          val loY = if (lo.isInfinite) lo else zdt(lo, -TzPad).getYear.toDouble
+          val hiY = if (hi.isInfinite) hi else zdt(hi, TzPad).getYear.toDouble
+          num2 += g -> (loY, hiY)
+        }
+        case GenDate(b) if isTs(b) => num.get(b).foreach { case (lo, hi) =>
+          if (lo.isFinite && hi.isFinite) str2 += g ->
+            (zdt(lo, -TzPad).toLocalDate.toString,
+              zdt(hi, TzPad).toLocalDate.toString)
+        }
+        case GenFormat(b, fmt) if isTs(b) =>
+          num.get(b).foreach { case (lo, hi) =>
+            if (lo.isFinite && hi.isFinite) {
+              val f = java.time.format.DateTimeFormatter.ofPattern(fmt)
+              str2 += g -> (zdt(lo, -TzPad).format(f), zdt(hi, TzPad).format(f))
+            }
+          }
+        case GenPrefix(b, n) => str.get(b).foreach { case (lo, hi) =>
+          // take(n) counts UTF-16 units, Spark's substring counts code
+          // points — identical unless a surrogate pair is in play, so
+          // derivation skips those (missing a prune, never a row)
+          if (!lo.exists(_.isSurrogate) && !hi.exists(_.isSurrogate))
+            str2 += g -> (lo.take(n), hi.take(n))
+        }
+        case _ => ()
+      }
+    }
+    (num2, str2)
+  }
+
   def readPruned(spark: SparkSession, table: String,
       numRanges: Map[String, (Double, Double)],
       strRanges: Map[String, (String, String)],

@@ -399,7 +399,14 @@ case class TxLogRelation(sqlContext: SQLContext, path: String,
     * stats — stats ignore nulls). */
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val (numB, strB, eqP) = statsBounds(filters)
+    val (numB0, strB0, eqP) = statsBounds(filters)
+    // generated-column partition pruning (Delta's rule): a bound on the
+    // BASE column of a generated partition column implies a bound on
+    // the partition column itself — WHERE ts BETWEEN … prunes a
+    // date(ts)-partitioned layout without the query naming the
+    // partition column
+    val (numB, strB) = TxLog.deriveGeneratedPartitionBounds(
+      path, pinnedVersion, numB0, strB0)
     // NULL-ness predicates prune via partition values only (a col=v
     // path segment proves the file holds no nulls for col and vice
     // versa); stats-based pruning never sees them. IsNotNull is
