@@ -31,10 +31,6 @@ object TableChangesTvf {
         s"table_changes: argument ${i + 1} must be a literal")
       es(i).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
     }
-    def asLong(i: Int): Long = arg(i) match {
-      case n: java.lang.Number => n.longValue()
-      case other => other.toString.toLong
-    }
     val spark = SparkSession.active
     val table = String.valueOf(arg(0))
     val keys = String.valueOf(arg(1)).split(",").map(_.trim)
@@ -44,6 +40,46 @@ object TableChangesTvf {
     val latest = TxLog.latestVersion(table).getOrElse(
       throw new IllegalArgumentException(
         s"table_changes: txlog table $table has no commits"))
+    // Delta's dual argument form: a bound is a VERSION (integer literal
+    // or all-digits string) or a TIMESTAMP (TIMESTAMP '…' literal or a
+    // 'yyyy-MM-dd HH:mm:ss' string). Timestamps resolve against the
+    // strictly monotone in-commit stamps: the start takes the first
+    // commit at or after it, the end the last commit at or before —
+    // both refuse when no commit qualifies, like Delta.
+    def asBound(i: Int, isStart: Boolean): Long = {
+      val millis: Option[Long] = es(i).dataType match {
+        case _: org.apache.spark.sql.types.TimestampType =>
+          Some(arg(i).asInstanceOf[Long] / 1000L)
+        case _ =>
+          val s = String.valueOf(arg(i)).trim
+          if (s.forall(_.isDigit)) None
+          else Some(scala.util.Try(java.sql.Timestamp.valueOf(s).getTime)
+            .getOrElse(throw new IllegalArgumentException(
+              s"table_changes: argument ${i + 1} is neither a version " +
+                s"nor a 'yyyy-MM-dd HH:mm:ss' timestamp: '$s'")))
+      }
+      millis match {
+        case None => String.valueOf(arg(i)).trim.toLong
+        case Some(ms) if isStart =>
+          TxLog.commits(table).find(_.ts >= ms).map(_.version)
+            .getOrElse(throw new IllegalArgumentException(
+              s"table_changes: no commit at or after start timestamp " +
+                s"$ms on $table — the table's last commit predates it"))
+        case Some(ms) =>
+          TxLog.commits(table).filter(_.ts <= ms).lastOption.map(_.version)
+            .getOrElse(throw new IllegalArgumentException(
+              s"table_changes: no commit at or before end timestamp " +
+                s"$ms on $table — the table's first commit postdates it"))
+      }
+    }
+    def asLong(i: Int): Long = es(i).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType =>
+        asBound(i, isStart = i == 2)
+      case _ => arg(i) match {
+        case n: java.lang.Number => n.longValue()
+        case _ => asBound(i, isStart = i == 2)
+      }
+    }
     val from = asLong(2)
     val to = if (es.length == 4) asLong(3) else latest
     require(from >= 1 && from <= to && to <= latest,

@@ -35,6 +35,39 @@ class TableChangesTvfSpec extends SparkSpec {
     assert(ts.zip(ts.tail).forall { case (a, b) => !a.after(b) })
   }
 
+  test("timestamp bounds resolve against the monotone in-commit stamps") {
+    val t = tmpDir("tvf") + "/ts"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)                   // v1
+    val cut = TxLog.commits(t).last.ts + 1
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)                   // v2
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)                   // v3
+    val endTs = TxLog.commits(t).find(_.version == 2L).get.ts
+    def fmt(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).format(java.time.format
+        .DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    // start timestamp: first commit at or after the cut → v2 onward
+    val fromTs = spark.sql(
+      s"SELECT k, _commit_version FROM table_changes('$t', 'k', " +
+        s"TIMESTAMP '${fmt(cut)}')")
+      .as[(Long, Long)].collect().toSet
+    assert(fromTs === Set((2L, 2L), (3L, 3L)))
+    // end timestamp: last commit at or before v2's stamp → v1..v2
+    val toTs = spark.sql(
+      s"SELECT k, _commit_version FROM table_changes('$t', 'k', 1, " +
+        s"TIMESTAMP '${fmt(endTs)}')")
+      .as[(Long, Long)].collect().toSet
+    assert(toTs === Set((1L, 1L), (2L, 2L)))
+    // string form works too, and a start beyond the tip refuses
+    val viaStr = spark.sql(
+      s"SELECT COUNT(*) FROM table_changes('$t', 'k', '${fmt(cut)}')")
+      .head.getLong(0)
+    assert(viaStr === 2L)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM table_changes('$t', 'k', " +
+        s"TIMESTAMP '${fmt(TxLog.commits(t).last.ts + 60000)}')").collect())
+    assert(e.getMessage.contains("at or after"), e.getMessage)
+  }
+
   test("diffs across a type-widening boundary coerce, the widen commit itself is silent") {
     val t = tmpDir("tvf") + "/w"
     TxLog.append(Seq((1, "a")).toDF("k", "v"), t)                    // v1
