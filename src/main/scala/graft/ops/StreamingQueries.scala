@@ -1438,6 +1438,76 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink")
     },
 
+    // Day-2 incremental dedup with a GROWING index, fed by the txlog
+    // streaming source (the composition a 100 TB ingest pipeline runs:
+    // corpus banded once, each arriving commit probes the index at
+    // O(batch) and then JOINS it). Four ordered commits stream through
+    // foreachBatch; each batch's MinHash bands probe the
+    // bands-so-far index (incrementalCandidates), survivors verify by
+    // exact Jaccard, and the batch's bands/sets append to the index.
+    // The oracle replays the same cross-batch rule declaratively:
+    // batch membership is doc_id // 125, a pair fires iff the index
+    // side arrived in an EARLIER batch.
+    QueryDef("st42_stream_incremental_dedup",
+      "streaming day-2 dedup: txlog-source commits probe a growing MinHash band index per batch, verified pairs appended, index grows batch by batch",
+      s"""WITH b AS (SELECT id, band, band_hash, id // 125 AS bt
+         |  FROM read_parquet('$StageSql/st42_bands/*.parquet')),
+         |c AS (SELECT DISTINCT a.id AS id_new, ib.id AS id_idx
+         |  FROM b a JOIN b ib ON a.band = ib.band
+         |    AND a.band_hash = ib.band_hash AND ib.bt < a.bt),
+         |st AS (SELECT id, toks FROM read_parquet('$StageSql/st42_sets/*.parquet'))
+         |SELECT c.id_new, c.id_idx,
+         |  CAST(len(list_intersect(a.toks, ix.toks)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.toks, ix.toks))) AS DOUBLE) AS jaccard
+         |FROM c JOIN st a ON c.id_new = a.id JOIN st ix ON c.id_idx = ix.id
+         |WHERE CAST(len(list_intersect(a.toks, ix.toks)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.toks, ix.toks))) AS DOUBLE) >= 0.2""".stripMargin) { (s, dir) =>
+      import graft.ext.Dedup
+      graft.functions.GraftFunctions.register(s)
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      val stage = QueryDef.stageDir(dir)
+      // oracle replica: full band/set tables staged once (signatures are
+      // per-row deterministic, so batch slicing cannot change them)
+      def hashedB(part: DataFrame) = part.select(
+        col("doc_id").alias("id"),
+        Dedup.shingleHashes(col("text"), 3).alias("hs"))
+      Dedup.minhashBandTable(hashedB(docs), numHashes = 64, bands = 16)
+        .write.mode("overwrite").parquet(s"$stage/st42_bands")
+      Dedup.shingleSets(hashedB(docs))
+        .write.mode("overwrite").parquet(s"$stage/st42_sets")
+      // the table under ingest: four ordered commits by doc_id quartile
+      val root = tmp("graft_st42")
+      val table = s"$root/docs"
+      (0 until 4).foreach { q =>
+        graft.ops.TxLog.append(docs.filter(
+          col("doc_id") >= q * 125 && col("doc_id") < (q + 1) * 125)
+          .repartition(2), table)
+      }
+      val idxBands = s"$root/idx_bands"
+      val idxSets = s"$root/idx_sets"
+      val sink = s"$root/pairs"
+      s.readStream.format("graft.sources.txlog")
+        .option("path", table).option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.option("checkpointLocation", s"$root/_cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val hashed = hashedB(batch)
+          val bands = Dedup.minhashBandTable(hashed, 64, 16)
+            .localCheckpoint(true)
+          val sets = Dedup.shingleSets(hashed).localCheckpoint(true)
+          if (new java.io.File(idxBands).exists()) {
+            Dedup.verifyJaccardIncremental(
+              Dedup.incrementalCandidates(bands, s.read.parquet(idxBands)),
+              sets, s.read.parquet(idxSets), threshold = 0.2)
+              .write.mode("append").parquet(sink)
+          }
+          bands.write.mode("append").parquet(idxBands)
+          sets.write.mode("append").parquet(idxSets)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      s.read.parquet(sink)
+    },
+
     // Streaming LM-scored ingest — the perplexity-filter step of a
     // training-data pipeline run AT INGEST instead of as a batch pass.
     // The vocabulary is trained once (batch, on the reference slice) and
