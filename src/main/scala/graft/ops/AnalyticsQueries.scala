@@ -1072,7 +1072,10 @@ object AnalyticsQueries {
       val pruned = TxLog.readPruned(s, table, numB, strB)
       require(pruned.inputFiles.length < TxLog.activeFiles(table).size,
         "non-1996 year directories must be pruned")
-      TxLog.read(s, table)
+      // the result rides the PRUNED scan (exact row filter on top —
+      // readPruned's contract), so the recorded plan shows the derived
+      // file cut, not a full-table scan
+      pruned
         .filter(col("ts") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("ts") < lit("1997-01-01 00:00:00").cast("timestamp"))
         .select("o_orderkey", "o_totalprice")
