@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.ops.TxLog
+
+/** Dev-tool main: log-compaction scaling probe, printed as PERF.md
+  * rows. Builds a trickle-written table (one tiny commit per append —
+  * the streaming steady state), then measures a COLD metadata fold
+  * (directory listing + JSON parse of every commit) before and after
+  * [[TxLog.compactLog]]. Cold cost is isolated by copying the log to a
+  * fresh path each time (the commit-parse cache keys by path). At a
+  * commit a minute, a year-old table holds ~500k loose files — the
+  * listing+open() cost this probe scales is the one compaction caps. */
+object LogCompactionProbe {
+
+  private def copyTable(src: String, dst: String): Unit = {
+    val s = Paths.get(src)
+    TxLog.walkDir(s).foreach { p =>
+      val rel = s.relativize(p)
+      val t = Paths.get(dst).resolve(rel)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+    }
+  }
+
+  private def timeColdFold(table: String): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val n = TxLog.commits(table).size
+    (n, (System.nanoTime() - t0) / 1e6)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nCommits = args.headOption.map(_.toInt).getOrElse(20000)
+    val root = Files.createTempDirectory("graft_logprobe").toString
+    val t = s"$root/t"
+    // synthesize the log shape directly (the fold under test parses
+    // JSON commit records; it never opens the data files) — a real
+    // trickle writer produces exactly these, one per micro-batch
+    Files.createDirectories(Paths.get(t, "_txlog"))
+    (1 to nCommits).foreach { i =>
+      Files.write(Paths.get(t, "_txlog", f"$i%020d.json"),
+        (s"""{"protocolVersion":1,"version":$i,"op":"append",""" +
+          s""""batchId":-1,"add":["d-x/part-$i.parquet"],"remove":[],""" +
+          s""""sizes":{"d-x/part-$i.parquet":1048576},"ts":${1000000 + i}}""")
+          .getBytes)
+    }
+    def looseCount(p: String): Int =
+      TxLog.walkDir(Paths.get(p, "_txlog"))
+        .count(_.getFileName.toString.matches("""\d{20}\.json"""))
+
+    val pre = s"$root/pre"; copyTable(t, pre)
+    val (n1, ms1) = timeColdFold(pre)
+    TxLog.compactLog(t)
+    val post = s"$root/post"; copyTable(t, post)
+    val (n2, ms2) = timeColdFold(post)
+    println(f"| commits | loose files | cold commits() fold |")
+    println(f"| $n1 | ${looseCount(pre)} | $ms1%.0f ms |")
+    println(f"| $n2 (compacted) | ${looseCount(post)} | $ms2%.0f ms |")
+    println(f"ratio: ${ms1 / ms2}%.2f x")
+  }
+}
