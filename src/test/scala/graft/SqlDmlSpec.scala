@@ -410,6 +410,39 @@ class SqlDmlSpec extends SparkSpec {
       .collect().toSeq === Seq("z", "b", "z"))
   }
 
+  test("DELETE and UPDATE conditions support subqueries") {
+    val t = seed()
+    Seq(1L, 3L).toDF("kk").createOrReplaceTempView("dml_subq_keys")
+    // IN-subquery DELETE (Delta's DELETE-with-subquery)
+    spark.sql(
+      s"DELETE FROM txlog.`$t` WHERE k IN (SELECT kk FROM dml_subq_keys)")
+    assert(TxLog.read(spark, t).select("k").as[Long].collect().sorted
+      === Array(2L, 4L))
+    // scalar-subquery UPDATE condition: only rows above the cut change
+    Seq(25.0).toDF("cut").createOrReplaceTempView("dml_subq_cut")
+    spark.sql(
+      s"""UPDATE txlog.`$t` SET v = 'big'
+         |WHERE amt > (SELECT max(cut) FROM dml_subq_cut)""".stripMargin)
+    assert(TxLog.read(spark, t).orderBy("k").select("v").as[String]
+      .collect().toSeq === Seq("b", "big"))
+  }
+
+  test("MERGE USING a (query) source with aggregation") {
+    val t = seed()
+    Seq((2L, 1.0), (2L, 2.0), (9L, 5.0)).toDF("k", "d")
+      .createOrReplaceTempView("mrg_q_src")
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS t
+         |USING (SELECT k, SUM(d) AS d FROM mrg_q_src GROUP BY k) AS s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET amt = t.amt + s.d
+         |WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, 'q', s.d)
+         |""".stripMargin)
+    val got = TxLog.read(spark, t).select("k", "amt")
+      .as[(Long, Double)].collect().toMap
+    assert(got(2L) === 23.0 && got(9L) === 5.0)
+  }
+
   test("TRUNCATE TABLE empties the table, keeps schema and time travel") {
     val t = seed()
     val v = spark.sql(s"TRUNCATE TABLE txlog.`$t`").head.getLong(0)
