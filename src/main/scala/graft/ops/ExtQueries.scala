@@ -643,6 +643,59 @@ object ExtQueries {
         vecs.filter(col("id") < 10), vecs, k = 5)
     },
 
+    // ANN over the LAKEHOUSE: the IVF cell assignment persisted as a
+    // cell-PARTITIONED txlog table, so a query batch's probe set prunes
+    // to its partitions BEFORE any vector byte is read — at 100 TB the
+    // scan cost follows the probed cells (nProbe/nCells of the corpus),
+    // not the table, and the index table gets txlog's ACID/time-travel
+    // for free (reassignment after retraining is one overwrite). The
+    // probe set itself is metadata-sized (≤ nCells ids). Exact cosine
+    // rerank on the pruned candidates; score+rank oracled like the
+    // other ANN entries.
+    QueryDef("ext_ann_lakehouse",
+      "ANN serving over a cell-partitioned txlog table: probe set prunes partitions before vectors are read; score+rank oracled over staged candidates",
+      s"""WITH c AS (SELECT q_id, n_id FROM read_parquet('$StageSql/annlake_cands/*.parquet')),
+         |s AS (SELECT c.q_id, c.n_id, $COS AS score
+         |      FROM c JOIN embeddings q ON q.vec_id = c.q_id
+         |             JOIN embeddings n ON n.vec_id = c.n_id)
+         |SELECT q_id, n_id, score, rank FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM s)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = graft.ext.IvfIndex.trainCached(s"$dir#annlake", emb,
+        "embedding", nCells = 32)
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_annlake").toString + "/t"
+      graft.ops.TxLog.setProperties(table,
+        Map("graft.partition.columns" -> "cell"))
+      graft.ops.TxLog.append(model.withCell(
+        emb.select(col("vec_id").alias("n_id"),
+          col("embedding").alias("n_vec")), "n_vec", "cell"), table)
+      val q = model.withProbeCells(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").alias("q_id"),
+          col("embedding").alias("q_vec")), "q_vec", "cells", nProbe = 3)
+        .select(col("q_id"), explode(col("cells")).alias("cell"))
+      val probeCells = q.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val pruned = graft.ops.TxLog.readPruned(s, table, Map.empty,
+        Map.empty, eqProbes = Map("cell" -> probeCells))
+      require(pruned.inputFiles.length <
+        graft.ops.TxLog.activeFiles(table).size,
+        "the probe set must prune unprobed cell partitions")
+      val cands = pruned.select("n_id", "cell").join(q, Seq("cell"))
+        .filter(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id").dropDuplicates("q_id", "n_id")
+      val stage = stageDir(dir)
+      cands.write.mode("overwrite").parquet(s"$stage/annlake_cands")
+      val vecs = emb.select(col("vec_id").alias("id"),
+        col("embedding").alias("vec"))
+      Similarity.topKFromCandidates(s.read.parquet(s"$stage/annlake_cands"),
+        vecs.filter(col("id") < 5), vecs, k = 5)
+    },
+
     // SQ8: unlike the LSH/IVF entries (where only score+rank is oracled),
     // BOTH stages replay in DuckDB — int8 dots are exact integers in f64,
     // so the quantized shortlist is engine-deterministic, and the rerank
