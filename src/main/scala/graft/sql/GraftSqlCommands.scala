@@ -421,6 +421,46 @@ final case class ShowPartitionsTxLogCommand(target: SqlTarget)
     }
 }
 
+/** `DESCRIBE txlog.`path`` — the logged schema as (col_name, data_type,
+  * comment): generated/identity declarations surface in the comment,
+  * and the standard `# Partition Information` section follows for
+  * partitioned tables (what `DESCRIBE delta.`/p`` shows). Metadata-only:
+  * one cached log fold, no file is opened. */
+final case class DescribeTxLogCommand(target: SqlTarget)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("data_type", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("comment", org.apache.spark.sql.types.StringType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val schema = TxLog.schemaAsOf(t).getOrElse(TxLog.read(spark, t).schema)
+    val parts = TxLog.declaredPartitionCols(t)
+    val gens = TxLog.generatedCols(t)
+    val idents = TxLog.identityCols(t)
+    val cols = schema.fields.toSeq.map { f =>
+      val note = idents.get(f.name)
+        .map { case (st, sp) =>
+          s"GENERATED ALWAYS AS IDENTITY (START WITH $st INCREMENT BY $sp)" }
+        .orElse(gens.get(f.name).map(e => s"GENERATED ALWAYS AS ($e)"))
+      Row(f.name, f.dataType.simpleString, note.orNull)
+    }
+    val partRows =
+      if (parts.isEmpty) Seq.empty
+      else Seq(Row("# Partition Information", "", null),
+        Row("# col_name", "data_type", null)) ++
+        parts.map { c =>
+          val dt = schema.fields.find(_.name == c)
+            .map(_.dataType.simpleString).getOrElse("")
+          Row(c, dt, null)
+        }
+    cols ++ partRows
+  }
+}
+
 /** `SHOW TBLPROPERTIES txlog.`path`` → the folded table-property map
   * (path form only: the stock verb serves catalog tables). */
 final case class ShowTxLogPropertiesCommand(target: SqlTarget)
@@ -717,6 +757,44 @@ final case class AlterTxLogTableCommand(target: SqlTarget,
       case _ if set.nonEmpty => TxLog.setProperties(t, set.toMap)
       case _ => TxLog.unsetProperties(t, unset)
     }
+    Seq(Row(v))
+  }
+}
+
+/** `SHOW COLUMNS {IN|FROM} txlog.`path`` — the logged schema's column
+  * names (path form only; the stock verb serves catalog tables). */
+final case class ShowColumnsTxLogCommand(target: SqlTarget)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    TxLog.schemaAsOf(t).getOrElse(TxLog.read(spark, t).schema)
+      .fieldNames.toSeq.map(Row(_))
+  }
+}
+
+/** `ALTER TABLE txlog.`p` CLUSTER BY (col, …) | NONE` — Delta's liquid
+  * clustering declaration: sets/retires `graft.cluster.columns`, the
+  * property every subsequent unpartitioned write range-clusters by
+  * (and implicitly stats-records). Metadata-only; existing files
+  * re-cluster at the next OPTIMIZE. */
+final case class AlterClusterByTxLogCommand(target: SqlTarget,
+    cols: Seq[String]) extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    TxLog.schemaAsOf(t).foreach { s =>
+      val missing = cols.filterNot(c =>
+        s.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"ALTER TABLE $t CLUSTER BY: column(s) ${missing.mkString(", ")} " +
+          s"not in the table schema (${s.fieldNames.mkString(", ")})")
+    }
+    val v =
+      if (cols.isEmpty) TxLog.unsetProperties(t, Seq("graft.cluster.columns"))
+      else TxLog.setProperties(t,
+        Map("graft.cluster.columns" -> cols.mkString(",")))
     Seq(Row(v))
   }
 }

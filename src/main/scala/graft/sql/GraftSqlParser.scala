@@ -89,12 +89,32 @@ object GraftSqlDml {
         require(s.eof, s"unexpected trailing input in DESCRIBE DETAIL $t")
         DescribeDetailTxLogCommand(t)
       }
+    else if (s.kw("DESCRIBE") || s.kw("DESC")) {
+      // plain DESCRIBE, path form only (`DESCRIBE <ident>` keeps its
+      // stock catalog behavior): the logged schema's columns + types,
+      // partition columns marked — what `DESCRIBE delta.`/p`` shows
+      s.kw("TABLE")
+      val p0 = s.pos
+      target(s, allowIdent = false) match {
+        case Some(t) if s.eof => Some(DescribeTxLogCommand(t))
+        case _ => { s.reset(p0); None } // not ours — delegate
+      }
+    }
     else if (s.kws("FSCK", "REPAIR", "TABLE"))
       target(s, allowIdent = true).map { t =>
         val dry = s.kws("DRY", "RUN")
         require(s.eof, s"unexpected trailing input in FSCK REPAIR TABLE $t")
         FsckTxLogCommand(t, dry)
       }
+    else if (s.kws("SHOW", "COLUMNS")) {
+      // path form only: SHOW COLUMNS {IN|FROM} <ident> is a stock verb
+      val p0 = s.pos
+      if (!s.kw("IN") && !s.kw("FROM")) { s.reset(p0); None }
+      else target(s, allowIdent = false) match {
+        case Some(t) if s.eof => Some(ShowColumnsTxLogCommand(t))
+        case _ => { s.reset(p0); None }
+      }
+    }
     else if (s.kws("SHOW", "PARTITIONS"))
       // path form only: SHOW PARTITIONS <ident> is a stock verb
       target(s, allowIdent = false).map { t =>
@@ -165,7 +185,22 @@ object GraftSqlDml {
     // path form ONLY: ALTER TABLE <ident> is a stock verb for catalog
     // tables and must keep its stock behavior
     target(s, allowIdent = false).map { t =>
-      if (s.kws("SET", "PARTITIONED", "BY")) {
+      if (s.kws("CLUSTER", "BY")) {
+        // Delta's liquid `ALTER TABLE … CLUSTER BY (…)`: declares the
+        // clustered-write columns (graft.cluster.columns) — every
+        // subsequent unpartitioned write range-clusters itself; NONE
+        // (or ()) retires the declaration
+        if (s.kw("NONE")) {
+          require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+          AlterClusterByTxLogCommand(t, Nil)
+        } else {
+          require(s.punct('('), s"ALTER TABLE $t: expected (col, …) or NONE")
+          val cols = Scan.splitTop(s.parenBody(), ',')
+            .map(Scan.unquoteIdent).filter(_.nonEmpty)
+          require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+          AlterClusterByTxLogCommand(t, cols)
+        }
+      } else if (s.kws("SET", "PARTITIONED", "BY")) {
         // partition spec evolution (Iceberg-style): metadata-only layout
         // change; () unpartitions. Lowers onto TxLog.alterPartitioning.
         require(s.punct('('), s"ALTER TABLE $t: expected (col, …) or ()")

@@ -443,6 +443,44 @@ class SqlDmlSpec extends SparkSpec {
     assert(got(2L) === 23.0 && got(9L) === 5.0)
   }
 
+  test("DESCRIBE txlog.`p` lists columns, declarations, and partitions") {
+    val t = tmpDir("sqldml-desc") + "/t"
+    TxLog.setProperties(t, Map(
+      "graft.generated.y" -> "year(ts)",
+      "graft.partition.columns" -> "y"))
+    TxLog.append(
+      Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .toDF("k", "ts"), t)
+    val rows = spark.sql(s"DESCRIBE txlog.`$t`").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+    assert(rows.exists(r => r._1 == "k" && r._2 == "bigint"), rows.toSeq)
+    assert(rows.exists(r => r._1 == "y" &&
+      r._3.exists(_.contains("GENERATED ALWAYS AS (year(ts))"))), rows.toSeq)
+    assert(rows.exists(_._1 == "# Partition Information"), rows.toSeq)
+    // DESC TABLE form routes the same; stock DESCRIBE still delegates
+    assert(spark.sql(s"DESC TABLE txlog.`$t`").collect().nonEmpty)
+    spark.range(3).createOrReplaceTempView("desc_passthrough_v")
+    assert(spark.sql("DESCRIBE desc_passthrough_v").collect().nonEmpty)
+  }
+
+  test("SHOW COLUMNS and ALTER TABLE CLUSTER BY") {
+    val t = seed()
+    assert(spark.sql(s"SHOW COLUMNS IN txlog.`$t`").collect()
+      .map(_.getString(0)).toSeq === Seq("k", "v", "amt"))
+    spark.sql(s"ALTER TABLE txlog.`$t` CLUSTER BY (k)")
+    assert(TxLog.properties(t).get("graft.cluster.columns").contains("k"))
+    // clustered writes now stats-record the declared column
+    TxLog.append(Seq((7L, "x", 1.0), (8L, "y", 2.0)).toDF("k", "v", "amt"), t)
+    val last = TxLog.commits(t).last
+    assert(last.stats.values.exists(_.contains("k")),
+      s"clustered column must be stats-recorded: ${last.stats}")
+    spark.sql(s"ALTER TABLE txlog.`$t` CLUSTER BY NONE")
+    assert(!TxLog.properties(t).contains("graft.cluster.columns"))
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"ALTER TABLE txlog.`$t` CLUSTER BY (nope)"))
+    assert(e.getMessage.contains("not in the table schema"), e.getMessage)
+  }
+
   test("TRUNCATE TABLE empties the table, keeps schema and time travel") {
     val t = seed()
     val v = spark.sql(s"TRUNCATE TABLE txlog.`$t`").head.getLong(0)
