@@ -2876,6 +2876,8 @@ object TxLog {
     * never consult legacy numeric stats). */
   private sealed trait GenShape
   private final case class GenYear(base: String) extends GenShape
+  private final case class GenMonth(base: String) extends GenShape
+  private final case class GenDay(base: String) extends GenShape
   private final case class GenDate(base: String) extends GenShape
   private final case class GenFormat(base: String, fmt: String)
     extends GenShape
@@ -2901,6 +2903,8 @@ object TxLog {
       case f: UnresolvedFunction =>
         (f.nameParts.map(_.toLowerCase).mkString("."), f.arguments) match {
           case ("year", Seq(a)) => attr(a).map(GenYear)
+          case ("month", Seq(a)) => attr(a).map(GenMonth)
+          case ("day" | "dayofmonth", Seq(a)) => attr(a).map(GenDay)
           case ("to_date" | "date", Seq(a)) => attr(a).map(GenDate)
           case ("date_format", Seq(a, Literal(fmt, _)))
             if fmt != null && MonotoneFormats.contains(fmt.toString) =>
@@ -2924,6 +2928,9 @@ object TxLog {
     * prunes a `date(ts)`-partitioned 100 TB table's directories even
     * though the query never names the partition column. Derivations:
     *   - `year(b)` (timestamp b) → numeric year range
+    *   - `month(b)` / `day(b)` (cyclic units) → numeric range ONLY when
+    *     the next coarser unit is constant across the padded bound — a
+    *     cross-boundary range could wrap (Dec..Jan is {12, 1})
     *   - `to_date(b)` / `date(b)` / `cast(b AS date)` → ISO date-string
     *     range (lexicographic = chronological)
     *   - `date_format(b, f)`, f prefix-monotone (yyyy[-MM[-dd …]]) →
@@ -2957,6 +2964,24 @@ object TxLog {
           val loY = if (lo.isInfinite) lo else zdt(lo, -TzPad).getYear.toDouble
           val hiY = if (hi.isInfinite) hi else zdt(hi, TzPad).getYear.toDouble
           num2 += g -> (loY, hiY)
+        }
+        // month/day/hour are CYCLIC — monotone only while the next
+        // coarser unit is constant across the padded bound, so each
+        // derives only under that guard (a cross-boundary range could
+        // wrap: Dec..Jan is months {12, 1}, not [1, 12]-tight)
+        case GenMonth(b) if isTs(b) => num.get(b).foreach { case (lo, hi) =>
+          if (lo.isFinite && hi.isFinite) {
+            val (l, h) = (zdt(lo, -TzPad), zdt(hi, TzPad))
+            if (l.getYear == h.getYear)
+              num2 += g -> (l.getMonthValue.toDouble, h.getMonthValue.toDouble)
+          }
+        }
+        case GenDay(b) if isTs(b) => num.get(b).foreach { case (lo, hi) =>
+          if (lo.isFinite && hi.isFinite) {
+            val (l, h) = (zdt(lo, -TzPad), zdt(hi, TzPad))
+            if (l.getYear == h.getYear && l.getMonthValue == h.getMonthValue)
+              num2 += g -> (l.getDayOfMonth.toDouble, h.getDayOfMonth.toDouble)
+          }
         }
         case GenDate(b) if isTs(b) => num.get(b).foreach { case (lo, hi) =>
           if (lo.isFinite && hi.isFinite) str2 += g ->

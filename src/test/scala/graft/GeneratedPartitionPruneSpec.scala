@@ -95,6 +95,31 @@ class GeneratedPartitionPruneSpec extends SparkSpec {
     assert(pruned.filter(col("code").startsWith("DE")).count() === 2)
   }
 
+  test("month(ts) derives only within one year; cross-year wraps refuse") {
+    val t = tmpDir("gpp_month") + "/t"
+    TxLog.setProperties(t, Map(
+      "graft.generated.m" -> "month(ts)",
+      "graft.partition.columns" -> "m"))
+    TxLog.append(Seq(
+      (1L, ts("2021-01-15 00:00:00")), (2L, ts("2021-06-15 00:00:00")),
+      (3L, ts("2021-12-15 00:00:00"))).toDF("k", "ts"), t)
+    // intra-year window (pad-safe: bounds a day inside the months)
+    val (num, _) = TxLog.deriveGeneratedPartitionBounds(t, None,
+      Map("ts" -> (epoch("2021-05-02 00:00:00"), epoch("2021-07-30 00:00:00"))),
+      Map.empty)
+    assert(num.get("m").contains((5.0, 7.0)), num)
+    val pruned = TxLog.readPruned(spark, t, num, Map.empty)
+    assert(pruned.inputFiles.length < TxLog.activeFiles(t).size,
+      "January and December directories must be pruned")
+    assert(pruned.count() === 1)
+    // a window whose padded bounds straddle a year boundary must NOT
+    // derive: months wrap (Dec..Jan = {12, 1})
+    val (num2, _) = TxLog.deriveGeneratedPartitionBounds(t, None,
+      Map("ts" -> (epoch("2021-12-20 00:00:00"), epoch("2022-01-10 00:00:00"))),
+      Map.empty)
+    assert(!num2.contains("m"), num2)
+  }
+
   test("no derivation when the query already bounds the partition column") {
     val t = yearTable()
     val (num, _) = TxLog.deriveGeneratedPartitionBounds(t, None,
