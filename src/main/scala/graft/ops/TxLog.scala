@@ -1682,6 +1682,39 @@ object TxLog {
       Map("graft.partition.columns" -> Some(canon.mkString(","))))
   }
 
+  /** Bounded layout migration after [[alterPartitioning]]: rewrite ONLY
+    * the active files whose paths are missing a CURRENT declared
+    * partition column (pre-partitioning files and evolved-away eras),
+    * leaving current-layout files byte-untouched. After an evolution the
+    * legacy era is often a small fraction of the table — a full OPTIMIZE
+    * would rewrite 100 TB to fix a sliver. One commit, op `optimize`:
+    * data-neutral by construction, so streaming readers skip it and CDF
+    * shows no changes; row-tracking ids materialize through the rewrite
+    * like every DML path. Returns the new version, or None when every
+    * active file already carries the declared layout (no commit). */
+  def migrateLayout(spark: SparkSession, table: String): Option[Long] = {
+    var attempts = 0
+    while (attempts < 10) {
+      val base = latestVersion(table)
+      if (base.isEmpty) return None
+      val files = activeFiles(table, base)
+      val phys = declaredPartitionCols(table).map(physOf(mappingAsOf(table)))
+      if (phys.isEmpty) return None
+      val legacy = files.filter { f =>
+        val carried = partValuesOf(f).map(_._1).toSet
+        !phys.forall(carried.contains)
+      }
+      if (legacy.isEmpty) return None
+      val tracking = rowTrackingEnabled(table, base)
+      val rows = readFiles(spark, table, legacy, base, withRowIds = tracking)
+      if (commitRewrite(spark, table, base, files, legacy, rows, "optimize"))
+        return Some(base.get + 1)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog migrateLayout on $table lost 10 straight races — giving up")
+  }
+
   private def commitProperties(table: String,
       deltas: Map[String, Option[String]]): Long = {
     require(deltas.nonEmpty, "setProperties needs at least one property")
@@ -2708,8 +2741,8 @@ object TxLog {
           "do not carry the declared partition layout (e.g. " +
           s"${legacy.headOption.getOrElse("")}) and may hold rows of any " +
           "partition — selective replacement cannot be expressed over " +
-          "them. Run TxLog.optimize to rewrite the table into the " +
-          "declared layout first")
+          "them. Run TxLog.migrateLayout (rewrites ONLY the legacy " +
+          "files) or TxLog.optimize first")
       val remove = active.filter(f => touched.contains(tupleOf(f)))
       val keep = active.diff(remove).map(fileKey).toSet
       val dvRemove = inertDvs(spark, table, activeDvs(table, base), keep)

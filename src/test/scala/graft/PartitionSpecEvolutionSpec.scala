@@ -102,6 +102,30 @@ class PartitionSpecEvolutionSpec extends SparkSpec {
       "b=10 replaced wholesale; other partitions untouched")
   }
 
+  test("migrateLayout rewrites only legacy-era files, then replacement works") {
+    val t = tmpDir("pse_mig") + "/t"
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "a"))
+    TxLog.append(Seq((1L, "x1", 10), (2L, "x2", 20)).toDF("k", "a", "b"), t)
+    TxLog.alterPartitioning(t, Seq("b"))
+    TxLog.append(Seq((3L, "x1", 30)).toDF("k", "a", "b"), t)
+    val newEra = TxLog.activeFiles(t).filter(_.contains("b="))
+    assert(TxLog.migrateLayout(spark, t).nonEmpty)
+    val after = TxLog.activeFiles(t)
+    assert(newEra.forall(after.contains),
+      "current-layout files must stay byte-untouched")
+    assert(after.forall(_.contains("b=")), after)
+    assert(TxLog.read(spark, t).orderBy("k").select("k", "a", "b")
+      .as[(Long, String, Int)].collect().toSeq ===
+      Seq((1L, "x1", 10), (2L, "x2", 20), (3L, "x1", 30)))
+    assert(TxLog.commits(t).last.op === "optimize",
+      "migration is data-neutral: streaming readers skip it")
+    assert(TxLog.migrateLayout(spark, t).isEmpty, "second call is a no-op")
+    // selective replacement now expresses over the uniform layout
+    TxLog.overwritePartitions(Seq((9L, "x9", 10)).toDF("k", "a", "b"), t)
+    assert(TxLog.read(spark, t).select("k").as[Long].collect().sorted
+      === Array(2L, 3L, 9L))
+  }
+
   test("evolution composes with time travel and the streaming source") {
     val t = tmpDir("pse_tt") + "/t"
     TxLog.append(Seq((1L, 2020), (2L, 2021)).toDF("k", "y"), t)   // v1 flat
