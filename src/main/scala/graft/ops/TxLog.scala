@@ -1666,8 +1666,14 @@ object TxLog {
     *
     * Pass an empty list to UNPARTITION the table (new writes land flat;
     * old partitioned files still read correctly). */
-  def alterPartitioning(table: String, cols: Seq[String]): Long = {
-    val canon = schemaAsOf(table) match {
+  /** `against` (optional): validate the columns against THIS schema
+    * instead of the table's current one — the CTAS REPLACE case, where
+    * the partitioning must be declared BEFORE the data write that
+    * defines the new schema (writeData consults the property), so the
+    * current schema is the OUTGOING table's and may lack the column. */
+  def alterPartitioning(table: String, cols: Seq[String],
+      against: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+    val canon = against.orElse(schemaAsOf(table)) match {
       case Some(s) =>
         val missing = cols.filterNot(c =>
           s.fieldNames.exists(_.equalsIgnoreCase(c)))

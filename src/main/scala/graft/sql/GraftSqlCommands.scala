@@ -707,7 +707,11 @@ final case class CtasTxLogCommand(target: SqlTarget, queryText: String,
       val stale = TxLog.properties(t).keySet -- declared.keySet
       if (stale.nonEmpty) TxLog.unsetProperties(t, stale.toSeq)
     }
-    if (declared.nonEmpty) TxLog.setProperties(t, declared)
+    // the partition declaration validates against the INCOMING query's
+    // schema (on REPLACE the current schema is the outgoing table's)
+    if (partitionCols.nonEmpty)
+      TxLog.alterPartitioning(t, partitionCols, Some(df.schema))
+    if (props.nonEmpty) TxLog.setProperties(t, props)
     val v = if (existing.nonEmpty) TxLog.overwrite(df, t, mergeSchema = true)
             else TxLog.append(df, t)
     spark.sessionState.catalog.invalidateAllCachedTables()

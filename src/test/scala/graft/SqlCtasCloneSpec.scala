@@ -34,6 +34,23 @@ class SqlCtasCloneSpec extends SparkSpec {
     assert(TxLog.latestVersion(t) === v)
   }
 
+  test("CTAS REPLACE may partition by a column the outgoing table lacks") {
+    val t = tmpDir("sqlcc") + "/repart"
+    spark.sql(s"CREATE TABLE txlog.`$t` AS SELECT id AS k FROM range(3)")
+    // the new definition's partition column 'p' is not in the OLD
+    // schema — validation must run against the incoming query's schema
+    spark.sql(s"CREATE OR REPLACE TABLE txlog.`$t` PARTITIONED BY (p) AS " +
+      "SELECT id AS k, CAST(id % 2 AS INT) AS p FROM range(4)")
+    assert(TxLog.activeFiles(t).forall(_.contains("p=")),
+      TxLog.activeFiles(t))
+    assert(TxLog.read(spark, t).count() === 4)
+    // and a typo'd partition column still refuses
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"CREATE OR REPLACE TABLE txlog.`$t` PARTITIONED BY (nope)" +
+        " AS SELECT id AS k FROM range(2)"))
+    assert(e.getMessage.contains("not in the table schema"), e.getMessage)
+  }
+
   test("CTAS PARTITIONED BY declares the layout before the write") {
     val t = tmpDir("sqlcc") + "/part"
     spark.sql(s"CREATE TABLE txlog.`$t` PARTITIONED BY (y) " +
