@@ -136,8 +136,10 @@ object GraftSqlDml {
     else if (s.kws("TRUNCATE", "TABLE"))
       // lowers onto the unconditional row DELETE: one copy-on-write (or
       // DV) commit emptying the table; the schema, properties, and every
-      // prior version stay — time travel still reads the old rows
-      target(s, allowIdent = true).map { t =>
+      // prior version stay — time travel still reads the old rows.
+      // PATH form only: `TRUNCATE TABLE <ident>` is a stock verb and
+      // must keep its stock behavior for non-txlog catalog tables
+      target(s, allowIdent = false).map { t =>
         require(s.eof, s"unexpected trailing input in TRUNCATE TABLE $t")
         DeleteFromTxLogCommand(t, None)
       }

@@ -492,5 +492,12 @@ class SqlDmlSpec extends SparkSpec {
     TxLog.append(Seq((7L, "z", 1.0)).toDF("k", "v", "amt"), t)
     assert(TxLog.read(spark, t).select("k").as[Long].collect().toSeq
       === Seq(7L))
+    // stock TRUNCATE on a non-txlog catalog table keeps its stock route
+    spark.sql("DROP TABLE IF EXISTS trunc_stock_t")
+    spark.sql("CREATE TABLE trunc_stock_t (x INT) USING parquet")
+    spark.sql("INSERT INTO trunc_stock_t VALUES (1), (2)")
+    spark.sql("TRUNCATE TABLE trunc_stock_t")
+    assert(spark.table("trunc_stock_t").count() === 0)
+    spark.sql("DROP TABLE trunc_stock_t")
   }
 }
