@@ -1155,6 +1155,46 @@ object AnalyticsQueries {
       TxLog.read(s, table)
     },
 
+    // The full partition-lifecycle: evolve a flat table to year
+    // partitioning (metadata-only), migrate ONLY the legacy era into
+    // the layout (migrateLayout — current-layout files byte-untouched),
+    // then dynamically REPLACE one year's partition. The oracle
+    // recomputes the three-phase end state declaratively.
+    QueryDef("src_txlog_layout_migration",
+      "evolution → bounded migrateLayout → dynamic partition overwrite: legacy era rewritten alone, one year replaced, snapshot oracled",
+      s"""WITH i AS (SELECT o_orderkey, o_year, o_totalprice
+         |  FROM read_parquet('${QueryDef.StageSql}/txlmig_in/*.parquet'))
+         |SELECT o_orderkey, o_year, o_totalprice FROM i
+         |WHERE o_orderkey % 3 IN (0, 1) AND o_year <> 1995
+         |UNION ALL
+         |SELECT o_orderkey + 500000000, o_year, o_totalprice FROM i
+         |WHERE o_orderkey % 3 = 2 AND o_year = 1995""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$stage/txlmig_in")
+      val in = s.read.parquet(s"$stage/txlmig_in")
+      val table = Files.createTempDirectory("graft_txlmig").toString + "/t"
+      TxLog.overwrite(in.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .repartition(4), table)                                  // v1 flat
+      s.sql(s"ALTER TABLE txlog.`$table` SET PARTITIONED BY (o_year)")
+      TxLog.append(in.filter(pmod(col("o_orderkey"), lit(3)) === 1), table)
+      val newEra = TxLog.activeFiles(table).filter(_.contains("o_year="))
+      require(TxLog.migrateLayout(s, table).nonEmpty, "legacy era exists")
+      require(newEra.forall(TxLog.activeFiles(table).contains),
+        "migration must not rewrite current-layout files")
+      require(TxLog.activeFiles(table).forall(_.contains("o_year=")),
+        "post-migration layout must be uniform")
+      require(TxLog.migrateLayout(s, table).isEmpty, "second call no-ops")
+      TxLog.overwritePartitions(
+        in.filter(pmod(col("o_orderkey"), lit(3)) === 2 &&
+          col("o_year") === 1995)
+          .withColumn("o_orderkey", col("o_orderkey") + 500000000L), table)
+      TxLog.read(s, table)
+    },
+
     // TRUNCATE TABLE: empties the table in ONE commit (the unconditional
     // row delete — no data written, every file retired), schema and
     // history intact: the build re-reads the pre-truncate version to
