@@ -341,6 +341,23 @@ object TxLog {
     * loose file is unlinked) — [[dedupCommits]] resolves by version
     * (the contents are identical: published commits are immutable). */
   def commits(table: String): Seq[Commit] = {
+    // A racing compactLog unlinks loose commits AFTER publishing the
+    // container that covers them: a reader that listed before the unlink
+    // can open a vanished file. Re-list and re-fold — the container now
+    // carries the commit (Delta's FileNotFound-retry on log replay).
+    var attempts = 0
+    while (true) {
+      try return commitsOnce(table)
+      catch {
+        case _: java.nio.file.NoSuchFileException if attempts < 5 =>
+          commitCache.remove(table)
+          attempts += 1
+      }
+    }
+    throw new IllegalStateException("unreachable") // while(true) above
+  }
+
+  private def commitsOnce(table: String): Seq[Commit] = {
     val files = listLog(table).filter { p =>
       val n = p.getFileName.toString
       CommitName.matches(n) || CompactedName.matches(n)
@@ -4632,10 +4649,30 @@ object TxLog {
       // target rows read for match detection but living in a NON-rewrite
       // file stay where they are — only insert rows (no target side) and
       // rewrite-file rows flow into the rewritten output
-      val kept =
+      val kept1 =
         if (joinKeys == rewriteKeys) kept0
         else kept0.filter(!tP ||
           col("__dv_f").isin(rewriteKeys.toSeq.map(_.asInstanceOf[Any]): _*))
+      // A merge with NO WHEN MATCHED clause skips the cardinality check
+      // (nothing can update twice), but an NMBS-rewritten file can still
+      // hold a target row matched by >1 source rows: it appears once per
+      // match in the FULL OUTER join, every copy carrying action -1
+      // (keep). All copies carry identical target columns — the only ones
+      // the rewrite projects for keep rows — so collapse on the physical
+      // row key. row_number over that key (not dropDuplicates: the joined
+      // frame has clashing target/source column names) keeps one copy;
+      // insert rows (no target side) get a unique synthetic key so they
+      // all survive AND don't pile into one null-key partition.
+      val kept =
+        if (matchedC.isEmpty && nmbsTouched.nonEmpty) {
+          val dedupKey = when(tP, col("__dv_f"))
+            .otherwise(concat(lit("__ins_"),
+              monotonically_increasing_id().cast("string")))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(dedupKey, col("__dv_ri")).orderBy(lit(1))
+          kept1.withColumn("__keep_rn", row_number().over(w))
+            .filter(col("__keep_rn") === 1).drop("__keep_rn")
+        } else kept1
       val outCols = tgtSchema.fields.toSeq.map { f =>
         // an evolution-added column has no target side to keep: rows the
         // clauses don't reach carry NULL (the same backfill untouched
@@ -5190,8 +5227,49 @@ object TxLog {
         // (commits are immutable), so unlinking our loose copies is safe
         case _: FileAlreadyExistsException => true
       } finally Files.deleteIfExists(tmp)
-    if (placed) candidates.foreach(Files.deleteIfExists)
+    if (placed) {
+      // The reader floor must publish atomically with the container: a
+      // pre-v6 reader lists only loose <v>.json files, so between this
+      // unlink and the NEXT write (which tryCommit/compact would stamp 6)
+      // every file it parses still says <=5 and it silently folds a log
+      // missing all consolidated commits. Checkpoints are parsed
+      // unconditionally by every reader generation, so one checkpoint
+      // stamped 6 — written BEFORE the loose files vanish — turns that
+      // silent misread into the refusal the stamp exists for.
+      publishV6Floor(table)
+      candidates.foreach(Files.deleteIfExists)
+    }
     Some((versions.head, versions.last))
+  }
+
+  /** Publish the v6 reader floor in a file pre-v6 readers DO parse (see
+    * [[compactLog]]). Checkpoints are immutable once published
+    * (put-if-absent), so when the newest versions already carry <=5
+    * checkpoints the floor lands at the newest version without one. */
+  private def publishV6Floor(table: String): Unit = {
+    val alreadyStamped = listLog(table).exists { p =>
+      p.getFileName.toString match {
+        case CheckpointName(_) =>
+          Option(mapper.readTree(Files.readAllBytes(p))
+            .get("protocolVersion")).exists(_.asInt() >= 6)
+        case _ => false
+      }
+    }
+    if (alreadyStamped) return
+    val have = checkpoints(table).map(_._1).toSet
+    commits(table).map(_.version).reverse.find(!have.contains(_))
+      .foreach { v =>
+        val node = mapper.createObjectNode()
+        node.put("protocolVersion", 6)
+        node.put("version", v)
+        val arr = node.putArray("files")
+        activeFiles(table, Some(v)).foreach(arr.add)
+        val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
+        Files.write(tmp, mapper.writeValueAsBytes(node))
+        try Files.createLink(checkpointPath(table, v), tmp)
+        catch { case _: FileAlreadyExistsException => () }
+        finally Files.deleteIfExists(tmp)
+      }
   }
 
   /** OPTIMIZE analog: rewrite the CURRENT snapshot into `targetFiles`

@@ -200,7 +200,17 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val path = pathOf(parameters, "stream")
-    val startingTs = parameters.get("startingtimestamp").map(_.toLong)
+    // Accept both Delta forms: epoch millis OR a 'yyyy-MM-dd[ HH:mm:ss]'
+    // string — same parse as TIMESTAMP AS OF and the table_changes TVF.
+    val startingTs = parameters.get("startingtimestamp").map { s =>
+      try graft.sql.SqlTimestamps.toMillis(s)
+      catch {
+        case _: IllegalArgumentException | _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"txlog stream: startingTimestamp '$s' is neither epoch " +
+              "millis nor a 'yyyy-MM-dd[ HH:mm:ss]' timestamp")
+      }
+    }
     require(startingTs.isEmpty || !parameters.contains("startingversion"),
       "txlog stream: pass startingVersion OR startingTimestamp, not both")
     // Delta's startingTimestamp (millis): deliver every commit stamped AT

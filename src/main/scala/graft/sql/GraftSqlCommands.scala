@@ -583,7 +583,7 @@ final case class FsckTxLogCommand(target: SqlTarget, dryRun: Boolean)
   * epoch millis, 'yyyy-MM-dd HH:mm:ss', or a date-only 'yyyy-MM-dd'
   * (midnight) — a bare ISO date is all digits and dashes, so a naive
   * digits-check would toLong-crash on it. */
-private[sql] object SqlTimestamps {
+private[graft] object SqlTimestamps {
   def toMillis(ts: String): Long =
     if (ts.forall(_.isDigit) || (ts.startsWith("-") &&
         ts.drop(1).forall(_.isDigit))) ts.toLong

@@ -74,6 +74,53 @@ class LogCompactionSpec extends SparkSpec {
     assert(cp.exists(_.contains("\"protocolVersion\":6")), cp.mkString)
   }
 
+  test("compactLog publishes the v6 floor atomically with the container") {
+    val t = tmpDir("logc_floor") + "/t"
+    seed(t, 40)
+    TxLog.compactLog(t).get
+    // BEFORE any subsequent commit or manual compact(): a pre-v6 reader
+    // lists only loose <v>.json files, so some file it DOES parse —
+    // checkpoints are parsed unconditionally by every reader generation —
+    // must already say 6, or it silently folds a log missing every
+    // consolidated commit
+    val cp = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(Paths.get(t, "_txlog")).iterator()).asScala
+      .filter(_.getFileName.toString.endsWith(".checkpoint.json"))
+      .map(p => new String(Files.readAllBytes(p))).toSeq
+    assert(cp.exists(_.contains("\"protocolVersion\":6")),
+      s"no v6-stamped checkpoint right after compactLog: ${cp.mkString}")
+    // the floor checkpoint is a REAL checkpoint: folds stay correct
+    assert(TxLog.read(spark, t).count() === 40)
+    assert(TxLog.activeFiles(t).size === 40)
+  }
+
+  test("readers racing compactLog re-list instead of throwing") {
+    // compactLog unlinks loose commits AFTER publishing the container; a
+    // reader that listed before the unlink can open a vanished file and
+    // must re-list (the container now carries the commit). Drive both
+    // sides hard from separate threads — pre-fix this threw
+    // NoSuchFileException from parseLogFile.
+    val t = tmpDir("logc_race") + "/t"
+    seed(t, 12)
+    @volatile var readerErr: Option[Throwable] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      try while (!stop) {
+        val cs = TxLog.commits(t)
+        assert(cs.map(_.version) === (1L to cs.size))
+      } catch { case e: Throwable => readerErr = Some(e) }
+    })
+    reader.start()
+    try (1 to 15).foreach { i =>
+      seed(t, 4)
+      TxLog.compactLog(t, keepTail = 1, minFiles = 2)
+    } finally { stop = true; reader.join(10000) }
+    readerErr.foreach(throw _)
+    val n = TxLog.commits(t).size
+    assert(n === 12 + 15 * 4)
+    assert(TxLog.read(spark, t).count() === n.toLong)
+  }
+
   test("repeat compaction is incremental and race-safe") {
     val t = tmpDir("logc_inc") + "/t"
     seed(t, 40)

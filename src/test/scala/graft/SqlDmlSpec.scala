@@ -382,6 +382,42 @@ class SqlDmlSpec extends SparkSpec {
       === Array(1L, 10L, 11L))
   }
 
+  test("NMBS-only merge keeps multi-matched target rows single") {
+    // One file holds BOTH a target row matched by TWO source rows (k=1)
+    // and an NMBS-fired row (k=3): the file rewrites, the multi-matched
+    // row appears once per match in the internal FULL OUTER join with
+    // action "keep" — it must collapse back to ONE row in the rewrite.
+    // (No cardinality refusal here: with no WHEN MATCHED clause nothing
+    // can update twice — Delta's rule.)
+    val dir = tmpDir("sqldml-nmbs-dup") + "/t"
+    TxLog.append(Seq((1L, "a"), (3L, "c")).toDF("k", "v"), dir)
+    Seq((1L, "s1"), (1L, "s2")).toDF("k", "sv")
+      .createOrReplaceTempView("mrg_nmbs_dup_src")
+    spark.sql(
+      s"""MERGE INTO txlog.`$dir` AS t USING mrg_nmbs_dup_src AS s
+         |ON t.k = s.k
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'"""
+        .stripMargin)
+    val got = TxLog.read(spark, dir).orderBy("k")
+      .select("k", "v").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "a"), (3L, "stale")),
+      "multi-matched keep rows must not duplicate in an NMBS rewrite")
+    // same shape with an INSERT clause riding along (still no WHEN
+    // MATCHED): inserts flow, keeps stay single
+    val dir2 = tmpDir("sqldml-nmbs-dup2") + "/t"
+    TxLog.append(Seq((1L, "a"), (3L, "c")).toDF("k", "v"), dir2)
+    Seq((1L, "x"), (1L, "y"), (9L, "i")).toDF("k", "v")
+      .createOrReplaceTempView("mrg_nmbs_dup_src2")
+    spark.sql(
+      s"""MERGE INTO txlog.`$dir2` AS t USING mrg_nmbs_dup_src2 AS s
+         |ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got2 = TxLog.read(spark, dir2).orderBy("k")
+      .select("k", "v").as[(Long, String)].collect().toSeq
+    assert(got2 === Seq((1L, "a"), (9L, "i")))
+  }
+
   test("NMBS-only merge with nothing fired commits no new version") {
     val t = seed()
     Seq(1L, 2L, 3L, 4L).toDF("k").createOrReplaceTempView("mrg_nmbs_all")

@@ -89,6 +89,38 @@ class TxLogStreamSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("not both"), e.getMessage)
   }
 
+  test("startingTimestamp accepts Delta's timestamp-string form") {
+    val t = table()
+    TxLog.append(Seq((1L, "old")).toDF("k", "v"), t)               // v1
+    val cut = TxLog.commits(t).last.ts + 1
+    TxLog.append(Seq((2L, "new")).toDF("k", "v"), t)               // v2
+    // 'yyyy-MM-dd HH:mm:ss' — same parse as TIMESTAMP AS OF. Commit
+    // stamps are strictly monotone, so formatting the cut to whole
+    // seconds needs a cut safely between v1 and v2: use a string one
+    // second past v1's stamp and verify it delivers v2 iff v2 is at or
+    // after it (both commits land within the same run, so just assert
+    // the parse path works and delivers a suffix, not an error).
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    val asStr = fmt.format(new java.util.Date(cut))
+    val sink = tmpDir("txstream_sts_sink")
+    drain(t, tmpDir("txstream_sts_cp"), sink,
+      Map("startingTimestamp" -> asStr))
+    val got = scala.util.Try(
+      spark.read.parquet(sink).as[(Long, String)].collect().toSet)
+      .getOrElse(Set.empty[(Long, String)])
+    // string parse truncates to seconds, so the cut may round below v1's
+    // stamp — the suffix property is what matters: delivered commits are
+    // a contiguous tail, never an error, never a middle slice
+    assert(Set(Set((2L, "new")), Set((1L, "old"), (2L, "new")))
+      .contains(got), s"unexpected delivery: $got")
+    // garbage neither millis nor timestamp → pointed refusal
+    val e = intercept[Exception] {
+      drain(t, tmpDir("txstream_sts_cp2"), tmpDir("txstream_sts_sink2"),
+        Map("startingTimestamp" -> "not-a-time"))
+    }
+    assert(e.getMessage.contains("neither epoch millis"), e.getMessage)
+  }
+
   test("data-changing commits refuse without ignoreChanges, re-deliver with it") {
     val t = table()
     TxLog.append(spark.range(0, 10).toDF("k").coalesce(1), t)      // v1
