@@ -5,7 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg: comma-separated entry-name prefixes — a fast
+    // local loop for one entry ("… /tmp/out st42,ext_ann"); the driver
+    // always passes two args, so the full dump is unchanged
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(",").map(_.trim).toSet))
+    }
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -19,7 +27,7 @@ object Verify {
     // Watchdog: one hung query (e.g. a stream that never drains in a
     // changed environment) must not stall the whole correctness dump.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       // fresh daemon thread per query: a timed-out thread is abandoned
       // (it cannot block the next query the way a pooled worker would)
       @volatile var err: Throwable = null
@@ -56,7 +64,7 @@ object Verify {
     // intermediates keyed by the scale this dump ran at, so a later run at
     // another sf can't clobber what the driver's DuckDB pass will read
     val sfName = new java.io.File(sfDir).getName
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SF__", sfName))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -158,6 +158,36 @@ object Dedup {
       .filter(col("id_new") =!= col("id_idx"))
       .select("id_new", "id_idx")
       .dropDuplicates("id_new", "id_idx")
+  }
+
+  /** One micro-batch of the day-2 incremental-dedup ingest (the st42
+    * entry and IncrementalDedupSpec's crash-replay case share this
+    * body): band the batch, probe the PERSISTED index for candidates,
+    * verify survivors by exact Jaccard, and land pairs + the batch's
+    * bands/sets under the growing index. REPLAY-IDEMPOTENT: every write
+    * goes to its own `batch=<id>` partition with OVERWRITE — a crash
+    * between any write and the stream's checkpoint commit re-delivers
+    * the batch, and the replay then replaces its own partitions
+    * byte-equal instead of appending duplicates. The probe reads only
+    * STRICTLY EARLIER batches, so a replayed batch never joins the
+    * bands its first attempt already wrote. */
+  def incrementalDedupBatch(s: SparkSession, hashed: DataFrame,
+      batchId: Long, idxBands: String, idxSets: String, sink: String,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.2): Unit = {
+    val b = minhashBandTable(hashed, numHashes, bands).localCheckpoint(true)
+    val sets = shingleSets(hashed).localCheckpoint(true)
+    if (new java.io.File(idxBands).exists()) {
+      val priorBands = s.read.parquet(idxBands)
+        .filter(col("batch") < batchId).drop("batch")
+      val priorSets = s.read.parquet(idxSets)
+        .filter(col("batch") < batchId).drop("batch")
+      verifyJaccardIncremental(
+        incrementalCandidates(b, priorBands), sets, priorSets, threshold)
+        .write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+    }
+    b.write.mode("overwrite").parquet(s"$idxBands/batch=$batchId")
+    sets.write.mode("overwrite").parquet(s"$idxSets/batch=$batchId")
   }
 
   /** Verify incremental candidates with exact Jaccard across the two

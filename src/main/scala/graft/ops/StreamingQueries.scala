@@ -1489,23 +1489,16 @@ object StreamingQueries {
         .option("path", table).option("maxVersionsPerTrigger", "1")
         .load()
         .writeStream.option("checkpointLocation", s"$root/_cp")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val hashed = hashedB(batch)
-          val bands = Dedup.minhashBandTable(hashed, 64, 16)
-            .localCheckpoint(true)
-          val sets = Dedup.shingleSets(hashed).localCheckpoint(true)
-          if (new java.io.File(idxBands).exists()) {
-            Dedup.verifyJaccardIncremental(
-              Dedup.incrementalCandidates(bands, s.read.parquet(idxBands)),
-              sets, s.read.parquet(idxSets), threshold = 0.2)
-              .write.mode("append").parquet(sink)
-          }
-          bands.write.mode("append").parquet(idxBands)
-          sets.write.mode("append").parquet(idxSets)
-          ()
+        // batchId-keyed overwrite partitions + strictly-earlier-batch
+        // probe = replay-idempotent across crash/restart (see
+        // Dedup.incrementalDedupBatch; pinned by IncrementalDedupSpec's
+        // crash-replay case)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Dedup.incrementalDedupBatch(s, hashedB(batch), batchId,
+            idxBands, idxSets, sink)
         }
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      s.read.parquet(sink)
+      s.read.parquet(sink).drop("batch")
     },
 
     // Streaming LM-scored ingest — the perplexity-filter step of a

@@ -82,4 +82,67 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(rows.forall(_._3 >= 0.2))
     assert(rows.forall { case (n, i, _) => n >= split && i < split })
   }
+
+  test("crash-replay of the last batch leaves sink and index duplicate-free") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    // The st42 shape: txlog-source commits drive incrementalDedupBatch in
+    // foreachBatch. Simulate the worst crash — every data write of the
+    // final batch landed, but the stream DIED BEFORE the checkpoint
+    // commit — by deleting the last _cp/commits/<id> marker, then
+    // restarting. The replayed batch must leave the sink and index
+    // byte-equal to the clean run (batchId-keyed overwrites + the
+    // strictly-earlier-batch probe), not append duplicates.
+    val root = tmpDir("inc_dedup_replay")
+    val table = s"$root/docs"
+    (0 until 4).foreach { q =>
+      graft.ops.TxLog.append(docs.filter(
+        col("doc_id") >= q * 125 && col("doc_id") < (q + 1) * 125)
+        .select("doc_id", "text").repartition(2), table)
+    }
+    val idxBands = s"$root/idx_bands"; val idxSets = s"$root/idx_sets"
+    val sink = s"$root/pairs"; val cp = s"$root/_cp"
+    def runOnce(): Unit =
+      spark.readStream.format("graft.sources.txlog")
+        .option("path", table).option("maxVersionsPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Dedup.incrementalDedupBatch(spark,
+            hashed(batch.select("doc_id", "text")), batchId,
+            idxBands, idxSets, sink)
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    runOnce()
+    def pairs() = spark.read.parquet(sink)
+      .select(col("id_new").as[Long], col("id_idx").as[Long]).collect()
+      .toSeq.sorted
+    val cleanPairs = pairs()
+    val cleanIdx = spark.read.parquet(idxBands).count()
+    assert(cleanPairs.nonEmpty, "fixture must produce cross-batch pairs")
+    assert(cleanPairs.distinct === cleanPairs, "clean run must be dup-free")
+
+    // crash: the last batch's writes are all on disk, its checkpoint
+    // commit never happened
+    val commitFiles = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$cp/commits")).iterator()
+    val last = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(commitFiles).asScala.toSeq
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(last)
+    // the local checksum FS keeps a .N.crc sidecar; a stale one fails
+    // the rewrite's rename on restart
+    java.nio.file.Files.deleteIfExists(
+      last.resolveSibling(s".${last.getFileName}.crc"))
+    runOnce() // replays the final batch
+
+    assert(pairs() === cleanPairs,
+      "replayed batch must overwrite its own partition, not append")
+    assert(spark.read.parquet(idxBands).count() === cleanIdx,
+      "replayed batch must not duplicate index bands")
+    assert(spark.read.parquet(idxSets).groupBy("id").count()
+      .filter(col("count") > 1).count() === 0,
+      "no document may appear twice in the set index")
+  }
 }
