@@ -39,24 +39,43 @@ object LogCompactionProbe {
     // trickle writer produces exactly these, one per micro-batch
     Files.createDirectories(Paths.get(t, "_txlog"))
     (1 to nCommits).foreach { i =>
+      // the first commit carries schema + a property so the metadata
+      // folds under test have real content to find
+      val extra = if (i == 1)
+        ""","schemaDdl":"k BIGINT,v STRING","properties":{"p":"v"}"""
+      else ""
       Files.write(Paths.get(t, "_txlog", f"$i%020d.json"),
         (s"""{"protocolVersion":1,"version":$i,"op":"append",""" +
           s""""batchId":-1,"add":["d-x/part-$i.parquet"],"remove":[],""" +
-          s""""sizes":{"d-x/part-$i.parquet":1048576},"ts":${1000000 + i}}""")
-          .getBytes)
+          s""""sizes":{"d-x/part-$i.parquet":1048576},"ts":${1000000 + i}""" +
+          extra + "}").getBytes)
     }
     def looseCount(p: String): Int =
       TxLog.walkDir(Paths.get(p, "_txlog"))
         .count(_.getFileName.toString.matches("""\d{20}\.json"""))
 
+    // cold METADATA folds (properties + schema + active files): before
+    // any checkpoint these parse the whole history; after compactLog the
+    // v6-floor FULL-STATE checkpoint answers them from one checkpoint
+    // JSON plus the loose tail — O(active + tail), not O(history-bytes)
+    def timeColdMeta(table: String): Double = {
+      val t0 = System.nanoTime()
+      TxLog.properties(table); TxLog.schemaAsOf(table)
+      TxLog.activeFiles(table)
+      (System.nanoTime() - t0) / 1e6
+    }
     val pre = s"$root/pre"; copyTable(t, pre)
     val (n1, ms1) = timeColdFold(pre)
+    val preM = s"$root/preM"; copyTable(t, preM)
+    val msM1 = timeColdMeta(preM)
     TxLog.compactLog(t)
     val post = s"$root/post"; copyTable(t, post)
     val (n2, ms2) = timeColdFold(post)
-    println(f"| commits | loose files | cold commits() fold |")
-    println(f"| $n1 | ${looseCount(pre)} | $ms1%.0f ms |")
-    println(f"| $n2 (compacted) | ${looseCount(post)} | $ms2%.0f ms |")
-    println(f"ratio: ${ms1 / ms2}%.2f x")
+    val postM = s"$root/postM"; copyTable(t, postM)
+    val msM2 = timeColdMeta(postM)
+    println(f"| commits | loose files | cold commits() fold | cold props+schema+files |")
+    println(f"| $n1 | ${looseCount(pre)} | $ms1%.0f ms | $msM1%.0f ms |")
+    println(f"| $n2 (compacted) | ${looseCount(post)} | $ms2%.0f ms | $msM2%.0f ms |")
+    println(f"ratio: commits ${ms1 / ms2}%.2f x, metadata ${msM1 / msM2}%.2f x")
   }
 }

@@ -201,8 +201,13 @@ object TxLog {
     * whose log has been COMPACTED ([[compactLog]]) say 6: a v5-era
     * reader lists only loose `<v>.json` files, so it would fold a log
     * missing every consolidated commit — wrong schema/property/DV
-    * state, not a degraded one. */
-  val ProtocolVersion = 6
+    * state, not a degraded one. Commits on a table whose log has been
+    * EXPIRED ([[expireLog]]) say 7: a v6-era reader folds metadata
+    * (properties, schema, replay guards) from the FULL commit list, and
+    * with the pre-horizon commits deleted it would silently fold a
+    * partial history — a v7 reader starts every fold from the full-state
+    * checkpoint, which carries the expired range's net effect. */
+  val ProtocolVersion = 7
 
   /** Every op this reader knows how to fold. An op outside this set means
     * the log was written by a newer writer — [[commits]] refuses to read
@@ -279,6 +284,18 @@ object TxLog {
 
   private def compactedPath(table: String, from: Long, to: Long): Path =
     logDir(table).resolve(f"$from%020d-$to%020d.compactedlog.json")
+
+  /** Log-retention marker ([[expireLog]]): present ⇒ versions BELOW its
+    * horizon have been expired from the log — time travel there refuses
+    * ([[stateAt]]), commits/checkpoints stamp protocol v7. */
+  private def retentionMarkerPath(table: String): Path =
+    logDir(table).resolve("_retention.json")
+
+  private[graft] def retentionHorizon(table: String): Option[Long] = {
+    val p = retentionMarkerPath(table)
+    if (!Files.exists(p)) None
+    else Some(mapper.readTree(Files.readAllBytes(p)).get("horizon").asLong())
+  }
 
   /** `Files.list`/`Files.walk` return STREAMS holding an open directory
     * handle until closed — draining the iterator does not release it. The
@@ -486,8 +503,20 @@ object TxLog {
           dvTargets = optArr("dvTargets"))
       }
 
+  /** Latest committed version, from the LISTING alone — commit filenames
+    * carry their version (`<v>.json` / `<from>-<to>.compactedlog.json`),
+    * so the most-asked metadata question costs zero JSON parsing even on
+    * a cold process over a 100k-commit log. */
   def latestVersion(table: String): Option[Long] =
-    commits(table).lastOption.map(_.version)
+    listLog(table).flatMap(p => p.getFileName.toString match {
+      case CommitName(v) => Some(v.toLong)
+      case CompactedName(_, to) => Some(to.toLong)
+      // a checkpoint proves its version existed — load-bearing when
+      // [[expireLog]] swept every commit at or below a tip checkpoint
+      // (version numbering must continue, never restart)
+      case CheckpointName(v) => Some(v.toLong)
+      case _ => None
+    }).maxOption
 
   /** (version, full file list) of checkpoints, ascending. */
   private def checkpoints(table: String): Seq[(Long, Seq[String])] =
@@ -506,20 +535,330 @@ object TxLog {
       }
     }
 
+  /** COMPLETE fold state of a table at a version — the content of a
+    * full-state checkpoint (Delta's checkpoint, beyond the file list).
+    * [[TableState.update]] is the ONE definition of how a commit changes
+    * metadata state; every fold consumer ([[properties]], [[schemaAsOf]],
+    * [[mappingAsOf]], [[constraints]], [[activeDvs]], [[activeBlooms]],
+    * stats/sizes/row-count lookups, row-id bases, the replay guard, the
+    * COPY INTO ledger) reads it through [[stateAt]], which starts from
+    * the newest state-carrying checkpoint and folds only the TAIL
+    * commits. COLD metadata is then O(active + tail), not
+    * O(history-bytes): a year-old trickle-written table answers schema /
+    * properties / snapshot questions from one checkpoint JSON plus ~a
+    * few dozen loose commits, without parsing its 100k-commit history.
+    *
+    * File-keyed maps (sizes/stats/rows/nulls/baseRowIds) are PRUNED to
+    * the active set when a checkpoint is serialized — consumers only
+    * ever consult them for active files. Two folds deliberately stay
+    * full-history and do NOT read this state: [[allRowIdBases]] (a
+    * catching-up stream needs bases of files already rewritten away) and
+    * clone/history/CDF walks (their subject IS the history). */
+  final case class TableState(
+      files: Vector[String] = Vector.empty,
+      dvs: Vector[String] = Vector.empty,
+      blooms: Vector[String] = Vector.empty,
+      schemaDdl: Option[String] = None,
+      colMap: Option[Seq[(String, String)]] = None,
+      props: Map[String, String] = Map.empty,
+      constraints: Map[String, String] = Map.empty,
+      sizes: Map[String, Long] = Map.empty,
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      sstats: Map[String, Map[String, (String, String)]] = Map.empty,
+      rows: Map[String, Long] = Map.empty,
+      nulls: Map[String, Map[String, Long]] = Map.empty,
+      baseRowIds: Map[String, Long] = Map.empty, // keyed by fileKey
+      rowIdHighWater: Long = 0L,
+      minReader: Int = 1,
+      copySources: Set[String] = Set.empty,
+      // replay guard: max batchId per streamId (batch ids are monotone
+      // per checkpoint location, so <= max ⇔ already committed), plus
+      // the EXACT batch ids of legacy streamId-less commits (those match
+      // any stream — a max would wrongly swallow a NEW stream's batch 0)
+      guardMax: Map[String, Long] = Map.empty,
+      wildcardBatches: Set[Long] = Set.empty) {
+
+    def update(c: Commit): TableState = TableState.foldAll(this, Seq(c))
+
+    /** Every field EXCEPT the three ordered file sets — those fold in
+      * [[TableState.foldAll]] with mutable LinkedHashSets (a per-commit
+      * immutable Vector fold is O(history × files): 20 s where the set
+      * fold takes 2 s at 20k commits, measured by LogCompactionProbe). */
+    private[TxLog] def updateScalars(c: Commit): TableState =
+      copy(
+        schemaDdl = c.schemaDdl.orElse(schemaDdl),
+        colMap = c.colMap.orElse(colMap),
+        props = c.properties.foldLeft(props) {
+          case (a, (k, Some(v))) => a + (k -> v)
+          case (a, (k, None)) => a - k
+        },
+        constraints =
+          if (c.op == "dropConstraint") constraints -- c.constraint.map(_._1)
+          else constraints ++ c.constraint,
+        sizes = sizes ++ c.sizes,
+        stats = stats ++ c.stats,
+        sstats = sstats ++ c.sstats,
+        rows = rows ++ c.rows,
+        nulls = nulls ++ c.nulls,
+        baseRowIds = baseRowIds ++
+          c.baseRowIds.map { case (f, b) => fileKey(f) -> b },
+        rowIdHighWater = math.max(rowIdHighWater, c.baseRowIds.map {
+          case (f, b) => b + c.rows.getOrElse(f, 0L)
+        }.maxOption.getOrElse(0L)),
+        minReader = math.max(minReader, c.minReader),
+        copySources = copySources ++ c.copySources,
+        guardMax = c.streamId match {
+          case Some(sid) if c.batchId >= 0 => guardMax +
+            (sid -> math.max(guardMax.getOrElse(sid, Long.MinValue),
+              c.batchId))
+          case _ => guardMax
+        },
+        wildcardBatches =
+          if (c.streamId.isEmpty && c.batchId >= 0) wildcardBatches + c.batchId
+          else wildcardBatches)
+
+    /** Serialized form, pruned to the active set (see class doc). */
+    private[TxLog] def toNode(
+        node: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+      val act = files.toSet
+      val actKeys = files.map(fileKey).toSet
+      def strArr(name: String, vs: Iterable[String]): Unit = {
+        val a = node.putArray(name); vs.foreach(a.add)
+      }
+      strArr("files", files); strArr("dvs", dvs); strArr("blooms", blooms)
+      schemaDdl.foreach(node.put("schemaDdl", _))
+      colMap.foreach { m =>
+        val o = node.putObject("colMap")
+        m.foreach { case (l, p) => o.put(l, p) }
+      }
+      val po = node.putObject("props")
+      props.foreach { case (k, v) => po.put(k, v) }
+      val co = node.putObject("constraints")
+      constraints.foreach { case (k, v) => co.put(k, v) }
+      val so = node.putObject("sizes")
+      sizes.filter(e => act(e._1)).foreach { case (f, n) => so.put(f, n) }
+      val st = node.putObject("stats")
+      stats.filter(e => act(e._1)).foreach { case (f, cols) =>
+        val fo = st.putObject(f)
+        cols.foreach { case (c, (mn, mx)) =>
+          val a = fo.putArray(c); a.add(mn); a.add(mx) }
+      }
+      val ss = node.putObject("sstats")
+      sstats.filter(e => act(e._1)).foreach { case (f, cols) =>
+        val fo = ss.putObject(f)
+        cols.foreach { case (c, (mn, mx)) =>
+          val a = fo.putArray(c); a.add(mn); a.add(mx) }
+      }
+      val ro = node.putObject("rows")
+      rows.filter(e => act(e._1)).foreach { case (f, n) => ro.put(f, n) }
+      val no = node.putObject("nulls")
+      nulls.filter(e => act(e._1)).foreach { case (f, cols) =>
+        val fo = no.putObject(f)
+        cols.foreach { case (c, n) => fo.put(c, n) }
+      }
+      val bo = node.putObject("baseRowIds")
+      baseRowIds.filter(e => actKeys(e._1))
+        .foreach { case (f, b) => bo.put(f, b) }
+      node.put("rowIdHighWater", rowIdHighWater)
+      node.put("minReader", minReader)
+      strArr("copySources", copySources)
+      val go = node.putObject("guardMax")
+      guardMax.foreach { case (sid, b) => go.put(sid, b) }
+      val wa = node.putArray("wildcardBatches")
+      wildcardBatches.toSeq.sorted.foreach(wa.add)
+    }
+  }
+
+  private object TableState {
+    val empty: TableState = TableState()
+
+    /** Batch fold with set-fold order semantics (`--= remove; ++= add`
+      * on a LinkedHashSet): a removed file drops, an ALREADY-ACTIVE
+      * re-add keeps its original position, new files append in add
+      * order. Mutable sets inside — the fold is O(history + files),
+      * not O(history × files). */
+    def foldAll(base: TableState, cs: Iterable[Commit]): TableState = {
+      if (cs.isEmpty) return base
+      val files = scala.collection.mutable.LinkedHashSet.empty[String]
+      val dvs = scala.collection.mutable.LinkedHashSet.empty[String]
+      val blooms = scala.collection.mutable.LinkedHashSet.empty[String]
+      files ++= base.files; dvs ++= base.dvs; blooms ++= base.blooms
+      var st = base
+      cs.foreach { c =>
+        files --= c.remove; files ++= c.add
+        dvs --= c.dvRemove; dvs ++= c.dvAdd
+        blooms --= c.bloomRemove; blooms ++= c.bloomAdd
+        st = st.updateScalars(c)
+      }
+      st.copy(files = files.toVector, dvs = dvs.toVector,
+        blooms = blooms.toVector)
+    }
+
+    def fromNode(n: com.fasterxml.jackson.databind.JsonNode): TableState = {
+      def strs(name: String): Vector[String] =
+        Option(n.get(name)).map(
+          _.elements().asScala.map(_.asText()).toVector).getOrElse(Vector.empty)
+      def longMap(name: String): Map[String, Long] =
+        Option(n.get(name)).map(_.properties().asScala.map(e =>
+          e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
+      def strMap(name: String): Map[String, String] =
+        Option(n.get(name)).map(_.properties().asScala.map(e =>
+          e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+      TableState(
+        files = strs("files"), dvs = strs("dvs"), blooms = strs("blooms"),
+        schemaDdl = Option(n.get("schemaDdl")).map(_.asText()),
+        colMap = Option(n.get("colMap")).map(_.properties().asScala.map(e =>
+          e.getKey -> e.getValue.asText()).toSeq),
+        props = strMap("props"),
+        constraints = strMap("constraints"),
+        sizes = longMap("sizes"),
+        stats = Option(n.get("stats")).map(_.properties().asScala.map { e =>
+          e.getKey -> e.getValue.properties().asScala.map { c =>
+            c.getKey -> (c.getValue.get(0).asDouble(),
+              c.getValue.get(1).asDouble())
+          }.toMap
+        }.toMap).getOrElse(Map.empty),
+        sstats = Option(n.get("sstats")).map(_.properties().asScala.map { e =>
+          e.getKey -> e.getValue.properties().asScala.map { c =>
+            c.getKey -> (c.getValue.get(0).asText(), c.getValue.get(1).asText())
+          }.toMap
+        }.toMap).getOrElse(Map.empty),
+        rows = longMap("rows"),
+        nulls = Option(n.get("nulls")).map(_.properties().asScala.map { e =>
+          e.getKey -> e.getValue.properties().asScala.map(c =>
+            c.getKey -> c.getValue.asLong()).toMap
+        }.toMap).getOrElse(Map.empty),
+        baseRowIds = longMap("baseRowIds"),
+        rowIdHighWater =
+          Option(n.get("rowIdHighWater")).map(_.asLong()).getOrElse(0L),
+        minReader = Option(n.get("minReader")).map(_.asInt()).getOrElse(1),
+        copySources = strs("copySources").toSet,
+        guardMax = longMap("guardMax"),
+        wildcardBatches = Option(n.get("wildcardBatches")).map(
+          _.elements().asScala.map(_.asLong()).toSet).getOrElse(Set.empty))
+    }
+  }
+
+  /** Per-table cache for [[stateAt]] — the state-checkpoint parse and the
+    * tail fold both reuse across calls; only NEW tail commits re-parse
+    * (same prefix-extension rule as [[commitCache]]). */
+  private final case class CachedState(cpName: Option[String],
+      cpVersion: Long, cpState: TableState, tailNames: Vector[String],
+      tailCommits: Vector[Commit], tipState: TableState,
+      // checkpoint files probed and found state-LESS (legacy files-only
+      // form, or corrupt state) — never re-parsed while they persist
+      noStateCps: Set[String])
+  private val stateCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, CachedState](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CachedState]) =
+        size() > CommitCacheMaxTables
+    })
+
+  /** Fold state as of `asOf` (latest when None): newest state-carrying
+    * checkpoint at or before `asOf`, plus a fold over only the commits
+    * after it. Falls back to the FULL commit fold when no usable
+    * checkpoint exists — a log written before state checkpoints, an
+    * `asOf` below the oldest checkpoint, or a checkpoint whose state
+    * section is corrupt (pinned by FullStateCheckpointSpec). */
+  private[graft] def stateAt(table: String,
+      asOf: Option[Long] = None): TableState = {
+    var attempts = 0
+    while (true) {
+      try return stateAtOnce(table, asOf)
+      catch { // racing compactLog unlink — same retry as [[commits]]
+        case _: java.nio.file.NoSuchFileException if attempts < 5 =>
+          stateCache.remove(table)
+          attempts += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def stateAtOnce(table: String, asOf: Option[Long]): TableState = {
+    for (v <- asOf; h <- retentionHorizon(table); if v < h)
+      throw new IllegalStateException(
+        s"txlog table $table: version $v is below the log-retention " +
+          s"horizon $h — expireLog deleted its commits, so time travel " +
+          "there is gone. Read at or above the horizon, or restore the " +
+          "history from a DEEP CLONE/backup taken before expiry")
+    val listing = listLog(table)
+    // newest checkpoint at or before asOf whose JSON carries a state
+    // section (older checkpoints are files-only — skip them)
+    val cpCandidates = listing.flatMap { p =>
+      p.getFileName.toString match {
+        case CheckpointName(v) if asOf.forall(v.toLong <= _) =>
+          Some((v.toLong, p))
+        case _ => None
+      }
+    }.sortBy(-_._1)
+    val cached = Option(stateCache.get(table))
+    var noState = cached.map(_.noStateCps).getOrElse(Set.empty[String])
+    val cp: Option[(Long, TableState, String)] =
+      cpCandidates.view.flatMap { case (v, p) =>
+        val name = p.getFileName.toString
+        if (noState.contains(name)) None
+        else cached.filter(c => c.cpName.contains(name)) match {
+          case Some(c) => Some((v, c.cpState, name))
+          case None =>
+            val parsed =
+              try Option(mapper.readTree(Files.readAllBytes(p)).get("state"))
+                .map(s => (v, TableState.fromNode(s), name))
+              catch { case e: java.nio.file.NoSuchFileException => throw e
+                      case scala.util.control.NonFatal(_) => None }
+            if (parsed.isEmpty) noState += name
+            parsed
+        }
+      }.headOption
+    val cpVersion = cp.map(_._1).getOrElse(Long.MinValue)
+    val base = cp.map(_._2).getOrElse(TableState.empty)
+    // tail: every commit after the checkpoint (containers whose range
+    // crosses it contribute only their > cpVersion commits)
+    val tailFiles = listing.filter { p =>
+      p.getFileName.toString match {
+        case CommitName(v) => v.toLong > cpVersion
+        case CompactedName(_, to) => to.toLong > cpVersion
+        case _ => false
+      }
+    }
+    val tailNames = tailFiles.map(_.getFileName.toString).toVector
+    val reusable = cached.filter(c => c.cpName == cp.map(_._3) &&
+      tailNames.startsWith(c.tailNames))
+    val newParsed = reusable match {
+      case Some(c) => tailFiles.drop(c.tailNames.size).flatMap(parseLogFile)
+      case None => tailFiles.flatMap(parseLogFile)
+    }
+    val tail = dedupCommits(
+      (reusable.map(_.tailCommits).getOrElse(Vector.empty) ++
+        newParsed.filter(_.version > cpVersion)).toVector)
+    val tip = reusable match {
+      case Some(c) if newParsed.isEmpty => c.tipState
+      case Some(c) => TableState.foldAll(c.tipState,
+        newParsed.filter(_.version > cpVersion))
+      case None => TableState.foldAll(base, tail)
+    }
+    stateCache.put(table, CachedState(cp.map(_._3), cpVersion, base,
+      tailNames, tail, tip, noState))
+    asOf match {
+      case None => tip
+      // below-or-at the checkpoint horizon `tail` IS the full commit
+      // list (cp selection already honored asOf), so the same fold
+      // answers both the tail-only and full-history shapes
+      case Some(v) =>
+        TableState.foldAll(base, tail.filter(_.version <= v))
+    }
+  }
+
   /** Active data files (relative paths) in the snapshot as of `asOf`
     * (latest when None). Starts from the newest checkpoint at or before
     * `asOf` and folds only the commits after it — O(commits since last
     * [[compact]]), not O(table history). Insertion-ordered for
     * deterministic planning. */
   def activeFiles(table: String, asOf: Option[Long] = None): Seq[String] = {
-    val cp = checkpoints(table).filter(c => asOf.forall(c._1 <= _)).lastOption
-    val files = scala.collection.mutable.LinkedHashSet.empty[String]
-    cp.foreach(files ++= _._2)
-    commits(table)
-      .filter(c => cp.forall(c.version > _._1) && asOf.forall(c.version <= _))
-      .foreach { c => files --= c.remove; files ++= c.add }
+    val files = stateAt(table, asOf).files
     guardMetadataPlane(table, files.size)
-    files.toSeq
+    files
   }
 
   /** Loud ceiling on the DRIVER-side metadata plane (the DvMapProbe
@@ -544,31 +883,19 @@ object TxLog {
         "if the driver has heap for a larger file list")
   }
 
-  /** Active deletion-vector files in the snapshot as of `asOf`. Folded
-    * from the FULL commit log (no checkpoint shortcut: commits are never
-    * deleted and DV commits are rare — the fold is O(history) JSON reads,
-    * all metadata-sized). Rows a DV lists for a data file that has since
-    * been removed are inert: the anti-join key includes the file, and
-    * removed paths never reappear. */
-  def activeDvs(table: String, asOf: Option[Long] = None): Seq[String] = {
-    val dvs = scala.collection.mutable.LinkedHashSet.empty[String]
-    commits(table)
-      .filter(c => asOf.forall(c.version <= _))
-      .foreach { c => dvs --= c.dvRemove; dvs ++= c.dvAdd }
-    dvs.toSeq
-  }
+  /** Active deletion-vector files in the snapshot as of `asOf` — via
+    * [[stateAt]] (checkpoint + tail fold). Rows a DV lists for a data
+    * file that has since been removed are inert: the anti-join key
+    * includes the file, and removed paths never reappear. */
+  def activeDvs(table: String, asOf: Option[Long] = None): Seq[String] =
+    stateAt(table, asOf).dvs
 
-  /** Active bloom-index sidecar files as of `asOf` — folded like
-    * [[activeDvs]] (full-log fold, metadata-sized). A sidecar row whose
-    * data file has since left the active set is inert, not wrong: bloom
-    * pruning only ever consults rows for files it is about to read. */
-  def activeBlooms(table: String, asOf: Option[Long] = None): Seq[String] = {
-    val bls = scala.collection.mutable.LinkedHashSet.empty[String]
-    commits(table)
-      .filter(c => asOf.forall(c.version <= _))
-      .foreach { c => bls --= c.bloomRemove; bls ++= c.bloomAdd }
-    bls.toSeq
-  }
+  /** Active bloom-index sidecar files as of `asOf` — via [[stateAt]].
+    * A sidecar row whose data file has since left the active set is
+    * inert, not wrong: bloom pruning only ever consults rows for files
+    * it is about to read. */
+  def activeBlooms(table: String, asOf: Option[Long] = None): Seq[String] =
+    stateAt(table, asOf).blooms
 
   /** The per-file key a deletion vector stores: the last two path segments
     * of the scan's `_metadata.file_path` — exactly the relative path
@@ -924,9 +1251,13 @@ object TxLog {
     // reader lists only loose <v>.json files and would fold a log with
     // every consolidated commit missing
     val needsV6 = hasCompactedLog(table)
+    // a commit on a retention-expired log demands a v7 reader: a v6-era
+    // reader folds metadata from the full commit list and would silently
+    // fold the partial (post-expiry) history
+    val needsV7 = Files.exists(retentionMarkerPath(table))
     node.put("protocolVersion",
-      math.max(if (needsV6) 6 else if (needsV5) 5 else if (needsV4) 4
-      else if (needsV2) 2 else 1, commit.minReader))
+      math.max(if (needsV7) 7 else if (needsV6) 6 else if (needsV5) 5
+      else if (needsV4) 4 else if (needsV2) 2 else 1, commit.minReader))
     node.put("version", commit.version)
     node.put("op", commit.op)
     node.put("batchId", commit.batchId)
@@ -1176,9 +1507,7 @@ object TxLog {
     * before it. None on logs written before schema tracking (falls back
     * to footer inference). */
   def schemaAsOf(table: String, asOf: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] =
-    commits(table)
-      .filter(c => asOf.forall(c.version <= _))
-      .flatMap(_.schemaDdl).lastOption
+    stateAt(table, asOf).schemaDdl
       .map(org.apache.spark.sql.types.StructType.fromDDL)
 
   /** Logical→physical column mapping as of `asOf` — the newest
@@ -1187,9 +1516,7 @@ object TxLog {
     * sentinel (RESTORE to a pre-enable version): both read identity. */
   def mappingAsOf(table: String,
       asOf: Option[Long] = None): Option[Map[String, String]] =
-    commits(table).filter(c => asOf.forall(c.version <= _))
-      .flatMap(_.colMap).lastOption
-      .filter(_.nonEmpty).map(_.toMap)
+    stateAt(table, asOf).colMap.filter(_.nonEmpty).map(_.toMap)
 
   /** Logical→physical name translation under `mapping`; identity for
     * unmapped tables AND for names outside the mapping (internal `_`
@@ -1592,14 +1919,10 @@ object TxLog {
     * AFTER a cloned/travelled version is not part of that snapshot's
     * contract. */
   def constraints(table: String, asOf: Option[Long] = None): Map[String, String] =
-    commits(table).filter(c => asOf.forall(c.version <= _))
-      .foldLeft(Map.empty[String, String]) { (acc, c) =>
-        // a dropConstraint commit reuses the constraint field to name its
-        // victim; an old reader refuses the unknown op outright (KnownOps
-        // gate), so it can never silently keep enforcing a dropped check
-        if (c.op == "dropConstraint") acc -- c.constraint.map(_._1)
-        else acc ++ c.constraint
-      }
+    // a dropConstraint commit reuses the constraint field to name its
+    // victim; an old reader refuses the unknown op outright (KnownOps
+    // gate), so it can never silently keep enforcing a dropped check
+    stateAt(table, asOf).constraints
 
   /** ALTER TABLE … DROP CONSTRAINT: a data-less commit that retires the
     * named CHECK constraint from this version forward; history keeps it
@@ -1623,12 +1946,7 @@ object TxLog {
     * last-write-wins over every commit's property deltas; a None delta
     * unsets. Metadata-only — one fold over the (cached) commit list. */
   def properties(table: String, asOf: Option[Long] = None): Map[String, String] =
-    commits(table).filter(c => asOf.forall(c.version <= _))
-      .flatMap(_.properties)
-      .foldLeft(Map.empty[String, String]) {
-        case (acc, (k, Some(v))) => acc + (k -> v)
-        case (acc, (k, None)) => acc - k
-      }
+    stateAt(table, asOf).props
 
   /** ALTER TABLE SET TBLPROPERTIES analog: a data-less commit carrying
     * the property deltas; every future writer on any driver sees them
@@ -1991,23 +2309,21 @@ object TxLog {
     * ever committed (REMOVED files keep their slot — ids are never
     * reused, so a resurrected id can't collide). */
   private def rowIdHighWater(table: String): Long =
-    commits(table).flatMap(c =>
-      c.baseRowIds.map { case (f, b) => b + c.rows.getOrElse(f, 0L) })
-      .maxOption.getOrElse(0L)
+    stateAt(table, None).rowIdHighWater
 
   /** fileKey → base row id for EVERY allocation ever committed —
     * removed files included, which is what a catching-up stream needs:
     * a delivered file may have been rewritten away since its commit.
     * Metadata-sized (one entry per file ever added under tracking). */
   private[graft] def allRowIdBases(table: String): Map[String, Long] =
-    baseRowIdsAsOf(table, None)
+    commits(table)
+      .flatMap(_.baseRowIds.map { case (f, b) => fileKey(f) -> b })
+      .toMap
 
   /** fileKey → base row id for every allocation at or before `asOf`. */
   private def baseRowIdsAsOf(table: String,
       asOf: Option[Long]): Map[String, Long] =
-    commits(table).filter(c => asOf.forall(c.version <= _))
-      .flatMap(_.baseRowIds.map { case (f, b) => fileKey(f) -> b })
-      .toMap
+    stateAt(table, asOf).baseRowIds
 
   /** The snapshot with its stable `_row_id` column (NULL for rows whose
     * file predates enable, or whose commit couldn't allocate) and
@@ -2392,8 +2708,9 @@ object TxLog {
         s"txlog table $table has no logged column '$colName'")
     }
     values.foreach(validateProbe(table, colName, dt, _))
-    val nstats = commits(table).flatMap(_.stats).toMap
-    val lstats = commits(table).flatMap(_.sstats).toMap
+    val tstate = stateAt(table, asOf)
+    val nstats = tstate.stats
+    val lstats = tstate.sstats
     val phys = physOf(mappingAsOf(table, asOf)) _
     val statsPass = activeFiles(table, asOf).filter { f =>
       values.exists { v =>
@@ -2824,7 +3141,7 @@ object TxLog {
     * clustered column's ranges are simultaneously tight per file). */
   def filesForRanges(table: String, ranges: Map[String, (Double, Double)],
       asOf: Option[Long] = None): Seq[String] = {
-    val statsMap = commits(table).flatMap(_.stats).toMap
+    val statsMap = stateAt(table, asOf).stats
     // Mixed-era-log guard: logs written before sstats existed recorded
     // DOUBLE-CAST bounds for string columns — for numeric-looking strings
     // those are inverted garbage ('100' < '9' as doubles), and pruning
@@ -2871,7 +3188,7 @@ object TxLog {
     * plus every file committed without string stats. */
   def filesForStringRange(table: String, colName: String, lo: String,
       hi: String, asOf: Option[Long] = None): Seq[String] = {
-    val statsMap = commits(table).flatMap(_.sstats).toMap
+    val statsMap = stateAt(table, asOf).sstats
     val phys = physOf(mappingAsOf(table, asOf)) _
     activeFiles(table, asOf).filter { f =>
       // exact partition value beats recorded bounds — see filesForRanges
@@ -3272,8 +3589,9 @@ object TxLog {
     * (they could hold any key). */
   private def filesForKeyBounds(table: String,
       bounds: KeyBounds, asOf: Option[Long]): Seq[String] = {
-    val nstats = commits(table).flatMap(_.stats).toMap
-    val lstats = commits(table).flatMap(_.sstats).toMap
+    val tstate = stateAt(table, asOf)
+    val nstats = tstate.stats
+    val lstats = tstate.sstats
     // bounds arrive in LOGICAL names; stats and partition paths are
     // recorded PHYSICAL — translate at the lookup
     val phys = physOf(mappingAsOf(table, asOf)) _
@@ -3440,11 +3758,24 @@ object TxLog {
     * ids from 0 and must NOT be skipped. A commit without a recorded
     * streamId (pre-r11 log, or an id-less caller) matches any stream,
     * preserving replay idempotency for tables written before the field
-    * existed. */
+    * existed.
+    *
+    * Guard state folds through [[stateAt]] (Delta's per-app txn action):
+    * per streamId the MAX committed batchId — sound because batch ids
+    * are monotone per checkpoint location, a checkpoint only re-delivers
+    * batches at or below its committed offset, and `<= max` therefore
+    * ⇔ "already committed". streamId-LESS commits keep their exact
+    * batch-id set: a max there would wrongly swallow batch 0 of a brand
+    * new stream on a table with legacy batch-stamped appends. */
   def batchCommitted(table: String, streamId: Option[String],
-      batchId: Long): Boolean =
-    commits(table).exists(c => c.batchId == batchId &&
-      (c.streamId.isEmpty || streamId.isEmpty || c.streamId == streamId))
+      batchId: Long): Boolean = {
+    val st = stateAt(table, None)
+    val streamHit = streamId match {
+      case Some(sid) => st.guardMax.get(sid).exists(batchId <= _)
+      case None => st.guardMax.values.exists(batchId <= _)
+    }
+    streamHit || st.wildcardBatches.contains(batchId)
+  }
 
   /** APPLY CHANGES INTO analog: fold a CDC batch — upserts AND deletes —
     * into the table as one commit. Per key, the highest-`versionCol` row
@@ -4989,7 +5320,7 @@ object TxLog {
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
-      val loaded = commits(table).flatMap(_.copySources).toSet
+      val loaded = stateAt(table, None).copySources
       val fresh =
         if (force) candidates
         else candidates.filterNot(p => loaded.contains(stamp(p)))
@@ -5125,35 +5456,44 @@ object TxLog {
     * at the latest version) so reads replay only the commits after it —
     * Delta's `_last_checkpoint` pattern. Run every N commits at scale; an
     * existing checkpoint for the same version is left alone (put-if-absent,
-    * same primitive as [[tryCommit]]). Commit files are never deleted, so
-    * time travel and batchId replay detection keep their full history. */
+    * same primitive as [[tryCommit]]). Commit files are only ever deleted
+    * by explicit retention ([[expireLog]], below the newest full-state
+    * checkpoint) — short of that, time travel and batchId replay
+    * detection keep their full history. */
   def compact(table: String): Option[Long] =
-    latestVersion(table).map { v =>
-      val files = activeFiles(table, Some(v))
-      // same minimum-readable-version rule as tryCommit: a checkpoint of a
-      // table that never used a v2 feature must stay readable by a v1-era
-      // reader (absolute clone refs in the file list, or DV history — whose
-      // commits a reader must fold — are what demand v2)
-      val needsV2 = files.exists(_.startsWith("/")) ||
-        commits(table).exists(c => c.dvAdd.nonEmpty || c.dvRemove.nonEmpty)
-      // a checkpointed log keeps its highest stamped requirement: a
-      // reader folding from this checkpoint still folds every commit,
-      // including any v3 (bitset-DV) ones
-      val needed = Seq(if (needsV2) 2 else 1,
-        commits(table).map(_.minReader).maxOption.getOrElse(1),
-        if (hasCompactedLog(table)) 6 else 1).max
-      val node = mapper.createObjectNode()
-      node.put("protocolVersion", needed)
-      node.put("version", v)
-      val arr = node.putArray("files")
-      files.foreach(arr.add)
-      val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
-      Files.write(tmp, mapper.writeValueAsBytes(node))
-      try Files.createLink(checkpointPath(table, v), tmp)
-      catch { case _: FileAlreadyExistsException => () }
-      finally Files.deleteIfExists(tmp)
-      v
-    }
+    latestVersion(table).map { v => writeCheckpointAt(table, v); v }
+
+  /** Checkpoint writer shared by [[compact]] and [[publishV6Floor]]:
+    * the legacy `files` list (pre-state readers fold the snapshot from
+    * it) PLUS the full [[TableState]] — so every fold, not just the
+    * file list, restarts from here ([[stateAt]]). Put-if-absent like
+    * [[tryCommit]]; an existing checkpoint at `v` is left alone. */
+  private def writeCheckpointAt(table: String, v: Long,
+      protoFloor: Int = 1): Unit = {
+    val st = stateAt(table, Some(v))
+    val files = st.files
+    // same minimum-readable-version rule as tryCommit: a checkpoint of a
+    // table that never used a v2 feature must stay readable by a v1-era
+    // reader (absolute clone refs in the file list, or DV history — whose
+    // commits a reader must fold — are what demand v2). st.minReader
+    // already carries the max stamp over the folded history (DV commits
+    // stamp >= 2 at write time).
+    val needed = Seq(if (files.exists(_.startsWith("/"))) 2 else 1,
+      st.minReader, if (hasCompactedLog(table)) 6 else 1,
+      if (Files.exists(retentionMarkerPath(table))) 7 else 1,
+      protoFloor).max
+    val node = mapper.createObjectNode()
+    node.put("protocolVersion", needed)
+    node.put("version", v)
+    val arr = node.putArray("files")
+    files.foreach(arr.add)
+    st.toNode(node.putObject("state"))
+    val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, mapper.writeValueAsBytes(node))
+    try Files.createLink(checkpointPath(table, v), tmp)
+    catch { case _: FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
+  }
 
   private def hasCompactedLog(table: String): Boolean = {
     val dir = logDir(table)
@@ -5236,40 +5576,90 @@ object TxLog {
       // unconditionally by every reader generation, so one checkpoint
       // stamped 6 — written BEFORE the loose files vanish — turns that
       // silent misread into the refusal the stamp exists for.
-      publishV6Floor(table)
+      publishProtoFloor(table, 6)
       candidates.foreach(Files.deleteIfExists)
     }
     Some((versions.head, versions.last))
   }
 
-  /** Publish the v6 reader floor in a file pre-v6 readers DO parse (see
-    * [[compactLog]]). Checkpoints are immutable once published
-    * (put-if-absent), so when the newest versions already carry <=5
-    * checkpoints the floor lands at the newest version without one. */
-  private def publishV6Floor(table: String): Unit = {
+  /** LOG RETENTION (Delta's logRetentionDuration, checkpoint-floored):
+    * delete every log file strictly COVERED by the newest full-state
+    * checkpoint — loose commits and containers at or below its version,
+    * and older checkpoints. The checkpoint carries the expired range's
+    * complete net effect (file list, schema, properties, constraints,
+    * DVs, stats, row-id bases, replay guards, COPY ledger — see
+    * [[TableState]]), so every read AT OR ABOVE the horizon answers
+    * exactly as before; time travel BELOW it refuses with the remedy
+    * named ([[stateAt]]) — the same contract [[vacuum]] applies to data.
+    *
+    * Requires a full-state checkpoint (run [[compact]] first — the
+    * auto-checkpoint usually has). Crash-safe ordering: the v7 protocol
+    * floor publishes FIRST (a pre-v7 reader folds metadata from the full
+    * commit list and would silently fold the partial history — it must
+    * refuse instead), then the horizon marker, then the deletes; a crash
+    * between any two leaves extra files, never a misread. Returns the
+    * horizon, or None when there is nothing to expire. */
+  def expireLog(table: String): Option[Long] = {
+    // newest STATE-carrying checkpoint = the fold floor every retained
+    // read starts from; files-only (legacy) checkpoints can't anchor
+    // metadata folds and don't qualify
+    val stateCps = listLog(table).flatMap { p =>
+      p.getFileName.toString match {
+        case CheckpointName(v) =>
+          (try Option(mapper.readTree(Files.readAllBytes(p)).get("state"))
+           catch { case scala.util.control.NonFatal(_) => None })
+            .map(_ => v.toLong)
+        case _ => None
+      }
+    }
+    val h = stateCps.maxOption.getOrElse(return None)
+    // v7-stamped checkpoints are protocol FLOORS (possibly from an
+    // earlier expireLog) — publishProtoFloor counts on them, so they
+    // must survive even below the new horizon. Computed BEFORE the floor
+    // publication below, so this run's floor checkpoint (a file that
+    // does not exist yet) can never land in the delete set either.
+    def isV7Stamped(p: Path): Boolean =
+      try Option(mapper.readTree(Files.readAllBytes(p))
+        .get("protocolVersion")).exists(_.asInt() >= 7)
+      catch { case scala.util.control.NonFatal(_) => false }
+    val doomed = listLog(table).filter { p =>
+      p.getFileName.toString match {
+        case CommitName(v) => v.toLong <= h
+        case CompactedName(_, to) => to.toLong <= h
+        case CheckpointName(v) => v.toLong < h && !isV7Stamped(p)
+        case _ => false
+      }
+    }
+    if (doomed.isEmpty && retentionHorizon(table).contains(h)) return Some(h)
+    publishProtoFloor(table, 7)
+    val node = mapper.createObjectNode()
+    node.put("horizon", h)
+    node.put("protocolVersion", 7)
+    Files.write(retentionMarkerPath(table), mapper.writeValueAsBytes(node))
+    doomed.foreach(Files.deleteIfExists)
+    commitCache.remove(table)
+    stateCache.remove(table)
+    Some(h)
+  }
+
+  /** Publish a reader-protocol floor in a file pre-`floor` readers DO
+    * parse (see [[compactLog]] / [[expireLog]]). Checkpoints are
+    * immutable once published (put-if-absent), so when the newest
+    * versions already carry lower-stamped checkpoints the floor lands at
+    * the newest version without one. */
+  private def publishProtoFloor(table: String, floor: Int): Unit = {
     val alreadyStamped = listLog(table).exists { p =>
       p.getFileName.toString match {
         case CheckpointName(_) =>
           Option(mapper.readTree(Files.readAllBytes(p))
-            .get("protocolVersion")).exists(_.asInt() >= 6)
+            .get("protocolVersion")).exists(_.asInt() >= floor)
         case _ => false
       }
     }
     if (alreadyStamped) return
     val have = checkpoints(table).map(_._1).toSet
     commits(table).map(_.version).reverse.find(!have.contains(_))
-      .foreach { v =>
-        val node = mapper.createObjectNode()
-        node.put("protocolVersion", 6)
-        node.put("version", v)
-        val arr = node.putArray("files")
-        activeFiles(table, Some(v)).foreach(arr.add)
-        val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
-        Files.write(tmp, mapper.writeValueAsBytes(node))
-        try Files.createLink(checkpointPath(table, v), tmp)
-        catch { case _: FileAlreadyExistsException => () }
-        finally Files.deleteIfExists(tmp)
-      }
+      .foreach(writeCheckpointAt(table, _, protoFloor = floor))
   }
 
   /** OPTIMIZE analog: rewrite the CURRENT snapshot into `targetFiles`
@@ -5290,9 +5680,7 @@ object TxLog {
     * (recorded by [[tryCommit]]), a filesystem stat as the fallback for
     * pre-sizes logs. Metadata-scale — one map entry per active file. */
   def fileSizes(table: String, asOf: Option[Long] = None): Map[String, Long] = {
-    val recorded = commits(table)
-      .filter(c => asOf.forall(c.version <= _))
-      .flatMap(_.sizes).toMap
+    val recorded = stateAt(table, asOf).sizes
     activeFiles(table, asOf).flatMap { f =>
       recorded.get(f).orElse {
         val p = Paths.get(resolve(table, f))
@@ -5336,16 +5724,14 @@ object TxLog {
     * files whose commit predates row recording (consumers must treat
     * absence as unknown, never zero). */
   def fileRowCounts(table: String, asOf: Option[Long] = None): Map[String, Long] = {
-    val recorded = commits(table)
-      .filter(c => asOf.forall(c.version <= _)).flatMap(_.rows).toMap
+    val recorded = stateAt(table, asOf).rows
     activeFiles(table, asOf).flatMap(f => recorded.get(f).map(f -> _)).toMap
   }
 
   /** Commit-recorded per-column null counts per active file as of `asOf`. */
   def fileNullCounts(table: String,
       asOf: Option[Long] = None): Map[String, Map[String, Long]] = {
-    val recorded = commits(table)
-      .filter(c => asOf.forall(c.version <= _)).flatMap(_.nulls).toMap
+    val recorded = stateAt(table, asOf).nulls
     activeFiles(table, asOf).flatMap(f => recorded.get(f).map(f -> _)).toMap
   }
 
@@ -5360,8 +5746,7 @@ object TxLog {
   def rowCount(table: String, asOf: Option[Long] = None): Option[Long] = {
     if (activeDvs(table, asOf).nonEmpty) return None
     val active = activeFiles(table, asOf)
-    val recorded = commits(table)
-      .filter(c => asOf.forall(c.version <= _)).flatMap(_.rows).toMap
+    val recorded = stateAt(table, asOf).rows
     val counts = active.flatMap(recorded.get)
     if (counts.size == active.size) Some(counts.sum) else None
   }

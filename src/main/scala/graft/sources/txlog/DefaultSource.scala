@@ -822,6 +822,33 @@ class TxLogStreamSource(sqlContext: SQLContext, path: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)
     val to = ver(end)
+    // the expireLog × stream-position guard (the vacuum guard's log-side
+    // twin): a stream positioned below the retention horizon would
+    // silently deliver NOTHING for the expired commits — fail loudly.
+    // LAZILY: on restart Spark re-calls getBatch for the last COMMITTED
+    // batch purely to re-inform the source of its range and discards the
+    // DataFrame (populateStartOffsets) — a caught-up stream whose history
+    // was expired AFTER it consumed it must resume, so the refusal fires
+    // only if the batch actually EXECUTES (an uncommitted replay or a new
+    // stream positioned below the horizon — the silent-loss cases).
+    TxLog.retentionHorizon(path).foreach { h =>
+      if (from < h) {
+        val msg =
+          s"txlog stream on $path: position $from is below the log-" +
+            s"retention horizon $h — expireLog deleted those commits, so " +
+            "their increments cannot be delivered. Restart with " +
+            "startingVersion at or above the horizon (a full re-read), or " +
+            "stop expiring this table's log while streams consume it"
+        val spark = sqlContext.sparkSession
+        val failing = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(0), 1)
+            .map[org.apache.spark.sql.Row](_ =>
+              throw new IllegalStateException(msg)),
+          schema)
+        return org.apache.spark.sql.execution.streaming
+          .GraftSourceShim.asStreaming(failing)
+      }
+    }
     changeFeedKeys.foreach { keys =>
       // change-feed mode: deliver each commit's KEYED DIFF (insert/
       // update/delete + _commit_version) instead of its added files —

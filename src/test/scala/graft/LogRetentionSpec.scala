@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.TxLog
+
+/** Log retention ([[TxLog.expireLog]] — Delta's logRetentionDuration,
+  * floored at the newest full-state checkpoint): expired log files are
+  * GONE, so the contract is the same as data [[TxLog.vacuum]] — reads at
+  * or above the horizon answer exactly as before (the checkpoint carries
+  * the expired range's net effect), below it they refuse with the remedy
+  * named, and streams positioned below fail loudly instead of silently
+  * skipping. */
+class LogRetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def logFiles(t: String): Seq[String] =
+    scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(Paths.get(t, "_txlog")).iterator()).asScala
+      .map(_.getFileName.toString).toSeq
+
+  private def fixture(n: Int = 30): String = {
+    val t = tmpDir("logret") + "/t"
+    TxLog.setProperties(t, Map("custom.tag" -> "v1"))              // v1
+    (1 to n).foreach(i => TxLog.append(
+      Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1), t))      // v2..
+    t
+  }
+
+  test("expireLog deletes below the checkpoint floor; retained reads exact") {
+    val t = fixture()
+    TxLog.compact(t) // full-state checkpoint at the tip
+    val h = TxLog.latestVersion(t).get
+    TxLog.append(Seq((99L, "tail")).toDF("k", "v"), t) // post-cp commit
+    val warmRows = TxLog.read(spark, t).count()
+    val warmProps = TxLog.properties(t)
+    val warmFiles = TxLog.activeFiles(t)
+
+    assert(TxLog.expireLog(t) === Some(h))
+    // the floor is the newest full-state checkpoint, honored exactly:
+    // nothing at or below h survives as a commit file, everything after
+    // it does
+    val names = logFiles(t)
+    assert(!names.exists(_.matches(f"${"%020d".format(h)}\\.json")),
+      s"horizon commit must be expired: $names")
+    assert(names.exists(_.matches(f"${"%020d".format(h + 1)}\\.json")),
+      "post-horizon commits must survive")
+    // retained reads are byte-identical to pre-expiry
+    assert(TxLog.read(spark, t).count() === warmRows)
+    assert(TxLog.properties(t) === warmProps)
+    assert(TxLog.activeFiles(t) === warmFiles)
+    assert(TxLog.read(spark, t, Some(h)).count() === warmRows - 1)
+    // below the horizon: pointed refusal naming the remedy
+    val e = intercept[IllegalStateException] {
+      TxLog.read(spark, t, Some(h - 1)).count()
+    }
+    assert(e.getMessage.contains("log-retention horizon"), e.getMessage)
+    assert(e.getMessage.contains("DEEP CLONE"), e.getMessage)
+    // repeat expiry floors at the v7 checkpoint the first run published
+    // (it is itself a full-state checkpoint) — monotone, never past tip
+    assert(TxLog.expireLog(t).exists(_ >= h))
+    assert(TxLog.read(spark, t).count() === warmRows)
+    // version numbering continues after expiry (never restarts)
+    val tip = TxLog.latestVersion(t).get
+    TxLog.append(Seq((500L, "post")).toDF("k", "v"), t)
+    assert(TxLog.latestVersion(t).get === tip + 1)
+  }
+
+  test("expireLog without a full-state checkpoint is a refused no-op") {
+    val t = fixture(5)
+    assert(TxLog.expireLog(t) === None, "no checkpoint → nothing to floor")
+    assert(TxLog.read(spark, t).count() === 5)
+  }
+
+  test("post-expiry commits and checkpoints stamp reader protocol v7") {
+    val t = fixture(12)
+    TxLog.compact(t)
+    TxLog.expireLog(t)
+    // the floor checkpoint published during expiry already says 7
+    val cps = logFiles(t).filter(_.endsWith(".checkpoint.json")).map(n =>
+      new String(Files.readAllBytes(Paths.get(t, "_txlog", n))))
+    assert(cps.exists(_.contains("\"protocolVersion\":7")), cps.mkString)
+    // and the next commit does too
+    TxLog.append(Seq((100L, "x")).toDF("k", "v"), t)
+    assert(TxLog.commits(t).last.minReader === 7)
+  }
+
+  test("a stream positioned below the horizon fails loudly; above resumes") {
+    val t = tmpDir("logret_stream") + "/t"
+    (1 to 6).foreach(i => TxLog.append(
+      Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1), t))
+    val sink = tmpDir("logret_sink"); val cp = tmpDir("logret_cp")
+    def drain(cpDir: String, sinkDir: String, startAt: Option[Long]): Unit = {
+      val r = spark.readStream.format("graft.sources.txlog")
+        .option("path", t)
+      startAt.foreach(v => r.option("startingVersion", v.toString))
+      r.load().writeStream.format("parquet")
+        .option("checkpointLocation", cpDir).option("path", sinkDir)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    drain(cp, sink, None) // consumes v1..v6, checkpoint at 6
+    assert(spark.read.parquet(sink).count() === 6)
+    TxLog.compact(t)
+    (7 to 9).foreach(i => TxLog.append(
+      Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1), t))
+    TxLog.expireLog(t) // horizon = 6
+    // the caught-up stream sits AT the horizon — it resumes fine
+    drain(cp, sink, None)
+    assert(spark.read.parquet(sink).count() === 9)
+    // a NEW stream starting below the horizon refuses with the remedy
+    val e = intercept[Exception] {
+      drain(tmpDir("logret_cp2"), tmpDir("logret_sink2"), Some(2L))
+    }
+    assert(e.getMessage.contains("log-retention horizon") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("log-retention horizon")), e.getMessage)
+  }
+
+  test("expiry composes with log compaction and advances with new checkpoints") {
+    val t = fixture(40)
+    TxLog.compactLog(t).get // container + state floor checkpoint
+    val h1 = TxLog.expireLog(t).get
+    assert(TxLog.read(spark, t).count() === 40)
+    // more work, a newer checkpoint → the horizon advances
+    (1 to 5).foreach(i => TxLog.append(
+      Seq((100L + i, "x")).toDF("k", "v").coalesce(1), t))
+    TxLog.compact(t)
+    val h2 = TxLog.expireLog(t).get
+    assert(h2 > h1, s"horizon must advance: $h1 -> $h2")
+    assert(TxLog.read(spark, t).count() === 45)
+    assert(TxLog.properties(t)("custom.tag") === "v1",
+      "properties set before the FIRST horizon still fold (checkpointed)")
+  }
+}
