@@ -3303,7 +3303,17 @@ object TxLog {
     *   - `year(b)` (timestamp b) → numeric year range
     *   - `month(b)` / `day(b)` (cyclic units) → numeric range ONLY when
     *     the next coarser unit is constant across the padded bound — a
-    *     cross-boundary range could wrap (Dec..Jan is {12, 1})
+    *     cross-boundary range could wrap (Dec..Jan is {12, 1}).
+    *     `hour(b)` is DELIBERATELY absent: its coarser unit is the day,
+    *     and the ±14 h timezone pad alone spans more than a day's worth
+    *     of hours in the guard window, so the same-day condition can
+    *     never hold on a padded bound — there is no sound hour
+    *     derivation to write. An hour-granular layout that wants this
+    *     prune must generate `date_format(b, 'yyyy-MM-dd HH')` instead
+    *     (non-cyclic, derives as a monotone string; pinned by
+    *     GeneratedPartitionPruneSpec). Do NOT "fix" hour by dropping the
+    *     pad or the guard — both directions are load-bearing for
+    *     soundness under arbitrary session timezones
     *   - `to_date(b)` / `date(b)` / `cast(b AS date)` → ISO date-string
     *     range (lexicographic = chronological)
     *   - `date_format(b, f)`, f prefix-monotone (yyyy[-MM[-dd …]]) →
@@ -4837,9 +4847,28 @@ object TxLog {
           source.schema.fields.find(_.name == c)
             .map(f => org.apache.spark.sql.types.StructField(
               c, f.dataType, nullable = true))
-            .getOrElse(throw new IllegalArgumentException(
-              s"MERGE schema evolution: new column $c has no source " +
-                "column to take its type from"))
+            .getOrElse {
+              // no same-named source column (an NMBS UPDATE can only
+              // reference the target) — Delta types the new column from
+              // the ASSIGNMENT EXPRESSION; resolve it against a zero-row
+              // aliased target × source frame (schema-only, no data)
+              val assigned = (matchedC ++ nmbsC).collectFirst {
+                case MergeUpdate(_, set) if set.contains(c) => set(c)
+              }.orElse(notMatchedC.collectFirst {
+                case i if i.values.contains(c) => i.values(c)
+              }).getOrElse(throw new IllegalArgumentException(
+                s"MERGE schema evolution: new column $c has no source " +
+                  "column and no assignment expression to take its " +
+                  "type from"))
+              val emptyOf = (sch: org.apache.spark.sql.types.StructType) =>
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+              val probe = emptyOf(logSchema).alias(targetAlias)
+                .crossJoin(emptyOf(source.schema).alias(sourceAlias))
+              org.apache.spark.sql.types.StructField(c,
+                probe.select(assigned).schema.head.dataType,
+                nullable = true)
+            }
         }
       val tgtSchema = org.apache.spark.sql.types.StructType(
         logSchema.fields ++ added)

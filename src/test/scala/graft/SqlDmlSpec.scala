@@ -361,6 +361,29 @@ class SqlDmlSpec extends SparkSpec {
       (4L, "stale", 0.0)))
   }
 
+  test("NMBS UPDATE adds a NEW column typed from the assignment expression") {
+    // Delta's behavior: under WITH SCHEMA EVOLUTION an assigned column
+    // absent from BOTH target and source takes its type from the
+    // assignment expression (an NMBS UPDATE can only reference the
+    // target, so there is no same-named source column to copy from)
+    val t = seed()
+    Seq(2L).toDF("k").createOrReplaceTempView("mrg_nmbs_evo_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO txlog.`$t` AS t
+         |USING mrg_nmbs_evo_src AS s ON t.k = s.k
+         |WHEN NOT MATCHED BY SOURCE AND t.k >= 3 THEN
+         |  UPDATE SET stale_amt = t.amt * 2.0""".stripMargin)
+    val f = TxLog.schemaAsOf(t).get.fields.find(_.name == "stale_amt")
+    assert(f.map(_.dataType) ===
+      Some(org.apache.spark.sql.types.DoubleType), s"got $f")
+    val got = TxLog.read(spark, t).orderBy("k")
+      .select("k", "stale_amt").as[(Long, Option[Double])].collect().toSeq
+    // k=2 matched, k=1 unmatched but fails the AND — both NULL-backfill;
+    // k=3,4 fire
+    assert(got === Seq((1L, None), (2L, None),
+      (3L, Some(60.0)), (4L, Some(80.0))))
+  }
+
   test("NMBS rewrite stays bounded to files a clause actually fires on") {
     val dir = tmpDir("sqldml-nmbs") + "/t"
     TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
