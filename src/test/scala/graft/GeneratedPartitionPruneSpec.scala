@@ -120,6 +120,69 @@ class GeneratedPartitionPruneSpec extends SparkSpec {
     assert(!num2.contains("m"), num2)
   }
 
+  test("day(ts) derives only within one month; cross-month wraps refuse") {
+    val t = tmpDir("gpp_day") + "/t"
+    TxLog.setProperties(t, Map(
+      "graft.generated.d" -> "day(ts)",
+      "graft.partition.columns" -> "d"))
+    TxLog.append(Seq(
+      (1L, ts("2021-06-05 12:00:00")), (2L, ts("2021-06-15 12:00:00")),
+      (3L, ts("2021-06-25 12:00:00"))).toDF("k", "ts"), t)
+    // intra-month window (pad-safe: bounds a day inside)
+    val (num, _) = TxLog.deriveGeneratedPartitionBounds(t, None,
+      Map("ts" -> (epoch("2021-06-12 00:00:00"), epoch("2021-06-18 00:00:00"))),
+      Map.empty)
+    assert(num.get("d").exists(r => r._1 >= 11.0 && r._2 <= 19.0), num)
+    // padded bounds straddling a month boundary must NOT derive: days
+    // wrap (Jun 28..Jul 2 is {28..30, 1, 2})
+    val (num2, _) = TxLog.deriveGeneratedPartitionBounds(t, None,
+      Map("ts" -> (epoch("2021-06-28 00:00:00"), epoch("2021-07-02 00:00:00"))),
+      Map.empty)
+    assert(!num2.contains("d"), num2)
+  }
+
+  test("hour(ts) never derives — the remedy is a date_format hour layout") {
+    // hour's coarser unit is the DAY, and the ±14 h timezone pad alone
+    // exceeds a day's guard window, so no padded bound can ever satisfy
+    // a same-day condition: there is no sound hour derivation. The
+    // layout that WANTS hour pruning generates the non-cyclic
+    // date_format(ts, 'yyyy-MM-dd HH') instead, which derives as a
+    // monotone string range. Pinning BOTH directions keeps a future
+    // round from "fixing" hour by weakening the pad or the guard.
+    val t = tmpDir("gpp_hour") + "/t"
+    TxLog.setProperties(t, Map(
+      "graft.generated.h" -> "hour(ts)",
+      "graft.partition.columns" -> "h"))
+    TxLog.append(Seq(
+      (1L, ts("2023-05-01 03:30:00")), (2L, ts("2023-05-01 15:30:00")))
+      .toDF("k", "ts"), t)
+    val (num, str) = TxLog.deriveGeneratedPartitionBounds(t, None,
+      Map("ts" -> (epoch("2023-05-01 15:00:00"), epoch("2023-05-01 16:00:00"))),
+      Map.empty)
+    assert(!num.contains("h") && !str.contains("h"),
+      s"hour must never derive (no sound guard window): $num $str")
+    // reads stay correct — the exact row filter does the work unpruned
+    assert(TxLog.readPruned(spark, t, num, str)
+      .filter(col("ts") >= lit(ts("2023-05-01 15:00:00"))).count() === 1)
+
+    // the remedy: an hour-granular date_format layout DERIVES
+    val t2 = tmpDir("gpp_hourfmt") + "/t"
+    TxLog.setProperties(t2, Map(
+      "graft.generated.hf" -> "date_format(ts, 'yyyy-MM-dd HH')",
+      "graft.partition.columns" -> "hf"))
+    TxLog.append(Seq(
+      (1L, ts("2023-05-01 03:30:00")), (2L, ts("2023-05-03 15:30:00")))
+      .toDF("k", "ts"), t2)
+    val (_, str2) = TxLog.deriveGeneratedPartitionBounds(t2, None,
+      Map("ts" -> (epoch("2023-05-03 15:00:00"), epoch("2023-05-03 16:00:00"))),
+      Map.empty)
+    assert(str2.contains("hf"), "date_format hour layout must derive")
+    val pruned = TxLog.readPruned(spark, t2, Map.empty, str2)
+    assert(pruned.inputFiles.length < TxLog.activeFiles(t2).size,
+      "the padded string range must still prune far-away hour dirs")
+    assert(pruned.filter(col("k") === 2L).count() === 1)
+  }
+
   test("no derivation when the query already bounds the partition column") {
     val t = yearTable()
     val (num, _) = TxLog.deriveGeneratedPartitionBounds(t, None,
