@@ -796,6 +796,59 @@ object ExtQueries {
         vecs.filter(col("id") < 10), vecs, k = 5)
     },
 
+    // IVF-PQ residual composition (Jégou et al. 2011 §V; FAISS's
+    // IndexIVFPQ): PQ quantizes the RESIDUAL vector − cell-centroid, so
+    // the same 8-byte code budget covers a far smaller dynamic range —
+    // recall rises at equal bytes (AnnClusteredRecallSpec gates the
+    // margin over plain PQ). The ADC score adds a per-(query, probed
+    // cell) integer term to the residual-LUT sum — BOTH integer micro
+    // units, so the shortlist replays exactly in DuckDB over the staged
+    // codes + probes + LUT, same strength as the PQ entry.
+    QueryDef("ext_sim_topk_ivfpq",
+      "ANN top-5 via IVF-PQ residual encoding (16 cells 4-probe, PQ 8x16 on residuals): integer-micro ADC (cell term + residual LUT) shortlist + exact rerank, BOTH stages oracled",
+      s"""WITH cd AS (SELECT n_id, cell, sub, code FROM read_parquet('$StageSql/ivfpq_codes/*.parquet')),
+         |p AS (SELECT q_id, cell, qcm FROM read_parquet('$StageSql/ivfpq_probes/*.parquet')),
+         |l AS (SELECT q_id, sub, code, lm FROM read_parquet('$StageSql/ivfpq_lut/*.parquet')),
+         |a AS (SELECT p.q_id, cd.n_id, CAST(ANY_VALUE(p.qcm) + SUM(l.lm) AS BIGINT) AS adc
+         |      FROM cd JOIN p ON cd.cell = p.cell
+         |             JOIN l ON l.q_id = p.q_id AND l.sub = cd.sub AND l.code = cd.code
+         |      WHERE cd.n_id <> p.q_id GROUP BY p.q_id, cd.n_id),
+         |s AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS sr FROM a) WHERE sr <= 20),
+         |re AS (SELECT s.q_id, s.n_id, $COS AS score
+         |       FROM s JOIN embeddings q ON q.vec_id = s.q_id
+         |              JOIN embeddings n ON n.vec_id = s.n_id)
+         |SELECT q_id, n_id, score, rank FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM re)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = graft.ext.IvfPq.trainCached(s"$dir#ivfpq", emb,
+        "embedding", dim = 64, nCells = 16, m = 8, nCodes = 16)
+      val stage = stageDir(dir)
+      model.encode(emb, "vec_id", "embedding")
+        .select(col("n_id"), col("cell"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .write.mode("overwrite").parquet(s"$stage/ivfpq_codes")
+      model.probes(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          nProbe = 4)
+        .write.mode("overwrite").parquet(s"$stage/ivfpq_probes")
+      model.lutMicro(emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").alias("q_id"),
+            col("embedding").cast("array<double>").alias("vec")))
+        .write.mode("overwrite").parquet(s"$stage/ivfpq_lut")
+      val sl = graft.ext.IvfPq.shortlistFromStaged(
+        s.read.parquet(s"$stage/ivfpq_codes"),
+        s.read.parquet(s"$stage/ivfpq_probes"),
+        s.read.parquet(s"$stage/ivfpq_lut"), shortlist = 20)
+      val vecs = emb.select(col("vec_id").alias("id"),
+        col("embedding").alias("vec"))
+      Similarity.topKFromCandidates(sl, vecs.filter(col("id") < 10),
+        vecs, k = 5)
+    },
+
     // OPQ-style rotated PQ: a fixed random orthonormal rotation (OpqIndex —
     // the RR baseline of Ge et al.'s OPQ) decorrelates dimensions before
     // the same 8×16 product quantizer. Rotation is a scan-side literal

@@ -72,6 +72,29 @@ class AnnClusteredRecallSpec extends SparkSpec {
     assert(exact.size === 100)
   }
 
+  test("IVF-PQ residual encoding beats plain PQ at equal code bytes") {
+    // same code budget (m=8, nCodes=16 → 8 bytes/vector) and the same
+    // shortlist budget; the ONLY change is quantizing residuals instead
+    // of absolute vectors. On a clustered corpus residuals concentrate
+    // near the origin (the cell centroid absorbs the cluster offset), so
+    // the same codebook resolution covers a far smaller dynamic range —
+    // the gate is the ordering, the floor is measured-margin.
+    val pq = pairs(PqIndex.topK(emb, queries, "vec_id", "embedding",
+      dim = Dim, k = 5, shortlistFactor = 8, corpusKey = "clustered#pq"))
+    val pqRecall = (exact & pq).size.toDouble / exact.size
+
+    val ivfpq = pairs(graft.ext.IvfPq.topK(emb, queries, "vec_id",
+      "embedding", dim = Dim, k = 5, nCells = 16, nProbe = 4,
+      shortlistFactor = 8, corpusKey = "clustered#ivfpq"))
+    val ivfpqRecall = (exact & ivfpq).size.toDouble / exact.size
+
+    info(f"clustered pq recall@5 = $pqRecall%.2f, ivf-pq recall@5 = $ivfpqRecall%.2f")
+    assert(ivfpqRecall >= pqRecall + 0.05,
+      f"residual encoding must gain a real margin at equal bytes: " +
+        f"pq=$pqRecall%.2f ivfpq=$ivfpqRecall%.2f")
+    assert(ivfpqRecall >= 0.5, s"ivf-pq recall@5 = $ivfpqRecall")
+  }
+
   test("trained-rotation OPQ beats plain PQ on anisotropic data") {
     // same shortlist budget for both (8k of 2000 = 2% of the corpus
     // reranked exactly — the production-shaped setting; at factor 4 the
