@@ -111,4 +111,86 @@ class RandomizedDmlSpec extends SparkSpec {
   test("randomized DML sequences match the model (seed 1337)") {
     runScenario(1337L, 30)
   }
+
+  /** Two seeded writers race append/DELETE/UPDATE/OPTIMIZE on ONE table
+    * under `graft.isolationLevel=serializable`. Each writer owns a
+    * disjoint key space (w, w+2, w+4, …) and mutates only its own keys,
+    * so every pair of committed ops is semantically commutative — the
+    * final table must equal the UNION of the two per-writer models no
+    * matter how the interleaving went. Physical overlap still happens
+    * (OPTIMIZE coalesces both writers' rows into shared files), and
+    * there the serializable file-disjoint rule must REFUSE one side
+    * ([[TxLog.ConcurrentWriteException]]) rather than let a rewrite
+    * silently resurrect rows the other writer changed; a refused op
+    * leaves its model untouched and the writer moves on. The assertions
+    * hold under ANY thread interleaving — that is the point. */
+  test("concurrent two-writer randomized DML stays serializable-consistent") {
+    val t = tmpDir("rand_dml_conc") + "/t"
+    TxLog.setProperties(t, Map("graft.isolationLevel" -> "serializable"))
+    TxLog.append(Seq((-1L, "base", 0.0)).toDF("k", "v", "amt").coalesce(1), t)
+
+    val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+    def isRefusal(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[TxLog.ConcurrentWriteException])
+
+    def writer(w: Int, seed: Long): Map[Long, (String, Double)] = {
+      val rnd = new Random(seed)
+      var model = Map.empty[Long, (String, Double)]
+      var nextK = w.toLong
+      def ownKeys = model.keys.toSeq.sorted
+      (1 to 20).foreach { _ =>
+        val action = rnd.nextInt(7)
+        try action match {
+          case 0 | 1 | 2 =>
+            val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              nextK += 2; (nextK, s"w$w-$nextK", rnd.nextInt(100).toDouble)
+            }
+            TxLog.append(rows.toDF("k", "v", "amt").coalesce(1), t)
+            model ++= rows.map(r => r._1 -> (r._2, r._3))
+          case 3 if model.nonEmpty =>
+            val victim = ownKeys(rnd.nextInt(ownKeys.size))
+            spark.sql(s"DELETE FROM txlog.`$t` WHERE k = $victim")
+            model -= victim
+          case 4 if model.nonEmpty =>
+            val victim = ownKeys(rnd.nextInt(ownKeys.size))
+            spark.sql(s"UPDATE txlog.`$t` SET amt = amt + 1000 " +
+              s"WHERE k = $victim")
+            model = model.updatedWith(victim)(_.map(r => (r._1, r._2 + 1000)))
+          case 5 =>
+            TxLog.optimize(spark, t, targetFiles = 3)
+          case _ => ()
+        } catch {
+          case e: Throwable if isRefusal(e) => refusals.incrementAndGet()
+        }
+      }
+      model
+    }
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(writer(0, 4242L))
+    val fb = Future(writer(1, 9191L))
+    // generous bound: 40 steps of driver-side DML run cold (JIT, first
+    // RocksDB-free DML in this suite) — a tight bound flakes on wall
+    // clock, which is not what this test is about
+    val (ma, mb) = (Await.result(fa, scala.concurrent.duration.Duration(
+      "300s")), Await.result(fb, scala.concurrent.duration.Duration("300s")))
+
+    assert(ma.nonEmpty && mb.nonEmpty, "both writers must land commits")
+    val expected = ma ++ mb + (-1L -> ("base", 0.0))
+    val got = TxLog.read(spark, t).select("k", "v", "amt")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val missing = expected.keySet -- got.keySet
+    val extra = got.keySet -- expected.keySet
+    val changed = (expected.keySet & got.keySet)
+      .filter(k => expected(k) != got(k))
+    assert(got === expected,
+      s"merged two-writer state diverged (refusals=${refusals.get()}): " +
+        s"missing=$missing extra=$extra changed=${changed.map(k =>
+          s"$k: ${expected(k)} vs ${got(k)}")}")
+    info(s"writers committed ${ma.size}+${mb.size} live keys, " +
+      s"${refusals.get()} serializable refusals")
+  }
 }
