@@ -1098,16 +1098,20 @@ object AnalyticsQueries {
       Tables.load(s, dir, "customer").select("c_custkey", "c_name")
         .write.mode("overwrite").parquet(s"$stage/txlogc_in")
       val in = s.read.parquet(s"$stage/txlogc_in")
-      val table = Files.createTempDirectory("graft_txlogc").toString + "/t"
-      TxLog.setProperties(table,
-        Map("graft.logCompaction.threshold" -> "25"))
-      TxLog.overwrite(in.filter(col("c_custkey") % 11 === 0)
-        .filter(col("c_custkey") > 60).repartition(2), table)
-      val trickle = in.filter(col("c_custkey") <= 60).orderBy("c_custkey")
-        .collect()
-      trickle.grouped(2).foreach { rows =>
-        TxLog.append(s.createDataFrame(
-          java.util.Arrays.asList(rows: _*), in.schema).coalesce(1), table)
+      // the 31-commit trickle is the catalog's most expensive fixture
+      // (the threshold crossing under test needs every one of them);
+      // deterministic + read-only afterwards → build once per sf
+      val table = Fixtures.immutableTable(dir, "txlogc", 1) { table =>
+        TxLog.setProperties(table,
+          Map("graft.logCompaction.threshold" -> "25"))
+        TxLog.overwrite(in.filter(col("c_custkey") % 11 === 0)
+          .filter(col("c_custkey") > 60).repartition(2), table)
+        val trickle = in.filter(col("c_custkey") <= 60).orderBy("c_custkey")
+          .collect()
+        trickle.grouped(2).foreach { rows =>
+          TxLog.append(s.createDataFrame(
+            java.util.Arrays.asList(rows: _*), in.schema).coalesce(1), table)
+        }
       }
       val logDir = java.nio.file.Paths.get(table, "_txlog")
       val names = TxLog.walkDir(logDir).map(_.getFileName.toString)
