@@ -30,6 +30,21 @@ import graft.functions.VectorFunctions.dot
   */
 object OpqIndex {
 
+  private val rotCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private val RotCacheCap = 8
+
+  /** Rotation memoizer (the [[PqIndex.trainCached]] pattern): both
+    * trainers are seeded and fit bounded samples, so the cached matrix is
+    * IDENTICAL to a fresh train — caching never changes results, it only
+    * stops a served index from re-running PCA / alternating minimization
+    * per query batch. Same wholesale-clear bound as the model caches. */
+  def rotationCached(key: String)(
+      train: => Array[Array[Double]]): Array[Array[Double]] = {
+    if (rotCache.size >= RotCacheCap) rotCache.clear()
+    rotCache.getOrElseUpdate(key, train)
+  }
+
   /** Deterministic random orthonormal dim×dim matrix: seeded Gaussian
     * entries, then modified Gram-Schmidt (numerically stabler than
     * classical GS at dim=64 — re-projects against already-orthogonalized

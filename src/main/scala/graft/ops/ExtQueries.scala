@@ -873,8 +873,9 @@ object ExtQueries {
       "ANN top-5 via trained OPQ (PCA + balanced eigenvalue allocation, Ge et al. parametric) + PQ 8x16, both stages oracled",
       rotatedPqOracle("opqt")) { (s, dir) =>
       rotatedPqTopK(s, dir, "opqt",
-        graft.ext.OpqIndex.trainedRotation(
-          Tables.load(s, dir, "embeddings"), "embedding", dim = 64, m = 8))
+        graft.ext.OpqIndex.rotationCached(s"$dir#opqt")(
+          graft.ext.OpqIndex.trainedRotation(
+            Tables.load(s, dir, "embeddings"), "embedding", dim = 64, m = 8)))
     },
 
     // Full OPQ (non-parametric): the alternating Lloyd + Procrustes
@@ -886,9 +887,10 @@ object ExtQueries {
       "ANN top-5 via full OPQ (alternating minimization: Lloyd + orthogonal Procrustes) + PQ 8x16, both stages oracled",
       rotatedPqOracle("opqf")) { (s, dir) =>
       rotatedPqTopK(s, dir, "opqf",
-        graft.ext.OpqIndex.alternatingRotation(
-          Tables.load(s, dir, "embeddings"), "embedding", dim = 64, m = 8,
-          iters = 3, sampleCap = 1000)._1)
+        graft.ext.OpqIndex.rotationCached(s"$dir#opqf")(
+          graft.ext.OpqIndex.alternatingRotation(
+            Tables.load(s, dir, "embeddings"), "embedding", dim = 64, m = 8,
+            iters = 3, sampleCap = 1000)._1))
     },
 
     // ---- text analysis ---------------------------------------------------

@@ -87,6 +87,48 @@ object Fixtures {
     root.resolve("t").toString
   }
 
+  /** Write-once ORACLE INPUT staging: entries stage a deterministic
+    * projection of a testdata table to [[QueryDef.stageDir]] so the
+    * DuckDB oracle reads byte-identical inputs — and then rewrite it
+    * every run. Skip the rewrite when a marker for (sub, version,
+    * input-fingerprint) already exists; the staged PATH is unchanged, so
+    * oracle SQL needs no edits. The marker lives OUTSIDE the staged dir
+    * (the overwrite wipes the dir) and embeds the sf fingerprint, so a
+    * testdata regeneration re-stages. Same version-bump discipline as
+    * [[immutableTable]]: bump when the projection changes. */
+  def stagedInput(sfDir: String, sub: String, version: Int)(
+      df: => org.apache.spark.sql.DataFrame): String = {
+    val stage = QueryDef.stageDir(sfDir)
+    val path = s"$stage/$sub"
+    val marker = Paths.get(stage, ".ready", s"${sub}_v${version}_${inputSig(sfDir)}")
+    val lock = locks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!Files.exists(marker)) {
+        df.write.mode("overwrite").parquet(path)
+        Files.createDirectories(marker.getParent)
+        // stale markers for the same sub (older version / regenerated
+        // testdata) die with the rewrite
+        val s = Files.list(marker.getParent)
+        try s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith(s"${sub}_v"))
+          .foreach(Files.deleteIfExists)
+        finally s.close()
+        Files.write(marker, Array.emptyByteArray)
+      }
+    }
+    path
+  }
+
+  /** Call-site sugar for [[stagedInput]]:
+    * `df.stageInput(dir, "x_in")` replaces
+    * `df.write.mode("overwrite").parquet(s"$stage/x_in")` one-for-one —
+    * same path, write skipped when the staged copy is current. */
+  implicit class StagedInputOps(private val df: org.apache.spark.sql.DataFrame)
+      extends AnyVal {
+    def stageInput(sfDir: String, sub: String, version: Int = 1): String =
+      stagedInput(sfDir, sub, version)(df)
+  }
+
   /** Fresh MUTABLE copy of a cached fixture — mutation entries pay one
     * local file copy (metadata-scale for these fixtures) instead of a
     * Spark rebuild. The copy lands in a fresh temp dir, so concurrent

@@ -10,6 +10,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.ops.QueryDef.StageSql
+import graft.ops.Fixtures.StagedInputOps
 
 /** Structured Streaming surface (SURVEY.md §2.9) made oracle-checkable:
   * each entry runs a real streaming query (file source → stateful
@@ -1695,7 +1696,7 @@ object StreamingQueries {
       val stage = QueryDef.stageDir(dir)
       graft.Tables.load(s, dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal")
-        .write.mode("overwrite").parquet(s"$stage/scd2s_in")
+        .stageInput(dir, "scd2s_in")
       val in = s.read.parquet(s"$stage/scd2s_in")
       val landing = tmp("graft_st40_src")
       def stageBatch(df: DataFrame, n: Int): Unit = {

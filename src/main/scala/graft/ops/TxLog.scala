@@ -1426,6 +1426,18 @@ object TxLog {
             CommitName.matches(p.getFileName.toString))
           if (looseCount > lcThreshold) compactLog(table)
         }
+        // Auto LOG RETENTION (Delta's enableExpiredLogCleanup, which
+        // cleans expired log files at checkpoint time): expire everything
+        // the checkpoint just written covers. Opt-in by property — expiry
+        // DELETES time travel below the horizon and stamps the v7 reader
+        // floor, both decisions the table owner makes, never a background
+        // write. Runs on the checkpoint cadence (the horizon can only
+        // advance when a new checkpoint lands); with it set, a perpetual
+        // trickle writer's log holds ~interval loose commits + one
+        // checkpoint + the marker, forever.
+        if (properties(table).get("graft.logRetention.auto").contains("true")
+          && interval > 0 && commit.version % interval == 0)
+          expireLog(table)
       } catch { case scala.util.control.NonFatal(_) => () }
     won
   }

@@ -118,6 +118,30 @@ class LogRetentionSpec extends SparkSpec {
         _.getMessage.contains("log-retention horizon")), e.getMessage)
   }
 
+  test("auto retention keeps a trickle writer's log bounded forever") {
+    // the production steady state: graft.logRetention.auto=true rides the
+    // auto-checkpoint cadence, so the log holds ~interval loose commits +
+    // the floor checkpoint + the marker no matter how long the trickle
+    // runs — and every retained read stays exact
+    val t = tmpDir("logret_auto") + "/t"
+    TxLog.setProperties(t, Map(
+      "graft.checkpoint.interval" -> "5",
+      "graft.logRetention.auto" -> "true"))
+    (1 to 23).foreach(i => TxLog.append(
+      Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1), t))
+    val names = logFiles(t)
+    val loose = names.count(_.matches("""\d{20}\.json"""))
+    assert(loose <= 6, s"loose commits must stay ~interval-bounded: $names")
+    assert(TxLog.retentionHorizon(t).exists(_ >= 20L),
+      s"horizon must ride the checkpoint cadence: ${TxLog.retentionHorizon(t)}")
+    assert(TxLog.read(spark, t).count() === 23)
+    assert(TxLog.properties(t)("graft.logRetention.auto") === "true",
+      "pre-horizon properties must fold from the checkpoint")
+    // and the trickle keeps working after expiry
+    TxLog.append(Seq((24L, "v24")).toDF("k", "v"), t)
+    assert(TxLog.read(spark, t).count() === 24)
+  }
+
   test("expiry composes with log compaction and advances with new checkpoints") {
     val t = fixture(40)
     TxLog.compactLog(t).get // container + state floor checkpoint
