@@ -218,7 +218,7 @@ object TxLog {
     "restore", "clone", "setProperty", "convert", "dropConstraint",
     "columnMapping", "renameColumn", "dropColumn", "addColumn",
     "replaceWhere", "copyInto", "scd2", "fsck", "identityColumn",
-    "widenColumn", "reorg")
+    "widenColumn", "reorg", "protocol")
 
   /** File entries are table-relative (`d-<uuid>/part-….parquet`) except
     * shallow-CLONE entries, which reference the SOURCE table absolutely.
@@ -5634,12 +5634,18 @@ object TxLog {
     * named ([[stateAt]]) — the same contract [[vacuum]] applies to data.
     *
     * Requires a full-state checkpoint (run [[compact]] first — the
-    * auto-checkpoint usually has). Crash-safe ordering: the v7 protocol
-    * floor publishes FIRST (a pre-v7 reader folds metadata from the full
-    * commit list and would silently fold the partial history — it must
-    * refuse instead), then the horizon marker, then the deletes; a crash
-    * between any two leaves extra files, never a misread. Returns the
-    * horizon, or None when there is nothing to expire. */
+    * auto-checkpoint usually has). Crash-safe ordering: the v7 reader
+    * floor publishes FIRST as a data-less `protocol` COMMIT above the
+    * horizon (Delta's protocol-upgrade action) — commits are the one
+    * file class EVERY older reader generation parses before answering a
+    * metadata fold, and the op is outside their KnownOps, so a pre-v7
+    * reader refuses the whole log instead of silently folding the
+    * partial history. Then the horizon marker, then the deletes; a crash
+    * between any two leaves extra files, never a misread. Below-horizon
+    * checkpoints die regardless of stamp (the surviving protocol commit
+    * carries the floor), so repeat expiry keeps the log at
+    * ~tail + one checkpoint + one protocol commit + the marker — bounded
+    * forever. Returns the horizon, or None when nothing can expire. */
   def expireLog(table: String): Option[Long] = {
     // newest STATE-carrying checkpoint = the fold floor every retained
     // read starts from; files-only (legacy) checkpoints can't anchor
@@ -5654,25 +5660,32 @@ object TxLog {
       }
     }
     val h = stateCps.maxOption.getOrElse(return None)
-    // v7-stamped checkpoints are protocol FLOORS (possibly from an
-    // earlier expireLog) — publishProtoFloor counts on them, so they
-    // must survive even below the new horizon. Computed BEFORE the floor
-    // publication below, so this run's floor checkpoint (a file that
-    // does not exist yet) can never land in the delete set either.
-    def isV7Stamped(p: Path): Boolean =
-      try Option(mapper.readTree(Files.readAllBytes(p))
-        .get("protocolVersion")).exists(_.asInt() >= 7)
-      catch { case scala.util.control.NonFatal(_) => false }
     val doomed = listLog(table).filter { p =>
       p.getFileName.toString match {
         case CommitName(v) => v.toLong <= h
         case CompactedName(_, to) => to.toLong <= h
-        case CheckpointName(v) => v.toLong < h && !isV7Stamped(p)
+        case CheckpointName(v) => v.toLong < h
         case _ => false
       }
     }
     if (doomed.isEmpty && retentionHorizon(table).contains(h)) return Some(h)
-    publishProtoFloor(table, 7)
+    // the floor: a surviving (> h) commit must say minReader >= 7 BEFORE
+    // anything vanishes. Tail commits written under an existing marker
+    // already do; otherwise publish a data-less protocol commit at tip+1
+    val hasV7Tail = commits(table).exists(c =>
+      c.version > h && c.minReader >= 7)
+    if (!hasV7Tail) {
+      var attempts = 0
+      var placed = false
+      while (!placed && attempts < 10) {
+        val v = latestVersion(table).getOrElse(h) + 1
+        placed = tryCommit(table, Commit(v, Seq.empty, Seq.empty,
+          "protocol", -1L, minReader = 7))
+        attempts += 1
+      }
+      require(placed, s"expireLog on $table: protocol-floor commit lost " +
+        "10 straight races — giving up before any deletion")
+    }
     val node = mapper.createObjectNode()
     node.put("horizon", h)
     node.put("protocolVersion", 7)

@@ -21,7 +21,7 @@ class CatalogSpec extends SparkSpec {
       s"duplicate catalog names: ${names.diff(names.distinct)}")
     assert(SparkEntry.queries.size === names.size)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size >= 230) // oracle coverage floor
+    assert(SparkEntry.oracleSql.size >= 239) // oracle coverage floor
     assert(SparkEntry.entry(spark).count() > 0) // driver smoke contract
   }
 

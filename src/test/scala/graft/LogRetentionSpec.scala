@@ -74,17 +74,27 @@ class LogRetentionSpec extends SparkSpec {
     assert(TxLog.read(spark, t).count() === 5)
   }
 
-  test("post-expiry commits and checkpoints stamp reader protocol v7") {
+  test("expiry publishes the v7 floor as a protocol commit BEFORE deleting") {
     val t = fixture(12)
     TxLog.compact(t)
     TxLog.expireLog(t)
-    // the floor checkpoint published during expiry already says 7
-    val cps = logFiles(t).filter(_.endsWith(".checkpoint.json")).map(n =>
-      new String(Files.readAllBytes(Paths.get(t, "_txlog", n))))
-    assert(cps.exists(_.contains("\"protocolVersion\":7")), cps.mkString)
-    // and the next commit does too
+    // the floor is a surviving data-less `protocol` commit stamped 7 —
+    // commits are the one file class every older reader generation
+    // parses before answering a metadata fold, and the op is outside
+    // their KnownOps, so a pre-v7 reader refuses instead of silently
+    // folding the partial history
+    val floor = TxLog.commits(t).find(_.op === "protocol")
+    assert(floor.exists(_.minReader >= 7), s"got ${TxLog.commits(t).map(c =>
+      (c.version, c.op, c.minReader))}")
+    assert(floor.get.add.isEmpty && floor.get.remove.isEmpty)
+    // and the next commit stamps 7 too (the marker is in force)
     TxLog.append(Seq((100L, "x")).toDF("k", "v"), t)
     assert(TxLog.commits(t).last.minReader === 7)
+    // repeat expiry floors at the same checkpoint without another
+    // protocol commit (the first one survives above the horizon)
+    val nProto = TxLog.commits(t).count(_.op == "protocol")
+    TxLog.expireLog(t)
+    assert(TxLog.commits(t).count(_.op == "protocol") === nProto)
   }
 
   test("a stream positioned below the horizon fails loudly; above resumes") {
@@ -131,8 +141,13 @@ class LogRetentionSpec extends SparkSpec {
       Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1), t))
     val names = logFiles(t)
     val loose = names.count(_.matches("""\d{20}\.json"""))
-    assert(loose <= 6, s"loose commits must stay ~interval-bounded: $names")
-    assert(TxLog.retentionHorizon(t).exists(_ >= 20L),
+    // ~interval appends + at most one protocol-floor commit per cycle
+    assert(loose <= 8, s"loose commits must stay ~interval-bounded: $names")
+    // below-horizon checkpoints die stamp-notwithstanding: at most the
+    // floor checkpoint plus one written since the last expiry
+    assert(names.count(_.endsWith(".checkpoint.json")) <= 2,
+      s"checkpoints must not accumulate across expiries: $names")
+    assert(TxLog.retentionHorizon(t).exists(_ >= 15L),
       s"horizon must ride the checkpoint cadence: ${TxLog.retentionHorizon(t)}")
     assert(TxLog.read(spark, t).count() === 23)
     assert(TxLog.properties(t)("graft.logRetention.auto") === "true",
