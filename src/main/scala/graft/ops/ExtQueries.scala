@@ -696,6 +696,75 @@ object ExtQueries {
         vecs.filter(col("id") < 5), vecs, k = 5)
     },
 
+    // IVF-PQ over the LAKEHOUSE — the two serving entries composed, and
+    // the true 100 TB read shape: PQ codes live IN a cell-partitioned
+    // txlog table, so a query batch's probe set prunes partitions before
+    // ANY byte is read, and what it reads per probed cell is the 8-byte
+    // codes — not vectors. Full vectors are touched only by the exact
+    // rerank of the (k × factor) shortlist. Per-query scan cost:
+    // (nProbe/nCells) × corpus × 8 bytes + k·factor vectors — at 100 TB
+    // of f32 embeddings that is a ~3000× byte reduction before the
+    // rerank. The staged pieces replay BOTH stages in DuckDB, exactly
+    // like ext_sim_topk_ivfpq.
+    QueryDef("ext_ann_lakehouse_ivfpq",
+      "IVF-PQ serving over a cell-partitioned txlog codes table: probe set prunes partitions, ADC reads 8-byte codes only, exact rerank bounded; BOTH stages oracled",
+      s"""WITH cd AS (SELECT n_id, cell, sub, code FROM read_parquet('$StageSql/lkpq_codes/*.parquet')),
+         |p AS (SELECT q_id, cell, qcm FROM read_parquet('$StageSql/lkpq_probes/*.parquet')),
+         |l AS (SELECT q_id, sub, code, lm FROM read_parquet('$StageSql/lkpq_lut/*.parquet')),
+         |a AS (SELECT p.q_id, cd.n_id, CAST(ANY_VALUE(p.qcm) + SUM(l.lm) AS BIGINT) AS adc
+         |      FROM cd JOIN p ON cd.cell = p.cell
+         |             JOIN l ON l.q_id = p.q_id AND l.sub = cd.sub AND l.code = cd.code
+         |      WHERE cd.n_id <> p.q_id GROUP BY p.q_id, cd.n_id),
+         |s AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS sr FROM a) WHERE sr <= 20),
+         |re AS (SELECT s.q_id, s.n_id, $COS AS score
+         |       FROM s JOIN embeddings q ON q.vec_id = s.q_id
+         |              JOIN embeddings n ON n.vec_id = s.n_id)
+         |SELECT q_id, n_id, score, rank FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM re)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = graft.ext.IvfPq.trainCached(s"$dir#lkpq", emb,
+        "embedding", dim = 64, nCells = 32, m = 8, nCodes = 16)
+      // the INDEX table: (n_id, codes) partitioned by cell — one build,
+      // served for every query batch; ACID + time travel for free, and a
+      // retrain is one overwrite
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_lkpq").toString + "/t"
+      graft.ops.TxLog.setProperties(table,
+        Map("graft.partition.columns" -> "cell"))
+      graft.ops.TxLog.append(model.encode(emb, "vec_id", "embedding"), table)
+      val probeSet = model.probes(emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", nProbe = 3)
+      val probeCells = probeSet.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val pruned = graft.ops.TxLog.readPruned(s, table, Map.empty,
+        Map.empty, eqProbes = Map("cell" -> probeCells))
+      require(pruned.inputFiles.length <
+        graft.ops.TxLog.activeFiles(table).size,
+        "the probe set must prune unprobed cell partitions")
+      val stage = stageDir(dir)
+      pruned.select(col("n_id"), col("cell"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .write.mode("overwrite").parquet(s"$stage/lkpq_codes")
+      probeSet.write.mode("overwrite").parquet(s"$stage/lkpq_probes")
+      model.lutMicro(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").alias("q_id"),
+            col("embedding").cast("array<double>").alias("vec")))
+        .write.mode("overwrite").parquet(s"$stage/lkpq_lut")
+      val sl = graft.ext.IvfPq.shortlistFromStaged(
+        s.read.parquet(s"$stage/lkpq_codes"),
+        s.read.parquet(s"$stage/lkpq_probes"),
+        s.read.parquet(s"$stage/lkpq_lut"), shortlist = 20)
+      val vecs = emb.select(col("vec_id").alias("id"),
+        col("embedding").alias("vec"))
+      Similarity.topKFromCandidates(sl, vecs.filter(col("id") < 5),
+        vecs, k = 5)
+    },
+
     // SQ8: unlike the LSH/IVF entries (where only score+rank is oracled),
     // BOTH stages replay in DuckDB — int8 dots are exact integers in f64,
     // so the quantized shortlist is engine-deterministic, and the rerank
