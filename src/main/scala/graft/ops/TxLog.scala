@@ -297,6 +297,19 @@ object TxLog {
     else Some(mapper.readTree(Files.readAllBytes(p)).get("horizon").asLong())
   }
 
+  /** In-commit timestamp (millis) of the horizon commit, recorded in the
+    * marker BEFORE its commit file was deleted — what lets
+    * timestamp-bound consumers (table_changes, TIMESTAMP AS OF) refuse a
+    * cut that reaches into the expired range instead of silently
+    * resolving past it (surviving commits all stamp LATER, so a naive
+    * "first commit at or after" would skip the expired changes). */
+  private[graft] def retentionHorizonTs(table: String): Option[Long] = {
+    val p = retentionMarkerPath(table)
+    if (!Files.exists(p)) None
+    else Option(mapper.readTree(Files.readAllBytes(p)).get("horizonTs"))
+      .map(_.asLong())
+  }
+
   /** `Files.list`/`Files.walk` return STREAMS holding an open directory
     * handle until closed — draining the iterator does not release it. The
     * un-closed form leaks one fd per call, and a trickle-written table
@@ -1916,13 +1929,31 @@ object TxLog {
 
   /** TIMESTAMP AS OF: snapshot at the newest commit whose stamp is ≤
     * `tsMillis`. Pre-timestamping commits (ts = −1) are treated as
-    * arbitrarily old. Throws if the timestamp predates the table. */
+    * arbitrarily old. Throws if the timestamp predates the table.
+    *
+    * On a retention-expired log ([[expireLog]]): a cut at or after the
+    * recorded horizon stamp but before the first surviving commit still
+    * answers — its snapshot IS the horizon version, which the full-state
+    * checkpoint carries; a cut BEFORE the horizon stamp refuses with the
+    * remedy named (resolving it to a surviving commit would silently
+    * time-travel forward past expired history). */
   def readAsOfTimestamp(spark: SparkSession, table: String,
       tsMillis: Long): DataFrame = {
-    val v = commits(table).filter(_.ts <= tsMillis).lastOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"txlog table $table has no commit at or before ts $tsMillis"))
-      .version
+    val fromLog = commits(table).filter(_.ts <= tsMillis).lastOption
+      .map(_.version)
+    val v = fromLog.orElse {
+      (retentionHorizon(table), retentionHorizonTs(table)) match {
+        case (Some(h), Some(hts)) if tsMillis >= hts => Some(h)
+        case (Some(_), Some(hts)) => throw new IllegalStateException(
+          s"txlog table $table: timestamp $tsMillis predates the " +
+            s"log-retention horizon stamp $hts — expireLog deleted that " +
+            "history, so time travel there is gone. Read at or after the " +
+            "horizon, or restore from a DEEP CLONE/backup taken before " +
+            "expiry")
+        case _ => None
+      }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"txlog table $table has no commit at or before ts $tsMillis"))
     read(spark, table, Some(v))
   }
 
@@ -5688,6 +5719,12 @@ object TxLog {
     }
     val node = mapper.createObjectNode()
     node.put("horizon", h)
+    // the horizon commit's in-commit stamp, captured BEFORE its file
+    // vanishes (repeat expiry at the same horizon reuses the recorded
+    // value — the commit is already gone): see [[retentionHorizonTs]]
+    commits(table).find(_.version == h).map(_.ts)
+      .orElse(retentionHorizonTs(table))
+      .foreach(node.put("horizonTs", _))
     node.put("protocolVersion", 7)
     Files.write(retentionMarkerPath(table), mapper.writeValueAsBytes(node))
     doomed.foreach(Files.deleteIfExists)

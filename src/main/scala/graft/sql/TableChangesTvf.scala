@@ -61,6 +61,17 @@ object TableChangesTvf {
       millis match {
         case None => String.valueOf(arg(i)).trim.toLong
         case Some(ms) if isStart =>
+          // a start timestamp at or before the retention-horizon stamp
+          // would resolve to the first SURVIVING commit and silently
+          // skip the expired changes — refuse with the remedy instead
+          TxLog.retentionHorizonTs(table).foreach { hts =>
+            if (ms <= hts) throw new IllegalArgumentException(
+              s"table_changes: start timestamp $ms reaches into the " +
+                s"expired log range of $table (log-retention horizon " +
+                s"stamp $hts) — expireLog deleted those commits. Start " +
+                "after the horizon, or bootstrap a fresh consumer from " +
+                "the current snapshot")
+          }
           TxLog.commits(table).find(_.ts >= ms).map(_.version)
             .getOrElse(throw new IllegalArgumentException(
               s"table_changes: no commit at or after start timestamp " +
@@ -84,6 +95,16 @@ object TableChangesTvf {
     val to = if (es.length == 4) asLong(3) else latest
     require(from >= 1 && from <= to && to <= latest,
       s"table_changes: version range [$from, $to] must lie in [1, $latest]")
+    // each version in the range contributes its commit's diff — versions
+    // at or below the retention horizon have no commit file left, so the
+    // range must refuse loudly, never feed a partial window
+    TxLog.retentionHorizon(table).foreach { h =>
+      require(from > h,
+        s"table_changes: start version $from is at or below the " +
+          s"log-retention horizon $h of $table — expireLog deleted those " +
+          "commits. Start above the horizon, or bootstrap a fresh " +
+          "consumer from the current snapshot")
+    }
     val tsByV = TxLog.commits(table).map(c => c.version -> c.ts).toMap
     val perV = (from to to).map { v =>
       TxLog.commitChanges(spark, table, v, keys)

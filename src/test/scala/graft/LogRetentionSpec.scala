@@ -157,6 +157,44 @@ class LogRetentionSpec extends SparkSpec {
     assert(TxLog.read(spark, t).count() === 24)
   }
 
+  test("timestamp-bound consumers refuse expired ranges, answer at the horizon") {
+    val t = fixture(6)                       // v1 props, v2..v7 appends
+    TxLog.compact(t)                         // full-state checkpoint @ v7
+    val hts = TxLog.commits(t).find(_.version == 7L).get.ts
+    val preHorizonTs = TxLog.commits(t).find(_.version == 3L).get.ts
+    TxLog.append(Seq((50L, "tail")).toDF("k", "v"), t)      // v8 survives
+    TxLog.expireLog(t)
+    assert(TxLog.retentionHorizonTs(t) === Some(hts),
+      "the horizon commit's stamp must be recorded before deletion")
+
+    // table_changes: a version range dipping below the horizon refuses
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$t', 'k', 2)").collect()
+    }
+    assert(e1.getMessage.contains("log-retention horizon"), e1.getMessage)
+    // above the horizon it works (v8 is the tail commit)
+    assert(spark.sql(s"SELECT * FROM table_changes('$t', 'k', 8)")
+      .count() === 1)
+    // a start TIMESTAMP reaching into the expired range refuses — a
+    // naive resolve would land on the first surviving commit and
+    // silently skip the expired changes
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$t', 'k', " +
+        s"'${fmt.format(new java.util.Date(preHorizonTs))}')").collect()
+    }
+    assert(e2.getMessage.contains("expired log range"), e2.getMessage)
+
+    // TIMESTAMP AS OF: at/after the horizon stamp answers (the snapshot
+    // IS the horizon version, carried by the checkpoint)…
+    assert(TxLog.readAsOfTimestamp(spark, t, hts).count() === 6)
+    // …before it, pointed refusal
+    val e3 = intercept[IllegalStateException] {
+      TxLog.readAsOfTimestamp(spark, t, preHorizonTs).count()
+    }
+    assert(e3.getMessage.contains("log-retention horizon"), e3.getMessage)
+  }
+
   test("expiry composes with log compaction and advances with new checkpoints") {
     val t = fixture(40)
     TxLog.compactLog(t).get // container + state floor checkpoint
