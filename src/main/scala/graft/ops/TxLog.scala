@@ -6289,7 +6289,14 @@ object TxLog {
         }
         hz
     }
-    val protect = (horizon to latest)
+    // clamp at the LOG-retention horizon: versions below it are not
+    // time-travelable at all (expireLog deleted their commits), so
+    // protecting their files is meaningless — and asking stateAt for
+    // them would refuse, failing a plain VACUUM whose retainVersions
+    // happens to exceed the surviving tail
+    val protectFrom = math.max(horizon,
+      retentionHorizon(table).getOrElse(Long.MinValue))
+    val protect = (protectFrom to latest)
       .flatMap(v => activeFiles(table, Some(v)) ++
         activeDvs(table, Some(v)) ++ activeBlooms(table, Some(v))).toSet
     val root = Paths.get(table)

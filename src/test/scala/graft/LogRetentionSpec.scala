@@ -195,6 +195,19 @@ class LogRetentionSpec extends SparkSpec {
     assert(e3.getMessage.contains("log-retention horizon"), e3.getMessage)
   }
 
+  test("VACUUM composes with an expired log (protect clamps at the horizon)") {
+    val t = fixture(6)
+    TxLog.compact(t)
+    TxLog.append(Seq((50L, "tail")).toDF("k", "v"), t)
+    TxLog.expireLog(t)
+    // retainVersions far larger than the surviving tail: versions below
+    // the retention horizon are unreachable, so the protect walk must
+    // clamp there instead of refusing the whole VACUUM
+    val doomed = TxLog.vacuum(t, retainVersions = 100, dryRun = true)
+    assert(doomed.isEmpty, s"nothing is orphaned here: $doomed")
+    assert(TxLog.read(spark, t).count() === 7)
+  }
+
   test("expiry composes with log compaction and advances with new checkpoints") {
     val t = fixture(40)
     TxLog.compactLog(t).get // container + state floor checkpoint
