@@ -221,6 +221,18 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
     // "first commit with ts >= T" is a single cut point, never a band.
     val startVer = startingTs match {
       case Some(ts) =>
+        // a cut at or before the retention-horizon stamp would resolve
+        // to the first SURVIVING commit and silently skip the expired
+        // increments — refuse with the remedy (same rule as the
+        // table_changes TVF)
+        TxLog.retentionHorizonTs(path).foreach { hts =>
+          if (ts <= hts) throw new IllegalArgumentException(
+            s"txlog stream on $path: startingTimestamp $ts reaches into " +
+              s"the expired log range (log-retention horizon stamp $hts) " +
+              "— expireLog deleted those commits. Start after the " +
+              "horizon, or run a full re-read from startingVersion at " +
+              "the horizon")
+        }
         val cs = TxLog.commits(path)
         cs.find(_.ts >= ts).map(_.version - 1)
           .getOrElse(cs.lastOption.map(_.version).getOrElse(0L))

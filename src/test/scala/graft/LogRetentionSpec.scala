@@ -195,6 +195,25 @@ class LogRetentionSpec extends SparkSpec {
     assert(e3.getMessage.contains("log-retention horizon"), e3.getMessage)
   }
 
+  test("streaming startingTimestamp refuses a cut inside the expired range") {
+    val t = fixture(6)
+    TxLog.compact(t)
+    val preHorizonTs = TxLog.commits(t).find(_.version == 3L).get.ts
+    TxLog.append(Seq((50L, "tail")).toDF("k", "v"), t)
+    TxLog.expireLog(t)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft.sources.txlog")
+        .option("path", t).option("startingTimestamp", preHorizonTs.toString)
+        .load().writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("logret_ts_cp"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null).take(8)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("expired log range")), msgs(e).mkString)
+  }
+
   test("VACUUM composes with an expired log (protect clamps at the horizon)") {
     val t = fixture(6)
     TxLog.compact(t)
