@@ -2,7 +2,6 @@ package graft.ops
 
 import java.nio.file.{Files, Path, Paths}
 
-import scala.jdk.CollectionConverters._
 
 /** Disk-memoized builders for IMMUTABLE catalog-entry fixtures.
   *
@@ -72,13 +71,10 @@ object Fixtures {
     val lock = locks.computeIfAbsent(root.toString, _ => new Object)
     lock.synchronized {
       if (!Files.exists(ready)) {
-        if (Files.isDirectory(parent)) { // expire this key's stale slots
-          val s = Files.list(parent)
-          try s.iterator().asScala.toSeq
+        if (Files.isDirectory(parent)) // expire this key's stale slots
+          TxLog.listDir(parent)
             .filter(_.getFileName.toString.startsWith(s"${key}_v"))
             .foreach(deleteRecursively)
-          finally s.close()
-        }
         Files.createDirectories(root)
         build(root.resolve("t").toString)
         Files.write(ready, Array.emptyByteArray)
@@ -108,11 +104,9 @@ object Fixtures {
         Files.createDirectories(marker.getParent)
         // stale markers for the same sub (older version / regenerated
         // testdata) die with the rewrite
-        val s = Files.list(marker.getParent)
-        try s.iterator().asScala.toSeq
+        TxLog.listDir(marker.getParent)
           .filter(_.getFileName.toString.startsWith(s"${sub}_v"))
           .foreach(Files.deleteIfExists)
-        finally s.close()
         Files.write(marker, Array.emptyByteArray)
       }
     }
