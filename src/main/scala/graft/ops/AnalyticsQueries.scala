@@ -345,12 +345,15 @@ object AnalyticsQueries {
           .withColumn("c_custkey", col("c_custkey") + 2000000L)
           .withColumn("version", lit(1L)))
       val stage = QueryDef.stageDir(dir)
-      base.write.mode("overwrite").parquet(s"$stage/txlog_base")
-      updates.write.mode("overwrite").parquet(s"$stage/txlog_updates")
-      val table = Files.createTempDirectory("graft_txlog").toString + "/t"
-      TxLog.overwrite(s.read.parquet(s"$stage/txlog_base"), table) // v1
-      TxLog.merge(s, table, s.read.parquet(s"$stage/txlog_updates"),
-        Seq("c_custkey"), "version")                               // v2
+      base.stageInput(dir, "txlog_base")
+      updates.stageInput(dir, "txlog_updates")
+      // deterministic build, read-only query (both time-travel reads are
+      // of the FROZEN history) — build once per sf
+      val table = Fixtures.immutableTable(dir, "txlog_versions", 1) { t =>
+        TxLog.overwrite(s.read.parquet(s"$stage/txlog_base"), t)   // v1
+        TxLog.merge(s, t, s.read.parquet(s"$stage/txlog_updates"),
+          Seq("c_custkey"), "version")                             // v2
+      }
       TxLog.read(s, table).withColumn("snap", lit(2L))
         .unionByName(TxLog.read(s, table, asOf = Some(1L))
           .withColumn("snap", lit(1L)))
@@ -376,12 +379,14 @@ object AnalyticsQueries {
         .select("c_custkey", "c_name", "c_acctbal")
         .stageInput(dir, "txopt_in")
       val in = s.read.parquet(s"$stage/txopt_in")
-      val table = Files.createTempDirectory("graft_txopt").toString + "/t"
-      TxLog.append(in.filter(pmod(col("c_custkey"), lit(3)) === 0), table) // v1
-      TxLog.append(in.filter(pmod(col("c_custkey"), lit(3)) === 1), table) // v2
-      TxLog.append(in.filter(pmod(col("c_custkey"), lit(3)) === 2), table) // v3
-      val v = TxLog.optimize(s, table, targetFiles = 2,
-        clusterBy = Seq(col("c_custkey")))                                 // v4
+      val table = Fixtures.immutableTable(dir, "txopt", 1) { t =>
+        TxLog.append(in.filter(pmod(col("c_custkey"), lit(3)) === 0), t)   // v1
+        TxLog.append(in.filter(pmod(col("c_custkey"), lit(3)) === 1), t)   // v2
+        TxLog.append(in.filter(pmod(col("c_custkey"), lit(3)) === 2), t)   // v3
+        TxLog.optimize(s, t, targetFiles = 2,
+          clusterBy = Seq(col("c_custkey")))                               // v4
+      }
+      val v = TxLog.latestVersion(table).get
       TxLog.read(s, table, asOf = Some(v)).withColumn("snap", lit(2L))
         .unionByName(TxLog.read(s, table, asOf = Some(v - 1))
           .withColumn("snap", lit(1L)))
@@ -403,13 +408,14 @@ object AnalyticsQueries {
         |  (CAST(4 AS BIGINT), 'optimize',  CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT))
         |) AS t(version, op, n_added, n_removed, n_added_dvs)""".stripMargin) { (s, dir) =>
       val in = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
-      val t = Files.createTempDirectory("graft_txhist").toString + "/t"
-      TxLog.overwrite(in.filter(pmod(col("c_custkey"), lit(2)) === 0)
-        .repartition(2), t)                                            // v1: 2 files
-      TxLog.append(in.filter(pmod(col("c_custkey"), lit(2)) === 1)
-        .coalesce(1), t)                                               // v2: 1 file
-      TxLog.deleteVectors(s, t, pmod(col("c_custkey"), lit(7)) === 0)  // v3: 1 DV
-      TxLog.optimize(s, t, targetFiles = 1)                            // v4: 3→1
+      val t = Fixtures.immutableTable(dir, "txhist", 1) { t =>
+        TxLog.overwrite(in.filter(pmod(col("c_custkey"), lit(2)) === 0)
+          .repartition(2), t)                                          // v1: 2 files
+        TxLog.append(in.filter(pmod(col("c_custkey"), lit(2)) === 1)
+          .coalesce(1), t)                                             // v2: 1 file
+        TxLog.deleteVectors(s, t, pmod(col("c_custkey"), lit(7)) === 0) // v3: 1 DV
+        TxLog.optimize(s, t, targetFiles = 1)                          // v4: 3→1
+      }
       TxLog.history(s, t)
         .select("version", "op", "n_added", "n_removed", "n_added_dvs")
     },
@@ -427,15 +433,16 @@ object AnalyticsQueries {
         |  ('graft.bloom.columns', 'c_custkey'),
         |  ('retention.versions', '30')
         |) AS t(key, value)""".stripMargin) { (s, dir) =>
-      val t = Files.createTempDirectory("graft_txprops").toString + "/t"
       val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
-      TxLog.overwrite(cust.filter(pmod(col("c_custkey"), lit(2)) === 0), t) // v1
-      TxLog.setProperties(t, Map(
-        "graft.bloom.columns" -> "c_custkey", "owner" -> "ingest"))         // v2
-      TxLog.setProperties(t, Map("retention.versions" -> "30"))             // v3
-      TxLog.unsetProperties(t, Seq("owner"))                                // v4
-      // plain append — the DECLARED config indexes it
-      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 1), t)    // v5
+      val t = Fixtures.immutableTable(dir, "txprops", 1) { t =>
+        TxLog.overwrite(cust.filter(pmod(col("c_custkey"), lit(2)) === 0), t) // v1
+        TxLog.setProperties(t, Map(
+          "graft.bloom.columns" -> "c_custkey", "owner" -> "ingest"))       // v2
+        TxLog.setProperties(t, Map("retention.versions" -> "30"))           // v3
+        TxLog.unsetProperties(t, Seq("owner"))                              // v4
+        // plain append — the DECLARED config indexes it
+        TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 1), t)  // v5
+      }
       require(TxLog.commits(t).last.bloomAdd.nonEmpty,
         "declared bloom config must index the append")
       import s.implicits._
@@ -482,10 +489,11 @@ object AnalyticsQueries {
     QueryDef("src_txlog_sql_time_travel",
       "SQL time travel: two temp views pin versionAsOf 1 and 2 of one txlog table; EXCEPT yields exactly the rows version 2 added",
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 1") { (s, dir) =>
-      val t = Files.createTempDirectory("graft_txtt").toString + "/t"
       val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
-      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 0), t) // v1
-      TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 1), t) // v2
+      val t = Fixtures.immutableTable(dir, "txtt", 1) { t =>
+        TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 0), t) // v1
+        TxLog.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 1), t) // v2
+      }
       val id = java.util.UUID.randomUUID.toString.take(8)
       val (v1, v2) = (s"txtt_v1_$id", s"txtt_v2_$id")
       // session-scoped temp views; unique names keep concurrent Bench
@@ -559,13 +567,14 @@ object AnalyticsQueries {
         .select("c_custkey", "c_name", "c_acctbal")
         .stageInput(dir, "txskip_in")
       val in = s.read.parquet(s"$stage/txskip_in")
-      val table = Files.createTempDirectory("graft_txskip").toString + "/t"
-      TxLog.append(in.filter(col("c_custkey") < 500), table,
-        statsCols = Seq("c_custkey"))
-      TxLog.append(in.filter(col("c_custkey") >= 500 &&
-        col("c_custkey") < 1000), table, statsCols = Seq("c_custkey"))
-      TxLog.append(in.filter(col("c_custkey") >= 1000), table,
-        statsCols = Seq("c_custkey"))
+      val table = Fixtures.immutableTable(dir, "txskip", 1) { t =>
+        TxLog.append(in.filter(col("c_custkey") < 500), t,
+          statsCols = Seq("c_custkey"))
+        TxLog.append(in.filter(col("c_custkey") >= 500 &&
+          col("c_custkey") < 1000), t, statsCols = Seq("c_custkey"))
+        TxLog.append(in.filter(col("c_custkey") >= 1000), t,
+          statsCols = Seq("c_custkey"))
+      }
       TxLog.readRange(s, table, "c_custkey", 700, 1200)
         .select("c_custkey", "c_name", "c_acctbal")
     },
@@ -586,11 +595,12 @@ object AnalyticsQueries {
         .select("c_custkey", "c_name", "c_acctbal")
         .stageInput(dir, "txskipstr_in")
       val in = s.read.parquet(s"$stage/txskipstr_in")
-      val table = Files.createTempDirectory("graft_txskipstr").toString + "/t"
-      TxLog.append(in.filter(col("c_name") < "Customer#000000075"), table,
-        statsCols = Seq("c_name"))
-      TxLog.append(in.filter(col("c_name") >= "Customer#000000075"), table,
-        statsCols = Seq("c_name"))
+      val table = Fixtures.immutableTable(dir, "txskipstr", 1) { t =>
+        TxLog.append(in.filter(col("c_name") < "Customer#000000075"), t,
+          statsCols = Seq("c_name"))
+        TxLog.append(in.filter(col("c_name") >= "Customer#000000075"), t,
+          statsCols = Seq("c_name"))
+      }
       TxLog.readStringRange(s, table, "c_name",
         "Customer#000000020", "Customer#000000045")
         .select("c_custkey", "c_name", "c_acctbal")
@@ -638,12 +648,13 @@ object AnalyticsQueries {
       "TxLog event-time data skipping: timestamp stats in commits; time-range read ≡ full-scan filter",
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
         |WHERE epoch(ts) >= 1704844800.0 AND epoch(ts) <= 1705017599.0""".stripMargin) { (s, dir) =>
-      val table = Files.createTempDirectory("graft_txskiptime").toString + "/t"
       val ev = Tables.load(s, dir, "events")
         .select("event_id", "user_id", "ts", "value")
       val split = lit("2024-01-15 00:00:00").cast("timestamp")
-      TxLog.append(ev.filter(col("ts") < split), table, statsCols = Seq("ts"))
-      TxLog.append(ev.filter(col("ts") >= split), table, statsCols = Seq("ts"))
+      val table = Fixtures.immutableTable(dir, "txskiptime", 1) { t =>
+        TxLog.append(ev.filter(col("ts") < split), t, statsCols = Seq("ts"))
+        TxLog.append(ev.filter(col("ts") >= split), t, statsCols = Seq("ts"))
+      }
       // Jan 10–11 inclusive (epoch seconds): prunes the second-half file
       TxLog.readRange(s, table, "ts", 1704844800.0, 1705017599.0)
         .select(col("event_id"), col("user_id"),
@@ -697,12 +708,13 @@ object AnalyticsQueries {
         |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
         |        CAST(YEAR(o_orderdate) AS INT) AS o_year FROM orders)
         |WHERE o_year = 1997""".stripMargin) { (s, dir) =>
-      val table = Files.createTempDirectory("graft_txpart").toString + "/t"
-      TxLog.setProperties(table, Map("graft.partition.columns" -> "o_year"))
       val ord = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           year(col("o_orderdate")).alias("o_year"))
-      TxLog.append(ord, table)
+      val table = Fixtures.immutableTable(dir, "txpart", 1) { t =>
+        TxLog.setProperties(t, Map("graft.partition.columns" -> "o_year"))
+        TxLog.append(ord, t)
+      }
       val id = java.util.UUID.randomUUID.toString.take(8)
       val view = s"txpart_$id"
       s.sql(s"""CREATE TEMPORARY VIEW $view USING graft.sources.txlog
@@ -765,20 +777,21 @@ object AnalyticsQueries {
       val stage = QueryDef.stageDir(dir)
       val cust = Tables.load(s, dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal")
-      cust.write.mode("overwrite").parquet(s"$stage/txcdf_v1")
+      cust.stageInput(dir, "txcdf_v1")
       // v2: delete %7 keys, bump %3 balances, insert shifted %11 copies
-      s.read.parquet(s"$stage/txcdf_v1")
-        .filter(pmod(col("c_custkey"), lit(7)) =!= 0)
-        .withColumn("c_acctbal",
-          when(pmod(col("c_custkey"), lit(3)) === 0, col("c_acctbal") + 500.0)
-            .otherwise(col("c_acctbal")))
-        .unionByName(s.read.parquet(s"$stage/txcdf_v1")
-          .filter(pmod(col("c_custkey"), lit(11)) === 0)
-          .withColumn("c_custkey", col("c_custkey") + 2000000L))
-        .write.mode("overwrite").parquet(s"$stage/txcdf_v2")
-      val table = Files.createTempDirectory("graft_txcdf").toString + "/t"
-      TxLog.overwrite(s.read.parquet(s"$stage/txcdf_v1"), table) // v1
-      TxLog.overwrite(s.read.parquet(s"$stage/txcdf_v2"), table) // v2
+      Fixtures.stagedInput(dir, "txcdf_v2", 1)(
+        s.read.parquet(s"$stage/txcdf_v1")
+          .filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+          .withColumn("c_acctbal",
+            when(pmod(col("c_custkey"), lit(3)) === 0, col("c_acctbal") + 500.0)
+              .otherwise(col("c_acctbal")))
+          .unionByName(s.read.parquet(s"$stage/txcdf_v1")
+            .filter(pmod(col("c_custkey"), lit(11)) === 0)
+            .withColumn("c_custkey", col("c_custkey") + 2000000L)))
+      val table = Fixtures.immutableTable(dir, "txcdf", 1) { t =>
+        TxLog.overwrite(s.read.parquet(s"$stage/txcdf_v1"), t) // v1
+        TxLog.overwrite(s.read.parquet(s"$stage/txcdf_v2"), t) // v2
+      }
       TxLog.changes(s, table, Seq("c_custkey"), 1L, 2L)
     },
 
@@ -812,16 +825,17 @@ object AnalyticsQueries {
       val stage = QueryDef.stageDir(dir)
       val cust = Tables.load(s, dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal")
-      cust.write.mode("overwrite").parquet(s"$stage/txcdfpre_v1")
-      s.read.parquet(s"$stage/txcdfpre_v1")
-        .filter(pmod(col("c_custkey"), lit(9)) =!= 0)
-        .withColumn("c_acctbal",
-          when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") - 250.0)
-            .otherwise(col("c_acctbal")))
-        .write.mode("overwrite").parquet(s"$stage/txcdfpre_v2")
-      val table = Files.createTempDirectory("graft_txcdfpre").toString + "/t"
-      TxLog.overwrite(s.read.parquet(s"$stage/txcdfpre_v1"), table) // v1
-      TxLog.overwrite(s.read.parquet(s"$stage/txcdfpre_v2"), table) // v2
+      cust.stageInput(dir, "txcdfpre_v1")
+      Fixtures.stagedInput(dir, "txcdfpre_v2", 1)(
+        s.read.parquet(s"$stage/txcdfpre_v1")
+          .filter(pmod(col("c_custkey"), lit(9)) =!= 0)
+          .withColumn("c_acctbal",
+            when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") - 250.0)
+              .otherwise(col("c_acctbal"))))
+      val table = Fixtures.immutableTable(dir, "txcdfpre", 1) { t =>
+        TxLog.overwrite(s.read.parquet(s"$stage/txcdfpre_v1"), t) // v1
+        TxLog.overwrite(s.read.parquet(s"$stage/txcdfpre_v2"), t) // v2
+      }
       TxLog.changes(s, table, Seq("c_custkey"), 1L, 2L, preImages = true)
     },
 
@@ -841,9 +855,11 @@ object AnalyticsQueries {
       Tables.load(s, dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal")
         .stageInput(dir, "txdml_in")
-      val table = Files.createTempDirectory("graft_txdml").toString + "/t"
-      TxLog.overwrite(s.read.parquet(s"$stage/txdml_in")
-        .repartition(6), table)                                     // v1
+      val base = Fixtures.immutableTable(dir, "txdml_base", 1) { t =>
+        TxLog.overwrite(s.read.parquet(s"$stage/txdml_in")
+          .repartition(6), t)                                       // v1
+      }
+      val table = Fixtures.mutableCopy(base, "graft_txdml")
       TxLog.delete(s, table, pmod(col("c_custkey"), lit(5)) === 0)  // v2
       TxLog.update(s, table, pmod(col("c_custkey"), lit(7)) === 0,
         Map("c_acctbal" -> (col("c_acctbal") + 100.0)))             // v3
@@ -1778,9 +1794,14 @@ object AnalyticsQueries {
       val stage = QueryDef.stageDir(dir)
       Tables.load(s, dir, "customer").select("c_custkey", "c_acctbal")
         .stageInput(dir, "rowtrack_in")
-      val table = Files.createTempDirectory("graft_txrow").toString + "/t"
-      TxLog.enableRowTracking(table)
-      TxLog.append(s.read.parquet(s"$stage/rowtrack_in"), table)
+      // base (tracking enabled + load) cached — its row ids are frozen in
+      // the log, so every file-copy carries identical ids; the DML under
+      // measure runs fresh on the copy
+      val base = Fixtures.immutableTable(dir, "txrow_base", 1) { t =>
+        TxLog.enableRowTracking(t)
+        TxLog.append(s.read.parquet(s"$stage/rowtrack_in"), t)
+      }
+      val table = Fixtures.mutableCopy(base, "graft_txrow")
       TxLog.readWithRowIds(s, table).select("c_custkey", "_row_id")
         .write.mode("overwrite").parquet(s"$stage/rowtrack_ids")
       s.sql(s"UPDATE txlog.`$table` SET c_acctbal = -1.0 " +
@@ -1821,18 +1842,19 @@ object AnalyticsQueries {
         .select("c_custkey", "c_name", "c_acctbal")
       cust.stageInput(dir, "scd2_in")
       val in = s.read.parquet(s"$stage/scd2_in")
-      val table = Files.createTempDirectory("graft_txscd2").toString + "/t"
-      def apply(b: org.apache.spark.sql.DataFrame): Unit =
-        TxLog.applyChangesScd2(s, table, b, Seq("c_custkey"), "ver", "op")
-      apply(in.withColumn("ver", lit(1L))
-        .withColumn("op", lit("upsert")))                             // v1
-      apply(in.filter(pmod(col("c_custkey"), lit(3)) === 0)
-        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
-        .withColumn("ver", lit(2L)).withColumn("op", lit("upsert")))  // v2
-      apply(in.filter(pmod(col("c_custkey"), lit(7)) === 0)
-        .withColumn("c_name", lit(null).cast("string"))
-        .withColumn("c_acctbal", lit(null).cast("double"))
-        .withColumn("ver", lit(3L)).withColumn("op", lit("delete")))  // v3
+      val table = Fixtures.immutableTable(dir, "txscd2", 1) { t =>
+        def apply(b: org.apache.spark.sql.DataFrame): Unit =
+          TxLog.applyChangesScd2(s, t, b, Seq("c_custkey"), "ver", "op")
+        apply(in.withColumn("ver", lit(1L))
+          .withColumn("op", lit("upsert")))                            // v1
+        apply(in.filter(pmod(col("c_custkey"), lit(3)) === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+          .withColumn("ver", lit(2L)).withColumn("op", lit("upsert"))) // v2
+        apply(in.filter(pmod(col("c_custkey"), lit(7)) === 0)
+          .withColumn("c_name", lit(null).cast("string"))
+          .withColumn("c_acctbal", lit(null).cast("double"))
+          .withColumn("ver", lit(3L)).withColumn("op", lit("delete"))) // v3
+      }
       TxLog.read(s, table)
     },
 
@@ -1846,11 +1868,12 @@ object AnalyticsQueries {
       "declared cluster columns: writes range-cluster themselves, range reads prune from the first commit, results unchanged",
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin) { (s, dir) =>
-      val table = Files.createTempDirectory("graft_txclw").toString + "/t"
-      TxLog.setProperties(table, Map("graft.cluster.columns" -> "o_orderkey"))
-      TxLog.append(Tables.load(s, dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .repartition(8), table) // round-robin input: unclustered arrival
+      val table = Fixtures.immutableTable(dir, "txclw", 1) { t =>
+        TxLog.setProperties(t, Map("graft.cluster.columns" -> "o_orderkey"))
+        TxLog.append(Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .repartition(8), t) // round-robin input: unclustered arrival
+      }
       val pruned = TxLog.readRange(s, table, "o_orderkey", 1000.0, 2000.0)
       require(pruned.inputFiles.length < TxLog.activeFiles(table).size,
         "clustered write must let the range read prune files")
