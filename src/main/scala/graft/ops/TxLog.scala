@@ -760,7 +760,15 @@ object TxLog {
       tailCommits: Vector[Commit], tipState: TableState,
       // checkpoint files probed and found state-LESS (legacy files-only
       // form, or corrupt state) — never re-parsed while they persist
-      noStateCps: Set[String])
+      noStateCps: Set[String],
+      // recently-parsed checkpoint states by file name (bounded): callers
+      // alternating asOf values (time-travel specs, history walks) hit
+      // DIFFERENT checkpoints — without this the single tail-fold slot
+      // re-parses the big state JSON on every alternation. Checkpoints
+      // are immutable once published, so entries never go stale; expiry
+      // clears the whole cache.
+      parsedCps: Map[String, TableState] = Map.empty)
+  private val ParsedCpCacheCap = 4
   private val stateCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, CachedState](
       16, 0.75f, /* accessOrder = */ true) {
@@ -808,12 +816,14 @@ object TxLog {
     }.sortBy(-_._1)
     val cached = Option(stateCache.get(table))
     var noState = cached.map(_.noStateCps).getOrElse(Set.empty[String])
+    val knownCps: Map[String, TableState] = cached.map(c =>
+      c.parsedCps ++ c.cpName.map(_ -> c.cpState)).getOrElse(Map.empty)
     val cp: Option[(Long, TableState, String)] =
       cpCandidates.view.flatMap { case (v, p) =>
         val name = p.getFileName.toString
         if (noState.contains(name)) None
-        else cached.filter(c => c.cpName.contains(name)) match {
-          case Some(c) => Some((v, c.cpState, name))
+        else knownCps.get(name) match {
+          case Some(st) => Some((v, st, name))
           case None =>
             val parsed =
               try Option(mapper.readTree(Files.readAllBytes(p)).get("state"))
@@ -851,8 +861,14 @@ object TxLog {
         newParsed.filter(_.version > cpVersion))
       case None => TableState.foldAll(base, tail)
     }
+    val keptCps = cp match {
+      case Some((_, st, name)) =>
+        ((knownCps - name).toSeq.take(ParsedCpCacheCap - 1) :+
+          (name -> st)).toMap
+      case None => knownCps.take(ParsedCpCacheCap)
+    }
     stateCache.put(table, CachedState(cp.map(_._3), cpVersion, base,
-      tailNames, tail, tip, noState))
+      tailNames, tail, tip, noState, keptCps))
     asOf match {
       case None => tip
       // below-or-at the checkpoint horizon `tail` IS the full commit
