@@ -32,6 +32,13 @@ object LogCompactionProbe {
 
   def main(args: Array[String]): Unit = {
     val nCommits = args.headOption.map(_.toInt).getOrElse(20000)
+    // WIDE mode (2nd arg > 1): many files per commit — probes the
+    // single-JSON full-state checkpoint at the metadata-plane ceiling
+    // (guardMetadataPlane's 200k active files): how long a checkpoint
+    // WRITE takes, how big it is, and what a cold fold from it costs.
+    // The answer decides whether multi-part checkpoints (Delta's shape
+    // for object stores) are worth building.
+    val filesPerCommit = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     val root = Files.createTempDirectory("graft_logprobe").toString
     val t = s"$root/t"
     // synthesize the log shape directly (the fold under test parses
@@ -44,11 +51,31 @@ object LogCompactionProbe {
       val extra = if (i == 1)
         ""","schemaDdl":"k BIGINT,v STRING","properties":{"p":"v"}"""
       else ""
+      val fs = (0 until filesPerCommit).map(j => s"d-x/part-$i-$j.parquet")
       Files.write(Paths.get(t, "_txlog", f"$i%020d.json"),
         (s"""{"protocolVersion":1,"version":$i,"op":"append",""" +
-          s""""batchId":-1,"add":["d-x/part-$i.parquet"],"remove":[],""" +
-          s""""sizes":{"d-x/part-$i.parquet":1048576},"ts":${1000000 + i}""" +
+          s""""batchId":-1,"add":[${fs.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""remove":[],"sizes":{${fs.map(f =>
+            "\"" + f + "\":1048576").mkString(",")}},"ts":${1000000 + i}""" +
           extra + "}").getBytes)
+    }
+    if (filesPerCommit > 1) {
+      // wide probe: checkpoint write cost + size + cold fold from it
+      sys.props.put("graft.txlog.maxActiveFiles", "0") // probe past default
+      val w0 = System.nanoTime()
+      TxLog.compact(t)
+      val wMs = (System.nanoTime() - w0) / 1e6
+      val cp = TxLog.walkDir(Paths.get(t, "_txlog"))
+        .filter(_.getFileName.toString.endsWith(".checkpoint.json"))
+        .maxBy(_.getFileName.toString)
+      val cpMb = Files.size(cp) / 1e6
+      val cold = s"$root/cold"; copyTable(t, cold)
+      val r0 = System.nanoTime()
+      val n = TxLog.activeFiles(cold).size
+      val rMs = (System.nanoTime() - r0) / 1e6
+      println(f"| active files | checkpoint write | checkpoint size | cold stateAt fold |")
+      println(f"| $n | $wMs%.0f ms | $cpMb%.1f MB | $rMs%.0f ms |")
+      return
     }
     def looseCount(p: String): Int =
       TxLog.walkDir(Paths.get(p, "_txlog"))
