@@ -5491,9 +5491,14 @@ object TxLog {
       declaredCols(table, "graft.partition.columns").mkString(","),
       properties(table).size.toLong,
       cs.map(_.minReader).maxOption.getOrElse(1).toLong,
-      cs.lastOption.map(_.ts).getOrElse(-1L)))
+      cs.lastOption.map(_.ts).getOrElse(-1L),
+      // the oldest time-travelable version: the log-retention horizon
+      // when the log has been expired, else 1 — what an operator checks
+      // before a restore/clone/table_changes against old history
+      retentionHorizon(table).getOrElse(1L)))
       .toDF("format", "location", "version", "num_files", "size_bytes",
-        "partition_columns", "n_properties", "protocol", "last_commit_ts")
+        "partition_columns", "n_properties", "protocol", "last_commit_ts",
+        "earliest_version")
   }
 
   /** `FSCK REPAIR TABLE` (Delta's fsck): drop active-set references to

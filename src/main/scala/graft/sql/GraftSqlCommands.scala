@@ -555,7 +555,8 @@ final case class DescribeDetailTxLogCommand(target: SqlTarget)
       AttributeReference("partition_columns", S, nullable = false)(),
       AttributeReference("n_properties", LongType, nullable = false)(),
       AttributeReference("protocol", LongType, nullable = false)(),
-      AttributeReference("last_commit_ts", LongType, nullable = false)())
+      AttributeReference("last_commit_ts", LongType, nullable = false)(),
+      AttributeReference("earliest_version", LongType, nullable = false)())
   }
   override def run(spark: SparkSession): Seq[Row] =
     TxLog.detail(spark, target.resolve(spark)).collect().toSeq

@@ -191,6 +191,14 @@ class SqlUtilitySpec extends SparkSpec {
     assert(d.getLong(3) === TxLog.activeFiles(t).size.toLong)
     assert(d.getLong(4) > 0L)              // bytes
     assert(d.getString(5) === "y")         // partition columns
+    assert(d.getAs[Long]("earliest_version") === 1L,
+      "unexpired table: everything back to v1 is travelable")
+    // after checkpoint + expiry the column reports the retention horizon
+    TxLog.compact(t)
+    TxLog.append(Seq((3L, "c", 30)).toDF("k", "v", "y"), t)
+    TxLog.expireLog(t)
+    val d2 = spark.sql(s"DESCRIBE DETAIL txlog.`$t`").collect().head
+    assert(d2.getAs[Long]("earliest_version") === 2L, d2.toString)
   }
 
   test("FSCK REPAIR TABLE drops references to missing files") {
