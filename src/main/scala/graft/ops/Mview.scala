@@ -1,0 +1,401 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sql.Scan
+
+/** Incremental materialized views over txlog tables (the Delta Live
+  * Tables / materialized-view shape, re-derived on the txlog CDF
+  * machinery — see reference repo notebooks' repeated "recompute the
+  * gold aggregate each run" pattern, which this replaces with
+  * delta-maintenance).
+  *
+  * A materialized view is itself a txlog table whose properties carry
+  * the definition (`graft.mview.query`), the source path, and the last
+  * source version folded in (`graft.mview.sourceVersion`). REFRESH
+  * brings it forward to the source head choosing the cheapest sound
+  * strategy:
+  *
+  *   - **delta merge** (COUNT / SUM / AVG aggregates): the keyless
+  *     multiset delta [[TxLog.rowDeltas]] is aggregated per group into
+  *     signed deltas and MERGEd into the view — cost follows the window's
+  *     touched files plus the view files holding changed groups, never
+  *     the source snapshot. SUM / AVG keep per-group non-null counts in
+  *     `__mv_n_<col>` aux columns (and AVG a running double sum in
+  *     `__mv_s_<col>`), so a group whose last non-null value leaves goes
+  *     back to NULL instead of a stale number; `__mv_count` tracks group
+  *     cardinality so emptied groups DELETE. Classic self-maintainable
+  *     view maintenance (Gupta & Mumick's counting algorithm), expressed
+  *     as one Spark aggregation + one MERGE.
+  *   - **touched-group recompute** (MIN / MAX present): per-group
+  *     max is not delta-maintainable under deletes, so the groups the
+  *     delta names are recomputed from the source snapshot (a semi-join
+  *     the group-column stats/bloom machinery prunes) and MERGEd:
+  *     updated groups rewrite, vanished groups ride along as tombstone
+  *     rows that hit a matched-DELETE clause — one commit, no
+  *     full-table anti-join.
+  *   - **append-only projection** (no aggregates): an all-`+1` window
+  *     appends the projected rows; any `−1` (update / delete upstream)
+  *     falls back to full recompute.
+  *   - **full recompute** fallback: forced (`REFRESH … FULL`), source
+  *     schema DDL changed across the window, window expired below the
+  *     source's log-retention horizon, or a global MIN/MAX view.
+  *
+  * Every refresh lands as ONE commit on the view: the new
+  * `sourceVersion` stamp rides the data commit's property deltas
+  * (`extraProps`), so a crash can never leave data applied but the
+  * cursor behind (the double-apply hazard) — the same
+  * atomic-txn-in-commit idea as Delta's `txn` action. */
+object Mview {
+
+  val QueryProp = "graft.mview.query"
+  val SourceProp = "graft.mview.source"
+  val VersionProp = "graft.mview.sourceVersion"
+
+  /** A recognized aggregate select item. `fn`: count_star | count |
+    * sum | avg | min | max; `arg` is the raw expression text. */
+  final case class Agg(fn: String, arg: Option[String], alias: String)
+  /** A projection select item (non-aggregate view). */
+  final case class Proj(exprText: String, alias: String)
+
+  final case class MvDef(source: String, where: Option[String],
+      groupBy: Seq[String], aggs: Seq[Agg], projs: Seq[Proj]) {
+    def isAggregate: Boolean = aggs.nonEmpty
+    /** COUNT/SUM/AVG only: maintainable purely from the signed delta. */
+    def deltaMaintainable: Boolean =
+      aggs.forall(a => Set("count_star", "count", "sum", "avg")(a.fn))
+  }
+
+  final case class Refresh(mode: String, fromVersion: Long,
+      toVersion: Long, viewVersion: Long)
+
+  private def auxN(a: String) = s"__mv_n_$a"
+  private def auxS(a: String) = s"__mv_s_$a"
+
+  /** Recognize the supported view grammar:
+    * {{{
+    * SELECT <item>[, …] FROM txlog.`/path` [WHERE <pred>] [GROUP BY c[, …]]
+    * }}}
+    * where each item is `count(*)|count(e)|sum(e)|avg(e)|min(e)|max(e)
+    * AS alias`, a plain GROUP BY column, or (projection views, no GROUP
+    * BY) `expr AS alias`. Anything else refuses at CREATE with the
+    * unsupported piece named — an MV that silently fell back to full
+    * recompute forever would defeat its own point. */
+  def parseDef(query: String): MvDef = {
+    val s = new Scan(query)
+    require(s.kw("SELECT"), s"materialized view query must start with SELECT: $query")
+    val selectText = s.until("FROM")
+    require(s.kw("FROM"),
+      s"materialized view query needs FROM txlog.`/path`: $query")
+    val p0 = s.pos
+    val source = (s.word() match {
+      case Some(w) if w.equalsIgnoreCase("txlog") && s.punct('.') =>
+        s.backquoted()
+      case _ => { s.reset(p0); s.backquoted() }
+    }).getOrElse(throw new IllegalArgumentException(
+      "materialized view source must be txlog.`/path` (a txlog table path)"))
+    val where = if (s.kw("WHERE")) {
+      val w = s.until("GROUP").trim
+      require(w.nonEmpty, "materialized view WHERE clause is empty")
+      Some(w)
+    } else None
+    val groupBy =
+      if (s.kws("GROUP", "BY"))
+        Scan.splitTop(s.until(), ',').map(g => Scan.unquoteIdent(g.trim))
+      else Seq.empty
+    require(s.eof, s"unexpected trailing input in materialized view query: $query")
+
+    val aggFns = Seq("count", "sum", "avg", "min", "max")
+    var aggs = Vector.empty[Agg]
+    var projs = Vector.empty[Proj]
+    Scan.splitTop(selectText, ',').map(_.trim).filter(_.nonEmpty).foreach { item =>
+      val ps = new Scan(item)
+      val fn = aggFns.find(f => { val p = ps.pos
+        if (ps.kw(f) && ps.punct('(')) true else { ps.reset(p); false } })
+      fn match {
+        case Some(f) =>
+          val body = ps.parenBody().trim
+          require(!body.toUpperCase.startsWith("DISTINCT "),
+            s"materialized view: $f(DISTINCT …) is not incrementally " +
+              s"maintainable — drop DISTINCT or maintain a exact-dedup table upstream")
+          ps.kw("AS")
+          val alias = ps.identPart().getOrElse(throw new IllegalArgumentException(
+            s"materialized view: aggregate item needs an alias: `$item`"))
+          require(ps.eof, s"materialized view: trailing input in item `$item`")
+          require(!alias.startsWith("__mv_"),
+            s"materialized view: alias `$alias` collides with the __mv_ maintenance namespace")
+          aggs :+= (if (f == "count" && body == "*") Agg("count_star", None, alias)
+            else Agg(f, Some(body), alias))
+        case None =>
+          // plain column or expr AS alias
+          val exprText = ps.until("AS").trim
+          val alias =
+            if (ps.kw("AS")) ps.identPart().getOrElse(
+              throw new IllegalArgumentException(
+                s"materialized view: expected an alias after AS in `$item`"))
+            else {
+              val ident = new Scan(exprText)
+              val id = ident.identPart()
+              require(id.nonEmpty && ident.eof,
+                s"materialized view: non-column item needs AS alias: `$item`")
+              id.get
+            }
+          require(!alias.startsWith("__mv_"),
+            s"materialized view: alias `$alias` collides with the __mv_ maintenance namespace")
+          require(ps.eof, s"materialized view: trailing input in item `$item`")
+          projs :+= Proj(exprText, alias)
+      }
+    }
+    if (groupBy.nonEmpty || aggs.nonEmpty) {
+      // aggregate view: non-agg items must be exactly the GROUP BY columns
+      val plain = projs.map(_.alias)
+      require(projs.forall(p => Scan.unquoteIdent(p.exprText.trim) == p.alias),
+        "materialized view: computed non-aggregate items are not supported " +
+          "in an aggregate view — group on plain columns")
+      require(plain.sorted == groupBy.sorted,
+        s"materialized view: select's plain columns ${plain.mkString(",")} " +
+          s"must match GROUP BY ${groupBy.mkString(",")}")
+      require(aggs.nonEmpty, "materialized view: GROUP BY without aggregates")
+      val recomputable = aggs.forall(a =>
+        Set("count_star", "count", "sum", "avg", "min", "max")(a.fn))
+      require(recomputable, "materialized view: unsupported aggregate")
+      MvDef(source, where, groupBy, aggs, Seq.empty)
+    } else {
+      require(projs.nonEmpty, "materialized view: empty select list")
+      require(projs.map(_.alias).distinct.size == projs.size,
+        "materialized view: duplicate output column aliases")
+      MvDef(source, where, Seq.empty, Seq.empty, projs)
+    }
+  }
+
+  /** Full compute of the view frame over `src` (the CREATE path, full
+    * refresh, and the touched-group recompute all share it — create and
+    * refresh MUST agree expression-for-expression or an incremental
+    * refresh would drift from a full one). AVG is stored as the derived
+    * `__mv_s / __mv_n` division (double), NOT native avg, so the full
+    * and incremental paths are bit-identical. */
+  private def compute(d: MvDef, src: DataFrame): DataFrame = {
+    val base = d.where.map(w => src.filter(expr(w))).getOrElse(src)
+    if (!d.isAggregate)
+      return base.select(d.projs.map(p => expr(p.exprText).as(p.alias)): _*)
+    val aggExprs: Seq[Column] = d.aggs.flatMap { a =>
+      lazy val e = expr(a.arg.get)
+      a.fn match {
+        case "count_star" => Seq(count(lit(1)).as(a.alias))
+        case "count" => Seq(count(e).as(a.alias))
+        case "sum" => Seq(sum(e).as(a.alias), count(e).as(auxN(a.alias)))
+        case "avg" => Seq(
+          (sum(e.cast("double")) / count(e)).as(a.alias),
+          sum(e.cast("double")).as(auxS(a.alias)),
+          count(e).as(auxN(a.alias)))
+        case "min" => Seq(min(e).as(a.alias))
+        case "max" => Seq(max(e).as(a.alias))
+      }
+    } :+ count(lit(1)).as("__mv_count")
+    val grouped =
+      if (d.groupBy.isEmpty) base.groupBy()
+      else base.groupBy(d.groupBy.map(col): _*)
+    grouped.agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
+  /** CREATE MATERIALIZED VIEW: full compute at the source head, written
+    * as the view table's first version with the definition + cursor in
+    * the same commit. Declares the group columns as stats columns so
+    * every later MERGE prunes view files by group-key bounds. */
+  def create(spark: SparkSession, view: String, query: String): Long = {
+    val d = parseDef(query)
+    require(TxLog.latestVersion(view).isEmpty,
+      s"materialized view target $view already exists — DROP it (or pick a fresh path) first")
+    val srcV = TxLog.latestVersion(d.source).getOrElse(
+      throw new IllegalArgumentException(
+        s"materialized view source ${d.source} is not a txlog table"))
+    val out = compute(d, TxLog.read(spark, d.source, Some(srcV)))
+    val props: Map[String, Option[String]] = Map(
+      QueryProp -> Some(query.trim),
+      SourceProp -> Some(d.source),
+      VersionProp -> Some(srcV.toString)) ++
+      (if (d.groupBy.nonEmpty)
+        Map("graft.stats.columns" -> Some(d.groupBy.mkString(",")))
+      else Map.empty)
+    TxLog.overwrite(out, view, extraProps = props)
+  }
+
+  /** REFRESH MATERIALIZED VIEW — see the strategy table in the object
+    * doc. One commit; the cursor rides it atomically. */
+  def refresh(spark: SparkSession, view: String,
+      full: Boolean = false): Refresh = {
+    val props = TxLog.properties(view)
+    val query = props.getOrElse(QueryProp, throw new IllegalArgumentException(
+      s"$view is not a materialized view (no $QueryProp property) — " +
+        "create it with CREATE MATERIALIZED VIEW"))
+    val d = parseDef(query)
+    val fromV = props.getOrElse(VersionProp, "0").toLong
+    val toV = TxLog.latestVersion(d.source).getOrElse(
+      throw new IllegalArgumentException(
+        s"materialized view source ${d.source} has no commits"))
+    val mvV = TxLog.latestVersion(view).get
+    if (toV == fromV) return Refresh("noop", fromV, toV, mvV)
+    val stamp: Map[String, Option[String]] =
+      Map(VersionProp -> Some(toV.toString))
+    def fullRefresh(mode: String): Refresh = {
+      val out = compute(d, TxLog.read(spark, d.source, Some(toV)))
+      Refresh(mode, fromV, toV,
+        TxLog.overwrite(out, view, extraProps = stamp))
+    }
+    if (full) return fullRefresh("full_forced")
+    if (toV < fromV)
+      // source RESTOREd/replaced below the cursor: deltas are undefined
+      return fullRefresh("full_source_rewound")
+    // expired window: rowDeltas must read at fromV — below the source's
+    // log-retention horizon that snapshot no longer exists
+    if (fromV < TxLog.retentionHorizon(d.source).getOrElse(1L))
+      return fullRefresh("full_expired_history")
+    // any name/type change across the window (add/drop/rename/widen):
+    // the aligned delta can't represent a rename, so don't guess.
+    // Nullability-insensitive — OPTIMIZE stamps the rewritten frame's
+    // relaxed nullability and alignment only needs names + types.
+    def shape(v: Long) = TxLog.schemaAsOf(d.source, Some(v))
+      .map(_.fields.toSeq.map(f => (f.name, f.dataType)))
+    if (shape(fromV) != shape(toV))
+      return fullRefresh("full_schema_changed")
+
+    val deltas0 = TxLog.rowDeltas(spark, d.source, fromV, toV)
+    val deltas = d.where.map(w => deltas0.filter(expr(w))).getOrElse(deltas0)
+
+    if (!d.isAggregate) {
+      // projection view: append-only windows append, anything else recomputes
+      val hasNeg = !deltas.filter(col("_sign") < 0).isEmpty
+      if (hasNeg) return fullRefresh("full_nonappend_delta")
+      val rows = deltas.filter(col("_sign") > 0)
+        .select(d.projs.map(p => expr(p.exprText).as(p.alias)): _*)
+      val v = TxLog.append(rows, view, batchId = toV,
+        streamId = Some("graft.mview"), extraProps = stamp)
+      return Refresh("incremental_append", fromV, toV, v)
+    }
+
+    if (d.deltaMaintainable) {
+      val sign = col("_sign").cast("long")
+      val dAggs: Seq[Column] = d.aggs.flatMap { a =>
+        lazy val e = expr(a.arg.get)
+        a.fn match {
+          case "count_star" => Seq(sum(sign).as(s"__d_${a.alias}"))
+          case "count" => Seq(
+            sum(when(e.isNotNull, sign).otherwise(lit(0L))).as(s"__d_${a.alias}"))
+          case "sum" => Seq(
+            sum(e * sign).as(s"__d_${a.alias}"),
+            sum(when(e.isNotNull, sign).otherwise(lit(0L))).as(s"__dn_${a.alias}"))
+          case "avg" => Seq(
+            sum(e.cast("double") * sign).as(s"__d_${a.alias}"),
+            sum(when(e.isNotNull, sign).otherwise(lit(0L))).as(s"__dn_${a.alias}"))
+        }
+      } :+ sum(sign).as("__d_cnt")
+      val grouped =
+        if (d.groupBy.isEmpty) deltas.groupBy()
+        else deltas.groupBy(d.groupBy.map(col): _*)
+      // drop all-zero groups (a rewrite's +1/−1 pairs cancel here), so
+      // source-layout churn (that rowDeltas didn't already skip) never
+      // touches a view file
+      val nonZero = (col("__d_cnt") =!= 0L) +: d.aggs.flatMap { a =>
+        Seq(coalesce(col(s"__d_${a.alias}").cast("double"), lit(0.0)) =!= 0.0) ++
+          (if (a.fn == "sum" || a.fn == "avg")
+            Seq(col(s"__dn_${a.alias}") =!= 0L) else Nil)
+      }
+      val delta = grouped.agg(dAggs.head, dAggs.tail: _*)
+        .filter(nonZero.reduce(_ || _))
+      val cond =
+        if (d.groupBy.isEmpty) lit(true)
+        else d.groupBy.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+      val updSet = Map(
+        "__mv_count" -> (col("t.__mv_count") + col("s.__d_cnt"))) ++
+        d.aggs.flatMap { a =>
+          val al = a.alias
+          a.fn match {
+            case "count_star" | "count" =>
+              Seq(al -> (col(s"t.$al") + col(s"s.__d_$al")))
+            case "sum" =>
+              val n = col(s"t.${auxN(al)}") + col(s"s.__dn_$al")
+              Seq(
+                al -> when(n === 0L, lit(null)).otherwise(
+                  coalesce(col(s"t.$al"), lit(0)) +
+                    coalesce(col(s"s.__d_$al"), lit(0))),
+                auxN(al) -> n)
+            case "avg" =>
+              val n = col(s"t.${auxN(al)}") + col(s"s.__dn_$al")
+              val sm = coalesce(col(s"t.${auxS(al)}"), lit(0.0)) +
+                coalesce(col(s"s.__d_$al"), lit(0.0))
+              // aux sum stores NULL at n = 0 so the incremental state is
+              // bit-identical to a from-scratch compute (sum of nothing
+              // is NULL), not a 0.0 that drifts the comparison
+              Seq(
+                al -> when(n === 0L, lit(null)).otherwise(sm / n),
+                auxS(al) -> when(n === 0L, lit(null)).otherwise(sm),
+                auxN(al) -> n)
+          }
+        }
+      val insVals = d.groupBy.map(k => k -> col(s"s.$k")).toMap ++
+        Map("__mv_count" -> col("s.__d_cnt")) ++
+        d.aggs.flatMap { a =>
+          val al = a.alias
+          a.fn match {
+            case "count_star" | "count" => Seq(al -> col(s"s.__d_$al"))
+            case "sum" => Seq(
+              al -> when(coalesce(col(s"s.__dn_$al"), lit(0L)) === 0L,
+                lit(null)).otherwise(col(s"s.__d_$al")),
+              auxN(al) -> coalesce(col(s"s.__dn_$al"), lit(0L)))
+            case "avg" => Seq(
+              al -> when(coalesce(col(s"s.__dn_$al"), lit(0L)) === 0L,
+                lit(null)).otherwise(col(s"s.__d_$al") / col(s"s.__dn_$al")),
+              auxS(al) -> when(coalesce(col(s"s.__dn_$al"), lit(0L)) === 0L,
+                lit(null)).otherwise(col(s"s.__d_$al")),
+              auxN(al) -> coalesce(col(s"s.__dn_$al"), lit(0L)))
+          }
+        }
+      val matched: Seq[TxLog.MergeAction] =
+        (if (d.groupBy.nonEmpty)
+          Seq(TxLog.MergeDelete(
+            Some(col("t.__mv_count") + col("s.__d_cnt") === 0L)))
+        else Nil) :+ TxLog.MergeUpdate(None, updSet)
+      val v = TxLog.mergeInto(spark, view, delta, "t", "s", cond,
+        matched = matched,
+        notMatched = Seq(TxLog.MergeInsert(None, insVals)),
+        onKeys = d.groupBy.map(k => (k, k)),
+        extraProps = stamp)
+      return Refresh("incremental_merge", fromV, toV, v)
+    }
+
+    // MIN/MAX tier: recompute exactly the groups the delta names
+    if (d.groupBy.isEmpty)
+      return fullRefresh("full_global_minmax") // recompute IS the full scan
+    val touched = deltas.select(d.groupBy.map(col): _*).distinct()
+    val snap = TxLog.read(spark, d.source, Some(toV))
+    val keyEq = (l: String, r: String) => d.groupBy
+      .map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
+    val baseF = d.where.map(w => snap.filter(expr(w))).getOrElse(snap)
+    val scoped = baseF.alias("__src")
+      .join(touched.alias("__tch"), keyEq("__src", "__tch"), "left_semi")
+    val recomputed = compute(d.copy(where = None), scoped)
+    // groups named by the delta but absent from the recompute died —
+    // they ride the merge source as tombstones for the matched-DELETE
+    val dead = touched.alias("__tch")
+      .join(recomputed.alias("__rc"), keyEq("__tch", "__rc"), "left_anti")
+    val mvSchema = recomputed.schema
+    val deadFull = dead.select(mvSchema.fields.toSeq.map { f =>
+      if (d.groupBy.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val src = recomputed.withColumn("__mv_dead", lit(false))
+      .unionByName(deadFull.withColumn("__mv_dead", lit(true)))
+    val setAll = mvSchema.fieldNames.filterNot(d.groupBy.contains)
+      .map(c => c -> col(s"s.$c")).toMap
+    val insAll = mvSchema.fieldNames.map(c => c -> col(s"s.$c")).toMap
+    val v = TxLog.mergeInto(spark, view, src, "t", "s", keyEq("t", "s"),
+      matched = Seq(
+        TxLog.MergeDelete(Some(col("s.__mv_dead"))),
+        TxLog.MergeUpdate(None, setAll)),
+      notMatched = Seq(TxLog.MergeInsert(Some(!col("s.__mv_dead")), insAll)),
+      onKeys = d.groupBy.map(k => (k, k)),
+      extraProps = stamp)
+    Refresh("incremental_recompute", fromV, toV, v)
+  }
+}

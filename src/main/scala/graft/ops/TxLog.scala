@@ -2828,7 +2828,8 @@ object TxLog {
       streamId: Option[String] = None,
       bloomAdd: Seq[String] = Seq.empty,
       colMap: Option[Seq[(String, String)]] = None,
-      copySources: Seq[String] = Seq.empty): Long = {
+      copySources: Seq[String] = Seq.empty,
+      extraProps: Map[String, Option[String]] = Map.empty): Long = {
     // Metadata fingerprint at entry: the caller derived its schemaDdl /
     // colMap / staged files from THIS snapshot. If a retry after a lost
     // race sees a different schema or column mapping, a concurrent
@@ -2849,7 +2850,8 @@ object TxLog {
       if (tryCommit(table, Commit(v, add, remove, op, batchId, stats._1,
           schemaDdl, dvRemove = dvRem, sstats = stats._2,
           streamId = streamId, bloomAdd = bloomAdd, bloomRemove = blRem,
-          colMap = colMap, copySources = copySources)))
+          colMap = colMap, copySources = copySources,
+          properties = extraProps)))
         return v
       attempts += 1
     }
@@ -2865,7 +2867,8 @@ object TxLog {
       statsCols: Seq[String] = Seq.empty,
       mergeSchema: Boolean = false, batchId: Long = -1L,
       streamId: Option[String] = None,
-      bloomCols: Seq[String] = Seq.empty): Long = {
+      bloomCols: Seq[String] = Seq.empty,
+      extraProps: Map[String, Option[String]] = Map.empty): Long = {
     refuseReservedCols(df0)
     val df = applyGenerated(stripOrRefuseIdentity(df0, table), table)
     val schema = resolveSchema(table, df, mergeSchema)
@@ -2888,7 +2891,7 @@ object TxLog {
       Some(schema.toDDL), streamId,
       fileBlooms(df.sparkSession, table, add,
         effectiveBloomCols(df, table, bloomCols), mapping),
-      colMap = colMap)
+      colMap = colMap, extraProps = extraProps)
   }
 
   /** The columns this write should bloom-index: the caller's explicit
@@ -2953,7 +2956,8 @@ object TxLog {
       statsCols: Seq[String] = Seq.empty,
       mergeSchema: Boolean = false, batchId: Long = -1L,
       streamId: Option[String] = None,
-      bloomCols: Seq[String] = Seq.empty): Long = {
+      bloomCols: Seq[String] = Seq.empty,
+      extraProps: Map[String, Option[String]] = Map.empty): Long = {
     refuseReservedCols(df0)
     val df = applyGenerated(stripOrRefuseIdentity(df0, table), table)
     if (!mergeSchema) resolveSchema(table, df, mergeSchema = true) // type check only
@@ -2977,7 +2981,7 @@ object TxLog {
       Some(df.schema.toDDL), streamId,
       fileBlooms(df.sparkSession, table, add,
         effectiveBloomCols(df, table, bloomCols), mapping),
-      colMap = colMap)
+      colMap = colMap, extraProps = extraProps)
   }
 
   /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
@@ -4397,16 +4401,7 @@ object TxLog {
             lit("insert"))
         // data files referenced by the commit's new deletion vectors:
         // their rows changed (some died) without the file moving
-        val dvRefFiles =
-          if (c.dvAdd.isEmpty) Seq.empty[String]
-          else {
-            val keys = spark.read
-              .parquet(c.dvAdd.map(resolve(table, _)): _*)
-              .select("file").distinct().collect()
-              .map(_.getString(0)).toSet
-            activeFiles(table, Some(version))
-              .filter(f => keys.contains(fileKey(f)))
-          }
+        val dvRefFiles = dvReferencedFiles(spark, table, c)
         val preFiles = (c.remove ++ dvRefFiles).distinct
         val postFiles = (c.add ++ dvRefFiles).distinct
         val preRaw =
@@ -4428,6 +4423,86 @@ object TxLog {
         val post = align(postRaw).alias("_post")
         val dataCols = unionFields.map(_.name).filterNot(keyCols.contains).toSeq
         keyedDiff(pre, post, keyCols, dataCols, preImages)
+    }
+  }
+
+  /** Data files a commit's NEW deletion vectors reference: their rows
+    * changed (some died) without the file moving, so change readers must
+    * diff them pre/post. Metadata-sized (one sidecar read per commit). */
+  private def dvReferencedFiles(spark: SparkSession, table: String,
+      c: Commit): Seq[String] =
+    if (c.dvAdd.isEmpty) Seq.empty[String]
+    else {
+      val keys = spark.read
+        .parquet(c.dvAdd.map(resolve(table, _)): _*)
+        .select("file").distinct().collect()
+        .map(_.getString(0)).toSet
+      activeFiles(table, Some(c.version))
+        .filter(f => keys.contains(fileKey(f)))
+    }
+
+  /** KEYLESS multiset row delta over a version window — the incremental-
+    * view-maintenance feed ([[Mview]]): every table column plus `_sign`
+    * (+1 / −1), such that for ANY linear aggregate
+    * `agg(toV) = agg(fromV) ⊕ Σ(_sign · row)`. No key columns, no join:
+    * per commit, rows of (added files ∪ DV'd files) read at `v` carry
+    * +1 and rows of (removed files ∪ DV'd files) read at `v−1` carry −1.
+    * A row co-located in a rewritten file but logically unchanged
+    * appears once with each sign and CANCELS in any multiset consumer —
+    * restricting to touched files is exact, and cost is O(files the
+    * window's commits touched), never O(snapshot). Layout-only commits
+    * (optimize / optimizeDvs / reorg: same logical rows, different
+    * files) are skipped outright rather than emitting self-cancelling
+    * pairs.
+    *
+    * All frames align to the schema AS OF `toV` (missing columns read
+    * as typed NULLs, dropped columns drop, widened columns up-cast).
+    * A mid-window RENAME is NOT representable this way — callers that
+    * maintain derived state ([[Mview.refresh]]) compare the window's
+    * endpoint schemas and fall back to full recompute on any DDL
+    * change. */
+  def rowDeltas(spark: SparkSession, table: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV >= 0 && fromV <= toV,
+      s"rowDeltas on $table: need 0 <= fromV <= toV, got $fromV..$toV")
+    val schema = schemaAsOf(table, Some(toV)).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog table $table has no schema-carrying commit at $toV"))
+    def aligned(df: DataFrame, sign: Int): DataFrame =
+      df.select(schema.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name))
+          col(f.name).cast(f.dataType).alias(f.name)
+        else lit(null).cast(f.dataType).alias(f.name)
+      } :+ lit(sign).alias("_sign"): _*)
+    val all = commits(table)
+    val window = all.filter(c => c.version > fromV && c.version <= toV)
+    val parts = window.flatMap { c =>
+      if (c.add.isEmpty && c.remove.isEmpty && c.dvAdd.isEmpty) Nil
+      else c.op match {
+        case "optimize" | "optimizeDvs" | "reorg" => Nil
+        case _ =>
+          val bootstrap = c.op == "clone" ||
+            !all.exists(p => p.version < c.version &&
+              (p.add.nonEmpty || p.dvAdd.nonEmpty))
+          if (bootstrap || c.op == "append")
+            Seq(aligned(readFiles(spark, table, c.add, Some(c.version)), 1))
+          else {
+            val dvRefFiles = dvReferencedFiles(spark, table, c)
+            val preFiles = (c.remove ++ dvRefFiles).distinct
+            val postFiles = (c.add ++ dvRefFiles).distinct
+            (if (postFiles.isEmpty) Nil else Seq(aligned(
+              readFiles(spark, table, postFiles, Some(c.version)), 1))) ++
+            (if (preFiles.isEmpty) Nil else Seq(aligned(
+              readFiles(spark, table, preFiles, Some(c.version - 1)), -1)))
+          }
+      }
+    }
+    parts.reduceOption(_ union _).getOrElse {
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("_sign",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))
     }
   }
 
@@ -4492,7 +4567,8 @@ object TxLog {
       mappingOverride: Option[Map[String, String]] = null,
       colMapStamp: Option[Seq[(String, String)]] = None,
       batchId: Long = -1L,
-      streamId: Option[String] = None): Boolean = {
+      streamId: Option[String] = None,
+      extraProps: Map[String, Option[String]] = Map.empty): Boolean = {
     // DML honors the same CHECK constraints as append/overwrite/merge:
     // an UPDATE … SET that lands a violating row must be refused, not
     // committed (Delta enforces constraints on every write path). Cheap:
@@ -4537,7 +4613,7 @@ object TxLog {
         dvRemove = dvRemove,
         bloomAdd = fileBlooms(spark, table, add, blCols, mapping),
         bloomRemove = bi.inert(files.diff(touched).map(fileKey).toSet),
-        colMap = colMapStamp))
+        colMap = colMapStamp, properties = extraProps))
     } finally bi.release()
   }
 
@@ -4843,7 +4919,8 @@ object TxLog {
       notMatched: Seq[MergeInsert] = Seq.empty,
       onKeys: Seq[(String, String)] = Seq.empty,
       mergeSchema: Boolean = false,
-      notMatchedBySource: Seq[MergeAction] = Seq.empty): Long = {
+      notMatchedBySource: Seq[MergeAction] = Seq.empty,
+      extraProps: Map[String, Option[String]] = Map.empty): Long = {
     require(matched.forall(!_.isInstanceOf[MergeInsert]),
       "WHEN MATCHED clauses must be MergeUpdate or MergeDelete")
     require(notMatchedBySource.forall(!_.isInstanceOf[MergeInsert]),
@@ -5123,7 +5200,8 @@ object TxLog {
       val rewritten = kept.select(outColsAll: _*)
       if (commitRewrite(spark, table, base, files, touched, rewritten,
         "merge", schemaDdlOverride =
-          if (added.nonEmpty) Some(tgtSchema.toDDL) else None))
+          if (added.nonEmpty) Some(tgtSchema.toDDL) else None,
+        extraProps = extraProps))
         return base.get + 1
       attempts += 1 // lost the race: re-derive against the new snapshot
     }

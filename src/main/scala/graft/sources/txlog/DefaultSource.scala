@@ -286,8 +286,9 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
     val mergeSchema = parameters.get("mergeschema").exists(_.toBoolean)
     val exists = TxLog.latestVersion(path).isDefined
     def write(f: (DataFrame, String, Seq[String], Boolean, Long,
-        Option[String], Seq[String]) => Long): Unit =
-      f(data, path, statsCols, mergeSchema, -1L, None, bloomCols)
+        Option[String], Seq[String], Map[String, Option[String]]) => Long)
+        : Unit =
+      f(data, path, statsCols, mergeSchema, -1L, None, bloomCols, Map.empty)
     mode match {
       case SaveMode.Append =>
         write(TxLog.append)

@@ -832,7 +832,7 @@ object GraftSqlDml {
 }
 
 /** Minimal quote/paren/comment-aware scanner over one SQL statement. */
-private[sql] final class Scan(val sql: String) {
+private[graft] final class Scan(val sql: String) {
   private var i = 0
   def pos: Int = i
   def reset(p: Int): Unit = i = p
@@ -1003,7 +1003,7 @@ private[sql] final class Scan(val sql: String) {
   }
 }
 
-private[sql] object Scan {
+private[graft] object Scan {
 
   /** Split on `sep` at paren depth 0, outside quotes/backquotes. */
   def splitTop(text: String, sep: Char): Seq[String] = {
