@@ -1955,6 +1955,93 @@ object AnalyticsQueries {
       TxLog.read(s, sh).withColumn("side", lit(1L))
         .unionByName(TxLog.read(s, dp).withColumn("side", lit(2L)))
         .select("side", "c_custkey", "c_name", "c_acctbal")
+    },
+
+    // Incremental materialized view, SQL surface end-to-end (the delta
+    // tier): CREATE MATERIALIZED VIEW over a txlog table, move the
+    // source with INSERT + UPDATE + DELETE, REFRESH merges the signed
+    // per-group delta — the in-entry require pins that the refresh was
+    // INCREMENTAL (one merge commit), not a recompute. The oracle
+    // replays the source's final state declaratively over the staged
+    // input and re-aggregates; sums stay DECIMAL-exact until one final
+    // cast to double on both sides.
+    QueryDef("src_txlog_sql_mview",
+      "Materialized view (SQL): CREATE MATERIALIZED VIEW, source INSERT/UPDATE/DELETE, REFRESH merges signed group deltas; view oracled",
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100
+         |           ELSE c_acctbal END AS DECIMAL(12,2))) * 100
+         |    AS BIGINT) AS bal_cents
+         |FROM read_parquet('${QueryDef.StageSql}/mvw_in/*.parquet')
+         |WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 7 <> 0
+         |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .stageInput(dir, "mvw_in")
+      val in = s.read.parquet(s"$stage/mvw_in")
+      val root = Files.createTempDirectory("graft_mvw").toString
+      val (t, mv) = (s"$root/src", s"$root/mv")
+      TxLog.overwrite(in.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .repartition(4), t)                                          // v1
+      // c_acctbal is DOUBLE in the testdata — sum a DECIMAL cast so the
+      // maintained view is order-independent and exact on both engines
+      s.sql(s"CREATE MATERIALIZED VIEW txlog.`$mv` AS " +
+        s"SELECT c_mktsegment, count(*) AS n, " +
+        s"sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bal " +
+        s"FROM txlog.`$t` GROUP BY c_mktsegment").collect()
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(3)) === 1), t) // v2
+      s.sql(s"UPDATE txlog.`$t` SET c_acctbal = c_acctbal + 100 " +
+        "WHERE c_custkey % 5 = 0").collect()                         // v3
+      s.sql(s"DELETE FROM txlog.`$t` WHERE c_custkey % 7 = 0").collect() // v4
+      val r = s.sql(s"REFRESH MATERIALIZED VIEW txlog.`$mv`").collect().head
+      require(r.getString(0) == "incremental_merge",
+        s"expected an incremental merge refresh, got ${r.getString(0)}")
+      // decimal cents → BIGINT: exact on both engines (a decimal→double
+      // cast differs in the last ulp between Spark and DuckDB)
+      TxLog.read(s, mv).select(col("c_mktsegment"), col("n"),
+        (col("bal") * 100).cast("long").as("bal_cents"))
+    },
+
+    // The MIN/MAX materialized-view tier: per-group extrema are not
+    // delta-maintainable under deletes, so REFRESH recomputes exactly
+    // the groups the delta names (group-pruned semi-join) and merges —
+    // including a tombstone DELETE for a group whose rows all left.
+    // The require pins the strategy; content is oracled against a
+    // declarative replay of the final source state.
+    QueryDef("src_txlog_mview_minmax",
+      "Materialized view MIN/MAX tier: REFRESH recomputes only delta-named groups, tombstones dead groups; view oracled",
+      s"""SELECT c_mktsegment,
+         |  CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) * 100 AS BIGINT)
+         |    AS mx_cents,
+         |  CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) * 100 AS BIGINT)
+         |    AS mn_cents,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM read_parquet('${QueryDef.StageSql}/mvwmm_in/*.parquet')
+         |WHERE c_acctbal <= 8000 AND c_mktsegment <> 'MACHINERY'
+         |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .stageInput(dir, "mvwmm_in")
+      val in = s.read.parquet(s"$stage/mvwmm_in")
+      val root = Files.createTempDirectory("graft_mvwmm").toString
+      val (t, mv) = (s"$root/src", s"$root/mv")
+      TxLog.overwrite(in.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .repartition(4), t)                                          // v1
+      Mview.create(s, mv,
+        s"SELECT c_mktsegment, max(CAST(c_acctbal AS DECIMAL(12,2))) AS mx, " +
+          s"min(CAST(c_acctbal AS DECIMAL(12,2))) AS mn, count(*) AS n " +
+          s"FROM txlog.`$t` GROUP BY c_mktsegment")
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(2)) === 1), t) // v2
+      TxLog.delete(s, t, col("c_acctbal") > 8000)                     // v3
+      TxLog.delete(s, t, col("c_mktsegment") === "MACHINERY")         // v4
+      val r = Mview.refresh(s, mv)
+      require(r.mode == "incremental_recompute",
+        s"expected a touched-group recompute refresh, got ${r.mode}")
+      TxLog.read(s, mv).select(col("c_mktsegment"),
+        (col("mx") * 100).cast("long").as("mx_cents"),
+        (col("mn") * 100).cast("long").as("mn_cents"),
+        col("n"))
     }
   )
 }

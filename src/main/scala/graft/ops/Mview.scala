@@ -203,10 +203,12 @@ object Mview {
     * as the view table's first version with the definition + cursor in
     * the same commit. Declares the group columns as stats columns so
     * every later MERGE prunes view files by group-key bounds. */
-  def create(spark: SparkSession, view: String, query: String): Long = {
+  def create(spark: SparkSession, view: String, query: String,
+      orReplace: Boolean = false): Long = {
     val d = parseDef(query)
-    require(TxLog.latestVersion(view).isEmpty,
-      s"materialized view target $view already exists — DROP it (or pick a fresh path) first")
+    require(orReplace || TxLog.latestVersion(view).isEmpty,
+      s"materialized view target $view already exists — use CREATE OR " +
+        "REPLACE MATERIALIZED VIEW (or pick a fresh path)")
     val srcV = TxLog.latestVersion(d.source).getOrElse(
       throw new IllegalArgumentException(
         s"materialized view source ${d.source} is not a txlog table"))
@@ -215,9 +217,10 @@ object Mview {
       QueryProp -> Some(query.trim),
       SourceProp -> Some(d.source),
       VersionProp -> Some(srcV.toString)) ++
-      (if (d.groupBy.nonEmpty)
-        Map("graft.stats.columns" -> Some(d.groupBy.mkString(",")))
-      else Map.empty)
+      // group-less (or replaced) views unset a stale declaration rather
+      // than inherit a prior incarnation's columns
+      Map("graft.stats.columns" ->
+        (if (d.groupBy.nonEmpty) Some(d.groupBy.mkString(",")) else None))
     TxLog.overwrite(out, view, extraProps = props)
   }
 
@@ -235,7 +238,6 @@ object Mview {
       throw new IllegalArgumentException(
         s"materialized view source ${d.source} has no commits"))
     val mvV = TxLog.latestVersion(view).get
-    if (toV == fromV) return Refresh("noop", fromV, toV, mvV)
     val stamp: Map[String, Option[String]] =
       Map(VersionProp -> Some(toV.toString))
     def fullRefresh(mode: String): Refresh = {
@@ -243,7 +245,10 @@ object Mview {
       Refresh(mode, fromV, toV,
         TxLog.overwrite(out, view, extraProps = stamp))
     }
+    // forced FULL rebuilds even at a caught-up cursor (the operator's
+    // recover-from-anything verb); everything else no-ops there
     if (full) return fullRefresh("full_forced")
+    if (toV == fromV) return Refresh("noop", fromV, toV, mvV)
     if (toV < fromV)
       // source RESTOREd/replaced below the cursor: deltas are undefined
       return fullRefresh("full_source_rewound")

@@ -886,3 +886,31 @@ final case class VacuumTxLogCommand(target: SqlTarget, retain: Option[Int],
       retainHours = retainHours).size.toLong))
   }
 }
+
+/** `CREATE [OR REPLACE] MATERIALIZED VIEW txlog.`/p` AS <query>` →
+  * [[graft.ops.Mview.create]]: full compute at the source head; the
+  * definition and source-version cursor ride the create commit. */
+final case class CreateMviewCommand(target: SqlTarget, query: String,
+    orReplace: Boolean) extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.Mview.create(spark, target.resolve(spark), query,
+      orReplace)))
+}
+
+/** `REFRESH MATERIALIZED VIEW <t> [FULL]` → [[graft.ops.Mview.refresh]]:
+  * reports the strategy taken (incremental_merge /
+  * incremental_recompute / incremental_append / full_* / noop) and the
+  * source window folded in. */
+final case class RefreshMviewCommand(target: SqlTarget, full: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mode", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("from_version", LongType, nullable = false)(),
+    AttributeReference("to_version", LongType, nullable = false)(),
+    AttributeReference("view_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = graft.ops.Mview.refresh(spark, target.resolve(spark), full)
+    Seq(Row(r.mode, r.fromVersion, r.toVersion, r.viewVersion))
+  }
+}

@@ -145,6 +145,13 @@ object GraftSqlDml {
       }
     else if (s.kw("INSERT")) parseInsert(s)
     else if (s.kw("CREATE")) parseCreate(s)
+    else if (s.kws("REFRESH", "MATERIALIZED", "VIEW"))
+      target(s, allowIdent = true).map { t =>
+        val full = s.kw("FULL")
+        require(s.eof,
+          s"unexpected trailing input in REFRESH MATERIALIZED VIEW $t")
+        RefreshMviewCommand(t, full)
+      }
     else if (s.kws("COPY", "INTO")) parseCopyInto(s)
     else if (s.kw("RESTORE")) { s.kw("TABLE"); parseRestore(s) }
     else if (s.kws("REORG", "TABLE"))
@@ -560,6 +567,19 @@ object GraftSqlDml {
 
   private def parseCreate(s: Scan): Option[LogicalPlan] = {
     val orReplace = s.kws("OR", "REPLACE")
+    if (s.kws("MATERIALIZED", "VIEW")) {
+      // CREATE [OR REPLACE] MATERIALIZED VIEW txlog.`/p` AS <query> —
+      // path form only (the stock parser owns catalog views); the query
+      // grammar is validated by Mview.parseDef at run time
+      val t = target(s, allowIdent = false).getOrElse(
+        throw new IllegalArgumentException(
+          "CREATE MATERIALIZED VIEW: expected a txlog.`/path` target"))
+      require(s.kw("AS"),
+        s"CREATE MATERIALIZED VIEW $t: expected AS <query>")
+      val q = s.until()
+      require(q.nonEmpty, s"CREATE MATERIALIZED VIEW $t AS: empty query")
+      return Some(CreateMviewCommand(t, q, orReplace))
+    }
     if (!s.kw("TABLE")) return None
     val ifNotExists = s.kws("IF", "NOT", "EXISTS")
     target(s, allowIdent = false).map { t =>

@@ -209,6 +209,33 @@ class MviewSpec extends SparkSpec {
     assertMatchesFull(mv, query)
   }
 
+  test("SQL surface: CREATE/REFRESH MATERIALIZED VIEW, OR REPLACE, FULL") {
+    val t = tmpDir("mv_sql") + "/t"
+    seed(t)
+    val mv = tmpDir("mv_sql_tgt") + "/mv"
+    val query = s"SELECT k, count(*) AS n, sum(v) AS sv FROM txlog.`$t` GROUP BY k"
+    spark.sql(s"CREATE MATERIALIZED VIEW txlog.`$mv` AS $query").collect()
+    assertMatchesFull(mv, query)
+    intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW txlog.`$mv` AS $query").collect()
+    }
+    TxLog.append(Seq(("q", 9L, Option.empty[Long])).toDF("k", "v", "w"), t)
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW txlog.`$mv`").collect().head
+    assert(r.getString(0) === "incremental_merge")
+    assert(r.getLong(2) === TxLog.latestVersion(t).get)
+    assertMatchesFull(mv, query)
+    val rf = spark.sql(s"REFRESH MATERIALIZED VIEW txlog.`$mv` FULL")
+      .collect().head
+    assert(rf.getString(0) === "full_forced")
+    // OR REPLACE swaps the definition in place (and retires the old
+    // group-column stats declaration)
+    val q2 = s"SELECT count(*) AS total FROM txlog.`$t`"
+    spark.sql(s"CREATE OR REPLACE MATERIALIZED VIEW txlog.`$mv` AS $q2")
+      .collect()
+    assertMatchesFull(mv, q2)
+    assert(TxLog.read(spark, mv).count() === 1L)
+  }
+
   test("create refusals: DISTINCT, __mv_ alias, group/select mismatch, existing target; refresh refuses a non-view") {
     val t = tmpDir("mv_ref") + "/t"
     seed(t)
