@@ -109,6 +109,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         "table_changes(table, keyCols, startVersion[, endVersion]) — " +
           "the txlog change feed as a table"),
       es => graft.sql.TableChangesTvf.plan(es)))
+    // the active-file inventory as a metadata table (Delta/Iceberg's
+    // `files` metadata-table shape)
+    ext.injectTableFunction((
+      FunctionIdentifier("table_files"),
+      new ExpressionInfo("graft.sql", "table_files",
+        "table_files(table [, version]) — active data files of a txlog " +
+          "snapshot with partition, size, rows, adding version, DV flag"),
+      es => graft.sql.TableFilesTvf.plan(es)))
     // SQL DML/maintenance verbs for the txlog tier (MERGE INTO / UPDATE /
     // DELETE / OPTIMIZE / VACUUM) — the DeltaSqlParser pattern
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))

@@ -2042,6 +2042,34 @@ object AnalyticsQueries {
         (col("mx") * 100).cast("long").as("mx_cents"),
         (col("mn") * 100).cast("long").as("mn_cents"),
         col("n"))
+    },
+
+    // The active-file inventory as a queryable metadata table (Delta /
+    // Iceberg's `files` metadata-table shape): one row per active data
+    // file with partition, recorded size/rows, adding version, DV flag —
+    // answered from the log fold alone, no data file opened. The entry
+    // aggregates commit-recorded per-file row counts by partition and
+    // the oracle recomputes the same from the data — i.e. the metadata
+    // plane must agree with the bytes it indexes.
+    QueryDef("src_txlog_table_files",
+      "table_files TVF: per-file metadata table; partition-grouped recorded row counts oracled against the data",
+      s"""SELECT 'c_mktsegment=' || c_mktsegment AS partition,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM read_parquet('${QueryDef.StageSql}/tfiles_in/*.parquet')
+         |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .stageInput(dir, "tfiles_in")
+      val in = s.read.parquet(s"$stage/tfiles_in")
+      val table = Fixtures.immutableTable(dir, "txtfiles", 1) { t =>
+        TxLog.setProperties(t,
+          Map("graft.partition.columns" -> "c_mktsegment"))
+        TxLog.append(in.filter(pmod(col("c_custkey"), lit(2)) === 0), t)
+        TxLog.append(in.filter(pmod(col("c_custkey"), lit(2)) === 1), t)
+      }
+      s.sql(s"SELECT partition, CAST(SUM(rows) AS BIGINT) AS n_rows " +
+        s"FROM table_files('$table') GROUP BY partition")
     }
   )
 }

@@ -306,8 +306,13 @@ object Mview {
           (if (a.fn == "sum" || a.fn == "avg")
             Seq(col(s"__dn_${a.alias}") =!= 0L) else Nil)
       }
+      // PERSIST the per-group delta: mergeInto drives several actions
+      // over its source (key bounds, key probes, touched-file semi-join,
+      // the rewrite itself) and each would otherwise re-run the whole
+      // rowDeltas scan + aggregation; the frame is at most one row per
+      // changed group
       val delta = grouped.agg(dAggs.head, dAggs.tail: _*)
-        .filter(nonZero.reduce(_ || _))
+        .filter(nonZero.reduce(_ || _)).persist()
       val cond =
         if (d.groupBy.isEmpty) lit(true)
         else d.groupBy.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
@@ -361,23 +366,50 @@ object Mview {
           Seq(TxLog.MergeDelete(
             Some(col("t.__mv_count") + col("s.__d_cnt") === 0L)))
         else Nil) :+ TxLog.MergeUpdate(None, updSet)
-      val v = TxLog.mergeInto(spark, view, delta, "t", "s", cond,
-        matched = matched,
-        notMatched = Seq(TxLog.MergeInsert(None, insVals)),
-        onKeys = d.groupBy.map(k => (k, k)),
-        extraProps = stamp)
-      return Refresh("incremental_merge", fromV, toV, v)
+      try {
+        val v = TxLog.mergeInto(spark, view, delta, "t", "s", cond,
+          matched = matched,
+          notMatched = Seq(TxLog.MergeInsert(None, insVals)),
+          onKeys = d.groupBy.map(k => (k, k)),
+          extraProps = stamp)
+        return Refresh("incremental_merge", fromV, toV, v)
+      } finally delta.unpersist(blocking = false)
     }
 
     // MIN/MAX tier: recompute exactly the groups the delta names
     if (d.groupBy.isEmpty)
       return fullRefresh("full_global_minmax") // recompute IS the full scan
-    val touched = deltas.select(d.groupBy.map(col): _*).distinct()
+    val touched = deltas.select(d.groupBy.map(col): _*).distinct().persist()
     val snap = TxLog.read(spark, d.source, Some(toV))
     val keyEq = (l: String, r: String) => d.groupBy
       .map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
     val baseF = d.where.map(w => snap.filter(expr(w))).getOrElse(snap)
-    val scoped = baseF.alias("__src")
+    // Pre-filter the source scan by the touched keys' per-column BOUNDS
+    // (driver-side: 3 scalars per group column) before the exact
+    // semi-join: the literal range predicate reaches the scan, where the
+    // source's recorded min/max stats prune whole files — on a
+    // group-clustered 100 TB table the recompute reads the touched
+    // groups' files, not the snapshot. Sound: a bound only NARROWS the
+    // scan, and every touched group's rows lie inside its own column
+    // bounds. A column whose touched set contains a NULL key skips its
+    // predicate entirely (a plain range would drop the NULL-keyed source
+    // rows the `<=>` semi-join must still find).
+    val boundAggs = d.groupBy.flatMap(k => Seq(
+      min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k"),
+      sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nn_$k")))
+    val boundsRow = touched.agg(boundAggs.head, boundAggs.tail: _*)
+      .collect().headOption
+    val ranged = boundsRow match {
+      case Some(row) =>
+        d.groupBy.zipWithIndex.foldLeft(baseF) { case (df, (k, i)) =>
+          val (lo, hi) = (row.get(3 * i), row.get(3 * i + 1))
+          val hasNullKey = row.isNullAt(3 * i + 2) || row.getLong(3 * i + 2) > 0
+          if (lo == null || hi == null || hasNullKey) df
+          else df.filter(col(k) >= lit(lo) && col(k) <= lit(hi))
+        }
+      case None => baseF
+    }
+    val scoped = ranged.alias("__src")
       .join(touched.alias("__tch"), keyEq("__src", "__tch"), "left_semi")
     val recomputed = compute(d.copy(where = None), scoped)
     // groups named by the delta but absent from the recompute died —
@@ -389,18 +421,26 @@ object Mview {
       if (d.groupBy.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
+    // persisted for the same reason as the delta tier: mergeInto runs
+    // several actions over its source, and this one embeds the
+    // recompute's source scan
     val src = recomputed.withColumn("__mv_dead", lit(false))
-      .unionByName(deadFull.withColumn("__mv_dead", lit(true)))
+      .unionByName(deadFull.withColumn("__mv_dead", lit(true))).persist()
     val setAll = mvSchema.fieldNames.filterNot(d.groupBy.contains)
       .map(c => c -> col(s"s.$c")).toMap
     val insAll = mvSchema.fieldNames.map(c => c -> col(s"s.$c")).toMap
-    val v = TxLog.mergeInto(spark, view, src, "t", "s", keyEq("t", "s"),
-      matched = Seq(
-        TxLog.MergeDelete(Some(col("s.__mv_dead"))),
-        TxLog.MergeUpdate(None, setAll)),
-      notMatched = Seq(TxLog.MergeInsert(Some(!col("s.__mv_dead")), insAll)),
-      onKeys = d.groupBy.map(k => (k, k)),
-      extraProps = stamp)
-    Refresh("incremental_recompute", fromV, toV, v)
+    try {
+      val v = TxLog.mergeInto(spark, view, src, "t", "s", keyEq("t", "s"),
+        matched = Seq(
+          TxLog.MergeDelete(Some(col("s.__mv_dead"))),
+          TxLog.MergeUpdate(None, setAll)),
+        notMatched = Seq(TxLog.MergeInsert(Some(!col("s.__mv_dead")), insAll)),
+        onKeys = d.groupBy.map(k => (k, k)),
+        extraProps = stamp)
+      Refresh("incremental_recompute", fromV, toV, v)
+    } finally {
+      src.unpersist(blocking = false)
+      touched.unpersist(blocking = false)
+    }
   }
 }

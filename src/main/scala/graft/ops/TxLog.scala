@@ -3189,6 +3189,40 @@ object TxLog {
       .toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
   }
 
+  /** Per-file inventory of a snapshot — the `table_files` TVF's engine
+    * ([[graft.sql.TableFilesTvf]]): (relative path, partition string,
+    * recorded size, recorded row count, adding version, active-DV flag)
+    * per active file. Metadata-plane only: one cached log fold plus the
+    * active DV sidecars. Size/rows are None when the adding commit
+    * predates recording (unknown, never zero); the adding version of a
+    * file whose commit was retention-expired reports the horizon (the
+    * earliest representable version). */
+  def tableFiles(spark: SparkSession, table: String,
+      asOf: Option[Long] = None)
+      : Seq[(String, String, Option[Long], Option[Long], Long, Boolean)] = {
+    val active = activeFiles(table, asOf)
+    val st = stateAt(table, asOf)
+    val inv = logicalsOf(mappingAsOf(table, asOf))
+    val dvs = activeDvs(table, asOf)
+    val dvKeys: Set[String] =
+      if (dvs.isEmpty) Set.empty
+      else spark.read.parquet(dvs.map(resolve(table, _)): _*)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+    val upTo = asOf.getOrElse(Long.MaxValue)
+    val addedV: Map[String, Long] = commits(table)
+      .filter(_.version <= upTo)
+      .flatMap(c => c.add.map(_ -> c.version)).toMap
+    val floor = retentionHorizon(table).getOrElse(1L)
+    active.map { f =>
+      val part = partValuesOf(f).toMap.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${inv.getOrElse(k, k)}=${v.getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+      }.mkString("/")
+      (f, if (part.isEmpty) "<unpartitioned>" else part,
+        st.sizes.get(f), st.rows.get(f),
+        addedV.getOrElse(f, floor), dvKeys.contains(fileKey(f)))
+    }
+  }
+
   /** Active files whose recorded [min, max] for `colName` intersects
     * [lo, hi] — plus every file committed WITHOUT stats (those must be
     * read). Stats are folded from the full commit log (commits are never
