@@ -1979,10 +1979,12 @@ object AnalyticsQueries {
         .select("c_custkey", "c_mktsegment", "c_acctbal")
         .stageInput(dir, "mvw_in")
       val in = s.read.parquet(s"$stage/mvw_in")
-      val root = Files.createTempDirectory("graft_mvw").toString
-      val (t, mv) = (s"$root/src", s"$root/mv")
-      TxLog.overwrite(in.filter(pmod(col("c_custkey"), lit(3)) === 0)
-        .repartition(4), t)                                          // v1
+      val base = Fixtures.immutableTable(dir, "mvw_base", 1) { t =>
+        TxLog.overwrite(in.filter(pmod(col("c_custkey"), lit(3)) === 0)
+          .repartition(4), t)                                        // v1
+      }
+      val t = Fixtures.mutableCopy(base, "graft_mvw")
+      val mv = Files.createTempDirectory("graft_mvw_v").toString + "/mv"
       // c_acctbal is DOUBLE in the testdata — sum a DECIMAL cast so the
       // maintained view is order-independent and exact on both engines
       s.sql(s"CREATE MATERIALIZED VIEW txlog.`$mv` AS " +
@@ -2024,10 +2026,12 @@ object AnalyticsQueries {
         .select("c_custkey", "c_mktsegment", "c_acctbal")
         .stageInput(dir, "mvwmm_in")
       val in = s.read.parquet(s"$stage/mvwmm_in")
-      val root = Files.createTempDirectory("graft_mvwmm").toString
-      val (t, mv) = (s"$root/src", s"$root/mv")
-      TxLog.overwrite(in.filter(pmod(col("c_custkey"), lit(2)) === 0)
-        .repartition(4), t)                                          // v1
+      val base = Fixtures.immutableTable(dir, "mvwmm_base", 1) { t =>
+        TxLog.overwrite(in.filter(pmod(col("c_custkey"), lit(2)) === 0)
+          .repartition(4), t)                                        // v1
+      }
+      val t = Fixtures.mutableCopy(base, "graft_mvwmm")
+      val mv = Files.createTempDirectory("graft_mvwmm_v").toString + "/mv"
       Mview.create(s, mv,
         s"SELECT c_mktsegment, max(CAST(c_acctbal AS DECIMAL(12,2))) AS mx, " +
           s"min(CAST(c_acctbal AS DECIMAL(12,2))) AS mn, count(*) AS n " +
@@ -2042,6 +2046,54 @@ object AnalyticsQueries {
         (col("mx") * 100).cast("long").as("mx_cents"),
         (col("mn") * 100).cast("long").as("mn_cents"),
         col("n"))
+    },
+
+    // The stream-static JOIN tier of materialized views: the fact
+    // table's signed delta joins the DIMENSION SNAPSHOT (a signed fact
+    // row keeps its sign through the join — that is what keeps the
+    // fact⋈dim aggregate delta-maintainable), so refresh cost follows
+    // the fact delta; a dimension change would force full recompute
+    // (guarded by its recorded version — spec-pinned). The oracle
+    // replays the final fact state joined to the dimension in DuckDB.
+    QueryDef("src_txlog_mview_join",
+      "Materialized view over fact JOIN dim: fact deltas join the dim snapshot and merge; view oracled",
+      s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+         |    AS rev_cents
+         |FROM read_parquet('${QueryDef.StageSql}/mvwj_ord/*.parquet') o
+         |JOIN read_parquet('${QueryDef.StageSql}/mvwj_cust/*.parquet') c
+         |  ON o.o_custkey = c.c_custkey
+         |WHERE o.o_orderkey % 3 IN (0, 1) AND o.o_orderkey % 7 <> 0
+         |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .stageInput(dir, "mvwj_ord")
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .stageInput(dir, "mvwj_cust")
+      val ord = s.read.parquet(s"$stage/mvwj_ord")
+      val factBase = Fixtures.immutableTable(dir, "mvwj_fact", 1) { t =>
+        TxLog.overwrite(ord.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+          .repartition(4), t)
+      }
+      val dimT = Fixtures.immutableTable(dir, "mvwj_dim", 1) { t =>
+        TxLog.overwrite(s.read.parquet(s"$stage/mvwj_cust"), t)
+      }
+      val fact = Fixtures.mutableCopy(factBase, "graft_mvwj")
+      val mv = Files.createTempDirectory("graft_mvwj_v").toString + "/mv"
+      Mview.create(s, mv,
+        s"SELECT c_mktsegment, count(*) AS n, " +
+          s"sum(CAST(f.o_totalprice AS DECIMAL(14,2))) AS rev " +
+          s"FROM txlog.`$fact` f JOIN txlog.`$dimT` d " +
+          s"ON f.o_custkey = d.c_custkey GROUP BY c_mktsegment")
+      TxLog.append(ord.filter(pmod(col("o_orderkey"), lit(3)) === 1), fact)
+      TxLog.delete(s, fact, pmod(col("o_orderkey"), lit(7)) === 0)
+      val r = Mview.refresh(s, mv)
+      require(r.mode == "incremental_merge",
+        s"expected an incremental merge refresh, got ${r.mode}")
+      TxLog.read(s, mv).select(col("c_mktsegment"), col("n"),
+        (col("rev") * 100).cast("long").as("rev_cents"))
     },
 
     // The active-file inventory as a queryable metadata table (Delta /

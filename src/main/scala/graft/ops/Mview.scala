@@ -52,15 +52,23 @@ object Mview {
   val QueryProp = "graft.mview.query"
   val SourceProp = "graft.mview.source"
   val VersionProp = "graft.mview.sourceVersion"
+  val Source2Prop = "graft.mview.dim"
+  val Version2Prop = "graft.mview.dimVersion"
 
   /** A recognized aggregate select item. `fn`: count_star | count |
     * sum | avg | min | max; `arg` is the raw expression text. */
   final case class Agg(fn: String, arg: Option[String], alias: String)
   /** A projection select item (non-aggregate view). */
   final case class Proj(exprText: String, alias: String)
+  /** An optional `JOIN txlog.`/p` [AS] d ON <cond>` dimension side: the
+    * stream-static IVM shape — deltas are computed on the FACT (first)
+    * table and joined to the dimension snapshot; a dimension change
+    * falls back to full recompute (guarded by its recorded version). */
+  final case class DimSpec(path: String, alias: Option[String], on: String)
 
   final case class MvDef(source: String, where: Option[String],
-      groupBy: Seq[String], aggs: Seq[Agg], projs: Seq[Proj]) {
+      groupBy: Seq[String], aggs: Seq[Agg], projs: Seq[Proj],
+      alias: Option[String] = None, dim: Option[DimSpec] = None) {
     def isAggregate: Boolean = aggs.nonEmpty
     /** COUNT/SUM/AVG only: maintainable purely from the signed delta. */
     def deltaMaintainable: Boolean =
@@ -72,6 +80,17 @@ object Mview {
 
   private def auxN(a: String) = s"__mv_n_$a"
   private def auxS(a: String) = s"__mv_s_$a"
+
+  /** `col` or `qualifier.col` → the bare column name; None for anything
+    * computed. */
+  private def plainColAlias(text: String): Option[String] = {
+    val ps = new Scan(text.trim)
+    ps.identPart().flatMap { first =>
+      if (ps.eof) Some(first)
+      else if (ps.punct('.')) ps.identPart().filter(_ => ps.eof)
+      else None
+    }
+  }
 
   /** Recognize the supported view grammar:
     * {{{
@@ -88,13 +107,38 @@ object Mview {
     val selectText = s.until("FROM")
     require(s.kw("FROM"),
       s"materialized view query needs FROM txlog.`/path`: $query")
-    val p0 = s.pos
-    val source = (s.word() match {
-      case Some(w) if w.equalsIgnoreCase("txlog") && s.punct('.') =>
-        s.backquoted()
-      case _ => { s.reset(p0); s.backquoted() }
-    }).getOrElse(throw new IllegalArgumentException(
-      "materialized view source must be txlog.`/path` (a txlog table path)"))
+    def targetPath(what: String): String = {
+      val p0 = s.pos
+      (s.word() match {
+        case Some(w) if w.equalsIgnoreCase("txlog") && s.punct('.') =>
+          s.backquoted()
+        case _ => { s.reset(p0); s.backquoted() }
+      }).getOrElse(throw new IllegalArgumentException(
+        s"materialized view $what must be txlog.`/path` (a txlog table path)"))
+    }
+    def aliasOpt(): Option[String] = {
+      if (s.kw("AS")) Some(s.identPart().getOrElse(
+        throw new IllegalArgumentException(
+          "materialized view: expected an alias after AS")))
+      else {
+        val p = s.pos
+        s.word() match {
+          case Some(w) if !Set("JOIN", "WHERE", "GROUP", "ON")
+              .contains(w.toUpperCase) => Some(w)
+          case _ => { s.reset(p); None }
+        }
+      }
+    }
+    val source = targetPath("source")
+    val alias1 = aliasOpt()
+    val dim = if (s.kw("JOIN")) {
+      val p2 = targetPath("JOIN target")
+      val a2 = aliasOpt()
+      require(s.kw("ON"), "materialized view JOIN needs ON <condition>")
+      val on = s.until("WHERE", "GROUP").trim
+      require(on.nonEmpty, "materialized view JOIN ON condition is empty")
+      Some(DimSpec(p2, a2, on))
+    } else None
     val where = if (s.kw("WHERE")) {
       val w = s.until("GROUP").trim
       require(w.nonEmpty, "materialized view WHERE clause is empty")
@@ -102,7 +146,10 @@ object Mview {
     } else None
     val groupBy =
       if (s.kws("GROUP", "BY"))
-        Scan.splitTop(s.until(), ',').map(g => Scan.unquoteIdent(g.trim))
+        // qualified forms normalize to the bare column name — the view's
+        // output column (and merge key) is the bare name either way
+        Scan.splitTop(s.until(), ',').map(g =>
+          plainColAlias(g).getOrElse(Scan.unquoteIdent(g.trim)))
       else Seq.empty
     require(s.eof, s"unexpected trailing input in materialized view query: $query")
 
@@ -128,19 +175,15 @@ object Mview {
           aggs :+= (if (f == "count" && body == "*") Agg("count_star", None, alias)
             else Agg(f, Some(body), alias))
         case None =>
-          // plain column or expr AS alias
+          // plain (possibly alias-qualified) column or expr AS alias
           val exprText = ps.until("AS").trim
           val alias =
             if (ps.kw("AS")) ps.identPart().getOrElse(
               throw new IllegalArgumentException(
                 s"materialized view: expected an alias after AS in `$item`"))
-            else {
-              val ident = new Scan(exprText)
-              val id = ident.identPart()
-              require(id.nonEmpty && ident.eof,
-                s"materialized view: non-column item needs AS alias: `$item`")
-              id.get
-            }
+            else plainColAlias(exprText).getOrElse(
+              throw new IllegalArgumentException(
+                s"materialized view: non-column item needs AS alias: `$item`"))
           require(!alias.startsWith("__mv_"),
             s"materialized view: alias `$alias` collides with the __mv_ maintenance namespace")
           require(ps.eof, s"materialized view: trailing input in item `$item`")
@@ -148,9 +191,10 @@ object Mview {
       }
     }
     if (groupBy.nonEmpty || aggs.nonEmpty) {
-      // aggregate view: non-agg items must be exactly the GROUP BY columns
+      // aggregate view: non-agg items must be exactly the GROUP BY
+      // columns (alias-qualified forms like `d.seg` are plain too)
       val plain = projs.map(_.alias)
-      require(projs.forall(p => Scan.unquoteIdent(p.exprText.trim) == p.alias),
+      require(projs.forall(p => plainColAlias(p.exprText).contains(p.alias)),
         "materialized view: computed non-aggregate items are not supported " +
           "in an aggregate view — group on plain columns")
       require(plain.sorted == groupBy.sorted,
@@ -160,13 +204,29 @@ object Mview {
       val recomputable = aggs.forall(a =>
         Set("count_star", "count", "sum", "avg", "min", "max")(a.fn))
       require(recomputable, "materialized view: unsupported aggregate")
-      MvDef(source, where, groupBy, aggs, Seq.empty)
+      MvDef(source, where, groupBy, aggs, Seq.empty, alias1, dim)
     } else {
       require(projs.nonEmpty, "materialized view: empty select list")
       require(projs.map(_.alias).distinct.size == projs.size,
         "materialized view: duplicate output column aliases")
-      MvDef(source, where, Seq.empty, Seq.empty, projs)
+      MvDef(source, where, Seq.empty, Seq.empty, projs, alias1, dim)
     }
+  }
+
+  private def withAlias(df: DataFrame, a: Option[String]): DataFrame =
+    a.map(df.alias).getOrElse(df)
+
+  /** The view's input frame: the fact frame (aliased) joined to the
+    * dimension snapshot when the definition has one. `factDf` is either
+    * a full snapshot or a [[TxLog.rowDeltas]] frame — a signed fact row
+    * joined to the static dimension keeps its sign, which is exactly why
+    * the stream-static join tier stays delta-maintainable. */
+  private def baseFrame(spark: SparkSession, d: MvDef, factDf: DataFrame,
+      dimV: Option[Long]): DataFrame = d.dim match {
+    case None => withAlias(factDf, d.alias)
+    case Some(ds) =>
+      val dimDf = withAlias(TxLog.read(spark, ds.path, dimV), ds.alias)
+      withAlias(factDf, d.alias).join(dimDf, expr(ds.on), "inner")
   }
 
   /** Full compute of the view frame over `src` (the CREATE path, full
@@ -212,11 +272,17 @@ object Mview {
     val srcV = TxLog.latestVersion(d.source).getOrElse(
       throw new IllegalArgumentException(
         s"materialized view source ${d.source} is not a txlog table"))
-    val out = compute(d, TxLog.read(spark, d.source, Some(srcV)))
+    val dimV = d.dim.map(ds => TxLog.latestVersion(ds.path).getOrElse(
+      throw new IllegalArgumentException(
+        s"materialized view JOIN target ${ds.path} is not a txlog table")))
+    val out = compute(d, baseFrame(spark, d,
+      TxLog.read(spark, d.source, Some(srcV)), dimV))
     val props: Map[String, Option[String]] = Map(
       QueryProp -> Some(query.trim),
       SourceProp -> Some(d.source),
       VersionProp -> Some(srcV.toString)) ++
+      d.dim.map(ds => Source2Prop -> Some(ds.path)).toMap ++
+      dimV.map(v => Version2Prop -> Some(v.toString)).toMap ++
       // group-less (or replaced) views unset a stale declaration rather
       // than inherit a prior incarnation's columns
       Map("graft.stats.columns" ->
@@ -238,20 +304,31 @@ object Mview {
       throw new IllegalArgumentException(
         s"materialized view source ${d.source} has no commits"))
     val mvV = TxLog.latestVersion(view).get
+    // dimension side (stream-static join views): recorded vs current
+    val fromV2 = d.dim.map(_ => props.getOrElse(Version2Prop, "0").toLong)
+    val toV2 = d.dim.map(ds => TxLog.latestVersion(ds.path).getOrElse(
+      throw new IllegalArgumentException(
+        s"materialized view JOIN target ${ds.path} has no commits")))
     val stamp: Map[String, Option[String]] =
-      Map(VersionProp -> Some(toV.toString))
+      Map(VersionProp -> Some(toV.toString)) ++
+        toV2.map(v => Version2Prop -> Some(v.toString)).toMap
     def fullRefresh(mode: String): Refresh = {
-      val out = compute(d, TxLog.read(spark, d.source, Some(toV)))
+      val out = compute(d, baseFrame(spark, d,
+        TxLog.read(spark, d.source, Some(toV)), toV2))
       Refresh(mode, fromV, toV,
         TxLog.overwrite(out, view, extraProps = stamp))
     }
     // forced FULL rebuilds even at a caught-up cursor (the operator's
     // recover-from-anything verb); everything else no-ops there
     if (full) return fullRefresh("full_forced")
-    if (toV == fromV) return Refresh("noop", fromV, toV, mvV)
+    if (toV == fromV && fromV2 == toV2)
+      return Refresh("noop", fromV, toV, mvV)
     if (toV < fromV)
       // source RESTOREd/replaced below the cursor: deltas are undefined
       return fullRefresh("full_source_rewound")
+    // the dimension moved: a fact-side delta can't express rows whose
+    // JOIN partner changed — recompute (the stream-static contract)
+    if (fromV2 != toV2) return fullRefresh("full_dim_changed")
     // expired window: rowDeltas must read at fromV — below the source's
     // log-retention horizon that snapshot no longer exists
     if (fromV < TxLog.retentionHorizon(d.source).getOrElse(1L))
@@ -265,7 +342,8 @@ object Mview {
     if (shape(fromV) != shape(toV))
       return fullRefresh("full_schema_changed")
 
-    val deltas0 = TxLog.rowDeltas(spark, d.source, fromV, toV)
+    val deltas0 = baseFrame(spark, d,
+      TxLog.rowDeltas(spark, d.source, fromV, toV), toV2)
     val deltas = d.where.map(w => deltas0.filter(expr(w))).getOrElse(deltas0)
 
     if (!d.isAggregate) {
@@ -380,7 +458,8 @@ object Mview {
     if (d.groupBy.isEmpty)
       return fullRefresh("full_global_minmax") // recompute IS the full scan
     val touched = deltas.select(d.groupBy.map(col): _*).distinct().persist()
-    val snap = TxLog.read(spark, d.source, Some(toV))
+    val snap = baseFrame(spark, d,
+      TxLog.read(spark, d.source, Some(toV)), toV2)
     val keyEq = (l: String, r: String) => d.groupBy
       .map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
     val baseF = d.where.map(w => snap.filter(expr(w))).getOrElse(snap)
@@ -409,13 +488,20 @@ object Mview {
         }
       case None => baseF
     }
-    val scoped = ranged.alias("__src")
-      .join(touched.alias("__tch"), keyEq("__src", "__tch"), "left_semi")
+    // the semi/anti joins rename the key side instead of re-aliasing the
+    // source frame — a SubqueryAlias on the joined fact⋈dim frame would
+    // hide the user's own f./d. qualifiers from the aggregate expressions
+    def renamedKeys(df: DataFrame, tag: String): DataFrame =
+      df.select(d.groupBy.map(k => col(k).as(s"__${tag}_$k")): _*)
+    def renamedCond(tag: String) = d.groupBy
+      .map(k => col(k) <=> col(s"__${tag}_$k")).reduce(_ && _)
+    val scoped = ranged.join(renamedKeys(touched, "tch"),
+      renamedCond("tch"), "left_semi")
     val recomputed = compute(d.copy(where = None), scoped)
     // groups named by the delta but absent from the recompute died —
     // they ride the merge source as tombstones for the matched-DELETE
-    val dead = touched.alias("__tch")
-      .join(recomputed.alias("__rc"), keyEq("__tch", "__rc"), "left_anti")
+    val dead = touched.join(renamedKeys(recomputed, "rc"),
+      renamedCond("rc"), "left_anti")
     val mvSchema = recomputed.schema
     val deadFull = dead.select(mvSchema.fields.toSeq.map { f =>
       if (d.groupBy.contains(f.name)) col(f.name)

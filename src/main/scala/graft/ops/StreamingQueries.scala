@@ -1775,6 +1775,50 @@ object StreamingQueries {
         .coalesce(1).sortWithinPartitions("c_custkey"), t)
       drain()
       s.read.parquet(s"$out/sink")
+    },
+
+    // Streaming-maintained materialized view (the "gold as a view"
+    // medallion shape): each micro-batch lands in a txlog bronze table
+    // (replay-guarded (streamId, batchId) append) and REFRESH folds
+    // exactly that batch's delta into the group view — per-trigger cost
+    // is the batch + the changed view groups, never the bronze snapshot.
+    // The in-entry require pins that refreshes after the bootstrap were
+    // INCREMENTAL merges; the oracle recomputes the final view
+    // declaratively over the whole corpus (integral sums — exact).
+    QueryDef("st43_stream_mview",
+      "streaming-maintained materialized view: per-batch bronze append + incremental REFRESH (delta merge per trigger)",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      val land = tmp("graft_st43_land")
+      docs.repartitionByRange(4, col("doc_id")).write
+        .mode("overwrite").parquet(land)
+      val root = tmp("graft_st43")
+      val (src, mv) = (s"$root/bronze", s"$root/mv")
+      TxLog.createTable(src, StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType))))
+      Mview.create(s, mv, s"SELECT lang, count(*) AS n, " +
+        s"sum(n_chars) AS chars FROM txlog.`$src` GROUP BY lang")
+      val incremental = new java.util.concurrent.atomic.AtomicInteger(0)
+      docsStream(s, land)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          TxLog.append(batch.select("doc_id", "lang", "n_chars"), src,
+            batchId = batchId, streamId = Some("st43_mview"))
+          if (Mview.refresh(s, mv).mode == "incremental_merge")
+            incremental.incrementAndGet()
+          ()
+        }
+        .option("checkpointLocation", s"$root/_cp")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      require(incremental.get() >= 3,
+        s"expected >=3 incremental per-batch refreshes, got ${incremental.get()}")
+      TxLog.read(s, mv).select("lang", "n", "chars")
     }
   )
 }

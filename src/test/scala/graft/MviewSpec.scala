@@ -236,6 +236,47 @@ class MviewSpec extends SparkSpec {
     assert(TxLog.read(spark, mv).count() === 1L)
   }
 
+  test("stream-static join tier: fact deltas join the dim snapshot; a dim change forces full recompute") {
+    val root = tmpDir("mv_join")
+    val (fact, dimT, mv) = (s"$root/fact", s"$root/dim", s"$root/mv")
+    TxLog.append(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("ck", "amt"), fact)
+    TxLog.append(Seq((1L, "g1"), (2L, "g1"), (3L, "g2"), (4L, "g2"), (5L, "g3"))
+      .toDF("ck", "seg"), dimT)
+    val query = s"SELECT seg, count(*) AS n, sum(f.amt) AS amt " +
+      s"FROM txlog.`$fact` f JOIN txlog.`$dimT` d ON f.ck = d.ck " +
+      s"GROUP BY seg"
+    Mview.create(spark, mv, query)
+    assertMatchesFull(mv, query)
+    // fact-only movement: incremental — new fact rows join the dim
+    // snapshot with their sign; a fact row with NO dim partner is
+    // invisible to the view on both paths
+    TxLog.append(Seq((5L, 50L), (99L, 990L)).toDF("ck", "amt"), fact)
+    TxLog.delete(spark, fact, col("ck") === 3L)
+    val r1 = Mview.refresh(spark, mv)
+    assert(r1.mode === "incremental_merge")
+    assertMatchesFull(mv, query)
+    val got = TxLog.read(spark, mv).orderBy("seg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("g1", 2L, 30L), ("g2", 1L, 40L), ("g3", 1L, 50L)))
+    // dim movement: the fact delta can't express re-segmented partners
+    TxLog.update(spark, dimT, col("ck") === 4L, Map("seg" -> lit("g3")))
+    val r2 = Mview.refresh(spark, mv)
+    assert(r2.mode === "full_dim_changed")
+    assertMatchesFull(mv, query)
+    // both sides caught up → noop
+    assert(Mview.refresh(spark, mv).mode === "noop")
+    // MIN/MAX over a join: touched-group recompute through the join
+    val mm = s"$root/mm"
+    val q2 = s"SELECT seg, max(f.amt) AS mx, count(*) AS n " +
+      s"FROM txlog.`$fact` f JOIN txlog.`$dimT` d ON f.ck = d.ck GROUP BY seg"
+    Mview.create(spark, mm, q2)
+    TxLog.delete(spark, fact, col("ck") === 5L) // g3's max leaves
+    val r3 = Mview.refresh(spark, mm)
+    assert(r3.mode === "incremental_recompute")
+    assertMatchesFull(mm, q2)
+  }
+
   test("create refusals: DISTINCT, __mv_ alias, group/select mismatch, existing target; refresh refuses a non-view") {
     val t = tmpDir("mv_ref") + "/t"
     seed(t)
