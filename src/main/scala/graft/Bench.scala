@@ -63,7 +63,11 @@ object Bench {
       val s0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // class + top frames: a null-message NPE with no stack cost a
+        // debugging session once
+        System.err.println(s"[bench] $name failed: ${e.getClass.getName}: " +
+          s"${e.getMessage}\n  " +
+          e.getStackTrace.take(6).mkString("\n  "))
       }
       (System.nanoTime() - s0) / 1e9
     }

@@ -34,6 +34,16 @@ object OpqIndex {
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
   private val RotCacheCap = 8
 
+  /** JVM-wide lock serializing every SVD-bearing trainer. The only
+    * LAPACK on this stack is netlib's F2J fallback (no native BLAS
+    * installed), and f2j-translated routines keep Fortran COMMON-block
+    * state in STATIC fields — two threads inside `dgesdd` at once
+    * corrupt each other (observed under the concurrent bench as
+    * NotConvergedException and, once, an unbounded `dlascl` scaling
+    * spin; both trainers pass in isolation). Training is memoized per
+    * corpus, so the serialization costs one fit per key per JVM. */
+  private[graft] val svdLock = new Object
+
   /** Rotation memoizer (the [[PqIndex.trainCached]] pattern): both
     * trainers are seeded and fit bounded samples, so the cached matrix is
     * IDENTICAL to a fresh train — caching never changes results, it only
@@ -88,8 +98,10 @@ object OpqIndex {
       .orderBy("_h").limit(sampleCap)
       .select(org.apache.spark.ml.functions.array_to_vector(col("v"))
         .alias("features"))
-    val pca = new org.apache.spark.ml.feature.PCA()
-      .setK(dim).setInputCol("features").setOutputCol("_p").fit(sample)
+    val pca = svdLock.synchronized {
+      new org.apache.spark.ml.feature.PCA()
+        .setK(dim).setInputCol("features").setOutputCol("_p").fit(sample)
+    }
     val pc = pca.pc // dim×dim; column i = i-th principal component
     val ev = pca.explainedVariance.toArray
     // Balance per-subspace Σlog(λ) by greedy LPT over SHIFTED loads: raw
@@ -207,7 +219,8 @@ object OpqIndex {
       val a = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
       for (i <- 0 until n; p <- 0 until dim; q <- 0 until dim)
         a(p, q) += x(i)(p) * recon(i)(q)
-      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(a)
+      val breeze.linalg.svd.SVD(u, _, vt) =
+        svdLock.synchronized(breeze.linalg.svd(a))
       val vu = vt.t * u.t // X·Rᵀ ≈ recon ⇒ Rᵀ = U·Vᵀ ⇒ R = V·Uᵀ
       r = Array.tabulate(dim, dim)((i, k) => vu(i, k))
     }
