@@ -117,6 +117,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         "table_files(table [, version]) — active data files of a txlog " +
           "snapshot with partition, size, rows, adding version, DV flag"),
       es => graft.sql.TableFilesTvf.plan(es)))
+    // the keyless signed change feed (rowDeltas) — what incremental
+    // aggregate maintenance consumes; REFRESH MATERIALIZED VIEW automates
+    // exactly this
+    ext.injectTableFunction((
+      FunctionIdentifier("table_deltas"),
+      new ExpressionInfo("graft.sql", "table_deltas",
+        "table_deltas(table, fromVersion[, toVersion]) — signed multiset " +
+          "row delta (+1/-1) of a txlog version window"),
+      es => graft.sql.TableDeltasTvf.plan(es)))
     // SQL DML/maintenance verbs for the txlog tier (MERGE INTO / UPDATE /
     // DELETE / OPTIMIZE / VACUUM) — the DeltaSqlParser pattern
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))

@@ -2096,6 +2096,56 @@ object AnalyticsQueries {
         (col("rev") * 100).cast("long").as("rev_cents"))
     },
 
+    // The keyless signed change feed as SQL: a consumer maintaining its
+    // own rollup aggregates the window's ±rows — the hand-rolled form of
+    // what REFRESH MATERIALIZED VIEW automates. The oracle computes the
+    // same delta as final-state minus initial-state aggregates over the
+    // staged input (both sides drop untouched all-zero groups).
+    QueryDef("src_txlog_sql_table_deltas",
+      "table_deltas TVF: signed multiset window aggregated to per-group deltas; oracled as final-minus-initial",
+      s"""WITH fin AS (SELECT c_mktsegment, COUNT(*) AS n,
+         |    SUM(CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100
+         |        ELSE c_acctbal END AS DECIMAL(12,2))) AS bal
+         |  FROM read_parquet('${QueryDef.StageSql}/tdel_in/*.parquet')
+         |  WHERE (c_custkey % 2 = 0 OR c_custkey % 2 = 1)
+         |    AND c_custkey % 7 <> 0 GROUP BY c_mktsegment),
+         |ini AS (SELECT c_mktsegment, COUNT(*) AS n,
+         |    SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS bal
+         |  FROM read_parquet('${QueryDef.StageSql}/tdel_in/*.parquet')
+         |  WHERE c_custkey % 2 = 0 GROUP BY c_mktsegment)
+         |SELECT COALESCE(f.c_mktsegment, i.c_mktsegment) AS c_mktsegment,
+         |  CAST(COALESCE(f.n, 0) - COALESCE(i.n, 0) AS BIGINT) AS dn,
+         |  CAST((COALESCE(f.bal, 0) - COALESCE(i.bal, 0)) * 100 AS BIGINT)
+         |    AS dbal_cents
+         |FROM fin f FULL JOIN ini i USING (c_mktsegment)
+         |WHERE COALESCE(f.n, 0) - COALESCE(i.n, 0) <> 0
+         |   OR COALESCE(f.bal, 0) - COALESCE(i.bal, 0) <> 0""".stripMargin) {
+      (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .stageInput(dir, "tdel_in")
+      val in = s.read.parquet(s"$stage/tdel_in")
+      val base = Fixtures.immutableTable(dir, "tdel_base", 1) { t =>
+        TxLog.overwrite(in.filter(pmod(col("c_custkey"), lit(2)) === 0)
+          .repartition(4), t)
+      }
+      val t = Fixtures.mutableCopy(base, "graft_tdel")
+      val v0 = TxLog.latestVersion(t).get
+      TxLog.append(in.filter(pmod(col("c_custkey"), lit(2)) === 1), t)
+      TxLog.update(s, t, pmod(col("c_custkey"), lit(5)) === 0,
+        Map("c_acctbal" -> (col("c_acctbal") + 100)))
+      TxLog.delete(s, t, pmod(col("c_custkey"), lit(7)) === 0)
+      s.sql(
+        s"""SELECT c_mktsegment, CAST(SUM(_sign) AS BIGINT) AS dn,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * _sign) * 100
+           |    AS BIGINT) AS dbal_cents
+           |FROM table_deltas('$t', $v0) GROUP BY c_mktsegment
+           |HAVING SUM(_sign) <> 0
+           |    OR SUM(CAST(c_acctbal AS DECIMAL(12,2)) * _sign) <> 0"""
+          .stripMargin)
+    },
+
     // The active-file inventory as a queryable metadata table (Delta /
     // Iceberg's `files` metadata-table shape): one row per active data
     // file with partition, recorded size/rows, adding version, DV flag —

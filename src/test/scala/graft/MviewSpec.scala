@@ -58,6 +58,15 @@ class MviewSpec extends SparkSpec {
     assert(dv === sumAt(v5) - sumAt(v1))
     // pure-layout window emits nothing at all
     assert(TxLog.rowDeltas(spark, t, v5 - 1, v5).isEmpty)
+    // the SQL surface: table_deltas folds the same linear delta
+    val viaSql = spark.sql(
+      s"SELECT CAST(SUM(v * _sign) AS BIGINT) AS dv FROM table_deltas('$t', $v1)")
+      .first().getLong(0)
+    assert(viaSql === sumAt(v5) - sumAt(v1))
+    // expired-window refusal parity with table_changes
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_deltas('$t', 999)").collect()
+    }
   }
 
   test("delta tier: COUNT/SUM/AVG maintain through append, update, DV delete, group death and birth — one merge commit per refresh") {
@@ -275,6 +284,36 @@ class MviewSpec extends SparkSpec {
     val r3 = Mview.refresh(spark, mm)
     assert(r3.mode === "incremental_recompute")
     assertMatchesFull(mm, q2)
+  }
+
+  test("cross-feature: dynamic partition overwrite upstream refreshes incrementally; a column-mapping rename forces full") {
+    val t = tmpDir("mv_xf") + "/t"
+    TxLog.setProperties(t, Map("graft.partition.columns" -> "p"))
+    TxLog.append(Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 30L))
+      .toDF("k", "p", "v"), t)
+    val query = s"SELECT p, count(*) AS n, sum(v) AS sv FROM txlog.`$t` GROUP BY p"
+    val mv = tmpDir("mv_xf_tgt") + "/mv"
+    Mview.create(spark, mv, query)
+    // backfill ONE partition: remove+add of exactly its files — the
+    // delta window is that partition, the refresh a plain merge
+    TxLog.overwritePartitions(
+      Seq((9L, "x", 90L)).toDF("k", "p", "v"), t)
+    val r = Mview.refresh(spark, mv)
+    assert(r.mode === "incremental_merge")
+    assertMatchesFull(mv, query)
+    assert(TxLog.read(spark, mv).filter(col("p") === "x").first()
+      .getLong(1) === 1L)
+    // a rename under column mapping changes the logical shape — even of
+    // a column the view NEVER references, the window's aligned delta
+    // would misread it as drop+add, so the guard recomputes instead of
+    // guessing (a rename of a referenced column fails resolution loudly
+    // on either path — permanently broken until the view is redefined)
+    TxLog.setProperties(t, Map("graft.columnMapping.mode" -> "name"))
+    TxLog.append(Seq((4L, "y", 40L)).toDF("k", "p", "v"), t)
+    TxLog.renameColumn(t, "k", "key") // unreferenced by the view
+    val r2 = Mview.refresh(spark, mv)
+    assert(r2.mode === "full_schema_changed")
+    assertMatchesFull(mv, query)
   }
 
   test("create refusals: DISTINCT, __mv_ alias, group/select mismatch, existing target; refresh refuses a non-view") {
