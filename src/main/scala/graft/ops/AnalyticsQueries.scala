@@ -2096,6 +2096,50 @@ object AnalyticsQueries {
         (col("rev") * 100).cast("long").as("rev_cents"))
     },
 
+    // Mergeable-sketch materialized view: approx_count_distinct rides as
+    // an HLL sketch aux column and an insert-only refresh UNIONs the
+    // batch's sub-sketch into it (register-max — the union equals the
+    // sketch of the concatenated stream), so the distinct-count rollup
+    // never re-reads the source. The in-entry require pins the union
+    // path; the oracle checks the a12 pattern — the staged incremental
+    // estimate sits within ±3·rsd of DuckDB's exact distinct over the
+    // final state.
+    QueryDef("src_txlog_mview_hll",
+      "Materialized view with approx_count_distinct: insert-only refresh unions HLL sketches; estimate oracled against exact ±3·rsd",
+      s"""SELECT s.event_type, s.approx_users,
+         |  ABS(s.approx_users - e.exact_users) <= 3 * 0.01625 * e.exact_users
+         |    AS within_bound
+         |FROM read_parquet('${QueryDef.StageSql}/mvwh_est/*.parquet') s
+         |JOIN (SELECT event_type,
+         |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+         |      FROM events GROUP BY event_type) e USING (event_type)"""
+        .stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "event_type", "user_id")
+      val base = Fixtures.immutableTable(dir, "mvwh_base", 1) { t =>
+        TxLog.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .repartition(4), t)
+      }
+      val t = Fixtures.mutableCopy(base, "graft_mvwh")
+      val mv = Files.createTempDirectory("graft_mvwh_v").toString + "/mv"
+      Mview.create(s, mv,
+        s"SELECT event_type, approx_count_distinct(user_id) AS approx_users, " +
+          s"count(*) AS n FROM txlog.`$t` GROUP BY event_type")
+      TxLog.append(ev.filter(pmod(col("event_id"), lit(2)) === 1), t)
+      val r = Mview.refresh(s, mv)
+      require(r.mode == "incremental_merge",
+        s"expected a sketch-union merge refresh, got ${r.mode}")
+      TxLog.read(s, mv).select("event_type", "approx_users")
+        .write.mode("overwrite").parquet(s"$stage/mvwh_est")
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).alias("exact_users"))
+      s.read.parquet(s"$stage/mvwh_est").join(exact, "event_type")
+        .select(col("event_type"), col("approx_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            lit(3 * 0.01625) * col("exact_users")).alias("within_bound"))
+    },
+
     // The keyless signed change feed as SQL: a consumer maintaining its
     // own rollup aggregates the window's ±rows — the hand-rolled form of
     // what REFRESH MATERIALIZED VIEW automates. The oracle computes the

@@ -70,9 +70,15 @@ object Mview {
       groupBy: Seq[String], aggs: Seq[Agg], projs: Seq[Proj],
       alias: Option[String] = None, dim: Option[DimSpec] = None) {
     def isAggregate: Boolean = aggs.nonEmpty
-    /** COUNT/SUM/AVG only: maintainable purely from the signed delta. */
+    /** COUNT/SUM/AVG only: maintainable purely from ANY signed delta. */
     def deltaMaintainable: Boolean =
       aggs.forall(a => Set("count_star", "count", "sum", "avg")(a.fn))
+    /** Plus mergeable HLL sketches: maintainable from an INSERT-ONLY
+      * delta (sketch union has no subtraction — deletes recompute). */
+    def hasHll: Boolean = aggs.exists(_.fn == "approx_count_distinct")
+    def insertOnlyMaintainable: Boolean = aggs.forall(a =>
+      Set("count_star", "count", "sum", "avg",
+        "approx_count_distinct")(a.fn))
   }
 
   final case class Refresh(mode: String, fromVersion: Long,
@@ -80,6 +86,7 @@ object Mview {
 
   private def auxN(a: String) = s"__mv_n_$a"
   private def auxS(a: String) = s"__mv_s_$a"
+  private def auxH(a: String) = s"__mv_h_$a"
 
   /** `col` or `qualifier.col` → the bare column name; None for anything
     * computed. */
@@ -153,7 +160,8 @@ object Mview {
       else Seq.empty
     require(s.eof, s"unexpected trailing input in materialized view query: $query")
 
-    val aggFns = Seq("count", "sum", "avg", "min", "max")
+    val aggFns = Seq("approx_count_distinct", "count", "sum", "avg",
+      "min", "max")
     var aggs = Vector.empty[Agg]
     var projs = Vector.empty[Proj]
     Scan.splitTop(selectText, ',').map(_.trim).filter(_.nonEmpty).foreach { item =>
@@ -202,7 +210,8 @@ object Mview {
           s"must match GROUP BY ${groupBy.mkString(",")}")
       require(aggs.nonEmpty, "materialized view: GROUP BY without aggregates")
       val recomputable = aggs.forall(a =>
-        Set("count_star", "count", "sum", "avg", "min", "max")(a.fn))
+        Set("count_star", "count", "sum", "avg", "min", "max",
+          "approx_count_distinct")(a.fn))
       require(recomputable, "materialized view: unsupported aggregate")
       MvDef(source, where, groupBy, aggs, Seq.empty, alias1, dim)
     } else {
@@ -251,6 +260,11 @@ object Mview {
           count(e).as(auxN(a.alias)))
         case "min" => Seq(min(e).as(a.alias))
         case "max" => Seq(max(e).as(a.alias))
+        // the sketch itself rides as aux state: a later insert-only
+        // window UNIONs into it instead of re-reading the source
+        case "approx_count_distinct" => Seq(
+          hll_sketch_estimate(hll_sketch_agg(e)).as(a.alias),
+          hll_sketch_agg(e).as(auxH(a.alias)))
       }
     } :+ count(lit(1)).as("__mv_count")
     val grouped =
@@ -357,7 +371,12 @@ object Mview {
       return Refresh("incremental_append", fromV, toV, v)
     }
 
-    if (d.deltaMaintainable) {
+    // HLL views merge sketches — union has no subtraction, so the delta
+    // path needs an INSERT-ONLY window; anything else recomputes the
+    // touched groups (grouped) or the snapshot (global)
+    val deltaTier = d.deltaMaintainable || (d.insertOnlyMaintainable &&
+      deltas.filter(col("_sign") < 0).isEmpty)
+    if (deltaTier) {
       val sign = col("_sign").cast("long")
       val dAggs: Seq[Column] = d.aggs.flatMap { a =>
         lazy val e = expr(a.arg.get)
@@ -371,6 +390,9 @@ object Mview {
           case "avg" => Seq(
             sum(e.cast("double") * sign).as(s"__d_${a.alias}"),
             sum(when(e.isNotNull, sign).otherwise(lit(0L))).as(s"__dn_${a.alias}"))
+          // insert-only window (guarded above): the batch's sub-sketch
+          case "approx_count_distinct" =>
+            Seq(hll_sketch_agg(e).as(s"__d_${a.alias}"))
         }
       } :+ sum(sign).as("__d_cnt")
       val grouped =
@@ -380,9 +402,12 @@ object Mview {
       // source-layout churn (that rowDeltas didn't already skip) never
       // touches a view file
       val nonZero = (col("__d_cnt") =!= 0L) +: d.aggs.flatMap { a =>
-        Seq(coalesce(col(s"__d_${a.alias}").cast("double"), lit(0.0)) =!= 0.0) ++
-          (if (a.fn == "sum" || a.fn == "avg")
-            Seq(col(s"__dn_${a.alias}") =!= 0L) else Nil)
+        if (a.fn == "approx_count_distinct")
+          Nil // a sketch delta always rides a nonzero __d_cnt (insert-only)
+        else
+          Seq(coalesce(col(s"__d_${a.alias}").cast("double"), lit(0.0)) =!= 0.0) ++
+            (if (a.fn == "sum" || a.fn == "avg")
+              Seq(col(s"__dn_${a.alias}") =!= 0L) else Nil)
       }
       // PERSIST the per-group delta: mergeInto drives several actions
       // over its source (key bounds, key probes, touched-file semi-join,
@@ -419,6 +444,18 @@ object Mview {
                 al -> when(n === 0L, lit(null)).otherwise(sm / n),
                 auxS(al) -> when(n === 0L, lit(null)).otherwise(sm),
                 auxN(al) -> n)
+            case "approx_count_distinct" =>
+              // register-max union: the merged sketch equals the sketch
+              // of the concatenated stream, so incremental estimates
+              // track a from-scratch compute
+              val dh = col(s"s.__d_$al")
+              val th = col(s"t.${auxH(al)}")
+              val merged = when(dh.isNull, th).when(th.isNull, dh)
+                .otherwise(hll_union(th, dh))
+              Seq(
+                al -> when(merged.isNull, lit(null))
+                  .otherwise(hll_sketch_estimate(merged)),
+                auxH(al) -> merged)
           }
         }
       val insVals = d.groupBy.map(k => k -> col(s"s.$k")).toMap ++
@@ -437,6 +474,10 @@ object Mview {
               auxS(al) -> when(coalesce(col(s"s.__dn_$al"), lit(0L)) === 0L,
                 lit(null)).otherwise(col(s"s.__d_$al")),
               auxN(al) -> coalesce(col(s"s.__dn_$al"), lit(0L)))
+            case "approx_count_distinct" => Seq(
+              al -> when(col(s"s.__d_$al").isNull, lit(null))
+                .otherwise(hll_sketch_estimate(col(s"s.__d_$al"))),
+              auxH(al) -> col(s"s.__d_$al"))
           }
         }
       val matched: Seq[TxLog.MergeAction] =
@@ -454,9 +495,11 @@ object Mview {
       } finally delta.unpersist(blocking = false)
     }
 
-    // MIN/MAX tier: recompute exactly the groups the delta names
+    // MIN/MAX (and HLL-under-deletes) tier: recompute exactly the groups
+    // the delta names
     if (d.groupBy.isEmpty)
-      return fullRefresh("full_global_minmax") // recompute IS the full scan
+      return fullRefresh(if (d.hasHll) "full_sketch_deletes"
+      else "full_global_minmax") // recompute IS the full scan
     val touched = deltas.select(d.groupBy.map(col): _*).distinct().persist()
     val snap = baseFrame(spark, d,
       TxLog.read(spark, d.source, Some(toV)), toV2)

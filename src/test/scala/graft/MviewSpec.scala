@@ -24,11 +24,14 @@ class MviewSpec extends SparkSpec {
       ("b", 5L, Some(7L)), ("b", 15L, None),
       ("c", 100L, Some(9L))).toDF("k", "v", "w"), t)
 
-  private def assertMatchesFull(mv: String, query: String): Unit = {
+  private def assertMatchesFull(mv: String, query: String,
+      dropCols: Seq[String] = Nil): Unit = {
     val shadow = tmpDir("mv_shadow") + "/mv"
     Mview.create(spark, shadow, query)
-    val got = TxLog.read(spark, mv)
-    val want = TxLog.read(spark, shadow)
+    def frame(t: String) =
+      dropCols.foldLeft(TxLog.read(spark, t))(_ drop _)
+    val got = frame(mv)
+    val want = frame(shadow)
     assert(got.columns.toSeq === want.columns.toSeq)
     val order = got.columns.map(col).toSeq
     assert(got.orderBy(order: _*).collect().toSeq ===
@@ -284,6 +287,41 @@ class MviewSpec extends SparkSpec {
     val r3 = Mview.refresh(spark, mm)
     assert(r3.mode === "incremental_recompute")
     assertMatchesFull(mm, q2)
+  }
+
+  test("HLL tier: insert-only windows UNION sketches; deletes recompute touched groups; global+deletes goes full") {
+    val t = tmpDir("mv_hll") + "/t"
+    TxLog.append(Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 7L))
+      .toDF("k", "u"), t)
+    val query = s"SELECT k, approx_count_distinct(u) AS du, count(*) AS n " +
+      s"FROM txlog.`$t` GROUP BY k"
+    val mv = tmpDir("mv_hll_tgt") + "/mv"
+    Mview.create(spark, mv, query)
+    // insert-only window: union path (one merge commit), estimates track
+    // a from-scratch sketch exactly (register-max union)
+    TxLog.append(Seq(("a", 2L), ("a", 3L), ("b", 8L), ("c", 9L))
+      .toDF("k", "u"), t)
+    val r1 = Mview.refresh(spark, mv)
+    assert(r1.mode === "incremental_merge")
+    assertMatchesFull(mv, query, dropCols = Seq("__mv_h_du"))
+    val a = TxLog.read(spark, mv).filter(col("k") === "a").first()
+    assert(a.getLong(a.fieldIndex("du")) === 3L)
+    // a delete makes the window non-insert-only: sketches can't subtract,
+    // so the touched groups recompute (still one merge commit)
+    TxLog.delete(spark, t, col("k") === "a" && col("u") === 3L)
+    val r2 = Mview.refresh(spark, mv)
+    assert(r2.mode === "incremental_recompute")
+    assertMatchesFull(mv, query, dropCols = Seq("__mv_h_du"))
+    assert(TxLog.read(spark, mv).filter(col("k") === "a").first()
+      .getLong(1) === 2L)
+    // global sketch + deletes: nothing bounded to recompute → full
+    val g = tmpDir("mv_hll_g") + "/mv"
+    Mview.create(spark, g,
+      s"SELECT approx_count_distinct(u) AS du FROM txlog.`$t`")
+    TxLog.delete(spark, t, col("k") === "c")
+    assert(Mview.refresh(spark, g).mode === "full_sketch_deletes")
+    assertMatchesFull(g, s"SELECT approx_count_distinct(u) AS du FROM txlog.`$t`",
+      dropCols = Seq("__mv_h_du"))
   }
 
   test("cross-feature: dynamic partition overwrite upstream refreshes incrementally; a column-mapping rename forces full") {
