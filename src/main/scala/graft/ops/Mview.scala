@@ -46,7 +46,17 @@ import graft.sql.Scan
   * `sourceVersion` stamp rides the data commit's property deltas
   * (`extraProps`), so a crash can never leave data applied but the
   * cursor behind (the double-apply hazard) — the same
-  * atomic-txn-in-commit idea as Delta's `txn` action. */
+  * atomic-txn-in-commit idea as Delta's `txn` action.
+  *
+  * Operational contract (the Delta CDF one): the refresh cadence must
+  * beat the source's VACUUM retention — the window's pre-images are
+  * read at old versions, and a vacuum that removed those files makes
+  * the lazy scan fail loudly at execution (REFRESH … FULL recovers).
+  * Log retention is guarded eagerly (`full_expired_history`); data
+  * retention cannot be, because file liveness is only known at read.
+  * Views compose: a view's source may itself be a view (it is just a
+  * txlog table), and the inner refresh's merge commit is an ordinary
+  * touched-file window to the outer's delta. */
 object Mview {
 
   val QueryProp = "graft.mview.query"

@@ -354,6 +354,29 @@ class MviewSpec extends SparkSpec {
     assertMatchesFull(mv, query)
   }
 
+  test("cascading views: an MV over an MV refreshes incrementally when the inner refresh was a merge") {
+    val t = tmpDir("mv_casc") + "/t"
+    seed(t)
+    val mv1 = tmpDir("mv_casc1") + "/mv"
+    val q1 = s"SELECT k, count(*) AS n, sum(v) AS sv FROM txlog.`$t` GROUP BY k"
+    Mview.create(spark, mv1, q1)
+    // the outer view aggregates the inner one — an MV is a txlog table,
+    // so the whole machinery composes; the inner MERGE commit is an
+    // ordinary remove+add window to the outer's rowDeltas
+    val mv2 = tmpDir("mv_casc2") + "/mv"
+    val q2 = s"SELECT count(*) AS groups, sum(sv) AS total FROM txlog.`$mv1`"
+    Mview.create(spark, mv2, q2)
+    TxLog.append(Seq(("d", 7L, Some(1L)), ("a", 1L, None))
+      .toDF("k", "v", "w"), t)
+    TxLog.delete(spark, t, col("k") === "c")
+    assert(Mview.refresh(spark, mv1).mode === "incremental_merge")
+    val r2 = Mview.refresh(spark, mv2)
+    assert(r2.mode === "incremental_merge")
+    assertMatchesFull(mv2, q2)
+    val row = TxLog.read(spark, mv2).first()
+    assert(row.getLong(row.fieldIndex("groups")) === 3L) // a, b, d
+  }
+
   test("create refusals: DISTINCT, __mv_ alias, group/select mismatch, existing target; refresh refuses a non-view") {
     val t = tmpDir("mv_ref") + "/t"
     seed(t)
