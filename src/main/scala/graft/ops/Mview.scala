@@ -65,6 +65,20 @@ object Mview {
   val Source2Prop = "graft.mview.dim"
   val Version2Prop = "graft.mview.dimVersion"
 
+  /** Every INCREMENTAL refresh commit claims (this stream id, toVersion)
+    * — the txlog replay guard then makes a concurrent rival refresh of
+    * the SAME window refuse at commit instead of double-applying its
+    * delta on retry (the racing-refresh hazard; serial refreshes of
+    * successive windows have strictly growing batch ids). Full
+    * recomputes stay unguarded: they are idempotent by construction and
+    * a forced FULL must be re-runnable at the same source version. */
+  private val RefreshStream = Some("graft.mview")
+
+  private def concurrentNoop(view: String, fromV: Long,
+      toV: Long): Refresh =
+    Refresh("noop_concurrent_refresh", fromV, toV,
+      TxLog.latestVersion(view).get)
+
   /** A recognized aggregate select item. `fn`: count_star | count |
     * sum | avg | min | max; `arg` is the raw expression text. */
   final case class Agg(fn: String, arg: Option[String], alias: String)
@@ -376,9 +390,14 @@ object Mview {
       if (hasNeg) return fullRefresh("full_nonappend_delta")
       val rows = deltas.filter(col("_sign") > 0)
         .select(d.projs.map(p => expr(p.exprText).as(p.alias)): _*)
-      val v = TxLog.append(rows, view, batchId = toV,
-        streamId = Some("graft.mview"), extraProps = stamp)
-      return Refresh("incremental_append", fromV, toV, v)
+      try {
+        val v = TxLog.append(rows, view, batchId = toV,
+          streamId = RefreshStream, extraProps = stamp)
+        return Refresh("incremental_append", fromV, toV, v)
+      } catch {
+        case _: TxLog.ConcurrentWriteException =>
+          return concurrentNoop(view, fromV, toV)
+      }
     }
 
     // HLL views merge sketches — union has no subtraction, so the delta
@@ -500,8 +519,11 @@ object Mview {
           matched = matched,
           notMatched = Seq(TxLog.MergeInsert(None, insVals)),
           onKeys = d.groupBy.map(k => (k, k)),
-          extraProps = stamp)
+          extraProps = stamp, batchId = toV, streamId = RefreshStream)
         return Refresh("incremental_merge", fromV, toV, v)
+      } catch {
+        case _: TxLog.ConcurrentWriteException =>
+          return concurrentNoop(view, fromV, toV)
       } finally delta.unpersist(blocking = false)
     }
 
@@ -575,8 +597,11 @@ object Mview {
           TxLog.MergeUpdate(None, setAll)),
         notMatched = Seq(TxLog.MergeInsert(Some(!col("s.__mv_dead")), insAll)),
         onKeys = d.groupBy.map(k => (k, k)),
-        extraProps = stamp)
+        extraProps = stamp, batchId = toV, streamId = RefreshStream)
       Refresh("incremental_recompute", fromV, toV, v)
+    } catch {
+      case _: TxLog.ConcurrentWriteException =>
+        concurrentNoop(view, fromV, toV)
     } finally {
       src.unpersist(blocking = false)
       touched.unpersist(blocking = false)

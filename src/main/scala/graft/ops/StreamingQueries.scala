@@ -1807,8 +1807,12 @@ object StreamingQueries {
       docsStream(s, land)
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          TxLog.append(batch.select("doc_id", "lang", "n_chars"), src,
-            batchId = batchId, streamId = Some("st43_mview"))
+          // pre-check the replay guard (tryCommit now ENFORCES it by
+          // throwing): a restart's replayed batch skips the append but
+          // still refreshes — the view must catch up either way
+          if (!TxLog.batchCommitted(src, Some("st43_mview"), batchId))
+            TxLog.append(batch.select("doc_id", "lang", "n_chars"), src,
+              batchId = batchId, streamId = Some("st43_mview"))
           if (Mview.refresh(s, mv).mode == "incremental_merge")
             incremental.incrementAndGet()
           ()

@@ -1261,6 +1261,21 @@ object TxLog {
     * (lost the race; re-derive and retry with the next version). */
   def tryCommit(table: String, commit: Commit): Boolean = {
     Files.createDirectories(logDir(table))
+    // Replay-guard ENFORCEMENT (not just the callers' pre-check): a
+    // commit claiming a (streamId, batchId) the log already carries is a
+    // duplicate application of the same logical work — a zombie executor
+    // re-running a committed micro-batch, or a concurrent view refresh
+    // whose rival already folded the window. Its writer pre-checked
+    // BEFORE deriving, so reaching here means it lost the race AFTER —
+    // retrying it against the new snapshot would double-apply. Refuse
+    // loudly; the caller decides whether that is a no-op (Mview) or an
+    // error. Delta enforces its txn action's appId/version the same way.
+    if (commit.streamId.isDefined && commit.batchId >= 0 &&
+        batchCommitted(table, commit.streamId, commit.batchId))
+      throw new ConcurrentWriteException(
+        s"txlog commit on $table: (${commit.streamId.get}, " +
+          s"batch ${commit.batchId}) is already committed — this work " +
+          "was applied by a concurrent or prior writer (replay guard)")
     val node = mapper.createObjectNode()
     // minimum version that can read this commit correctly: plain commits
     // stay readable by v1-era readers; deletion vectors and absolute
@@ -4954,7 +4969,9 @@ object TxLog {
       onKeys: Seq[(String, String)] = Seq.empty,
       mergeSchema: Boolean = false,
       notMatchedBySource: Seq[MergeAction] = Seq.empty,
-      extraProps: Map[String, Option[String]] = Map.empty): Long = {
+      extraProps: Map[String, Option[String]] = Map.empty,
+      batchId: Long = -1L,
+      streamId: Option[String] = None): Long = {
     require(matched.forall(!_.isInstanceOf[MergeInsert]),
       "WHEN MATCHED clauses must be MergeUpdate or MergeDelete")
     require(notMatchedBySource.forall(!_.isInstanceOf[MergeInsert]),
@@ -5235,7 +5252,7 @@ object TxLog {
       if (commitRewrite(spark, table, base, files, touched, rewritten,
         "merge", schemaDdlOverride =
           if (added.nonEmpty) Some(tgtSchema.toDDL) else None,
-        extraProps = extraProps))
+        extraProps = extraProps, batchId = batchId, streamId = streamId))
         return base.get + 1
       attempts += 1 // lost the race: re-derive against the new snapshot
     }

@@ -354,6 +354,28 @@ class MviewSpec extends SparkSpec {
     assertMatchesFull(mv, query)
   }
 
+  test("racing refreshes cannot double-apply: the replay guard turns the loser into a noop") {
+    val t = tmpDir("mv_race") + "/t"
+    seed(t)
+    val query = s"SELECT k, count(*) AS n, sum(v) AS sv FROM txlog.`$t` GROUP BY k"
+    val mv = tmpDir("mv_race_tgt") + "/mv"
+    Mview.create(spark, mv, query)
+    TxLog.append(Seq(("a", 5L, Option.empty[Long])).toDF("k", "v", "w"), t)
+    assert(Mview.refresh(spark, mv).mode === "incremental_merge")
+    val applied = TxLog.read(spark, mv).orderBy("k").collect().toSeq
+    // simulate the loser of a refresh race: rewind the cursor (what a
+    // stale reader saw), refresh again — the merge commit claims the
+    // same (stream, toVersion) the winner already holds, so the replay
+    // guard refuses it at COMMIT time (not just at the pre-check) and
+    // the refresh reports a concurrent noop instead of re-adding the
+    // window's delta
+    TxLog.setProperties(mv, Map(Mview.VersionProp -> "1"))
+    val r = Mview.refresh(spark, mv)
+    assert(r.mode === "noop_concurrent_refresh")
+    assert(TxLog.read(spark, mv).orderBy("k").collect().toSeq === applied,
+      "the racing refresh must not double-apply the window")
+  }
+
   test("cascading views: an MV over an MV refreshes incrementally when the inner refresh was a merge") {
     val t = tmpDir("mv_casc") + "/t"
     seed(t)
