@@ -79,6 +79,25 @@ object Mview {
     Refresh("noop_concurrent_refresh", fromV, toV,
       TxLog.latestVersion(view).get)
 
+  /** Post-refresh housekeeping: every incremental merge leaves the view
+    * one rewrite + maybe one insert file richer; a daily-refreshed view
+    * would grow its file count without bound. Once the active count
+    * crosses `graft.mview.compactThreshold` (default 32; 0 disables),
+    * fold the small files with [[TxLog.optimizeSmall]] — a layout-only
+    * commit that [[TxLog.rowDeltas]] skips, so cascading views see
+    * nothing. Best-effort: a failed compaction must never fail the
+    * refresh that data-committed already. */
+  private def maybeCompact(spark: SparkSession, view: String): Unit = {
+    val threshold = TxLog.properties(view)
+      .get("graft.mview.compactThreshold").map(_.toInt).getOrElse(32)
+    if (threshold <= 0) return
+    try {
+      if (TxLog.activeFiles(view).size > threshold)
+        TxLog.optimizeSmall(spark, view,
+          minFileSizeBytes = 32L * 1024 * 1024, targetFiles = 1)
+    } catch { case _: Throwable => () }
+  }
+
   /** A recognized aggregate select item. `fn`: count_star | count |
     * sum | avg | min | max; `arg` is the raw expression text. */
   final case class Agg(fn: String, arg: Option[String], alias: String)
@@ -393,6 +412,7 @@ object Mview {
       try {
         val v = TxLog.append(rows, view, batchId = toV,
           streamId = RefreshStream, extraProps = stamp)
+        maybeCompact(spark, view)
         return Refresh("incremental_append", fromV, toV, v)
       } catch {
         case _: TxLog.ConcurrentWriteException =>
@@ -520,6 +540,7 @@ object Mview {
           notMatched = Seq(TxLog.MergeInsert(None, insVals)),
           onKeys = d.groupBy.map(k => (k, k)),
           extraProps = stamp, batchId = toV, streamId = RefreshStream)
+        maybeCompact(spark, view)
         return Refresh("incremental_merge", fromV, toV, v)
       } catch {
         case _: TxLog.ConcurrentWriteException =>
@@ -598,6 +619,7 @@ object Mview {
         notMatched = Seq(TxLog.MergeInsert(Some(!col("s.__mv_dead")), insAll)),
         onKeys = d.groupBy.map(k => (k, k)),
         extraProps = stamp, batchId = toV, streamId = RefreshStream)
+      maybeCompact(spark, view)
       Refresh("incremental_recompute", fromV, toV, v)
     } catch {
       case _: TxLog.ConcurrentWriteException =>

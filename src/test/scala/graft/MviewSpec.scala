@@ -354,6 +354,27 @@ class MviewSpec extends SparkSpec {
     assertMatchesFull(mv, query)
   }
 
+  test("view auto-compaction bounds the file count across many refreshes") {
+    val t = tmpDir("mv_ac") + "/t"
+    seed(t)
+    val query = s"SELECT k, count(*) AS n, sum(v) AS sv FROM txlog.`$t` GROUP BY k"
+    val mv = tmpDir("mv_ac_tgt") + "/mv"
+    Mview.create(spark, mv, query)
+    TxLog.setProperties(mv, Map("graft.mview.compactThreshold" -> "4"))
+    (1 to 8).foreach { i =>
+      TxLog.append(Seq((s"k$i", i.toLong, Option.empty[Long]))
+        .toDF("k", "v", "w"), t)
+      assert(Mview.refresh(spark, mv).mode === "incremental_merge")
+    }
+    // without compaction each merge leaves ≥1 new file; the threshold
+    // folds them (layout-only commit — rowDeltas consumers see nothing)
+    assert(TxLog.activeFiles(mv).size <= 6,
+      s"auto-compaction must bound the view's file count, " +
+        s"got ${TxLog.activeFiles(mv).size}")
+    assert(TxLog.commits(mv).exists(_.op == "optimize"))
+    assertMatchesFull(mv, query)
+  }
+
   test("racing refreshes cannot double-apply: the replay guard turns the loser into a noop") {
     val t = tmpDir("mv_race") + "/t"
     seed(t)
