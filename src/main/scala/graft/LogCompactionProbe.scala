@@ -60,21 +60,28 @@ object LogCompactionProbe {
           extra + "}").getBytes)
     }
     if (filesPerCommit > 1) {
-      // wide probe: checkpoint write cost + size + cold fold from it
+      // wide probe: checkpoint write cost + size + cold fold from it.
+      // 3rd arg = partMaxFiles: split into Delta-style multi-part
+      // checkpoints and report the set shape instead of one JSON.
+      args.drop(2).headOption.foreach(pm =>
+        sys.props.put("graft.checkpoint.partMaxFiles", pm))
       sys.props.put("graft.txlog.maxActiveFiles", "0") // probe past default
       val w0 = System.nanoTime()
       TxLog.compact(t)
       val wMs = (System.nanoTime() - w0) / 1e6
-      val cp = TxLog.walkDir(Paths.get(t, "_txlog"))
-        .filter(_.getFileName.toString.endsWith(".checkpoint.json"))
-        .maxBy(_.getFileName.toString)
-      val cpMb = Files.size(cp) / 1e6
+      val cps = TxLog.walkDir(Paths.get(t, "_txlog")).filter(p =>
+        p.getFileName.toString.endsWith(".checkpoint.json") ||
+          p.getFileName.toString
+            .matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.json"""))
+      val cpMb = cps.map(Files.size).sum / 1e6
+      val maxPartMb = cps.map(Files.size).max / 1e6
       val cold = s"$root/cold"; copyTable(t, cold)
       val r0 = System.nanoTime()
       val n = TxLog.activeFiles(cold).size
       val rMs = (System.nanoTime() - r0) / 1e6
-      println(f"| active files | checkpoint write | checkpoint size | cold stateAt fold |")
-      println(f"| $n | $wMs%.0f ms | $cpMb%.1f MB | $rMs%.0f ms |")
+      sys.props.remove("graft.checkpoint.partMaxFiles")
+      println(f"| active files | parts | checkpoint write | total size | largest part | cold stateAt fold |")
+      println(f"| $n | ${cps.size} | $wMs%.0f ms | $cpMb%.1f MB | $maxPartMb%.1f MB | $rMs%.0f ms |")
       return
     }
     def looseCount(p: String): Int =

@@ -206,8 +206,18 @@ object TxLog {
     * (properties, schema, replay guards) from the FULL commit list, and
     * with the pre-horizon commits deleted it would silently fold a
     * partial history — a v7 reader starts every fold from the full-state
-    * checkpoint, which carries the expired range's net effect. */
-  val ProtocolVersion = 7
+    * checkpoint, which carries the expired range's net effect. A table
+    * whose log has been EXPIRED below a MULTI-PART checkpoint
+    * ([[writeCheckpointAt]] splits past `graft.checkpoint.partMaxFiles`)
+    * floors at 8: a v7-era reader's listing ignores
+    * `<v>.checkpoint.<i>.<n>.json` part files entirely, so with the
+    * covered commits deleted it would fold the surviving tail from an
+    * EMPTY base — the same silent-partial-history misread v7 exists to
+    * prevent, one file-naming generation later. (Multi-part checkpoints
+    * alone don't raise the commit floor: while the covered commits still
+    * exist, an older reader that can't see the parts folds the full
+    * commit list and answers exactly — just slower.) */
+  val ProtocolVersion = 8
 
   /** Every op this reader knows how to fold. An op outside this set means
     * the log was written by a newer writer — [[commits]] refuses to read
@@ -281,6 +291,27 @@ object TxLog {
   private val CommitName = """(\d{20})\.json""".r
   private val CheckpointName = """(\d{20})\.checkpoint\.json""".r
   private val CompactedName = """(\d{20})-(\d{20})\.compactedlog\.json""".r
+  /** Part `i` of an `n`-part checkpoint — Delta's multi-part checkpoint
+    * naming (`<v>.checkpoint.<i>.<n>.json`). Written when the active
+    * file list exceeds `graft.checkpoint.partMaxFiles`; see
+    * [[writeCheckpointAt]]. */
+  private val CheckpointPartName =
+    """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.json""".r
+
+  private def checkpointPartPath(table: String, version: Long,
+      part: Int, parts: Int): Path =
+    logDir(table).resolve(
+      f"$version%020d.checkpoint.$part%010d.$parts%010d.json")
+
+  /** Delta's `_last_checkpoint` pointer: one small JSON naming the newest
+    * checkpoint's (version, part count). On an object store this turns
+    * checkpoint DISCOVERY into a single GET instead of a directory LIST;
+    * the local read path here lists anyway (it needs the tail commits),
+    * so readers treat the pointer as advisory — stale, missing, or
+    * corrupt pointers never affect an answer ([[stateAt]] trusts only
+    * the listing). Rewritten atomically after every checkpoint publish. */
+  private def lastCheckpointPath(table: String): Path =
+    logDir(table).resolve("_last_checkpoint.json")
 
   private def compactedPath(table: String, from: Long, to: Long): Path =
     logDir(table).resolve(f"$from%020d-$to%020d.compactedlog.json")
@@ -308,6 +339,16 @@ object TxLog {
     if (!Files.exists(p)) None
     else Option(mapper.readTree(Files.readAllBytes(p)).get("horizonTs"))
       .map(_.asLong())
+  }
+
+  /** The reader floor the retention marker recorded (7, or 8 when the
+    * expiry's fold floor was a multi-part checkpoint). None ⇒ never
+    * expired. */
+  private def retentionFloor(table: String): Option[Int] = {
+    val p = retentionMarkerPath(table)
+    if (!Files.exists(p)) None
+    else Some(Option(mapper.readTree(Files.readAllBytes(p))
+      .get("protocolVersion")).map(_.asInt()).getOrElse(7))
   }
 
   /** `Files.list`/`Files.walk` return STREAMS holding an open directory
@@ -528,23 +569,49 @@ object TxLog {
       // [[expireLog]] swept every commit at or below a tip checkpoint
       // (version numbering must continue, never restart)
       case CheckpointName(v) => Some(v.toLong)
+      case CheckpointPartName(v, _, _) => Some(v.toLong)
       case _ => None
     }).maxOption
 
-  /** (version, full file list) of checkpoints, ascending. */
+  /** COMPLETE checkpoint sets in a log listing, ascending by version:
+    * single-file checkpoints as one-part sets, multi-part checkpoints
+    * only when EVERY part 1..n is present (a crash between part links
+    * leaves an incomplete set that must stay invisible — readers would
+    * otherwise fold a snapshot missing a slice of the active files).
+    * When both shapes exist at one version (two compactors racing under
+    * different `partMaxFiles` settings) the single file wins — both
+    * serialize the same [[stateAt]] answer, and the single file can't
+    * be torn. */
+  private def checkpointSets(listing: Seq[Path]): Seq[(Long, Seq[Path])] = {
+    val singles = listing.flatMap(p => p.getFileName.toString match {
+      case CheckpointName(v) => Some(v.toLong -> Seq(p))
+      case _ => None
+    })
+    val singleVs = singles.map(_._1).toSet
+    val parts = listing.flatMap(p => p.getFileName.toString match {
+      case CheckpointPartName(v, i, n) => Some((v.toLong, i.toInt, n.toInt, p))
+      case _ => None
+    })
+    val multi = parts.groupBy(_._1).collect {
+      case (v, ps) if !singleVs(v) && ps.map(_._3).distinct.size == 1 &&
+          (1 to ps.head._3).forall(i => ps.exists(_._2 == i)) =>
+        v -> (1 to ps.head._3).map(i => ps.find(_._2 == i).get._4)
+    }
+    (singles ++ multi).sortBy(_._1)
+  }
+
+  /** (version, full file list) of checkpoints, ascending. Multi-part
+    * sets concatenate their slices in part order. */
   private def checkpoints(table: String): Seq[(Long, Seq[String])] =
-    listLog(table).flatMap { p =>
-      p.getFileName.toString match {
-        case CheckpointName(v) =>
-          val node = mapper.readTree(Files.readAllBytes(p))
-          val proto = Option(node.get("protocolVersion"))
-            .map(_.asInt()).getOrElse(1)
-          if (proto > ProtocolVersion) throw new IllegalStateException(
-            s"txlog checkpoint ${p.getFileName} requires protocol version " +
-              s"$proto but this reader supports <= $ProtocolVersion")
-          Some(v.toLong ->
-            node.get("files").elements().asScala.map(_.asText()).toSeq)
-        case _ => None
+    checkpointSets(listLog(table)).map { case (v, paths) =>
+      v -> paths.flatMap { p =>
+        val node = mapper.readTree(Files.readAllBytes(p))
+        val proto = Option(node.get("protocolVersion"))
+          .map(_.asInt()).getOrElse(1)
+        if (proto > ProtocolVersion) throw new IllegalStateException(
+          s"txlog checkpoint ${p.getFileName} requires protocol version " +
+            s"$proto but this reader supports <= $ProtocolVersion")
+        node.get("files").elements().asScala.map(_.asText()).toSeq
       }
     }
 
@@ -752,6 +819,24 @@ object TxLog {
     }
   }
 
+  /** Merge a multi-part checkpoint's per-part states, part order. Part 1
+    * carries the scalar state (schema, properties, constraints, column
+    * mapping, row-id high water, replay guards, DV/bloom manifests);
+    * every part carries a disjoint slice of the active files and the
+    * file-keyed maps restricted to that slice — so the merge is scalars
+    * from the head plus concatenated files and unioned maps. */
+  private def mergePartStates(sts: Seq[TableState]): TableState =
+    sts.reduce((a, b) => a.copy(
+      files = a.files ++ b.files,
+      dvs = a.dvs ++ b.dvs,
+      blooms = a.blooms ++ b.blooms,
+      sizes = a.sizes ++ b.sizes,
+      stats = a.stats ++ b.stats,
+      sstats = a.sstats ++ b.sstats,
+      rows = a.rows ++ b.rows,
+      nulls = a.nulls ++ b.nulls,
+      baseRowIds = a.baseRowIds ++ b.baseRowIds))
+
   /** Per-table cache for [[stateAt]] — the state-checkpoint parse and the
     * tail fold both reuse across calls; only NEW tail commits re-parse
     * (same prefix-extension rule as [[commitCache]]). */
@@ -805,29 +890,35 @@ object TxLog {
           "there is gone. Read at or above the horizon, or restore the " +
           "history from a DEEP CLONE/backup taken before expiry")
     val listing = listLog(table)
-    // newest checkpoint at or before asOf whose JSON carries a state
-    // section (older checkpoints are files-only — skip them)
-    val cpCandidates = listing.flatMap { p =>
-      p.getFileName.toString match {
-        case CheckpointName(v) if asOf.forall(v.toLong <= _) =>
-          Some((v.toLong, p))
-        case _ => None
-      }
-    }.sortBy(-_._1)
+    // newest COMPLETE checkpoint set at or before asOf whose JSON carries
+    // a state section (older checkpoints are files-only — skip them).
+    // Multi-part sets parse every part and merge the slices; the key for
+    // the parsed-state caches is the first part's file name.
+    val cpCandidates = checkpointSets(listing)
+      .filter { case (v, _) => asOf.forall(v <= _) }
+      .sortBy(-_._1)
     val cached = Option(stateCache.get(table))
     var noState = cached.map(_.noStateCps).getOrElse(Set.empty[String])
     val knownCps: Map[String, TableState] = cached.map(c =>
       c.parsedCps ++ c.cpName.map(_ -> c.cpState)).getOrElse(Map.empty)
     val cp: Option[(Long, TableState, String)] =
-      cpCandidates.view.flatMap { case (v, p) =>
-        val name = p.getFileName.toString
+      cpCandidates.view.flatMap { case (v, paths) =>
+        val name = paths.head.getFileName.toString
         if (noState.contains(name)) None
         else knownCps.get(name) match {
           case Some(st) => Some((v, st, name))
           case None =>
             val parsed =
-              try Option(mapper.readTree(Files.readAllBytes(p)).get("state"))
-                .map(s => (v, TableState.fromNode(s), name))
+              try {
+                // every part must carry state — a torn/corrupt part makes
+                // the whole set unusable (a partial merge would silently
+                // drop a slice of the active files)
+                val partStates = paths.map(p =>
+                  Option(mapper.readTree(Files.readAllBytes(p)).get("state"))
+                    .map(TableState.fromNode))
+                if (partStates.exists(_.isEmpty)) None
+                else Some((v, mergePartStates(partStates.flatten), name))
+              }
               catch { case e: java.nio.file.NoSuchFileException => throw e
                       case scala.util.control.NonFatal(_) => None }
             if (parsed.isEmpty) noState += name
@@ -1297,10 +1388,13 @@ object TxLog {
     val needsV6 = hasCompactedLog(table)
     // a commit on a retention-expired log demands a v7 reader: a v6-era
     // reader folds metadata from the full commit list and would silently
-    // fold the partial (post-expiry) history
-    val needsV7 = Files.exists(retentionMarkerPath(table))
+    // fold the partial (post-expiry) history. The marker records 8 when
+    // the fold floor is a MULTI-PART checkpoint (a v7 listing can't see
+    // its parts) — commits propagate whichever floor it carries.
+    val needsV7 = retentionFloor(table).getOrElse(1)
     node.put("protocolVersion",
-      math.max(if (needsV7) 7 else if (needsV6) 6 else if (needsV5) 5
+      math.max(if (needsV7 >= 7) needsV7 else if (needsV6) 6
+      else if (needsV5) 5
       else if (needsV4) 4 else if (needsV2) 2 else 1, commit.minReader))
     node.put("version", commit.version)
     node.put("op", commit.op)
@@ -1482,6 +1576,41 @@ object TxLog {
         if (properties(table).get("graft.logRetention.auto").contains("true")
           && interval > 0 && commit.version % interval == 0)
           expireLog(table)
+        // AUTO-COMPACTION (Databricks' delta.autoOptimize.autoCompact,
+        // synchronous form): after a data-adding commit, when the count
+        // of active files below `graft.autoCompact.minFileSize` (default
+        // 16 MiB) reaches `graft.autoCompact.minFiles` (default 16),
+        // fold just those small files into ~`graft.autoCompact.
+        // targetSize` (default 128 MiB) outputs — a layout-only
+        // `optimize` commit, invisible to CDF/rowDeltas consumers.
+        // THE small-file answer for trickle writers at scale: a
+        // streaming sink landing a few files per micro-batch otherwise
+        // degrades every later scan (open-file overhead grows with file
+        // count, not bytes) until an operator remembers OPTIMIZE.
+        // Opt-in by property (a synchronous rewrite on the write path is
+        // the table owner's latency/throughput trade). Guarded against
+        // self-trigger (layout-only ops skip) and best-effort like the
+        // checkpoint: a failed compaction never fails the commit.
+        if (commit.add.nonEmpty &&
+          !Set("optimize", "optimizeDvs", "reorg", "protocol")(commit.op) &&
+          properties(table).get("graft.autoCompact.enabled")
+            .contains("true")) {
+          val minSize = properties(table)
+            .get("graft.autoCompact.minFileSize")
+            .flatMap(_.trim.toLongOption).getOrElse(16L * 1024 * 1024)
+          val minFiles = properties(table).get("graft.autoCompact.minFiles")
+            .flatMap(_.trim.toIntOption).getOrElse(16)
+          val target = properties(table).get("graft.autoCompact.targetSize")
+            .flatMap(_.trim.toLongOption).getOrElse(128L * 1024 * 1024)
+          val sizes = fileSizes(table)
+          val nSmall = activeFiles(table)
+            .count(f => sizes.getOrElse(f, 0L) < minSize)
+          if (nSmall >= minFiles)
+            org.apache.spark.sql.SparkSession.getActiveSession.foreach {
+              spark => optimizeSmall(spark, table, minSize,
+                targetBytes = Some(target))
+            }
+        }
       } catch { case scala.util.control.NonFatal(_) => () }
     won
   }
@@ -3202,6 +3331,57 @@ object TxLog {
         (tuple, fs.size, fs.map(f => sizes.getOrElse(f, 0L)).sum)
       }
       .toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+  }
+
+  /** `GENERATE symlink_format_manifest` (Delta's manifest generation for
+    * external engines — Presto, Trino, Athena, DuckDB): write text
+    * manifests listing the ABSOLUTE paths of the snapshot's active data
+    * files under `<table>/_symlink_format_manifest/`. Unpartitioned
+    * tables get one `manifest`; partitioned tables one per partition
+    * directory (`<col=val>/manifest`, the raw escaped path segments),
+    * matching Delta's layout so a Hive-style engine mounts each
+    * partition. Regeneration REPLACES the manifest tree (a dropped
+    * partition's manifest must disappear, not linger).
+    *
+    * Refuses while deletion vectors are active: a path manifest cannot
+    * express row-level deletes, so an external reader would RESURRECT
+    * DV-deleted rows — the remedy (REORG … APPLY (PURGE)) is named in
+    * the error, the same contract as every refusal in this log.
+    * Manifest entries are only ever ACTIVE files, which [[vacuum]]
+    * never deletes — a generated manifest stays readable until the
+    * next data change, at which point it is stale-by-contract (Delta
+    * semantics: regenerate after writes, or use the auto property).
+    * Returns (manifest path relative to the table, file count) rows. */
+  def generateManifest(table: String, asOf: Option[Long] = None)
+      : Seq[(String, Long)] = {
+    require(activeDvs(table, asOf).isEmpty,
+      s"GENERATE symlink_format_manifest on $table: the snapshot has " +
+        "active deletion vectors, and a path manifest would resurrect " +
+        "their deleted rows in external readers. Materialize them " +
+        s"first: REORG TABLE txlog.`$table` APPLY (PURGE)")
+    val files = activeFiles(table, asOf)
+    val root = Paths.get(table, "_symlink_format_manifest")
+    if (Files.exists(root))
+      walkDir(root).sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
+    // group by the file's RAW escaped partition segments (between the
+    // staging dir and the file name) — re-rendering unescaped values
+    // would corrupt partition dirs containing escaped characters
+    def partDir(f: String): String = {
+      val segs = f.split('/')
+      val lastStage = segs.lastIndexWhere(_.startsWith("d-"))
+      if (lastStage < 0 || lastStage >= segs.length - 2) ""
+      else segs.slice(lastStage + 1, segs.length - 1).mkString("/")
+    }
+    files.groupBy(partDir).toSeq.sortBy(_._1).map { case (part, fs) =>
+      val dir = if (part.isEmpty) root else root.resolve(part)
+      Files.createDirectories(dir)
+      val lines = fs.map(f =>
+        Paths.get(resolve(table, f)).toAbsolutePath.toString).sorted
+      Files.write(dir.resolve("manifest"),
+        (lines.mkString("\n") + "\n").getBytes)
+      val rel = Paths.get(table).relativize(dir.resolve("manifest"))
+      (rel.toString, fs.size.toLong)
+    }
   }
 
   /** Per-file inventory of a snapshot — the `table_files` TVF's engine
@@ -5685,11 +5865,24 @@ object TxLog {
   def compact(table: String): Option[Long] =
     latestVersion(table).map { v => writeCheckpointAt(table, v); v }
 
-  /** Checkpoint writer shared by [[compact]] and [[publishV6Floor]]:
+  /** Checkpoint writer shared by [[compact]] and [[publishProtoFloor]]:
     * the legacy `files` list (pre-state readers fold the snapshot from
     * it) PLUS the full [[TableState]] — so every fold, not just the
     * file list, restarts from here ([[stateAt]]). Put-if-absent like
-    * [[tryCommit]]; an existing checkpoint at `v` is left alone. */
+    * [[tryCommit]]; an existing checkpoint at `v` is left alone.
+    *
+    * Past `graft.checkpoint.partMaxFiles` active files (table property,
+    * then system property, default 100 000) the checkpoint splits into
+    * Delta-style parts (`<v>.checkpoint.<i>.<n>.json`): part 1 carries
+    * the scalar state, every part carries a disjoint slice of the file
+    * list plus the file-keyed maps restricted to its slice. At 10^6
+    * active files the single-JSON form is a ~90 MB driver-side write
+    * (LogCompactionProbe measures 17 MB at 200k, linear) — parts bound
+    * each write and let a future writer parallelize them. Readers use a
+    * set only when ALL parts are present ([[checkpointSets]]), so a
+    * crash mid-publish leaves an invisible partial set, never a torn
+    * snapshot. The `_last_checkpoint` pointer publishes LAST, after
+    * every part is durable. */
   private def writeCheckpointAt(table: String, v: Long,
       protoFloor: Int = 1): Unit = {
     val st = stateAt(table, Some(v))
@@ -5702,19 +5895,80 @@ object TxLog {
     // stamp >= 2 at write time).
     val needed = Seq(if (files.exists(_.startsWith("/"))) 2 else 1,
       st.minReader, if (hasCompactedLog(table)) 6 else 1,
-      if (Files.exists(retentionMarkerPath(table))) 7 else 1,
+      retentionFloor(table).getOrElse(1),
       protoFloor).max
-    val node = mapper.createObjectNode()
-    node.put("protocolVersion", needed)
-    node.put("version", v)
-    val arr = node.putArray("files")
-    files.foreach(arr.add)
-    st.toNode(node.putObject("state"))
-    val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, mapper.writeValueAsBytes(node))
-    try Files.createLink(checkpointPath(table, v), tmp)
-    catch { case _: FileAlreadyExistsException => () }
-    finally Files.deleteIfExists(tmp)
+    val partMax = st.props.get("graft.checkpoint.partMaxFiles")
+      .map(_.toInt).getOrElse(
+        Integer.getInteger("graft.checkpoint.partMaxFiles", 100000).toInt)
+    def place(node: com.fasterxml.jackson.databind.node.ObjectNode,
+        target: Path): Unit = {
+      val tmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
+      Files.write(tmp, mapper.writeValueAsBytes(node))
+      try Files.createLink(target, tmp)
+      catch { case _: FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+    }
+    val nParts =
+      if (partMax <= 0 || files.size <= partMax) 1
+      else ((files.size + partMax - 1) / partMax)
+    if (nParts == 1) {
+      val node = mapper.createObjectNode()
+      node.put("protocolVersion", needed)
+      node.put("version", v)
+      val arr = node.putArray("files")
+      files.foreach(arr.add)
+      st.toNode(node.putObject("state"))
+      place(node, checkpointPath(table, v))
+    } else {
+      // multi-part files stamp >= 8: any reader that parses them must
+      // understand the set-completeness rule (see [[ProtocolVersion]])
+      val neededMp = math.max(needed, 8)
+      val slices = files.grouped(partMax).toVector
+      slices.zipWithIndex.foreach { case (slice, idx) =>
+        val node = mapper.createObjectNode()
+        node.put("protocolVersion", neededMp)
+        node.put("version", v)
+        node.put("part", idx + 1)
+        node.put("parts", nParts)
+        val arr = node.putArray("files")
+        slice.foreach(arr.add)
+        // toNode prunes the file-keyed maps to this part's slice; parts
+        // past the first drop the scalar state (merge reads it from
+        // part 1 — see [[mergePartStates]])
+        val partState =
+          if (idx == 0) st.copy(files = slice)
+          else TableState.empty.copy(files = slice, sizes = st.sizes,
+            stats = st.stats, sstats = st.sstats, rows = st.rows,
+            nulls = st.nulls, baseRowIds = st.baseRowIds)
+        partState.toNode(node.putObject("state"))
+        place(node, checkpointPartPath(table, v, idx + 1, nParts))
+      }
+    }
+    // pointer last — it must never name a set that isn't fully durable.
+    // Forward-only: [[publishProtoFloor]] can checkpoint an OLDER version
+    // (the newest without one); the pointer keeps naming the newest.
+    if (!lastCheckpoint(table).exists(_._1 > v)) {
+      val ptr = mapper.createObjectNode()
+      ptr.put("version", v)
+      ptr.put("parts", nParts)
+      ptr.put("protocolVersion", if (nParts == 1) needed else 8)
+      val ptrTmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
+      Files.write(ptrTmp, mapper.writeValueAsBytes(ptr))
+      Files.move(ptrTmp, lastCheckpointPath(table),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** The `_last_checkpoint` pointer's (version, parts), if present and
+    * intact. Advisory — see [[lastCheckpointPath]]. */
+  private[graft] def lastCheckpoint(table: String): Option[(Long, Int)] = {
+    val p = lastCheckpointPath(table)
+    if (!Files.exists(p)) return None
+    try {
+      val n = mapper.readTree(Files.readAllBytes(p))
+      Some((n.get("version").asLong(), n.get("parts").asInt()))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def hasCompactedLog(table: String): Boolean = {
@@ -5830,38 +6084,43 @@ object TxLog {
   def expireLog(table: String): Option[Long] = {
     // newest STATE-carrying checkpoint = the fold floor every retained
     // read starts from; files-only (legacy) checkpoints can't anchor
-    // metadata folds and don't qualify
-    val stateCps = listLog(table).flatMap { p =>
-      p.getFileName.toString match {
-        case CheckpointName(v) =>
-          (try Option(mapper.readTree(Files.readAllBytes(p)).get("state"))
-           catch { case scala.util.control.NonFatal(_) => None })
-            .map(_ => v.toLong)
-        case _ => None
-      }
+    // metadata folds and don't qualify. A multi-part set qualifies only
+    // when EVERY part carries state ([[checkpointSets]] already demands
+    // every part be present).
+    val stateCps = checkpointSets(listLog(table)).flatMap {
+      case (v, paths) =>
+        val allState =
+          try paths.forall(p => Option(
+            mapper.readTree(Files.readAllBytes(p)).get("state")).isDefined)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (allState) Some((v, paths.size > 1)) else None
     }
-    val h = stateCps.maxOption.getOrElse(return None)
+    val (h, multiPartFloor) = stateCps.maxByOption(_._1).getOrElse(return None)
     val doomed = listLog(table).filter { p =>
       p.getFileName.toString match {
         case CommitName(v) => v.toLong <= h
         case CompactedName(_, to) => to.toLong <= h
         case CheckpointName(v) => v.toLong < h
+        case CheckpointPartName(v, _, _) => v.toLong < h
         case _ => false
       }
     }
     if (doomed.isEmpty && retentionHorizon(table).contains(h)) return Some(h)
-    // the floor: a surviving (> h) commit must say minReader >= 7 BEFORE
-    // anything vanishes. Tail commits written under an existing marker
-    // already do; otherwise publish a data-less protocol commit at tip+1
-    val hasV7Tail = commits(table).exists(c =>
-      c.version > h && c.minReader >= 7)
-    if (!hasV7Tail) {
+    // the floor: a surviving (> h) commit must say minReader >= 7 (8 when
+    // the floor checkpoint is multi-part — a v7 reader's listing can't
+    // see its parts, see [[ProtocolVersion]]) BEFORE anything vanishes.
+    // Tail commits written under an existing marker already do; otherwise
+    // publish a data-less protocol commit at tip+1
+    val floor = if (multiPartFloor) 8 else 7
+    val hasFloorTail = commits(table).exists(c =>
+      c.version > h && c.minReader >= floor)
+    if (!hasFloorTail) {
       var attempts = 0
       var placed = false
       while (!placed && attempts < 10) {
         val v = latestVersion(table).getOrElse(h) + 1
         placed = tryCommit(table, Commit(v, Seq.empty, Seq.empty,
-          "protocol", -1L, minReader = 7))
+          "protocol", -1L, minReader = floor))
         attempts += 1
       }
       require(placed, s"expireLog on $table: protocol-floor commit lost " +
@@ -5875,7 +6134,7 @@ object TxLog {
     commits(table).find(_.version == h).map(_.ts)
       .orElse(retentionHorizonTs(table))
       .foreach(node.put("horizonTs", _))
-    node.put("protocolVersion", 7)
+    node.put("protocolVersion", floor)
     Files.write(retentionMarkerPath(table), mapper.writeValueAsBytes(node))
     doomed.foreach(Files.deleteIfExists)
     commitCache.remove(table)
@@ -5891,7 +6150,7 @@ object TxLog {
   private def publishProtoFloor(table: String, floor: Int): Unit = {
     val alreadyStamped = listLog(table).exists { p =>
       p.getFileName.toString match {
-        case CheckpointName(_) =>
+        case CheckpointName(_) | CheckpointPartName(_, _, _) =>
           Option(mapper.readTree(Files.readAllBytes(p))
             .get("protocolVersion")).exists(_.asInt() >= floor)
         case _ => false
@@ -6084,14 +6343,66 @@ object TxLog {
       minFileSizeBytes: Long, targetFiles: Int = 1,
       statsCols: Seq[String] = Seq.empty,
       targetBytes: Option[Long] = None,
-      clusterBy: Seq[org.apache.spark.sql.Column] = Seq.empty): Option[Long] = {
+      clusterBy: Seq[org.apache.spark.sql.Column] = Seq.empty): Option[Long] =
+    compactSelected(spark, table, targetFiles, statsCols, targetBytes,
+      clusterBy) { (active, sizes, _) =>
+      active.filter(f => sizes.getOrElse(f, 0L) < minFileSizeBytes)
+    }
+
+  /** CLUSTERING-AWARE INCREMENTAL OPTIMIZE (the Delta liquid-clustering
+    * maintenance shape, ZCube-lite): on a table with declared
+    * `graft.cluster.columns`, rewrite ONLY the files written since the
+    * last OPTIMIZE — plus any still-small optimize outputs — into
+    * cluster-sorted, range-disjoint files, leaving already-clustered
+    * big files byte-identical. "Clustered" is metadata-derived: a file
+    * added by an `optimize` commit went through the declared-cluster
+    * write path ([[writeData]] range-sorts every write on such tables),
+    * so the adding commit's op IS the cube marker — no tags, no scan.
+    * Repeated maintenance cost follows the NEW data, not the table:
+    * the operation a perpetual writer runs nightly on a 100 TB table,
+    * where a full ZORDER rewrite is the operation that cannot ship.
+    * Global clustering is deliberately approximate across cubes (the
+    * liquid trade): skipping quality converges as cubes merge through
+    * the small-output rule. Returns None when fewer than 2 files
+    * qualify — an immediate second run is a no-op, which IS the
+    * contract. */
+  def optimizeIncremental(spark: SparkSession, table: String,
+      minFileSizeBytes: Long = 128L * 1024 * 1024,
+      targetBytes: Option[Long] = None,
+      statsCols: Seq[String] = Seq.empty): Option[Long] = {
+    val clusterCols = declaredCols(table, "graft.cluster.columns")
+    require(clusterCols.nonEmpty,
+      s"optimizeIncremental on $table: declare graft.cluster.columns " +
+        "first (the clustering key is what incremental maintenance " +
+        "restores); for unclustered compaction use optimizeSmall/OPTIMIZE")
+    compactSelected(spark, table, 1, statsCols, targetBytes,
+      clusterCols.map(col)) { (active, sizes, base) =>
+      val upTo = base.getOrElse(Long.MaxValue)
+      // adding-commit op per active file; a file whose adding commit was
+      // retention-expired folds as unclustered (rewritten once, cubed
+      // thereafter)
+      val addedOp: Map[String, String] = commits(table)
+        .filter(_.version <= upTo)
+        .flatMap(c => c.add.map(_ -> c.op)).toMap
+      active.filter(f => !addedOp.get(f).contains("optimize") ||
+        sizes.getOrElse(f, 0L) < minFileSizeBytes)
+    }
+  }
+
+  /** Shared rewrite loop of [[optimizeSmall]] / [[optimizeIncremental]]:
+    * `select` picks the files to fold from (active, sizes, base). */
+  private def compactSelected(spark: SparkSession, table: String,
+      targetFiles: Int, statsCols: Seq[String], targetBytes: Option[Long],
+      clusterBy: Seq[org.apache.spark.sql.Column])(
+      select: (Seq[String], Map[String, Long], Option[Long]) => Seq[String])
+      : Option[Long] = {
     var attempts = 0
     while (attempts < 10) {
       val base = latestVersion(table)
       require(base.nonEmpty, s"optimize on empty txlog table $table")
       val sizes = fileSizes(table, base)
       val active = activeFiles(table, base)
-      val small = active.filter(f => sizes.getOrElse(f, 0L) < minFileSizeBytes)
+      val small = select(active, sizes, base)
       if (small.size < 2) return None // nothing to gain from a rewrite
       val nOut = targetBytes.map { tb =>
         require(tb > 0, s"optimizeSmall targetBytes must be positive: $tb")
