@@ -1156,6 +1156,46 @@ object AnalyticsQueries {
       TxLog.read(s, table)
     },
 
+    // WRITER AUTO-COMPACTION (Databricks' delta.autoOptimize.autoCompact,
+    // synchronous form): once the active files below
+    // graft.autoCompact.minFileSize reach graft.autoCompact.minFiles,
+    // the post-commit hook folds just those small files into ~targetSize
+    // outputs as a layout-only optimize commit. THE small-file answer
+    // for trickle writers at 100 TB: scan cost grows with file count,
+    // not bytes, and this caps it without an operator remembering
+    // OPTIMIZE. The entry trickles 8 single-file appends, asserts the
+    // fold fired and bounded the active-file count, and oracles the
+    // full surviving contents.
+    QueryDef("src_txlog_auto_compact",
+      "Writer auto-compaction: small-file fold fires past the threshold, active file count bounded, reads exact",
+      s"""SELECT c_custkey, c_name
+         |FROM read_parquet('${QueryDef.StageSql}/txautoc_in/*.parquet')
+         |WHERE c_custkey <= 24""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+        .filter(col("c_custkey") <= 24)
+        .stageInput(dir, "txautoc_in")
+      val in = s.read.parquet(s"$stage/txautoc_in")
+      // the trickle + fold is deterministic and read-only afterwards →
+      // build once per sf (the log_compaction fixture pattern)
+      val table = Fixtures.immutableTable(dir, "txautoc", 1) { table =>
+        TxLog.setProperties(table, Map(
+          "graft.autoCompact.enabled" -> "true",
+          "graft.autoCompact.minFileSize" -> (1024L * 1024).toString,
+          "graft.autoCompact.minFiles" -> "6"))
+        (0 until 8).foreach { i =>
+          TxLog.append(in.filter(col("c_custkey") % 8 === i)
+            .coalesce(1), table)
+        }
+      }
+      require(TxLog.commits(table).exists(_.op == "optimize"),
+        "the trickle past minFiles must have auto-compacted")
+      require(TxLog.activeFiles(table).size <= 4,
+        s"active file count must stay bounded, " +
+          s"got ${TxLog.activeFiles(table).size}")
+      TxLog.read(s, table)
+    },
+
     // LOG RETENTION (Delta's logRetentionDuration, floored at the newest
     // full-state checkpoint): expireLog deletes every log file the
     // checkpoint covers — on a year-old streaming table the log stops
@@ -1194,6 +1234,185 @@ object AnalyticsQueries {
         catch { case e: IllegalStateException =>
           e.getMessage.contains("log-retention horizon") }
       require(refused, "below-horizon time travel must refuse with remedy")
+      TxLog.read(s, table)
+    },
+
+    // MULTI-PART CHECKPOINTS (Delta's `<v>.checkpoint.<i>.<n>` split) +
+    // the `_last_checkpoint` pointer: past graft.checkpoint.partMaxFiles
+    // active files the full-state checkpoint splits into parts — part 1
+    // carries the scalar state, every part a disjoint file slice with
+    // its file-keyed maps. At 10^6 active files the single-JSON form is
+    // a ~90 MB driver write; parts bound it, and a set is readable only
+    // when EVERY part is present (a crash mid-publish is invisible, not
+    // torn). The entry builds a table past the split threshold, expires
+    // the log below the multi-part floor (the v8 stamp — a v7 reader's
+    // listing can't see part files), and oracles the surviving snapshot.
+    QueryDef("src_txlog_multipart_checkpoint",
+      "Multi-part full-state checkpoint: split past partMaxFiles, _last_checkpoint pointer, retention floored on the set, reads exact",
+      s"""SELECT c_custkey, c_name
+         |FROM read_parquet('${QueryDef.StageSql}/txmpc_in/*.parquet')
+         |WHERE c_custkey <= 36""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+        .filter(col("c_custkey") <= 36)
+        .stageInput(dir, "txmpc_in")
+      val in = s.read.parquet(s"$stage/txmpc_in")
+      // expireLog MUTATES the log — fresh table per run, never cached
+      val table = Files.createTempDirectory("graft_txmpc").toString + "/t"
+      TxLog.setProperties(table,
+        Map("graft.checkpoint.partMaxFiles" -> "3"))
+      (0 until 6).foreach { i => // 6 single-file commits → 6 active files
+        TxLog.append(in.filter(col("c_custkey") <= 30)
+          .filter(col("c_custkey") % 6 === i).coalesce(1), table)
+      }
+      TxLog.compact(table) // splits: 6 files / 3 per part = 2 parts
+      TxLog.append(in.filter(col("c_custkey") > 30).coalesce(1), table)
+      val logDir = java.nio.file.Paths.get(table, "_txlog")
+      val parts = TxLog.walkDir(logDir).map(_.getFileName.toString)
+        .filter(_.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.json"""))
+      require(parts.size >= 2,
+        s"checkpoint must split past partMaxFiles, got $parts")
+      val ptr = TxLog.lastCheckpoint(table)
+        .getOrElse(sys.error("_last_checkpoint must be published"))
+      require(ptr._2 == parts.size,
+        s"pointer must record the part count: $ptr vs ${parts.size}")
+      val h = TxLog.expireLog(table)
+        .getOrElse(sys.error("expireLog must floor on the multi-part set"))
+      require(TxLog.commits(table).exists(c =>
+        c.version > h && c.minReader >= 8),
+        "expiry below a multi-part floor must stamp the v8 protocol")
+      TxLog.read(s, table)
+    },
+
+    // GENERATE symlink_format_manifest (Delta's external-engine interop):
+    // text manifests of absolute active-file paths — an engine that
+    // understands none of the log (Presto/Trino/Athena/DuckDB) reads the
+    // exact snapshot through them. The entry builds a table across
+    // appends + a delete (copy-on-write so no DVs remain), generates,
+    // then reads the data back as PLAIN PARQUET over the manifest's
+    // paths — zero TxLog calls on the read side, which is the contract.
+    QueryDef("src_txlog_sql_generate",
+      "GENERATE symlink_format_manifest: external engines read the exact snapshot as plain parquet over the manifest paths",
+      s"""SELECT c_custkey, c_name
+         |FROM read_parquet('${QueryDef.StageSql}/txgen_in/*.parquet')
+         |WHERE c_custkey <= 40 AND c_custkey % 7 != 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+        .filter(col("c_custkey") <= 40)
+        .stageInput(dir, "txgen_in")
+      val in = s.read.parquet(s"$stage/txgen_in")
+      // GENERATE rewrites the manifest tree — fresh table per run
+      val table = Files.createTempDirectory("graft_txgen").toString + "/t"
+      TxLog.overwrite(in.filter(col("c_custkey") <= 20).repartition(2),
+        table)
+      TxLog.append(in.filter(col("c_custkey") > 20).coalesce(1), table)
+      TxLog.delete(s, table, col("c_custkey") % 7 === 0) // copy-on-write
+      s.sql(s"GENERATE symlink_format_manifest FOR TABLE txlog.`$table`")
+      val manifests = TxLog.walkDir(
+        java.nio.file.Paths.get(table, "_symlink_format_manifest"))
+        .filter(_.getFileName.toString == "manifest")
+      val paths = manifests.flatMap(p =>
+        new String(Files.readAllBytes(p)).split("\n")).filter(_.nonEmpty)
+      require(paths.nonEmpty && paths.forall(_.startsWith("/")),
+        "manifest must list absolute data-file paths")
+      // the external-reader contract: plain parquet, no log knowledge
+      s.read.parquet(paths: _*)
+    },
+
+    // ANALYZE TABLE over a txlog path: table/column statistics persist
+    // as graft.analyze.* properties in ONE commit — they version and
+    // time-travel with the table, and any engine reads them via SHOW
+    // TBLPROPERTIES. Row count / null count / min / max are EXACT (the
+    // oracle recomputes them); NDV is HLL-approx (the Spark/Delta
+    // production choice at 100 TB — exact distinct is a full shuffle),
+    // gated in-entry at ±15% of exact.
+    QueryDef("src_txlog_sql_analyze",
+      "ANALYZE TABLE COMPUTE STATISTICS on a txlog path: exact table/column stats recorded as one versioned commit",
+      s"""WITH i AS (SELECT c_custkey, c_name
+         |  FROM read_parquet('${QueryDef.StageSql}/txanlz_in/*.parquet'))
+         |SELECT 'rowCount' AS stat, CAST(COUNT(*) AS VARCHAR) AS value FROM i
+         |UNION ALL
+         |SELECT 'c_custkey.nullCount',
+         |  CAST(CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS VARCHAR) FROM i
+         |UNION ALL
+         |SELECT 'c_custkey.min', CAST(MIN(c_custkey) AS VARCHAR) FROM i
+         |UNION ALL
+         |SELECT 'c_custkey.max', CAST(MAX(c_custkey) AS VARCHAR) FROM i""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+        .stageInput(dir, "txanlz_in")
+      val in = s.read.parquet(s"$stage/txanlz_in")
+      // ANALYZE commits properties — fresh table per run
+      val table = Files.createTempDirectory("graft_txanlz").toString + "/t"
+      TxLog.overwrite(in.repartition(2), table)
+      s.sql(s"ANALYZE TABLE txlog.`$table` COMPUTE STATISTICS " +
+        "FOR COLUMNS c_custkey").collect()
+      val p = TxLog.properties(table)
+      val exactNdv = in.select(countDistinct(col("c_custkey")))
+        .collect()(0).getLong(0)
+      val ndv = p("graft.analyze.col.c_custkey.ndv").toLong
+      require(math.abs(ndv - exactNdv).toDouble / exactNdv <= 0.15,
+        s"approx NDV must sit within 15% of exact: $ndv vs $exactNdv")
+      import s.implicits._
+      Seq(
+        ("rowCount", p("graft.analyze.rowCount")),
+        ("c_custkey.nullCount", p("graft.analyze.col.c_custkey.nullCount")),
+        ("c_custkey.min", p("graft.analyze.col.c_custkey.min")),
+        ("c_custkey.max", p("graft.analyze.col.c_custkey.max")))
+        .toDF("stat", "value")
+    },
+
+    // CLUSTERING-AWARE INCREMENTAL OPTIMIZE (the liquid-clustering
+    // maintenance shape): on a graft.cluster.columns table, plain
+    // OPTIMIZE rewrites ONLY files written since the last OPTIMIZE;
+    // already-clustered big files stay byte-identical and an immediate
+    // re-run is a no-op. Nightly maintenance cost follows the NEW data,
+    // not the table — at 100 TB, the full re-sort is the operation that
+    // cannot ship. The entry clusters, appends a second era, re-OPTIMIZEs
+    // (must not touch era-1's clustered files), and oracles the union.
+    QueryDef("src_txlog_sql_optimize_incr",
+      "Plain OPTIMIZE on a clustered table is incremental: new files rewrite, clustered files untouched, re-run is a no-op",
+      s"""WITH i AS (SELECT o_orderkey, o_totalprice
+         |  FROM read_parquet('${QueryDef.StageSql}/txoinc_in/*.parquet'))
+         |SELECT o_orderkey, o_totalprice FROM i
+         |UNION ALL
+         |SELECT o_orderkey + 1000000, o_totalprice FROM i
+         |WHERE o_orderkey % 2 = 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") <= 2000)
+        .stageInput(dir, "txoinc_in")
+      val in = s.read.parquet(s"$stage/txoinc_in")
+      val table = Files.createTempDirectory("graft_txoinc").toString + "/t"
+      TxLog.setProperties(table, Map("graft.cluster.columns" -> "o_orderkey",
+        "graft.stats.columns" -> "o_orderkey"))
+      TxLog.append(in.filter(col("o_orderkey") % 2 === 0).coalesce(2), table)
+      TxLog.append(in.filter(col("o_orderkey") % 2 === 1).coalesce(2), table)
+      // minFileSizeBytes = 0 pins the CUBE rule at toy scale (at the
+      // production default, small optimize outputs deliberately re-fold
+      // until they reach target size — the cube-merge path)
+      val v1 = TxLog.optimizeIncremental(s, table, minFileSizeBytes = 0L,
+        targetBytes = Some(512L * 1024)).getOrElse(
+        sys.error("unclustered eras must rewrite"))
+      val clustered = TxLog.activeFiles(table).toSet
+      require(TxLog.optimizeIncremental(s, table,
+        minFileSizeBytes = 0L).isEmpty,
+        "an immediate re-run must be a no-op on a clustered table")
+      require(TxLog.latestVersion(table).contains(v1), "no-op must not commit")
+      // a new era lands (2 files); the next run must not touch era-1
+      TxLog.append(in.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+        .repartition(2), table)
+      val v2 = TxLog.optimizeIncremental(s, table, minFileSizeBytes = 0L,
+        targetBytes = Some(512L * 1024)).getOrElse(
+        sys.error("the new era must rewrite"))
+      val c = TxLog.commits(table).find(_.version == v2).get
+      require(c.remove.toSet.intersect(clustered).isEmpty,
+        "incremental OPTIMIZE must leave already-clustered files untouched")
+      // the SQL verb drives the same path (may also fold small outputs)
+      s.sql(s"OPTIMIZE txlog.`$table`").collect()
       TxLog.read(s, table)
     },
 

@@ -608,6 +608,47 @@ object StreamingQueries {
       TxLog.read(s, t)
     },
 
+    // Streaming sink + WRITER AUTO-COMPACTION: each micro-batch lands
+    // one small file; once the small-file count passes
+    // graft.autoCompact.minFiles the post-commit hook folds them into a
+    // layout-only optimize commit MID-STREAM — the table a perpetual
+    // trickle writer actually leaves behind stays a few files, not one
+    // per batch, with no operator running OPTIMIZE. The day-2 shape of
+    // the 100 TB small-file answer: st30 is the sink, this is the sink
+    // plus the maintenance riding it.
+    QueryDef("st44_stream_auto_compact",
+      "streaming txlog sink with auto-compaction: per-batch small files fold mid-stream, active count bounded, contents exact",
+      "SELECT event_id, user_id FROM events WHERE event_type = 'click'") { (s, dir) =>
+      configureStreaming(s)
+      val t = tmp("graft_st44") + "/t"
+      val cp = tmp("graft_st44_cp")
+      TxLog.setProperties(t, Map(
+        "graft.autoCompact.enabled" -> "true",
+        "graft.autoCompact.minFileSize" -> (1024L * 1024).toString,
+        "graft.autoCompact.minFiles" -> "5"))
+      // 7 staged files → 7 micro-batches (maxFilesPerTrigger = 1): the
+      // fold must fire at batch 5 and the tail batches trickle after it
+      val srcDir = tmp("graft_st44_src")
+      val ev = graft.Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "event_type")
+      (0 until 7).foreach(r =>
+        ev.filter(pmod(col("event_id"), lit(7)) === r).coalesce(1)
+          .write.mode("append").parquet(srcDir))
+      s.readStream.schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id")
+        .writeStream.format("graft.sources.txlog")
+        .option("checkpointLocation", cp).option("path", t)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      require(TxLog.commits(t).exists(_.op == "optimize"),
+        "the mid-stream small-file fold must have fired")
+      require(TxLog.activeFiles(t).size <= 4,
+        s"file count must stay bounded, got ${TxLog.activeFiles(t).size}")
+      TxLog.read(s, t)
+    },
+
     // Update-mode streaming aggregate upserted NATIVELY into a TxLog
     // table: each micro-batch's changed groups MERGE on the group key
     // (sink option mergeKeys), rows stamped with a persisted

@@ -294,7 +294,7 @@ final case class MergeIntoTxLogCommand(target: SqlTarget,
   * either (the Delta `ZORDER BY` contract). One column degrades to a
   * plain range cluster. */
 final case class OptimizeTxLogCommand(target: SqlTarget,
-    where: Option[String], zorder: Seq[String])
+    where: Option[String], zorder: Seq[String], full: Boolean = false)
   extends TxLogVersionCommand {
 
   private def gridCell(c: Column, mn: Double, mx: Double,
@@ -344,14 +344,30 @@ final case class OptimizeTxLogCommand(target: SqlTarget,
           "ZORDER BY supports 1 or 2 columns (the Morton interleave is " +
             "2-D; compose hilbert_key manually for more dimensions)")
     }
+    val declaredCluster = TxLog.properties(t).get("graft.cluster.columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     val v = where match {
       case Some(w) =>
         TxLog.optimizeWhere(spark, t, PartitionPredicate.parse(spark, w),
           targetBytes = Some(targetBytes), clusterBy = cluster)
+      case None if zorder.isEmpty && !full && declaredCluster.nonEmpty =>
+        // liquid-clustering maintenance: plain OPTIMIZE on a
+        // cluster-declared table is INCREMENTAL — only files written
+        // since the last OPTIMIZE (plus small outputs) rewrite; an
+        // immediate re-run is a no-op. `OPTIMIZE t FULL` re-clusters
+        // the whole snapshot.
+        TxLog.optimizeIncremental(spark, t, minBytes,
+          targetBytes = Some(targetBytes))
       case None =>
-        val threshold = if (zorder.nonEmpty) Long.MaxValue else minBytes
+        val threshold =
+          if (zorder.nonEmpty || full) Long.MaxValue else minBytes
+        val clusterEff =
+          if (cluster.nonEmpty) cluster
+          else if (full) declaredCluster.map(col(_))
+          else Seq.empty
         TxLog.optimizeSmall(spark, t, threshold,
-          targetBytes = Some(targetBytes), clusterBy = cluster)
+          targetBytes = Some(targetBytes), clusterBy = clusterEff)
     }
     Seq(Row(v.orElse(TxLog.latestVersion(t)).getOrElse(0L)))
   }
@@ -419,6 +435,81 @@ final case class ShowPartitionsTxLogCommand(target: SqlTarget)
       }.mkString("/")
       Row(if (s.isEmpty) "<unpartitioned>" else s, n.toLong, bytes)
     }
+}
+
+/** `ANALYZE TABLE txlog.`p` COMPUTE STATISTICS [NOSCAN | FOR COLUMNS …
+  * | FOR ALL COLUMNS]` — Spark's catalog-statistics verb for PATH
+  * tables the session catalog can't hold stats for. Table stats
+  * (row count exact, bytes from the log) and per-column stats (NDV via
+  * HLL approx — the Spark/Delta production choice at scale — plus exact
+  * null count and min/max) persist as `graft.analyze.*` properties in
+  * ONE commit, so they version/time-travel with the table and any
+  * engine or operator reads them through SHOW TBLPROPERTIES. NOSCAN
+  * records the metadata-derived table stats only (no data pass), same
+  * contract as stock ANALYZE. The scan is ONE aggregate pass over the
+  * snapshot regardless of column count. */
+final case class AnalyzeTxLogCommand(target: SqlTarget, cols: Seq[String],
+    allCols: Boolean, noscan: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("stat", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("value", org.apache.spark.sql.types.StringType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val sizeBytes = TxLog.fileSizes(t).values.sum
+    val stats = scala.collection.mutable.LinkedHashMap[String, String](
+      "graft.analyze.sizeBytes" -> sizeBytes.toString)
+    if (!noscan) {
+      val snap = TxLog.read(spark, t)
+      val wanted =
+        if (allCols) snap.columns.toSeq
+        else {
+          val missing = cols.filterNot(snap.columns.contains)
+          require(missing.isEmpty,
+            s"ANALYZE TABLE $t: no such column(s): ${missing.mkString(", ")}")
+          cols
+        }
+      // one aggregate pass computes everything: exact row count, and per
+      // column approx NDV (HLL, rsd 0.05), exact null count, min/max
+      val aggs = count(lit(1)).as("__rc") +: wanted.flatMap(c => Seq(
+        approx_count_distinct(col(c)).as(s"__ndv_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c")))
+      val r = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
+      stats += "graft.analyze.rowCount" -> r.getAs[Long]("__rc").toString
+      wanted.foreach { c =>
+        stats += s"graft.analyze.col.$c.ndv" ->
+          r.getAs[Long](s"__ndv_$c").toString
+        stats += s"graft.analyze.col.$c.nullCount" ->
+          r.getAs[Long](s"__nulls_$c").toString
+        Option(r.getAs[String](s"__min_$c")).foreach(v =>
+          stats += s"graft.analyze.col.$c.min" -> v)
+        Option(r.getAs[String](s"__max_$c")).foreach(v =>
+          stats += s"graft.analyze.col.$c.max" -> v)
+      }
+    }
+    TxLog.setProperties(t, stats.toMap)
+    stats.toSeq.map { case (k, v) => Row(k, v) }
+  }
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE txlog.`p`` — Delta's
+  * manifest generation: text files of absolute data-file paths so
+  * external engines (Presto/Trino/Athena/DuckDB) read the snapshot
+  * without understanding the log. Refuses on active DVs (an external
+  * reader would resurrect the deleted rows); remedy REORG APPLY (PURGE)
+  * is named in the error. See [[TxLog.generateManifest]]. */
+final case class GenerateManifestCommand(target: SqlTarget)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("manifest", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxLog.generateManifest(target.resolve(spark))
+      .map { case (m, n) => Row(m, n) }
 }
 
 /** `DESCRIBE txlog.`path`` — the logged schema as (col_name, data_type,

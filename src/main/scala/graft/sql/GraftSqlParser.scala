@@ -154,6 +154,52 @@ object GraftSqlDml {
       }
     else if (s.kws("COPY", "INTO")) parseCopyInto(s)
     else if (s.kw("RESTORE")) { s.kw("TABLE"); parseRestore(s) }
+    else if (s.kws("ANALYZE", "TABLE")) {
+      // PATH form only (`ANALYZE TABLE <ident>` keeps Spark's stock
+      // catalog-statistics behavior): compute and persist table/column
+      // statistics into the log's properties
+      val p0 = s.pos
+      target(s, allowIdent = false) match {
+        case Some(t) =>
+          require(s.kws("COMPUTE", "STATISTICS"),
+            s"ANALYZE TABLE $t: expected COMPUTE STATISTICS")
+          if (s.kw("NOSCAN")) {
+            require(s.eof, s"unexpected trailing input in ANALYZE TABLE $t")
+            Some(AnalyzeTxLogCommand(t, Seq.empty, allCols = false,
+              noscan = true))
+          } else if (s.kws("FOR", "ALL", "COLUMNS")) {
+            require(s.eof, s"unexpected trailing input in ANALYZE TABLE $t")
+            Some(AnalyzeTxLogCommand(t, Seq.empty, allCols = true,
+              noscan = false))
+          } else if (s.kws("FOR", "COLUMNS")) {
+            val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+            var more = true
+            while (more) {
+              cols += s.identPart().getOrElse(
+                throw new IllegalArgumentException(
+                  s"ANALYZE TABLE $t: expected a column name"))
+              more = s.punct(',')
+            }
+            require(s.eof, s"unexpected trailing input in ANALYZE TABLE $t")
+            Some(AnalyzeTxLogCommand(t, cols.toSeq, allCols = false,
+              noscan = false))
+          } else {
+            require(s.eof, s"unexpected trailing input in ANALYZE TABLE $t")
+            Some(AnalyzeTxLogCommand(t, Seq.empty, allCols = false,
+              noscan = false))
+          }
+        case None => { s.reset(p0); None } // ident form — stock verb
+      }
+    }
+    else if (s.kws("GENERATE", "SYMLINK_FORMAT_MANIFEST", "FOR", "TABLE"))
+      // Delta's `GENERATE symlink_format_manifest FOR TABLE t`
+      target(s, allowIdent = true).map { t =>
+        require(s.eof, s"unexpected trailing input in GENERATE FOR TABLE $t")
+        GenerateManifestCommand(t)
+      }
+    else if (s.kw("GENERATE")) throw new IllegalArgumentException(
+      "GENERATE: only symlink_format_manifest is supported " +
+        "(GENERATE symlink_format_manifest FOR TABLE <t>)")
     else if (s.kws("REORG", "TABLE"))
       // Delta's `REORG TABLE t APPLY (PURGE)`: materialize DV deletes
       // and drop retired-column bytes by rewriting exactly the carriers
@@ -818,14 +864,20 @@ object GraftSqlDml {
 
   private def parseOptimize(s: Scan): Option[LogicalPlan] =
     target(s, allowIdent = true).map { t =>
+      // Delta's `OPTIMIZE t FULL`: force the whole snapshot through the
+      // rewrite (on a cluster-declared table, a complete re-cluster) —
+      // the plain form is incremental there (see OptimizeTxLogCommand)
+      val full = s.kw("FULL")
       val where = if (s.kw("WHERE")) Some(s.until("ZORDER")) else None
       val zorder =
         if (s.kws("ZORDER", "BY")) {
           require(s.punct('('), "OPTIMIZE: expected ZORDER BY (cols)")
           Scan.splitTop(s.parenBody(), ',').map(Scan.unquoteIdent)
         } else Seq.empty
+      require(!full || (where.isEmpty && zorder.isEmpty),
+        s"OPTIMIZE $t FULL does not combine with WHERE / ZORDER BY")
       require(s.eof, s"unexpected trailing input in OPTIMIZE $t")
-      OptimizeTxLogCommand(t, where, zorder)
+      OptimizeTxLogCommand(t, where, zorder, full)
     }
 
   /** `VACUUM <t> [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]` —
