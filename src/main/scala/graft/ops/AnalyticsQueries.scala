@@ -1363,6 +1363,45 @@ object AnalyticsQueries {
         .toDF("stat", "value")
     },
 
+    // COLUMN DEFAULT VALUES (Delta's column defaults): ALTER COLUMN …
+    // SET DEFAULT makes a SQL INSERT that OMITS the column fill the
+    // default instead of NULL — write-time only, existing rows
+    // untouched, stored as a versioned property. The entry seeds rows,
+    // declares a default, inserts with a column list, drops the default
+    // and inserts again; the oracle recomputes all three eras.
+    QueryDef("src_txlog_sql_default",
+      "ALTER COLUMN SET DEFAULT: omitted insert columns fill the declared default, existing rows and post-DROP inserts do not",
+      s"""WITH i AS (SELECT c_custkey, c_name
+         |  FROM read_parquet('${QueryDef.StageSql}/txdef_in/*.parquet'))
+         |SELECT c_custkey, c_name, 'legacy' AS tier FROM i
+         |WHERE c_custkey <= 10
+         |UNION ALL
+         |SELECT c_custkey, c_name, 'bronze' AS tier FROM i
+         |WHERE c_custkey > 10 AND c_custkey <= 20
+         |UNION ALL
+         |SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS tier FROM i
+         |WHERE c_custkey > 20 AND c_custkey <= 30""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+        .filter(col("c_custkey") <= 30)
+        .stageInput(dir, "txdef_in")
+      val in = s.read.parquet(s"$stage/txdef_in")
+      val table = Files.createTempDirectory("graft_txdef").toString + "/t"
+      TxLog.overwrite(in.filter(col("c_custkey") <= 10)
+        .withColumn("tier", lit("legacy")), table)
+      s.sql(s"ALTER TABLE txlog.`$table` ALTER COLUMN tier " +
+        "SET DEFAULT 'bronze'")
+      in.filter(col("c_custkey") > 10 && col("c_custkey") <= 20)
+        .createOrReplaceTempView("txdef_era2")
+      s.sql(s"INSERT INTO txlog.`$table` (c_custkey, c_name) " +
+        "SELECT c_custkey, c_name FROM txdef_era2")
+      s.sql(s"ALTER TABLE txlog.`$table` ALTER COLUMN tier DROP DEFAULT")
+      in.filter(col("c_custkey") > 20).createOrReplaceTempView("txdef_era3")
+      s.sql(s"INSERT INTO txlog.`$table` (c_custkey, c_name) " +
+        "SELECT c_custkey, c_name FROM txdef_era3")
+      TxLog.read(s, table)
+    },
+
     // CLUSTERING-AWARE INCREMENTAL OPTIMIZE (the liquid-clustering
     // maintenance shape): on a graft.cluster.columns table, plain
     // OPTIMIZE rewrites ONLY files written since the last OPTIMIZE;

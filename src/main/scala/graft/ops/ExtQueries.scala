@@ -611,6 +611,48 @@ object ExtQueries {
         vecs.filter(col("id") < 10), vecs, k = 5)
     },
 
+    // FILTERED ANN — the WHERE-clause vector-search shape (serve "top-k
+    // similar WHERE lang = 'en'"): IVF candidates pre-filter on the
+    // metadata predicate BEFORE the exact rerank, so the expensive
+    // cosine runs only on qualifying rows; nProbe is raised to
+    // compensate for the survivors the filter removes per cell (the
+    // standard filtered-search trade — recall at equal probes drops
+    // with selectivity, so probes widen). The predicate is re-applied
+    // in the oracle: a Spark-side filter leak produces rows DuckDB
+    // drops and the entry hash-mismatches.
+    QueryDef("ext_ann_filtered",
+      "filtered ANN: IVF candidates pre-filtered on a metadata predicate before the exact rerank; filter+score+rank oracled",
+      s"""WITH c AS (SELECT q_id, n_id FROM read_parquet('$StageSql/annfilt_cands/*.parquet')),
+         |s AS (SELECT c.q_id, c.n_id, $COS AS score
+         |      FROM c JOIN embeddings q ON q.vec_id = c.q_id
+         |             JOIN embeddings n ON n.vec_id = c.n_id
+         |      WHERE n.label = 1)
+         |SELECT q_id, n_id, score, rank FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |  FROM s)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      GraftFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      // same cached index as ext_sim_topk_ivf — a filtered query is a
+      // QUERY-time variation, never a second index
+      val model = graft.ext.IvfIndex.trainCached(dir, emb, "embedding",
+        nCells = 16)
+      val cands = graft.ext.IvfIndex.candidates(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        model, nProbe = 8)
+      val labels = emb.select(col("vec_id").alias("n_id"), col("label"))
+      val filtered = cands.join(labels, "n_id")
+        .filter(col("label") === 1).select("q_id", "n_id")
+      val stage = stageDir(dir)
+      filtered.write.mode("overwrite").parquet(s"$stage/annfilt_cands")
+      val vecs = emb.select(col("vec_id").alias("id"),
+        col("embedding").alias("vec"))
+      Similarity.topKFromCandidates(
+        s.read.parquet(s"$stage/annfilt_cands"),
+        vecs.filter(col("id") < 10), vecs, k = 5)
+    },
+
     // Two-level IVF — the 10⁵-cell fleet shape of the flat entry above:
     // queries route through a coarse codebook (trained over the fine
     // CENTROIDS) and rank only the fine cells inside their probed coarse

@@ -1591,6 +1591,17 @@ object TxLog {
         // the table owner's latency/throughput trade). Guarded against
         // self-trigger (layout-only ops skip) and best-effort like the
         // checkpoint: a failed compaction never fails the commit.
+        // AUTO-MANIFEST (Delta's delta.compatibility.symlinkFormatManifest
+        // .enabled): regenerate the symlink manifests after any commit
+        // that changes the active file set, so external readers never
+        // see a stale tree without an operator re-running GENERATE.
+        // Opt-in; skipped (not failed) while DVs are active — the next
+        // PURGE-then-commit regenerates.
+        if ((commit.add.nonEmpty || commit.remove.nonEmpty ||
+            commit.dvAdd.nonEmpty) &&
+          properties(table).get("graft.manifest.auto").contains("true") &&
+          activeDvs(table).isEmpty)
+          generateManifest(table)
         if (commit.add.nonEmpty &&
           !Set("optimize", "optimizeDvs", "reorg", "protocol")(commit.op) &&
           properties(table).get("graft.autoCompact.enabled")

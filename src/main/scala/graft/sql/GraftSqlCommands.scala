@@ -134,18 +134,24 @@ final case class InsertIntoTxLogCommand(target: SqlTarget,
       d.withColumn(c, expr(v))
     }
     val provided = withStatics.columns.map(_.toLowerCase).toSet
-    // target order, target types; unnamed columns NULL-backfill — except
-    // GENERATED ALWAYS columns (expression and identity), which stay
-    // absent so the write path computes/allocates them (a NULL backfill
-    // would fail the expression equality check)
+    // target order, target types; unnamed columns backfill their declared
+    // DEFAULT (graft.default.<col>, the Delta column-defaults behavior)
+    // or NULL — except GENERATED ALWAYS columns (expression and identity),
+    // which stay absent so the write path computes/allocates them (a NULL
+    // backfill would fail the expression equality check)
     val generated = (TxLog.generatedCols(t).keySet ++
       TxLog.identityCols(t).keySet).map(_.toLowerCase)
+    val defaults = TxLog.properties(t).collect {
+      case (k, e) if k.startsWith("graft.default.") =>
+        k.stripPrefix("graft.default.").toLowerCase -> e
+    }
     val aligned = withStatics.select(schema.fields.toSeq
       .filter(f => provided.contains(f.name.toLowerCase) ||
         !generated.contains(f.name.toLowerCase))
       .map { f =>
         (if (provided.contains(f.name.toLowerCase)) col(f.name)
-         else lit(null)).cast(f.dataType).alias(f.name)
+         else defaults.get(f.name.toLowerCase).map(expr)
+           .getOrElse(lit(null))).cast(f.dataType).alias(f.name)
       }: _*)
     val v = replaceWhere match {
       case Some(cond) => TxLog.replaceWhere(spark, t, aligned, expr(cond))
@@ -435,6 +441,46 @@ final case class ShowPartitionsTxLogCommand(target: SqlTarget)
       }.mkString("/")
       Row(if (s.isEmpty) "<unpartitioned>" else s, n.toLong, bytes)
     }
+}
+
+/** `ALTER TABLE txlog.`p` ALTER COLUMN c SET DEFAULT <expr> | DROP
+  * DEFAULT` — Delta's column defaults: a SQL INSERT that OMITS the
+  * column (column-list form) fills the default instead of NULL.
+  * Existing rows and positional full-arity inserts are untouched, and
+  * DataFrame writes keep their explicit-columns contract — the same
+  * write-time-only scope Delta gives the feature. The expression must
+  * be self-contained (no column references — it is evaluated per
+  * inserted row with nothing to bind against). Stored as a
+  * `graft.default.<col>` property: one commit, versioned, visible in
+  * SHOW TBLPROPERTIES. */
+final case class AlterColumnDefaultCommand(target: SqlTarget,
+    colName: String, default: Option[String]) extends TxLogVersionCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val schema = TxLog.schemaAsOf(t).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER COLUMN on $t: the table has no schema yet"))
+    val f = schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER COLUMN: $colName is not a column of $t " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    val v = default match {
+      case Some(e) =>
+        val parsed = spark.sessionState.sqlParser.parseExpression(e)
+        val refs = parsed.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+        }
+        require(refs.isEmpty,
+          s"DEFAULT for $colName must be self-contained; it references " +
+            s"${refs.map(_.name).mkString(", ")}")
+        // evaluability + castability proven NOW, not at first insert
+        spark.range(1).select(expr(e).cast(f.dataType)).collect()
+        TxLog.setProperties(t, Map(s"graft.default.${f.name}" -> e))
+      case None =>
+        TxLog.unsetProperties(t, Seq(s"graft.default.${f.name}"))
+    }
+    Seq(Row(v))
+  }
 }
 
 /** `ANALYZE TABLE txlog.`p` COMPUTE STATISTICS [NOSCAN | FOR COLUMNS …

@@ -327,9 +327,20 @@ object GraftSqlDml {
           require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
           AlterTxLogTableCommand(t, Nil, Nil, None,
             Some(s"${name}_not_null"))
+        } else if (s.kws("SET", "DEFAULT")) {
+          // Delta's column DEFAULT: applies to SQL INSERTs that OMIT the
+          // column (column-list form); existing rows are untouched
+          val e = s.until().trim
+          require(e.nonEmpty,
+            s"ALTER TABLE $t: SET DEFAULT on $name is missing an expression")
+          AlterColumnDefaultCommand(t, name, Some(e))
+        } else if (s.kws("DROP", "DEFAULT")) {
+          require(s.eof, s"unexpected trailing input in ALTER TABLE $t")
+          AlterColumnDefaultCommand(t, name, None)
         } else throw new IllegalArgumentException(
           s"ALTER TABLE $t: expected TYPE <data type>, SET NOT NULL, " +
-            s"or DROP NOT NULL after ALTER COLUMN $name")
+            "DROP NOT NULL, SET DEFAULT <expr>, or DROP DEFAULT " +
+            s"after ALTER COLUMN $name")
       } else if (s.kws("ADD", "COLUMNS")) {
         require(s.punct('('), s"ALTER TABLE $t: expected (name type, …)")
         val cols = Scan.splitTop(s.parenBody(), ',').map { part =>

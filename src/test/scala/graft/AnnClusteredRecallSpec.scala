@@ -72,6 +72,34 @@ class AnnClusteredRecallSpec extends SparkSpec {
     assert(exact.size === 100)
   }
 
+  test("filtered ANN: predicate pre-filter + widened probes keep recall") {
+    // metadata filter: ~20% of the corpus qualifies (vec_id % 5 = 1) —
+    // the "top-k similar WHERE lang = 'en'" serving shape
+    val labeled = emb.withColumn("label", pmod(col("vec_id"), lit(5)))
+    val corpus = labeled.filter(col("label") === 1)
+    // ground truth: brute force over the QUALIFYING corpus only
+    val exactFiltered = pairs(Similarity.bruteForceTopK(
+      corpus, queries, "vec_id", "embedding", k = 5))
+    val model = IvfIndex.train(emb, "embedding", nCells = 16, seed = 7L)
+    val cands = IvfIndex.candidates(emb, queries, "vec_id", "embedding",
+      model, nProbe = 8) // widened vs the unfiltered 4 — the filter
+                         // removes ~80% of each cell's survivors
+    val filtered = cands
+      .join(labeled.select(col("vec_id").alias("n_id"), col("label")), "n_id")
+      .filter(col("label") === 1).select("q_id", "n_id")
+    val got = Similarity.topKFromCandidates(filtered, queries
+      .select(col("vec_id").alias("id"), col("embedding").alias("vec")),
+      emb.select(col("vec_id").alias("id"), col("embedding").alias("vec")),
+      k = 5)
+    val gotPairs = pairs(got)
+    // every served neighbor satisfies the predicate
+    assert(gotPairs.forall { case (_, n) => n % 5 == 1 },
+      "the filter must hold on every served row")
+    val recall = (exactFiltered & gotPairs).size.toDouble / exactFiltered.size
+    info(f"filtered ivf recall@5 = $recall%.2f")
+    assert(recall >= 0.85, s"filtered recall@5 = $recall")
+  }
+
   test("IVF-PQ residual encoding beats plain PQ at equal code bytes") {
     // same code budget (m=8, nCodes=16 → 8 bytes/vector) and the same
     // shortlist budget; the ONLY change is quantizing residuals instead

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.TxLog
+
+/** Column DEFAULT values (Delta's column defaults): `ALTER TABLE …
+  * ALTER COLUMN c SET DEFAULT <expr>` makes a SQL INSERT that OMITS the
+  * column (column-list form) fill the default instead of NULL. Scope is
+  * write-time only — existing rows and positional full-arity inserts
+  * are untouched, matching Delta. */
+class ColumnDefaultSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(): String = {
+    val t = tmpDir("coldef") + "/t"
+    TxLog.append(Seq((1L, "a", "legacy")).toDF("k", "v", "tag"), t)
+    t
+  }
+
+  test("omitted column fills the default; existing rows untouched") {
+    val t = fixture()
+    spark.sql(s"ALTER TABLE txlog.`$t` ALTER COLUMN tag " +
+      "SET DEFAULT 'bronze'")
+    spark.sql(s"INSERT INTO txlog.`$t` (k, v) VALUES (2, 'b'), (3, 'c')")
+    val rows = TxLog.read(spark, t).as[(Long, String, String)]
+      .collect().toSet
+    assert(rows === Set((1L, "a", "legacy"), (2L, "b", "bronze"),
+      (3L, "c", "bronze")))
+    // the default is a versioned property, visible to any reader
+    assert(TxLog.properties(t).get("graft.default.tag")
+      === Some("'bronze'"))
+  }
+
+  test("expressions work; DROP DEFAULT restores the NULL backfill") {
+    val t = fixture()
+    spark.sql(s"ALTER TABLE txlog.`$t` ALTER COLUMN tag " +
+      "SET DEFAULT upper('x') || '1'")
+    spark.sql(s"INSERT INTO txlog.`$t` (k, v) VALUES (2, 'b')")
+    spark.sql(s"ALTER TABLE txlog.`$t` ALTER COLUMN tag DROP DEFAULT")
+    spark.sql(s"INSERT INTO txlog.`$t` (k, v) VALUES (3, 'c')")
+    val byK = TxLog.read(spark, t).as[(Long, String, String)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(byK(2L) === "X1")
+    assert(byK(3L) === null,
+      "after DROP DEFAULT the omit-insert must NULL-backfill again")
+    assert(!TxLog.properties(t).contains("graft.default.tag"))
+  }
+
+  test("positional full-arity inserts never consult defaults") {
+    val t = fixture()
+    spark.sql(s"ALTER TABLE txlog.`$t` ALTER COLUMN tag " +
+      "SET DEFAULT 'bronze'")
+    spark.sql(s"INSERT INTO txlog.`$t` VALUES (2, 'b', 'explicit')")
+    val byK = TxLog.read(spark, t).as[(Long, String, String)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(byK(2L) === "explicit")
+  }
+
+  test("refusals: unknown column; column-referencing expression") {
+    val t = fixture()
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE txlog.`$t` ALTER COLUMN nope SET DEFAULT 1")
+    }
+    assert(e1.getMessage.contains("nope"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE txlog.`$t` ALTER COLUMN tag SET DEFAULT " +
+        "concat(v, '!')")
+    }
+    assert(e2.getMessage.contains("self-contained"), e2.getMessage)
+  }
+}

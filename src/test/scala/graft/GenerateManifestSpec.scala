@@ -62,6 +62,26 @@ class GenerateManifestSpec extends SparkSpec {
     assert(external.as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("graft.manifest.auto regenerates on every file-set change") {
+    val t = tmpDir("genman_auto") + "/t"
+    TxLog.setProperties(t, Map("graft.manifest.auto" -> "true"))
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    val external1 = spark.read.parquet(manifestPaths(t): _*)
+    assert(external1.as[(Long, String)].collect().toSet === Set((1L, "a")),
+      "the append commit must have produced a manifest unprompted")
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)
+    val external2 = spark.read.parquet(manifestPaths(t): _*)
+    assert(external2.count() === 2,
+      "the manifest must track the new commit with no operator action")
+    // a DV commit leaves the manifest regeneration SKIPPED (stale but
+    // never torn); the purge commit regenerates
+    TxLog.deleteVectors(spark, t, col("k") === 1L)
+    spark.sql(s"REORG TABLE txlog.`$t` APPLY (PURGE)")
+    val external3 = spark.read.parquet(manifestPaths(t): _*)
+    assert(external3.as[(Long, String)].collect().toSet === Set((2L, "b")),
+      "the purge commit must regenerate the manifest")
+  }
+
   test("active DVs refuse with the REORG PURGE remedy; purge unblocks") {
     val t = tmpDir("genman_dv") + "/t"
     TxLog.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
