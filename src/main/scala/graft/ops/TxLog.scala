@@ -1616,11 +1616,15 @@ object TxLog {
           val sizes = fileSizes(table)
           val nSmall = activeFiles(table)
             .count(f => sizes.getOrElse(f, 0L) < minSize)
+          // getActiveSession is thread-local (unset on caller-spawned
+          // worker threads) — fall back to the default session so the
+          // fold fires regardless of which thread committed
           if (nSmall >= minFiles)
-            org.apache.spark.sql.SparkSession.getActiveSession.foreach {
-              spark => optimizeSmall(spark, table, minSize,
+            org.apache.spark.sql.SparkSession.getActiveSession
+              .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+              .foreach { spark => optimizeSmall(spark, table, minSize,
                 targetBytes = Some(target))
-            }
+              }
         }
       } catch { case scala.util.control.NonFatal(_) => () }
     won
@@ -3372,8 +3376,6 @@ object TxLog {
         s"first: REORG TABLE txlog.`$table` APPLY (PURGE)")
     val files = activeFiles(table, asOf)
     val root = Paths.get(table, "_symlink_format_manifest")
-    if (Files.exists(root))
-      walkDir(root).sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
     // group by the file's RAW escaped partition segments (between the
     // staging dir and the file name) — re-rendering unescaped values
     // would corrupt partition dirs containing escaped characters
@@ -3383,16 +3385,43 @@ object TxLog {
       if (lastStage < 0 || lastStage >= segs.length - 2) ""
       else segs.slice(lastStage + 1, segs.length - 1).mkString("/")
     }
-    files.groupBy(partDir).toSeq.sortBy(_._1).map { case (part, fs) =>
+    // each manifest lands by ATOMIC replace (tmp + move), so an external
+    // reader mid-regeneration sees the old tree or the new one, never a
+    // missing manifest; stale partition dirs (dropped partitions) are
+    // swept only AFTER the fresh writes — a brief stale-but-consistent
+    // window, the same contract as Delta's regeneration
+    val byPart = files.groupBy(partDir).toSeq.sortBy(_._1)
+    val out = byPart.map { case (part, fs) =>
       val dir = if (part.isEmpty) root else root.resolve(part)
       Files.createDirectories(dir)
       val lines = fs.map(f =>
         Paths.get(resolve(table, f)).toAbsolutePath.toString).sorted
-      Files.write(dir.resolve("manifest"),
-        (lines.mkString("\n") + "\n").getBytes)
+      val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+      Files.write(tmp, (lines.mkString("\n") + "\n").getBytes)
+      Files.move(tmp, dir.resolve("manifest"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val rel = Paths.get(table).relativize(dir.resolve("manifest"))
       (rel.toString, fs.size.toLong)
     }
+    val live = byPart.map { case (part, _) =>
+      (if (part.isEmpty) root else root.resolve(part)).normalize
+    }.toSet
+    if (Files.exists(root))
+      walkDir(root)
+        .filter(p => p.getFileName.toString == "manifest" &&
+          !live.contains(p.getParent.normalize))
+        .foreach { stale =>
+          Files.deleteIfExists(stale)
+          // prune now-empty partition dirs up to (not including) root
+          var d = stale.getParent
+          while (d != null && d.normalize != root.normalize &&
+              listDir(d).isEmpty) {
+            Files.deleteIfExists(d)
+            d = d.getParent
+          }
+        }
+    out
   }
 
   /** Per-file inventory of a snapshot — the `table_files` TVF's engine
@@ -5423,8 +5452,11 @@ object TxLog {
             case (MergeUpdate(_, set), i) if set.contains(f.name) =>
               i -> set(f.name)
           } ++ notMatchedC.zipWithIndex.map { case (ins, j) =>
+            // partial INSERT backfill: the column's declared DEFAULT
+            // (graft.default.<col>, same rule as SQL INSERT) or NULL
             (100 + j) -> ins.values.getOrElse(f.name,
-              lit(null).cast(f.dataType))
+              properties(table).get(s"graft.default.${f.name}")
+                .map(expr).getOrElse(lit(null)).cast(f.dataType))
           } ++ nmbsC.zipWithIndex.collect {
             case (MergeUpdate(_, set), i) if set.contains(f.name) =>
               (200 + i) -> set(f.name)

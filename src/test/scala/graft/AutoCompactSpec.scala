@@ -78,6 +78,52 @@ class AutoCompactSpec extends SparkSpec {
       Set((2L, "p0"), (4L, "p0")))
   }
 
+  test("concurrent appenders race the synchronous fold; nothing is lost") {
+    // two writers trickle single-file appends into one auto-compacting
+    // table: every append can trigger the hook's optimizeSmall, whose
+    // optimistic rewrite races the OTHER writer's commits. The invariant
+    // is the multiset — a lost row or a double-fold would break it.
+    val t = tmpDir("autocompact_race") + "/t"
+    TxLog.setProperties(t, Map(
+      "graft.autoCompact.enabled" -> "true",
+      "graft.autoCompact.minFileSize" -> (1024L * 1024).toString,
+      "graft.autoCompact.minFiles" -> "3"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (0 until 2).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            (1 to 8).foreach { i =>
+              // the documented client contract on ConcurrentWriteException
+              // (a racer changed schema metadata — here the first schema
+              // commit, or an optimize's nullability relaxation): re-read
+              // and retry the whole operation
+              var tries = 0
+              var done = false
+              while (!done) {
+                try {
+                  TxLog.append(Seq((w * 100L + i, s"w$w-$i"))
+                    .toDF("k", "v").coalesce(1), t)
+                  done = true
+                } catch {
+                  case _: TxLog.ConcurrentWriteException if tries < 20 =>
+                    tries += 1
+                }
+              }
+            }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val rows = TxLog.read(spark, t).as[(Long, String)].collect()
+    assert(rows.length === 16, s"all 16 appended rows must survive")
+    assert(rows.map(_._1).toSet ===
+      (0 until 2).flatMap(w => (1 to 8).map(w * 100L + _)).toSet)
+    assert(TxLog.commits(t).exists(_.op == "optimize"),
+      "at least one fold must have fired under the race")
+    assert(dataFiles(t).size < 16, "folding must have reduced file count")
+  }
+
   test("a DV'd small file folds; the DV retires with the rewrite") {
     val t = tmpDir("autocompact_dv") + "/t"
     TxLog.setProperties(t, Map(

@@ -55,6 +55,26 @@ class ColumnDefaultSpec extends SparkSpec {
     assert(byK(2L) === "explicit")
   }
 
+  test("MERGE partial INSERT fills the default for omitted columns") {
+    val t = fixture()
+    spark.sql(s"ALTER TABLE txlog.`$t` ALTER COLUMN tag " +
+      "SET DEFAULT 'bronze'")
+    Seq((1L, "a2"), (9L, "i")).toDF("k", "v")
+      .createOrReplaceTempView("coldef_src")
+    spark.sql(
+      s"""MERGE INTO txlog.`$t` AS tgt USING coldef_src AS src
+         |ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET v = src.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)
+         |""".stripMargin)
+    val byK = TxLog.read(spark, t).as[(Long, String, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byK(1L) === (("a2", "legacy")),
+      "updates must not touch unassigned columns")
+    assert(byK(9L) === (("i", "bronze")),
+      "a merge-inserted row omitting the column must fill the default")
+  }
+
   test("refusals: unknown column; column-referencing expression") {
     val t = fixture()
     val e1 = intercept[IllegalArgumentException] {

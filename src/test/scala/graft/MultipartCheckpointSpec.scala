@@ -156,6 +156,44 @@ class MultipartCheckpointSpec extends SparkSpec {
 
   private val CommitJson = """\d{20}\.json""".r
 
+  test("parts compose with column mapping, row tracking, and identity") {
+    val t = tmpDir("mpcp_x") + "/t"
+    TxLog.setProperties(t, Map(
+      "graft.checkpoint.partMaxFiles" -> "2",
+      "graft.rowTracking.enabled" -> "true"))
+    (1 to 5).foreach { i =>
+      TxLog.append(Seq((i.toLong, s"r$i")).toDF("k", "v").coalesce(1), t)
+    }
+    TxLog.setProperties(t, Map("graft.columnMapping.mode" -> "name"))
+    spark.sql(s"ALTER TABLE txlog.`$t` RENAME COLUMN v TO label")
+    TxLog.deleteVectors(spark, t, col("k") === 3L)
+    TxLog.compact(t)
+    val warmRows = TxLog.read(spark, t)
+      .select("k", "label").as[(Long, String)].collect().toSet
+    val warmMap = TxLog.mappingAsOf(t)
+    val cold = coldCopy(t)
+    assert(logNames(cold).count(PartName.matches) >= 2,
+      "the feature-heavy snapshot must have split")
+    assert(TxLog.mappingAsOf(cold) === warmMap,
+      "column mapping must fold from the merged part states")
+    assert(TxLog.read(spark, cold).select("k", "label")
+      .as[(Long, String)].collect().toSet === warmRows,
+      "renamed columns + DVs must read identically from the part fold")
+    assert(warmRows === (1 to 5).filter(_ != 3)
+      .map(i => (i.toLong, s"r$i")).toSet)
+    // row-id continuity: the next append on the cold copy allocates
+    // ABOVE the checkpointed high water, never reusing ids
+    val hw = TxLog.readWithRowIds(spark, cold)
+      .agg(max(col("_row_id"))).collect()(0).getLong(0)
+    TxLog.append(Seq((6L, "r6")).toDF("k", "label").coalesce(1), cold)
+    val after = TxLog.readWithRowIds(spark, cold)
+      .filter(col("k") === 6L)
+      .select(col("_row_id")).collect()(0).getLong(0)
+    assert(after > hw,
+      s"row ids must continue above the checkpointed high water " +
+        s"($after vs $hw)")
+  }
+
   test("the default partMaxFiles keeps the single-file form and pointer") {
     val t = tmpDir("mpcp_single") + "/t"
     TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
