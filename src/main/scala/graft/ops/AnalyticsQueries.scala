@@ -1329,7 +1329,8 @@ object AnalyticsQueries {
     QueryDef("src_txlog_sql_analyze",
       "ANALYZE TABLE COMPUTE STATISTICS on a txlog path: exact table/column stats recorded as one versioned commit",
       s"""WITH i AS (SELECT c_custkey, c_name
-         |  FROM read_parquet('${QueryDef.StageSql}/txanlz_in/*.parquet'))
+         |  FROM read_parquet('${QueryDef.StageSql}/txanlz_in/*.parquet')),
+         |b AS (SELECT MIN(c_custkey) AS lo, MAX(c_custkey) AS hi FROM i)
          |SELECT 'rowCount' AS stat, CAST(COUNT(*) AS VARCHAR) AS value FROM i
          |UNION ALL
          |SELECT 'c_custkey.nullCount',
@@ -1338,7 +1339,14 @@ object AnalyticsQueries {
          |UNION ALL
          |SELECT 'c_custkey.min', CAST(MIN(c_custkey) AS VARCHAR) FROM i
          |UNION ALL
-         |SELECT 'c_custkey.max', CAST(MAX(c_custkey) AS VARCHAR) FROM i""".stripMargin) { (s, dir) =>
+         |SELECT 'c_custkey.max', CAST(MAX(c_custkey) AS VARCHAR) FROM i
+         |UNION ALL
+         |SELECT 'c_custkey.hist.' || CAST(bk AS VARCHAR),
+         |  CAST(CAST(COUNT(*) AS BIGINT) AS VARCHAR)
+         |FROM (SELECT LEAST(7, GREATEST(0, CAST(FLOOR(
+         |        ((i.c_custkey - b.lo) * 8) / (b.hi - b.lo)) AS INT))) AS bk
+         |      FROM i, b WHERE i.c_custkey IS NOT NULL)
+         |GROUP BY bk""".stripMargin) { (s, dir) =>
       val stage = QueryDef.stageDir(dir)
       Tables.load(s, dir, "customer").select("c_custkey", "c_name")
         .stageInput(dir, "txanlz_in")
@@ -1346,6 +1354,8 @@ object AnalyticsQueries {
       // ANALYZE commits properties — fresh table per run
       val table = Files.createTempDirectory("graft_txanlz").toString + "/t"
       TxLog.overwrite(in.repartition(2), table)
+      TxLog.setProperties(table,
+        Map("graft.analyze.histogramBuckets" -> "8"))
       s.sql(s"ANALYZE TABLE txlog.`$table` COMPUTE STATISTICS " +
         "FOR COLUMNS c_custkey").collect()
       val p = TxLog.properties(table)
@@ -1354,12 +1364,21 @@ object AnalyticsQueries {
       val ndv = p("graft.analyze.col.c_custkey.ndv").toLong
       require(math.abs(ndv - exactNdv).toDouble / exactNdv <= 0.15,
         s"approx NDV must sit within 15% of exact: $ndv vs $exactNdv")
+      // the recorded equi-width histogram, emitted as (bucket, count)
+      // rows — the deterministic IEEE bucket formula lets DuckDB
+      // recompute the exact same counts (min/max are stringified
+      // integers here, so the double arithmetic is exact cross-engine)
+      val hist = p("graft.analyze.col.c_custkey.hist")
+      val histRows = hist.split('|')(1).split(',').zipWithIndex
+        .filter(_._1.toLong > 0L)
+        .map { case (cnt, b) => (s"c_custkey.hist.$b", cnt) }.toSeq
       import s.implicits._
-      Seq(
+      (Seq(
         ("rowCount", p("graft.analyze.rowCount")),
         ("c_custkey.nullCount", p("graft.analyze.col.c_custkey.nullCount")),
         ("c_custkey.min", p("graft.analyze.col.c_custkey.min")),
         ("c_custkey.max", p("graft.analyze.col.c_custkey.max")))
+        ++ histRows)
         .toDF("stat", "value")
     },
 

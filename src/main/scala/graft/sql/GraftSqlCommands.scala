@@ -66,8 +66,24 @@ final case class UpdateTxLogCommand(target: SqlTarget,
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
     val cond = where.map(expr).getOrElse(lit(true))
+    // `SET c = DEFAULT` (the standard's explicit-default assignment):
+    // the column's declared default, or NULL when none is declared —
+    // the same resolution rule SQL INSERT applies to omitted columns.
+    // Defaults are stored under the schema-canonical name, so the
+    // lookup resolves the user-typed case first (SQL is
+    // case-insensitive here).
+    val props = TxLog.properties(t)
+    val canon: Map[String, String] = TxLog.schemaAsOf(t)
+      .map(_.fieldNames.map(n => n.toLowerCase -> n).toMap)
+      .getOrElse(Map.empty)
     val v = TxLog.update(spark, t, cond,
-      sets.map { case (c, e) => c -> expr(e) }.toMap)
+      sets.map { case (c, e) =>
+        if (e.trim.equalsIgnoreCase("DEFAULT")) {
+          val name = canon.getOrElse(c.toLowerCase, c)
+          c -> props.get(s"graft.default.$name").map(expr)
+            .getOrElse(lit(null))
+        } else c -> expr(e)
+      }.toMap)
     Seq(Row(v))
   }
 }
@@ -534,6 +550,36 @@ final case class AnalyzeTxLogCommand(target: SqlTarget, cols: Seq[String],
           stats += s"graft.analyze.col.$c.min" -> v)
         Option(r.getAs[String](s"__max_$c")).foreach(v =>
           stats += s"graft.analyze.col.$c.max" -> v)
+      }
+      // EQUI-WIDTH HISTOGRAMS (opt-in: graft.analyze.histogramBuckets=N):
+      // per numeric analyzed column, bucket counts over [min, max] with
+      // bucket = clamp(floor((v - lo) * N / (hi - lo)), 0, N - 1) — a
+      // deterministic IEEE formula any engine reproduces EXACTLY (no
+      // quantile sketch), which is what lets the oracle recompute it.
+      // One groupBy per column (histograms are a second pass in stock
+      // Spark ANALYZE too); selectivity estimation reads them as
+      // `graft.analyze.col.<c>.hist` = "lo,hi|c0,c1,…".
+      val nBuckets = TxLog.properties(t)
+        .get("graft.analyze.histogramBuckets")
+        .flatMap(_.trim.toIntOption).getOrElse(0)
+      if (nBuckets > 0) {
+        val numericCols = wanted.filter(c => snap.schema(c).dataType
+          .isInstanceOf[NumericType])
+        numericCols.foreach { c =>
+          val lo = stats.get(s"graft.analyze.col.$c.min").map(_.toDouble)
+          val hi = stats.get(s"graft.analyze.col.$c.max").map(_.toDouble)
+          for (l <- lo; h <- hi; if h > l) {
+            val bucket = least(lit(nBuckets - 1), greatest(lit(0),
+              floor((col(c).cast("double") - lit(l)) * lit(nBuckets) /
+                lit(h - l)))).cast("int")
+            val counts = snap.filter(col(c).isNotNull)
+              .groupBy(bucket.as("__b")).count()
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            val vec = (0 until nBuckets)
+              .map(counts.getOrElse(_, 0L)).mkString(",")
+            stats += s"graft.analyze.col.$c.hist" -> s"$l,$h|$vec"
+          }
+        }
       }
     }
     TxLog.setProperties(t, stats.toMap)

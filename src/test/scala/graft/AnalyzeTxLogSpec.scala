@@ -61,6 +61,19 @@ class AnalyzeTxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("equi-width histograms record exact bucket counts when declared") {
+    val t = fixture()
+    TxLog.setProperties(t, Map("graft.analyze.histogramBuckets" -> "4"))
+    spark.sql(s"ANALYZE TABLE txlog.`$t` COMPUTE STATISTICS FOR COLUMNS k")
+    // k in 1..5, lo=1 hi=5, bucket = clamp(floor((v-1)*4/4), 0, 3):
+    // 1→0, 2→1, 3→2, 4→3, 5→3
+    assert(TxLog.properties(t).get("graft.analyze.col.k.hist")
+      === Some("1.0,5.0|1,1,1,2"))
+    // string columns never get histograms
+    spark.sql(s"ANALYZE TABLE txlog.`$t` COMPUTE STATISTICS FOR COLUMNS v")
+    assert(!TxLog.properties(t).contains("graft.analyze.col.v.hist"))
+  }
+
   test("NOSCAN records metadata-derived table stats only") {
     val t = fixture()
     spark.sql(s"ANALYZE TABLE txlog.`$t` COMPUTE STATISTICS NOSCAN")

@@ -75,6 +75,21 @@ class ColumnDefaultSpec extends SparkSpec {
       "a merge-inserted row omitting the column must fill the default")
   }
 
+  test("UPDATE SET c = DEFAULT assigns the declared default (or NULL)") {
+    val t = fixture()
+    spark.sql(s"ALTER TABLE txlog.`$t` ALTER COLUMN tag " +
+      "SET DEFAULT 'bronze'")
+    // mixed-case column name — the lookup resolves the canonical name
+    spark.sql(s"UPDATE txlog.`$t` SET TAG = DEFAULT WHERE k = 1")
+    assert(TxLog.read(spark, t).as[(Long, String, String)]
+      .collect().head._3 === "bronze")
+    spark.sql(s"ALTER TABLE txlog.`$t` ALTER COLUMN tag DROP DEFAULT")
+    spark.sql(s"UPDATE txlog.`$t` SET tag = DEFAULT WHERE k = 1")
+    assert(TxLog.read(spark, t).as[(Long, String, String)]
+      .collect().head._3 === null,
+      "with no declared default, SET c = DEFAULT assigns NULL")
+  }
+
   test("refusals: unknown column; column-referencing expression") {
     val t = fixture()
     val e1 = intercept[IllegalArgumentException] {
