@@ -343,12 +343,18 @@ object TxLog {
 
   /** The reader floor the retention marker recorded (7, or 8 when the
     * expiry's fold floor was a multi-part checkpoint). None ⇒ never
-    * expired. */
+    * expired. A marker that EXISTS but cannot parse (torn write from a
+    * crashed expiry) answers the conservative floor 7 — this accessor
+    * sits on the COMMIT path ([[tryCommit]]), and a parse error there
+    * would brick every write on the table; the pre-floor behavior was
+    * exactly `Files.exists ⇒ 7`. */
   private def retentionFloor(table: String): Option[Int] = {
     val p = retentionMarkerPath(table)
     if (!Files.exists(p)) None
-    else Some(Option(mapper.readTree(Files.readAllBytes(p))
-      .get("protocolVersion")).map(_.asInt()).getOrElse(7))
+    else Some(
+      try Option(mapper.readTree(Files.readAllBytes(p))
+        .get("protocolVersion")).map(_.asInt()).getOrElse(7)
+      catch { case scala.util.control.NonFatal(_) => 7 })
   }
 
   /** `Files.list`/`Files.walk` return STREAMS holding an open directory
@@ -592,10 +598,18 @@ object TxLog {
       case CheckpointPartName(v, i, n) => Some((v.toLong, i.toInt, n.toInt, p))
       case _ => None
     })
-    val multi = parts.groupBy(_._1).collect {
-      case (v, ps) if !singleVs(v) && ps.map(_._3).distinct.size == 1 &&
-          (1 to ps.head._3).forall(i => ps.exists(_._2 == i)) =>
-        v -> (1 to ps.head._3).map(i => ps.find(_._2 == i).get._4)
+    // group by (version, declared part count): racers under DIFFERENT
+    // partMaxFiles settings can leave strays with another n at the same
+    // version (one complete 2-part set + one abandoned part of a 3-part
+    // attempt) — any COMPLETE set is valid (all serialize the same
+    // stateAt answer), so pick the one with the fewest parts
+    // deterministically rather than rejecting the version outright
+    val multi = parts.groupBy(_._1).flatMap { case (v, ps) =>
+      if (singleVs(v)) None
+      else ps.groupBy(_._3).toSeq.sortBy(_._1).collectFirst {
+        case (n, grp) if (1 to n).forall(i => grp.exists(_._2 == i)) =>
+          v -> (1 to n).map(i => grp.find(_._2 == i).get._4)
+      }
     }
     (singles ++ multi).sortBy(_._1)
   }
@@ -1591,6 +1605,11 @@ object TxLog {
         // the table owner's latency/throughput trade). Guarded against
         // self-trigger (layout-only ops skip) and best-effort like the
         // checkpoint: a failed compaction never fails the commit.
+        // NOTE: the txlog streaming SINK predates this with its own
+        // option-driven cadence form (autoCompactEvery /
+        // autoCompactMinBytes, DefaultSource.scala) — prefer THIS table
+        // property for new tables (one policy, declared once, applies to
+        // every writer); the sink options remain for per-query control.
         // AUTO-MANIFEST (Delta's delta.compatibility.symlinkFormatManifest
         // .enabled): regenerate the symlink manifests after any commit
         // that changes the active file set, so external readers never
@@ -3389,15 +3408,21 @@ object TxLog {
     // reader mid-regeneration sees the old tree or the new one, never a
     // missing manifest; stale partition dirs (dropped partitions) are
     // swept only AFTER the fresh writes — a brief stale-but-consistent
-    // window, the same contract as Delta's regeneration
-    val byPart = files.groupBy(partDir).toSeq.sortBy(_._1)
+    // window, the same contract as Delta's regeneration.
+    // An EMPTY snapshot (everything deleted) still writes one empty root
+    // manifest — an external reader must get zero rows, not
+    // file-not-found (Delta's GENERATE does the same)
+    val byPart =
+      if (files.isEmpty) Seq("" -> Seq.empty[String])
+      else files.groupBy(partDir).toSeq.sortBy(_._1)
     val out = byPart.map { case (part, fs) =>
       val dir = if (part.isEmpty) root else root.resolve(part)
       Files.createDirectories(dir)
       val lines = fs.map(f =>
         Paths.get(resolve(table, f)).toAbsolutePath.toString).sorted
       val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
-      Files.write(tmp, (lines.mkString("\n") + "\n").getBytes)
+      Files.write(tmp,
+        (if (lines.isEmpty) "" else lines.mkString("\n") + "\n").getBytes)
       Files.move(tmp, dir.resolve("manifest"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -5940,8 +5965,12 @@ object TxLog {
       st.minReader, if (hasCompactedLog(table)) 6 else 1,
       retentionFloor(table).getOrElse(1),
       protoFloor).max
+    // lenient parse (the sibling-property rule): a malformed value must
+    // not throw here — this runs inside the post-commit hook, where the
+    // NonFatal catch would silently kill the checkpoint cadence (and
+    // with it auto retention/compaction) for the table
     val partMax = st.props.get("graft.checkpoint.partMaxFiles")
-      .map(_.toInt).getOrElse(
+      .flatMap(_.trim.toIntOption).getOrElse(
         Integer.getInteger("graft.checkpoint.partMaxFiles", 100000).toInt)
     def place(node: com.fasterxml.jackson.databind.node.ObjectNode,
         target: Path): Unit = {
@@ -6178,7 +6207,13 @@ object TxLog {
       .orElse(retentionHorizonTs(table))
       .foreach(node.put("horizonTs", _))
     node.put("protocolVersion", floor)
-    Files.write(retentionMarkerPath(table), mapper.writeValueAsBytes(node))
+    // atomic replace — a crash mid-write must never leave a torn marker
+    // (readers parse it on the commit path; see [[retentionFloor]])
+    val mkTmp = logDir(table).resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(mkTmp, mapper.writeValueAsBytes(node))
+    Files.move(mkTmp, retentionMarkerPath(table),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     doomed.foreach(Files.deleteIfExists)
     commitCache.remove(table)
     stateCache.remove(table)

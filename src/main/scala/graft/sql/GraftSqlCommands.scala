@@ -73,15 +73,23 @@ final case class UpdateTxLogCommand(target: SqlTarget,
     // lookup resolves the user-typed case first (SQL is
     // case-insensitive here).
     val props = TxLog.properties(t)
-    val canon: Map[String, String] = TxLog.schemaAsOf(t)
-      .map(_.fieldNames.map(n => n.toLowerCase -> n).toMap)
+    val schema = TxLog.schemaAsOf(t)
+    val canon: Map[String, org.apache.spark.sql.types.StructField] = schema
+      .map(_.fields.map(f => f.name.toLowerCase -> f).toMap)
       .getOrElse(Map.empty)
     val v = TxLog.update(spark, t, cond,
       sets.map { case (c, e) =>
         if (e.trim.equalsIgnoreCase("DEFAULT")) {
-          val name = canon.getOrElse(c.toLowerCase, c)
-          c -> props.get(s"graft.default.$name").map(expr)
+          val f = canon.get(c.toLowerCase)
+          val name = f.map(_.name).getOrElse(c)
+          // cast to the DECLARED column type — the INSERT/MERGE backfill
+          // rule; without it CASE/WHEN coercion against the old column
+          // value could widen the frame's type (e.g. DATE+STRING→STRING)
+          // and commit files whose physical type contradicts the logged
+          // schema
+          val raw = props.get(s"graft.default.$name").map(expr)
             .getOrElse(lit(null))
+          c -> f.map(ff => raw.cast(ff.dataType)).getOrElse(raw)
         } else c -> expr(e)
       }.toMap)
     Seq(Row(v))
@@ -525,7 +533,14 @@ final case class AnalyzeTxLogCommand(target: SqlTarget, cols: Seq[String],
     if (!noscan) {
       val snap = TxLog.read(spark, t)
       val wanted =
-        if (allCols) snap.columns.toSeq
+        if (allCols)
+          // stock ANALYZE's FOR ALL COLUMNS rule: silently skip column
+          // types min/max can't order (maps, structs, arrays) instead of
+          // failing the whole command on one of them; explicitly named
+          // columns still surface the analyzer's own error
+          snap.schema.fields.toSeq.filter(f =>
+            org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(f.dataType)).map(_.name)
         else {
           val missing = cols.filterNot(snap.columns.contains)
           require(missing.isEmpty,

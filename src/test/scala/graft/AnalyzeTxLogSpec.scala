@@ -83,6 +83,20 @@ class AnalyzeTxLogSpec extends SparkSpec {
       "NOSCAN must not run a data pass")
   }
 
+  test("FOR ALL COLUMNS skips non-orderable types instead of failing") {
+    val t = tmpDir("analyze_map") + "/t"
+    TxLog.append(Seq((1L, Map("a" -> 1L)), (2L, Map("b" -> 2L)))
+      .toDF("k", "m"), t)
+    spark.sql(s"ANALYZE TABLE txlog.`$t` COMPUTE STATISTICS " +
+      "FOR ALL COLUMNS")
+    val p = TxLog.properties(t)
+    assert(p.contains("graft.analyze.col.k.ndv"),
+      "orderable columns must still analyze")
+    assert(!p.keys.exists(_.startsWith("graft.analyze.col.m.")),
+      "map columns are skipped, not fatal — stock ANALYZE's rule")
+    assert(p("graft.analyze.rowCount") === "2")
+  }
+
   test("re-analyze after DML overwrites the recorded stats") {
     val t = fixture()
     spark.sql(s"ANALYZE TABLE txlog.`$t` COMPUTE STATISTICS FOR COLUMNS k")

@@ -45,6 +45,25 @@ class ColumnDefaultSpec extends SparkSpec {
     assert(!TxLog.properties(t).contains("graft.default.tag"))
   }
 
+  test("UPDATE SET DEFAULT casts to the declared column type") {
+    // a string-literal default on a DATE column: without the cast,
+    // CASE/WHEN coercion against the old column value would widen the
+    // frame to STRING and commit files whose physical type contradicts
+    // the logged schema
+    val t = tmpDir("coldef_date") + "/t"
+    TxLog.append(Seq((1L, java.sql.Date.valueOf("2020-05-05")))
+      .toDF("k", "d"), t)
+    spark.sql(s"ALTER TABLE txlog.`$t` ALTER COLUMN d " +
+      "SET DEFAULT '2026-01-01'")
+    spark.sql(s"UPDATE txlog.`$t` SET d = DEFAULT WHERE k = 1")
+    val row = TxLog.read(spark, t).as[(Long, java.sql.Date)]
+      .collect().head
+    assert(row._2 === java.sql.Date.valueOf("2026-01-01"))
+    assert(TxLog.read(spark, t).schema("d").dataType
+      === org.apache.spark.sql.types.DateType,
+      "the rewrite must keep the logged column type")
+  }
+
   test("positional full-arity inserts never consult defaults") {
     val t = fixture()
     spark.sql(s"ALTER TABLE txlog.`$t` ALTER COLUMN tag " +

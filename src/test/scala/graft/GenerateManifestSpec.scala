@@ -62,6 +62,24 @@ class GenerateManifestSpec extends SparkSpec {
     assert(external.as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("an empty snapshot writes one empty manifest, never a missing one") {
+    val t = tmpDir("genman_empty") + "/t"
+    TxLog.append(Seq((1L, "a")).toDF("k", "v"), t)
+    spark.sql(s"GENERATE symlink_format_manifest FOR TABLE txlog.`$t`")
+    TxLog.delete(spark, t, org.apache.spark.sql.functions.lit(true))
+    spark.sql(s"GENERATE symlink_format_manifest FOR TABLE txlog.`$t`")
+    val m = Paths.get(t, "_symlink_format_manifest", "manifest")
+    assert(Files.exists(m),
+      "an external reader must get zero rows, not file-not-found")
+    // the delete's copy-on-write may leave one zero-row file or none at
+    // all — either way the external contract is ZERO ROWS through the
+    // manifest
+    val paths = manifestPaths(t)
+    if (paths.nonEmpty)
+      assert(spark.read.parquet(paths: _*).count() === 0L)
+    else assert(Files.size(m) === 0L)
+  }
+
   test("graft.manifest.auto regenerates on every file-set change") {
     val t = tmpDir("genman_auto") + "/t"
     TxLog.setProperties(t, Map("graft.manifest.auto" -> "true"))

@@ -156,6 +156,26 @@ class MultipartCheckpointSpec extends SparkSpec {
 
   private val CommitJson = """\d{20}\.json""".r
 
+  test("a stray part with a different count never hides a complete set") {
+    // two compactors under different partMaxFiles settings can leave one
+    // complete set plus an abandoned stray of another part count at the
+    // SAME version — the reader must use the complete set, not reject
+    // the version
+    val t = fixture()
+    val cold = coldCopy(t)
+    val warmFiles = TxLog.activeFiles(t)
+    val p1 = TxLog.walkDir(Paths.get(cold, "_txlog"))
+      .filter(p => PartName.matches(p.getFileName.toString))
+      .minBy(_.getFileName.toString)
+    val v = p1.getFileName.toString.take(20)
+    // abandoned first part of a would-be 9-part set at the same version
+    Files.copy(p1, Paths.get(cold, "_txlog",
+      s"$v.checkpoint.0000000001.0000000009.json"))
+    assert(TxLog.activeFiles(cold) === warmFiles,
+      "the complete set must stay visible beside the stray")
+    assert(TxLog.read(spark, cold).count() === TxLog.read(spark, t).count())
+  }
+
   test("parts compose with column mapping, row tracking, and identity") {
     val t = tmpDir("mpcp_x") + "/t"
     TxLog.setProperties(t, Map(
