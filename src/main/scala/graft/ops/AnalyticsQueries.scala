@@ -1284,6 +1284,60 @@ object AnalyticsQueries {
       TxLog.read(s, table)
     },
 
+    // DAY-2 AUTO-MAINTENANCE, COMPOSED: one trickle-written table with
+    // all four auto properties — auto-compaction (small files fold),
+    // auto-checkpoint (bounded log replay), auto log retention (the log
+    // itself stays bounded forever), auto-manifest (external readers
+    // always fresh). The zero-operator steady state a perpetual 100 TB
+    // streaming table actually runs in; the entry requires every bound
+    // and oracles the full contents.
+    QueryDef("src_txlog_day2_lifecycle",
+      "All four auto-maintenance properties on one trickle-written table: files, log, and manifests bounded with zero operators, reads exact",
+      s"""SELECT c_custkey, c_name
+         |FROM read_parquet('${QueryDef.StageSql}/txday2_in/*.parquet')
+         |WHERE c_custkey <= 48""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+        .filter(col("c_custkey") <= 48)
+        .stageInput(dir, "txday2_in")
+      val in = s.read.parquet(s"$stage/txday2_in")
+      // retention + compaction mutate the log — fresh table per run
+      val table = Files.createTempDirectory("graft_txday2").toString + "/t"
+      TxLog.setProperties(table, Map(
+        "graft.autoCompact.enabled" -> "true",
+        "graft.autoCompact.minFileSize" -> (1024L * 1024).toString,
+        "graft.autoCompact.minFiles" -> "6",
+        "graft.checkpoint.interval" -> "8",
+        "graft.logRetention.auto" -> "true",
+        "graft.manifest.auto" -> "true"))
+      (0 until 24).foreach { i =>
+        TxLog.append(in.filter(col("c_custkey") % 24 === i)
+          .coalesce(1), table)
+      }
+      require(TxLog.activeFiles(table).size <= 8,
+        s"auto-compaction must bound the active files, " +
+          s"got ${TxLog.activeFiles(table).size}")
+      val logNames = TxLog.walkDir(
+        java.nio.file.Paths.get(table, "_txlog"))
+        .map(_.getFileName.toString)
+      require(logNames.count(_.matches("""\d{20}\.json""")) <= 20,
+        s"auto retention must bound the loose commit count")
+      require(TxLog.retentionHorizon(table).exists(_ > 1L),
+        "the retention horizon must have advanced off version 1")
+      // the auto-manifest tracks every commit: an external reader over
+      // the manifest paths sees the exact snapshot, zero log knowledge
+      val manifests = TxLog.walkDir(java.nio.file.Paths.get(table,
+        "_symlink_format_manifest"))
+        .filter(_.getFileName.toString == "manifest")
+      val paths = manifests.flatMap(p =>
+        new String(Files.readAllBytes(p)).split("\n")).filter(_.nonEmpty)
+      require(paths.nonEmpty, "auto-manifest must have been generated")
+      val external = s.read.parquet(paths: _*)
+      require(external.count() == TxLog.read(s, table).count(),
+        "the auto-manifest must be FRESH — external == snapshot")
+      TxLog.read(s, table)
+    },
+
     // GENERATE symlink_format_manifest (Delta's external-engine interop):
     // text manifests of absolute active-file paths — an engine that
     // understands none of the log (Presto/Trino/Athena/DuckDB) reads the
