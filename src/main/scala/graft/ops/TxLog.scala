@@ -4807,11 +4807,27 @@ object TxLog {
     * the affected set. Cost is scan + rewrite-of-affected-files, not a
     * table rewrite — with clustered layout (see [[optimize]]) a selective
     * predicate touches few files. */
+  /** Jittered exponential backoff between optimistic-retry attempts
+    * (Delta's commit backoff): a data-rewriting writer re-stages its
+    * touched files on EVERY attempt, so against a fast small-commit
+    * writer it can lose every race in lockstep — the pre-backoff
+    * two-writer spec reproduced `update … lost 10 straight races` under
+    * exactly that starvation. A bounded random pause desynchronizes the
+    * writers; attempt 0 never sleeps, the cap stays well under a
+    * second. */
+  private def retryBackoff(attempt: Int): Unit =
+    if (attempt > 0) {
+      val cap = math.min(400L, 25L << math.min(attempt, 4))
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(cap / 2, cap + 1))
+    }
+
   private def copyOnWrite(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column, op: String)(
       rewrite: DataFrame => DataFrame): Long = {
     var attempts = 0
     while (attempts < 10) {
+      retryBackoff(attempts)
       val base = latestVersion(table)
       require(base.nonEmpty, s"$op on empty txlog table $table")
       val files = activeFiles(table, base)
@@ -5236,6 +5252,7 @@ object TxLog {
     val tracking = rowTrackingEnabled(table)
     var attempts = 0
     while (attempts < 10) {
+      retryBackoff(attempts)
       val base = latestVersion(table)
       require(base.nonEmpty, s"mergeInto on empty txlog table $table")
       val files = activeFiles(table, base)
@@ -6336,6 +6353,7 @@ object TxLog {
       bloomCols: Seq[String] = Seq.empty): Long = {
     var attempts = 0
     while (attempts < 10) {
+      retryBackoff(attempts)
       val base = latestVersion(table)
       require(base.nonEmpty, s"optimize on empty txlog table $table")
       val cur = readFiles(spark, table, activeFiles(table, base), base,
@@ -6476,6 +6494,7 @@ object TxLog {
       : Option[Long] = {
     var attempts = 0
     while (attempts < 10) {
+      retryBackoff(attempts)
       val base = latestVersion(table)
       require(base.nonEmpty, s"optimize on empty txlog table $table")
       val sizes = fileSizes(table, base)
