@@ -1115,6 +1115,49 @@ object AnalyticsQueries {
         .select("o_orderkey", "o_totalprice")
     },
 
+    // BUCKET-TRANSFORM PRUNING (Iceberg's bucket(n, col) partition
+    // transform): the table is partitioned by bkt GENERATED AS
+    // pmod(hash(c_custkey), 8); the query probes only c_custkey, and the
+    // scan still opens only the probed buckets' directories — the
+    // equality probe derives the exact bucket driver-side with Spark's
+    // own murmur3, the case where hash scatter makes min/max stats
+    // useless. The build pins the pruning (surviving files all sit in
+    // the derived buckets); the SQL-relation read the entry RETURNS
+    // exercises the same derivation end-to-end, and the oracle pins the
+    // rows.
+    QueryDef("src_txlog_bucket_prune",
+      "point lookups on the base column prune a pmod(hash(k), 8)-bucketed layout to the probed buckets; file set pinned, rows oracled",
+      s"""SELECT c_custkey, c_name
+         |FROM read_parquet('${QueryDef.StageSql}/txbkt_in/*.parquet')
+         |WHERE c_custkey IN (42, 101)""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+        .stageInput(dir, "txbkt_in")
+      // bucket layouts are append-only here — build once per sf
+      val table = Fixtures.immutableTable(dir, "txbkt", 1) { t =>
+        TxLog.setProperties(t, Map(
+          "graft.generated.bkt" -> "pmod(hash(c_custkey), 8)",
+          "graft.partition.columns" -> "bkt"))
+        TxLog.append(s.read.parquet(s"$stage/txbkt_in"), t)
+      }
+      val probes = TxLog.deriveGeneratedEqProbes(table, None,
+        Map("c_custkey" -> Seq(42L, 101L)))
+      require(probes.contains("bkt"),
+        "derivation must probe the bucket column")
+      val buckets = probes("bkt").map(b => s"bkt=$b")
+      val pruned = TxLog.readPruned(s, table, Map.empty, Map.empty,
+        eqProbes = probes)
+      require(pruned.inputFiles.length < TxLog.activeFiles(table).size,
+        "non-probed bucket directories must be pruned")
+      require(pruned.inputFiles.forall(f => buckets.exists(f.contains)),
+        "every surviving file sits in a probed bucket")
+      // the returned rows ride the SQL relation, whose buildScan runs
+      // the identical derivation from the pushed In filter
+      s.read.format("graft.sources.txlog").option("path", table).load()
+        .filter(col("c_custkey").isin(42L, 101L))
+        .select("c_custkey", "c_name")
+    },
+
     // LOG COMPACTION: a trickle-written table (one commit per
     // micro-batch — the 100 TB streaming-table steady state) accumulates
     // unbounded loose commit JSONs; with the threshold property set, the

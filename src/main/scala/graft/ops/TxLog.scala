@@ -3612,6 +3612,7 @@ object TxLog {
   private final case class GenFormat(base: String, fmt: String)
     extends GenShape
   private final case class GenPrefix(base: String, n: Int) extends GenShape
+  private final case class GenBucket(base: String, n: Int) extends GenShape
 
   /** Timestamp formats whose output ORDER equals input order (calendar
     * units in strictly decreasing significance) — the ones a derived
@@ -3643,6 +3644,17 @@ object TxLog {
             if s != null && s.toString == "1" &&
               n != null && n.toString.forall(_.isDigit) =>
             attr(a).map(GenPrefix(_, n.toString.toInt))
+          // the bucket transform (Iceberg's bucket(n, col), spelled in
+          // the engine's own vocabulary): pmod of Spark's murmur3 hash.
+          // `hash(b) % n` is NOT recognized — Spark's % is a remainder
+          // (negative for negative hashes) so files would land in
+          // negative partitions; pmod is the canonical non-negative form
+          case ("pmod", Seq(inner: UnresolvedFunction, Literal(n, _)))
+            if n != null && n.toString.forall(_.isDigit) &&
+              n.toString.toInt > 0 &&
+              inner.nameParts.map(_.toLowerCase).mkString(".") == "hash" &&
+              inner.arguments.size == 1 =>
+            attr(inner.arguments.head).map(GenBucket(_, n.toString.toInt))
           case _ => None
         }
       case c: Cast if c.dataType ==
@@ -3746,6 +3758,82 @@ object TxLog {
       }
     }
     (num2, str2)
+  }
+
+  /** Base-column types a bucket derivation may hash: exactly the types
+    * [[probeClassOk]] validates by EXTERNAL class. The `_ => true`
+    * exotic fallback probeClassOk allows elsewhere is deliberately NOT
+    * honored here — a bucket computed from a wrongly-constructed Literal
+    * would prune the wrong files silently, so only types whose external
+    * representation is pinned participate. */
+  private def bucketHashable(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType | StringType | BooleanType | DateType => true
+      case _: TimestampType | _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** The bucket `pmod(hash(v), n)` assigns — computed with Spark's OWN
+    * murmur3 expression (`hash`, seed 42) over a Literal of the logged
+    * base type, so it equals the value the write path materialized by
+    * construction (both sides evaluate the identical expression tree). */
+  private def bucketOf(v: Any,
+      dt: org.apache.spark.sql.types.DataType, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = new Murmur3Hash(Seq(Literal.create(v, dt)))
+      .eval(null).asInstanceOf[Int]
+    ((h % n) + n) % n
+  }
+
+  /** BUCKET-TRANSFORM PRUNING (Iceberg's `bucket(n, col)` partition
+    * transform, declared here as `g GENERATED ALWAYS AS
+    * (pmod(hash(b), n))` + partition-by-g): an equality probe on the
+    * BASE column implies the exact bucket, so `WHERE user_id = ?` on a
+    * 100 TB bucket-partitioned table opens 1/n of its files even though
+    * hash scatter makes min/max stats useless and the query never names
+    * the bucket column. The derived probe then prunes through the same
+    * [[readPruned]] machinery as an explicit one: partition-value
+    * equality first, blooms after.
+    *
+    * Soundness: the bucket is computed driver-side by the identical
+    * Spark expression the write path evaluated (murmur3 seed 42 +
+    * non-negative pmod) over a Literal of the logged base type; probes
+    * whose runtime class does not exactly match that type derive
+    * NOTHING (a coerced hash would prune wrong files silently —
+    * same posture as the bloom path's class-exact rule). Derivation is
+    * skipped when the query already constrains the bucket column
+    * itself, and a missed derivation costs pruning, never correctness
+    * (the exact row-level filter still runs above the scan). */
+  def deriveGeneratedEqProbes(table: String, asOf: Option[Long],
+      eqProbes: Map[String, Seq[Any]],
+      constrained: Set[String] = Set.empty): Map[String, Seq[Any]] = {
+    if (eqProbes.isEmpty) return eqProbes
+    val gens = generatedCols(table, asOf)
+    if (gens.isEmpty) return eqProbes
+    val schema = schemaAsOf(table, asOf)
+    def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c))
+      .map(_.dataType)
+    var out = eqProbes
+    gens.foreach { case (g, exprText) =>
+      if (!out.contains(g) && !constrained.contains(g))
+        genShape(exprText) match {
+          case Some(GenBucket(b, n)) =>
+            for {
+              vs <- eqProbes.get(b)
+              dt <- dtOf(b)
+              if vs.nonEmpty && bucketHashable(dt) &&
+                vs.forall(v => v != null && probeClassOk(dt, v))
+              buckets <- scala.util.Try(
+                vs.map(bucketOf(_, dt, n): Any).distinct).toOption
+            } out += g -> buckets
+          case _ => ()
+        }
+    }
+    out
   }
 
   def readPruned(spark: SparkSession, table: String,

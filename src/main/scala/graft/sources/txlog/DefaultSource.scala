@@ -422,7 +422,7 @@ case class TxLogRelation(sqlContext: SQLContext, path: String,
     * stats — stats ignore nulls). */
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val (numB0, strB0, eqP) = statsBounds(filters)
+    val (numB0, strB0, eqP0) = statsBounds(filters)
     // generated-column partition pruning (Delta's rule): a bound on the
     // BASE column of a generated partition column implies a bound on
     // the partition column itself — WHERE ts BETWEEN … prunes a
@@ -430,6 +430,12 @@ case class TxLogRelation(sqlContext: SQLContext, path: String,
     // partition column
     val (numB, strB) = TxLog.deriveGeneratedPartitionBounds(
       path, pinnedVersion, numB0, strB0)
+    // bucket-transform pruning: an equality probe on the base column of
+    // a pmod(hash(b), n)-generated partition column implies the exact
+    // bucket — WHERE user_id = ? opens 1/n of a bucket-partitioned
+    // table's files with no stats and no bucket column in the query
+    val eqP = TxLog.deriveGeneratedEqProbes(path, pinnedVersion, eqP0,
+      numB0.keySet ++ strB0.keySet)
     // NULL-ness predicates prune via partition values only (a col=v
     // path segment proves the file holds no nulls for col and vice
     // versa); stats-based pruning never sees them. IsNotNull is
