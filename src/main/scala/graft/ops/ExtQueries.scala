@@ -3,7 +3,8 @@ package graft.ops
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, QualityClassifier, Similarity, TextAnalysis}
+import graft.ops.Fixtures.StagedInputOps
 import graft.functions.{GraftFunctions, VectorFunctions}
 
 /** Extension-tier catalog (SURVEY.md §7.5): dedup, similarity search, text
@@ -1125,6 +1126,50 @@ object ExtQueries {
         |FROM t""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).alias("quality"))
+    },
+
+    // MODEL-BASED quality filtering (the GPT-3/CCNet classifier stage;
+    // Brown et al. 2020 §A, Wenzek et al. 2020): LR on hashed
+    // bag-of-words, distilled to dyadic weights and scored SCAN-SIDE as
+    // a codegen'd aggregate over the token array — no shuffle, no UDF,
+    // no model object on executors; training is sample-capped so its
+    // cost is flat in corpus size. On synthetic testdata the weak label
+    // is a lexicon marker (a production pipeline labels reference-vs-
+    // crawl); the entry's substance is the machinery: the staged
+    // (doc, bucket) explosion × staged (bucket, w) model replays the
+    // logit EXACTLY in DuckDB (dyadic sums are association-order-free),
+    // and the keep verdict is the logit's sign, so no engine's exp()
+    // ulps can flip it.
+    QueryDef("ext_quality_classifier",
+      "model-based quality filter: hashed-linear LR scored scan-side; exact dyadic logit + keep verdict replayed from staged buckets×weights",
+      s"""WITH d AS (SELECT doc_id FROM read_parquet('$StageSql/qc_docs/*.parquet')),
+         |t AS (SELECT doc_id, bucket FROM read_parquet('$StageSql/qc_toks/*.parquet')),
+         |w AS (SELECT bucket, w FROM read_parquet('$StageSql/qc_model/*.parquet')),
+         |b AS (SELECT w AS bias FROM w WHERE bucket = -1),
+         |dots AS (SELECT t.doc_id, SUM(wt.w) AS dot
+         |  FROM t JOIN w wt ON t.bucket = wt.bucket GROUP BY t.doc_id)
+         |SELECT d.doc_id, COALESCE(dots.dot, 0) + b.bias AS logit,
+         |  COALESCE(dots.dot, 0) + b.bias >= 0 AS keep
+         |FROM d LEFT JOIN dots ON d.doc_id = dots.doc_id
+         |CROSS JOIN b""".stripMargin) { (s, dir) =>
+      val stage = stageDir(dir)
+      val docs = Tables.load(s, dir, "documents")
+      val labeled = docs.withColumn("label",
+        array_contains(TextAnalysis.tokens(col("text")), "slow").cast("int"))
+      val model = QualityClassifier.train(labeled, "text", "label",
+        dim = 512, maxSample = 20000)
+      // tokens/doc list are input-deterministic (cacheable); the model
+      // is refit per run (training floats can drift across JVMs), so
+      // its weights stage FRESH each run beside the scores they produced
+      docs.select(col("doc_id")).stageInput(dir, "qc_docs")
+      Fixtures.stagedInput(dir, "qc_toks", 1)(docs.select(col("doc_id"),
+        explode(QualityClassifier.buckets(col("text"), 512))
+          .alias("bucket")))
+      QualityClassifier.modelFrame(s, model).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/qc_model")
+      docs.select(col("doc_id"),
+        QualityClassifier.logit(col("text"), model).alias("logit"),
+        QualityClassifier.keep(col("text"), model).alias("keep"))
     },
 
     // Gopher quality rules (Rae et al. 2021, Table A1 — the filter set
