@@ -1158,6 +1158,38 @@ object AnalyticsQueries {
         .select("c_custkey", "c_name")
     },
 
+    // IDEMPOTENT BATCH WRITES (Delta's txnAppId/txnVersion writer
+    // options): an orchestrator retry re-runs the whole write — same
+    // logical work, same (app, version) — and must apply exactly once.
+    // The entry appends through the DataFrame writer, replays the first
+    // write verbatim (skipped via the log's replay guard), replays an
+    // OLDER version (skipped under the monotone rule), then lands the
+    // next version; the oracle pins the exactly-once contents.
+    QueryDef("src_txlog_idempotent_write",
+      "txnAppId/txnVersion idempotent batch writes: replayed and stale versions skip, next version lands; exactly-once contents oracled",
+      s"""SELECT c_custkey, c_name
+         |FROM read_parquet('${QueryDef.StageSql}/txidw_in/*.parquet')
+         |WHERE c_custkey <= 100""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+        .stageInput(dir, "txidw_in")
+      val in = s.read.parquet(s"$stage/txidw_in")
+      val table = Files.createTempDirectory("graft_txidw").toString + "/t"
+      def put(ver: Long, df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("graft.sources.txlog").option("path", table)
+          .option("txnAppId", "ingest").option("txnVersion", ver)
+          .mode("append").save()
+      val first = in.filter(col("c_custkey") <= 50)
+      put(1, first)                                                  // v1
+      put(1, first)            // retry: replay guard skips, no commit
+      val v1 = TxLog.latestVersion(table).get
+      put(2, in.filter(col("c_custkey") > 50 && col("c_custkey") <= 100))
+      put(1, in)               // stale version: monotone rule skips
+      require(TxLog.latestVersion(table).get == v1 + 1,
+        "exactly the two distinct versions may commit")
+      TxLog.read(s, table)
+    },
+
     // LOG COMPACTION: a trickle-written table (one commit per
     // micro-batch — the 100 TB streaming-table steady state) accumulates
     // unbounded loose commit JSONs; with the threshold property set, the

@@ -4206,6 +4206,36 @@ object TxLog {
       streamId)
   }
 
+  /** Delta's idempotent-writer contract (`txnAppId`/`txnVersion`
+    * DataFrameWriter options) for BATCH writes: run `write` only when
+    * (appId, version) has not already committed, so an orchestrator
+    * retry — an Airflow task re-run, a foreachBatch redelivery routed
+    * through the batch writer, a speculative duplicate — applies the
+    * logical work exactly once. Returns Some(commitVersion) when the
+    * write landed, None when it was skipped as a replay (version ≤ the
+    * app's recorded max, Delta's rule).
+    *
+    * Race-safe without a lock: a rival applying the same (appId,
+    * version) between the pre-check and the commit surfaces as the
+    * commit-time replay-guard refusal ([[tryCommit]]), which this
+    * re-checks and converts to the silent skip — the caller can never
+    * double-apply AND never sees a spurious failure for work that is,
+    * in fact, committed. `write` must stamp the commit with
+    * (streamId = appId, batchId = version) or enforcement has nothing
+    * to hold onto; the writer-options path does. */
+  def idempotentWrite(table: String, appId: String, version: Long)(
+      write: => Long): Option[Long] = {
+    require(appId.nonEmpty, "txnAppId must be non-empty")
+    require(version >= 0,
+      s"txnVersion must be >= 0 (monotone per app), got $version")
+    if (batchCommitted(table, Some(appId), version)) return None
+    try Some(write)
+    catch {
+      case _: ConcurrentWriteException
+        if batchCommitted(table, Some(appId), version) => None
+    }
+  }
+
   /** The (streamId, batchId) replay guard: true when this stream already
     * committed this batch — the redelivery case a crash-recovered
     * checkpoint produces. batchId ALONE is not identity: a second query

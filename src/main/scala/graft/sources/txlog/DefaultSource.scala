@@ -285,10 +285,30 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
     val bloomCols = cols("bloomcols")
     val mergeSchema = parameters.get("mergeschema").exists(_.toBoolean)
     val exists = TxLog.latestVersion(path).isDefined
+    // Delta's idempotent-writer options: stamp the commit with
+    // (txnAppId, txnVersion) and SKIP it silently when that pair (or a
+    // later version of the app) already committed — retried orchestrator
+    // tasks apply exactly once. See [[TxLog.idempotentWrite]].
+    val txnApp = parameters.get("txnappid")
+    val txnVer = parameters.get("txnversion").map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"txlog sink: txnVersion '$v' is not a long")
+      }
+    }
+    require(txnApp.isDefined == txnVer.isDefined,
+      "txlog sink: txnAppId and txnVersion come together — one without " +
+        "the other cannot identify the logical write to deduplicate")
     def write(f: (DataFrame, String, Seq[String], Boolean, Long,
         Option[String], Seq[String], Map[String, Option[String]]) => Long)
-        : Unit =
-      f(data, path, statsCols, mergeSchema, -1L, None, bloomCols, Map.empty)
+        : Unit = {
+      def run(): Long = f(data, path, statsCols, mergeSchema,
+        txnVer.getOrElse(-1L), txnApp, bloomCols, Map.empty)
+      (txnApp, txnVer) match {
+        case (Some(a), Some(v)) => TxLog.idempotentWrite(path, a, v)(run())
+        case _ => run()
+      }
+    }
     mode match {
       case SaveMode.Append =>
         write(TxLog.append)
@@ -320,7 +340,17 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val path = pathOf(parameters, "source")
     val version = parameters.get("versionasof").map(_.toLong)
-    val tsMillis = parameters.get("timestampasof").map(_.toLong)
+    // both Delta forms: epoch millis or 'yyyy-MM-dd[ HH:mm:ss]' — the
+    // same parse as TIMESTAMP AS OF, table_changes, startingTimestamp
+    val tsMillis = parameters.get("timestampasof").map { s =>
+      try graft.sql.SqlTimestamps.toMillis(s)
+      catch {
+        case _: IllegalArgumentException | _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"txlog source: timestampAsOf '$s' is neither epoch millis " +
+              "nor a 'yyyy-MM-dd[ HH:mm:ss]' timestamp")
+      }
+    }
     require(version.isEmpty || tsMillis.isEmpty,
       "txlog source: pass versionAsOf OR timestampAsOf, not both")
     val asOf = (version, tsMillis) match {

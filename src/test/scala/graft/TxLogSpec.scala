@@ -224,6 +224,13 @@ class TxLogSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
     assert(fmt.option("timestampAsOf",
       System.currentTimeMillis().toString).load().count() === 2)
+    // Delta's string form resolves through the same parse as
+    // TIMESTAMP AS OF — a future wall-clock timestamp reads the tip
+    assert(fmt.option("timestampAsOf", "2099-01-01 00:00:00")
+      .load().count() === 2)
+    intercept[IllegalArgumentException] {
+      fmt.option("timestampAsOf", "not-a-time").load().collect()
+    }
     intercept[IllegalArgumentException] {
       fmt.option("versionAsOf", "1").option("timestampAsOf", "1").load()
         .collect()
