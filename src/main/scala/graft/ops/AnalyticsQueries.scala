@@ -1190,6 +1190,42 @@ object AnalyticsQueries {
       TxLog.read(s, table)
     },
 
+    // VACUUM LITE (Delta 3.1): sweep candidates come from the LOG's
+    // remove actions, not a recursive directory walk — O(log tail)
+    // metadata work where the classic sweep pays O(files on disk), the
+    // shape that matters when the table holds 10⁶+ files on an object
+    // store. The entry retires two snapshots, sweeps via SQL `VACUUM …
+    // LITE`, pins that the retired bytes are gone from disk while the
+    // live snapshot reads exactly (the oracle), and that a dry run
+    // agreed with the sweep.
+    QueryDef("src_txlog_vacuum_lite",
+      "VACUUM LITE sweeps log-recorded removes without a directory walk; retired files gone, live snapshot oracled",
+      s"""SELECT c_custkey, c_name
+         |FROM read_parquet('${QueryDef.StageSql}/txvacl_in/*.parquet')
+         |WHERE c_custkey % 3 = 0""".stripMargin) { (s, dir) =>
+      val stage = QueryDef.stageDir(dir)
+      Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+        .stageInput(dir, "txvacl_in")
+      val in = s.read.parquet(s"$stage/txvacl_in")
+      val table = Files.createTempDirectory("graft_txvacl").toString + "/t"
+      TxLog.overwrite(in.filter(col("c_custkey") % 2 === 0)
+        .repartition(2), table)                                       // v1
+      TxLog.overwrite(in.filter(col("c_custkey") % 3 === 0)
+        .repartition(2), table)                // v2 retires v1's files
+      val retired = TxLog.commits(table).head.add
+      val dry = s.sql(s"VACUUM txlog.`$table` LITE RETAIN 1 VERSIONS " +
+        "DRY RUN").collect().head.getLong(0)
+      val swept = s.sql(s"VACUUM txlog.`$table` LITE RETAIN 1 VERSIONS")
+        .collect().head.getLong(0)
+      require(dry == swept && swept >= retired.size,
+        s"dry run ($dry) must agree with the sweep ($swept) and cover " +
+          s"v1's ${retired.size} files")
+      require(retired.forall(f =>
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(table, f))),
+        "retired files must be gone from disk")
+      TxLog.read(s, table)
+    },
+
     // LOG COMPACTION: a trickle-written table (one commit per
     // micro-batch — the 100 TB streaming-table steady state) accumulates
     // unbounded loose commit JSONs; with the threshold property set, the

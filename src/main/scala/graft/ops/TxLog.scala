@@ -6911,7 +6911,8 @@ object TxLog {
     * outlive the source's retention. */
   def vacuum(table: String, retainVersions: Int = 2,
       minAgeMs: Long = 0L, dryRun: Boolean = false,
-      retainHours: Option[Double] = None): Seq[String] = {
+      retainHours: Option[Double] = None,
+      lite: Boolean = false): Seq[String] = {
     val latest = latestVersion(table).getOrElse(return Seq.empty)
     // a declared retention FLOOR (`graft.vacuum.retainVersions`) caps
     // how aggressively ANY caller may vacuum this table — the
@@ -6977,16 +6978,37 @@ object TxLog {
         activeDvs(table, Some(v)) ++ activeBlooms(table, Some(v))).toSet
     val root = Paths.get(table)
     val now = System.currentTimeMillis()
-    val onDisk = listDir(root)
-      .filter(p => Files.isDirectory(p) && {
-        val n = p.getFileName.toString
-        // data + deletion vectors + bloom-index sidecars
-        n.startsWith("d-") || n.startsWith("dv-") || n.startsWith("bl-")
-      })
-      // walk recursively: partitioned staging dirs nest value dirs
-      // (d-<uuid>/col=value/part-….parquet)
-      .flatMap(walkDir)
-      .filter(_.getFileName.toString.endsWith(".parquet"))
+    // VACUUM LITE (Delta 3.1's shape): candidates come from the LOG's
+    // remove actions instead of a recursive directory walk — O(log
+    // tail) metadata work where the full sweep pays O(files on disk),
+    // the difference between seconds and hours on an object store
+    // holding 10⁶+ files. The trade Delta documents applies here too:
+    // never-committed orphans (crashed writes that staged data but lost
+    // the commit race) are invisible to the log, so a periodic FULL
+    // vacuum still owns those. Absolute (shallow-clone) references are
+    // skipped — they belong to the source table and were never this
+    // table's bytes to delete. Removes recorded in log-retention-expired
+    // commits are gone with their commits; files they doomed were
+    // vacuumable the moment they left every protected snapshot, so a
+    // LITE cadence at least as frequent as log expiry loses nothing.
+    val onDisk =
+      if (lite)
+        commits(table)
+          .flatMap(c => c.remove ++ c.dvRemove ++ c.bloomRemove)
+          .distinct
+          .filterNot(_.startsWith("/"))
+          .map(root.resolve(_))
+          .filter(Files.exists(_))
+      else listDir(root)
+        .filter(p => Files.isDirectory(p) && {
+          val n = p.getFileName.toString
+          // data + deletion vectors + bloom-index sidecars
+          n.startsWith("d-") || n.startsWith("dv-") || n.startsWith("bl-")
+        })
+        // walk recursively: partitioned staging dirs nest value dirs
+        // (d-<uuid>/col=value/part-….parquet)
+        .flatMap(walkDir)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
     val doomed = onDisk.filter { p =>
       val rel = root.relativize(p).toString
       !protect.contains(rel) &&

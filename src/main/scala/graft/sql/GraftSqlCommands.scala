@@ -1074,14 +1074,15 @@ final case class ConvertToTxLogCommand(dir: String,
   * caller can be; the HOURS form additionally keeps every version
   * inside the time window (commit-timestamp index). */
 final case class VacuumTxLogCommand(target: SqlTarget, retain: Option[Int],
-    dryRun: Boolean, retainHours: Option[Double] = None)
+    dryRun: Boolean, retainHours: Option[Double] = None,
+    lite: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("removed", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
     Seq(Row(TxLog.vacuum(t, retain.getOrElse(2), dryRun = dryRun,
-      retainHours = retainHours).size.toLong))
+      retainHours = retainHours, lite = lite).size.toLong))
   }
 }
 

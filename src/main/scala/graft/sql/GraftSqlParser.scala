@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - `COPY INTO <t> FROM '<dir>' [FILEFORMAT = …] [FORMAT_OPTIONS (…)]
   *     [FORCE = true]`
   *   - `OPTIMIZE <t> [WHERE part = v …] [ZORDER BY (a[, b])]`
-  *   - `VACUUM <t> [RETAIN n VERSIONS] [DRY RUN]`
+  *   - `VACUUM <t> [LITE] [RETAIN n VERSIONS | n HOURS] [DRY RUN]`
   *   - `TRUNCATE TABLE <t>`
   *   - `ALTER TABLE txlog.`/path` SET PARTITIONED BY (c, …)` (partition
   *     spec evolution; `()` unpartitions)
@@ -891,13 +891,16 @@ object GraftSqlDml {
       OptimizeTxLogCommand(t, where, zorder, full)
     }
 
-  /** `VACUUM <t> [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]` —
-    * HOURS is Delta's time-window retention (lowered onto the commit
-    * timestamp index); VERSIONS is the count form. */
+  /** `VACUUM <t> [LITE] [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]`
+    * — HOURS is Delta's time-window retention (lowered onto the commit
+    * timestamp index); VERSIONS is the count form; LITE derives
+    * candidates from the log's remove actions instead of a directory
+    * walk (Delta 3.1). */
   private def parseVacuum(s: Scan): Option[LogicalPlan] = {
     target(s, allowIdent = true).map { t =>
       var retain: Option[Int] = None
       var hours: Option[Double] = None
+      val lite = s.kw("LITE")
       if (s.kw("RETAIN")) {
         val n = s.word().getOrElse(
           throw new IllegalArgumentException(
@@ -909,7 +912,7 @@ object GraftSqlDml {
       }
       val dry = s.kws("DRY", "RUN")
       require(s.eof, s"unexpected trailing input in VACUUM $t")
-      VacuumTxLogCommand(t, retain, dry, hours)
+      VacuumTxLogCommand(t, retain, dry, hours, lite)
     }
   }
 }
