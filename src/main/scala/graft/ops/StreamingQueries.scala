@@ -1596,6 +1596,57 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink").drop("batch")
     },
 
+    // Streaming model-based quality filtering — the classifier stage of
+    // a training-data pipeline run AT INGEST: the hashed-linear model is
+    // trained once batch-side (sample-capped) and its dyadic weights
+    // travel as a plan LITERAL into every micro-batch, so scoring is a
+    // codegen'd scan-side aggregate — no state, no shuffle, no join, no
+    // model object on executors. Doc-local arithmetic is batch-boundary-
+    // proof by construction (nothing crosses triggers), and dyadic sums
+    // let DuckDB replay the kept set exactly from the staged
+    // buckets×weights. The sink is the batchId-keyed overwrite (st17's
+    // replay-idempotence pattern).
+    QueryDef("st45_stream_quality_filter",
+      "streaming quality-classifier filter: dyadic hashed-linear logit per micro-batch (scan-side literal weights), keep = logit sign",
+      s"""WITH d AS (SELECT doc_id FROM read_parquet('$StageSql/st45_docs/*.parquet')),
+         |t AS (SELECT doc_id, bucket FROM read_parquet('$StageSql/st45_toks/*.parquet')),
+         |w AS (SELECT bucket, w FROM read_parquet('$StageSql/st45_model/*.parquet')),
+         |b AS (SELECT w AS bias FROM w WHERE bucket = -1),
+         |dots AS (SELECT t.doc_id, SUM(wt.w) AS dot
+         |  FROM t JOIN w wt ON t.bucket = wt.bucket GROUP BY t.doc_id),
+         |s AS (SELECT d.doc_id, COALESCE(dots.dot, 0) + b.bias AS logit
+         |  FROM d LEFT JOIN dots ON d.doc_id = dots.doc_id CROSS JOIN b)
+         |SELECT doc_id, logit FROM s WHERE logit >= 0""".stripMargin) {
+      (s, dir) =>
+      import graft.ext.{QualityClassifier, TextAnalysis}
+      val stage = QueryDef.stageDir(dir)
+      val docs = graft.Tables.load(s, dir, "documents")
+      val labeled = docs.withColumn("label",
+        array_contains(TextAnalysis.tokens(col("text")), "slow")
+          .cast("int"))
+      val model = QualityClassifier.train(labeled, "text", "label",
+        dim = 512, maxSample = 20000)
+      docs.select(col("doc_id")).stageInput(dir, "st45_docs")
+      Fixtures.stagedInput(dir, "st45_toks", 1)(docs.select(col("doc_id"),
+        explode(QualityClassifier.buckets(col("text"), 512))
+          .alias("bucket")))
+      QualityClassifier.modelFrame(s, model).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/st45_model")
+      val out = tmp("graft_st45")
+      docsStream(s, stageDocsDir(dir))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.filter(QualityClassifier.keep(col("text"), model))
+            .select(col("doc_id"),
+              QualityClassifier.logit(col("text"), model).alias("logit"))
+            .write.mode("overwrite").parquet(s"$out/sink/batch=$batchId")
+        }
+        .option("checkpointLocation", s"$out/_cp")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$out/sink").drop("batch")
+    },
+
     QueryDef("st6_sessionize_typed",
       "typed KeyValueGroupedDataset sessionization (30-min gap rule)",
       """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
