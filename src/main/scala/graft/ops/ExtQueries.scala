@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, QualityClassifier, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Dsir, Multimodal, QualityClassifier, Similarity, TextAnalysis}
 import graft.ops.Fixtures.StagedInputOps
 import graft.functions.{GraftFunctions, VectorFunctions}
 
@@ -193,6 +193,41 @@ object ExtQueries {
         .filter(col("df") * 4 >= col("n_docs"))
         .select(col("token"), col("df"),
           (col("df").cast("double") / col("n_docs")).alias("doc_ratio"))
+    },
+
+    // Count-Min sketch point-frequency estimates (Cormode & Muthukrishnan
+    // 2005) — Space-Saving's complement: bounded-memory "how often did
+    // THIS key occur" with a one-sided error. The sketch is a depth·width
+    // counter TABLE built by one codegen'd bucket expression + grouped
+    // count (mergeable by re-summing), estimation a broadcast join + min.
+    // Everything is exact integers, so DuckDB replays every counter and
+    // estimate bit-for-bit from the staged occurrence buckets; the entry
+    // emits est alongside the true count — the one-sided bound
+    // (est ≥ cnt) is require()d before returning.
+    QueryDef("ext_countmin_freq",
+      "Count-Min sketch (d=3, w=256) user-event frequencies vs exact counts — counters and min-estimates replayed exactly",
+      s"""WITH o AS (SELECT item, r, b FROM read_parquet('$StageSql/cms_occ/*.parquet')),
+         |c AS (SELECT r, b, COUNT(*) AS c FROM o GROUP BY 1, 2),
+         |k AS (SELECT DISTINCT item, r, b FROM o),
+         |e AS (SELECT k.item, MIN(c.c) AS cms_est
+         |  FROM k JOIN c USING (r, b) GROUP BY k.item),
+         |x AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM o WHERE r = 0 GROUP BY item)
+         |SELECT x.item AS user_id, x.cnt, e.cms_est
+         |FROM x JOIN e USING (item)""".stripMargin) { (s, dir) =>
+      import graft.ext.CountMin
+      val (depth, width) = (3, 256)
+      val events = Tables.load(s, dir, "events")
+      Fixtures.stagedInput(dir, "cms_occ", 1)(
+        CountMin.occurrences(events, "user_id", depth, width))
+      val sk = CountMin.sketch(events, "user_id", depth, width)
+      val exact = events.groupBy(col("user_id").alias("item"))
+        .agg(count(lit(1)).alias("cnt"))
+      val out = exact
+        .join(CountMin.estimate(exact, "item", sk, depth, width), Seq("item"))
+        .select(col("item").alias("user_id"), col("cnt"), col("cms_est"))
+      require(out.filter(col("cms_est") < col("cnt")).isEmpty,
+        "Count-Min must never underestimate")
+      out
     },
 
     // MinHash signatures are Spark-xxhash64-based (no DuckDB equivalent), so
@@ -1170,6 +1205,57 @@ object ExtQueries {
       docs.select(col("doc_id"),
         QualityClassifier.logit(col("text"), model).alias("logit"),
         QualityClassifier.keep(col("text"), model).alias("keep"))
+    },
+
+    // DSIR data selection (Xie et al. 2023): importance-resample the raw
+    // corpus toward a trusted target slice. Hashed uni+bigram log-ratio
+    // weights, trained driver-side from two bounded histogram passes,
+    // scored scan-side as a codegen'd aggregate (dyadic weights — the
+    // ext_quality_classifier exactness discipline), then the top 20% of
+    // each SOURCE kept via a source-partitioned window (never a global
+    // sort: selection parallelizes across domains at 100 TB, and the
+    // sorted payload is (logw, doc_id), not documents). On synthetic
+    // testdata the target slice is three sources standing in for a
+    // curated reference corpus; the oracle replays scoring AND the rank
+    // rule exactly from the staged (doc, bucket) pairs × weight table.
+    QueryDef("ext_dsir_selection",
+      "DSIR importance resampling: hashed-ngram log-ratio weights scored scan-side, per-source top-20% keep; exact replay from staged buckets×weights",
+      s"""WITH d AS (SELECT doc_id, source FROM read_parquet('$StageSql/dsir_docs/*.parquet')),
+         |t AS (SELECT doc_id, bucket FROM read_parquet('$StageSql/dsir_toks/*.parquet')),
+         |w AS (SELECT bucket, w FROM read_parquet('$StageSql/dsir_model/*.parquet')),
+         |lw AS (SELECT t.doc_id, SUM(wt.w) AS s
+         |  FROM t JOIN w wt ON t.bucket = wt.bucket GROUP BY t.doc_id),
+         |sc AS (SELECT d.doc_id, d.source, COALESCE(lw.s, 0.0) AS logw
+         |  FROM d LEFT JOIN lw ON d.doc_id = lw.doc_id),
+         |rk AS (SELECT doc_id, source, logw,
+         |  row_number() OVER (PARTITION BY source ORDER BY logw DESC, doc_id) AS rk,
+         |  COUNT(*) OVER (PARTITION BY source) AS n FROM sc)
+         |SELECT doc_id, source, logw,
+         |  rk <= CAST(ceil(n * 0.2) AS BIGINT) AS keep
+         |FROM rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val target = docs.filter(col("source").isin("src1", "src2", "src3"))
+      // maxSample exceeds every test-scale corpus, so the capped limit()
+      // is total (deterministic); at production scale the cap bounds the
+      // two training passes and only scoring touches the full corpus
+      val model = Dsir.train(target, docs, "text",
+        dim = 1024, maxSample = 1000000)
+      docs.select(col("doc_id"), col("source")).stageInput(dir, "dsir_docs")
+      Fixtures.stagedInput(dir, "dsir_toks", 1)(docs.select(col("doc_id"),
+        explode(Dsir.ngramBuckets(col("text"), 1024)).alias("bucket")))
+      Dsir.modelFrame(s, model).coalesce(1)
+        .write.mode("overwrite").parquet(s"${stageDir(dir)}/dsir_model")
+      val scored = docs.select(col("doc_id"), col("source"),
+        Dsir.logWeight(col("text"), model).alias("logw"))
+      val bySource = Window.partitionBy("source")
+      val rk = row_number().over(
+        bySource.orderBy(col("logw").desc, col("doc_id").asc))
+      scored
+        .withColumn("rk", rk)
+        .withColumn("n", count(lit(1)).over(bySource))
+        .select(col("doc_id"), col("source"), col("logw"),
+          (col("rk") <= ceil(col("n") * 0.2)).alias("keep"))
     },
 
     // Gopher quality rules (Rae et al. 2021, Table A1 — the filter set

@@ -255,6 +255,47 @@ object PipelineQueries {
         s.read.parquet(s"$stage/tfidf_idf"), k = 5)
     },
 
+    // BM25 ranked retrieval (Robertson & Zaragoza 2009): tf saturation +
+    // length normalization on top of TfIdf's scan shapes. The BM25-form
+    // IDF is staged as micro-nat LONGs; avgdl derives in-engine from a
+    // staged one-row integer stats table; the saturation is a fixed
+    // IEEE expression tree over exact integers (bit-identical across
+    // engines) floored to dyadic, so per-doc sums are order-free. The
+    // oracle SQL mirrors Bm25.saturation's association order EXACTLY —
+    // edit them together or the last ulp diverges.
+    QueryDef("ext_text_bm25",
+      "BM25 scores for a 4-term query: micro-nat IDF staged, dyadic-floored saturation, exact order-free per-doc sums",
+      ("""WITH tok AS (SELECT doc_id AS doc, u.t AS token
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk FROM documents),
+         |  UNNEST(tk) AS u(t)),
+         |lens AS (SELECT doc_id AS doc,
+         |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS len FROM documents),
+         |""" +
+       s"""v AS (SELECT token, idf_micro FROM read_parquet('${QueryDef.StageSql}/bm25_idf/*.parquet')),
+         |st AS (SELECT CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+         |  FROM read_parquet('${QueryDef.StageSql}/bm25_stats/*.parquet')),
+         |""" +
+       """tf AS (SELECT doc, token, COUNT(*) AS tf FROM tok JOIN v USING (token) GROUP BY 1, 2),
+         |sc AS (SELECT tf.doc, v.idf_micro * (floor(
+         |    ((CAST(tf.tf AS DOUBLE) * 2.25) /
+         |     (CAST(tf.tf AS DOUBLE) + 1.25 * (0.25 + 0.75 * (CAST(lens.len AS DOUBLE) / st.avgdl))))
+         |    * 1048576.0) / 1048576.0) AS s
+         |  FROM tf JOIN v USING (token) JOIN lens ON tf.doc = lens.doc CROSS JOIN st)
+         |SELECT doc, SUM(s) AS bm25_micro FROM sc GROUP BY doc""").stripMargin) { (s, dir) =>
+      import graft.ext.{Bm25, TfIdf}
+      val terms = Seq("spark", "merge", "window", "scan")
+      val docs = Tables.load(s, dir, "documents")
+      val tok = TfIdf.tokenized(docs, "doc_id", "text")
+      val lens = Bm25.docLengths(docs, "doc_id", "text")
+      val stage = QueryDef.stageDir(dir)
+      Bm25.idf(tok, docs.count(), terms)
+        .write.mode("overwrite").parquet(s"$stage/bm25_idf")
+      Bm25.stats(lens).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/bm25_stats")
+      Bm25.score(tok, lens, s.read.parquet(s"$stage/bm25_idf"),
+        s.read.parquet(s"$stage/bm25_stats"))
+    },
+
     QueryDef("ext_quality_threshold",
       "quality gate: keep docs at/above the exact 75th-percentile quality score (the C4/Gopher-style filter step)",
       """WITH q AS (SELECT doc_id,
