@@ -296,6 +296,84 @@ object PipelineQueries {
         s.read.parquet(s"$stage/bm25_stats"))
     },
 
+    // BM25 serving over the LAKEHOUSE — the retrieval analog of
+    // ext_ann_lakehouse: the inverted index (one posting row per
+    // (token, doc) with tf and the doc length denormalized in) lives IN
+    // a txlog table bucket-partitioned by pmod(hash(token), 16), so a
+    // query's terms derive their exact buckets DRIVER-SIDE and the scan
+    // opens only those partitions — per-query read cost follows
+    // |terms|/16 of the index, not the corpus, and the index gets
+    // ACID/time-travel for free. Corpus stats ride a one-row staged
+    // table; the query-term IDF is computed FROM the index's own df and
+    // staged micro-nat; scoring is ext_text_bm25's exact dyadic tree.
+    // The oracle recomputes the full result from raw documents — proving
+    // the index path equals a corpus scan — while the requires pin that
+    // the scan actually pruned.
+    QueryDef("ext_bm25_lakehouse",
+      "BM25 serving from a bucket-pruned txlog posting-list table: term probes prune partitions before postings are read; scores oracled vs a corpus recompute",
+      ("""WITH tok AS (SELECT doc_id AS doc, u.t AS token
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk FROM documents),
+         |  UNNEST(tk) AS u(t)),
+         |lens AS (SELECT doc_id AS doc,
+         |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS len FROM documents),
+         |""" +
+       s"""v AS (SELECT token, idf_micro FROM read_parquet('${QueryDef.StageSql}/bm25lh_idf/*.parquet')),
+         |st AS (SELECT CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+         |  FROM read_parquet('${QueryDef.StageSql}/bm25lh_stats/*.parquet')),
+         |""" +
+       """tf AS (SELECT doc, token, COUNT(*) AS tf FROM tok JOIN v USING (token) GROUP BY 1, 2),
+         |sc AS (SELECT tf.doc, v.idf_micro * (floor(
+         |    ((CAST(tf.tf AS DOUBLE) * 2.25) /
+         |     (CAST(tf.tf AS DOUBLE) + 1.25 * (0.25 + 0.75 * (CAST(lens.len AS DOUBLE) / st.avgdl))))
+         |    * 1048576.0) / 1048576.0) AS s
+         |  FROM tf JOIN v USING (token) JOIN lens ON tf.doc = lens.doc CROSS JOIN st)
+         |SELECT doc, SUM(s) AS bm25_micro FROM sc GROUP BY doc""").stripMargin) { (s, dir) =>
+      import graft.ext.{Bm25, TfIdf}
+      import graft.ops.TxLog
+      val terms = Seq("hash", "sort", "batch", "line")
+      val docs = Tables.load(s, dir, "documents")
+      val stage = QueryDef.stageDir(dir)
+      // the index is append-only and input-deterministic — build once
+      // per sf; a production pipeline refreshes it incrementally like
+      // ext_tfidf_incremental's df tables
+      val table = Fixtures.immutableTable(dir, "bm25lh", 1) { t =>
+        TxLog.setProperties(t, Map(
+          "graft.generated.bkt" -> "pmod(hash(token), 16)",
+          "graft.partition.columns" -> "bkt"))
+        TxLog.append(
+          TfIdf.termFreq(TfIdf.tokenized(docs, "doc_id", "text"))
+            .join(Bm25.docLengths(docs, "doc_id", "text"), Seq("doc")), t)
+      }
+      val statsPath = Fixtures.stagedInput(dir, "bm25lh_stats", 1)(
+        Bm25.stats(Bm25.docLengths(docs, "doc_id", "text")).coalesce(1))
+      val statsDf = s.read.parquet(statsPath)
+      val probes = TxLog.deriveGeneratedEqProbes(table, None,
+        Map("token" -> terms))
+      require(probes.contains("bkt"),
+        "term probes must derive their bucket partitions")
+      val pruned = TxLog.readPruned(s, table, Map.empty, Map.empty,
+        eqProbes = probes)
+      require(pruned.inputFiles.length < TxLog.activeFiles(table).size,
+        "non-probed token buckets must be pruned")
+      val matched = pruned.filter(col("token").isInCollection(terms))
+      // query-term IDF from the index's own document frequencies
+      matched.groupBy("token").agg(count(lit(1)).alias("df"))
+        .crossJoin(broadcast(statsDf))
+        .select(col("token"),
+          round(log(lit(1d) + (col("n_docs").cast("double") - col("df") +
+            lit(0.5)) / (col("df") + lit(0.5))) * 1e6).cast("long")
+            .alias("idf_micro"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/bm25lh_idf")
+      val avgdl = col("total_toks").cast("double") /
+        col("n_docs").cast("double")
+      matched
+        .join(broadcast(s.read.parquet(s"$stage/bm25lh_idf")), Seq("token"))
+        .crossJoin(broadcast(statsDf))
+        .select(col("doc"), (col("idf_micro") *
+          Bm25.saturation(col("tf"), col("len"), avgdl)).alias("s"))
+        .groupBy("doc").agg(sum(col("s")).alias("bm25_micro"))
+    },
+
     QueryDef("ext_quality_threshold",
       "quality gate: keep docs at/above the exact 75th-percentile quality score (the C4/Gopher-style filter step)",
       """WITH q AS (SELECT doc_id,
