@@ -232,6 +232,37 @@ object AnalyticsQueries {
             .getField("k").cast(IntegerType).alias("k_val"))
     },
 
+    // VARIANT (Spark 4's open-schema JSON type — the semi-structured
+    // ingestion path that replaces schema-on-write structs for event
+    // payloads): nested JSON is parsed ONCE into the binary variant
+    // encoding, then fields extract by path with per-path result types —
+    // no full-document re-parse per field, and unknown paths are NULL,
+    // not errors. The entry round-trips real columns through
+    // to_json → parse_json → variant_get, so the oracle is a plain
+    // column projection: if any typed extraction diverges, the hash
+    // catches it.
+    QueryDef("f23_variant_extract",
+      "VariantType round-trip: nested JSON parsed once, typed path extraction (long/string/array element, missing path → NULL)",
+      """SELECT o_orderkey, o_custkey AS cust,
+        |  o_orderstatus AS status,
+        |  CAST(substr(o_orderpriority, 1, 1) AS VARCHAR) AS prio0,
+        |  CAST(NULL AS VARCHAR) AS missing
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val j = to_json(struct(
+        col("o_custkey").alias("cust"),
+        struct(col("o_orderstatus").alias("status")).alias("meta"),
+        array(substring(col("o_orderpriority"), 1, 1),
+          col("o_orderpriority")).alias("tags")))
+      Tables.load(s, dir, "orders")
+        .withColumn("v", parse_json(j))
+        .select(col("o_orderkey"),
+          variant_get(col("v"), "$.cust", "bigint").alias("cust"),
+          variant_get(col("v"), "$.meta.status", "string").alias("status"),
+          variant_get(col("v"), "$.tags[0]", "string").alias("prio0"),
+          try_variant_get(col("v"), "$.nope.deep", "string")
+            .alias("missing"))
+    },
+
     QueryDef("l2_topk_custom_operator",
       "top-3 per group via the custom TopKPerKeyNode/Exec (bounded per-key heaps, no partition sort; same oracle as the window form)",
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
