@@ -1647,6 +1647,83 @@ object StreamingQueries {
       s.read.parquet(s"$out/sink").drop("batch")
     },
 
+    // Streaming inverted-index maintenance — the ingest half of
+    // ext_bm25_lakehouse: documents arrive as txlog commits; each
+    // micro-batch appends its posting rows (doc, token, tf) and norm
+    // rows (doc, len) under batchId-keyed overwrite partitions (the
+    // st17 replay-idempotence pattern — postings are doc-local, so
+    // batch slicing can't change them). Serving then runs ENTIRELY
+    // from the streamed index: df and corpus stats fold from what the
+    // stream wrote, never from the raw corpus. The oracle recomputes
+    // BM25 from raw documents INDEPENDENTLY (ln in DuckDB at micro-nat
+    // rounding — ext_tfidf_incremental's precedent), so a posting
+    // dropped or doubled by the stream diverges the hash.
+    QueryDef("st46_stream_bm25_index",
+      "streaming posting-list maintenance: per-commit postings+norms appended idempotently; BM25 served from the streamed index equals an independent corpus recompute",
+      """WITH tok AS (SELECT doc_id AS doc, u.t AS token
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk FROM documents),
+        |  UNNEST(tk) AS u(t)),
+        |lens AS (SELECT doc_id AS doc,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS len FROM documents),
+        |stn AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_toks,
+        |  CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM lens),
+        |v0 AS (SELECT token, COUNT(DISTINCT doc) AS df FROM tok
+        |  WHERE token IN ('table', 'key', 'row', 'agg') GROUP BY token),
+        |v AS (SELECT token, CAST(round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * 1e6) AS BIGINT) AS idf_micro
+        |  FROM v0 CROSS JOIN stn),
+        |tf AS (SELECT doc, token, COUNT(*) AS tf FROM tok JOIN v USING (token) GROUP BY 1, 2),
+        |sc AS (SELECT tf.doc, v.idf_micro * (floor(
+        |    ((CAST(tf.tf AS DOUBLE) * 2.25) /
+        |     (CAST(tf.tf AS DOUBLE) + 1.25 * (0.25 + 0.75 * (CAST(lens.len AS DOUBLE) / stn.avgdl))))
+        |    * 1048576.0) / 1048576.0) AS s
+        |  FROM tf JOIN v USING (token) JOIN lens ON tf.doc = lens.doc CROSS JOIN stn)
+        |SELECT doc, SUM(s) AS bm25_micro FROM sc GROUP BY doc""".stripMargin) { (s, dir) =>
+      import graft.ext.{Bm25, TfIdf}
+      val terms = Seq("table", "key", "row", "agg")
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      // the table under ingest: four ordered commits by doc_id quartile
+      val root = tmp("graft_st46")
+      val table = s"$root/docs"
+      (0 until 4).foreach { q =>
+        graft.ops.TxLog.append(docs.filter(
+          col("doc_id") >= q * 125 && col("doc_id") < (q + 1) * 125)
+          .repartition(2), table)
+      }
+      s.readStream.format("graft.sources.txlog")
+        .option("path", table).option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.option("checkpointLocation", s"$root/_cp")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          TfIdf.termFreq(TfIdf.tokenized(batch, "doc_id", "text"))
+            .write.mode("overwrite").parquet(s"$root/idx/batch=$batchId")
+          Bm25.docLengths(batch, "doc_id", "text")
+            .write.mode("overwrite").parquet(s"$root/norms/batch=$batchId")
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      // serve from the streamed index only
+      val idx = s.read.parquet(s"$root/idx").drop("batch")
+      val norms = s.read.parquet(s"$root/norms").drop("batch")
+      val statsDf = norms.agg(count(lit(1)).alias("n_docs"),
+        sum(col("len").cast("long")).alias("total_toks"))
+      val matched = idx.filter(col("token").isInCollection(terms))
+      val idf = matched.groupBy("token").agg(count(lit(1)).alias("df"))
+        .crossJoin(broadcast(statsDf))
+        .select(col("token"),
+          round(log(lit(1d) + (col("n_docs").cast("double") -
+            col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) * 1e6).cast("long")
+            .alias("idf_micro"))
+      val avgdl = col("total_toks").cast("double") /
+        col("n_docs").cast("double")
+      matched.join(broadcast(idf), Seq("token"))
+        .join(norms, Seq("doc"))
+        .crossJoin(broadcast(statsDf))
+        .select(col("doc"), (col("idf_micro") *
+          Bm25.saturation(col("tf"), col("len"), avgdl)).alias("s"))
+        .groupBy("doc").agg(sum(col("s")).alias("bm25_micro"))
+    },
+
     QueryDef("st6_sessionize_typed",
       "typed KeyValueGroupedDataset sessionization (30-min gap rule)",
       """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
