@@ -374,6 +374,38 @@ object PipelineQueries {
         .groupBy("doc").agg(sum(col("s")).alias("bm25_micro"))
     },
 
+    // Entity-resolution fuzzy join — the record-linkage step that maps
+    // dirty surface forms onto canonical entities (products, authors,
+    // domains) before joins and dedup can key on them. Scale shape:
+    // match the DISTINCT name dictionary, not raw rows (names are
+    // vocabulary-sized; 100 TB of rows equi-join back to the matched
+    // dictionary afterwards), block candidates on the first token (the
+    // classic blocking key — bounded blocks, never all-pairs across
+    // blocks), and verify survivors with exact Levenshtein — an integer
+    // both engines define identically, so the oracle replays blocking
+    // AND verification bit-for-bit. Like the LSH dedup entries, blocking
+    // recall is a documented trade (a first-token typo escapes the
+    // block); the verify stage is exact on what blocking admits.
+    QueryDef("ext_fuzzy_join",
+      "entity-resolution fuzzy self-join: distinct-name dictionary, first-token blocking, exact levenshtein ≤ 3 verify",
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM n a JOIN n b
+        |  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        | AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin) { (s, dir) =>
+      val names = Tables.load(s, dir, "part").select("p_name").distinct()
+      val a = names.select(col("p_name").alias("name_a"),
+        split(col("p_name"), " ").getItem(0).alias("blk"))
+      val b = names.select(col("p_name").alias("name_b"),
+        split(col("p_name"), " ").getItem(0).alias("blk"))
+      a.join(b, Seq("blk")).filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+    },
+
     QueryDef("ext_quality_threshold",
       "quality gate: keep docs at/above the exact 75th-percentile quality score (the C4/Gopher-style filter step)",
       """WITH q AS (SELECT doc_id,
