@@ -55,10 +55,21 @@ object QualityClassifier {
   def buckets(text: Column, dim: Int): Column =
     transform(TextAnalysis.tokens(text), t => pmod(hash(t), lit(dim)))
 
+  /** Dense histogram over an ALREADY-MATERIALIZED bucket array:
+    * `counts[i] = |{b ∈ bkts : b = i}|`. The bucket column must be a
+    * real column, not the [[buckets]] expression inline — a HOF lambda
+    * body is not common-subexpression-eliminated, so an inline argument
+    * would re-tokenize and re-hash the document once PER BUCKET
+    * (dim× the work; the round-16 train-path regression). */
+  def histogramOfBuckets(bkts: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => size(filter(bkts, b => b === i)).cast("double"))
+
   /** Dense per-document feature histogram in the scorer's own bucket
-    * space: `counts[i] = |{tokens t : bucket(t) = i}|`. O(dim·tokens)
-    * per row — acceptable for the sample-capped TRAIN path only; the
-    * scoring path never materializes it. */
+    * space. O(dim·tokens) per row ON TOP of one tokenization —
+    * acceptable for the sample-capped TRAIN path only; the scoring path
+    * never materializes it. Prefer materializing [[buckets]] to a
+    * column and calling [[histogramOfBuckets]] in multi-row plans. */
   def bucketHistogram(text: Column, dim: Int): Column = {
     val bkts = buckets(text, dim)
     transform(sequence(lit(0), lit(dim - 1)),
@@ -69,6 +80,22 @@ object QualityClassifier {
     * every partial sum of document-scale logits exactly representable. */
   private def dyadic(x: Double): Double = math.rint(x * 1048576.0) / 1048576.0
 
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Model]
+  private val ModelCacheCap = 16
+
+  /** Memoized [[train]] (the IvfIndex.trainCached pattern): one fit per
+    * (corpusKey, dim, maxSample) per JVM — entries sharing a trained
+    * filter (batch + streaming variants of the same corpus) pay the
+    * bounded training cost once per bench/verify run, not per entry and
+    * pass. Key on the corpus identity + label recipe, not the frame. */
+  def trainCached(corpusKey: String, docs: DataFrame, textCol: String,
+      labelCol: String, dim: Int = 512, maxSample: Int = 100000): Model = {
+    if (modelCache.size >= ModelCacheCap) modelCache.clear()
+    modelCache.getOrElseUpdate((corpusKey, dim, maxSample),
+      train(docs, textCol, labelCol, dim, maxSample))
+  }
+
   /** Fit the classifier on (text, label) rows. `maxSample` caps the
     * training set (head-capped like the ANN codebook trainers — training
     * is a driver-coordinated, bounded-cost stage; scoring is the part
@@ -77,16 +104,27 @@ object QualityClassifier {
     * lexicon marker. */
   def train(docs: DataFrame, textCol: String, labelCol: String,
       dim: Int = 512, maxSample: Int = 100000): Model = {
+    // limit() funnels to ONE partition — repartition spreads the
+    // O(dim·tokens) feature build back across the cluster; buckets
+    // materialize to a column FIRST so the histogram's dim lambdas
+    // share one tokenize+hash pass (see histogramOfBuckets)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val sample = docs
       .select(col(textCol).alias("text"),
         col(labelCol).cast("double").alias("label"))
       .filter(col("text").isNotNull && col("label").isNotNull)
       .limit(maxSample)
+      .repartition(par)
+      .withColumn("bkts", buckets(col("text"), dim))
       .select(col("label"),
-        array_to_vector(bucketHistogram(col("text"), dim))
+        array_to_vector(histogramOfBuckets(col("bkts"), dim))
           .alias("features"))
     val lr = new LogisticRegression()
-      .setMaxIter(60).setRegParam(1e-3)
+      // each LBFGS iteration is a scheduled treeAggregate job, so the
+      // iteration cap is a JOB-COUNT cap: 30 converges on hashed-linear
+      // features (tol still stops earlier when it can) at half the
+      // fixed scheduling cost of the former 60
+      .setMaxIter(30).setTol(1e-5).setRegParam(1e-3)
       .setStandardization(false).setFitIntercept(true)
     val fit = lr.fit(sample)
     Model(fit.coefficients.toArray.map(dyadic), dyadic(fit.intercept))

@@ -1191,8 +1191,8 @@ object ExtQueries {
       val docs = Tables.load(s, dir, "documents")
       val labeled = docs.withColumn("label",
         array_contains(TextAnalysis.tokens(col("text")), "slow").cast("int"))
-      val model = QualityClassifier.train(labeled, "text", "label",
-        dim = 512, maxSample = 20000)
+      val model = QualityClassifier.trainCached(s"$dir#qc_slow",
+        labeled, "text", "label", dim = 512, maxSample = 20000)
       // tokens/doc list are input-deterministic (cacheable); the model
       // is refit per run (training floats can drift across JVMs), so
       // its weights stage FRESH each run beside the scores they produced

@@ -1624,8 +1624,10 @@ object StreamingQueries {
       val labeled = docs.withColumn("label",
         array_contains(TextAnalysis.tokens(col("text")), "slow")
           .cast("int"))
-      val model = QualityClassifier.train(labeled, "text", "label",
-        dim = 512, maxSample = 20000)
+      // same corpus + label recipe as ext_quality_classifier → one fit
+      // per JVM serves both entries across the bench's two passes
+      val model = QualityClassifier.trainCached(s"$dir#qc_slow",
+        labeled, "text", "label", dim = 512, maxSample = 20000)
       docs.select(col("doc_id")).stageInput(dir, "st45_docs")
       Fixtures.stagedInput(dir, "st45_toks", 1)(docs.select(col("doc_id"),
         explode(QualityClassifier.buckets(col("text"), 512))
